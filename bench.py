@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Headline benchmark (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+       "queries": {name: sec, ...}, "sf": ...}.
+
+Timing = full execution of the query to a count/collect action (plans
+are built fresh per run; a warm-up query absorbs JVM/codegen startup).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from nowdb_spark.session import get_spark  # noqa: E402
+from nowdb_spark.workload import QUERIES  # noqa: E402
+
+# headline set: scan, metadata count, grouped agg battery, median/stddev,
+# fact-fact join, hierarchy rollup, window sessionization, as-of join,
+# exact dedup, minhash signatures, text stats, brute-force ANN.
+HEADLINE = [
+    "q01_scan_filter",
+    "q07_countall",
+    "q08_group_agg",
+    "q10_median_stddev",
+    "q16_join_two_dims",
+    "q17_degree",
+    "q22_sessionize",
+    "q23_asof_view_before_purchase",
+    "dd01_exact_dedup",
+    "dd02_minhash_signature",
+    "tx01_text_stats",
+    "ann01_bruteforce_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("nowdb_spark_bench")
+
+    # warm-up: JVM, parquet footer caches, codegen
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = QUERIES[name]
+        t0 = time.perf_counter()
+        df = spec.spark(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        assert n >= 0
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

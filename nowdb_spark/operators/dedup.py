@@ -1,0 +1,217 @@
+"""Deduplication operators for training-data pipelines.
+
+Strategies (cost at 100 TB in mind):
+  exact_dedup        — md5(content) → min-id canonical per hash.
+                       One shuffle on a 16-byte key; trivially scalable.
+  minhash_signature  — k deterministic MinHash components per doc
+                       (min over md5(shingle ⊕ seed)). Map-side only +
+                       one groupBy(doc); shuffle carries (doc, k×hash).
+  minhash_lsh_pairs  — band the signature, bucket-join within bands.
+                       Candidate pairs ~ true near-dups, never O(n²).
+  simhash            — 64-bit weighted-bit fingerprint; near-dups have
+                       small Hamming distance. Map-side per doc.
+  ngram_jaccard_pairs— exact Jaccard on shingle sets via a shingle
+                       equi-join (inverted-index style). Exact but the
+                       join can explode on hot shingles — at scale,
+                       use it only to VERIFY candidates from LSH.
+
+Hashes are md5-hex (deterministic, engine-portable) so results are
+reproducible in ANSI SQL by the DuckDB oracle. At production scale,
+swap HASH_FN to xxhash64 (F.xxhash64) — same topology, cheaper hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """n-word shingles as an array<string> (distinct not applied)."""
+    ws = F.split(text, r"\s+")
+    idx = F.sequence(F.lit(1), F.size(ws) - (n - 1))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, (i + k).cast("int")) for k in range(n)]
+        ),
+    )
+
+
+def exact_dedup(df: DataFrame, content_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: content hash → canonical = min(id) per hash.
+
+    Returns (id, content_hash, canonical_id, is_dup). Window over the
+    hash = one hash-partition shuffle; no driver-side state.
+    """
+    h = F.md5(F.col(content_col))
+    w = W.partitionBy("content_hash")
+    return (
+        df.select(F.col(id_col), h.alias("content_hash"))
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("is_dup", F.col(id_col) != F.col("canonical_id"))
+    )
+
+
+def minhash_signature(df: DataFrame, content_col: str = "text",
+                      id_col: str = "doc_id", k: int = 8,
+                      shingle_n: int = 3) -> DataFrame:
+    """k-component MinHash signature per document.
+
+    Component i = min over shingles of md5(shingle || '|' || i).
+    min-of-md5-hex is a valid MinHash family (uniform permutation of
+    the shingle space per seed). Entirely map-side: shingles never
+    leave their row (aggregate over the array, no explode/shuffle).
+    """
+    sh = F.array_distinct(word_shingles(F.col(content_col), shingle_n))
+    cols = [
+        F.array_min(F.transform(sh, lambda s: F.md5(F.concat(s, F.lit(f"|{i}")))))
+        .alias(f"s{i}")
+        for i in range(k)
+    ]
+    return df.select(F.col(id_col), *cols)
+
+
+def minhash_lsh_pairs(df: DataFrame, content_col: str = "text",
+                      id_col: str = "doc_id", k: int = 8, bands: int = 4,
+                      threshold: float = 0.5,
+                      shingle_n: int = 3) -> DataFrame:
+    """LSH candidate pairs + estimated Jaccard, filtered by threshold.
+
+    Signature → `bands` band-keys (md5 of concatenated rows-per-band)
+    → explode to (band_id, band_key) → self-join within band buckets →
+    distinct pairs → estimate = fraction of equal signature components.
+    The band join is the only shuffle; bucket sizes are bounded by
+    collision probability, never O(n²).
+    """
+    rows = k // bands
+    sig = minhash_signature(df, content_col, id_col, k, shingle_n)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat(*[F.col(f"s{b * rows + r}") for r in range(rows)]))
+            .alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        id_col, *[F.col(f"s{i}") for i in range(k)],
+        F.explode(F.array(*band_cols)).alias("band"),
+    ).select(id_col, *[f"s{i}" for i in range(k)],
+             "band.band_id", "band.band_key")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            *[F.col(f"a.s{i}").alias(f"as{i}") for i in range(k)],
+            *[F.col(f"b.s{i}").alias(f"bs{i}") for i in range(k)],
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = sum(
+        F.when(F.col(f"as{i}") == F.col(f"bs{i}"), 1).otherwise(0)
+        for i in range(k)
+    ) / F.lit(float(k))
+    return (
+        pairs.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def simhash64(text: Column, shingle_n: int = 1) -> Column:
+    """64-bit SimHash over word (or shingle) md5 hashes.
+
+    Each token votes its 64 md5-derived bits; the fingerprint keeps
+    the majority per bit. Pure Column composition: the 64 bit-sums are
+    computed with transform/aggregate over the token array (map-side,
+    no shuffle). Returns the fingerprint as a 16-hex-char string.
+    """
+    toks = (
+        F.split(text, r"\s+") if shingle_n == 1
+        else word_shingles(text, shingle_n)
+    )
+    # per token: md5 hex (32 chars); use first 16 chars = 64 bits
+    hexes = F.transform(toks, lambda t: F.substring(F.md5(t), 1, 16))
+    n = F.size(toks)
+    # for each of 16 hex digits, sum the 4-bit patterns' bits;
+    # bit b of digit at `pos`: (value >> b) & 1 where value = index of
+    # the hex char in the digit alphabet.
+    digits = "0123456789abcdef"
+    out_digits = []
+
+    def digit_value(h: Column, pos: int) -> Column:
+        c = F.substring(h, pos, 1)
+        return F.instr(F.lit(digits), c) - 1  # 0..15
+
+    def bit_summer(pos: int, b: int):
+        # higher-order-function lambdas must take exactly (acc, h)
+        def f(acc: Column, h: Column) -> Column:
+            return acc + F.shiftright(digit_value(h, pos), b).bitwiseAND(F.lit(1))
+        return f
+
+    for pos in range(1, 17):
+        sums = [F.aggregate(hexes, F.lit(0), bit_summer(pos, b))
+                for b in range(4)]
+        # majority vote per bit → rebuild the hex digit
+        bits = [
+            F.when(s * 2 > n, F.lit(1 << b)).otherwise(F.lit(0))
+            for b, s in enumerate(sums)
+        ]
+        val = bits[0] + bits[1] + bits[2] + bits[3]
+        out_digits.append(F.substring(F.lit(digits), (val + 1).cast("int"), 1))
+    return F.concat(*out_digits)
+
+
+def simhash_dedup(df: DataFrame, content_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-doc SimHash fingerprints (near-dup = small Hamming distance;
+    group by fingerprint prefix bands to find candidates at scale)."""
+    return df.select(F.col(id_col),
+                     simhash64(F.col(content_col)).alias("simhash"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, content_col: str = "text",
+                        id_col: str = "doc_id", n: int = 2,
+                        threshold: float = 0.2) -> DataFrame:
+    """Exact n-gram Jaccard similarity via a shingle inverted-index
+    join. Returns (doc_a, doc_b, jaccard) for pairs ≥ threshold.
+
+    Shuffles: explode→distinct (1), self-join on shingle (2), pair
+    groupBy (3). Exact; at 100 TB use as the verify stage behind
+    minhash_lsh_pairs candidates.
+    """
+    sh = (
+        df.select(F.col(id_col),
+                  F.explode(F.array_distinct(word_shingles(F.col(content_col), n)))
+                  .alias("shingle"))
+    )
+    card = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("card"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
+                 F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca = card.select(F.col(id_col).alias("doc_a"), F.col("card").alias("card_a"))
+    cb = card.select(F.col(id_col).alias("doc_b"), F.col("card").alias("card_b"))
+    return (
+        inter.join(ca, "doc_a").join(cb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter").cast("double")
+                    / (F.col("card_a") + F.col("card_b") - F.col("n_inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -1,0 +1,178 @@
+"""Similarity search over embedding columns (array<float>).
+
+brute_force_topk    — exact cosine top-k for a single query vector:
+                      broadcast the query, one pass over the corpus,
+                      TakeOrderedAndProject (no global sort).
+knn_join            — exact top-k for a SET of query vectors: broadcast
+                      the query set, per-row best-k via window. Use for
+                      |Q| up to ~10⁵; beyond that, go LSH.
+lsh_bucket_topk     — approximate: random-hyperplane LSH buckets
+                      (deterministic seeded planes), candidates only
+                      within matching buckets (multi-probe = 0/1 bit
+                      flips), then exact cosine on candidates. The
+                      scale path: corpus is hashed once (map-side),
+                      probes join on the bucket key.
+
+The dot products run as JVM Column expressions (zip_with/aggregate) —
+no Python in the hot path. For very wide vectors a Pandas-UDF matmul
+kernel (numpy BLAS) can batch better; see pandas_cosine_topk.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(corpus: DataFrame, query_vec_id: int, k: int = 10,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k against one stored vector.
+
+    The query row is broadcast; ORDER BY+LIMIT compiles to
+    TakeOrderedAndProject (per-partition heap + driver merge of k
+    rows), so the plan is a single corpus scan at any scale.
+    """
+    q = corpus.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__qv"))
+    sim = F.round(cosine(F.col(vec_col), F.col("__qv")), 6)
+    return (
+        corpus.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
+    """Exact k-NN join: for each query vector, its k nearest corpus
+    vectors by cosine. Broadcast-nested-loop on the query side +
+    per-query window; corpus is scanned once."""
+    joined = corpus.crossJoin(F.broadcast(queries))
+    sim = F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6)
+    w = W.partitionBy(qid_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        joined.select(F.col(qid_col), F.col(id_col), sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (LCG-based, no
+    numpy dependency at plan-build time)."""
+    state = seed * 6364136223846793005 + 1442695040888963407
+    planes = []
+    for _ in range(n_planes):
+        v = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            # Box-Muller-ish: two uniforms → one normal
+            u1 = ((state >> 11) & ((1 << 53) - 1)) / float(1 << 53)
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            u2 = ((state >> 11) & ((1 << 53) - 1)) / float(1 << 53)
+            v.append(math.sqrt(-2.0 * math.log(u1 + 1e-300))
+                     * math.cos(2.0 * math.pi * u2))
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def lsh_bucket_key(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket key from random hyperplanes (SimHash for
+    vectors). One string key per row, fully JVM-side."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(vec, F.array(*[F.lit(p) for p in plane]),
+                           lambda x, y: x.cast("double") * y),
+                F.lit(0.0), lambda acc, v: acc + v) >= 0, "1").otherwise("0")
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                    n_planes: int = 8, dim: int = 64,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    qid_col: str = "qid", qvec_col: str = "qvec",
+                    multiprobe: int = 1, seed: int = 42) -> DataFrame:
+    """Approximate k-NN: equi-join on LSH bucket keys (+ 1-bit probes),
+    exact cosine within candidates. Corpus hash is map-side; the join
+    shuffles only (bucket_key, id, vec) — at 2^n_planes buckets the
+    candidate set per query is |corpus| / 2^n_planes on average."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    ck = corpus.withColumn("bkey", lsh_bucket_key(F.col(vec_col), planes))
+    qk = queries.withColumn("bkey0", lsh_bucket_key(F.col(qvec_col), planes))
+
+    # multi-probe: original bucket + single-bit flips
+    probe_keys = [F.col("bkey0")]
+    if multiprobe:
+        for i in range(1, n_planes + 1):
+            flipped = F.concat(
+                F.substring("bkey0", 1, i - 1),
+                F.when(F.substring("bkey0", i, 1) == "1", "0").otherwise("1"),
+                F.substring("bkey0", i + 1, n_planes - i),
+            )
+            probe_keys.append(flipped)
+    qp = qk.select(
+        qid_col, qvec_col,
+        F.explode(F.array(*probe_keys)).alias("bkey"),
+    ).dropDuplicates([qid_col, "bkey"])
+
+    cands = ck.join(F.broadcast(qp), "bkey")
+    sim = F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6)
+    w = W.partitionBy(qid_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        cands.select(F.col(qid_col), F.col(id_col), sim.alias("sim"))
+        .dropDuplicates([qid_col, id_col])
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def pandas_cosine_topk(corpus: DataFrame, query: list[float], k: int = 10,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Vectorized (numpy BLAS) variant: mapInPandas computes per-batch
+    cosine and pre-truncates to k rows per partition before the global
+    top-k — the Arrow path for very wide embeddings."""
+    import numpy as np
+    import pandas as pd
+
+    qv = np.asarray(query, dtype=np.float64)
+    qn = float(np.linalg.norm(qv))
+    schema = f"{id_col} long, sim double"
+
+    def kernel(batches):
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sims = (m @ qv) / (np.linalg.norm(m, axis=1) * qn)
+            out = pd.DataFrame({id_col: pdf[id_col], "sim": np.round(sims, 6)})
+            yield out.nlargest(min(k, len(out)), "sim")
+
+    return (
+        corpus.select(id_col, vec_col).mapInPandas(kernel, schema)
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,77 @@
+"""Text analysis operators for training-data pipelines.
+
+tokenize / text_stats / quality_score / lang_id / fingerprint — all
+pure Column compositions (whole-stage codegen, no Python), so they
+stream through a 100 TB corpus with zero shuffle (per-row maps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny deterministic stopword lists (heuristic language ID)
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
+# BPE-ish token splitter: runs of word chars, or single non-space symbol
+TOKEN_REGEX = r"\w+|[^\w\s]"
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokenization (the corpus is single-space separated)."""
+    return F.split(text, r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Regex token count (words + punctuation symbols), BPE-ish proxy."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document statistics: word/char counts, uniqueness, avg word
+    length — the signals quality filters cut on."""
+    ws = words(F.col(text_col))
+    wlens = F.transform(ws, lambda w: F.length(w).cast("long"))
+    n_words = F.size(ws).cast("long")
+    return df.select(
+        id_col,
+        F.length(text_col).cast("long").alias("n_chars_calc"),
+        n_words.alias("n_words"),
+        F.size(F.array_distinct(ws)).cast("long").alias("n_uniq_words"),
+        F.round(
+            F.aggregate(wlens, F.lit(0).cast("long"), lambda a, x: a + x)
+            .cast("double") / n_words, 6).alias("avg_word_len"),
+        F.round(F.size(F.array_distinct(ws)).cast("double") / n_words, 6)
+        .alias("uniq_ratio"),
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic logistic quality score from length + uniqueness.
+
+    score = sigmoid(-3 + 0.05*n_words + 2*uniq_ratio); heuristics in
+    the spirit of C4/Gopher quality rules, kept reproducible in ANSI
+    SQL for the oracle.
+    """
+    ws = words(text)
+    n_words = F.size(ws).cast("double")
+    uniq_ratio = F.size(F.array_distinct(ws)).cast("double") / n_words
+    z = F.lit(-3.0) + 0.05 * n_words + 2.0 * uniq_ratio
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: English-stopword density threshold.
+    (A real model would be a broadcast n-gram table; the decision
+    plumbing — per-row map, no shuffle — is identical.)"""
+    ws = words(text)
+    hits = F.size(F.filter(ws, lambda w: w.isin(*EN_STOPWORDS))).cast("double")
+    ratio = hits / F.size(ws).cast("double")
+    return F.when(ratio > 0.05, F.lit("en")).otherwise(F.lit("unk"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-insensitive document fingerprint: md5 over the sorted
+    distinct word set (bag-of-words identity; robust to shuffling)."""
+    ws = words(text)
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(ws)), " "))

@@ -1,0 +1,655 @@
+"""Relational workload — the nowdb operator inventory (SURVEY.md §2)
+re-expressed over the driver's TPC-H-ish tables.
+
+Mapping of query → reference operator:
+  q01  full scan + filter + projection  (FS_ reader, reader/reader.c:1100)
+  q02  point lookup                     (SEARCH_, qplan/plan.c:1610-1618)
+  q03  IN-list lookup                   (MRANGE, reader/reader.h:34)
+  q04  time-range scan                  (period pruning, reader/reader.c:1089)
+  q05  distinct keys                    (KRANGE, qplan/plan.c:1620-1628)
+  q06  per-key counting                 (CRANGE, query/cursor.c:387-393)
+  q07  count(*) fast path               (COUNTALL, qplan/plan.c:1780-1796)
+  q08  grouped aggregation battery      (GROUPING/AGGREGATES, query/cursor.c:726)
+  q09  global aggregation, no GROUP BY  (nogrp, query/cursor.c:592-607)
+  q10  median/stddev per group          (MANY-class aggs, fun/fun.c:320-347)
+  q11  ordered top-k                    (ORDERING, qplan/plan.h:31)
+  q12  scalar expression battery        (fun/expr.c evalOp)
+  q13  time component extraction        (fun/expr.h:479-494)
+  q14  NULL semantics / CASE / coalesce (sql.tex:311-333, nowdbsql.y:981-1020)
+  q15  edge→vertex join on origin       (documented join design, sql.tex:2293-2368)
+  q16  edge joining two vertex types    (join ... on origin + on destin)
+  q17  degree-style graph aggregation
+  q18  top-k per group (window)          — extension beyond reference
+  q19  semi join (EXISTS)                — extension
+  q20  anti join (NOT EXISTS)            — extension
+  q21  product aggregate per group      (prod, fun/fun.c:384-385)
+  q22  sessionization over events        — time-series extension
+  q23  as-of join (latest view ≤ purchase) — time-series extension
+
+Scale notes (100 TB stance): every query is pure DataFrame API —
+Catalyst pushes filters/projections into the parquet scan; joins
+against small dimensions are explicitly broadcast; fact-fact joins
+shuffle on the join key and rely on AQE for skew; no collect-driven
+logic anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from nowdb_spark import timeutil as TU
+from nowdb_spark.functions import aggregates as A
+from nowdb_spark.workload import register, table
+
+
+# ------------------------------------------------------------------
+# q01 — full scan + filter + projection (predicate & column pushdown)
+@register(
+    "q01_scan_filter",
+    """
+    SELECT l_orderkey, l_partkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity > 45.0 AND l_discount < 0.05
+    """,
+    doc="FS_ full scan with inline filter; projection pruned to 5 cols",
+)
+def q01(spark, sf):
+    li = table(spark, sf, "lineitem")
+    return (
+        li.filter((F.col("l_quantity") > 45.0) & (F.col("l_discount") < 0.05))
+        .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity",
+                "l_extendedprice")
+    )
+
+
+# ------------------------------------------------------------------
+# q02 — point lookup (index search → parquet min/max + dictionary filter)
+@register(
+    "q02_point_lookup",
+    """
+    SELECT l_linenumber, l_partkey, l_suppkey, l_quantity
+    FROM lineitem WHERE l_orderkey = 1
+    """,
+    doc="SEARCH_ point lookup on the primary key",
+)
+def q02(spark, sf):
+    li = table(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") == 1)
+        .select("l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+    )
+
+
+# ------------------------------------------------------------------
+# q03 — IN-list (MRANGE multi-key lookup)
+@register(
+    "q03_in_list",
+    """
+    SELECT p_partkey, p_brand, p_size, p_retailprice
+    FROM part WHERE p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')
+    """,
+    doc="MRANGE: IN-list membership",
+)
+def q03(spark, sf):
+    p = table(spark, sf, "part")
+    return (
+        p.filter(F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#33"))
+        .select("p_partkey", "p_brand", "p_size", "p_retailprice")
+    )
+
+
+# ------------------------------------------------------------------
+# q04 — time-range scan (the reference prunes files by [from,to) period;
+# Spark prunes row groups / partitions by the timestamp predicate)
+@register(
+    "q04_time_range",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+    """,
+    doc="time-period pruning on the stamp column (i64 ns, nowdb policy)",
+)
+def q04(spark, sf):
+    # events.ts is parquet TIMESTAMP(NANOS) → read as i64 ns (the nowdb
+    # stamp representation); range bounds are ns literals, so the
+    # comparison pushes down to the parquet scan as a plain Long filter.
+    ev = table(spark, sf, "events")
+    lo = TU.parse_time_literal("2024-01-10")
+    hi = TU.parse_time_literal("2024-01-20")
+    return (
+        ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+# ------------------------------------------------------------------
+# q05 — distinct keys (KRANGE keys-only scan)
+@register(
+    "q05_distinct",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    doc="KRANGE: one record per distinct key",
+)
+def q05(spark, sf):
+    return table(spark, sf, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# ------------------------------------------------------------------
+# q06 — per-key counting (CRANGE)
+@register(
+    "q06_count_by_key",
+    """
+    SELECT event_type, count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    doc="CRANGE: per-key counting reader",
+)
+def q06(spark, sf):
+    return (
+        table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+# ------------------------------------------------------------------
+# q07 — count(*) fast path (COUNTALL from store metadata; Spark answers
+# from parquet footer row counts)
+@register(
+    "q07_countall",
+    "SELECT count(*) AS cnt FROM lineitem",
+    doc="COUNTALL: metadata-only count",
+)
+def q07(spark, sf):
+    return table(spark, sf, "lineitem").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ------------------------------------------------------------------
+# q08 — grouped aggregation battery (TPC-H Q1 shape + nowdb spread)
+@register(
+    "q08_group_agg",
+    """
+    SELECT
+      l_returnflag, l_linestatus,
+      count(*) AS cnt,
+      round(sum(l_quantity), 3) AS sum_qty,
+      round(avg(l_quantity), 6) AS avg_qty,
+      round(sum(l_extendedprice), 2) AS sum_base,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      min(l_extendedprice) AS min_price,
+      max(l_extendedprice) AS max_price,
+      round(max(l_extendedprice) - min(l_extendedprice), 2) AS spread_price,
+      round(avg(l_discount), 6) AS avg_disc
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="GROUPING + the aggregate register battery incl. nowdb spread()",
+)
+def q08(spark, sf):
+    li = table(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "2000-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_quantity"), 3).alias("sum_qty"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.round(A.spread(F.col("l_extendedprice")), 2).alias("spread_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        )
+    )
+
+
+# ------------------------------------------------------------------
+# q09 — global aggregation without GROUP BY (nowdb 'nogrp')
+@register(
+    "q09_global_agg",
+    """
+    SELECT
+      count(*) AS cnt,
+      round(sum(value), 4) AS sum_value,
+      round(avg(value), 6) AS avg_value,
+      min(value) AS min_value,
+      max(value) AS max_value,
+      round(max(value) - min(value), 4) AS spread_value
+    FROM events
+    """,
+    doc="whole-set aggregates; avg empty→0 compat handled in A.avg0",
+)
+def q09(spark, sf):
+    ev = table(spark, sf, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(A.avg0(F.col("value")), 6).alias("avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.round(A.spread(F.col("value")), 4).alias("spread_value"),
+    )
+
+
+# ------------------------------------------------------------------
+# q10 — median + sample stddev per group (MANY-class aggregates; the
+# reference buffers all values in memory, Spark's percentile spills)
+@register(
+    "q10_median_stddev",
+    """
+    SELECT
+      l_returnflag,
+      round(median(l_quantity), 6) AS med_qty,
+      round(stddev_samp(l_quantity), 6) AS sd_qty,
+      round(median(l_extendedprice), 6) AS med_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="exact median (mean-of-middles) + sample stddev, nowdb semantics",
+)
+def q10(spark, sf):
+    li = table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(A.median(F.col("l_quantity")), 6).alias("med_qty"),
+        F.round(A.stddev0(F.col("l_quantity")), 6).alias("sd_qty"),
+        F.round(A.median(F.col("l_extendedprice")), 6).alias("med_price"),
+    )
+
+
+# ------------------------------------------------------------------
+# q11 — ordered top-k (the reference orders only via an index; Spark
+# sorts freely — TakeOrderedAndProject, no full sort materialization)
+@register(
+    "q11_order_topk",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="ORDER BY + LIMIT → TakeOrderedAndProject (no global sort)",
+)
+def q11(spark, sf):
+    o = table(spark, sf, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+# ------------------------------------------------------------------
+# q12 — scalar expression battery (arithmetic, pow, rounding, log,
+# trig, CASE, modulo, int/ → float) — reference fun/expr.c evalFun
+@register(
+    "q12_expressions",
+    """
+    SELECT
+      p_partkey,
+      round(pow((p_retailprice + 5.0) / 2.0, 2), 6) AS f_pow,
+      ceil(p_retailprice * 10.0) / 10.0 AS f_ceil,
+      floor(p_retailprice * 10.0) / 10.0 AS f_floor,
+      round(p_retailprice) AS f_round,
+      round(ln(p_retailprice), 9) AS f_log,
+      round(sin(p_size) + cos(p_size), 9) AS f_trig,
+      abs(p_size - 25) AS f_abs,
+      p_size % 7 AS f_mod,
+      CAST(p_size AS DOUBLE) / 7 AS f_div,
+      CASE WHEN p_size < 10 THEN 'S' WHEN p_size < 30 THEN 'M' ELSE 'L' END AS f_case
+    FROM part
+    """,
+    doc="scalar op battery with nowdb semantics (int / → float, ^ = pow)",
+)
+def q12(spark, sf):
+    p = table(spark, sf, "part")
+    size = F.col("p_size")
+    price = F.col("p_retailprice")
+    return p.select(
+        "p_partkey",
+        F.round(F.pow((price + 5.0) / 2.0, 2), 6).alias("f_pow"),
+        (F.ceil(price * 10.0).cast("double") / 10.0).alias("f_ceil"),
+        (F.floor(price * 10.0).cast("double") / 10.0).alias("f_floor"),
+        F.round(price, 0).alias("f_round"),
+        F.round(F.log(price), 9).alias("f_log"),
+        F.round(F.sin(size) + F.cos(size), 9).alias("f_trig"),
+        F.abs(size - 25).alias("f_abs"),
+        (size % 7).alias("f_mod"),
+        (size.cast("double") / 7).alias("f_div"),
+        F.when(size < 10, "S").when(size < 30, "M").otherwise("L").alias("f_case"),
+    )
+
+
+# ------------------------------------------------------------------
+# q13 — time component extraction (year/month/mday/yday/hour/minute/
+# second/epoch over the stamp; reference fun/expr.h:479-494)
+@register(
+    "q13_time_extract",
+    """
+    SELECT
+      event_id,
+      CAST(year(ts) AS INT) AS t_year,
+      CAST(month(ts) AS INT) AS t_month,
+      CAST(dayofmonth(ts) AS INT) AS t_mday,
+      CAST(dayofyear(ts) AS INT) AS t_yday,
+      CAST(hour(ts) AS INT) AS t_hour,
+      CAST(minute(ts) AS INT) AS t_minute,
+      CAST(second(ts) AS INT) AS t_second,
+      CAST(floor(epoch(ts)) AS BIGINT) AS t_epoch
+    FROM events WHERE user_id < 5
+    """,
+    doc="time extraction battery on the ns stamp (timeutil extractors)",
+)
+def q13(spark, sf):
+    ev = table(spark, sf, "events").filter(F.col("user_id") < 5)
+    ns = F.col("ts")  # i64 ns stamp
+    return ev.select(
+        "event_id",
+        TU.year(ns).alias("t_year"),
+        TU.month(ns).alias("t_month"),
+        TU.mday(ns).alias("t_mday"),
+        TU.yday(ns).alias("t_yday"),
+        TU.hour(ns).alias("t_hour"),
+        TU.minute(ns).alias("t_minute"),
+        TU.second(ns).alias("t_second"),
+        TU.epoch(ns).alias("t_epoch"),
+    )
+
+
+# ------------------------------------------------------------------
+# q14 — NULL semantics + CASE + coalesce (sql.tex:311-333). The data
+# has no physical NULLs, so NULLs are manufactured with nullif.
+@register(
+    "q14_null_semantics",
+    """
+    SELECT
+      event_id,
+      coalesce(nullif(event_type, 'error'), 'none') AS et,
+      CASE WHEN value > 100 THEN value END AS big_value,
+      (CASE WHEN value > 100 THEN value END) IS NULL AS is_small,
+      (nullif(event_type, 'error') = 'error') AS never_true
+    FROM events WHERE user_id < 20
+    """,
+    doc="is null / is not null / = NULL is never true / coalesce",
+)
+def q14(spark, sf):
+    ev = table(spark, sf, "events").filter(F.col("user_id") < 20)
+    et_null = F.nullif(F.col("event_type"), F.lit("error"))
+    big = F.when(F.col("value") > 100, F.col("value"))
+    return ev.select(
+        "event_id",
+        F.coalesce(et_null, F.lit("none")).alias("et"),
+        big.alias("big_value"),
+        big.isNull().alias("is_small"),
+        (et_null == "error").alias("never_true"),
+    )
+
+
+# ------------------------------------------------------------------
+# q15 — the documented nowdb join: edge→vertex on origin against the
+# vertex PK (sql.tex:2293-2368: `from buys join client on origin`).
+# orders is the edge, customer the origin vertex. customer is a
+# dimension → broadcast (no shuffle of the fact side).
+@register(
+    "q15_join_origin",
+    """
+    SELECT o.o_orderkey, c.c_name, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+    doc="edge→vertex inner join on origin (broadcast dim)",
+)
+def q15(spark, sf):
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .select("o_orderkey", "c_name", "o_totalprice")
+    )
+
+
+# ------------------------------------------------------------------
+# q16 — edge joining two vertex types (origin + destin), aggregated:
+# revenue per part brand. lineitem⋈orders shuffles on the key (AQE
+# handles skew); part is broadcast.
+@register(
+    "q16_join_two_dims",
+    """
+    SELECT
+      p.p_brand,
+      count(*) AS n_items,
+      round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p   ON l.l_partkey = p.p_partkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY p.p_brand
+    """,
+    doc="two-vertex edge join + grouped revenue (broadcast dims, AQE)",
+)
+def q16(spark, sf):
+    li = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    p = table(spark, sf, "part")
+    return (
+        li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(p.select("p_partkey", "p_brand")),
+              li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+        )
+    )
+
+
+# ------------------------------------------------------------------
+# q17 — degree-style graph aggregation: order count + distinct
+# customers per nation (out-degree of the customer→order edge rolled
+# up the customer→nation hierarchy).
+@register(
+    "q17_degree",
+    """
+    SELECT
+      n.n_name,
+      count(*) AS n_orders,
+      count(DISTINCT c.c_custkey) AS n_customers,
+      round(sum(o.o_totalprice), 2) AS total_value
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="degree/rollup over the graph hierarchy (broadcast dims)",
+)
+def q17(spark, sf):
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf, "nation").select("n_nationkey", "n_name")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+    )
+
+
+# ------------------------------------------------------------------
+# q18 — top-k per group via window (extension; reference has no
+# windows). Deterministic tiebreak on the key.
+@register(
+    "q18_topk_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    doc="window row_number top-3 per priority class",
+)
+def q18(spark, sf):
+    o = table(spark, sf, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# ------------------------------------------------------------------
+# q19 — semi join (EXISTS): customers having at least one URGENT order
+@register(
+    "q19_semi_join",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+    doc="left-semi join (EXISTS)",
+)
+def q19(spark, sf):
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+# ------------------------------------------------------------------
+# q20 — anti join (NOT EXISTS): parts never ordered
+@register(
+    "q20_anti_join",
+    """
+    SELECT p_partkey, p_name
+    FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_partkey = p.p_partkey)
+    """,
+    doc="left-anti join (NOT EXISTS)",
+)
+def q20(spark, sf):
+    p = table(spark, sf, "part")
+    li = table(spark, sf, "lineitem").select("l_partkey")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_anti")
+        .select("p_partkey", "p_name")
+    )
+
+
+# ------------------------------------------------------------------
+# q21 — product aggregate per group (nowdb prod; fun/fun.c:384-385).
+# Small groups (lineitems per order), exact sign/zero handling.
+@register(
+    "q21_prod",
+    """
+    SELECT l_orderkey,
+           round(product(l_quantity), 4) AS prod_qty,
+           count(*) AS n
+    FROM lineitem WHERE l_orderkey < 200
+    GROUP BY l_orderkey
+    """,
+    doc="prod() aggregate — exact product (MANY-class, small groups)",
+)
+def q21(spark, sf):
+    li = table(spark, sf, "lineitem").filter(F.col("l_orderkey") < 200)
+    return li.groupBy("l_orderkey").agg(
+        F.round(A.prod_exact(F.col("l_quantity")), 4).alias("prod_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ------------------------------------------------------------------
+# q22 — sessionization: count 30-minute-gap sessions per user
+# (time-series extension; lag + conditional cumsum, one shuffle on
+# user_id which also serves the window sort).
+@register(
+    "q22_sessionize",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(1 + sum(CASE WHEN gap_ns > 1800000000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sessions
+    FROM (
+      SELECT user_id, ts,
+             epoch_ns(ts) - epoch_ns(lag(ts) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_ns
+      FROM events
+    ) GROUP BY user_id
+    """,
+    doc="sessionization via lag + gap>30min cumsum (ns-exact)",
+)
+def q22(spark, sf):
+    ev = table(spark, sf, "events")  # ts is i64 ns
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts") - F.lag("ts").over(w)
+    return (
+        ev.withColumn("gap_ns", gap)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (1 + F.sum(F.when(F.col("gap_ns") > 1_800_000_000_000, 1).otherwise(0)))
+            .cast("long").alias("n_sessions"),
+        )
+    )
+
+
+# ------------------------------------------------------------------
+# q23 — as-of join: for each purchase event, the most recent prior
+# 'view' by the same user (time-series extension; windowed last-value
+# emulation — scales as one shuffle+sort per user partition, no
+# per-row probe).
+@register(
+    "q23_asof_view_before_purchase",
+    """
+    SELECT event_id, user_id,
+           epoch_us(ts) AS purchase_us,
+           epoch_us(last_view_ts) AS last_view_us
+    FROM (
+      SELECT event_id, user_id, ts, event_type,
+             max(CASE WHEN event_type = 'view' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS last_view_ts
+      FROM events
+    ) WHERE event_type = 'purchase'
+    """,
+    doc="as-of join via running max over the ordered per-user stream",
+)
+def q23(spark, sf):
+    ev = table(spark, sf, "events")  # ts is i64 ns
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    last_view = F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    # presentation in µs: DuckDB reads parquet ns timestamps µs-truncated,
+    # so the oracle-visible precision edge is µs (TU.ns_to_us is exact).
+    return (
+        ev.withColumn("last_view_ns", last_view)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            TU.ns_to_us(F.col("ts")).alias("purchase_us"),
+            TU.ns_to_us(F.col("last_view_ns")).alias("last_view_us"),
+        )
+    )

@@ -1,0 +1,336 @@
+"""Training-data pipeline workload — dedup / similarity / text /
+multimodal over the `documents` and `embeddings` tables, each paired
+with a DuckDB oracle where the semantics are ANSI-SQL-expressible.
+
+Oracle notes:
+  - word splitting: the corpus is single-space separated; both engines
+    split on ' '.
+  - hashes are md5-hex strings (identical in Spark and DuckDB).
+  - shingle CTEs in DuckDB use LATERAL generate_series (1-based, like
+    Spark element_at).
+  - cosine arithmetic is done in DOUBLE on both sides and rounded to
+    6 decimals before any ranking cut, with id tiebreaks, so top-k
+    sets are deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nowdb_spark.operators import dedup as D
+from nowdb_spark.operators import multimodal as M
+from nowdb_spark.operators import similarity as S
+from nowdb_spark.operators import textops as T
+from nowdb_spark.workload import register, table
+
+# shared DuckDB CTE: per-doc word arrays
+_WORDS_CTE = "words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)"
+
+# shared DuckDB CTE: distinct 3-word shingles
+_SHINGLE3_CTE = f"""
+{_WORDS_CTE},
+sh AS (
+  SELECT DISTINCT doc_id,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM (SELECT doc_id, ws,
+               unnest(generate_series(1, len(ws) - 2)) AS i
+        FROM words)
+)
+"""
+
+
+# ------------------------------------------------------------------
+@register(
+    "dd01_exact_dedup",
+    """
+    SELECT doc_id, md5(text) AS content_hash,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+           doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+    FROM documents
+    """,
+    doc="exact dedup: md5 → min-id canonical",
+)
+def dd01(spark, sf):
+    return D.exact_dedup(table(spark, sf, "documents"))
+
+
+# ------------------------------------------------------------------
+@register(
+    "dd02_minhash_signature",
+    f"""
+    WITH {_SHINGLE3_CTE}
+    SELECT doc_id,
+           min(md5(shingle || '|0')) AS s0,
+           min(md5(shingle || '|1')) AS s1,
+           min(md5(shingle || '|2')) AS s2,
+           min(md5(shingle || '|3')) AS s3,
+           min(md5(shingle || '|4')) AS s4,
+           min(md5(shingle || '|5')) AS s5,
+           min(md5(shingle || '|6')) AS s6,
+           min(md5(shingle || '|7')) AS s7
+    FROM sh GROUP BY doc_id
+    """,
+    doc="8-component MinHash signatures over 3-word shingles",
+)
+def dd02(spark, sf):
+    return D.minhash_signature(table(spark, sf, "documents"), k=8)
+
+
+# ------------------------------------------------------------------
+@register(
+    "dd03_minhash_lsh_pairs",
+    f"""
+    WITH {_SHINGLE3_CTE},
+    sig AS (
+      SELECT doc_id,
+             min(md5(shingle || '|0')) AS s0, min(md5(shingle || '|1')) AS s1,
+             min(md5(shingle || '|2')) AS s2, min(md5(shingle || '|3')) AS s3,
+             min(md5(shingle || '|4')) AS s4, min(md5(shingle || '|5')) AS s5,
+             min(md5(shingle || '|6')) AS s6, min(md5(shingle || '|7')) AS s7
+      FROM sh GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, s0, s1, s2, s3, s4, s5, s6, s7, band_id,
+             CASE band_id
+               WHEN 0 THEN md5(s0 || s1) WHEN 1 THEN md5(s2 || s3)
+               WHEN 2 THEN md5(s4 || s5) ELSE md5(s6 || s7) END AS band_key
+      FROM sig, LATERAL (VALUES (0), (1), (2), (3)) AS bands(band_id)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.s0 AS as0, a.s1 AS as1, a.s2 AS as2, a.s3 AS as3,
+             a.s4 AS as4, a.s5 AS as5, a.s6 AS as6, a.s7 AS as7,
+             b.s0 AS bs0, b.s1 AS bs1, b.s2 AS bs2, b.s3 AS bs3,
+             b.s4 AS bs4, b.s5 AS bs5, b.s6 AS bs6, b.s7 AS bs7
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(((as0 = bs0)::INT + (as1 = bs1)::INT + (as2 = bs2)::INT
+                + (as3 = bs3)::INT + (as4 = bs4)::INT + (as5 = bs5)::INT
+                + (as6 = bs6)::INT + (as7 = bs7)::INT) / 8.0, 6) AS est_jaccard
+    FROM pairs
+    WHERE ((as0 = bs0)::INT + (as1 = bs1)::INT + (as2 = bs2)::INT
+         + (as3 = bs3)::INT + (as4 = bs4)::INT + (as5 = bs5)::INT
+         + (as6 = bs6)::INT + (as7 = bs7)::INT) / 8.0 >= 0.5
+    """,
+    doc="MinHash-LSH candidate pairs (4 bands × 2 rows), est. Jaccard ≥ 0.5",
+)
+def dd03(spark, sf):
+    return D.minhash_lsh_pairs(table(spark, sf, "documents"),
+                               k=8, bands=4, threshold=0.5)
+
+
+# ------------------------------------------------------------------
+@register(
+    "dd04_ngram_jaccard_pairs",
+    f"""
+    WITH {_WORDS_CTE},
+    sh AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS shingle
+      FROM (SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws) - 1)) AS i
+            FROM words)
+    ),
+    card AS (SELECT doc_id, count(*) AS card FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_inter AS DOUBLE)
+                 / (ca.card + cb.card - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN card ca ON ca.doc_id = doc_a
+    JOIN card cb ON cb.doc_id = doc_b
+    WHERE round(CAST(n_inter AS DOUBLE)
+                / (ca.card + cb.card - n_inter), 6) >= 0.2
+    """,
+    doc="exact bigram Jaccard pairs ≥ 0.2 via shingle inverted index",
+)
+def dd04(spark, sf):
+    return D.ngram_jaccard_pairs(table(spark, sf, "documents"),
+                                 n=2, threshold=0.2)
+
+
+# ------------------------------------------------------------------
+@register(
+    "dd05_simhash",
+    None,  # bit-twiddling oracle omitted; covered by pytest vs python impl
+    doc="64-bit SimHash fingerprints (rows-only driver check)",
+)
+def dd05(spark, sf):
+    return D.simhash_dedup(table(spark, sf, "documents"))
+
+
+# ------------------------------------------------------------------
+@register(
+    "tx01_text_stats",
+    f"""
+    WITH {_WORDS_CTE}
+    SELECT d.doc_id,
+           CAST(length(d.text) AS BIGINT) AS n_chars_calc,
+           CAST(len(w.ws) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(w.ws)) AS BIGINT) AS n_uniq_words,
+           round(CAST(list_aggregate(list_transform(w.ws, x -> length(x)),
+                                     'sum') AS DOUBLE) / len(w.ws), 6)
+             AS avg_word_len,
+           round(CAST(len(list_distinct(w.ws)) AS DOUBLE) / len(w.ws), 6)
+             AS uniq_ratio
+    FROM documents d JOIN words w ON d.doc_id = w.doc_id
+    """,
+    doc="per-doc word/char statistics",
+)
+def tx01(spark, sf):
+    return T.with_text_stats(table(spark, sf, "documents"))
+
+
+# ------------------------------------------------------------------
+@register(
+    "tx02_quality_lang",
+    f"""
+    WITH {_WORDS_CTE},
+    feat AS (
+      SELECT doc_id,
+             CAST(len(ws) AS DOUBLE) AS n_words,
+             CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS uniq_ratio,
+             CAST(len(list_filter(ws, x -> x IN
+               ('the','a','of','and','to','in','is'))) AS DOUBLE)
+               / len(ws) AS en_ratio
+      FROM words
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(-3.0 + 0.05 * n_words + 2.0 * uniq_ratio))),
+                 6) AS quality,
+           CASE WHEN en_ratio > 0.05 THEN 'en' ELSE 'unk' END AS detected_lang
+    FROM feat
+    """,
+    doc="quality scoring (logistic) + heuristic language ID",
+)
+def tx02(spark, sf):
+    d = table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.round(T.quality_score(F.col("text")), 6).alias("quality"),
+        T.lang_id(F.col("text")).alias("detected_lang"),
+    )
+
+
+# ------------------------------------------------------------------
+@register(
+    "tx03_fingerprint",
+    f"""
+    WITH {_WORDS_CTE}
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(ws)), ' ')) AS fp
+    FROM words
+    """,
+    doc="order-insensitive bag-of-words md5 fingerprint",
+)
+def tx03(spark, sf):
+    d = table(spark, sf, "documents")
+    return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+# ------------------------------------------------------------------
+@register(
+    "tx04_token_count",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT)
+             AS n_tokens
+    FROM documents
+    """,
+    doc="BPE-ish regex token counting",
+)
+def tx04(spark, sf):
+    d = table(spark, sf, "documents")
+    return d.select("doc_id", T.token_count(F.col("text")).alias("n_tokens"))
+
+
+# ------------------------------------------------------------------
+@register(
+    "ann01_bruteforce_topk",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    ex AS (
+      SELECT e.vec_id,
+             unnest(e.embedding)::DOUBLE AS x,
+             unnest(q.qv)::DOUBLE AS y
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+    ),
+    d AS (
+      SELECT vec_id, sum(x * y) AS dp,
+             sum(x * x) AS na2, sum(y * y) AS nb2
+      FROM ex GROUP BY vec_id
+    )
+    SELECT vec_id, round(dp / (sqrt(na2) * sqrt(nb2)), 6) AS sim
+    FROM d ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+    doc="exact cosine top-10 vs stored vector 0 (broadcast + TakeOrdered)",
+)
+def ann01(spark, sf):
+    return S.brute_force_topk(table(spark, sf, "embeddings"),
+                              query_vec_id=0, k=10)
+
+
+# ------------------------------------------------------------------
+@register(
+    "ann02_centroid_norm",
+    """
+    WITH ex AS (
+      SELECT vec_id, label, unnest(embedding)::DOUBLE AS x
+      FROM embeddings
+    ),
+    n AS (SELECT vec_id, label, sqrt(sum(x * x)) AS nrm
+          FROM ex GROUP BY vec_id, label)
+    SELECT label, count(*) AS n_vecs, round(avg(nrm), 6) AS avg_norm
+    FROM n GROUP BY label
+    """,
+    doc="per-label vector count + mean L2 norm",
+)
+def ann02(spark, sf):
+    e = table(spark, sf, "embeddings")
+    return (
+        e.select("label", S.norm(F.col("embedding")).alias("nrm"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_vecs"),
+             F.round(F.avg("nrm"), 6).alias("avg_norm"))
+    )
+
+
+# ------------------------------------------------------------------
+@register(
+    "ann03_lsh_topk",
+    None,  # approximate — verified by recall-vs-bruteforce pytest
+    doc="LSH-bucketed approximate top-k (rows-only driver check)",
+)
+def ann03(spark, sf):
+    e = table(spark, sf, "embeddings")
+    queries = (
+        e.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    )
+    return S.lsh_bucket_topk(e, queries, k=5, n_planes=8, dim=64)
+
+
+# ------------------------------------------------------------------
+@register(
+    "mm01_extract_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 64 + 1 AS BIGINT) AS fake_width,
+           CAST((octet_length(encode(text)) // 64) % 64 + 1 AS BIGINT)
+             AS fake_height,
+           'fake/raw' AS fmt
+    FROM documents
+    """,
+    doc="multimodal metadata plumbing (mapInPandas over binary payloads)",
+)
+def mm01(spark, sf):
+    d = M.with_binary_payload(table(spark, sf, "documents"))
+    return M.extract_meta(d)
