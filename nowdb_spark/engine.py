@@ -1,0 +1,525 @@
+"""Engine — the statement dispatcher (reference: query/stmt.c
+nowdb_stmt_handle) and session surface (ifc/nowdb.c sessions).
+
+    eng = Engine(spark, base_dir)
+    eng.execute("create scope retail")
+    eng.execute("use retail")
+    eng.execute("create type product (prod_key uint pk, prod_desc text, "
+                "prod_price float)")
+    eng.execute("insert into product (prod_key, prod_desc, prod_price) "
+                "values (1, 'thing', 9.99)")
+    cur = eng.execute("select prod_key, prod_price from product "
+                      "where prod_price > 5")
+    for r in cur: print(r.field(0), r.field(1))
+
+Statement classes (nowdbsql.y:215-223): DDL → catalog mutations,
+DLL (load) → distributed CSV scan into parquet, DML (insert) →
+parquet append, DQL (select) → DataFrame cursor, misc (use/show/
+desc/exec/lock).
+
+The executor also reproduces the reference's *time-period pruning*
+(fun/expr.c:1578-1607 + reader/reader.c:1089-1094): stamp-range
+conjuncts in WHERE are extracted and re-expressed as partition-bucket
+predicates so Spark prunes whole day-partitions of stamped contexts.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import time
+from pathlib import Path
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nowdb_spark import timeutil as TU
+from nowdb_spark.catalog import (
+    CatalogError,
+    IndexDef,
+    Prop,
+    ProcDef,
+    Scope,
+    TypeDef,
+)
+from nowdb_spark.results import (
+    CursorResult,
+    ErrorResult,
+    ReportResult,
+    Result,
+    RowResult,
+    StatusResult,
+)
+from nowdb_spark.sources.csv_loader import load_csv, write_context
+from nowdb_spark.sql import ast as A
+from nowdb_spark.sql.binder import BindError, ExprBinder, SelectBinder
+from nowdb_spark.sql.parser import ParseError, parse
+
+_DAY_NS = TU.NS_PER_SEC * 86400
+
+
+class EngineError(RuntimeError):
+    pass
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, base_dir: str | os.PathLike,
+                 strict: bool = False):
+        self.spark = spark
+        self.base = Path(base_dir)
+        self.base.mkdir(parents=True, exist_ok=True)
+        self.scope: Optional[Scope] = None
+        self.strict = strict
+        self._lock_fds: dict[str, int] = {}
+        self.proc_registry: dict[str, callable] = {}
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    # --- public API (pynow Connection parity) ---------------------
+    def execute(self, sql: str) -> Result:
+        """Execute one statement; never raises on user errors —
+        returns an ErrorResult (pynow: r.ok() / r.details())."""
+        try:
+            return self._dispatch(parse(sql))
+        except (ParseError, BindError, CatalogError, EngineError) as e:
+            return ErrorResult(1, str(e))
+
+    def rexecute(self, sql: str) -> Result:
+        """Raising variant (pynow Connection.rexecute)."""
+        r = self.execute(sql)
+        if not r.ok():
+            raise EngineError(r.details())
+        return r
+
+    def one_row(self, sql: str) -> Optional[tuple]:
+        r = self.rexecute(sql)
+        if isinstance(r, CursorResult):
+            rows = r.fetch(1)
+            return rows[0] if rows else None
+        if isinstance(r, RowResult):
+            return r.row()
+        return None
+
+    def one_value(self, sql: str):
+        row = self.one_row(sql)
+        return row[0] if row else None
+
+    def sql(self, sql: str) -> DataFrame:
+        """SELECT → DataFrame (the engine as a library)."""
+        node = parse(sql)
+        if not isinstance(node, A.Select):
+            raise EngineError("sql() takes a SELECT")
+        return self._bind_select(node)
+
+    # --- dispatch --------------------------------------------------
+    def _dispatch(self, node) -> Result:
+        h = self._HANDLERS.get(type(node))
+        if h is None:
+            raise EngineError(f"unsupported statement {type(node).__name__}")
+        return h(self, node)
+
+    def _need_scope(self) -> Scope:
+        if self.scope is None:
+            raise EngineError("no scope in use (USE <scope> first)")
+        return self.scope
+
+    # --- DDL -------------------------------------------------------
+    def _create_scope(self, n: A.CreateScope) -> Result:
+        path = self.base / n.name
+        if path.exists():
+            if n.if_not_exists:
+                return StatusResult()
+            raise EngineError(f"scope {n.name!r} already exists")
+        Scope(self.base, n.name).save()
+        return StatusResult()
+
+    def _drop_scope(self, n: A.DropScope) -> Result:
+        path = self.base / n.name
+        if not path.exists():
+            if n.if_exists:
+                return StatusResult()
+            raise EngineError(f"no such scope {n.name!r}")
+        Scope.load(self.base, n.name).destroy()
+        if self.scope and self.scope.name == n.name:
+            self.scope = None
+        return StatusResult()
+
+    def _use(self, n: A.UseScope) -> Result:
+        if not (self.base / n.name).exists():
+            raise EngineError(f"no such scope {n.name!r}")
+        self.scope = Scope.load(self.base, n.name)
+        return StatusResult()
+
+    def _create_type(self, n: A.CreateType) -> Result:
+        sc = self._need_scope()
+        props = [Prop(p.name, p.type, p.pk, p.inc, p.stamp, None)
+                 for p in n.props]
+        sc.add_type(TypeDef(n.name, "vertex", props, n.storage),
+                    n.if_not_exists)
+        return StatusResult()
+
+    def _create_edge(self, n: A.CreateEdge) -> Result:
+        sc = self._need_scope()
+        props = []
+        for p in n.props:
+            ptype = p.type
+            if p.role in ("origin", "destin"):
+                # endpoint declared with its vertex type name → the
+                # stored value is that vertex's PK type (model/types.h:60-70)
+                ref = sc.meta.types.get(p.type)
+                if ref is not None and ref.pk is not None:
+                    ptype = ref.prop_types()[ref.pk]
+                elif p.type not in ("text", "int", "uint", "time", "date",
+                                    "float", "bool"):
+                    ptype = "uint"
+            props.append(Prop(p.name, ptype, False, False, p.stamp, p.role))
+        sc.add_type(TypeDef(n.name, "edge", props, n.storage),
+                    n.if_not_exists)
+        return StatusResult()
+
+    def _create_index(self, n: A.CreateIndex) -> Result:
+        # metadata only: Parquet stats/partitioning replace B-trees
+        # (SURVEY §4); kept for SHOW/strict-mode parity
+        sc = self._need_scope()
+        sc.meta.indexes[n.name] = IndexDef(n.name, n.target, n.fields)
+        sc.save()
+        return StatusResult()
+
+    def _create_storage(self, n: A.CreateStorage) -> Result:
+        sc = self._need_scope()
+        sc.meta.storages[n.name] = n.options
+        sc.save()
+        return StatusResult()
+
+    def _create_proc(self, n: A.CreateProcedure) -> Result:
+        sc = self._need_scope()
+        if n.language not in ("python",):
+            raise EngineError(
+                f"language {n.language!r} not supported (python only; "
+                "the reference also embeds Lua)")
+        key = f"{n.module}.{n.name}" if n.module else n.name
+        sc.meta.procs[key] = ProcDef(n.module, n.name, n.language, n.args)
+        sc.save()
+        return StatusResult()
+
+    def _create_lock(self, n: A.CreateLock) -> Result:
+        sc = self._need_scope()
+        if n.name not in sc.meta.locks:
+            sc.meta.locks.append(n.name)
+            (sc.path / "locks").mkdir(parents=True, exist_ok=True)
+            sc.save()
+        return StatusResult()
+
+    def _drop_object(self, n: A.DropObject) -> Result:
+        sc = self._need_scope()
+        if n.kind in ("type", "edge"):
+            sc.drop_type(n.name, n.if_exists)
+        elif n.kind == "index":
+            if n.name in sc.meta.indexes:
+                del sc.meta.indexes[n.name]
+                sc.save()
+            elif not n.if_exists:
+                raise EngineError(f"no such index {n.name!r}")
+        elif n.kind == "storage":
+            sc.meta.storages.pop(n.name, None)
+            sc.save()
+        elif n.kind in ("procedure", "proc"):
+            sc.meta.procs.pop(n.name, None)
+            sc.save()
+        elif n.kind == "lock":
+            if n.name in sc.meta.locks:
+                sc.meta.locks.remove(n.name)
+                sc.save()
+        else:
+            raise EngineError(f"cannot DROP {n.kind!r}")
+        return StatusResult()
+
+    def _show(self, n: A.Show) -> Result:
+        sc = self._need_scope()
+        what = n.what
+        if what in ("types", "edges"):
+            kind = "vertex" if what == "types" else "edge"
+            rows = [(t.name,) for t in sc.meta.types.values()
+                    if t.kind == kind]
+            return RowResult(["name"], rows)
+        if what in ("procedures", "procs"):
+            return RowResult(["name"], [(k,) for k in sc.meta.procs])
+        if what in ("indexes", "indices"):
+            return RowResult(["name"], [(k,) for k in sc.meta.indexes])
+        if what in ("storages",):
+            return RowResult(["name"], [(k,) for k in sc.meta.storages])
+        if what in ("locks",):
+            return RowResult(["name"], [(k,) for k in sc.meta.locks])
+        raise EngineError(f"cannot SHOW {what!r}")
+
+    def _desc(self, n: A.Desc) -> Result:
+        sc = self._need_scope()
+        t = sc.get_type(n.name)
+        rows = [(p.name, p.type,
+                 "pk" if p.pk else (p.role or ("stamp" if p.stamp else "")))
+                for p in t.props]
+        return RowResult(["name", "type", "role"], rows)
+
+    # --- DML / DLL -------------------------------------------------
+    def _insert(self, n: A.Insert) -> Result:
+        sc = self._need_scope()
+        tdef = sc.get_type(n.target)
+        schema = tdef.spark_schema()
+        fields = n.fields or [p.name for p in tdef.props]
+        if len(fields) != len(n.values):
+            raise EngineError("INSERT: field/value count mismatch")
+        types = tdef.prop_types()
+        eb = ExprBinder({})
+        cols = []
+        for fname, vexpr in zip(fields, n.values):
+            if fname not in types:
+                raise EngineError(f"unknown field {fname!r}")
+            c = self._insert_value(vexpr, types[fname], eb)
+            cols.append(c.alias(fname))
+        # missing fields → NULL (exercises `is null`, sql.tex:311-333)
+        for p in tdef.props:
+            if p.name not in fields:
+                cols.append(F.lit(None).cast(schema[p.name].dataType)
+                            .alias(p.name))
+        row = self.spark.range(1).select(*cols).select(
+            *[F.col(p.name).cast(schema[p.name].dataType).alias(p.name)
+              for p in tdef.props])
+        write_context(row, sc.context_dir(n.target), tdef, n=1)
+        return ReportResult(affected=1)
+
+    @staticmethod
+    def _insert_value(vexpr, nowdb_type: str, eb: ExprBinder):
+        if isinstance(vexpr, A.Const) and vexpr.type == "string" \
+                and nowdb_type in ("time", "date"):
+            return F.lit(TU.parse_time_literal(vexpr.value))
+        return eb.bind(vexpr)
+
+    def _load(self, n: A.Load) -> Result:
+        sc = self._need_scope()
+        t0 = time.perf_counter()
+        type_name = n.as_type or n.target
+        tdef = sc.get_type(type_name)
+        good, n_bad = load_csv(self.spark, n.path, tdef, n.header, n.errors)
+        target_ctx = n.target if n.target in sc.meta.types else type_name
+        affected = write_context(good, sc.context_dir(target_ctx), tdef)
+        us = int((time.perf_counter() - t0) * 1e6)
+        return ReportResult(affected=affected, errors=n_bad, runtime_us=us)
+
+    # --- DQL -------------------------------------------------------
+    def _read_context(self, name: str):
+        sc = self._need_scope()
+        if name in sc.mounts:
+            df = self.spark.read.parquet(sc.mounts[name])
+            types = _infer_nowdb_types(df)
+            return df, types, None
+        tdef = sc.get_type(name)
+        ctx = sc.context_dir(name)
+        if ctx.exists():
+            df = self.spark.read.parquet(str(ctx))
+            if "__tb" in df.columns:
+                df = df.drop("__tb")
+            # parquet partition discovery can reorder; restore model order
+            df = df.select(*[p.name for p in tdef.props])
+        else:
+            df = self.spark.createDataFrame([], tdef.spark_schema())
+        return df, tdef.prop_types(), tdef
+
+    def _load_context_pruned(self, name: str, where):
+        """Context read + time-period partition pruning: stamp-range
+        conjuncts become __tb bucket predicates before the partition
+        column is dropped (reference period pruning, SURVEY §4)."""
+        sc = self._need_scope()
+        if name in sc.mounts or where is None:
+            return self._read_context(name)
+        tdef = sc.get_type(name)
+        stamp = tdef.stamp_prop
+        ctx = sc.context_dir(name)
+        if stamp is None or not ctx.exists():
+            return self._read_context(name)
+        lo, hi = _extract_period(where, stamp)
+        df = self.spark.read.parquet(str(ctx))
+        if "__tb" in df.columns:
+            if lo is not None:
+                df = df.filter(F.col("__tb") >= lo // _DAY_NS)
+            if hi is not None:
+                df = df.filter(F.col("__tb") <= hi // _DAY_NS)
+            df = df.drop("__tb")
+        df = df.select(*[p.name for p in tdef.props])
+        return df, tdef.prop_types(), tdef
+
+    def _bind_select(self, n: A.Select) -> DataFrame:
+        def loader(name: str):
+            return self._load_context_pruned(name, n.where)
+        return SelectBinder(self.spark, loader, None,
+                            strict=self.strict).bind(n)
+
+    def _select(self, n: A.Select) -> Result:
+        return CursorResult(self._bind_select(n))
+
+    # --- misc ------------------------------------------------------
+    def register_procedure(self, name: str, fn) -> None:
+        """Register a python callable as `exec <name>(...)` target."""
+        self.proc_registry[name] = fn
+
+    def _exec(self, n: A.ExecProc) -> Result:
+        sc = self._need_scope()
+        fn = self.proc_registry.get(n.name)
+        if fn is None:
+            pd = sc.meta.procs.get(n.name)
+            if pd is None:
+                raise EngineError(f"no such procedure {n.name!r}")
+            fn = self._load_proc(sc, pd)
+        eb = ExprBinder({})
+        args = []
+        for a in n.args:
+            if isinstance(a, A.Const):
+                args.append(a.value)
+            else:
+                raise EngineError("EXEC arguments must be constants")
+        out = fn(ProcSession(self), *args)
+        if isinstance(out, Result):
+            return out
+        if isinstance(out, DataFrame):
+            return CursorResult(out)
+        if out is None:
+            return StatusResult()
+        if isinstance(out, (list, tuple)):
+            return RowResult([f"c{i}" for i in range(len(out))],
+                             [tuple(out)])
+        return RowResult(["value"], [(out,)])
+
+    def _load_proc(self, sc: Scope, pd: ProcDef):
+        mod_file = sc.path / "procs" / f"{pd.module or pd.name}.py"
+        if not mod_file.exists():
+            raise EngineError(f"procedure module {mod_file} not found")
+        spec = importlib.util.spec_from_file_location(
+            f"nowdb_procs_{pd.module or pd.name}", mod_file)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        try:
+            return getattr(mod, pd.name)
+        except AttributeError:
+            raise EngineError(
+                f"module {pd.module!r} has no function {pd.name!r}") from None
+
+    def _lock(self, n: A.LockStmt) -> Result:
+        sc = self._need_scope()
+        if n.name not in sc.meta.locks:
+            raise EngineError(f"no such lock {n.name!r}")
+        import fcntl
+        lock_file = sc.path / "locks" / f"{n.name}.lock"
+        lock_file.parent.mkdir(parents=True, exist_ok=True)
+        fd = os.open(lock_file, os.O_CREAT | os.O_RDWR)
+        flag = fcntl.LOCK_SH if n.mode == "reading" else fcntl.LOCK_EX
+        deadline = time.monotonic() + (n.timeout_ms or 10_000) / 1000.0
+        while True:
+            try:
+                fcntl.flock(fd, flag | fcntl.LOCK_NB)
+                break
+            except BlockingIOError:
+                if time.monotonic() >= deadline:
+                    os.close(fd)
+                    raise EngineError(f"lock {n.name!r} timeout") from None
+                time.sleep(0.01)
+        self._lock_fds[n.name] = fd
+        return StatusResult()
+
+    def _unlock(self, n: A.UnlockStmt) -> Result:
+        fd = self._lock_fds.pop(n.name, None)
+        if fd is not None:
+            import fcntl
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+        return StatusResult()
+
+    _HANDLERS = {
+        A.CreateScope: _create_scope,
+        A.DropScope: _drop_scope,
+        A.UseScope: _use,
+        A.CreateType: _create_type,
+        A.CreateEdge: _create_edge,
+        A.CreateIndex: _create_index,
+        A.CreateStorage: _create_storage,
+        A.CreateProcedure: _create_proc,
+        A.CreateLock: _create_lock,
+        A.DropObject: _drop_object,
+        A.Show: _show,
+        A.Desc: _desc,
+        A.Insert: _insert,
+        A.Load: _load,
+        A.Select: _select,
+        A.ExecProc: _exec,
+        A.LockStmt: _lock,
+        A.UnlockStmt: _unlock,
+    }
+
+
+class ProcSession:
+    """The handle passed to python procedures — mirrors the server-side
+    API of the reference's embedded interpreters (nowdb.execute /
+    onerow / onevalue, doc/manual/luaemb.tex:134-600)."""
+
+    def __init__(self, engine: Engine):
+        self.engine = engine
+        self.spark = engine.spark
+
+    def execute(self, sql: str) -> Result:
+        return self.engine.execute(sql)
+
+    def pexecute(self, sql: str) -> Result:
+        return self.engine.rexecute(sql)
+
+    def onerow(self, sql: str):
+        return self.engine.one_row(sql)
+
+    def onevalue(self, sql: str):
+        return self.engine.one_value(sql)
+
+
+def _infer_nowdb_types(df: DataFrame) -> dict[str, str]:
+    out = {}
+    for f in df.schema.fields:
+        t = f.dataType.simpleString()
+        out[f.name] = {"string": "text", "double": "float", "bigint": "int",
+                       "boolean": "bool"}.get(t, "int")
+    return out
+
+
+def _extract_period(where, stamp: str):
+    """Extract [lo, hi] ns bounds for the stamp from AND-conjoined
+    comparisons (reference nowdb_expr_period, fun/expr.c:1578-1607)."""
+    lo = hi = None
+
+    def visit(node):
+        nonlocal lo, hi
+        if isinstance(node, A.Op) and node.name == "and":
+            visit(node.args[0])
+            visit(node.args[1])
+            return
+        if isinstance(node, A.Op) and node.name in ("=", "<", ">", "<=", ">="):
+            le, re = node.args
+            col, lit, flip = None, None, False
+            if isinstance(le, A.Field) and isinstance(re, A.Const):
+                col, lit = le, re
+            elif isinstance(re, A.Field) and isinstance(le, A.Const):
+                col, lit, flip = re, le, True
+            if col is None or col.name != stamp:
+                return
+            v = lit.value
+            if lit.type == "string":
+                v = TU.parse_time_literal(v)
+            if not isinstance(v, int):
+                return
+            op = node.name
+            if flip:
+                op = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}.get(op, op)
+            if op == "=":
+                lo = v if lo is None else max(lo, v)
+                hi = v if hi is None else min(hi, v)
+            elif op in (">", ">="):
+                lo = v if lo is None else max(lo, v)
+            elif op in ("<", "<="):
+                hi = v if hi is None else min(hi, v)
+
+    visit(where)
+    return lo, hi

@@ -1,0 +1,213 @@
+"""AST nodes for the nowdb SQL dialect (reference: sql/ast.h node
+kinds; here plain dataclasses, one per statement class of
+nowdbsql.y:215-223 — DDL, DLL, DML, DQL, misc)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+# --- expressions ---------------------------------------------------
+
+@dataclass
+class Const:
+    value: object          # python int/float/str/bool/None
+    type: str              # 'int' | 'float' | 'string' | 'bool' | 'null'
+
+
+@dataclass
+class Field:
+    name: str
+    qualifier: Optional[str] = None   # alias in joins: a.field
+
+
+@dataclass
+class Op:
+    """Scalar operator or function call."""
+    name: str
+    args: list
+
+
+@dataclass
+class Agg:
+    """Aggregate call (fun/fun.c names)."""
+    name: str
+    arg: Optional[object]  # None for count(*)
+
+
+@dataclass
+class CaseExpr:
+    whens: list            # [(cond_expr, then_expr), ...]
+    else_: Optional[object]
+
+
+@dataclass
+class InExpr:
+    expr: object
+    values: list           # list of Const
+
+
+@dataclass
+class IsNull:
+    expr: object
+    negated: bool
+
+
+# --- projections / select ------------------------------------------
+
+@dataclass
+class SelectItem:
+    expr: object
+    alias: Optional[str] = None
+
+
+@dataclass
+class JoinClause:
+    """Documented nowdb join (sql.tex:2293-2368): join <vertex> on
+    origin|destin [as alias] — always inner against the vertex PK."""
+    vertex: str
+    on: str                # 'origin' | 'destin'
+    alias: Optional[str] = None
+
+
+@dataclass
+class Select:
+    items: list                      # [SelectItem]
+    target: Optional[str] = None     # context name; None = no FROM
+    joins: list = field(default_factory=list)
+    where: Optional[object] = None
+    group_by: list = field(default_factory=list)   # [Field]
+    order_by: list = field(default_factory=list)   # [Field]
+    limit: Optional[int] = None                    # extension
+
+
+# --- DDL -----------------------------------------------------------
+
+@dataclass
+class PropDef:
+    name: str
+    type: str              # text|date|time|float|int|uint|bool
+    pk: bool = False
+    inc: bool = False
+    stamp: bool = False
+    role: Optional[str] = None  # 'origin' | 'destin' for edges
+
+
+@dataclass
+class CreateScope:
+    name: str
+    if_not_exists: bool = False
+
+
+@dataclass
+class DropScope:
+    name: str
+    if_exists: bool = False
+
+
+@dataclass
+class UseScope:
+    name: str
+
+
+@dataclass
+class CreateType:
+    name: str
+    props: list            # [PropDef]
+    storage: Optional[str] = None
+    if_not_exists: bool = False
+
+
+@dataclass
+class CreateEdge:
+    name: str
+    props: list            # [PropDef] incl. origin/destin/stamp roles
+    storage: Optional[str] = None
+    if_not_exists: bool = False
+
+
+@dataclass
+class CreateIndex:
+    name: str
+    target: str
+    fields: list
+    if_not_exists: bool = False
+
+
+@dataclass
+class CreateStorage:
+    name: str
+    options: dict
+    if_not_exists: bool = False
+
+
+@dataclass
+class CreateProcedure:
+    module: str
+    name: str
+    language: str
+    args: list             # [(name, type)]
+    if_not_exists: bool = False
+
+
+@dataclass
+class CreateLock:
+    name: str
+    if_not_exists: bool = False
+
+
+@dataclass
+class DropObject:
+    kind: str              # 'type' | 'edge' | 'index' | 'storage' | ...
+    name: str
+    if_exists: bool = False
+
+
+@dataclass
+class Show:
+    what: str              # 'types' | 'edges' | 'procs' | ...
+
+
+@dataclass
+class Desc:
+    name: str
+
+
+# --- DML / DLL -----------------------------------------------------
+
+@dataclass
+class Insert:
+    target: str
+    fields: Optional[list]   # None = positional
+    values: list             # [expr]
+
+
+@dataclass
+class Load:
+    path: str
+    target: str
+    header: Optional[str] = None    # 'use' | 'ignore' | None
+    as_type: Optional[str] = None   # AS <type> / AS EDGE <name>
+    as_kind: Optional[str] = None   # 'type' | 'edge'
+    errors: Optional[str] = None
+
+
+# --- misc ----------------------------------------------------------
+
+@dataclass
+class ExecProc:
+    name: str              # module.name or name
+    args: list             # [Const]
+
+
+@dataclass
+class LockStmt:
+    name: str
+    mode: Optional[str] = None      # 'reading' | 'writing'
+    timeout_ms: Optional[int] = None
+
+
+@dataclass
+class UnlockStmt:
+    name: str

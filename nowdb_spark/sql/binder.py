@@ -1,0 +1,347 @@
+"""Binder: nowdb SQL AST → PySpark plan.
+
+Expressions bind to `pyspark.sql.Column` trees via the scalar /
+aggregate tables (functions/); SELECT statements bind to a DataFrame
+pipeline  read → join → filter → groupBy/agg → orderBy → select —
+the Spark image of the reference's linear plan
+[READER, FILTER, GROUPING, ORDERING, PROJECTION]
+(qplan/plan.h:25-32).
+
+Semantics carried over:
+  - `/` on ints → float division; `^` → pow; `%` → remainder
+  - string literals compared to time-typed columns are coerced with
+    the reference's ISO formats (types/time.h:36-37)
+  - aggregates may wrap expressions and appear inside expressions
+    (sum(w)/count(*)) — bound by splitting into pre-aggregated
+    sub-aggregates (doc/manual/sql.tex:1189-1208)
+  - GROUP BY restriction (select list = group keys + aggregates,
+    sql.tex:2659-2697) is *lifted*; strict=True re-imposes it
+  - ORDER BY ascending only (grammar nowdbsql.y:834-837)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nowdb_spark import timeutil as TU
+from nowdb_spark.functions.aggregates import AGGREGATES
+from nowdb_spark.functions.scalar import SCALAR_OPS
+from nowdb_spark.sql import ast as A
+
+
+class BindError(ValueError):
+    pass
+
+
+_CMP_OPS = {"=", "!=", "<", ">", "<=", ">="}
+_BOOL_OPS = {"and", "or", "not"}
+
+
+def _apply_cmp(op: str, left: Column, right: Column) -> Column:
+    if op == "=":
+        return left == right
+    if op == "!=":
+        return left != right
+    if op == "<":
+        return left < right
+    if op == ">":
+        return left > right
+    if op == "<=":
+        return left <= right
+    return left >= right
+
+
+class ExprBinder:
+    """Binds expression AST nodes against a column namespace.
+
+    col_types maps visible column name → nowdb type name (for time
+    literal coercion); resolve() maps (qualifier, name) → Column.
+    """
+
+    def __init__(self, col_types: dict[str, str],
+                 resolver=None):
+        self.col_types = col_types
+        self.resolver = resolver or (lambda q, n: F.col(n))
+
+    # --- helpers ---------------------------------------------------
+    def _expr_time_type(self, node) -> bool:
+        """Is this expression time-typed (for literal coercion)?"""
+        if isinstance(node, A.Field):
+            return self.col_types.get(node.name) in ("date", "time")
+        return False
+
+    def _coerce_pair(self, le, re, lc: Column, rc: Column):
+        """Coerce a string literal against a time-typed operand."""
+        if self._expr_time_type(le) and isinstance(re, A.Const) \
+                and re.type == "string":
+            rc = F.lit(TU.parse_time_literal(re.value))
+        if self._expr_time_type(re) and isinstance(le, A.Const) \
+                and le.type == "string":
+            lc = F.lit(TU.parse_time_literal(le.value))
+        return lc, rc
+
+    # --- main ------------------------------------------------------
+    def bind(self, node) -> Column:
+        if isinstance(node, A.Const):
+            return F.lit(node.value)
+        if isinstance(node, A.Field):
+            return self.resolver(node.qualifier, node.name)
+        if isinstance(node, A.IsNull):
+            c = self.bind(node.expr)
+            return c.isNotNull() if node.negated else c.isNull()
+        if isinstance(node, A.InExpr):
+            c = self.bind(node.expr)
+            vals = []
+            for v in node.values:
+                if self._expr_time_type(node.expr) and isinstance(v, A.Const) \
+                        and v.type == "string":
+                    vals.append(TU.parse_time_literal(v.value))
+                elif isinstance(v, A.Const):
+                    vals.append(v.value)
+                else:
+                    raise BindError("IN list must contain constants")
+            return c.isin(vals)
+        if isinstance(node, A.CaseExpr):
+            out = None
+            for cond, then in node.whens:
+                c, t = self.bind(cond), self.bind(then)
+                out = F.when(c, t) if out is None else out.when(c, t)
+            if node.else_ is not None:
+                out = out.otherwise(self.bind(node.else_))
+            return out
+        if isinstance(node, A.Op):
+            return self._bind_op(node)
+        if isinstance(node, A.Agg):
+            raise BindError("aggregate not allowed here")
+        raise BindError(f"cannot bind {node!r}")
+
+    def _bind_op(self, node: A.Op) -> Column:
+        name = node.name
+        if name in _BOOL_OPS:
+            args = [self.bind(a) for a in node.args]
+            if name == "and":
+                return args[0] & args[1]
+            if name == "or":
+                return args[0] | args[1]
+            return ~args[0]
+        if name in _CMP_OPS:
+            le, re = node.args
+            lc, rc = self.bind(le), self.bind(re)
+            lc, rc = self._coerce_pair(le, re, lc, rc)
+            return _apply_cmp(name, lc, rc)
+        if name in SCALAR_OPS:
+            arity, fn = SCALAR_OPS[name]
+            args = [self.bind(a) for a in node.args]
+            if arity >= 0 and len(args) != arity:
+                raise BindError(f"{name} expects {arity} args")
+            return fn(*args)
+        raise BindError(f"unknown function {name!r}")
+
+
+def _expr_name(node, idx: int) -> str:
+    """Derived projection column name (stable, short)."""
+    if isinstance(node, A.Field):
+        return node.name
+    if isinstance(node, A.Agg):
+        inner = _expr_name(node.arg, idx) if node.arg else "*"
+        return f"{node.name}_{inner}" if node.arg else node.name
+    if isinstance(node, A.Op):
+        return f"{node.name}_{idx}"
+    return f"col_{idx}"
+
+
+def _collect_aggs(node, out: list) -> None:
+    if isinstance(node, A.Agg):
+        out.append(node)
+        return
+    if isinstance(node, A.Op):
+        for a in node.args:
+            _collect_aggs(a, out)
+    elif isinstance(node, A.CaseExpr):
+        for c, t in node.whens:
+            _collect_aggs(c, out)
+            _collect_aggs(t, out)
+        if node.else_ is not None:
+            _collect_aggs(node.else_, out)
+    elif isinstance(node, (A.InExpr, A.IsNull)):
+        _collect_aggs(node.expr, out)
+
+
+class SelectBinder:
+    """Binds a Select AST to a DataFrame, given a context resolver."""
+
+    def __init__(self, spark: SparkSession, load_context, col_types,
+                 strict: bool = False):
+        """
+        load_context(name) -> (DataFrame, {col: nowdb_type}, TypeDef|None)
+        """
+        self.spark = spark
+        self.load_context = load_context
+        self.strict = strict
+
+    def bind(self, sel: A.Select) -> DataFrame:
+        # select-only (no FROM) → single row (nowdbsql.y:365-367)
+        if sel.target is None:
+            eb = ExprBinder({})
+            cols = []
+            for i, item in enumerate(sel.items):
+                c = eb.bind(item.expr)
+                cols.append(c.alias(item.alias or _expr_name(item.expr, i)))
+            return self.spark.range(1).select(*cols)
+
+        df, col_types, tdef = self.load_context(sel.target)
+
+        # documented join design (sql.tex:2293-2368): edge joins a
+        # vertex on origin/destin against the vertex PK, always inner
+        for j in sel.joins:
+            vdf, vtypes, vdef = self.load_context(j.vertex)
+            if vdef is None or vdef.pk is None:
+                raise BindError(f"join target {j.vertex!r} has no PK")
+            # at most two sub-joins per edge; alias vertex columns so
+            # `alias.field` / `vertex.field` resolve unambiguously
+            prefix = j.alias or j.vertex
+            renamed = vdf.select(
+                *[F.col(c).alias(f"{prefix}__{c}") for c in vdf.columns])
+            pk = f"{prefix}__{vdef.pk}"
+            df = df.join(F.broadcast(renamed),
+                         df[j.on] == renamed[pk], "inner")
+            for c, t in vtypes.items():
+                col_types.setdefault(f"{prefix}__{c}", t)
+
+        qualifiers = {j.alias or j.vertex for j in sel.joins} \
+            | {j.vertex for j in sel.joins}
+
+        def resolver(q: Optional[str], n: str) -> Column:
+            if q is not None:
+                if q not in qualifiers:
+                    raise BindError(f"unknown alias {q!r}")
+                return F.col(f"{q}__{n}")
+            return F.col(n)
+
+        eb = ExprBinder(col_types, resolver)
+
+        if sel.where is not None:
+            df = df.filter(eb.bind(sel.where))
+
+        has_aggs = any(self._item_aggs(it.expr) for it in sel.items)
+
+        if sel.group_by or has_aggs:
+            df = self._bind_aggregation(df, sel, eb)
+        else:
+            cols = []
+            for i, item in enumerate(sel.items):
+                if isinstance(item.expr, A.Field) and item.expr.name == "*":
+                    cols.append(F.col("*"))
+                    continue
+                cols.append(eb.bind(item.expr)
+                            .alias(item.alias or _expr_name(item.expr, i)))
+            df = df.select(*cols)
+
+        if sel.order_by:
+            # ascending only (nowdbsql.y:834-837); reference requires a
+            # matching index — Spark sorts freely (SURVEY §2.5)
+            df = df.orderBy(*[_order_col(f, sel, df) for f in sel.order_by])
+        if sel.limit is not None:
+            df = df.limit(sel.limit)
+        return df
+
+    @staticmethod
+    def _item_aggs(expr) -> list:
+        out: list = []
+        _collect_aggs(expr, out)
+        return out
+
+    def _bind_aggregation(self, df: DataFrame, sel: A.Select,
+                          eb: ExprBinder) -> DataFrame:
+        group_cols = [eb.bind(g).alias(g.name) for g in sel.group_by]
+
+        if self.strict:
+            self._validate_strict(sel)
+
+        # collect every Agg node across items; bind each one once
+        agg_nodes: list[A.Agg] = []
+        for item in sel.items:
+            _collect_aggs(item.expr, agg_nodes)
+        agg_cols: dict[int, Column] = {}
+        agg_names: dict[int, str] = {}
+        for k, node in enumerate(agg_nodes):
+            builder = AGGREGATES[node.name]
+            inner = eb.bind(node.arg) if node.arg is not None else None
+            c = builder(inner) if node.arg is not None else builder()
+            nm = f"__agg_{k}"
+            agg_cols[id(node)] = c
+            agg_names[id(node)] = nm
+
+        if not agg_nodes:
+            # GROUP BY without aggregates = keys-only distinct scan
+            # (the reference's KRANGE reader, qplan/plan.c:1620-1628)
+            agged = df.select(*group_cols).distinct()
+        else:
+            gdf = (df.groupBy(*group_cols) if sel.group_by else df.groupBy())
+            agged = gdf.agg(*[agg_cols[id(n)].alias(agg_names[id(n)])
+                              for n in agg_nodes])
+
+        # rebind the select items on top of the aggregated frame:
+        # Agg nodes become references to the pre-computed __agg_k cols
+        def rebind(node, i) -> Column:
+            if isinstance(node, A.Agg):
+                return F.col(agg_names[id(node)])
+            if isinstance(node, A.Field):
+                return F.col(node.name)
+            if isinstance(node, A.Const):
+                return F.lit(node.value)
+            if isinstance(node, A.Op):
+                arity, fn = SCALAR_OPS[node.name] if node.name in SCALAR_OPS \
+                    else (None, None)
+                if node.name in _CMP_OPS:
+                    return _apply_cmp(node.name, rebind(node.args[0], i),
+                                      rebind(node.args[1], i))
+                if node.name in _BOOL_OPS:
+                    args = [rebind(a, i) for a in node.args]
+                    return (args[0] & args[1] if node.name == "and"
+                            else args[0] | args[1] if node.name == "or"
+                            else ~args[0])
+                if fn is None:
+                    raise BindError(f"unknown function {node.name!r}")
+                return fn(*[rebind(a, i) for a in node.args])
+            if isinstance(node, A.CaseExpr):
+                out = None
+                for c, t in node.whens:
+                    cc, tc = rebind(c, i), rebind(t, i)
+                    out = F.when(cc, tc) if out is None else out.when(cc, tc)
+                return out.otherwise(rebind(node.else_, i)) \
+                    if node.else_ is not None else out
+            raise BindError(f"cannot rebind {node!r}")
+
+        cols = []
+        for i, item in enumerate(sel.items):
+            cols.append(rebind(item.expr, i)
+                        .alias(item.alias or _expr_name(item.expr, i)))
+        return agged.select(*cols)
+
+    @staticmethod
+    def _validate_strict(sel: A.Select) -> None:
+        """Reference rule: select list must be the group keys in order,
+        then only aggregates (doc/manual/sql.tex:2659-2697)."""
+        keys = [g.name for g in sel.group_by]
+        for i, item in enumerate(sel.items):
+            if i < len(keys):
+                if not (isinstance(item.expr, A.Field)
+                        and item.expr.name == keys[i]):
+                    raise BindError(
+                        "strict mode: select list must start with the "
+                        "group keys in order (sql.tex:2659-2697)")
+            else:
+                aggs: list = []
+                _collect_aggs(item.expr, aggs)
+                if not aggs:
+                    raise BindError(
+                        "strict mode: non-aggregate column after group "
+                        "keys (sql.tex:2659-2697)")
+
+
+def _order_col(f: A.Field, sel: A.Select, df: DataFrame) -> Column:
+    return F.col(f.name).asc()

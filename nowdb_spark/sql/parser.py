@@ -1,0 +1,617 @@
+"""Recursive-descent parser for the nowdb SQL dialect.
+
+Statement surface per reference grammar sql/nowdbsql.y:215-223;
+expression precedence per nowdbsql.y:843-855:
+    OR < AND < NOT < IS < EQ/NE < GT/LE/LT/GE < IN < +/- < * / % < ^
+"""
+
+from __future__ import annotations
+
+from nowdb_spark.functions.aggregates import AGGREGATES
+from nowdb_spark.sql import ast as A
+from nowdb_spark.sql.lexer import Token, tokenize
+
+
+class ParseError(ValueError):
+    pass
+
+
+_TYPE_KWS = {"text", "date", "time", "float", "int", "uint", "bool",
+             "longtext", "timestamp"}
+
+# keywords that may double as identifiers (column/object names)
+_IDENTISH_KWS = _TYPE_KWS | {"origin", "destin", "stamp", "key", "values",
+                             "language", "errors", "header", "storage",
+                             "vertex", "type", "edge", "index"}
+
+
+class Parser:
+    def __init__(self, text: str):
+        self.toks: list[Token] = tokenize(text)
+        self.i = 0
+
+    # --- token helpers --------------------------------------------
+    def peek(self, k: int = 0) -> Token:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self) -> Token:
+        t = self.toks[self.i]
+        if t.kind != "EOF":
+            self.i += 1
+        return t
+
+    def at_kw(self, *kws: str) -> bool:
+        t = self.peek()
+        return t.kind == "KW" and t.value in kws
+
+    def at_sym(self, *syms: str) -> bool:
+        t = self.peek()
+        return t.kind == "SYM" and t.value in syms
+
+    def eat_kw(self, *kws: str) -> str:
+        if not self.at_kw(*kws):
+            raise ParseError(f"expected {'/'.join(kws).upper()}, "
+                             f"got {self.peek()}")
+        return self.next().value
+
+    def eat_sym(self, sym: str) -> None:
+        if not self.at_sym(sym):
+            raise ParseError(f"expected {sym!r}, got {self.peek()}")
+        self.next()
+
+    def try_kw(self, *kws: str) -> bool:
+        if self.at_kw(*kws):
+            self.next()
+            return True
+        return False
+
+    def ident(self) -> str:
+        t = self.peek()
+        if t.kind == "IDENT" or (t.kind == "KW" and t.value in _IDENTISH_KWS):
+            self.next()
+            return t.value
+        raise ParseError(f"expected identifier, got {t}")
+
+    # --- entry -----------------------------------------------------
+    def parse(self):
+        stmt = self.statement()
+        if self.at_sym(";"):
+            self.next()
+        if self.peek().kind != "EOF":
+            raise ParseError(f"trailing input at {self.peek()}")
+        return stmt
+
+    def statement(self):
+        t = self.peek()
+        if t.kind != "KW":
+            raise ParseError(f"expected statement, got {t}")
+        if t.value == "create":
+            return self.create_stmt()
+        if t.value == "drop":
+            return self.drop_stmt()
+        if t.value == "use":
+            self.next()
+            return A.UseScope(self.ident())
+        if t.value == "show":
+            self.next()
+            return A.Show(self.next().value.lower())
+        if t.value in ("desc", "describe"):
+            self.next()
+            return A.Desc(self.ident())
+        if t.value == "select":
+            return self.select_stmt()
+        if t.value == "insert":
+            return self.insert_stmt()
+        if t.value == "load":
+            return self.load_stmt()
+        if t.value in ("exec", "execute"):
+            return self.exec_stmt()
+        if t.value == "lock":
+            return self.lock_stmt()
+        if t.value == "unlock":
+            self.next()
+            return A.UnlockStmt(self.ident())
+        raise ParseError(f"unsupported statement {t.value!r}")
+
+    # --- DDL -------------------------------------------------------
+    def if_not_exists(self) -> bool:
+        if self.at_kw("if"):
+            self.next()
+            self.eat_kw("not")
+            self.eat_kw("exists")
+            return True
+        return False
+
+    def create_stmt(self):
+        self.eat_kw("create")
+        kw = self.next()
+        if kw.kind != "KW":
+            raise ParseError(f"expected object kind, got {kw}")
+        kind = kw.value
+        if kind in ("scope", "schema", "database"):
+            ine = self.if_not_exists()
+            return A.CreateScope(self.ident(), ine)
+        if kind == "storage":
+            ine = self.if_not_exists()
+            name = self.ident()
+            opts = {}
+            if self.try_kw("set"):
+                while True:
+                    k = self.ident()
+                    self.eat_sym("=")
+                    v = self.next().value
+                    opts[k.lower()] = v
+                    if not self.at_sym(","):
+                        break
+                    self.next()
+            return A.CreateStorage(name, opts, ine)
+        if kind == "type":
+            ine = self.if_not_exists()
+            name = self.ident()
+            props = self.prop_defs(edge=False)
+            storage = self.storage_clause()
+            return A.CreateType(name, props, storage, ine)
+        if kind == "edge":
+            ine = self.if_not_exists()
+            name = self.ident()
+            props = self.prop_defs(edge=True)
+            storage = self.storage_clause()
+            return A.CreateEdge(name, props, storage, ine)
+        if kind == "index":
+            ine = self.if_not_exists()
+            name = self.ident()
+            self.eat_kw("on")
+            target = self.ident()
+            self.eat_sym("(")
+            fields = [self.ident()]
+            while self.at_sym(","):
+                self.next()
+                fields.append(self.ident())
+            self.eat_sym(")")
+            return A.CreateIndex(name, target, fields, ine)
+        if kind in ("procedure", "proc"):
+            ine = self.if_not_exists()
+            mod = self.ident()
+            name = None
+            if self.at_sym("."):
+                self.next()
+                name = self.ident()
+            else:
+                mod, name = None, mod
+            args = []
+            if self.at_sym("("):
+                self.next()
+                while not self.at_sym(")"):
+                    pname = self.ident()
+                    ptype = self.next().value
+                    args.append((pname, ptype))
+                    if self.at_sym(","):
+                        self.next()
+                self.eat_sym(")")
+            self.eat_kw("language")
+            lang = self.ident().lower()
+            return A.CreateProcedure(mod, name, lang, args, ine)
+        if kind == "lock":
+            ine = self.if_not_exists()
+            return A.CreateLock(self.ident(), ine)
+        raise ParseError(f"cannot CREATE {kind!r}")
+
+    def storage_clause(self):
+        if self.at_kw("storage"):
+            self.next()
+            self.eat_sym("=")
+            return self.ident()
+        return None
+
+    def prop_defs(self, edge: bool) -> list:
+        self.eat_sym("(")
+        props = []
+        while True:
+            pname = self.ident()
+            ptype = None
+            role = None
+            pk = inc = stamp = False
+            # type may be omitted for role-typed edge endpoints
+            if self.at_kw(*_TYPE_KWS):
+                ptype = self.next().value
+            elif self.peek().kind == "IDENT":
+                ptype = self.next().value   # vertex-type reference (edge)
+            if ptype == "timestamp":        # `field timestamp` shorthand
+                ptype, stamp = "time", True
+            while True:
+                if self.at_kw("pk"):
+                    self.next()
+                    pk = True
+                elif self.at_kw("primary"):
+                    self.next()
+                    self.eat_kw("key")
+                    pk = True
+                elif self.at_kw("inc", "increment"):
+                    self.next()
+                    inc = True
+                elif self.at_kw("timestamp", "stamp"):
+                    self.next()
+                    stamp = True
+                elif edge and self.at_kw("origin"):
+                    self.next()
+                    role = "origin"
+                elif edge and self.at_kw("destin", "destination"):
+                    self.next()
+                    role = "destin"
+                else:
+                    break
+            props.append(A.PropDef(pname, ptype or "text", pk, inc, stamp, role))
+            if self.at_sym(","):
+                self.next()
+                continue
+            break
+        self.eat_sym(")")
+        return props
+
+    def drop_stmt(self):
+        self.eat_kw("drop")
+        kw = self.next()
+        kind = kw.value if kw.kind == "KW" else kw.value.lower()
+        if kind in ("scope", "schema", "database"):
+            name = self.ident()
+            ie = self.if_exists()
+            return A.DropScope(name, ie)
+        name = self.ident()
+        ie = self.if_exists()
+        return A.DropObject(kind, name, ie)
+
+    def if_exists(self) -> bool:
+        if self.at_kw("if"):
+            self.next()
+            self.eat_kw("exists")
+            return True
+        return False
+
+    # --- DML / DLL -------------------------------------------------
+    def insert_stmt(self):
+        self.eat_kw("insert")
+        self.eat_kw("into")
+        target = self.ident()
+        fields = None
+        if self.at_sym("("):
+            self.next()
+            fields = [self.ident()]
+            while self.at_sym(","):
+                self.next()
+                fields.append(self.ident())
+            self.eat_sym(")")
+        self.eat_kw("values")
+        self.eat_sym("(")
+        values = [self.expr()]
+        while self.at_sym(","):
+            self.next()
+            values.append(self.expr())
+        self.eat_sym(")")
+        return A.Insert(target, fields, values)
+
+    def load_stmt(self):
+        self.eat_kw("load")
+        t = self.next()
+        if t.kind != "STRING":
+            raise ParseError("LOAD expects a quoted file path")
+        path = t.value
+        self.eat_kw("into")
+        target = self.ident()
+        header = None
+        as_type = as_kind = errors = None
+        while True:
+            if self.at_kw("ignore"):
+                self.next()
+                self.eat_kw("header")
+                header = "ignore"
+            elif self.at_kw("use"):
+                self.next()
+                self.eat_kw("header")
+                header = "use"
+            elif self.at_kw("as"):
+                self.next()
+                if self.at_kw("edge"):
+                    self.next()
+                    as_kind = "edge"
+                    as_type = self.ident()
+                else:
+                    as_kind = "type"
+                    as_type = self.ident()
+            elif self.at_kw("set"):
+                self.next()
+                k = self.ident().lower()
+                self.eat_sym("=")
+                v = self.next()
+                if k == "errors":
+                    errors = v.value
+            else:
+                break
+        return A.Load(path, target, header, as_type, as_kind, errors)
+
+    def exec_stmt(self):
+        self.next()  # exec/execute
+        name = self.ident()
+        if self.at_sym("."):
+            self.next()
+            name = f"{name}.{self.ident()}"
+        args = []
+        if self.at_sym("("):
+            self.next()
+            while not self.at_sym(")"):
+                args.append(self.expr())
+                if self.at_sym(","):
+                    self.next()
+            self.eat_sym(")")
+        return A.ExecProc(name, args)
+
+    def lock_stmt(self):
+        self.eat_kw("lock")
+        name = self.ident()
+        mode = None
+        timeout = None
+        if self.try_kw("for"):
+            mode = self.eat_kw("reading", "writing")
+        if self.try_kw("set"):
+            self.eat_kw("timeout")
+            self.eat_sym("=")
+            timeout = int(self.next().value)
+        return A.LockStmt(name, mode, timeout)
+
+    # --- DQL -------------------------------------------------------
+    def select_stmt(self):
+        self.eat_kw("select")
+        items = [self.select_item()]
+        while self.at_sym(","):
+            self.next()
+            items.append(self.select_item())
+        target = None
+        joins: list = []
+        where = None
+        group_by: list = []
+        order_by: list = []
+        limit = None
+        if self.try_kw("from"):
+            target = self.ident()
+            while self.at_kw("join"):
+                self.next()
+                vertex = self.ident()
+                self.eat_kw("on")
+                on = self.eat_kw("origin", "destin", "destination")
+                if on == "destination":
+                    on = "destin"
+                alias = None
+                if self.try_kw("as"):
+                    alias = self.ident()
+                joins.append(A.JoinClause(vertex, on, alias))
+        if self.try_kw("where"):
+            where = self.expr()
+        if self.at_kw("group"):
+            self.next()
+            self.eat_kw("by")
+            group_by = [self.field_ref()]
+            while self.at_sym(","):
+                self.next()
+                group_by.append(self.field_ref())
+        if self.at_kw("order"):
+            self.next()
+            self.eat_kw("by")
+            order_by = [self.field_ref()]
+            while self.at_sym(","):
+                self.next()
+                order_by.append(self.field_ref())
+        if self.try_kw("limit"):
+            limit = int(self.next().value)
+        return A.Select(items, target, joins, where, group_by, order_by, limit)
+
+    def select_item(self):
+        if self.at_sym("*"):
+            self.next()
+            return A.SelectItem(A.Field("*"), None)
+        e = self.expr()
+        alias = None
+        if self.try_kw("as"):
+            alias = self.ident()
+        return A.SelectItem(e, alias)
+
+    def field_ref(self):
+        name = self.ident()
+        if self.at_sym("."):
+            self.next()
+            return A.Field(self.ident(), qualifier=name)
+        return A.Field(name)
+
+    # --- expressions (precedence per nowdbsql.y:843-855) -----------
+    def expr(self):
+        return self.or_expr()
+
+    def or_expr(self):
+        left = self.and_expr()
+        while self.at_kw("or"):
+            self.next()
+            left = A.Op("or", [left, self.and_expr()])
+        return left
+
+    def and_expr(self):
+        left = self.not_expr()
+        while self.at_kw("and"):
+            self.next()
+            left = A.Op("and", [left, self.not_expr()])
+        return left
+
+    def not_expr(self):
+        if self.at_kw("not"):
+            self.next()
+            return A.Op("not", [self.not_expr()])
+        return self.is_expr()
+
+    def is_expr(self):
+        left = self.cmp_expr()
+        if self.at_kw("is"):
+            self.next()
+            negated = self.try_kw("not")
+            self.eat_kw("null")
+            return A.IsNull(left, negated)
+        return left
+
+    def cmp_expr(self):
+        left = self.rel_expr()
+        while self.at_sym("=", "!=", "<>"):
+            op = self.next().value
+            left = A.Op("=" if op == "=" else "!=", [left, self.rel_expr()])
+        return left
+
+    def rel_expr(self):
+        left = self.in_expr()
+        while self.at_sym("<", ">", "<=", ">="):
+            op = self.next().value
+            left = A.Op(op, [left, self.in_expr()])
+        return left
+
+    def in_expr(self):
+        left = self.add_expr()
+        if self.at_kw("in"):
+            self.next()
+            self.eat_sym("(")
+            vals = [self.expr()]
+            while self.at_sym(","):
+                self.next()
+                vals.append(self.expr())
+            self.eat_sym(")")
+            return A.InExpr(left, vals)
+        return left
+
+    def add_expr(self):
+        left = self.mul_expr()
+        while self.at_sym("+", "-"):
+            op = self.next().value
+            left = A.Op(op, [left, self.mul_expr()])
+        return left
+
+    def mul_expr(self):
+        left = self.pow_expr()
+        while self.at_sym("*", "/", "%"):
+            op = self.next().value
+            left = A.Op(op, [left, self.pow_expr()])
+        return left
+
+    def pow_expr(self):
+        left = self.unary_expr()
+        if self.at_sym("^"):
+            self.next()
+            return A.Op("^", [left, self.pow_expr()])  # right-assoc
+        return left
+
+    def unary_expr(self):
+        if self.at_sym("-"):
+            self.next()
+            return A.Op("*", [A.Const(-1, "int"), self.unary_expr()])
+        if self.at_sym("+"):
+            self.next()
+            return self.unary_expr()
+        return self.primary()
+
+    def primary(self):
+        t = self.peek()
+        if t.kind == "INT":
+            self.next()
+            return A.Const(int(t.value), "int")
+        if t.kind == "FLOAT":
+            self.next()
+            return A.Const(float(t.value), "float")
+        if t.kind == "STRING":
+            self.next()
+            return A.Const(t.value, "string")
+        if t.kind == "KW" and t.value in ("true", "false"):
+            self.next()
+            return A.Const(t.value == "true", "bool")
+        if t.kind == "KW" and t.value == "null":
+            self.next()
+            return A.Const(None, "null")
+        if t.kind == "KW" and t.value == "case":
+            return self.case_expr()
+        if self.at_sym("("):
+            self.next()
+            e = self.expr()
+            self.eat_sym(")")
+            return e
+        # function call or field reference
+        if t.kind == "IDENT" or (t.kind == "KW" and t.value in _IDENTISH_KWS):
+            name = self.ident()
+            if self.at_sym("("):
+                self.next()
+                # count(*) and friends
+                if self.at_sym("*"):
+                    self.next()
+                    self.eat_sym(")")
+                    return A.Agg(name.lower(), None)
+                args = []
+                if not self.at_sym(")"):
+                    args = [self.expr()]
+                    while self.at_sym(","):
+                        self.next()
+                        args.append(self.expr())
+                self.eat_sym(")")
+                lname = name.lower()
+                if lname in AGGREGATES:
+                    return A.Agg(lname, args[0] if args else None)
+                return A.Op(lname, args)
+            if self.at_sym("."):
+                self.next()
+                return A.Field(self.ident(), qualifier=name)
+            return A.Field(name)
+        raise ParseError(f"unexpected token {t} in expression")
+
+    def case_expr(self):
+        self.eat_kw("case")
+        whens = []
+        while self.at_kw("when"):
+            self.next()
+            cond = self.expr()
+            self.eat_kw("then")
+            whens.append((cond, self.expr()))
+        else_ = None
+        if self.try_kw("else"):
+            else_ = self.expr()
+        self.eat_kw("end")
+        return A.CaseExpr(whens, else_)
+
+
+def parse(text: str):
+    """Parse one nowdb SQL statement → AST node."""
+    return Parser(text).parse()
+
+
+def parse_script(text: str) -> list:
+    """Parse a ';'-separated script → list of AST nodes."""
+    stmts = []
+    for chunk in _split_statements(text):
+        if chunk.strip():
+            stmts.append(parse(chunk))
+    return stmts
+
+
+def _split_statements(text: str) -> list[str]:
+    """Split on ';' outside string literals."""
+    out, buf, in_str = [], [], False
+    i = 0
+    while i < len(text):
+        c = text[i]
+        if in_str:
+            buf.append(c)
+            if c == "'":
+                if text[i:i + 2] == "''":
+                    buf.append("'")
+                    i += 1
+                else:
+                    in_str = False
+        elif c == "'":
+            in_str = True
+            buf.append(c)
+        elif c == ";":
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(c)
+        i += 1
+    out.append("".join(buf))
+    return out

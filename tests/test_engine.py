@@ -1,0 +1,368 @@
+"""End-to-end engine tests in the reference's pysmoke style
+(test/pysmoke/*.py): create the canonical retail scope (FIXTURES.md),
+insert seeded-random data, run nowdb SQL, and compare against values
+recomputed in Python.
+
+Fixture schema follows test/pysmoke/db.py:30-99: vertex types
+product/client/store, edges buys/visits.
+"""
+
+from __future__ import annotations
+
+import random
+import statistics
+
+import pytest
+
+from nowdb_spark.engine import Engine
+from nowdb_spark.results import CursorResult, ReportResult, RowResult
+
+PRODUCTS = 30
+CLIENTS = 10
+BUYS = 120
+NS = 1_000_000_000
+
+
+@pytest.fixture(scope="module")
+def eng(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("warehouse")
+    e = Engine(spark, base)
+    r = e.execute("create scope retail")
+    assert r.ok(), r.details()
+    assert e.execute("use retail").ok()
+
+    assert e.execute(
+        "create type product (prod_key uint pk, prod_desc text, "
+        "prod_cat uint, prod_packing uint, prod_price float)"
+    ).ok()
+    assert e.execute(
+        "create type client (client_key uint pk, client_name text, "
+        "birthdate time)"
+    ).ok()
+    assert e.execute(
+        "create edge buys (origin client origin, destin product destin, "
+        "stamp time timestamp, quantity uint, price float)"
+    ).ok()
+    return e
+
+
+@pytest.fixture(scope="module")
+def data(eng):
+    """Seeded random data inserted through the SQL surface; returns
+    the python-side copy for recomputation."""
+    rng = random.Random(42)
+    products = []
+    for k in range(PRODUCTS):
+        price = round(rng.uniform(1, 100), 2)
+        desc = f"product_{k}"
+        products.append((k, desc, k % 5, k % 3, price))
+        r = eng.execute(
+            f"insert into product (prod_key, prod_desc, prod_cat, "
+            f"prod_packing, prod_price) values ({k}, '{desc}', {k % 5}, "
+            f"{k % 3}, {price})")
+        assert r.ok(), r.details()
+    clients = []
+    for k in range(CLIENTS):
+        ck = 9_000_000 + k
+        clients.append((ck, f"client_{k}"))
+        assert eng.execute(
+            f"insert into client (client_key, client_name, birthdate) "
+            f"values ({ck}, 'client_{k}', '1990-01-{1 + k % 27:02d}')"
+        ).ok()
+    base_ns = 1_514_764_800 * NS  # 2018-01-01
+    buys = []
+    for _ in range(BUYS):
+        o = 9_000_000 + rng.randrange(CLIENTS)
+        d = rng.randrange(PRODUCTS)
+        stamp = base_ns + rng.randrange(90 * 86400) * NS
+        q = rng.randrange(1, 10)
+        p = round(rng.uniform(1, 50), 2)
+        buys.append((o, d, stamp, q, p))
+        assert eng.execute(
+            f"insert into buys (origin, destin, stamp, quantity, price) "
+            f"values ({o}, {d}, {stamp}, {q}, {p})").ok()
+    return {"products": products, "clients": clients, "buys": buys}
+
+
+def rows(res) -> list[tuple]:
+    assert isinstance(res, CursorResult), res.details()
+    return [tuple(r.row()) for r in res]
+
+
+# --- DDL / metadata -------------------------------------------------
+
+def test_show_desc(eng):
+    r = eng.execute("show types")
+    assert isinstance(r, RowResult)
+    names = {row[0] for row in r._rows}
+    assert {"product", "client"} <= names
+    r = eng.execute("show edges")
+    assert {row[0] for row in r._rows} == {"buys"}
+    d = eng.execute("desc buys")
+    got = {(row[0], row[2]) for row in d._rows}
+    assert ("origin", "origin") in got
+    assert ("stamp", "stamp") in got
+
+
+def test_create_errors(eng):
+    r = eng.execute("create type product (x int pk)")
+    assert not r.ok() and "exists" in r.details()
+    assert eng.execute("create type if not exists product (x int pk)").ok()
+    r = eng.execute("select nope from not_a_context")
+    assert not r.ok()
+
+
+# --- basicsmoke parity: count/sum/avg (basicsmoke.py:36-62) ---------
+
+def test_global_aggregates(eng, data):
+    got = rows(eng.execute(
+        "select count(*), sum(quantity), avg(quantity), min(price), "
+        "max(price), spread(price), median(quantity), stddev(quantity) "
+        "from buys"))[0]
+    qs = [b[3] for b in data["buys"]]
+    ps = [b[4] for b in data["buys"]]
+    assert got[0] == len(qs)
+    assert got[1] == sum(qs)
+    assert got[2] == pytest.approx(sum(qs) / len(qs))
+    assert got[3] == min(ps)
+    assert got[4] == max(ps)
+    assert got[5] == pytest.approx(max(ps) - min(ps))
+    assert got[6] == pytest.approx(statistics.median(qs))
+    assert got[7] == pytest.approx(statistics.stdev(qs))
+
+
+# --- curvertex parity: point/IN/text filters ------------------------
+
+def test_point_and_in_filters(eng, data):
+    got = rows(eng.execute("select prod_key from product where prod_key = 7"))
+    assert got == [(7,)]
+    got = rows(eng.execute(
+        "select prod_key from product where prod_key in (1, 3, 5)"))
+    assert sorted(got) == [(1,), (3,), (5,)]
+    got = rows(eng.execute(
+        "select prod_key from product where prod_desc = 'product_9'"))
+    assert got == [(9,)]
+
+
+# --- curedge parity: conjunctions + group by (curedge.py:146-239) ---
+
+def test_edge_filter_conjunction(eng, data):
+    o, d = data["buys"][0][0], data["buys"][0][1]
+    got = rows(eng.execute(
+        f"select origin, quantity from buys "
+        f"where origin = {o} and destin = {d}"))
+    want = [(b[0], b[3]) for b in data["buys"] if b[0] == o and b[1] == d]
+    assert sorted(got) == sorted(want)
+
+
+def test_group_by_per_key(eng, data):
+    got = rows(eng.execute(
+        "select origin, count(*), sum(quantity) from buys group by origin"))
+    per = {}
+    for b in data["buys"]:
+        c, s = per.get(b[0], (0, 0))
+        per[b[0]] = (c + 1, s + b[3])
+    assert len(got) == len(per)
+    for o, cnt, sq in got:
+        assert per[o] == (cnt, sq)
+
+
+def test_group_distinct_and_order(eng, data):
+    got = rows(eng.execute("select destin from buys group by destin"))
+    assert sorted(x[0] for x in got) == sorted({b[1] for b in data["buys"]})
+    got = rows(eng.execute("select destin from buys order by destin"))
+    assert [x[0] for x in got] == sorted(b[1] for b in data["buys"])
+
+
+def test_agg_in_expression(eng, data):
+    got = rows(eng.execute(
+        "select sum(quantity)/count(*) as avg_q, "
+        "sum(quantity * price) as vol from buys"))[0]
+    qs = [b[3] for b in data["buys"]]
+    vol = sum(b[3] * b[4] for b in data["buys"])
+    assert got[0] == pytest.approx(sum(qs) / len(qs))
+    assert got[1] == pytest.approx(vol)
+
+
+# --- formulas parity (formulas.py:36-84) ----------------------------
+
+def test_formulas(eng, data):
+    got = rows(eng.execute(
+        "select prod_key, ((prod_price + 2.0)/4.0)^2, "
+        "ceil(prod_price * 10.0)/10.0, round(prod_price), "
+        "prod_cat % 3, prod_cat / 4 "
+        "from product where prod_key < 10 order by prod_key"))
+    import math
+    for (k, f1, f2, f3, f4, f5), p in zip(got, data["products"][:10]):
+        price, cat = p[4], p[2]
+        assert f1 == pytest.approx(((price + 2.0) / 4.0) ** 2)
+        assert f2 == pytest.approx(math.ceil(price * 10) / 10)
+        assert f3 == pytest.approx(round(price))
+        assert f4 == cat % 3
+        assert f5 == pytest.approx(cat / 4)  # int / int → float
+
+
+def test_select_only(eng):
+    assert rows(eng.execute("select 1 + 2"))[0][0] == 3
+    assert rows(eng.execute("select 2 ^ 10"))[0][0] == pytest.approx(1024.0)
+    assert rows(eng.execute("select 7 / 2"))[0][0] == pytest.approx(3.5)
+    v = rows(eng.execute("select pi()"))[0][0]
+    import math
+    assert v == pytest.approx(math.pi)
+
+
+# --- time extraction + period pruning -------------------------------
+
+def test_time_extraction(eng, data):
+    got = rows(eng.execute(
+        "select stamp, year(stamp), month(stamp) from buys limit 20"))
+    import datetime as dt
+    for ns, y, m in got:
+        d = dt.datetime.fromtimestamp(ns / NS, dt.timezone.utc)
+        assert (y, m) == (d.year, d.month)
+
+
+def test_time_range_filter(eng, data):
+    got = rows(eng.execute(
+        "select count(*) from buys where stamp >= '2018-02-01' "
+        "and stamp < '2018-03-01'"))[0]
+    import datetime as dt
+    lo = dt.datetime(2018, 2, 1, tzinfo=dt.timezone.utc).timestamp() * NS
+    hi = dt.datetime(2018, 3, 1, tzinfo=dt.timezone.utc).timestamp() * NS
+    want = sum(1 for b in data["buys"] if lo <= b[2] < hi)
+    assert got[0] == want
+
+
+def test_period_pruning_plan(eng, data):
+    """The stamp range must turn into a partition filter on __tb."""
+    df = eng.sql("select origin from buys where stamp >= '2018-02-01' "
+                 "and stamp < '2018-02-03'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__tb" in plan, plan[:2000]
+
+
+# --- NULL semantics (sql.tex:311-333) -------------------------------
+
+def test_null_semantics(eng):
+    assert eng.execute(
+        "insert into client (client_key, client_name) values (9999999, "
+        "'no_birthdate')").ok()
+    got = rows(eng.execute(
+        "select client_key from client where birthdate is null"))
+    assert got == [(9999999,)]
+    got = rows(eng.execute(
+        "select count(*) from client where birthdate is not null"))
+    assert got[0][0] == CLIENTS
+    # = NULL is never true
+    got = rows(eng.execute(
+        "select count(*) from client where birthdate = 0"))
+    assert got[0][0] == 0
+
+
+# --- documented join design (sql.tex:2293-2368) ---------------------
+
+def test_edge_join_origin(eng, data):
+    got = rows(eng.execute(
+        "select origin, client.client_name, quantity from buys "
+        "join client on origin limit 5"))
+    names = dict(data["clients"])
+    for o, name, q in got:
+        assert names[o] == name
+
+
+def test_edge_join_both(eng, data):
+    got = rows(eng.execute(
+        "select origin, c.client_name, p.prod_desc, quantity from buys "
+        "join client on origin as c join product on destin as p "
+        "where quantity > 5 limit 10"))
+    prods = {p[0]: p[1] for p in data["products"]}
+    names = dict(data["clients"])
+    assert got
+    for o, cn, pd, q in got:
+        assert names[o] == cn
+        assert q > 5
+
+
+# --- CASE / coalesce ------------------------------------------------
+
+def test_case_when(eng, data):
+    got = rows(eng.execute(
+        "select prod_key, case when prod_price < 30.0 then 'cheap' "
+        "when prod_price < 70.0 then 'mid' else 'dear' end as cls "
+        "from product order by prod_key"))
+    for (k, cls), p in zip(got, data["products"]):
+        want = "cheap" if p[4] < 30 else ("mid" if p[4] < 70 else "dear")
+        assert cls == want
+
+
+# --- strict mode (group-list = select-list rule) --------------------
+
+def test_strict_mode(spark, eng):
+    strict = Engine(spark, eng.base, strict=True)
+    assert strict.execute("use retail").ok()
+    r = strict.execute(
+        "select quantity, count(*) from buys group by origin")
+    assert not r.ok() and "strict" in r.details()
+    r = strict.execute(
+        "select origin, count(*) from buys group by origin")
+    assert r.ok(), r.details()
+
+
+# --- procedures (procman parity) ------------------------------------
+
+def test_procedures(eng, data):
+    assert eng.execute(
+        "create procedure stats.buycount() language python").ok()
+    (eng.scope.path / "procs").mkdir(exist_ok=True)
+    (eng.scope.path / "procs" / "stats.py").write_text(
+        "def buycount(session):\n"
+        "    return session.onevalue('select count(*) from buys')\n")
+    r = eng.execute("exec stats.buycount()")
+    assert isinstance(r, RowResult)
+    assert r.field(0) == BUYS
+
+
+def test_registered_procedure(eng):
+    eng.register_procedure(
+        "hello", lambda s, name: f"hello {name}")
+    r = eng.execute("exec hello('world')")
+    assert r.field(0) == "hello world"
+
+
+# --- locks ----------------------------------------------------------
+
+def test_locks(eng):
+    assert eng.execute("create lock mylock").ok()
+    assert eng.execute("lock mylock").ok()
+    assert eng.execute("unlock mylock").ok()
+    assert eng.execute("lock mylock for reading set timeout = 100").ok()
+    assert eng.execute("unlock mylock").ok()
+    r = eng.execute("lock nolock")
+    assert not r.ok()
+
+
+# --- CSV load (loader.c parity) -------------------------------------
+
+def test_load_csv(eng, tmp_path, data):
+    csv = tmp_path / "products.csv"
+    lines = ["prod_key;prod_desc;prod_cat;prod_packing;prod_price"]
+    for k in range(100, 110):
+        lines.append(f"{k};loaded_{k};1;2;{k}.5")
+    lines.append("not_a_number;bad;x;y;z")  # malformed row
+    csv.write_text("\n".join(lines) + "\n")
+    r = eng.execute(f"load '{csv}' into product use header as product "
+                    f"set errors='{tmp_path}/errs'")
+    assert isinstance(r, ReportResult), r.details()
+    assert r.affected == 10
+    assert r.errors == 1
+    got = rows(eng.execute(
+        "select prod_key, prod_desc from product where prod_key >= 100"))
+    assert len(got) == 10
+    assert ("loaded_105") in {g[1] for g in got}
+
+
+def test_one_value_one_row(eng):
+    assert eng.one_value("select count(*) from product") >= PRODUCTS
+    row = eng.one_row("select prod_key, prod_desc from product "
+                      "where prod_key = 3")
+    assert row[0] == 3
