@@ -1,0 +1,144 @@
+"""Streaming ingest + windowed aggregation over nowdb-style contexts.
+
+Mapping (SURVEY §2.6, §7 step 7):
+  insert path + background sorter  →  writeStream into the context's
+      parquet dir (exactly-once via checkpoint; compaction = OPTIMIZE
+      job, not needed for correctness)
+  time-partitioned files [from,to)  →  day-bucket partition column
+  (new) watermarked windows         →  tumbling / sliding / session
+      windows over the ns stamp converted to TimestampType at the
+      window boundary only
+
+Scale stance: state size is bounded by the watermark horizon; the
+shuffle key is (window, group keys) which AQE re-balances; no
+collect/driver loops.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nowdb_spark import timeutil as TU
+from nowdb_spark.catalog import TypeDef
+
+
+def stream_from_context(spark: SparkSession, ctx_dir: str,
+                        tdef: TypeDef) -> DataFrame:
+    """readStream over a context's parquet dir (new files = new data,
+    exactly how the reference's pending files become visible)."""
+    schema = tdef.spark_schema()
+    df = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 16)
+          .parquet(str(ctx_dir)))
+    return df
+
+
+def stream_into_context(df: DataFrame, ctx_dir: str, checkpoint: str,
+                        stamp_col: Optional[str] = None):
+    """writeStream appending into a context dir; day-bucket partitioned
+    when stamped. Returns the StreamingQuery."""
+    if stamp_col is not None:
+        df = df.withColumn(
+            "__tb", TU.int_div_floor(F.col(stamp_col), TU.NS_PER_SEC * 86400))
+        writer = df.writeStream.partitionBy("__tb")
+    else:
+        writer = df.writeStream
+    return (writer.format("parquet")
+            .option("path", str(ctx_dir))
+            .option("checkpointLocation", str(checkpoint))
+            .outputMode("append")
+            .start())
+
+
+def _with_event_time(df: DataFrame, stamp_col: str) -> DataFrame:
+    """ns-Long stamp → TimestampType event-time column `__et`."""
+    return df.withColumn("__et", TU.ns_to_ts(F.col(stamp_col)))
+
+
+def windowed_agg(df: DataFrame, stamp_col: str, keys: list[str],
+                 aggs: list, window: str = "5 minutes",
+                 slide: Optional[str] = None,
+                 watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling (or sliding, if `slide`) window aggregate.
+
+    Works on both streaming and batch frames (batch ignores the
+    watermark) — the batch run is the differential oracle for the
+    streaming run in tests.
+
+    Output: window_start/window_end as i64 ns (engine time policy),
+    the keys, and the aggregate columns.
+    """
+    et = _with_event_time(df, stamp_col)
+    if et.isStreaming:
+        et = et.withWatermark("__et", watermark)
+    win = (F.window("__et", window, slide) if slide
+           else F.window("__et", window))
+    out = (et.groupBy(win.alias("__w"), *keys).agg(*aggs))
+    return out.select(
+        TU.ts_to_ns(F.col("__w.start")).alias("window_start_ns"),
+        TU.ts_to_ns(F.col("__w.end")).alias("window_end_ns"),
+        *keys,
+        *[c for c in out.columns if c not in ("__w", *keys)],
+    )
+
+
+def session_window_agg(df: DataFrame, stamp_col: str, keys: list[str],
+                       aggs: list, gap: str = "30 minutes",
+                       watermark: str = "1 hour") -> DataFrame:
+    """Session windows (gap-based), watermarked for streaming state
+    cleanup; batch-compatible like windowed_agg."""
+    et = _with_event_time(df, stamp_col)
+    if et.isStreaming:
+        et = et.withWatermark("__et", watermark)
+    win = F.session_window("__et", gap)
+    out = et.groupBy(win.alias("__w"), *keys).agg(*aggs)
+    return out.select(
+        TU.ts_to_ns(F.col("__w.start")).alias("window_start_ns"),
+        TU.ts_to_ns(F.col("__w.end")).alias("window_end_ns"),
+        *keys,
+        *[c for c in out.columns if c not in ("__w", *keys)],
+    )
+
+
+def run_stream_to_memory(sdf: DataFrame, query_name: str,
+                         output_mode: str = "complete"):
+    """Drive a streaming frame to completion against the memory sink
+    (local testing harness; production sinks are parquet/kafka)."""
+    q = (sdf.writeStream.outputMode(output_mode)
+         .format("memory").queryName(query_name).start())
+    q.processAllAvailable()
+    return q
+
+
+def stateful_running_totals(df: DataFrame, key_col: str, value_col: str,
+                            stamp_col: str,
+                            watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful operator: per-key running count/sum emitted per
+    micro-batch (applyInPandasWithState) — the pattern for operators
+    Spark's built-ins can't express (reference analogue: the vertex
+    cache keeping per-key state on the insert path).
+
+    State = (count, sum) per key; bounded by key cardinality.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (f"{key_col} long, n long, total double")
+    state_schema = "n long, total double"
+
+    def fn(key, pdf_iter, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame({key_col: [key[0]], "n": [n], "total": [total]})
+
+    et = _with_event_time(df, stamp_col).withWatermark("__et", watermark)
+    return (et.groupBy(key_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "update",
+                                    GroupStateTimeout.NoTimeout))

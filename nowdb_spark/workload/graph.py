@@ -1,0 +1,91 @@
+"""Graph workload — algorithms over the supplier–part graph derived
+from lineitem (suppliers co-supplying parts). Node id space: parts
+keep their key, suppliers are offset by 1_000_000 (the two key
+domains are disjoint, FIXTURES.md seeding note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nowdb_spark.operators import graph as G
+from nowdb_spark.workload import register, table
+
+_SUPP_OFFSET = 1_000_000
+
+
+def _cosupply_edges(spark, sf):
+    """Supplier pairs sharing at least one part (undirected, a<b)."""
+    sp = (table(spark, sf, "lineitem")
+          .select("l_suppkey", "l_partkey").distinct())
+    a, b = sp.alias("a"), sp.alias("b")
+    return (
+        a.join(b, (F.col("a.l_partkey") == F.col("b.l_partkey"))
+               & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
+        .groupBy(F.col("a.l_suppkey").alias("supp_a"),
+                 F.col("b.l_suppkey").alias("supp_b"))
+        .agg(F.count(F.lit(1)).alias("shared_parts"))
+    )
+
+
+@register(
+    "g01_cosupply_pairs",
+    """
+    WITH sp AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)
+    SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b,
+           count(*) AS shared_parts
+    FROM sp a JOIN sp b
+      ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+    GROUP BY 1, 2
+    """,
+    doc="co-supply edge construction (shared-part supplier pairs)",
+)
+def g01(spark, sf):
+    return _cosupply_edges(spark, sf)
+
+
+@register(
+    "g02_triangles",
+    """
+    WITH sp AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+      FROM sp a JOIN sp b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+    )
+    SELECT count(*) AS n_triangles
+    FROM e e1 JOIN e e2 ON e1.b = e2.a
+              JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b
+    """,
+    doc="global triangle count over the co-supply graph",
+)
+def g02(spark, sf):
+    edges = _cosupply_edges(spark, sf).select(
+        F.col("supp_a").alias("src"), F.col("supp_b").alias("dst"))
+    return G.triangle_count(edges)
+
+
+@register(
+    "g03_components",
+    None,  # iterative — verified by union-find differential pytest
+    doc="connected components (min-label propagation) on the "
+        "supplier–part bipartite graph",
+)
+def g03(spark, sf):
+    li = table(spark, sf, "lineitem")
+    edges = (li.select(
+        (F.col("l_suppkey") + _SUPP_OFFSET).alias("src"),
+        F.col("l_partkey").alias("dst")).distinct())
+    return G.connected_components(edges, max_iter=10)
+
+
+@register(
+    "g04_pagerank",
+    None,  # iterative — verified by python power-iteration pytest
+    doc="PageRank (10 power iterations) over the co-supply graph",
+)
+def g04(spark, sf):
+    edges = _cosupply_edges(spark, sf).select(
+        F.col("supp_a").alias("src"), F.col("supp_b").alias("dst"))
+    pr = G.pagerank(G.undirect(edges), iters=10)
+    return pr.select("node", F.round("rank", 6).alias("rank"))

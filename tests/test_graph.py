@@ -1,0 +1,121 @@
+"""Graph operator tests: iterative algorithms verified against
+python recomputations (union-find, power iteration) on the same
+edge lists — the differential pattern for non-SQL-expressible ops."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from nowdb_spark.operators import graph as G
+from nowdb_spark.workload import QUERIES
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def bipartite_edges(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    return (li.select((F.col("l_suppkey") + 1_000_000).alias("src"),
+                      F.col("l_partkey").alias("dst")).distinct().cache())
+
+
+def test_degrees(spark, bipartite_edges):
+    got = {r["node"]: (r["out_degree"], r["in_degree"])
+           for r in G.degrees(bipartite_edges).collect()}
+    edges = [(r["src"], r["dst"]) for r in bipartite_edges.collect()]
+    out_d, in_d = {}, {}
+    for s, d in edges:
+        out_d[s] = out_d.get(s, 0) + 1
+        in_d[d] = in_d.get(d, 0) + 1
+    for node, (o, i) in got.items():
+        assert o == out_d.get(node, 0)
+        assert i == in_d.get(node, 0)
+
+
+def test_connected_components_vs_union_find(spark, bipartite_edges):
+    got = {r["node"]: r["component"]
+           for r in G.connected_components(bipartite_edges, 10).collect()}
+    edges = [(r["src"], r["dst"]) for r in bipartite_edges.collect()]
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for s, d in edges:
+        union(s, d)
+    want_groups: dict = {}
+    for n in parent:
+        want_groups.setdefault(find(n), set()).add(n)
+    got_groups: dict = {}
+    for n, c in got.items():
+        got_groups.setdefault(c, set()).add(n)
+    assert set(map(frozenset, want_groups.values())) == \
+        set(map(frozenset, got_groups.values()))
+
+
+def test_pagerank_vs_python(spark, bipartite_edges):
+    und = G.undirect(bipartite_edges)
+    got = {r["node"]: r["rank"] for r in G.pagerank(und, iters=8).collect()}
+    edges = [(r["src"], r["dst"]) for r in und.collect()]
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    deg: dict = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(8):
+        inc = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            inc[d] += rank[s] / deg[s]
+        dangling = sum(rank[v] for v in nodes if v not in deg)
+        rank = {v: 0.15 / n + 0.85 * (inc[v] + dangling / n) for v in nodes}
+    assert len(got) == n
+    for v in nodes:
+        assert got[v] == pytest.approx(rank[v], abs=1e-9)
+    # probability mass is conserved
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_k_hop(spark, bipartite_edges):
+    start = spark.createDataFrame([(1_000_001,)], "node long")
+    got = {(r["node"], r["hops"])
+           for r in G.k_hop(bipartite_edges, start, 2).collect()}
+    edges = [(r["src"], r["dst"]) for r in bipartite_edges.collect()]
+    adj: dict = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    seen = {1_000_001: 0}
+    frontier = [1_000_001]
+    for hop in (1, 2):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in seen:
+                    seen[v] = hop
+                    nxt.append(v)
+        frontier = nxt
+    assert got == set(seen.items())
+
+
+def test_triangles_small_known(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5), (5, 6)],
+        "src long, dst long")
+    assert G.triangle_count(edges).first()["n_triangles"] == 2
+
+
+def test_workload_graph_queries_run(spark):
+    for name in ("g03_components", "g04_pagerank"):
+        df = QUERIES[name].spark(spark, SF_DIR)
+        assert df.count() > 0

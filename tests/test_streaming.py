@@ -1,0 +1,120 @@
+"""Streaming layer tests: the streaming result must equal the batch
+computation of the same windows (differential style), driven through
+the parquet file source + memory sink."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from nowdb_spark.catalog import Prop, TypeDef
+from nowdb_spark.streaming import ingest as S
+
+EVENTS_TDEF = TypeDef("events", "vertex", [
+    Prop("event_id", "int"),
+    Prop("ts", "time", stamp=True),
+    Prop("user_id", "int"),
+    Prop("event_type", "text"),
+    Prop("value", "float"),
+    Prop("props", "text"),
+])
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Re-materialize sf0.001 events as a plain parquet dir with the
+    engine's ns-Long stamp (streaming source needs a static schema)."""
+    from tests.conftest import SF_DIR
+    out = tmp_path_factory.mktemp("stream_src") / "events"
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    df.write.mode("overwrite").parquet(str(out))
+    return str(out)
+
+
+def _agg_spec():
+    return [F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total")]
+
+
+def test_windowed_agg_stream_matches_batch(spark, events_dir):
+    batch = spark.read.parquet(events_dir)
+    want = {tuple(r) for r in S.windowed_agg(
+        batch, "ts", ["event_type"], _agg_spec(),
+        window="6 hours").collect()}
+
+    sdf = S.stream_from_context(spark, events_dir, EVENTS_TDEF)
+    agg = S.windowed_agg(sdf, "ts", ["event_type"], _agg_spec(),
+                         window="6 hours", watermark="1 hour")
+    q = S.run_stream_to_memory(agg, "win_out", "complete")
+    try:
+        got = {tuple(r) for r in spark.sql("select * from win_out").collect()}
+    finally:
+        q.stop()
+    assert got == want
+    assert len(got) > 10
+
+
+def test_sliding_window(spark, events_dir):
+    batch = spark.read.parquet(events_dir)
+    out = S.windowed_agg(batch, "ts", [], _agg_spec(),
+                         window="12 hours", slide="6 hours")
+    rows = out.collect()
+    # every event lands in exactly 2 sliding windows
+    assert sum(r["n"] for r in rows) == 2 * batch.count()
+
+
+def test_session_window(spark, events_dir):
+    batch = spark.read.parquet(events_dir)
+    out = S.session_window_agg(batch, "ts", ["user_id"], _agg_spec(),
+                               gap="30 minutes")
+    rows = out.collect()
+    assert rows
+    # sessions per user must match the lag-based count of q22
+    from nowdb_spark.workload import QUERIES
+    from tests.conftest import SF_DIR
+    q22 = {(r["user_id"], r["n_sessions"]) for r in
+           QUERIES["q22_sessionize"].spark(spark, SF_DIR).collect()}
+    per_user = {}
+    for r in rows:
+        per_user[r["user_id"]] = per_user.get(r["user_id"], 0) + 1
+    assert set(per_user.items()) == q22
+
+
+def test_stream_into_context_roundtrip(spark, events_dir, tmp_path):
+    sdf = S.stream_from_context(spark, events_dir, EVENTS_TDEF)
+    dst = tmp_path / "ctx"
+    q = S.stream_into_context(sdf, str(dst), str(tmp_path / "ckpt"),
+                              stamp_col="ts")
+    q.processAllAvailable()
+    q.stop()
+    back = spark.read.parquet(str(dst))
+    src = spark.read.parquet(events_dir)
+    assert back.count() == src.count()
+    assert "__tb" in back.columns  # day-bucket partitioned
+    # partition pruning: a bucket filter must become a PartitionFilter
+    # in the scan (not a post-scan data filter)
+    one_day = back.filter(F.col("__tb") == 19723)
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__tb" in plan.split(
+        "PartitionFilters")[1][:120], plan[:1500]
+    assert one_day.count() > 0
+
+
+def test_stateful_running_totals(spark, events_dir):
+    sdf = S.stream_from_context(spark, events_dir, EVENTS_TDEF)
+    out = S.stateful_running_totals(sdf, "user_id", "value", "ts")
+    q = S.run_stream_to_memory(out, "state_out", "update")
+    try:
+        got = spark.sql(
+            "select user_id, max_by(n, n) as n, max_by(total, n) as total "
+            "from state_out group by user_id").collect()
+    finally:
+        q.stop()
+    batch = spark.read.parquet(events_dir)
+    want = {(r["user_id"], r["n"], round(r["total"], 4)) for r in
+            batch.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("value").alias("total")).collect()}
+    got_set = {(r["user_id"], r["n"], round(r["total"], 4)) for r in got}
+    assert got_set == want
