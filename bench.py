@@ -39,6 +39,9 @@ HEADLINE = [
     "dd02_minhash_signature",
     "tx01_text_stats",
     "ann01_bruteforce_topk",
+    "ts01_downsample",
+    "nq01_dialect_group_agg",
+    "g01_cosupply_pairs",
 ]
 
 

@@ -186,10 +186,12 @@ class Scope:
         return self.path / "contexts" / name
 
     def mount(self, name: str, parquet_path: str,
-              kind: str = "vertex") -> None:
-        """Register an external parquet table as a context (schema is
-        taken from the files; types inferred as nowdb equivalents)."""
-        self.mounts[name] = parquet_path
+              types: Optional[dict] = None) -> None:
+        """Register an external parquet table as a context. Schema is
+        taken from the files; `types` overrides the inferred nowdb
+        types per column (e.g. {'ts': 'time'} so time-literal coercion
+        applies to an ns-Long stamp column)."""
+        self.mounts[name] = {"path": parquet_path, "types": types or {}}
         self.save()
 
     def destroy(self) -> None:

@@ -309,8 +309,12 @@ class Engine:
     def _read_context(self, name: str):
         sc = self._need_scope()
         if name in sc.mounts:
-            df = self.spark.read.parquet(sc.mounts[name])
+            m = sc.mounts[name]
+            path, overrides = (m["path"], m.get("types", {})) \
+                if isinstance(m, dict) else (m, {})
+            df = self.spark.read.parquet(path)
             types = _infer_nowdb_types(df)
+            types.update(overrides)
             return df, types, None
         tdef = sc.get_type(name)
         ctx = sc.context_dir(name)

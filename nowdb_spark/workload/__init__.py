@@ -46,5 +46,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # populate the registry
 from nowdb_spark.workload import core  # noqa: E402,F401
+from nowdb_spark.workload import dialect  # noqa: E402,F401
 from nowdb_spark.workload import graph  # noqa: E402,F401
 from nowdb_spark.workload import pipeline  # noqa: E402,F401
+from nowdb_spark.workload import timeseries  # noqa: E402,F401

@@ -1,0 +1,134 @@
+"""Dialect workload — queries that run through the full nowdb SQL
+front-end (lexer → parser → binder → DataFrame) against the testdata
+tables mounted as contexts, each checked against a DuckDB oracle.
+
+This puts the SQL dialect itself under the correctness gate: the
+oracle SQL is standard ANSI; the engine side is the nowdb dialect
+(note `^` for pow, int `/` → float, string time literals against the
+ns stamp, select-list aliases).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from nowdb_spark.engine import Engine
+from nowdb_spark.workload import register
+
+_ENGINES: dict = {}
+
+
+def _engine(spark, sf) -> Engine:
+    key = (id(spark), sf)
+    eng = _ENGINES.get(key)
+    if eng is None:
+        base = tempfile.mkdtemp(prefix="nowdb_dialect_")
+        eng = Engine(spark, base)
+        eng.rexecute("create scope mountdb")
+        eng.rexecute("use mountdb")
+        for t in ("lineitem", "orders", "part", "events", "customer"):
+            eng.scope.mount(t, f"{sf}/{t}.parquet",
+                            types={"ts": "time"} if t == "events" else None)
+        _ENGINES[key] = eng
+    return eng
+
+
+def _dialect(name: str, nowdb_sql: str, oracle: str, doc: str = ""):
+    @register(name, oracle, doc=doc)
+    def run(spark, sf, _sql=nowdb_sql):
+        return _engine(spark, sf).sql(_sql)
+    return run
+
+
+_dialect(
+    "nq01_dialect_group_agg",
+    """
+    select l_returnflag, count(*) as cnt,
+           round(sum(l_quantity), 3) as sum_qty,
+           round(avg(l_discount), 6) as avg_disc,
+           round(spread(l_extendedprice), 4) as spr
+    from lineitem group by l_returnflag
+    """,
+    """
+    SELECT l_returnflag, count(*) AS cnt,
+           round(sum(l_quantity), 3) AS sum_qty,
+           round(avg(l_discount), 6) AS avg_disc,
+           round(max(l_extendedprice) - min(l_extendedprice), 4) AS spr
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="dialect: GROUP BY + aggregate battery incl. spread()",
+)
+
+_dialect(
+    "nq02_dialect_formulas",
+    """
+    select p_partkey,
+           round(((p_retailprice + 5.0) / 2.0) ^ 2, 6) as f_pow,
+           p_size % 7 as f_mod, p_size / 4 as f_div,
+           round(p_retailprice) as f_round
+    from part where p_size > 10
+    """,
+    """
+    SELECT p_partkey,
+           round(pow((p_retailprice + 5.0) / 2.0, 2), 6) AS f_pow,
+           p_size % 7 AS f_mod,
+           CAST(p_size AS DOUBLE) / 4 AS f_div,
+           round(p_retailprice) AS f_round
+    FROM part WHERE p_size > 10
+    """,
+    doc="dialect: ^ pow, % rem, int / -> float, 1- and 2-arg round",
+)
+
+_dialect(
+    "nq03_dialect_case_in",
+    """
+    select o_orderkey,
+           case when o_totalprice < 50000.0 then 'small'
+                when o_totalprice < 200000.0 then 'mid'
+                else 'big' end as size_cls
+    from orders
+    where o_orderpriority in ('1-URGENT', '2-HIGH') and o_orderstatus = 'F'
+    """,
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 50000.0 THEN 'small'
+                WHEN o_totalprice < 200000.0 THEN 'mid'
+                ELSE 'big' END AS size_cls
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderstatus = 'F'
+    """,
+    doc="dialect: CASE WHEN + IN-list + conjunction",
+)
+
+_dialect(
+    "nq04_dialect_time_range",
+    """
+    select event_id, user_id, year(ts) as y, month(ts) as m,
+           mday(ts) as d, hour(ts) as h
+    from events
+    where ts >= '2024-01-05' and ts < '2024-01-07'
+    """,
+    """
+    SELECT event_id, user_id,
+           CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+           CAST(dayofmonth(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-07'
+    """,
+    doc="dialect: ISO time literals against the ns stamp + extractors",
+)
+
+_dialect(
+    "nq05_dialect_order_limit",
+    """
+    select c_custkey, c_acctbal from customer
+    where c_mktsegment = 'BUILDING' and c_acctbal > 0.0
+    order by c_acctbal, c_custkey limit 20
+    """,
+    """
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0.0
+    ORDER BY c_acctbal, c_custkey LIMIT 20
+    """,
+    doc="dialect: ORDER BY (ascending, reference-style) + LIMIT",
+)

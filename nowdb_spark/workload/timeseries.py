@@ -1,0 +1,115 @@
+"""Time-series workload over `events` (stamp = i64 ns), each paired
+with a DuckDB oracle. DuckDB sees the parquet ns timestamps
+µs-truncated, so oracles use epoch_us/epoch_ns consistently with the
+engine's exact integer bucket math (bucket widths ≥ seconds make the
+sub-µs difference unobservable)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nowdb_spark.operators import timeseries as TS
+from nowdb_spark.workload import register, table
+
+_HOUR_NS = 3_600_000_000_000
+_6H_NS = 6 * _HOUR_NS
+_DAY_NS = 24 * _HOUR_NS
+
+
+@register(
+    "ts01_downsample",
+    f"""
+    SELECT epoch_ns(ts) - (epoch_ns(ts) % {_6H_NS}) AS bucket_ns,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS total
+    FROM events GROUP BY 1, 2
+    """,
+    doc="6-hour bucket downsampling per event type",
+)
+def ts01(spark, sf):
+    ev = table(spark, sf, "events")
+    return TS.downsample(
+        ev, "ts", _6H_NS, ["event_type"],
+        [F.count(F.lit(1)).alias("n"),
+         F.round(F.sum("value"), 4).alias("total")])
+
+
+@register(
+    "ts02_moving_avg",
+    """
+    SELECT user_id, epoch_us(ts) AS t_us, event_id,
+           round(avg(value) OVER w, 6) AS mov_avg_r,
+           min(value) OVER w AS mov_min,
+           max(value) OVER w AS mov_max
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+    doc="row-window moving aggregates per user",
+)
+def ts02(spark, sf):
+    from nowdb_spark import timeutil as TU
+
+    ev = table(spark, sf, "events")
+    out = TS.moving(ev, "ts", "user_id", "value", n_rows=3,
+                    tiebreak="event_id")
+    return out.select(
+        "user_id",
+        TU.ns_to_us(F.col("ts")).alias("t_us"),
+        "event_id",
+        F.round(F.col("mov_avg"), 6).alias("mov_avg_r"),
+        "mov_min", "mov_max")
+
+
+@register(
+    "ts03_integral",
+    """
+    SELECT user_id,
+           round(coalesce(sum(area), 0.0), 4) AS integral_r
+    FROM (
+      SELECT user_id,
+             (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1e6
+               * (value + lag(value) OVER w) / 2.0 AS area
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) GROUP BY user_id
+    """,
+    doc="trapezoid integral of value over time per user (the working "
+        "version of the reference's declared-broken `integral`)",
+)
+def ts03(spark, sf):
+    ev = table(spark, sf, "events")
+    out = TS.integral(ev, "ts", "user_id", "value", tiebreak="event_id")
+    return out.select("user_id",
+                      F.round(F.col("integral"), 4).alias("integral_r"))
+
+
+@register(
+    "ts04_gap_fill",
+    f"""
+    WITH b AS (
+      SELECT user_id,
+             epoch_ns(ts) - (epoch_ns(ts) % {_DAY_NS}) AS bucket_ns,
+             count(*) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    spans AS (SELECT user_id, min(bucket_ns) AS lo, max(bucket_ns) AS hi
+              FROM b GROUP BY user_id),
+    dom AS (
+      SELECT user_id,
+             unnest(generate_series(lo, hi, {_DAY_NS})) AS bucket_ns
+      FROM spans
+    )
+    SELECT dom.user_id, dom.bucket_ns,
+           CAST(coalesce(b.v, 0) AS BIGINT) AS v
+    FROM dom LEFT JOIN b
+      ON dom.user_id = b.user_id AND dom.bucket_ns = b.bucket_ns
+    """,
+    doc="daily gap-fill per user (zero-filled missing buckets)",
+)
+def ts04(spark, sf):
+    ev = table(spark, sf, "events")
+    out = TS.gap_fill(ev, "ts", _DAY_NS, "user_id",
+                      F.count(F.lit(1)))
+    return out.select("user_id", "bucket_ns", F.col("v").cast("long").alias("v"))
