@@ -73,6 +73,8 @@ class Engine:
         self.strict = strict
         self._lock_fds: dict[str, int] = {}
         self.proc_registry: dict[str, callable] = {}
+        self._cursors: dict[str, CursorResult] = {}
+        self._next_cursor = 0
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     # --- public API (pynow Connection parity) ---------------------
@@ -83,6 +85,9 @@ class Engine:
             return self._dispatch(parse(sql))
         except (ParseError, BindError, CatalogError, EngineError) as e:
             return ErrorResult(1, str(e))
+        except Exception as e:  # Spark analysis/runtime errors → NOK
+            name = type(e).__name__
+            return ErrorResult(2, f"{name}: {e}")
 
     def rexecute(self, sql: str) -> Result:
         """Raising variant (pynow Connection.rexecute)."""
@@ -292,6 +297,16 @@ class Engine:
         if isinstance(vexpr, A.Const) and vexpr.type == "string" \
                 and nowdb_type in ("time", "date"):
             return F.lit(TU.parse_time_literal(vexpr.value))
+        if nowdb_type == "uint" and isinstance(vexpr, A.Const) \
+                and vexpr.type == "int":
+            # uint64 policy (SURVEY §7 hard parts): LongType is i64 —
+            # negatives rejected; >2^63-1 cannot be represented → reject
+            if vexpr.value < 0:
+                raise EngineError(f"uint value out of range: {vexpr.value}")
+            if vexpr.value > 2**63 - 1:
+                raise EngineError(
+                    f"uint value {vexpr.value} exceeds engine range "
+                    "(i64; reference stores uint64 — documented gap)")
         return eb.bind(vexpr)
 
     def _load(self, n: A.Load) -> Result:
@@ -300,6 +315,16 @@ class Engine:
         type_name = n.as_type or n.target
         tdef = sc.get_type(type_name)
         good, n_bad = load_csv(self.spark, n.path, tdef, n.header, n.errors)
+        # uint64 ingest policy: negatives are diverted like malformed
+        # rows (reference corrects/rejects out-of-range literals,
+        # doc/manual/sql.tex:190-203)
+        for p in tdef.props:
+            if p.type == "uint":
+                ok_c = F.col(p.name).isNull() | (F.col(p.name) >= 0)
+                n_neg = good.filter(~ok_c).count()
+                if n_neg:
+                    n_bad += n_neg
+                    good = good.filter(ok_c)
         target_ctx = n.target if n.target in sc.meta.types else type_name
         affected = write_context(good, sc.context_dir(target_ctx), tdef)
         us = int((time.perf_counter() - t0) * 1e6)
@@ -358,7 +383,45 @@ class Engine:
                             strict=self.strict).bind(n)
 
     def _select(self, n: A.Select) -> Result:
-        return CursorResult(self._bind_select(n))
+        cur = CursorResult(self._bind_select(n))
+        # register for FETCH/CLOSE paging (server-side cursor ids,
+        # ifc/nowdb.c:1206 openCursor)
+        cid = str(self._next_cursor)
+        self._next_cursor += 1
+        cur.cursor_id = cid
+        self._cursors[cid] = cur
+        return cur
+
+    def _fetch(self, n: A.FetchStmt) -> Result:
+        cur = self._cursors.get(n.cursor_id)
+        if cur is None:
+            raise EngineError(f"no such cursor {n.cursor_id!r}")
+        rows = cur.fetch(n.n or 1000)
+        return RowResult(cur.columns, rows)
+
+    def _close(self, n: A.CloseStmt) -> Result:
+        cur = self._cursors.pop(n.cursor_id, None)
+        if cur is not None:
+            cur.release()
+        return StatusResult()
+
+    # --- maintenance ----------------------------------------------
+    def compact(self, context: str) -> dict:
+        """Compact a context's parquet files (the background-sorter
+        analogue; sources/compact.py)."""
+        from nowdb_spark.sources.compact import compact_context
+        sc = self._need_scope()
+        tdef = sc.get_type(context)
+        return compact_context(self.spark, sc.context_dir(context), tdef)
+
+    def insert_rows(self, context: str, rows: list[tuple]) -> Result:
+        """Bulk insert (library API; the SQL surface is row-at-a-time
+        like the reference, scope/dml.c:365)."""
+        sc = self._need_scope()
+        tdef = sc.get_type(context)
+        df = self.spark.createDataFrame(rows, tdef.spark_schema())
+        n = write_context(df, sc.context_dir(context), tdef, n=len(rows))
+        return ReportResult(affected=n)
 
     # --- misc ------------------------------------------------------
     def register_procedure(self, name: str, fn) -> None:
@@ -455,6 +518,8 @@ class Engine:
         A.ExecProc: _exec,
         A.LockStmt: _lock,
         A.UnlockStmt: _unlock,
+        A.FetchStmt: _fetch,
+        A.CloseStmt: _close,
     }
 
 

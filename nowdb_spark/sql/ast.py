@@ -211,3 +211,14 @@ class LockStmt:
 @dataclass
 class UnlockStmt:
     name: str
+
+
+@dataclass
+class FetchStmt:
+    cursor_id: str
+    n: Optional[int] = None
+
+
+@dataclass
+class CloseStmt:
+    cursor_id: str

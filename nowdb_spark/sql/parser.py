@@ -106,6 +106,16 @@ class Parser:
             return self.load_stmt()
         if t.value in ("exec", "execute"):
             return self.exec_stmt()
+        if t.value == "fetch":
+            self.next()
+            cid = self.next().value
+            n = None
+            if self.try_kw("limit"):
+                n = int(self.next().value)
+            return A.FetchStmt(str(cid), n)
+        if t.value == "close":
+            self.next()
+            return A.CloseStmt(str(self.next().value))
         if t.value == "lock":
             return self.lock_stmt()
         if t.value == "unlock":
@@ -504,6 +514,13 @@ class Parser:
     def unary_expr(self):
         if self.at_sym("-"):
             self.next()
+            t = self.peek()
+            if t.kind == "INT":       # fold negative literals
+                self.next()
+                return A.Const(-int(t.value), "int")
+            if t.kind == "FLOAT":
+                self.next()
+                return A.Const(-float(t.value), "float")
             return A.Op("*", [A.Const(-1, "int"), self.unary_expr()])
         if self.at_sym("+"):
             self.next()

@@ -653,3 +653,95 @@ def q23(spark, sf):
             TU.ns_to_us(F.col("last_view_ns")).alias("last_view_us"),
         )
     )
+
+
+# ------------------------------------------------------------------
+# q24 — TPC-H Q3 shape: multi-join + aggregation + ordered top-k
+# (customer filter broadcast; lineitem⋈orders shuffles on orderkey)
+@register(
+    "q24_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(year(o.o_orderdate) AS INT) AS order_year,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'AUTOMOBILE'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1996-06-30'
+    GROUP BY l.l_orderkey, year(o.o_orderdate), o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q3 shape: 3-way join, grouped revenue, ordered top-k",
+)
+def q24(spark, sf):
+    c = (table(spark, sf, "customer")
+         .filter(F.col("c_mktsegment") == "AUTOMOBILE")
+         .select("c_custkey"))
+    o = (table(spark, sf, "orders")
+         .filter(F.col("o_orderdate") < "1998-01-01")
+         .select("o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"))
+    li = (table(spark, sf, "lineitem")
+          .filter(F.col("l_shipdate") > "1996-06-30")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", F.year("o_orderdate").alias("order_year"),
+                 "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "order_year", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(20)
+    )
+
+
+# ------------------------------------------------------------------
+# q25 — TPC-H Q5 shape: full snowflake join through the hierarchy
+# (region→nation→customer→orders→lineitem→supplier with same-nation
+# constraint); every dimension broadcast, one fact shuffle.
+@register(
+    "q25_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5 shape: snowflake join w/ same-nation constraint",
+)
+def q25(spark, sf):
+    r = (table(spark, sf, "region")
+         .filter(F.col("r_name").isin("ASIA", "EUROPE"))
+         .select("r_regionkey"))
+    n = table(spark, sf, "nation").select("n_nationkey", "n_name",
+                                          "n_regionkey")
+    c = table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey",
+                                             "l_extendedprice", "l_discount")
+    s = table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n.join(F.broadcast(r),
+                                 n.n_regionkey == r.r_regionkey)),
+              c.c_nationkey == F.col("n_nationkey"))
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
+              & (s.s_nationkey == c.c_nationkey))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )

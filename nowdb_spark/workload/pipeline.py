@@ -167,6 +167,44 @@ def dd05(spark, sf):
 
 # ------------------------------------------------------------------
 @register(
+    "dd06_embedding_neardup",
+    """
+    WITH ex AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             unnest(embedding)::DOUBLE AS x
+      FROM embeddings WHERE vec_id < 200
+    ),
+    n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+    d AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.x * b.x) AS dp
+      FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT vec_a, vec_b,
+           round(dp / (na.nrm * nb.nrm), 6) AS sim
+    FROM d
+    JOIN n na ON na.vec_id = vec_a
+    JOIN n nb ON nb.vec_id = vec_b
+    WHERE round(dp / (na.nrm * nb.nrm), 6) >= 0.5
+    """,
+    doc="embedding-cosine near-duplicate pairs (sim ≥ 0.5); at scale "
+        "the LSH-bucketed variant (ann03) generates the candidates",
+)
+def dd06(spark, sf):
+    e = (table(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
+         .select("vec_id", "embedding"))
+    a = e.select(F.col("vec_id").alias("vec_a"),
+                 F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"),
+                 F.col("embedding").alias("eb"))
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("vec_a") < F.col("vec_b"))
+    sim = F.round(S.cosine(F.col("ea"), F.col("eb")), 6)
+    return (pairs.select("vec_a", "vec_b", sim.alias("sim"))
+            .filter(F.col("sim") >= 0.5))
+
+
+# ------------------------------------------------------------------
+@register(
     "tx01_text_stats",
     f"""
     WITH {_WORDS_CTE}

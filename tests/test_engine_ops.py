@@ -1,0 +1,94 @@
+"""Engine operational surface: cursors (FETCH/CLOSE), compaction,
+bulk insert, uint64 ingest policy, error robustness."""
+
+from __future__ import annotations
+
+import pytest
+
+from nowdb_spark.engine import Engine
+from nowdb_spark.results import ReportResult, RowResult
+from nowdb_spark.sources.compact import context_file_stats
+
+
+@pytest.fixture(scope="module")
+def eng(spark, tmp_path_factory):
+    e = Engine(spark, tmp_path_factory.mktemp("ops_wh"))
+    e.rexecute("create scope ops")
+    e.rexecute("use ops")
+    e.rexecute("create type item (k uint pk, name text, v float)")
+    e.rexecute("create type tick (k uint pk, stamp time timestamp, "
+               "v float)")
+    return e
+
+
+def test_bulk_insert_and_select(eng):
+    r = eng.insert_rows("item", [(i, f"n{i}", float(i) / 2) for i in range(50)])
+    assert isinstance(r, ReportResult) and r.affected == 50
+    assert eng.one_value("select count(*) from item") == 50
+
+
+def test_fetch_close_cursors(eng):
+    cur = eng.rexecute("select k, name from item order by k")
+    cid = cur.cursor_id
+    batch = eng.rexecute(f"fetch {cid} limit 10")
+    assert isinstance(batch, RowResult)
+    assert batch.count() == 10
+    assert batch._rows[0][0] == 0
+    batch2 = eng.rexecute(f"fetch {cid} limit 10")
+    assert batch2._rows[0][0] == 10  # cursor advanced
+    assert eng.rexecute(f"close {cid}").ok()
+    r = eng.execute(f"fetch {cid}")
+    assert not r.ok() and "no such cursor" in r.details()
+
+
+def test_uint_guard_insert(eng):
+    r = eng.execute("insert into item (k, name) values (-1, 'neg')")
+    assert not r.ok() and "uint" in r.details()
+    big = 2**63  # > i64 max
+    r = eng.execute(f"insert into item (k, name) values ({big}, 'big')")
+    assert not r.ok() and "range" in r.details()
+
+
+def test_uint_guard_load(eng, tmp_path):
+    csv = tmp_path / "items.csv"
+    csv.write_text("60;ok;1.5\n-5;neg;2.5\n61;ok2;3.5\n")
+    r = eng.rexecute(f"load '{csv}' into item as item")
+    assert r.affected == 2
+    assert r.errors == 1
+    assert eng.one_value(
+        "select count(*) from item where k < 0") == 0
+
+
+def test_compaction(eng):
+    # row-at-a-time inserts → many small files (pending-file analogue)
+    for i in range(12):  # 12 tiny files across 2 day-buckets
+        ns = 1_514_764_800_000_000_000 + i * 4 * 3_600_000_000_000
+        eng.rexecute(f"insert into tick values ({i}, {ns}, {float(i)})")
+    ctx = eng.scope.context_dir("tick")
+    n_before, _ = context_file_stats(ctx)
+    assert n_before >= 12
+    report = eng.compact("tick")
+    assert report["files_after"] < report["files_before"]
+    # data survives byte-identically
+    got = sorted(tuple(r.row()) for r in
+                 eng.rexecute("select k, stamp, v from tick"))
+    assert len(got) == 12
+    assert got[0][0] == 0 and got[11][0] == 11
+    # period pruning still works after compaction (first day = 6 rows)
+    cnt = eng.one_value(
+        "select count(*) from tick where stamp >= '2018-01-01' "
+        "and stamp < '2018-01-02'")
+    assert cnt == 6
+
+
+def test_spark_error_is_nok_not_raise(eng):
+    # binder passes but Spark rejects at analysis time → ErrorResult
+    r = eng.execute("select no_such_column from item")
+    assert not r.ok()
+    assert r.code() in (1, 2)
+
+
+def test_strict_flag_not_contagious(eng):
+    # non-strict engine accepts general select lists with group by
+    r = eng.execute("select count(*), name from item group by name")
+    assert r.ok(), r.details()
