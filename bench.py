@@ -54,6 +54,14 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     timings: dict[str, float] = {}
+
+    # full-scan throughput (compare against BASELINE.md's ~32-140M
+    # rec/s single-node scan): force reading every lineitem column
+    from pyspark.sql import functions as F
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    t0 = time.perf_counter()
+    li.agg(*[F.count(c) for c in li.columns]).collect()
+    timings["scan_full"] = round(time.perf_counter() - t0, 4)
     for name in HEADLINE:
         spec = QUERIES[name]
         t0 = time.perf_counter()

@@ -109,6 +109,20 @@ class Engine:
         row = self.one_row(sql)
         return row[0] if row else None
 
+    def execute_script(self, script: str) -> list[Result]:
+        """Execute a ';'-separated script (test/sql/*.sql scenario
+        style); stops at the first error and returns all results."""
+        from nowdb_spark.sql.parser import _split_statements
+        out: list[Result] = []
+        for chunk in _split_statements(script):
+            if not chunk.strip():
+                continue
+            r = self.execute(chunk)
+            out.append(r)
+            if not r.ok():
+                break
+        return out
+
     def sql(self, sql: str) -> DataFrame:
         """SELECT → DataFrame (the engine as a library)."""
         node = parse(sql)
@@ -240,8 +254,12 @@ class Engine:
         return StatusResult()
 
     def _show(self, n: A.Show) -> Result:
-        sc = self._need_scope()
         what = n.what
+        if what in ("scopes", "schemas", "databases"):
+            rows = sorted((p.name,) for p in self.base.iterdir()
+                          if (p / "catalog.json").exists())
+            return RowResult(["name"], rows)
+        sc = self._need_scope()
         if what in ("types", "edges"):
             kind = "vertex" if what == "types" else "edge"
             rows = [(t.name,) for t in sc.meta.types.values()

@@ -113,31 +113,45 @@ def lsh_bucket_key(vec: Column, planes: list[list[float]]) -> Column:
 
 
 def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
-                    n_planes: int = 8, dim: int = 64,
+                    n_planes: int = 4, n_tables: int = 8, dim: int = 64,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     qid_col: str = "qid", qvec_col: str = "qvec",
                     multiprobe: int = 1, seed: int = 42) -> DataFrame:
-    """Approximate k-NN: equi-join on LSH bucket keys (+ 1-bit probes),
-    exact cosine within candidates. Corpus hash is map-side; the join
-    shuffles only (bucket_key, id, vec) — at 2^n_planes buckets the
-    candidate set per query is |corpus| / 2^n_planes on average."""
-    planes = _hyperplanes(dim, n_planes, seed)
-    ck = corpus.withColumn("bkey", lsh_bucket_key(F.col(vec_col), planes))
-    qk = queries.withColumn("bkey0", lsh_bucket_key(F.col(qvec_col), planes))
+    """Approximate k-NN: multi-table random-hyperplane LSH.
 
-    # multi-probe: original bucket + single-bit flips
-    probe_keys = [F.col("bkey0")]
-    if multiprobe:
-        for i in range(1, n_planes + 1):
-            flipped = F.concat(
-                F.substring("bkey0", 1, i - 1),
-                F.when(F.substring("bkey0", i, 1) == "1", "0").otherwise("1"),
-                F.substring("bkey0", i + 1, n_planes - i),
-            )
-            probe_keys.append(flipped)
-    qp = qk.select(
+    L independent tables of `n_planes` sign bits each; a candidate is
+    any corpus vector sharing a (table, bucket) with the query (plus
+    1-bit multiprobe flips). P(miss a neighbor at angle θ) =
+    (1 - p^b)^L with p = 1 − θ/π — multiple small tables beat one
+    large key on recall at equal candidate volume.
+
+    Corpus hashing is map-side (×L bucket rows, no data duplication of
+    the vector needed until the join); the join shuffles only matching
+    buckets; exact cosine reranks candidates.
+    """
+    ck_cols = []
+    q_probe_cols = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        key = lsh_bucket_key(F.col(vec_col), planes)
+        ck_cols.append(F.concat(F.lit(f"{t}:"), key))
+        qkey = lsh_bucket_key(F.col(qvec_col), planes)
+        probes = [qkey]
+        if multiprobe:
+            for i in range(1, n_planes + 1):
+                probes.append(F.concat(
+                    F.substring(qkey, 1, i - 1),
+                    F.when(F.substring(qkey, i, 1) == "1", "0")
+                    .otherwise("1"),
+                    F.substring(qkey, i + 1, n_planes - i)))
+        q_probe_cols.extend(F.concat(F.lit(f"{t}:"), p) for p in probes)
+
+    ck = corpus.select(
+        id_col, vec_col,
+        F.explode(F.array(*ck_cols)).alias("bkey"))
+    qp = queries.select(
         qid_col, qvec_col,
-        F.explode(F.array(*probe_keys)).alias("bkey"),
+        F.explode(F.array(*q_probe_cols)).alias("bkey"),
     ).dropDuplicates([qid_col, "bkey"])
 
     cands = ck.join(F.broadcast(qp), "bkey")

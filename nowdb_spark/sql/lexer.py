@@ -17,7 +17,8 @@ KEYWORDS = {
     # objects (SCOPE/SCHEMA/DATABASE are aliases — nowdbsql.l:75-77)
     "scope", "schema", "database", "storage", "type", "edge", "index",
     "procedure", "proc", "types", "edges", "procedures", "procs",
-    "indexes", "indices", "storages", "locks",
+    "indexes", "indices", "storages", "locks", "scopes", "schemas",
+    "databases",
     # clauses
     "into", "values", "from", "where", "group", "order", "by", "on",
     "as", "set", "if", "exists", "not", "and", "or", "in", "is", "null",

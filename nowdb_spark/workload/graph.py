@@ -15,17 +15,32 @@ _SUPP_OFFSET = 1_000_000
 
 
 def _cosupply_edges(spark, sf):
-    """Supplier pairs sharing at least one part (undirected, a<b)."""
+    """Supplier pairs sharing at least one part (undirected, a<b).
+
+    Formulated as group-parts→generate-pairs rather than a self-join
+    on l_partkey: one shuffle to collect each part's (sorted, distinct)
+    supplier list, then the a<b pairs are emitted map-side from the
+    list. The self-join formulation shuffles the full (supplier, part)
+    relation twice and probes |sp|² candidates; this shuffles it once
+    and the quadratic work is confined to per-part list size (bound or
+    salt hot parts at 100 TB).
+    """
     sp = (table(spark, sf, "lineitem")
           .select("l_suppkey", "l_partkey").distinct())
-    a, b = sp.alias("a"), sp.alias("b")
-    return (
-        a.join(b, (F.col("a.l_partkey") == F.col("b.l_partkey"))
-               & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
-        .groupBy(F.col("a.l_suppkey").alias("supp_a"),
-                 F.col("b.l_suppkey").alias("supp_b"))
-        .agg(F.count(F.lit(1)).alias("shared_parts"))
+    per_part = sp.groupBy("l_partkey").agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("supps"))
+    idx = F.explode(F.sequence(F.lit(0), F.size("supps") - 2)).alias("i")
+    pairs = (
+        per_part.filter(F.size("supps") >= 2)
+        .select("supps", idx)
+        .select(
+            F.element_at("supps", F.col("i") + 1).alias("supp_a"),
+            F.explode(F.slice("supps", F.col("i") + 2,
+                              F.size("supps"))).alias("supp_b"),
+        )
     )
+    return pairs.groupBy("supp_a", "supp_b").agg(
+        F.count(F.lit(1)).alias("shared_parts"))
 
 
 @register(

@@ -352,7 +352,8 @@ def ann03(spark, sf):
         e.filter(F.col("vec_id") < 3)
         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
     )
-    return S.lsh_bucket_topk(e, queries, k=5, n_planes=8, dim=64)
+    return S.lsh_bucket_topk(e, queries, k=5, n_planes=4, n_tables=8,
+                             dim=64)
 
 
 # ------------------------------------------------------------------

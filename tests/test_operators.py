@@ -1,0 +1,136 @@
+"""Operator-level differential tests for the pieces not fully covered
+by workload oracles: SimHash bit math vs python, LSH recall vs brute
+force, kNN join, pandas kernel vs JVM cosine, multimodal plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from nowdb_spark.operators import dedup as D
+from nowdb_spark.operators import multimodal as M
+from nowdb_spark.operators import similarity as S
+from tests.conftest import SF_DIR
+
+
+def python_simhash(text: str) -> str:
+    toks = text.split(" ")
+    n = len(toks)
+    sums = [0] * 64
+    for t in toks:
+        h = hashlib.md5(t.encode()).hexdigest()[:16]
+        v = int(h, 16)
+        for b in range(64):
+            sums[b] += (v >> (63 - b)) & 1  # bit order: hex digit major
+    bits = 0
+    # rebuild with the same digit-major layout as the Column impl
+    digits = "0123456789abcdef"
+    out = []
+    for pos in range(16):
+        val = 0
+        for b in range(4):
+            s = sums[pos * 4 + (3 - b)]
+            if 2 * s > n:
+                val |= 1 << b
+        out.append(digits[val])
+    return "".join(out)
+
+
+def test_simhash_matches_python(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20)
+    got = {r["doc_id"]: r["simhash"]
+           for r in D.simhash_dedup(docs).collect()}
+    for r in docs.collect():
+        assert got[r["doc_id"]] == python_simhash(r["text"]), r["doc_id"]
+
+
+def test_simhash_near_dup_property(spark):
+    """Identical docs → identical fingerprints; hamming distance of
+    fingerprints of distinct docs is typically large."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"),
+         (3, "x y z q w r t u")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r["simhash"] for r in D.simhash_dedup(df).collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec")))
+    exact = S.knn_join(emb.filter(F.col("vec_id") >= 5), queries, k=5)
+    approx = S.lsh_bucket_topk(emb.filter(F.col("vec_id") >= 5), queries,
+                               k=5, n_planes=4, n_tables=8, dim=64,
+                               multiprobe=1)
+    exact_set = {(r["qid"], r["vec_id"]) for r in exact.collect()}
+    approx_set = {(r["qid"], r["vec_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_pandas_kernel_matches_jvm(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    jvm = S.brute_force_topk(emb, 0, k=10)
+    pdk = M and S.pandas_cosine_topk(emb.filter(F.col("vec_id") != 0),
+                                     list(qv), k=10)
+    jset = [(r["vec_id"], r["sim"]) for r in jvm.collect()]
+    pset = [(r["vec_id"], r["sim"]) for r in pdk.collect()]
+    assert len(jset) == len(pset) == 10
+    for (jv, js), (pv, ps) in zip(jset, pset):
+        assert jv == pv
+        assert js == pytest.approx(ps, abs=2e-6)
+
+
+def test_multimodal_frame_sample(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(5)
+    payloads = M.with_binary_payload(docs)
+    frames = M.frame_sample(payloads, every_n_bytes=50)
+    rows = frames.collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for r in docs.collect():
+        n_bytes = len(r["text"].encode())
+        expect_frames = (n_bytes + 49) // 50
+        got = by_doc[r["doc_id"]]
+        assert len(got) == expect_frames
+        assert all(len(bytes(f["chunk"])) <= 16 for f in got)
+        # first chunk is the text prefix
+        first = min(got, key=lambda f: f["frame_no"])
+        assert bytes(first["chunk"]) == r["text"].encode()[:16]
+
+
+def test_multimodal_decode_gate():
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"xx")
+
+
+def test_exact_dedup_finds_injected_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: (r["canonical_id"], r["is_dup"])
+            for r in D.exact_dedup(df).collect()}
+    assert rows[1] == (1, False)
+    assert rows[2] == (1, True)
+    assert rows[3] == (3, False)
+
+
+def test_minhash_lsh_finds_injected_neardups(spark):
+    base = ("w%d " * 40) % tuple(range(40))
+    near = base.replace("w3 ", "w3x ")          # one shingle changed
+    far = ("z%d " * 40) % tuple(range(40))
+    df = spark.createDataFrame(
+        [(1, base.strip()), (2, near.strip()), (3, far.strip())],
+        "doc_id long, text string")
+    pairs = {(r["doc_a"], r["doc_b"]): r["est_jaccard"]
+             for r in D.minhash_lsh_pairs(df, threshold=0.3).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs

@@ -101,6 +101,60 @@ def test_stream_into_context_roundtrip(spark, events_dir, tmp_path):
     assert one_day.count() > 0
 
 
+def test_late_data_dropped_in_append_mode(spark, tmp_path):
+    """Watermark semantics: rows arriving after the watermark passed
+    their window are dropped in append mode (the late-data policy the
+    reference never specified — SURVEY §2.6 — defined here)."""
+    import pandas as pd
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt_name = "late_out"
+    base_ns = 1_700_000_000 * 1_000_000_000
+
+    def write_batch(fname, rows):
+        pdf = pd.DataFrame(rows, columns=["k", "ts", "v"])
+        sdf_w = spark.createDataFrame(pdf, "k long, ts long, v double")
+        sdf_w.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "stage" / fname))
+        import shutil, glob
+        part = glob.glob(str(tmp_path / "stage" / fname / "*.parquet"))[0]
+        shutil.copy(part, src / f"{fname}.parquet")
+
+    # batch 1: on-time rows in windows [0h,1h) and [2h,3h)
+    write_batch("b1", [(1, base_ns + 600 * 10**9, 1.0),
+                       (1, base_ns + 2 * 3600 * 10**9, 1.0)])
+
+    from nowdb_spark.catalog import Prop, TypeDef
+    tdef = TypeDef("late", "vertex", [
+        Prop("k", "int"), Prop("ts", "time", stamp=True),
+        Prop("v", "float")])
+    sdf = S.stream_from_context(spark, str(src), tdef)
+    agg = S.windowed_agg(sdf, "ts", ["k"],
+                         [F.count(F.lit(1)).alias("n")],
+                         window="1 hour", watermark="1 minute")
+    q = (agg.writeStream.outputMode("append")
+         .format("memory").queryName(ckpt_name).start())
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE row for the already-closed [0h,1h) window
+        write_batch("b2", [(1, base_ns + 1200 * 10**9, 99.0)])
+        q.processAllAvailable()
+        # batch 3: advance watermark far so open windows close
+        write_batch("b3", [(1, base_ns + 10 * 3600 * 10**9, 1.0)])
+        q.processAllAvailable()
+        rows = {(r["window_start_ns"] - base_ns, r["n"])
+                for r in spark.sql(f"select * from {ckpt_name}").collect()}
+    finally:
+        q.stop()
+    # windows align to epoch hours: base_ns is 800s past the hour, so
+    # the first window starts at base-800s. It must emit with n=1 —
+    # the late row (base+1200s, inside that window) did NOT reappear.
+    first_win = -800 * 10**9
+    assert (first_win, 1) in rows
+    assert (first_win, 2) not in rows
+
+
 def test_stateful_running_totals(spark, events_dir):
     sdf = S.stream_from_context(spark, events_dir, EVENTS_TDEF)
     out = S.stateful_running_totals(sdf, "user_id", "value", "ts")
