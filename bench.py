@@ -48,7 +48,19 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    spark = get_spark("nowdb_spark_bench")
+
+    # size scan partitions to the input so every core engages: a
+    # 10 MB file under the default 128 MB maxPartitionBytes scans in
+    # ~1 task. total/(4*cores), clamped to [1 MB, 128 MB] — at real
+    # scale the clamp lands on the standard 128 MB.
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    total_bytes = sum(
+        p.stat().st_size for p in Path(sf_dir).glob("*.parquet"))
+    mpb = min(max(total_bytes // (4 * cores), 1 << 20), 128 << 20)
+    spark = get_spark("nowdb_spark_bench", extra_conf={
+        "spark.sql.files.maxPartitionBytes": str(mpb),
+        "spark.sql.files.openCostInBytes": str(1 << 20),
+    })
 
     # warm-up: JVM, parquet footer caches, codegen
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
