@@ -702,6 +702,27 @@ def q24(spark, sf):
 
 
 # ------------------------------------------------------------------
+# q26 — approximate aggregates: the 100 TB scale path for distinct
+# counts and quantiles (HLL / t-digest; mergeable map-side, bounded
+# memory — vs the reference's collect-everything MANY-class buffers).
+# Approx values are engine-specific → rows-only driver check; the
+# pytest asserts error bounds against exact values.
+@register(
+    "q26_approx_aggs",
+    None,
+    doc="approx_count_distinct (HLL) + percentile_approx (t-digest)",
+)
+def q26(spark, sf):
+    li = table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000)
+        .alias("approx_med_price"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+# ------------------------------------------------------------------
 # q25 — TPC-H Q5 shape: full snowflake join through the hierarchy
 # (region→nation→customer→orders→lineitem→supplier with same-nation
 # constraint); every dimension broadcast, one fact shuffle.

@@ -119,6 +119,42 @@ _dialect(
 )
 
 _dialect(
+    "nq06_dialect_null_coalesce",
+    """
+    select event_id,
+           coalesce(case when value > 150.0 then 'high' end, 'low') as band,
+           case when value > 150.0 then value end is null as is_low
+    from events where user_id < 30
+    """,
+    """
+    SELECT event_id,
+           coalesce(CASE WHEN value > 150.0 THEN 'high' END, 'low') AS band,
+           (CASE WHEN value > 150.0 THEN value END) IS NULL AS is_low
+    FROM events WHERE user_id < 30
+    """,
+    doc="dialect: CASE without ELSE -> NULL, IS NULL, coalesce",
+)
+
+_dialect(
+    "nq07_dialect_many_aggs",
+    """
+    select event_type,
+           round(median(value), 6) as med,
+           round(stddev(value), 6) as sd,
+           round(min(value) + spread(value), 4) as mx
+    from events group by event_type
+    """,
+    """
+    SELECT event_type,
+           round(median(value), 6) AS med,
+           round(stddev_samp(value), 6) AS sd,
+           round(min(value) + (max(value) - min(value)), 4) AS mx
+    FROM events GROUP BY event_type
+    """,
+    doc="dialect: MANY-class aggregates (median/stddev) + agg arithmetic",
+)
+
+_dialect(
     "nq05_dialect_order_limit",
     """
     select c_custkey, c_acctbal from customer
