@@ -327,6 +327,62 @@ class Engine:
                     "(i64; reference stores uint64 — documented gap)")
         return eb.bind(vexpr)
 
+    def _rewrite_context(self, name: str, transform) -> int:
+        """Copy-on-write rewrite of a context: read → transform →
+        write to a temp dir → atomic swap. UPDATE/DELETE are absent
+        from the reference executor (stubs, sql.tex:1987-2035); on
+        immutable parquet this rewrite is the distributed equivalent
+        (at 100 TB: rewrite only partitions whose predicate can match;
+        Delta/Iceberg would make this file-level).
+        """
+        import shutil
+        sc = self._need_scope()
+        tdef = sc.get_type(name)
+        df, col_types, _ = self._read_context(name)
+        out, affected = transform(df, col_types, tdef)
+        ctx = sc.context_dir(name)
+        tmp = ctx.with_suffix(".rewrite-tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        write_context(out, tmp, tdef, mode="overwrite")
+        old = ctx.with_suffix(".rewrite-old")
+        shutil.rmtree(old, ignore_errors=True)
+        if ctx.exists():
+            ctx.rename(old)
+        tmp.rename(ctx)
+        shutil.rmtree(old, ignore_errors=True)
+        return affected
+
+    def _update(self, n: A.Update) -> Result:
+        def transform(df, col_types, tdef):
+            eb = ExprBinder(col_types)
+            cond = eb.bind(n.where) if n.where is not None else F.lit(True)
+            n_match = df.filter(cond).count()
+            types = tdef.prop_types()
+            out = df
+            for fname, vexpr in n.assignments:
+                if fname not in types:
+                    raise EngineError(f"unknown field {fname!r}")
+                newval = self._insert_value(vexpr, types[fname], eb)
+                out = out.withColumn(
+                    fname, F.when(cond, newval).otherwise(F.col(fname))
+                    .cast(tdef.spark_schema()[fname].dataType))
+            return out, n_match
+
+        return ReportResult(affected=self._rewrite_context(n.target,
+                                                           transform))
+
+    def _delete(self, n: A.Delete) -> Result:
+        def transform(df, col_types, tdef):
+            if n.where is None:
+                return df.limit(0), df.count()
+            eb = ExprBinder(col_types)
+            cond = eb.bind(n.where)
+            n_match = df.filter(cond).count()
+            return df.filter(~cond | cond.isNull()), n_match
+
+        return ReportResult(affected=self._rewrite_context(n.target,
+                                                           transform))
+
     def _load(self, n: A.Load) -> Result:
         sc = self._need_scope()
         t0 = time.perf_counter()
@@ -531,6 +587,8 @@ class Engine:
         A.Show: _show,
         A.Desc: _desc,
         A.Insert: _insert,
+        A.Update: _update,
+        A.Delete: _delete,
         A.Load: _load,
         A.Select: _select,
         A.ExecProc: _exec,

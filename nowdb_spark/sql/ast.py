@@ -184,6 +184,19 @@ class Insert:
 
 
 @dataclass
+class Update:
+    target: str
+    assignments: list      # [(field, expr)]
+    where: Optional[object] = None
+
+
+@dataclass
+class Delete:
+    target: str
+    where: Optional[object] = None
+
+
+@dataclass
 class Load:
     path: str
     target: str

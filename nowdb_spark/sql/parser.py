@@ -104,6 +104,10 @@ class Parser:
             return self.insert_stmt()
         if t.value == "load":
             return self.load_stmt()
+        if t.value == "update":
+            return self.update_stmt()
+        if t.value == "delete":
+            return self.delete_stmt()
         if t.value in ("exec", "execute"):
             return self.exec_stmt()
         if t.value == "fetch":
@@ -298,6 +302,30 @@ class Parser:
             values.append(self.expr())
         self.eat_sym(")")
         return A.Insert(target, fields, values)
+
+    def update_stmt(self):
+        # the reference designs UPDATE but stubs it
+        # (doc/manual/sql.tex:1987-2035); implemented here
+        self.eat_kw("update")
+        target = self.ident()
+        self.eat_kw("set")
+        assignments = []
+        while True:
+            f = self.ident()
+            self.eat_sym("=")
+            assignments.append((f, self.expr()))
+            if not self.at_sym(","):
+                break
+            self.next()
+        where = self.expr() if self.try_kw("where") else None
+        return A.Update(target, assignments, where)
+
+    def delete_stmt(self):
+        self.eat_kw("delete")
+        self.eat_kw("from")
+        target = self.ident()
+        where = self.expr() if self.try_kw("where") else None
+        return A.Delete(target, where)
 
     def load_stmt(self):
         self.eat_kw("load")

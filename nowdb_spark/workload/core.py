@@ -177,8 +177,8 @@ def q07(spark, sf):
       round(sum(l_quantity), 3) AS sum_qty,
       round(avg(l_quantity), 6) AS avg_qty,
       round(sum(l_extendedprice), 2) AS sum_base,
-      round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-      round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+      round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
       min(l_extendedprice) AS min_price,
       max(l_extendedprice) AS max_price,
       round(max(l_extendedprice) - min(l_extendedprice), 2) AS spread_price,
@@ -200,8 +200,8 @@ def q08(spark, sf):
             F.round(F.sum("l_quantity"), 3).alias("sum_qty"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
             F.min("l_extendedprice").alias("min_price"),
             F.max("l_extendedprice").alias("max_price"),
             F.round(A.spread(F.col("l_extendedprice")), 2).alias("spread_price"),
@@ -423,7 +423,7 @@ def q15(spark, sf):
     SELECT
       p.p_brand,
       count(*) AS n_items,
-      round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN part p   ON l.l_partkey = p.p_partkey
@@ -443,7 +443,7 @@ def q16(spark, sf):
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
             .alias("revenue"),
         )
     )
@@ -662,7 +662,7 @@ def q23(spark, sf):
     "q24_shipping_priority",
     """
     SELECT l.l_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
            CAST(year(o.o_orderdate) AS INT) AS order_year,
            o.o_orderpriority
     FROM customer c
@@ -694,11 +694,174 @@ def q24(spark, sf):
         .groupBy("l_orderkey", F.year("o_orderdate").alias("order_year"),
                  "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice")
-                           * (1 - F.col("l_discount"))), 2).alias("revenue"))
+                           * (1 - F.col("l_discount"))), 4).alias("revenue"))
         .select("l_orderkey", "revenue", "order_year", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(20)
     )
+
+
+# ------------------------------------------------------------------
+# q27 — TPC-H Q7 shape: trade volume between nation pairs by year
+@register(
+    "q27_volume_shipping",
+    """
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS volume
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+    JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+    WHERE ns.n_nationkey <> nc.n_nationkey
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape: cross-nation trade volume by year",
+)
+def q27(spark, sf):
+    li = (table(spark, sf, "lineitem")
+          .filter((F.col("l_shipdate") >= "1996-01-01")
+                  & (F.col("l_shipdate") < "1998-01-01")))
+    o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf, "nation").select("n_nationkey", "n_name")
+    ns = n.select(F.col("n_nationkey").alias("ns_key"),
+                  F.col("n_name").alias("supp_nation"))
+    nc = n.select(F.col("n_nationkey").alias("nc_key"),
+                  F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), s.s_nationkey == F.col("ns_key"))
+        .join(F.broadcast(nc), c.c_nationkey == F.col("nc_key"))
+        .filter(F.col("ns_key") != F.col("nc_key"))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 4).alias("volume"))
+    )
+
+
+# ------------------------------------------------------------------
+# q28 — TPC-H Q12 shape: order-priority classes per year
+@register(
+    "q28_priority_classes",
+    """
+    SELECT CAST(year(l.l_shipdate) AS INT) AS ship_year,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_quantity >= 25.0
+    GROUP BY 1
+    """,
+    doc="TPC-H Q12 shape: conditional counts per year",
+)
+def q28(spark, sf):
+    li = (table(spark, sf, "lineitem")
+          .filter(F.col("l_quantity") >= 25.0)
+          .select("l_orderkey", "l_shipdate"))
+    o = table(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"))
+    )
+
+
+# ------------------------------------------------------------------
+# q29 — TPC-H Q14 shape: promo revenue share
+@register(
+    "q29_promo_revenue",
+    """
+    SELECT round(
+             100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0.0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+           AS promo_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-07-01'
+    """,
+    doc="TPC-H Q14 shape: conditional revenue ratio",
+)
+def q29(spark, sf):
+    li = (table(spark, sf, "lineitem")
+          .filter((F.col("l_shipdate") >= "1997-01-01")
+                  & (F.col("l_shipdate") < "1997-07-01")))
+    p = table(spark, sf, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 6)
+             .alias("promo_pct"))
+    )
+
+
+# ------------------------------------------------------------------
+# q30 — TPC-H Q17 shape: small-quantity orders vs per-part average
+# (correlated subquery, decorrelated into a groupBy + join)
+@register(
+    "q30_small_quantity_avg",
+    """
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN (SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg
+          FROM lineitem GROUP BY l_partkey) a
+      ON a.l_partkey = l.l_partkey
+    WHERE l.l_quantity < a.half_avg
+    """,
+    doc="TPC-H Q17 shape: correlated avg subquery, decorrelated",
+)
+def q30(spark, sf):
+    li = table(spark, sf, "lineitem")
+    half_avg = (li.groupBy(F.col("l_partkey").alias("a_partkey"))
+                .agg((0.5 * F.avg("l_quantity")).alias("half_avg")))
+    return (
+        li.join(F.broadcast(half_avg),
+                li.l_partkey == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+# ------------------------------------------------------------------
+# q31 — mode() made deterministic: most frequent value with explicit
+# count-then-value tiebreak (the reference declares mode but never
+# implemented it, fun/fun.c:440-444; the builtin's tie behavior is
+# engine-specific, so the gate uses the rank formulation)
+@register(
+    "q31_mode",
+    """
+    SELECT l_returnflag, mode_qty FROM (
+      SELECT l_returnflag, l_quantity AS mode_qty,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY count(*) DESC, l_quantity) AS rn
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    ) WHERE rn = 1
+    """,
+    doc="mode via deterministic count/value rank",
+)
+def q31(spark, sf):
+    li = table(spark, sf, "lineitem")
+    counts = (li.groupBy("l_returnflag", F.col("l_quantity").alias("mode_qty"))
+              .agg(F.count(F.lit(1)).alias("c")))
+    w = W.partitionBy("l_returnflag").orderBy(F.col("c").desc(),
+                                              F.col("mode_qty"))
+    return (counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("l_returnflag", "mode_qty"))
 
 
 # ------------------------------------------------------------------
@@ -730,7 +893,7 @@ def q26(spark, sf):
     "q25_local_supplier_volume",
     """
     SELECT n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
     FROM region r
     JOIN nation n   ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -764,5 +927,5 @@ def q25(spark, sf):
               & (s.s_nationkey == c.c_nationkey))
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice")
-                           * (1 - F.col("l_discount"))), 2).alias("revenue"))
+                           * (1 - F.col("l_discount"))), 4).alias("revenue"))
     )

@@ -81,6 +81,36 @@ def test_compaction(eng):
     assert cnt == 6
 
 
+def test_update(eng):
+    eng.rexecute("create type acct (k uint pk, bal float, tag text)")
+    eng.insert_rows("acct", [(i, float(i * 10), "old") for i in range(10)])
+    r = eng.rexecute("update acct set bal = bal * 2.0, tag = 'boosted' "
+                     "where k >= 5")
+    assert r.affected == 5
+    got = {r0.row()[0]: (r0.row()[1], r0.row()[2]) for r0 in
+           eng.rexecute("select k, bal, tag from acct")}
+    for k in range(10):
+        if k >= 5:
+            assert got[k] == (k * 20.0, "boosted")
+        else:
+            assert got[k] == (k * 10.0, "old")
+
+
+def test_delete(eng):
+    r = eng.rexecute("delete from acct where tag = 'boosted'")
+    assert r.affected == 5
+    assert eng.one_value("select count(*) from acct") == 5
+    r = eng.rexecute("delete from acct")
+    assert r.affected == 5
+    assert eng.one_value("select count(*) from acct") == 0
+
+
+def test_update_unknown_field(eng):
+    eng.insert_rows("acct", [(1, 1.0, "x")])
+    r = eng.execute("update acct set nope = 1 where k = 1")
+    assert not r.ok() and "unknown field" in r.details()
+
+
 def test_spark_error_is_nok_not_raise(eng):
     # binder passes but Spark rejects at analysis time → ErrorResult
     r = eng.execute("select no_such_column from item")
