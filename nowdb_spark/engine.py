@@ -142,6 +142,15 @@ class Engine:
             raise EngineError("no scope in use (USE <scope> first)")
         return self.scope
 
+    def _codec(self, tdef: TypeDef) -> Optional[str]:
+        """Context's parquet codec from its storage options (CREATE
+        STORAGE ... SET compression='zstd' parity)."""
+        if tdef.storage is None:
+            return None
+        opts = self._need_scope().meta.storages.get(tdef.storage, {})
+        comp = opts.get("compression")
+        return comp.strip("'\"") if isinstance(comp, str) else None
+
     # --- DDL -------------------------------------------------------
     def _create_scope(self, n: A.CreateScope) -> Result:
         path = self.base / n.name
@@ -307,7 +316,8 @@ class Engine:
         row = self.spark.range(1).select(*cols).select(
             *[F.col(p.name).cast(schema[p.name].dataType).alias(p.name)
               for p in tdef.props])
-        write_context(row, sc.context_dir(n.target), tdef, n=1)
+        write_context(row, sc.context_dir(n.target), tdef, n=1,
+                      codec=self._codec(tdef))
         return ReportResult(affected=1)
 
     @staticmethod
@@ -343,7 +353,8 @@ class Engine:
         ctx = sc.context_dir(name)
         tmp = ctx.with_suffix(".rewrite-tmp")
         shutil.rmtree(tmp, ignore_errors=True)
-        write_context(out, tmp, tdef, mode="overwrite")
+        write_context(out, tmp, tdef, mode="overwrite",
+                      codec=self._codec(tdef))
         old = ctx.with_suffix(".rewrite-old")
         shutil.rmtree(old, ignore_errors=True)
         if ctx.exists():
@@ -400,7 +411,8 @@ class Engine:
                     n_bad += n_neg
                     good = good.filter(ok_c)
         target_ctx = n.target if n.target in sc.meta.types else type_name
-        affected = write_context(good, sc.context_dir(target_ctx), tdef)
+        affected = write_context(good, sc.context_dir(target_ctx), tdef,
+                                 codec=self._codec(tdef))
         us = int((time.perf_counter() - t0) * 1e6)
         return ReportResult(affected=affected, errors=n_bad, runtime_us=us)
 
@@ -456,6 +468,14 @@ class Engine:
         return SelectBinder(self.spark, loader, None,
                             strict=self.strict).bind(n)
 
+    def _explain(self, n: A.Explain) -> Result:
+        """EXPLAIN <select> → the optimized physical plan (extension;
+        exposes what Catalyst did with the dialect query)."""
+        from nowdb_spark.plans.inspect import plan_string
+        df = self._bind_select(n.select)
+        lines = plan_string(df, "formatted").splitlines()
+        return RowResult(["plan"], [(ln,) for ln in lines])
+
     def _select(self, n: A.Select) -> Result:
         cur = CursorResult(self._bind_select(n))
         # register for FETCH/CLOSE paging (server-side cursor ids,
@@ -494,7 +514,8 @@ class Engine:
         sc = self._need_scope()
         tdef = sc.get_type(context)
         df = self.spark.createDataFrame(rows, tdef.spark_schema())
-        n = write_context(df, sc.context_dir(context), tdef, n=len(rows))
+        n = write_context(df, sc.context_dir(context), tdef, n=len(rows),
+                          codec=self._codec(tdef))
         return ReportResult(affected=n)
 
     # --- misc ------------------------------------------------------
@@ -591,6 +612,7 @@ class Engine:
         A.Delete: _delete,
         A.Load: _load,
         A.Select: _select,
+        A.Explain: _explain,
         A.ExecProc: _exec,
         A.LockStmt: _lock,
         A.UnlockStmt: _unlock,

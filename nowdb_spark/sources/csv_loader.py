@@ -89,22 +89,33 @@ def load_csv(spark: SparkSession, path: str, tdef: TypeDef,
 
 
 def write_context(df: DataFrame, ctx_dir: Path, tdef: TypeDef,
-                  mode: str = "append", n: int | None = None) -> int:
+                  mode: str = "append", n: int | None = None,
+                  codec: str | None = None) -> int:
     """Append rows into a context's parquet store.
 
     Stamped contexts are partitioned by day bucket of the stamp
     (i64 ns → day index) — the Spark image of the reference's
     per-file [from,to) time periods (io/file.h:59-60): range
     predicates on the stamp prune whole partitions.
+
+    `codec` carries the context's storage compression option
+    (reference: CREATE STORAGE ... SET compression='zstd',
+    store/comp.h:27-38); parquet supports zstd natively.
     """
     if n is None:
         n = df.count()
     stamp = tdef.stamp_prop
+    writer = df.write.mode(mode)
+    if codec:
+        writer = writer.option("compression", codec)
     if stamp is not None:
         from nowdb_spark.timeutil import NS_PER_SEC, int_div_floor
         df = df.withColumn(
             "__tb", int_div_floor(F.col(stamp), NS_PER_SEC * 86400))
-        df.write.mode(mode).partitionBy("__tb").parquet(str(ctx_dir))
+        writer = df.write.mode(mode)
+        if codec:
+            writer = writer.option("compression", codec)
+        writer.partitionBy("__tb").parquet(str(ctx_dir))
     else:
-        df.write.mode(mode).parquet(str(ctx_dir))
+        writer.parquet(str(ctx_dir))
     return n

@@ -209,6 +209,11 @@ class Load:
 # --- misc ----------------------------------------------------------
 
 @dataclass
+class Explain:
+    select: object         # Select node
+
+
+@dataclass
 class ExecProc:
     name: str              # module.name or name
     args: list             # [Const]

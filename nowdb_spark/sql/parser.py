@@ -100,6 +100,9 @@ class Parser:
             return A.Desc(self.ident())
         if t.value == "select":
             return self.select_stmt()
+        if t.value == "explain":
+            self.next()
+            return A.Explain(self.select_stmt())
         if t.value == "insert":
             return self.insert_stmt()
         if t.value == "load":

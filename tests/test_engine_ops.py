@@ -111,6 +111,25 @@ def test_update_unknown_field(eng):
     assert not r.ok() and "unknown field" in r.details()
 
 
+def test_explain_statement(eng):
+    r = eng.rexecute("explain select k, bal from acct where k > 2")
+    assert isinstance(r, RowResult)
+    plan = "\n".join(row[0] for row in r._rows)
+    assert "Physical Plan" in plan
+    assert "PushedFilters" in plan and "k" in plan
+
+
+def test_storage_compression_zstd(eng):
+    eng.rexecute("create storage zs set compression = 'zstd'")
+    eng.rexecute("create type zrow (k uint pk, v text) storage = zs")
+    eng.rexecute("insert into zrow values (1, 'hello zstd world')")
+    ctx = eng.scope.context_dir("zrow")
+    files = list(ctx.rglob("*.parquet"))
+    assert files and all(".zstd." in f.name for f in files), files
+    assert eng.one_value("select v from zrow where k = 1") \
+        == "hello zstd world"
+
+
 def test_spark_error_is_nok_not_raise(eng):
     # binder passes but Spark rejects at analysis time → ErrorResult
     r = eng.execute("select no_such_column from item")
