@@ -74,6 +74,14 @@ def main() -> None:
     t0 = time.perf_counter()
     li.agg(*[F.count(c) for c in li.columns]).collect()
     timings["scan_full"] = round(time.perf_counter() - t0, 4)
+
+    # bulk ingest throughput (compare BASELINE.md ~5.8M rec/s C writer):
+    # rewrite lineitem to parquet
+    import tempfile
+    with tempfile.TemporaryDirectory() as tmp:
+        t0 = time.perf_counter()
+        li.write.mode("overwrite").parquet(f"{tmp}/out")
+        timings["bulk_write"] = round(time.perf_counter() - t0, 4)
     for name in HEADLINE:
         spec = QUERIES[name]
         t0 = time.perf_counter()

@@ -476,7 +476,30 @@ class Engine:
         lines = plan_string(df, "formatted").splitlines()
         return RowResult(["plan"], [(ln,) for ln in lines])
 
+    def _validate_strict_indexes(self, n: A.Select) -> None:
+        """Strict mode: grouping/ordering require an existing index on
+        exactly those keys in order (reference qplan/plan.c:1489-1504,
+        sql.tex:2718-2725,2765-2768). Obsolete on Spark — kept behind
+        the flag for bug-compatible error behavior."""
+        sc = self._need_scope()
+        if n.target is None or n.target in sc.mounts:
+            return
+        for keys, what in ((n.group_by, "GROUP BY"),
+                           (n.order_by, "ORDER BY")):
+            if not keys:
+                continue
+            names = [k.name for k in keys]
+            ok = any(ix.target == n.target and ix.fields[:len(names)] == names
+                     for ix in sc.meta.indexes.values())
+            if not ok:
+                raise EngineError(
+                    f"strict mode: {what} on {names} requires an index "
+                    f"on {n.target} with those keys "
+                    "(sql.tex:2718-2725)")
+
     def _select(self, n: A.Select) -> Result:
+        if self.strict:
+            self._validate_strict_indexes(n)
         cur = CursorResult(self._bind_select(n))
         # register for FETCH/CLOSE paging (server-side cursor ids,
         # ifc/nowdb.c:1206 openCursor)

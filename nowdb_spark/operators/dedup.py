@@ -179,6 +179,22 @@ def simhash_dedup(df: DataFrame, content_col: str = "text",
                      simhash64(F.col(content_col)).alias("simhash"))
 
 
+def dup_clusters(pairs: DataFrame, a_col: str = "doc_a",
+                 b_col: str = "doc_b") -> DataFrame:
+    """Transitive closure of near-dup pairs → (doc_id, canonical_id).
+
+    Pairwise near-dup relations are not transitive-closed (a~b, b~c
+    does not emit a~c); keeping one doc per *connected component* is
+    the correct dedup policy at scale. Reuses the min-label
+    connected-components propagation (operators/graph)."""
+    from nowdb_spark.operators.graph import connected_components
+    edges = pairs.select(F.col(a_col).alias("src"),
+                         F.col(b_col).alias("dst"))
+    cc = connected_components(edges)
+    return cc.select(F.col("node").alias("doc_id"),
+                     F.col("component").alias("canonical_id"))
+
+
 def ngram_jaccard_pairs(df: DataFrame, content_col: str = "text",
                         id_col: str = "doc_id", n: int = 2,
                         threshold: float = 0.2) -> DataFrame:

@@ -300,12 +300,21 @@ def test_case_when(eng, data):
 def test_strict_mode(spark, eng):
     strict = Engine(spark, eng.base, strict=True)
     assert strict.execute("use retail").ok()
+    # no index yet → grouping itself is rejected (sql.tex:2718-2725)
+    r = strict.execute(
+        "select origin, count(*) from buys group by origin")
+    assert not r.ok() and "index" in r.details()
+    assert strict.execute("create index buys_origin on buys (origin)").ok()
+    strict.scope = strict.scope.load(strict.base, "retail")
     r = strict.execute(
         "select quantity, count(*) from buys group by origin")
     assert not r.ok() and "strict" in r.details()
     r = strict.execute(
         "select origin, count(*) from buys group by origin")
     assert r.ok(), r.details()
+    # ordering also requires a matching index
+    r = strict.execute("select destin from buys order by destin")
+    assert not r.ok() and "index" in r.details()
 
 
 # --- procedures (procman parity) ------------------------------------

@@ -123,6 +123,16 @@ def test_exact_dedup_finds_injected_dups(spark):
     assert rows[3] == (3, False)
 
 
+def test_dup_clusters_transitive(spark):
+    # a~b and b~c but no direct a~c pair: one cluster of three
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["canonical_id"]
+           for r in D.dup_clusters(pairs).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == 10
+
+
 def test_minhash_lsh_finds_injected_neardups(spark):
     base = ("w%d " * 40) % tuple(range(40))
     near = base.replace("w3 ", "w3x ")          # one shingle changed
