@@ -185,13 +185,17 @@ class Scope:
     def context_dir(self, name: str) -> Path:
         return self.path / "contexts" / name
 
-    def mount(self, name: str, parquet_path: str,
-              types: Optional[dict] = None) -> None:
-        """Register an external parquet table as a context. Schema is
-        taken from the files; `types` overrides the inferred nowdb
-        types per column (e.g. {'ts': 'time'} so time-literal coercion
-        applies to an ns-Long stamp column)."""
-        self.mounts[name] = {"path": parquet_path, "types": types or {}}
+    def mount(self, name: str, path: str,
+              types: Optional[dict] = None, fmt: str = "parquet",
+              options: Optional[dict] = None) -> None:
+        """Register an external table as a context. `fmt` is any Spark
+        batch source (parquet/csv/json/orc); schema is taken from the
+        files (csv/json benefit from explicit `options`, e.g.
+        {'header': 'true', 'inferSchema': 'true'}). `types` overrides
+        the inferred nowdb types per column (e.g. {'ts': 'time'} so
+        time-literal coercion applies to an ns-Long stamp column)."""
+        self.mounts[name] = {"path": path, "types": types or {},
+                             "format": fmt, "options": options or {}}
         self.save()
 
     def destroy(self) -> None:

@@ -421,9 +421,15 @@ class Engine:
         sc = self._need_scope()
         if name in sc.mounts:
             m = sc.mounts[name]
-            path, overrides = (m["path"], m.get("types", {})) \
-                if isinstance(m, dict) else (m, {})
-            df = self.spark.read.parquet(path)
+            if isinstance(m, dict):
+                path, overrides = m["path"], m.get("types", {})
+                fmt, opts = m.get("format", "parquet"), m.get("options", {})
+            else:
+                path, overrides, fmt, opts = m, {}, "parquet", {}
+            reader = self.spark.read.format(fmt)
+            for k, v in opts.items():
+                reader = reader.option(k, v)
+            df = reader.load(path)
             types = _infer_nowdb_types(df)
             types.update(overrides)
             return df, types, None

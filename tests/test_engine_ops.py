@@ -111,6 +111,23 @@ def test_update_unknown_field(eng):
     assert not r.ok() and "unknown field" in r.details()
 
 
+def test_multi_format_mounts(eng, tmp_path):
+    (tmp_path / "j").mkdir()
+    (tmp_path / "j" / "d.json").write_text(
+        '{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    eng.scope.mount("jt", str(tmp_path / "j"), fmt="json")
+    assert eng.one_value("select count(*) from jt") == 2
+    assert eng.one_value("select b from jt where a = 2") == "y"
+
+    (tmp_path / "c").mkdir()
+    (tmp_path / "c" / "d.csv").write_text("a,b\n5,p\n6,q\n")
+    eng.scope.mount("ct", str(tmp_path / "c"), fmt="csv",
+                    options={"header": "true", "inferSchema": "true"})
+    got = sorted(tuple(r.row()) for r in
+                 eng.rexecute("select a, b from ct"))
+    assert got == [(5, "p"), (6, "q")]
+
+
 def test_explain_statement(eng):
     r = eng.rexecute("explain select k, bal from acct where k > 2")
     assert isinstance(r, RowResult)

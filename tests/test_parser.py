@@ -1,0 +1,120 @@
+"""Parser/lexer unit tests: precedence, literals, comments, escapes —
+the grammar corners (reference sql/nowdbsql.y:843-855 precedence)."""
+
+from __future__ import annotations
+
+import pytest
+
+from nowdb_spark.sql import ast as A
+from nowdb_spark.sql.lexer import LexError, tokenize
+from nowdb_spark.sql.parser import ParseError, parse, parse_script
+
+
+def expr_of(sql: str):
+    sel = parse(f"select {sql}")
+    return sel.items[0].expr
+
+
+def test_precedence_mul_over_add():
+    e = expr_of("1 + 2 * 3")
+    assert e.name == "+"
+    assert e.args[1].name == "*"
+
+
+def test_precedence_pow_over_mul():
+    e = expr_of("2 * 3 ^ 2")
+    assert e.name == "*"
+    assert e.args[1].name == "^"
+
+
+def test_pow_right_assoc():
+    e = expr_of("2 ^ 3 ^ 2")
+    assert e.name == "^"
+    assert e.args[1].name == "^"  # 2^(3^2)
+
+
+def test_and_binds_tighter_than_or():
+    e = expr_of("a = 1 or b = 2 and c = 3")
+    assert e.name == "or"
+    assert e.args[1].name == "and"
+
+
+def test_not_and_is_null():
+    e = expr_of("not x is null")
+    assert e.name == "not"
+    assert isinstance(e.args[0], A.IsNull)
+    e = expr_of("x is not null")
+    assert isinstance(e, A.IsNull) and e.negated
+
+
+def test_in_after_arithmetic():
+    e = expr_of("a + 1 in (1, 2, 3)")
+    assert isinstance(e, A.InExpr)
+    assert e.expr.name == "+"
+
+
+def test_string_escape_and_comment():
+    sel = parse("select 'it''s' -- trailing comment\n from t")
+    assert sel.items[0].expr.value == "it's"
+    assert sel.target == "t"
+
+
+def test_case_nested():
+    e = expr_of("case when a > 1 then case when b > 2 then 1 else 2 end "
+                "else 3 end")
+    assert isinstance(e, A.CaseExpr)
+    assert isinstance(e.whens[0][1], A.CaseExpr)
+
+
+def test_negative_literals_folded():
+    assert expr_of("-5").value == -5
+    assert expr_of("-5.5").value == -5.5
+    e = expr_of("-x")
+    assert e.name == "*"
+
+
+def test_float_formats():
+    assert expr_of("1.5e3").value == 1500.0
+    assert expr_of("1e-2").value == 0.01
+    assert expr_of(".5").value == 0.5
+
+
+def test_qualified_field():
+    e = expr_of("a.b")
+    assert isinstance(e, A.Field) and e.qualifier == "a" and e.name == "b"
+
+
+def test_errors():
+    with pytest.raises(ParseError):
+        parse("select from t")
+    with pytest.raises(ParseError):
+        parse("frobnicate x")
+    with pytest.raises(ParseError):
+        parse("select 1 extra_token junk")
+    with pytest.raises(LexError):
+        tokenize("select 'unterminated")
+    with pytest.raises(LexError):
+        tokenize("select @foo")
+
+
+def test_script_split_respects_strings():
+    stmts = parse_script("insert into t values ('a;b'); select 1")
+    assert len(stmts) == 2
+    assert stmts[0].values[0].value == "a;b"
+
+
+def test_statement_shapes():
+    s = parse("create type if not exists t (a int pk inc, b time timestamp)")
+    assert s.if_not_exists and s.props[0].pk and s.props[0].inc
+    assert s.props[1].stamp
+    s = parse("load 'f.csv' into vertex ignore header as p "
+              "set errors='e.txt'")
+    assert s.header == "ignore" and s.as_type == "p" and s.errors == "e.txt"
+    s = parse("select a from e join v on destination as x where a > 1 "
+              "group by a order by a limit 5")
+    assert s.joins[0].on == "destin" and s.joins[0].alias == "x"
+    assert s.limit == 5
+    s = parse("update t set a = 1, b = b + 1 where c = 2")
+    assert len(s.assignments) == 2
+    s = parse("delete from t")
+    assert s.where is None
