@@ -11,13 +11,19 @@ workload registry); this file only adapts them to the driver API.
 
 from __future__ import annotations
 
+import os
 import sys
 from collections.abc import Callable
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, str(Path(__file__).resolve().parent))
+_REPO = str(Path(__file__).resolve().parent)
+sys.path.insert(0, _REPO)
+# python workers (Arrow-batch kernels) must also resolve nowdb_spark
+# when the repo is used path-added rather than pip-installed
+os.environ["PYTHONPATH"] = (
+    _REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
 
 from nowdb_spark.workload import QUERIES  # noqa: E402
 

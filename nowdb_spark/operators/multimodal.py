@@ -68,10 +68,21 @@ def extract_meta(df: DataFrame, id_col: str = "doc_id",
     Narrow (per-partition) operation: Arrow ships (id, binary) batches
     to Python, the kernel emits typed metadata rows.
     """
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # NOTE: the kernel must be closure-self-contained (no references
+    # to module globals) — executors unpickle it without having
+    # nowdb_spark importable when the engine is used as a path-added
+    # library rather than an installed package.
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        def fake_decode(b: bytes) -> dict:
+            n = len(b)
+            return {"n_bytes": n, "fake_width": n % 64 + 1,
+                    "fake_height": (n // 64) % 64 + 1, "fmt": "fake/raw"}
+
         for pdf in batches:
-            metas = pdf[payload_col].map(lambda b: _fake_decode(bytes(b)))
-            out = pd.DataFrame(list(metas))
+            metas = pdf[payload_col].map(lambda b: fake_decode(bytes(b)))
+            out = _pd.DataFrame(list(metas))
             out.insert(0, "doc_id", pdf[id_col].values)
             yield out
 
@@ -86,13 +97,15 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 997,
     shape looks like). Deterministic; works on any binary column."""
     schema = f"{id_col} long, frame_no long, chunk binary"
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
         for pdf in batches:
             rows = []
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload)
                 for fno, off in enumerate(range(0, len(b), every_n_bytes)):
                     rows.append((did, fno, b[off:off + 16]))
-            yield pd.DataFrame(rows, columns=[id_col, "frame_no", "chunk"])
+            yield _pd.DataFrame(rows, columns=[id_col, "frame_no", "chunk"])
 
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)

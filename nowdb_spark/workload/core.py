@@ -865,6 +865,79 @@ def q31(spark, sf):
 
 
 # ------------------------------------------------------------------
+# q32 — TPC-H Q2 shape: join back to a per-group minimum (cheapest
+# supplier per part); the aggregate-then-rejoin decorrelation pattern
+@register(
+    "q32_min_cost_supplier",
+    """
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey,
+             round(min(l_extendedprice / l_quantity), 6) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+      SELECT l_partkey, min(unit_cost) AS best_cost
+      FROM costs GROUP BY l_partkey
+    )
+    SELECT c.l_partkey, c.l_suppkey, c.unit_cost
+    FROM costs c JOIN best b
+      ON b.l_partkey = c.l_partkey AND c.unit_cost = b.best_cost
+    """,
+    doc="TPC-H Q2 shape: per-group min, join back for the argmin rows",
+)
+def q32(spark, sf):
+    li = table(spark, sf, "lineitem")
+    costs = (li.groupBy("l_partkey", "l_suppkey")
+             .agg(F.round(F.min(F.col("l_extendedprice")
+                                / F.col("l_quantity")), 6)
+                  .alias("unit_cost")))
+    best = (costs.groupBy(F.col("l_partkey").alias("b_partkey"))
+            .agg(F.min("unit_cost").alias("best_cost")))
+    return (
+        costs.join(best, (costs.l_partkey == F.col("b_partkey"))
+                   & (costs.unit_cost == F.col("best_cost")))
+        .select("l_partkey", "l_suppkey", "unit_cost")
+    )
+
+
+# ------------------------------------------------------------------
+# q33 — set operations (UNION/INTERSECT/EXCEPT are absent from the
+# reference grammar — SURVEY §2.1 non-features — present at this
+# engine's DataFrame layer)
+@register(
+    "q33_set_ops",
+    """
+    SELECT custkey, src FROM (
+      SELECT o_custkey AS custkey, 'both' AS src
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+      INTERSECT
+      SELECT o_custkey, 'both' FROM orders WHERE o_orderstatus = 'F'
+    )
+    UNION
+    SELECT c_custkey AS custkey, 'no_orders' AS src
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = customer.c_custkey)
+    """,
+    doc="set ops: INTERSECT of two order populations UNION anti-join",
+)
+def q33(spark, sf):
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    urgent = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+              .select(F.col("o_custkey").alias("custkey"),
+                      F.lit("both").alias("src")))
+    finished = (o.filter(F.col("o_orderstatus") == "F")
+                .select(F.col("o_custkey").alias("custkey"),
+                        F.lit("both").alias("src")))
+    inter = urgent.intersect(finished)
+    no_orders = (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+                 .select(F.col("c_custkey").alias("custkey"),
+                         F.lit("no_orders").alias("src")))
+    return inter.union(no_orders).distinct()
+
+
+# ------------------------------------------------------------------
 # q26 — approximate aggregates: the 100 TB scale path for distinct
 # counts and quantiles (HLL / t-digest; mergeable map-side, bounded
 # memory — vs the reference's collect-everything MANY-class buffers).
