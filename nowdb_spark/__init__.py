@@ -23,3 +23,22 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level API: from nowdb_spark import Engine / get_spark /
+    # connect / NowServer  (lazy so importing the package stays cheap
+    # and avoids pyspark import cost for metadata-only uses)
+    if name == "Engine":
+        from nowdb_spark.engine import Engine
+        return Engine
+    if name == "get_spark":
+        from nowdb_spark.session import get_spark
+        return get_spark
+    if name == "connect":
+        from nowdb_spark.client import connect
+        return connect
+    if name == "NowServer":
+        from nowdb_spark.server import NowServer
+        return NowServer
+    raise AttributeError(name)
