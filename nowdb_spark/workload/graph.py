@@ -81,6 +81,35 @@ def g02(spark, sf):
 
 
 @register(
+    "g05_khop_reach",
+    """
+    WITH sp AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+    hop1 AS (SELECT DISTINCT l_partkey AS node FROM sp WHERE l_suppkey = 1),
+    hop2 AS (
+      SELECT DISTINCT sp.l_suppkey + 1000000 AS node
+      FROM sp JOIN hop1 ON sp.l_partkey = hop1.node
+      WHERE sp.l_suppkey <> 1
+    )
+    SELECT node, 1 AS hops FROM hop1
+    UNION ALL
+    SELECT node, 2 AS hops FROM hop2
+    """,
+    doc="2-hop reachability from supplier 1 in the bipartite graph "
+        "(frontier-expansion k_hop operator)",
+)
+def g05(spark, sf):
+    li = table(spark, sf, "lineitem")
+    edges = li.select(
+        (F.col("l_suppkey") + _SUPP_OFFSET).alias("src"),
+        F.col("l_partkey").alias("dst")).distinct()
+    start = li.sparkSession.createDataFrame([(1 + _SUPP_OFFSET,)],
+                                            "node long")
+    out = G.k_hop(edges, start, k=2)
+    return (out.filter(F.col("hops") > 0)
+            .select("node", F.col("hops").cast("int").alias("hops")))
+
+
+@register(
     "g03_components",
     None,  # iterative — verified by union-find differential pytest
     doc="connected components (min-label propagation) on the "

@@ -157,6 +157,55 @@ def dd04(spark, sf):
 
 # ------------------------------------------------------------------
 @register(
+    "dd07_containment_pairs",
+    f"""
+    WITH {_WORDS_CTE},
+    sh AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS shingle
+      FROM (SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws) - 1)) AS i
+            FROM words)
+    ),
+    card AS (SELECT doc_id, count(*) AS card FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+                         AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_inter AS DOUBLE) / ca.card, 6) AS containment
+    FROM inter JOIN card ca ON ca.doc_id = doc_a
+    WHERE round(CAST(n_inter AS DOUBLE) / ca.card, 6) >= 0.4
+    """,
+    doc="asymmetric containment |A∩B|/|A| ≥ 0.4 (superset/quote "
+        "detection — near-dup policy jaccard can't express)",
+)
+def dd07(spark, sf):
+    d = table(spark, sf, "documents")
+    sh = d.select(
+        F.col("doc_id"),
+        F.explode(F.array_distinct(D.word_shingles(F.col("text"), 2)))
+        .alias("shingle"))
+    card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("card"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") != F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    ca = card.select(F.col("doc_id").alias("doc_a"),
+                     F.col("card").alias("card_a"))
+    return (inter.join(ca, "doc_a")
+            .withColumn("containment",
+                        F.round(F.col("n_inter").cast("double")
+                                / F.col("card_a"), 6))
+            .filter(F.col("containment") >= 0.4)
+            .select("doc_a", "doc_b", "containment"))
+
+
+# ------------------------------------------------------------------
+@register(
     "dd05_simhash",
     None,  # bit-twiddling oracle omitted; covered by pytest vs python impl
     doc="64-bit SimHash fingerprints (rows-only driver check)",

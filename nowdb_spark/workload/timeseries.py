@@ -86,6 +86,40 @@ def ts03(spark, sf):
 
 
 @register(
+    "ts05_ohlc",
+    f"""
+    SELECT user_id,
+           epoch_ns(ts) - (epoch_ns(ts) % {_DAY_NS}) AS bucket_ns,
+           arg_min(value, (epoch_ns(ts) % {_DAY_NS}) * 10000 + event_id)
+             AS open_v,
+           arg_max(value, (epoch_ns(ts) % {_DAY_NS}) * 10000 + event_id)
+             AS close_v,
+           max(value) AS high_v,
+           min(value) AS low_v,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="per-user daily OHLC downsample (arg_min/arg_max on a "
+        "deterministic within-day-offset + id key)",
+)
+def ts05(spark, sf):
+    ev = table(spark, sf, "events")
+    # deterministic ordering key: ns offset within the day bucket
+    # (< 8.64e13, so ×10⁴ + event_id stays inside i64), id tiebreak
+    okey = F.pmod(F.col("ts"), F.lit(_DAY_NS)) * 10000 + F.col("event_id")
+    return (
+        ev.withColumn("bucket_ns", TS.time_bucket(F.col("ts"), _DAY_NS))
+        .groupBy("user_id", "bucket_ns")
+        .agg(F.min_by("value", okey).alias("open_v"),
+             F.max_by("value", okey).alias("close_v"),
+             F.max("value").alias("high_v"),
+             F.min("value").alias("low_v"),
+             F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
     "ts04_gap_fill",
     f"""
     WITH b AS (
