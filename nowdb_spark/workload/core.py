@@ -938,6 +938,50 @@ def q33(spark, sf):
 
 
 # ------------------------------------------------------------------
+# q34 — pivot: line status columns per return flag (portable oracle
+# via conditional aggregation — what pivot compiles to)
+@register(
+    "q34_pivot",
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity
+                          ELSE 0.0 END), 3) AS qty_O,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity
+                          ELSE 0.0 END), 3) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="pivot (wide conditional aggregation) on line status",
+)
+def q34(spark, sf):
+    li = table(spark, sf, "lineitem")
+    out = (li.groupBy("l_returnflag")
+           .pivot("l_linestatus", ["O", "F"])
+           .agg(F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 3)))
+    return out.select("l_returnflag",
+                      F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_O"),
+                      F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_F"))
+
+
+# ------------------------------------------------------------------
+# q35 — rollup: subtotal hierarchy over (returnflag, linestatus)
+@register(
+    "q35_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS cnt, round(sum(l_quantity), 3) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="rollup subtotals (grand total + per-flag + per-flag-status)",
+)
+def q35(spark, sf):
+    li = table(spark, sf, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.round(F.sum("l_quantity"), 3).alias("sum_qty")))
+
+
+# ------------------------------------------------------------------
 # q26 — approximate aggregates: the 100 TB scale path for distinct
 # counts and quantiles (HLL / t-digest; mergeable map-side, bounded
 # memory — vs the reference's collect-everything MANY-class buffers).
