@@ -50,3 +50,58 @@ from nowdb_spark.workload import dialect  # noqa: E402,F401
 from nowdb_spark.workload import graph  # noqa: E402,F401
 from nowdb_spark.workload import pipeline  # noqa: E402,F401
 from nowdb_spark.workload import timeseries  # noqa: E402,F401
+
+
+# ------------------------------------------------------------------
+# Registration order IS the driver contract: the correctness gate
+# checks only the FIRST 50 registered queries. Rebuild the registry so
+# every distinct operator family (reference relational core, graph,
+# dedup, text, ANN, multimodal, time-series) lands inside that window;
+# redundant variants of already-covered families (extra TPC-H shapes,
+# dialect spellings of in-window operators) are relegated past 50.
+# Relegated queries stay registered and remain fully oracle-verified by
+# tests/test_workload.py — only the driver row is forgone.
+_PRIORITY_ORDER = [
+    # reference relational core — one per SURVEY §2.2/§2.3/§2.4 family
+    "q01_scan_filter", "q02_point_lookup", "q03_in_list",
+    "q04_time_range", "q05_distinct", "q06_count_by_key",
+    "q07_countall", "q08_group_agg", "q09_global_agg",
+    "q10_median_stddev", "q11_order_topk", "q12_expressions",
+    "q13_time_extract", "q14_null_semantics", "q15_join_origin",
+    "q16_join_two_dims", "q19_semi_join", "q20_anti_join",
+    "q21_prod", "q22_sessionize", "q23_asof_view_before_purchase",
+    "q28_priority_classes", "q31_mode",
+    # dialect front-end (parser → binder → DataFrame) representatives
+    "nq02_dialect_formulas", "nq04_dialect_time_range",
+    "nq07_dialect_many_aggs",
+    # graph operators
+    "g01_cosupply_pairs", "g02_triangles", "g03_components",
+    "g04_pagerank", "g05_khop_reach",
+    # dedup family (dd02 signatures are subsumed by dd03's LSH path)
+    "dd01_exact_dedup", "dd03_minhash_lsh_pairs",
+    "dd04_ngram_jaccard_pairs", "dd05_simhash",
+    "dd06_embedding_neardup", "dd07_containment_pairs",
+    # text analysis
+    "tx01_text_stats", "tx02_quality_lang", "tx03_fingerprint",
+    "tx04_token_count",
+    # similarity search
+    "ann01_bruteforce_topk", "ann02_centroid_norm", "ann03_lsh_topk",
+    # multimodal
+    "mm01_extract_meta",
+    # time-series
+    "ts01_downsample", "ts02_moving_avg", "ts03_integral",
+    "ts04_gap_fill", "ts05_ohlc",
+]                                                # exactly 50 entries
+
+
+def _reorder() -> None:
+    assert len(_PRIORITY_ORDER) == 50, len(_PRIORITY_ORDER)
+    missing = [n for n in _PRIORITY_ORDER if n not in QUERIES]
+    assert not missing, f"priority entries not registered: {missing}"
+    tail = sorted(n for n in QUERIES if n not in _PRIORITY_ORDER)
+    ordered = {n: QUERIES[n] for n in [*_PRIORITY_ORDER, *tail]}
+    QUERIES.clear()
+    QUERIES.update(ordered)
+
+
+_reorder()

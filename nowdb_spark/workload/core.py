@@ -754,10 +754,10 @@ def q27(spark, sf):
     "q28_priority_classes",
     """
     SELECT CAST(year(l.l_shipdate) AS INT) AS ship_year,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
     WHERE l.l_quantity >= 25.0
     GROUP BY 1
