@@ -469,8 +469,13 @@ class Engine:
         return df, tdef.prop_types(), tdef
 
     def _bind_select(self, n: A.Select) -> DataFrame:
+        # Period-prune ONLY the select target: the WHERE clause's stamp
+        # conjuncts constrain the target's stamp, not a joined vertex's
+        # same-named stamp prop — pruning a joined context with them
+        # would silently drop inner-join rows.
         def loader(name: str):
-            return self._load_context_pruned(name, n.where)
+            where = n.where if name == n.target else None
+            return self._load_context_pruned(name, where)
         return SelectBinder(self.spark, loader, None,
                             strict=self.strict).bind(n)
 
@@ -699,7 +704,10 @@ def _extract_period(where, stamp: str):
                 col, lit = le, re
             elif isinstance(re, A.Field) and isinstance(le, A.Const):
                 col, lit, flip = re, le, True
-            if col is None or col.name != stamp:
+            # qualified fields (a.stamp) always refer to a joined
+            # vertex, never the pruned target — only unqualified
+            # references to the target's stamp prop constrain __tb
+            if col is None or col.name != stamp or col.qualifier is not None:
                 return
             v = lit.value
             if lit.type == "string":

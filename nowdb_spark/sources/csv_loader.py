@@ -59,26 +59,19 @@ def load_csv(spark: SparkSession, path: str, tdef: TypeDef,
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", _CORRUPT)
         .option("sep", delim)
-        .option("header", "true" if header == "use" else "false")
+        # both header modes skip exactly one physical line per file:
+        # with a user-supplied schema, header=true only consumes the
+        # first line (enforceSchema ignores its names) — the
+        # reference's "skip line 1" semantics (scope/loader.c). A
+        # value-based filter would wrongly drop data rows that happen
+        # to equal the header token.
+        .option("header", "true" if header in ("use", "ignore") else "false")
         .option("nullValue", "")
     )
     # cache: Spark disallows queries touching only the corrupt-record
     # column on a raw CSV scan; caching also makes the good/bad split
     # a single file pass
     df = reader.csv(path).cache()
-    if header == "ignore":
-        # drop the first physical line: it parses as corrupt (types) or
-        # as a data row; the reference just skips line 1 — emulate by
-        # filtering rows equal to the header text
-        with open(path, "r", encoding="utf-8", errors="replace") as fh:
-            first = fh.readline().rstrip("\n")
-        first_col = first.split(delim)[0] if first else None
-        if first_col is not None:
-            col0 = tdef.props[0]
-            if col0.type in ("text", "longtext"):
-                df = df.filter(
-                    (F.col(col0.name).isNull())
-                    | (F.col(col0.name) != first_col))
 
     bad = df.filter(F.col(_CORRUPT).isNotNull())
     n_bad = bad.count()

@@ -64,7 +64,13 @@ def parse_time_literal(text: str) -> int:
     for fmt in (ISO_FULL + ".%f", ISO_FULL, ISO_DATE):
         try:
             dt = _dt.datetime.strptime(text, fmt).replace(tzinfo=_dt.timezone.utc)
-            return int(dt.timestamp()) * NS_PER_SEC + dt.microsecond * NS_PER_US
+            # floor-divide the whole µs offset: int(dt.timestamp())
+            # truncates toward zero, which for pre-epoch fractional
+            # literals would ADD the positive microsecond component
+            # ('1969-12-31T23:59:59.5' must be -0.5e9 ns, not +0.5e9)
+            epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+            us = (dt - epoch) // _dt.timedelta(microseconds=1)
+            return us * NS_PER_US
         except ValueError:
             continue
     raise ValueError(f"not a time literal: {text!r}")

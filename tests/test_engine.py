@@ -375,3 +375,67 @@ def test_one_value_one_row(eng):
     row = eng.one_row("select prod_key, prod_desc from product "
                       "where prod_key = 3")
     assert row[0] == 3
+
+
+# --- period pruning must not leak into joined contexts --------------
+
+def test_join_prune_only_target(spark, tmp_path_factory):
+    """A stamp-range WHERE on the edge must prune ONLY the edge's
+    __tb partitions: a joined vertex whose stamp prop shares the name
+    'stamp' (vertices can be stamped, parser.py:249) lives in a
+    different time range and would lose all rows if the edge's range
+    pruned it too."""
+    e = Engine(spark, tmp_path_factory.mktemp("prune_scope"))
+    assert e.execute("create scope ps").ok()
+    assert e.execute("use ps").ok()
+    # stamped vertex: registered in 2017 — outside the edge's range
+    assert e.execute(
+        "create type sensor (sensor_key uint pk, stamp time timestamp, "
+        "label text)").ok()
+    assert e.execute(
+        "create edge ping (origin sensor origin, destin sensor destin, "
+        "stamp time timestamp, rtt float)").ok()
+    for k in range(3):
+        assert e.execute(
+            f"insert into sensor (sensor_key, stamp, label) values "
+            f"({k}, '2017-03-0{k + 1}', 'node_{k}')").ok()
+    for k in range(3):
+        assert e.execute(
+            f"insert into ping (origin, destin, stamp, rtt) values "
+            f"({k}, {(k + 1) % 3}, '2018-06-0{k + 1}', {k}.5)").ok()
+    # unqualified stamp range = edge's stamp; vertex must NOT be pruned
+    got = rows(e.execute(
+        "select origin, sensor.label from ping join sensor on origin "
+        "where stamp >= '2018-06-01' and stamp < '2018-06-03'"))
+    assert sorted(got) == [(0, "node_0"), (1, "node_1")]
+    # qualified vertex-stamp conjunct must not prune the edge either
+    got = rows(e.execute(
+        "select origin from ping join sensor on origin as s "
+        "where s.stamp < '2017-04-01'"))
+    assert sorted(g[0] for g in got) == [0, 1, 2]
+
+
+def test_load_csv_ignore_header_exact_one_line(spark, tmp_path_factory):
+    """'ignore header' must skip exactly ONE physical line: a data row
+    whose first column equals the header token is kept, and the header
+    line is not counted as a parse error for non-text first columns."""
+    base = tmp_path_factory.mktemp("csvhdr")
+    e = Engine(spark, base / "wh")
+    assert e.execute("create scope csvh").ok()
+    assert e.execute("use csvh").ok()
+    assert e.execute("create type tag (tag_name text pk, weight uint)").ok()
+    csv = base / "tags.csv"
+    csv.write_text("tag_name;weight\nalpha;1\ntag_name;7\nbeta;2\n")
+    r = e.execute(f"load '{csv}' into tag ignore header as tag "
+                  f"set errors='{base}/errs'")
+    assert isinstance(r, ReportResult), r.details()
+    assert r.affected == 3, (r.affected, r.errors)
+    assert r.errors == 0
+    got = rows(e.execute("select tag_name, weight from tag"))
+    assert sorted(got) == [("alpha", 1), ("beta", 2), ("tag_name", 7)]
+    # numeric-first context: header line must not land in the errors
+    assert e.execute("create type num (num_key uint pk, val uint)").ok()
+    csv2 = base / "nums.csv"
+    csv2.write_text("num_key;val\n1;10\n2;20\n")
+    r = e.execute(f"load '{csv2}' into num ignore header as num")
+    assert r.affected == 2 and r.errors == 0, (r.affected, r.errors)

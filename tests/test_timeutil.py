@@ -70,3 +70,10 @@ def test_dawn_dusk(spark):
            .first())
     assert row["dawn"] == -(2**63)
     assert row["dusk"] == 2**63 - 1
+
+
+def test_parse_time_literal_pre_epoch_fraction():
+    from nowdb_spark.timeutil import parse_time_literal
+    assert parse_time_literal("1969-12-31T23:59:59.500000") == -500_000_000
+    assert parse_time_literal("1970-01-01T00:00:00.500000") == 500_000_000
+    assert parse_time_literal("1969-12-31") == -86_400_000_000_000
