@@ -19,28 +19,20 @@ def _cosupply_edges(spark, sf):
 
     Formulated as group-parts→generate-pairs rather than a self-join
     on l_partkey: one shuffle to collect each part's (sorted, distinct)
-    supplier list, then the a<b pairs are emitted map-side from the
-    list. The self-join formulation shuffles the full (supplier, part)
-    relation twice and probes |sp|² candidates; this shuffles it once
-    and the quadratic work is confined to per-part list size (bound or
-    salt hot parts at 100 TB).
+    supplier list, then the a<b pairs are emitted from block pairs of
+    that list (operators.graph.pairs_from_groups). The self-join
+    formulation shuffles the full (supplier, part) relation twice and
+    probes |sp|² candidates; this shuffles lists once, and the block
+    decomposition spreads a hot part's quadratic pair emission across
+    tasks (≤ chunk² pairs per task) instead of one mega-task.
     """
     sp = (table(spark, sf, "lineitem")
           .select("l_suppkey", "l_partkey").distinct())
-    per_part = sp.groupBy("l_partkey").agg(
-        F.sort_array(F.collect_set("l_suppkey")).alias("supps"))
-    idx = F.explode(F.sequence(F.lit(0), F.size("supps") - 2)).alias("i")
-    pairs = (
-        per_part.filter(F.size("supps") >= 2)
-        .select("supps", idx)
-        .select(
-            F.element_at("supps", F.col("i") + 1).alias("supp_a"),
-            F.explode(F.slice("supps", F.col("i") + 2,
-                              F.size("supps"))).alias("supp_b"),
-        )
-    )
-    return pairs.groupBy("supp_a", "supp_b").agg(
-        F.count(F.lit(1)).alias("shared_parts"))
+    pairs = G.pairs_from_groups(sp, "l_partkey", "l_suppkey")
+    return (pairs
+            .select(F.col("a").alias("supp_a"), F.col("b").alias("supp_b"))
+            .groupBy("supp_a", "supp_b")
+            .agg(F.count(F.lit(1)).alias("shared_parts")))
 
 
 @register(
@@ -111,22 +103,80 @@ def g05(spark, sf):
 
 @register(
     "g03_components",
-    None,  # iterative — verified by union-find differential pytest
-    doc="connected components (min-label propagation) on the "
-        "supplier–part bipartite graph",
+    """
+    WITH RECURSIVE
+    sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+    sadj AS (SELECT DISTINCT a.s AS u, b.s AS v
+             FROM sp a JOIN sp b ON a.p = b.p),
+    reach(u, r) AS (
+      SELECT u, v FROM sadj
+      UNION
+      SELECT reach.u, sadj.v FROM reach JOIN sadj ON sadj.u = reach.r
+    ),
+    comp_s AS (SELECT u AS s, min(r) AS cs FROM reach GROUP BY u),
+    part_comp AS (SELECT sp.p, min(cs.cs) AS cs FROM sp
+                  JOIN comp_s cs ON cs.s = sp.s GROUP BY sp.p),
+    comp_min AS (SELECT cs, min(p) AS mp FROM part_comp GROUP BY cs)
+    SELECT p AS node, mp AS component
+    FROM part_comp JOIN comp_min USING (cs)
+    UNION ALL
+    SELECT s + 1000000 AS node, mp AS component
+    FROM comp_s JOIN comp_min USING (cs)
+    """,
+    doc="connected components (large-star/small-star contraction) on "
+        "the supplier–part bipartite graph. Oracle: reachability "
+        "closure over the SUPPLIER projection (sharing a part ⇒ same "
+        "component) — |S| is tiny next to |P|, so the recursive CTE "
+        "stays small — then parts inherit their suppliers' component; "
+        "the bipartite min node id is always a part id because part "
+        "keys sit below the supplier offset",
 )
 def g03(spark, sf):
     li = table(spark, sf, "lineitem")
     edges = (li.select(
         (F.col("l_suppkey") + _SUPP_OFFSET).alias("src"),
         F.col("l_partkey").alias("dst")).distinct())
-    return G.connected_components(edges, max_iter=10)
+    return G.connected_components(edges)
+
+
+def _pagerank_oracle(iters: int = 10, damping: float = 0.85) -> str:
+    """Unrolled power iteration (DuckDB disallows aggregates in a
+    recursive CTE term); base is spelled (1-d)/n to match the engine's
+    float evaluation bit-for-bit before the 6dp round."""
+    ctes = ["""
+    sp AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+    cp AS (SELECT a.l_suppkey AS a, b.l_suppkey AS b
+           FROM sp a JOIN sp b ON a.l_partkey = b.l_partkey
+                              AND a.l_suppkey < b.l_suppkey
+           GROUP BY 1, 2),
+    e AS (SELECT a AS src, b AS dst FROM cp
+          UNION SELECT b AS src, a AS dst FROM cp),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""
+    r{i} AS (
+      SELECT nd.node,
+             (1.0 - {damping}) / (SELECT n FROM nn)
+               + {damping} * coalesce(s.inc, 0.0) AS rank
+      FROM nodes nd LEFT JOIN (
+        SELECT e.dst AS node, sum(r{i - 1}.rank / deg.deg) AS inc
+        FROM e JOIN r{i - 1} ON r{i - 1}.node = e.src
+               JOIN deg ON deg.node = e.src
+        GROUP BY e.dst) s ON s.node = nd.node)""")
+    return ("WITH" + ",".join(ctes)
+            + f"\n    SELECT node, round(rank, 6) AS rank FROM r{iters}")
 
 
 @register(
     "g04_pagerank",
-    None,  # iterative — verified by python power-iteration pytest
-    doc="PageRank (10 power iterations) over the co-supply graph",
+    _pagerank_oracle(),
+    doc="PageRank (10 power iterations) over the co-supply graph; "
+        "oracle = the same fixed-iteration recurrence unrolled as "
+        "CTE levels (no dangling mass: every co-supply node has "
+        "degree >= 1)",
 )
 def g04(spark, sf):
     edges = _cosupply_edges(spark, sf).select(

@@ -119,3 +119,49 @@ def test_workload_graph_queries_run(spark):
     for name in ("g03_components", "g04_pagerank"):
         df = QUERIES[name].spark(spark, SF_DIR)
         assert df.count() > 0
+
+
+def test_star_components_chain_olog_rounds(spark):
+    """Chain graph 0-1-2-...-255: min-label needs 255 rounds; the
+    large-star/small-star contraction must converge in O(log n)."""
+    n = 256
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "src long, dst long")
+    labels, rounds = G.star_components(edges)
+    got = {r["node"]: r["component"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    import math
+    assert rounds <= 2 * int(math.log2(n)) + 3, rounds
+
+
+def test_star_components_multi_component(spark):
+    """Two chains + a singleton-free triangle + min-label equivalence."""
+    e = ([(i, i + 1) for i in range(0, 9)]          # chain 0..9
+         + [(100 + i, 101 + i) for i in range(5)]   # chain 100..105
+         + [(200, 201), (201, 202), (202, 200)])    # triangle
+    edges = spark.createDataFrame(e, "src long, dst long")
+    star = {r["node"]: r["component"]
+            for r in G.connected_components(edges).collect()}
+    label = {r["node"]: r["component"]
+             for r in G.connected_components(
+                 edges, max_iter=20, algorithm="label").collect()}
+    assert star == label
+    assert star[9] == 0 and star[105] == 100 and star[202] == 200
+
+
+def test_pairs_from_groups_hot_key(spark):
+    """A single hot key with 300 members must not be one mega-task:
+    with chunk=64 its pair emission splits into 15 block-pair rows
+    spread by (key, bi, bj), while the pair set stays exactly the
+    a<b quadratic set."""
+    rows = [(1, m) for m in range(300)] + [(2, 5), (2, 7)]
+    df = spark.createDataFrame(rows, "k long, m long")
+    bp = G._block_pairs(df, "k", "m", chunk=64)
+    per_key = {r["k"]: r["n"] for r in
+               bp.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_key[1] == 15 and per_key[2] == 1  # ceil(300/64)=5 → 15
+    pairs = G.pairs_from_groups(df, "k", "m", chunk=64)
+    got = {(r["k"], r["a"], r["b"]) for r in pairs.collect()}
+    want = {(1, a, b) for a in range(300) for b in range(a + 1, 300)}
+    want.add((2, 5, 7))
+    assert got == want
