@@ -94,9 +94,17 @@ class ClientResult:
 
 
 class Connection:
-    def __init__(self, host: str, port: int):
-        self._sock = socket.create_connection((host, port))
+    def __init__(self, host: str, port: int | str,
+                 usr: str | None = None, pwd: str | None = None):
+        """pynow-parity signature (pynow/now.py:178,193): addr and
+        port (pynow passes port as a string — accepted here), then
+        user/password. The session layer performs no authentication —
+        usr/pwd are accepted for source compatibility and sent with
+        the handshake so a future auth hook sees them."""
+        self._sock = socket.create_connection((host, int(port)))
         self._rfile = self._sock.makefile("rb")
+        if usr is not None or pwd is not None:
+            self._request({"op": "auth", "usr": usr, "pwd": pwd})
 
     def _request(self, doc: dict) -> dict:
         self._sock.sendall((json.dumps(doc) + "\n").encode())
@@ -140,5 +148,7 @@ class Connection:
         return False
 
 
-def connect(host: str, port: int) -> Connection:
-    return Connection(host, port)
+def connect(host: str, port: int | str,
+            usr: str | None = None, pwd: str | None = None) -> Connection:
+    """pynow-parity: connect(addr, port[, usr, pwd])."""
+    return Connection(host, port, usr, pwd)

@@ -75,6 +75,8 @@ class Engine:
         self.proc_registry: dict[str, callable] = {}
         self._cursors: dict[str, CursorResult] = {}
         self._next_cursor = 0
+        # (scope, context, prop) → next value of an INC sequence
+        self._inc_counters: dict[tuple[str, str, str], int] = {}
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     # --- public API (pynow Connection parity) ---------------------
@@ -221,10 +223,10 @@ class Engine:
 
     def _create_proc(self, n: A.CreateProcedure) -> Result:
         sc = self._need_scope()
-        if n.language not in ("python",):
+        if n.language not in ("python", "lua"):
             raise EngineError(
-                f"language {n.language!r} not supported (python only; "
-                "the reference also embeds Lua)")
+                f"language {n.language!r} not supported "
+                "(python and lua, like the reference)")
         key = f"{n.module}.{n.name}" if n.module else n.name
         sc.meta.procs[key] = ProcDef(n.module, n.name, n.language, n.args)
         sc.save()
@@ -242,6 +244,10 @@ class Engine:
         sc = self._need_scope()
         if n.kind in ("type", "edge"):
             sc.drop_type(n.name, n.if_exists)
+            # a re-created context restarts its INC sequences
+            for key in [k for k in self._inc_counters
+                        if k[:2] == (sc.name, n.name)]:
+                del self._inc_counters[key]
         elif n.kind == "index":
             if n.name in sc.meta.indexes:
                 del sc.meta.indexes[n.name]
@@ -308,6 +314,16 @@ class Engine:
                 raise EngineError(f"unknown field {fname!r}")
             c = self._insert_value(vexpr, types[fname], eb)
             cols.append(c.alias(fname))
+        # INC prop omitted → assign the next value of the context's
+        # auto-increasing sequence (the reference's "promise to keep
+        # increasing pk", model/types.h:51); counter cached per
+        # context, seeded once from the stored max
+        for p in tdef.props:
+            if p.inc and p.name not in fields:
+                nxt = self._next_inc(sc, n.target, p.name)
+                cols.append(F.lit(nxt).cast(schema[p.name].dataType)
+                            .alias(p.name))
+                fields = [*fields, p.name]
         # missing fields → NULL (exercises `is null`, sql.tex:311-333)
         for p in tdef.props:
             if p.name not in fields:
@@ -319,6 +335,22 @@ class Engine:
         write_context(row, sc.context_dir(n.target), tdef, n=1,
                       codec=self._codec(tdef))
         return ReportResult(affected=1)
+
+    def _next_inc(self, sc, target: str, prop: str) -> int:
+        """Next value of a context's INC sequence — dense from 1.
+        Seeded from the stored column max (a stats-only parquet scan)
+        the first time the sequence is used in this engine."""
+        key = (sc.name, target, prop)
+        if key not in self._inc_counters:
+            ctx = sc.context_dir(target)
+            mx = None
+            if ctx.exists():
+                mx = (self.spark.read.parquet(str(ctx))
+                      .agg(F.max(prop)).first()[0])
+            self._inc_counters[key] = (mx or 0) + 1
+        nxt = self._inc_counters[key]
+        self._inc_counters[key] = nxt + 1
+        return nxt
 
     @staticmethod
     def _insert_value(vexpr, nowdb_type: str, eb: ExprBinder):
@@ -585,6 +617,8 @@ class Engine:
         return RowResult(["value"], [(out,)])
 
     def _load_proc(self, sc: Scope, pd: ProcDef):
+        if pd.language == "lua":
+            return self._load_lua_proc(sc, pd)
         mod_file = sc.path / "procs" / f"{pd.module or pd.name}.py"
         if not mod_file.exists():
             raise EngineError(f"procedure module {mod_file} not found")
@@ -597,6 +631,54 @@ class Engine:
         except AttributeError:
             raise EngineError(
                 f"module {pd.module!r} has no function {pd.name!r}") from None
+
+    def _load_lua_proc(self, sc: Scope, pd: ProcDef):
+        """LANGUAGE lua adapter (reference ifc/luaproc.c, manual
+        luaemb.tex:134-600): runs <scope>/procs/<module>.lua through
+        lupa when available, exposing the reference's `nowdb` API
+        surface — execute/execute_/onerow/onevalue, the result-kind
+        constants (NOTHING/STATUS/REPORT/ROW/CURSOR), success/error/
+        raise. lupa is not bundled in every deployment; without it the
+        procedure is still registered (catalog-compatible) and EXECUTE
+        reports the gap explicitly instead of failing at CREATE, so a
+        ported schema loads unmodified."""
+        try:
+            import lupa
+        except ImportError:
+            raise EngineError(
+                f"procedure {pd.name!r} is LANGUAGE lua: executing it "
+                "requires the 'lupa' package (pip install lupa); the "
+                "procedure is registered and will run once lupa is "
+                "present (compatibility note: reference embeds Lua "
+                "natively, ifc/luaproc.c)") from None
+        mod_file = sc.path / "procs" / f"{pd.module or pd.name}.lua"
+        if not mod_file.exists():
+            raise EngineError(f"procedure module {mod_file} not found")
+        rt = lupa.LuaRuntime(unpack_returned_tuples=True)
+
+        def make_fn(engine_self=self):
+            def fn(session, *args):
+                api = {
+                    "execute": lambda sql: session.execute(sql),
+                    "execute_": lambda sql: session.execute(sql) and None,
+                    "onerow": session.onerow,
+                    "onevalue": session.onevalue,
+                    "NOTHING": 0, "STATUS": 1, "REPORT": 2,
+                    "ROW": 3, "CURSOR": 4, "OK": 0,
+                    "success": lambda: None,
+                    "raise_": lambda code, msg: (_ for _ in ()).throw(
+                        EngineError(f"lua error {code}: {msg}")),
+                }
+                rt.globals()["nowdb"] = rt.table_from(api)
+                rt.execute(mod_file.read_text())
+                lua_fn = rt.globals()[pd.name]
+                if lua_fn is None:
+                    raise EngineError(
+                        f"{mod_file} defines no function {pd.name!r}")
+                return lua_fn(*args)
+            return fn
+
+        return make_fn()
 
     def _lock(self, n: A.LockStmt) -> Result:
         sc = self._need_scope()

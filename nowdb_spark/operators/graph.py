@@ -25,32 +25,38 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _block_pairs(df: DataFrame, key: str, member: str,
-                 chunk: int) -> DataFrame:
-    """Chunk each key's sorted member set into blocks and emit every
-    block pair (bi <= bj), redistributed by (key, bi, bj)."""
-    per = (df.groupBy(key)
-           .agg(F.sort_array(F.collect_set(member)).alias("ms"))
-           .filter(F.size("ms") >= 2))
+def _within_pairs(per: DataFrame, key: str, list_col: str) -> DataFrame:
+    """a<b pairs from each row's sorted list (one task per row)."""
+    return (per
+            .select(key, list_col,
+                    F.explode(F.sequence(
+                        F.lit(0), F.size(list_col) - 2)).alias("i"))
+            .select(key,
+                    F.element_at(list_col, F.col("i") + 1).alias("a"),
+                    F.explode(F.slice(list_col, F.col("i") + 2,
+                                      F.size(list_col))).alias("b")))
+
+
+def _block_pairs(per: DataFrame, key: str, chunk: int) -> DataFrame:
+    """Chunk each key's sorted member set (column `ms`) into blocks and
+    emit every block pair (bi <= bj) with both chunks sliced in place —
+    no self-join, a single pass over the aggregated lists. The
+    repartition spreads a hot key's block pairs across partitions, so
+    no single task owns a whole hot key's quadratic emission."""
     nb = F.ceil(F.size("ms") / F.lit(chunk)).cast("int")
-    blocks = per.select(
-        key,
-        F.posexplode(F.transform(
-            F.sequence(F.lit(0), nb - 1),
-            lambda i: F.slice("ms", i * chunk + 1, chunk),
-        )).alias("bi", "chunk"))
-    left = blocks.alias("l")
-    right = blocks.alias("r")
-    return (
-        left.join(right, (F.col(f"l.{key}") == F.col(f"r.{key}"))
-                  & (F.col("l.bi") <= F.col("r.bi")))
-        .select(F.col(f"l.{key}").alias(key),
-                F.col("l.bi").alias("bi"), F.col("r.bi").alias("bj"),
-                F.col("l.chunk").alias("ca"), F.col("r.chunk").alias("cb"))
-        # hot keys: their block pairs hash to DIFFERENT partitions, so
-        # no single task owns a whole hot key's quadratic emission
-        .repartition(F.col(key), F.col("bi"), F.col("bj"))
-    )
+    idx = F.explode(F.flatten(F.transform(
+        F.sequence(F.lit(0), nb - 1),
+        lambda bi: F.transform(
+            F.sequence(bi, nb - 1),
+            lambda bj: F.struct(bi.alias("bi"), bj.alias("bj")))))).alias("p")
+    return (per.select(key, "ms", idx)
+            .select(key,
+                    F.col("p.bi").alias("bi"), F.col("p.bj").alias("bj"),
+                    F.slice("ms", F.col("p.bi") * chunk + 1,
+                            F.lit(chunk)).alias("ca"),
+                    F.slice("ms", F.col("p.bj") * chunk + 1,
+                            F.lit(chunk)).alias("cb"))
+            .repartition(F.col(key), F.col("bi"), F.col("bj")))
 
 
 def pairs_from_groups(df: DataFrame, key: str, member: str,
@@ -60,21 +66,20 @@ def pairs_from_groups(df: DataFrame, key: str, member: str,
     The naive formulation (collect each group's member list, emit the
     quadratic pairs from the single list row) is one task per group: a
     hot group with 1e5 members emits 5e9 pairs from one task. Here the
-    sorted member set is cut into blocks of `chunk`; pair emission is
-    per block pair (within-block a<b, cross-block all pairs — the sort
+    sorted set is cut into blocks of `chunk`; emission is per block
+    pair (within-block a<b, cross-block all pairs — the sort
     guarantees a<b across bi<bj), and block pairs are spread by
-    (key, bi, bj), bounding any task's emission at chunk².
+    (key, bi, bj) before emission, bounding any task at chunk² pairs.
+    Keys that fit one chunk (the overwhelming majority) produce exactly
+    one block pair, so their extra shuffle volume is just the list
+    itself.
     """
-    bp = _block_pairs(df, key, member, chunk)
-    within = (
-        bp.filter(F.col("bi") == F.col("bj"))
-        .select(key, "ca",
-                F.explode(F.sequence(F.lit(0), F.size("ca") - 2)).alias("i"))
-        .select(key,
-                F.element_at("ca", F.col("i") + 1).alias("a"),
-                F.explode(F.slice("ca", F.col("i") + 2,
-                                  F.size("ca"))).alias("b"))
-    )
+    per = (df.groupBy(key)
+           .agg(F.sort_array(F.collect_set(member)).alias("ms"))
+           .filter(F.size("ms") >= 2))
+    bp = _block_pairs(per, key, chunk)
+    within = _within_pairs(
+        bp.filter(F.col("bi") == F.col("bj")).select(key, "ca"), key, "ca")
     cross = (
         bp.filter(F.col("bi") < F.col("bj"))
         .select(key, F.explode("ca").alias("a"), "cb")

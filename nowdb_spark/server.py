@@ -99,6 +99,12 @@ class _Session(socketserver.StreamRequestHandler):
                     eng.execute(f"close {req.get('cursor')}")
                 self._send({"kind": "status", "ok": True, "code": 0,
                             "details": "OK"})
+            elif op == "auth":
+                # pynow connects with (usr, pwd); the session layer
+                # has no account store — acknowledge the handshake so
+                # ported clients work unmodified (auth hook point)
+                self._send({"kind": "status", "ok": True, "code": 0,
+                            "details": "OK"})
             else:
                 self._send({"kind": "status", "ok": False, "code": 1,
                             "details": f"unknown op {op!r}"})

@@ -439,3 +439,47 @@ def test_load_csv_ignore_header_exact_one_line(spark, tmp_path_factory):
     csv2.write_text("num_key;val\n1;10\n2;20\n")
     r = e.execute(f"load '{csv2}' into num ignore header as num")
     assert r.affected == 2 and r.errors == 0, (r.affected, r.errors)
+
+
+def test_inc_auto_increment(spark, tmp_path_factory):
+    """INC props auto-assign a dense increasing sequence when omitted
+    from the insert (reference promise, model/types.h:51)."""
+    e = Engine(spark, tmp_path_factory.mktemp("inc_scope"))
+    assert e.execute("create scope incs").ok()
+    assert e.execute("use incs").ok()
+    assert e.execute(
+        "create type evt (evt_id uint pk inc, what text)").ok()
+    for w in ("a", "b", "c"):
+        assert e.execute(
+            f"insert into evt (what) values ('{w}')").ok()
+    got = rows(e.execute("select evt_id, what from evt"))
+    assert sorted(got) == [(1, "a"), (2, "b"), (3, "c")]
+    # explicit values still win; sequence resumes above the stored max
+    assert e.execute(
+        "insert into evt (evt_id, what) values (10, 'x')").ok()
+    e2 = Engine(spark, e.base)   # fresh engine: counter re-seeds
+    assert e2.execute("use incs").ok()
+    assert e2.execute("insert into evt (what) values ('y')").ok()
+    got = dict(rows(e2.execute("select evt_id, what from evt")))
+    assert got[11] == "y" and len(got) == 5
+
+
+def test_lua_procedure(eng, data):
+    """LANGUAGE lua registers fine (catalog parity with ifc/luaproc.c);
+    execution runs through lupa when present, else reports the
+    documented compatibility gap instead of failing at CREATE."""
+    assert eng.execute(
+        "create procedure stats2.buys2() language lua").ok()
+    names = {row[0] for row in eng.execute("show procedures")._rows}
+    assert "stats2.buys2" in names
+    (eng.scope.path / "procs").mkdir(exist_ok=True)
+    (eng.scope.path / "procs" / "stats2.lua").write_text(
+        "function buys2()\n"
+        "  return nowdb.onevalue('select count(*) from buys')\n"
+        "end\n")
+    r = eng.execute("exec stats2.buys2()")
+    try:
+        import lupa  # noqa: F401
+        assert r.field(0) == BUYS
+    except ImportError:
+        assert not r.ok() and "lupa" in r.details()

@@ -156,10 +156,13 @@ def test_pairs_from_groups_hot_key(spark):
     a<b quadratic set."""
     rows = [(1, m) for m in range(300)] + [(2, 5), (2, 7)]
     df = spark.createDataFrame(rows, "k long, m long")
-    bp = G._block_pairs(df, "k", "m", chunk=64)
+    per = (df.groupBy("k")
+           .agg(F.sort_array(F.collect_set("m")).alias("ms"))
+           .filter(F.size("ms") > 64))
+    bp = G._block_pairs(per, "k", chunk=64)
     per_key = {r["k"]: r["n"] for r in
                bp.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
-    assert per_key[1] == 15 and per_key[2] == 1  # ceil(300/64)=5 → 15
+    assert per_key == {1: 15}  # ceil(300/64)=5 blocks → 15 block pairs
     pairs = G.pairs_from_groups(df, "k", "m", chunk=64)
     got = {(r["k"], r["a"], r["b"]) for r in pairs.collect()}
     want = {(1, a, b) for a in range(300) for b in range(a + 1, 300)}

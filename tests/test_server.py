@@ -57,3 +57,16 @@ def test_two_sessions_share_catalog(server):
         assert b.execute("use net").ok()
         a.rexecute("insert into p values (10, 'ten', 10.0)")
         assert b.oneValue("select count(*) from p where k = 10") == 1
+
+
+def test_pynow_style_connect(server):
+    """A pynow program ported verbatim: 4-arg connect with the port as
+    a STRING (pynow/now.py:178,193 passes strings), with-statement
+    resource management, oneValue."""
+    host, port = server
+    with connect(host, str(port), "user", "mypwd") as con:
+        assert con.execute("create scope pn").ok()
+        assert con.execute("use pn").ok()
+        con.rexecute("create type t (k uint pk, v float)")
+        con.rexecute("insert into t values (1, 2.5)")
+        assert con.oneValue("select sum(v) from t") == 2.5
