@@ -56,9 +56,6 @@ from nowdb_spark.sql import ast as A
 from nowdb_spark.sql.binder import BindError, ExprBinder, SelectBinder
 from nowdb_spark.sql.parser import ParseError, parse
 
-_DAY_NS = TU.NS_PER_SEC * 86400
-
-
 class EngineError(RuntimeError):
     pass
 
@@ -493,9 +490,9 @@ class Engine:
         df = self.spark.read.parquet(str(ctx))
         if "__tb" in df.columns:
             if lo is not None:
-                df = df.filter(F.col("__tb") >= lo // _DAY_NS)
+                df = df.filter(F.col("__tb") >= lo // TU.units_per_day())
             if hi is not None:
-                df = df.filter(F.col("__tb") <= hi // _DAY_NS)
+                df = df.filter(F.col("__tb") <= hi // TU.units_per_day())
             df = df.drop("__tb")
         df = df.select(*[p.name for p in tdef.props])
         return df, tdef.prop_types(), tdef

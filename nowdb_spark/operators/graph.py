@@ -117,15 +117,19 @@ def k_hop(edges: DataFrame, start_nodes: DataFrame, k: int,
     visited = start_nodes.select(F.col("node"), F.lit(0).alias("hops"))
     frontier = visited
     for i in range(1, k + 1):
+        # checkpoint BEFORE the emptiness probe: the probe and the
+        # union then both read the materialized frontier instead of
+        # recomputing the hop join twice
         nxt = (und.join(frontier.hint("broadcast"),
                         und.src == frontier.node)
                .select(F.col("dst").alias("node"))
                .distinct()
                .join(visited.select("node"), "node", "left_anti")
-               .withColumn("hops", F.lit(i)))
+               .withColumn("hops", F.lit(i))
+               .localCheckpoint(eager=True))
         if nxt.isEmpty():
             break
-        visited = visited.union(nxt).localCheckpoint(eager=True)
+        visited = visited.union(nxt)
         frontier = nxt
     return visited
 
@@ -281,16 +285,19 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
                     .join(out_deg, ranks.node == out_deg.node)
                     .select(F.col("dst").alias("node"),
                             (F.col("rank") / F.col("deg")).alias("c")))
-        # dangling nodes contribute their mass uniformly
+        # dangling nodes contribute their mass uniformly — folded into
+        # the plan as a broadcast one-row aggregate instead of a
+        # driver-side action per iteration (one job per round, not two)
         dangling = (ranks.join(out_deg, "node", "left_anti")
-                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-                    .first()[0])
+                    .agg((F.coalesce(F.sum("rank"), F.lit(0.0))
+                          / n_nodes).alias("dng")))
         incoming = contribs.groupBy("node").agg(F.sum("c").alias("inc"))
         ranks = (nodes.join(incoming, "node", "left")
+                 .crossJoin(F.broadcast(dangling))
                  .select(F.col("node"),
                          (F.lit(base)
                           + F.lit(damping)
                           * (F.coalesce(F.col("inc"), F.lit(0.0))
-                             + F.lit(dangling / n_nodes))).alias("rank")))
+                             + F.col("dng"))).alias("rank")))
         ranks = ranks.localCheckpoint(eager=True)
     return ranks

@@ -102,9 +102,8 @@ def write_context(df: DataFrame, ctx_dir: Path, tdef: TypeDef,
     if codec:
         writer = writer.option("compression", codec)
     if stamp is not None:
-        from nowdb_spark.timeutil import NS_PER_SEC, int_div_floor
-        df = df.withColumn(
-            "__tb", int_div_floor(F.col(stamp), NS_PER_SEC * 86400))
+        from nowdb_spark.timeutil import day_bucket
+        df = df.withColumn("__tb", day_bucket(F.col(stamp)))
         writer = df.write.mode(mode)
         if codec:
             writer = writer.option("compression", codec)

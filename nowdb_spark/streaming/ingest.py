@@ -41,8 +41,7 @@ def stream_into_context(df: DataFrame, ctx_dir: str, checkpoint: str,
     """writeStream appending into a context dir; day-bucket partitioned
     when stamped. Returns the StreamingQuery."""
     if stamp_col is not None:
-        df = df.withColumn(
-            "__tb", TU.int_div_floor(F.col(stamp_col), TU.NS_PER_SEC * 86400))
+        df = df.withColumn("__tb", TU.day_bucket(F.col(stamp_col)))
         writer = df.writeStream.partitionBy("__tb")
     else:
         writer = df.writeStream

@@ -18,16 +18,18 @@ def _cosupply_edges(spark, sf):
     """Supplier pairs sharing at least one part (undirected, a<b).
 
     Formulated as group-parts→generate-pairs rather than a self-join
-    on l_partkey: one shuffle to collect each part's (sorted, distinct)
-    supplier list, then the a<b pairs are emitted from block pairs of
-    that list (operators.graph.pairs_from_groups). The self-join
-    formulation shuffles the full (supplier, part) relation twice and
-    probes |sp|² candidates; this shuffles lists once, and the block
+    on l_partkey: ONE shuffle total — collect_set dedups suppliers in
+    its map-side partial aggregate, so no pre-distinct pass is needed
+    (a distinct-then-group plan shuffles the (supplier, part) relation
+    twice). The a<b pairs are then emitted from block pairs of each
+    part's sorted list (operators.graph.pairs_from_groups); the block
     decomposition spreads a hot part's quadratic pair emission across
-    tasks (≤ chunk² pairs per task) instead of one mega-task.
+    tasks (≤ chunk² pairs per task) instead of one mega-task. The
+    ~Σ C(k,2) emitted pair rows before the final count are inherent to
+    the exact shared-part semantics (measured: every formulation,
+    including the self-join, pays the same emission volume).
     """
-    sp = (table(spark, sf, "lineitem")
-          .select("l_suppkey", "l_partkey").distinct())
+    sp = table(spark, sf, "lineitem").select("l_suppkey", "l_partkey")
     pairs = G.pairs_from_groups(sp, "l_partkey", "l_suppkey")
     return (pairs
             .select(F.col("a").alias("supp_a"), F.col("b").alias("supp_b"))

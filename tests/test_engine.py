@@ -483,3 +483,44 @@ def test_lua_procedure(eng, data):
         assert r.field(0) == BUYS
     except ImportError:
         assert not r.ok() and "lupa" in r.details()
+
+
+def test_configurable_time_unit_epoch(spark, tmp_path_factory):
+    """Reference parity: nowdb_time_setPerSec / setEpoch
+    (types/time.h:48-95) — a server configured for millisecond units
+    and an epoch one minute AFTER the Unix epoch stores stamps as ms
+    offsets from that epoch; literals, range filters (incl. the
+    __tb pruning path), extraction, and now() all honor it."""
+    from nowdb_spark import timeutil as TU
+    TU.set_per_sec(1_000)          # millisecond unit
+    TU.set_epoch(-60_000)          # epoch = Unix + 60s, in ms units
+    try:
+        e = Engine(spark, tmp_path_factory.mktemp("tcfg"))
+        assert e.execute("create scope tcfg").ok()
+        assert e.execute("use tcfg").ok()
+        assert e.execute(
+            "create type ev (ev_id uint pk, at time stamp)").ok()
+        for i, lit in enumerate(["2021-03-04T05:06:07.250000",
+                                 "2021-03-05", "2021-03-06T00:00:01"]):
+            assert e.execute(
+                f"insert into ev (ev_id, at) values ({i}, '{lit}')").ok()
+        got = dict(rows(e.execute("select ev_id, at from ev")))
+        # 2021-03-04T05:06:07.250 = 1614834367.250 unix-s
+        #   → ms 1614834367250, minus 60s epoch shift = 1614834307250
+        assert got[0] == 1_614_834_367_250 - 60_000
+        # range filter through the period-pruning path
+        r = rows(e.execute(
+            "select ev_id from ev where at >= '2021-03-05' "
+            "and at < '2021-03-06'"))
+        assert r == [(1,)]
+        # component extraction converts back through the configured
+        # unit/epoch (wall-clock year/second of the literal)
+        r = dict(rows(e.execute("select ev_id, second(at) from ev")))
+        assert r == {0: 7, 1: 0, 2: 1}
+        # now() lands in the configured representation: ms magnitude
+        v = rows(e.execute("select now()"))[0][0]
+        import time as _t
+        assert abs(v - (_t.time() * 1000 - 60_000)) < 60_000
+    finally:
+        TU.set_epoch(0)
+        TU.set_per_sec(TU.NS_PER_SEC)
