@@ -57,7 +57,8 @@ def exact_dedup(df: DataFrame, content_col: str = "text",
 
 def minhash_signature(df: DataFrame, content_col: str = "text",
                       id_col: str = "doc_id", k: int = 8,
-                      shingle_n: int = 3) -> DataFrame:
+                      shingle_n: int = 3,
+                      keep: tuple = ()) -> DataFrame:
     """k-component MinHash signature per document.
 
     Component i = min over shingles of md5(shingle || '|' || i).
@@ -71,7 +72,7 @@ def minhash_signature(df: DataFrame, content_col: str = "text",
         .alias(f"s{i}")
         for i in range(k)
     ]
-    return df.select(F.col(id_col), *cols)
+    return df.select(F.col(id_col), *[F.col(c) for c in keep], *cols)
 
 
 def minhash_lsh_pairs(df: DataFrame, content_col: str = "text",

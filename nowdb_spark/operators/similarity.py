@@ -12,6 +12,11 @@ lsh_bucket_topk     — approximate: random-hyperplane LSH buckets
                       flips), then exact cosine on candidates. The
                       scale path: corpus is hashed once (map-side),
                       probes join on the bucket key.
+ivf_topk            — approximate: IVF coarse quantizer (spherical
+                      k-means inverted lists trained on a bounded
+                      sample), queries probe their n_probe nearest
+                      lists, exact rerank. Data-adaptive buckets;
+                      exact when n_probe == n_centroids.
 
 The dot products run as JVM Column expressions (zip_with/aggregate) —
 no Python in the hot path. For very wide vectors a Pandas-UDF matmul
@@ -160,6 +165,118 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return (
         cands.select(F.col(qid_col), F.col(id_col), sim.alias("sim"))
         .dropDuplicates([qid_col, id_col])
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def _dot_const(vec: Column, const: list[float]) -> Column:
+    """Dot product of an array column with a constant vector (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(vec, F.array(*[F.lit(float(x)) for x in const]),
+                   lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _unit(v: list[float]) -> list[float]:
+    n = math.sqrt(sum(x * x for x in v)) or 1.0
+    return [x / n for x in v]
+
+
+def nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """0-based index of the max-cosine centroid (centroids unit-norm,
+    so argmax of the plain dot product; first-max tie-break)."""
+    sims = F.array(*[_dot_const(vec, c) for c in centroids])
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+
+def kmeans_centroids(corpus: DataFrame, n_centroids: int = 16,
+                     iters: int = 5, vec_col: str = "embedding",
+                     id_col: str = "vec_id",
+                     train_limit: int = 100_000) -> list[list[float]]:
+    """Spherical k-means (Lloyd) trained with DataFrame ops.
+
+    Only the C×D centroid matrix ever reaches the driver — the model
+    state, exactly what any distributed k-means keeps there. Training
+    runs on a bounded, deterministic sample (`train_limit` lowest ids):
+    centroid quality needs a representative sample, not the full
+    corpus, so at 100 TB the training cost is independent of corpus
+    size. Initialization is the first C sample vectors (deterministic
+    re-runs); the elementwise mean is a posexplode→groupBy(cid, pos)
+    aggregate with map-side partials.
+    """
+    train = (corpus.select(id_col, vec_col)
+             .orderBy(id_col).limit(train_limit)
+             .localCheckpoint(eager=True))
+    cents = [_unit(list(r[0])) for r in
+             train.orderBy(id_col).limit(n_centroids).select(vec_col)
+             .collect()]
+    for _ in range(iters):
+        cid = nearest_centroid(F.col(vec_col), cents).alias("cid")
+        means = (train.select(cid, F.posexplode(vec_col)
+                              .alias("pos", "x"))
+                 .groupBy("cid", "pos").agg(F.avg("x").alias("m"))
+                 .collect())
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+        cents = [
+            _unit([by_cid[c][p] for p in sorted(by_cid[c])])
+            if c in by_cid else cents[c]          # empty cluster: keep
+            for c in range(n_centroids)
+        ]
+    return cents
+
+
+def ivf_index(corpus: DataFrame, centroids: list[list[float]],
+              vec_col: str = "embedding") -> DataFrame:
+    """IVF inverted-list assignment: tag each vector with its nearest
+    centroid id — a map-side pass, no shuffle. Persist with
+    .write.partitionBy('cid') to get the on-disk inverted lists
+    (cluster-pruned scans) at full scale."""
+    return corpus.withColumn(
+        "cid", nearest_centroid(F.col(vec_col), centroids))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             n_centroids: int = 16, n_probe: int = 4, iters: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             qid_col: str = "qid", qvec_col: str = "qvec",
+             centroids: list[list[float]] | None = None) -> DataFrame:
+    """Approximate k-NN via IVF (inverted-file) partitioning — the
+    coarse-quantizer half of IVF-Flat: spherical k-means buckets the
+    corpus into `n_centroids` inverted lists; each query probes its
+    `n_probe` nearest lists and exact cosine reranks the candidates.
+
+    Complements lsh_bucket_topk: IVF adapts buckets to the data
+    distribution (clustered corpora → much better candidate quality at
+    equal probe volume), LSH needs no training. With
+    n_probe == n_centroids the result is exact (== knn_join).
+
+    Scale path: candidate volume ≈ corpus × n_probe / n_centroids per
+    query; the probe join is a broadcast of (qid, cid, qvec) rows, the
+    corpus side stays put (and partition-prunes when the index is
+    persisted partitionBy('cid'))."""
+    if centroids is None:
+        centroids = kmeans_centroids(corpus, n_centroids, iters,
+                                     vec_col, id_col)
+    indexed = ivf_index(corpus, centroids, vec_col)
+
+    qsims = F.array(*[
+        F.struct(_dot_const(F.col(qvec_col), c).alias("s"),
+                 F.lit(i).alias("c"))
+        for i, c in enumerate(centroids)])
+    probed = (queries
+              .select(qid_col, qvec_col,
+                      F.explode(F.slice(F.reverse(F.array_sort(qsims)),
+                                        1, n_probe)).alias("p"))
+              .select(qid_col, qvec_col, F.col("p.c").alias("cid")))
+
+    cands = indexed.join(F.broadcast(probed), "cid")
+    sim = F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6)
+    w = W.partitionBy(qid_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        cands.select(F.col(qid_col), F.col(id_col), sim.alias("sim"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )

@@ -1,0 +1,132 @@
+"""Streaming deduplication — the LLM-ingest half of operators/dedup.
+
+A training-data pipeline dedups at ingest time, not just in batch
+sweeps: a crawler emits the same page twice within hours, near-dup
+boilerplate arrives continuously. Two streaming operators mirror the
+batch family (operators/dedup.py):
+
+stream_exact_dedup     — content-hash dedup with state bounded by the
+                         watermark horizon (dropDuplicatesWithinWatermark:
+                         a hash is remembered only until the watermark
+                         passes it — at 100 TB/day the state is a day's
+                         hashes, not history's).
+stream_lsh_candidates  — stateful MinHash-LSH: documents are banded
+                         exactly like the batch minhash_lsh_pairs, and
+                         an applyInPandasWithState keyed by
+                         (band_id, band_key) holds each bucket's seen
+                         signatures; a new arrival is compared against
+                         its bucket's state and emits candidate-dup
+                         events. State per bucket is capped
+                         (max_bucket) — the documented policy for
+                         adversarial hot buckets.
+
+Both run on the same expressions as the batch operators, so batch
+backfill and streaming ingest agree on what counts as a duplicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nowdb_spark.operators.dedup import minhash_signature
+from nowdb_spark.streaming.ingest import _with_event_time
+
+
+def stream_exact_dedup(df: DataFrame, content_col: str = "text",
+                       id_col: str = "doc_id", stamp_col: str = "ts",
+                       watermark: str = "1 hour") -> DataFrame:
+    """First occurrence of each content hash passes; repeats arriving
+    within the watermark horizon are dropped.
+
+    dropDuplicatesWithinWatermark keeps one state row per distinct
+    hash seen inside the horizon and expires it afterwards — bounded
+    state, unlike an unwatermarked dropDuplicates whose state grows
+    forever. Batch frames fall back to plain dropDuplicates (the
+    batch differential in tests).
+    """
+    h = df.withColumn("content_hash", F.md5(F.col(content_col)))
+    et = _with_event_time(h, stamp_col)
+    if et.isStreaming:
+        return (et.withWatermark("__et", watermark)
+                .dropDuplicatesWithinWatermark(["content_hash"])
+                .drop("__et"))
+    return et.dropDuplicates(["content_hash"]).drop("__et")
+
+
+def stream_lsh_candidates(df: DataFrame, content_col: str = "text",
+                          id_col: str = "doc_id", stamp_col: str = "ts",
+                          k: int = 8, bands: int = 4,
+                          threshold: float = 0.5, shingle_n: int = 3,
+                          watermark: str = "1 hour",
+                          max_bucket: int = 1024) -> DataFrame:
+    """Streaming MinHash-LSH candidate-duplicate events.
+
+    Output rows (doc_id, dup_of, band_id, est): `doc_id` arrived and
+    its estimated Jaccard against the earlier `dup_of` is ≥ threshold
+    (same estimator as the batch minhash_lsh_pairs: fraction of equal
+    signature components). A pair colliding in several bands emits one
+    event per band; consumers dedup on (doc_id, dup_of) — kept that
+    way so each event names the bucket that produced it.
+
+    Banding is map-side (identical expressions to the batch path);
+    the only shuffle is the groupBy on (band_id, band_key). Bucket
+    state holds at most `max_bucket` (id, signature) entries — a hot
+    bucket (boilerplate shingle) stops absorbing new state beyond the
+    cap but keeps matching against what it has, trading recall for
+    bounded memory, same policy as the batch operator's hot-key note.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    rows = k // bands
+    sig = minhash_signature(df, content_col, id_col, k, shingle_n,
+                            keep=(stamp_col,))
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat(*[F.col(f"s{b * rows + r}") for r in range(rows)]))
+            .alias("band_key"))
+        for b in range(bands)
+    ]
+    sigcat = F.concat_ws(",", *[F.col(f"s{i}") for i in range(k)])
+    banded = (sig
+              .select(F.col(id_col), F.col(stamp_col),
+                      sigcat.alias("sigcat"),
+                      F.explode(F.array(*band_structs)).alias("b"))
+              .select(id_col, stamp_col, "sigcat",
+                      F.col("b.band_id").alias("band_id"),
+                      F.col("b.band_key").alias("band_key")))
+
+    out_schema = "doc_id long, dup_of long, band_id int, est double"
+    state_schema = "ids array<long>, sigs array<string>"
+    thr, cap = float(threshold), int(max_bucket)
+
+    def fn(key, pdf_iter, state):
+        ids, sigs = state.get if state.exists else ([], [])
+        ids, sigs = list(ids), list(sigs)
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("doc_id")
+            for did, sc in zip(pdf["doc_id"], pdf["sigcat"]):
+                parts = sc.split(",")
+                for oid, osc in zip(ids, sigs):
+                    if oid == did:
+                        continue
+                    op = osc.split(",")
+                    est = sum(a == b for a, b in zip(parts, op)) / len(parts)
+                    if est >= thr:
+                        out.append((int(did), int(oid), key[0], est))
+                if len(ids) < cap:
+                    ids.append(int(did))
+                    sigs.append(sc)
+        state.update((ids, sigs))
+        if out:
+            yield pd.DataFrame(out, columns=["doc_id", "dup_of",
+                                             "band_id", "est"])
+
+    et = (_with_event_time(banded, stamp_col)
+          .withWatermark("__et", watermark))
+    return (et.groupBy("band_id", "band_key")
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))

@@ -405,6 +405,21 @@ def ann03(spark, sf):
                              dim=64)
 
 
+@register(
+    "ann04_ivf_topk",
+    None,  # approximate — verified by exactness/recall pytests
+    doc="IVF (k-means inverted lists) approximate top-k; data-adaptive "
+        "counterpart to ann03's LSH buckets",
+)
+def ann04(spark, sf):
+    e = table(spark, sf, "embeddings")
+    queries = (
+        e.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    )
+    return S.ivf_topk(e, queries, k=5, n_centroids=8, n_probe=3, iters=3)
+
+
 # ------------------------------------------------------------------
 @register(
     "mm01_extract_meta",

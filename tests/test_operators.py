@@ -144,3 +144,46 @@ def test_minhash_lsh_finds_injected_neardups(spark):
              for r in D.minhash_lsh_pairs(df, threshold=0.3).collect()}
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ivf_exact_when_probing_all(spark):
+    """n_probe == n_centroids degenerates IVF to exact knn_join."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = (emb.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec")))
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    exact = S.knn_join(corpus, queries, k=5)
+    ivf = S.ivf_topk(corpus, queries, k=5, n_centroids=4, n_probe=4,
+                     iters=2)
+    e = {(r["qid"], r["vec_id"], r["sim"]) for r in exact.collect()}
+    i = {(r["qid"], r["vec_id"], r["sim"]) for r in ivf.collect()}
+    assert e == i
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec")))
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    exact = S.knn_join(corpus, queries, k=5)
+    approx = S.ivf_topk(corpus, queries, k=5, n_centroids=8, n_probe=3,
+                        iters=3)
+    exact_set = {(r["qid"], r["vec_id"]) for r in exact.collect()}
+    approx_set = {(r["qid"], r["vec_id"]) for r in approx.collect()}
+    # candidate volume ~3/8 of the corpus; data-adaptive buckets must
+    # beat that ratio comfortably on recall
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
+def test_ivf_index_partitions_cover_corpus(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = S.kmeans_centroids(emb, n_centroids=4, iters=2)
+    assert len(cents) == 4 and all(len(c) == 64 for c in cents)
+    idx = S.ivf_index(emb, cents)
+    per = {r["cid"]: r["n"] for r in
+           idx.groupBy("cid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(per.values()) == emb.count()
+    assert all(0 <= c < 4 for c in per)

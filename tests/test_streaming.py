@@ -172,3 +172,104 @@ def test_stateful_running_totals(spark, events_dir):
                  F.sum("value").alias("total")).collect()}
     got_set = {(r["user_id"], r["n"], round(r["total"], 4)) for r in got}
     assert got_set == want
+
+
+def _doc_batch_writer(spark, tmp_path):
+    import glob
+    import shutil
+
+    import pandas as pd
+
+    src = tmp_path / "docsrc"
+    src.mkdir()
+
+    def write_batch(fname, rows):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "ts", "text"])
+        sdf_w = spark.createDataFrame(pdf, "doc_id long, ts long, text string")
+        sdf_w.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "stage" / fname))
+        part = glob.glob(str(tmp_path / "stage" / fname / "*.parquet"))[0]
+        shutil.copy(part, src / f"{fname}.parquet")
+
+    return src, write_batch
+
+
+DOCS_TDEF_COLS = [
+    ("doc_id", "int"), ("ts", "time"), ("text", "text")]
+
+
+def test_stream_exact_dedup(spark, tmp_path):
+    """A repeat of the same content inside the watermark horizon is
+    dropped — across micro-batches, with bounded state."""
+    from nowdb_spark.catalog import Prop, TypeDef
+    from nowdb_spark.streaming import dedup as SD
+
+    src, write_batch = _doc_batch_writer(spark, tmp_path)
+    base = 1_700_000_000 * 10**9
+    write_batch("b1", [(1, base, "the quick brown fox"),
+                       (2, base + 10**9, "another document entirely")])
+    tdef = TypeDef("docs", "vertex", [
+        Prop("doc_id", "int"), Prop("ts", "time", stamp=True),
+        Prop("text", "text")])
+    sdf = S.stream_from_context(spark, str(src), tdef)
+    out = SD.stream_exact_dedup(sdf, "text", "doc_id", "ts",
+                                watermark="1 hour")
+    q = (out.writeStream.outputMode("append")
+         .format("memory").queryName("sdedup").start())
+    try:
+        q.processAllAvailable()
+        # batch 2: doc 3 repeats doc 1's content (within watermark),
+        # doc 4 is new
+        write_batch("b2", [(3, base + 2 * 10**9, "the quick brown fox"),
+                           (4, base + 3 * 10**9, "fresh content here")])
+        q.processAllAvailable()
+        got = {r["doc_id"]
+               for r in spark.sql("select * from sdedup").collect()}
+    finally:
+        q.stop()
+    assert got == {1, 2, 4}, got
+
+
+def test_stream_lsh_candidates_match_batch_estimator(spark, tmp_path):
+    """Streaming band-bucket matching finds the injected near-dup with
+    the same Jaccard estimate as the batch operator, across
+    micro-batches (doc arrives after its near-original)."""
+    from nowdb_spark.catalog import Prop, TypeDef
+    from nowdb_spark.operators import dedup as D
+    from nowdb_spark.streaming import dedup as SD
+
+    base_text = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                 "kappa lambda mu nu xi omicron pi rho sigma tau")
+    near = base_text + " upsilon"          # near-dup of base_text
+    other = "completely different words in this unrelated document"
+
+    src, write_batch = _doc_batch_writer(spark, tmp_path)
+    base = 1_700_000_000 * 10**9
+    write_batch("b1", [(1, base, base_text), (2, base + 10**9, other)])
+    tdef = TypeDef("docs", "vertex", [
+        Prop("doc_id", "int"), Prop("ts", "time", stamp=True),
+        Prop("text", "text")])
+    sdf = S.stream_from_context(spark, str(src), tdef)
+    out = SD.stream_lsh_candidates(sdf, "text", "doc_id", "ts",
+                                   k=8, bands=4, threshold=0.5)
+    q = (out.writeStream.outputMode("update")
+         .format("memory").queryName("slsh").start())
+    try:
+        q.processAllAvailable()
+        write_batch("b2", [(3, base + 2 * 10**9, near)])
+        q.processAllAvailable()
+        events = [(r["doc_id"], r["dup_of"], r["est"])
+                  for r in spark.sql("select * from slsh").collect()]
+    finally:
+        q.stop()
+    assert events, "no candidate events emitted"
+    assert all(d == 3 and o == 1 for d, o, _ in events), events
+    # same estimator as the batch operator on the same documents
+    batch = spark.createDataFrame(
+        [(1, base_text), (3, near)], "doc_id long, text string")
+    bpairs = D.minhash_lsh_pairs(batch, "text", "doc_id",
+                                 k=8, bands=4, threshold=0.5).collect()
+    assert bpairs, "batch operator disagrees: no pair"
+    best = {e for _, _, e in events}
+    assert {round(r["est_jaccard"], 6) for r in bpairs} == \
+        {round(e, 6) for e in best}
