@@ -423,6 +423,82 @@ class Engine:
         return ReportResult(affected=self._rewrite_context(n.target,
                                                            transform))
 
+    def _merge(self, n: A.Merge) -> Result:
+        """MERGE INTO target USING source ON key — extension upsert.
+
+        Delta-style join rewrite over immutable parquet: one left join
+        decides matched/unmatched target rows, one anti join builds the
+        inserts; the rewritten context swaps in atomically
+        (_rewrite_context). Assignment expressions resolve against the
+        SOURCE row (so `set v = v` takes the source value, and
+        computed updates like `set v = v * 2` read source fields).
+        The source must be unique on the key — a duplicate-key source
+        makes the merge ambiguous and errors (same rule as Delta).
+        """
+        src_df, src_types, _ = self._read_context(n.source)
+        if n.key not in src_types:
+            raise EngineError(f"source {n.source!r} has no key {n.key!r}")
+        dup = (src_df.groupBy(n.key)
+               .agg(F.count(F.lit(1)).alias("__n"))
+               .filter(F.col("__n") > 1))
+        if not dup.isEmpty():
+            raise EngineError(
+                f"MERGE source {n.source!r} is not unique on {n.key!r}")
+
+        def transform(df, col_types, tdef):
+            if n.key not in col_types:
+                raise EngineError(
+                    f"target {n.target!r} has no key {n.key!r}")
+            types = tdef.prop_types()
+            schema = tdef.spark_schema()
+            s = src_df.select(
+                *[F.col(c).alias(f"__s_{c}") for c in src_df.columns])
+            joined = df.join(
+                s, df[n.key] == s[f"__s_{n.key}"], "left")
+            matched = F.col(f"__s_{n.key}").isNotNull()
+            affected = joined.filter(matched).count() \
+                if n.matched_action else 0
+
+            if n.matched_action == "delete":
+                out = joined.filter(~matched)
+                out = out.select(*[p.name for p in tdef.props])
+            elif n.matched_action == "update":
+                eb = ExprBinder(
+                    src_types,
+                    resolver=lambda q, name: F.col(f"__s_{name}"))
+                assigned = {}
+                for fname, vexpr in n.assignments:
+                    if fname not in types:
+                        raise EngineError(f"unknown field {fname!r}")
+                    if isinstance(vexpr, A.Const) and vexpr.type == "string" \
+                            and types[fname] in ("date", "time"):
+                        newval = F.lit(TU.parse_time_literal(vexpr.value))
+                    else:
+                        newval = eb.bind(vexpr)
+                    assigned[fname] = newval
+                out = joined.select(*[
+                    (F.when(matched, assigned[p.name])
+                     .otherwise(F.col(p.name))
+                     if p.name in assigned else F.col(p.name))
+                    .cast(schema[p.name].dataType).alias(p.name)
+                    for p in tdef.props])
+            else:
+                out = joined.select(*[p.name for p in tdef.props])
+
+            if n.insert_unmatched:
+                ins = src_df.join(df.select(n.key), n.key, "left_anti")
+                affected += ins.count()
+                ins = ins.select(*[
+                    (F.col(p.name) if p.name in src_df.columns
+                     else F.lit(None))
+                    .cast(schema[p.name].dataType).alias(p.name)
+                    for p in tdef.props])
+                out = out.unionByName(ins)
+            return out, affected
+
+        return ReportResult(affected=self._rewrite_context(n.target,
+                                                           transform))
+
     def _load(self, n: A.Load) -> Result:
         sc = self._need_scope()
         t0 = time.perf_counter()
@@ -723,6 +799,7 @@ class Engine:
         A.Insert: _insert,
         A.Update: _update,
         A.Delete: _delete,
+        A.Merge: _merge,
         A.Load: _load,
         A.Select: _select,
         A.Explain: _explain,

@@ -197,6 +197,18 @@ class Delete:
 
 
 @dataclass
+class Merge:
+    """MERGE INTO target USING source ON key — extension (the
+    reference has no upsert; Delta-style join rewrite on parquet)."""
+    target: str
+    source: str
+    key: str
+    matched_action: Optional[str] = None   # 'update' | 'delete' | None
+    assignments: list = None               # [(field, expr)] for update
+    insert_unmatched: bool = False
+
+
+@dataclass
 class Load:
     path: str
     target: str

@@ -13,7 +13,7 @@ KEYWORDS = {
     # statement heads
     "create", "drop", "show", "desc", "describe", "use", "load", "insert",
     "select", "update", "delete", "execute", "exec", "fetch", "close",
-    "lock", "unlock", "explain",
+    "lock", "unlock", "explain", "merge",
     # objects (SCOPE/SCHEMA/DATABASE are aliases — nowdbsql.l:75-77)
     "scope", "schema", "database", "storage", "type", "edge", "index",
     "procedure", "proc", "types", "edges", "procedures", "procs",
@@ -22,7 +22,7 @@ KEYWORDS = {
     # clauses
     "into", "values", "from", "where", "group", "order", "by", "on",
     "as", "set", "if", "exists", "not", "and", "or", "in", "is", "null",
-    "when", "then", "else", "end", "case",
+    "when", "then", "else", "end", "case", "using", "matched",
     # ddl attributes
     "pk", "primary", "key", "inc", "increment", "origin", "destin",
     "destination", "stamp", "timestamp", "language",

@@ -111,6 +111,8 @@ class Parser:
             return self.update_stmt()
         if t.value == "delete":
             return self.delete_stmt()
+        if t.value == "merge":
+            return self.merge_stmt()
         if t.value in ("exec", "execute"):
             return self.exec_stmt()
         if t.value == "fetch":
@@ -329,6 +331,51 @@ class Parser:
         target = self.ident()
         where = self.expr() if self.try_kw("where") else None
         return A.Delete(target, where)
+
+    def merge_stmt(self):
+        # extension: MERGE INTO t USING s ON key
+        #   [WHEN MATCHED THEN UPDATE SET f = expr, ... | DELETE]
+        #   [WHEN NOT MATCHED THEN INSERT]
+        # assignment expressions resolve against the SOURCE row
+        self.eat_kw("merge")
+        self.eat_kw("into")
+        target = self.ident()
+        self.eat_kw("using")
+        source = self.ident()
+        self.eat_kw("on")
+        key = self.ident()
+        matched_action = None
+        assignments: list = []
+        insert_unmatched = False
+        saw_clause = False
+        while self.at_kw("when"):
+            saw_clause = True
+            self.next()
+            if self.try_kw("not"):
+                self.eat_kw("matched")
+                self.eat_kw("then")
+                self.eat_kw("insert")
+                insert_unmatched = True
+                continue
+            self.eat_kw("matched")
+            self.eat_kw("then")
+            if self.try_kw("delete"):
+                matched_action = "delete"
+                continue
+            self.eat_kw("update")
+            self.eat_kw("set")
+            matched_action = "update"
+            while True:
+                f = self.ident()
+                self.eat_sym("=")
+                assignments.append((f, self.expr()))
+                if not self.at_sym(","):
+                    break
+                self.next()
+        if not saw_clause:
+            raise ParseError("MERGE needs at least one WHEN clause")
+        return A.Merge(target, source, key, matched_action,
+                       assignments, insert_unmatched)
 
     def load_stmt(self):
         self.eat_kw("load")

@@ -524,3 +524,43 @@ def test_configurable_time_unit_epoch(spark, tmp_path_factory):
     finally:
         TU.set_epoch(0)
         TU.set_per_sec(TU.NS_PER_SEC)
+
+
+def test_merge_upsert(spark, tmp_path_factory):
+    """MERGE INTO (extension): matched rows update from the source,
+    unmatched source rows insert, everything else is untouched."""
+    e = Engine(spark, tmp_path_factory.mktemp("merge_scope"))
+    assert e.execute("create scope ms").ok()
+    assert e.execute("use ms").ok()
+    assert e.execute("create type price (k uint pk, v float, tag text)").ok()
+    assert e.execute("create type newprice (k uint pk, v float)").ok()
+    for k, v, t in [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c")]:
+        assert e.execute(
+            f"insert into price values ({k}, {v}, '{t}')").ok()
+    for k, v in [(2, 99.0), (4, 44.0)]:
+        assert e.execute(f"insert into newprice values ({k}, {v})").ok()
+
+    r = e.execute(
+        "merge into price using newprice on k "
+        "when matched then update set v = v * 2 "
+        "when not matched then insert")
+    assert r.ok() and r.affected == 2, (r.details(), r.affected)
+    got = {k: (v, t) for k, v, t in
+           rows(e.execute("select k, v, tag from price"))}
+    # matched k=2: v = source v * 2, tag untouched; k=4 inserted with
+    # NULL tag; k=1/k=3 untouched
+    assert got == {1: (10.0, "a"), 2: (198.0, "b"),
+                   3: (30.0, "c"), 4: (44.0, None)}, got
+
+    # matched-delete form
+    r = e.execute("merge into price using newprice on k "
+                  "when matched then delete")
+    assert r.ok() and r.affected == 2
+    assert sorted(got_k for got_k, in rows(e.execute(
+        "select k from price"))) == [1, 3]
+
+    # duplicate-key source is ambiguous -> error
+    assert e.execute("insert into newprice values (2, 1.0)").ok()
+    r = e.execute("merge into price using newprice on k "
+                  "when matched then update set v = v")
+    assert not r.ok() and "not unique" in r.details()
