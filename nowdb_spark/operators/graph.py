@@ -25,18 +25,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _within_pairs(per: DataFrame, key: str, list_col: str) -> DataFrame:
-    """a<b pairs from each row's sorted list (one task per row)."""
-    return (per
-            .select(key, list_col,
-                    F.explode(F.sequence(
-                        F.lit(0), F.size(list_col) - 2)).alias("i"))
-            .select(key,
-                    F.element_at(list_col, F.col("i") + 1).alias("a"),
-                    F.explode(F.slice(list_col, F.col("i") + 2,
-                                      F.size(list_col))).alias("b")))
-
-
 def _block_pairs(per: DataFrame, key: str, chunk: int) -> DataFrame:
     """Chunk each key's sorted member set (column `ms`) into blocks and
     emit every block pair (bi <= bj) with both chunks sliced in place —
@@ -73,19 +61,25 @@ def pairs_from_groups(df: DataFrame, key: str, member: str,
     Keys that fit one chunk (the overwhelming majority) produce exactly
     one block pair, so their extra shuffle volume is just the list
     itself.
+
+    Both block-pair shapes are emitted from ONE pipeline: for each
+    `a` at position i of ca, the partner list is the tail of ca after
+    i when bi == bj, else all of cb. (A filter-within ∪ filter-cross
+    union would execute the scan + collect_set aggregate twice — Spark
+    does not reuse the common subtree.)
     """
     per = (df.groupBy(key)
            .agg(F.sort_array(F.collect_set(member)).alias("ms"))
            .filter(F.size("ms") >= 2))
     bp = _block_pairs(per, key, chunk)
-    within = _within_pairs(
-        bp.filter(F.col("bi") == F.col("bj")).select(key, "ca"), key, "ca")
-    cross = (
-        bp.filter(F.col("bi") < F.col("bj"))
-        .select(key, F.explode("ca").alias("a"), "cb")
-        .select(key, "a", F.explode("cb").alias("b"))
-    )
-    return within.unionByName(cross)
+    return (bp
+            .select(key, "bi", "bj", "ca", "cb",
+                    F.posexplode("ca").alias("i", "a"))
+            .select(key, "a",
+                    F.explode(
+                        F.when(F.col("bi") == F.col("bj"),
+                               F.slice("ca", F.col("i") + 2, F.size("ca")))
+                        .otherwise(F.col("cb"))).alias("b")))
 
 
 def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:

@@ -91,3 +91,29 @@ def test_exact_dedup_single_shuffle(spark):
     # one hash-partition exchange (the window on content_hash), no more
     plan = plan_of(spark, "dd01_exact_dedup")
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2500]
+
+
+def test_g01_pair_generation_plan(spark):
+    """g01 pair generation reads lineitem ONCE and shuffles exactly
+    three times (collect_set lists, hot-key block-pair spread, final
+    pair count) — no pre-distinct pass, no duplicated subtree from a
+    within∪cross union."""
+    plan = plan_of(spark, "g01_cosupply_pairs")
+    assert plan.count("FileScan") == 1, plan[:2500]
+    assert plan.count("Exchange hashpartitioning") == 3, plan[:2500]
+    assert "collect_set" in plan
+
+
+def test_ivf_probe_join_broadcasts_queries(spark):
+    """IVF candidate generation broadcasts the probed queries; the
+    corpus side never moves."""
+    plan = plan_of(spark, "ann04_ivf_topk")
+    assert "BroadcastHashJoin" in plan, plan[:2500]
+
+
+def test_timeseries_no_python(spark):
+    for name in ("ts01_downsample", "ts02_moving_avg", "ts03_integral",
+                 "ts04_gap_fill", "ts05_ohlc"):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan
+        assert "MapInPandas" not in plan, f"{name} leaves the JVM"
