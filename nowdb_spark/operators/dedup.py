@@ -98,29 +98,36 @@ def minhash_lsh_pairs(df: DataFrame, content_col: str = "text",
         for b in range(bands)
     ]
     banded = sig.select(
-        id_col, *[F.col(f"s{i}") for i in range(k)],
+        id_col,
+        F.array(*[F.col(f"s{i}") for i in range(k)]).alias("sig"),
         F.explode(F.array(*band_cols)).alias("band"),
-    ).select(id_col, *[f"s{i}" for i in range(k)],
-             "band.band_id", "band.band_key")
+    ).select(id_col, "sig", "band.band_id", "band.band_key")
 
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
-               & (F.col("a.band_key") == F.col("b.band_key"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            *[F.col(f"a.s{i}").alias(f"as{i}") for i in range(k)],
-            *[F.col(f"b.s{i}").alias(f"bs{i}") for i in range(k)],
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    est = sum(
-        F.when(F.col(f"as{i}") == F.col(f"bs{i}"), 1).otherwise(0)
-        for i in range(k)
-    ) / F.lit(float(k))
+    # group each (band_id, band_key) bucket and emit its a<b pairs
+    # from the id-sorted member list — a banded⋈banded self-join would
+    # execute the signature subtree twice and shuffle it twice; this
+    # computes signatures once and shuffles the bucket lists once.
+    # Bucket sizes are bounded by collision probability (identical
+    # band keys), so per-row pair emission stays small.
+    buckets = (banded
+               .groupBy("band_id", "band_key")
+               .agg(F.sort_array(F.collect_list(
+                   F.struct(F.col(id_col).alias("id"),
+                            F.col("sig").alias("sig")))).alias("ms"))
+               .filter(F.size("ms") >= 2))
+    pairs = (buckets
+             .select(F.posexplode("ms").alias("i", "a"), "ms")
+             .select("a", F.explode(
+                 F.slice("ms", F.col("i") + 2, F.size("ms"))).alias("b"))
+             .select(F.col("a.id").alias("doc_a"),
+                     F.col("b.id").alias("doc_b"),
+                     F.col("a.sig").alias("siga"),
+                     F.col("b.sig").alias("sigb"))
+             .dropDuplicates(["doc_a", "doc_b"]))
+    est = (F.size(F.filter(F.zip_with("siga", "sigb",
+                                      lambda x, y: x == y),
+                           lambda v: v))
+           / F.lit(float(k)))
     return (
         pairs.withColumn("est_jaccard", F.round(est, 6))
         .filter(F.col("est_jaccard") >= threshold)
@@ -196,31 +203,40 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a",
                      F.col("component").alias("canonical_id"))
 
 
+def _shingle_intersections(df: DataFrame, content_col: str, id_col: str,
+                           n: int) -> tuple[DataFrame, DataFrame]:
+    """(inter, card): per-pair shared-shingle counts (a<b) and per-doc
+    distinct-shingle cardinalities.
+
+    Intersections come from grouping the shingle inverted index and
+    emitting each posting list's a<b pairs (graph.pairs_from_groups —
+    hot-shingle emission is block-spread, never one mega-task); a
+    sh⋈sh self-join would execute the shingle explode twice and
+    shuffle it twice. Cardinality is map-side (size of the distinct
+    shingle array), no shuffle and no reuse of the exploded subtree.
+    """
+    from nowdb_spark.operators.graph import pairs_from_groups
+
+    shingles = F.array_distinct(word_shingles(F.col(content_col), n))
+    card = df.select(F.col(id_col), F.size(shingles).alias("card"))
+    sh = df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+    inter = (pairs_from_groups(sh, "shingle", id_col)
+             .groupBy(F.col("a").alias("doc_a"),
+                      F.col("b").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    return inter, card
+
+
 def ngram_jaccard_pairs(df: DataFrame, content_col: str = "text",
                         id_col: str = "doc_id", n: int = 2,
                         threshold: float = 0.2) -> DataFrame:
-    """Exact n-gram Jaccard similarity via a shingle inverted-index
-    join. Returns (doc_a, doc_b, jaccard) for pairs ≥ threshold.
+    """Exact n-gram Jaccard similarity via the shingle inverted index.
+    Returns (doc_a, doc_b, jaccard) for pairs ≥ threshold.
 
-    Shuffles: explode→distinct (1), self-join on shingle (2), pair
-    groupBy (3). Exact; at 100 TB use as the verify stage behind
-    minhash_lsh_pairs candidates.
+    Exact; at 100 TB use as the verify stage behind minhash_lsh_pairs
+    candidates.
     """
-    sh = (
-        df.select(F.col(id_col),
-                  F.explode(F.array_distinct(word_shingles(F.col(content_col), n)))
-                  .alias("shingle"))
-    )
-    card = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("card"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
-                 F.col(f"b.{id_col}").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    inter, card = _shingle_intersections(df, content_col, id_col, n)
     ca = card.select(F.col(id_col).alias("doc_a"), F.col("card").alias("card_a"))
     cb = card.select(F.col(id_col).alias("doc_b"), F.col("card").alias("card_b"))
     return (
@@ -232,3 +248,27 @@ def ngram_jaccard_pairs(df: DataFrame, content_col: str = "text",
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def containment_pairs(df: DataFrame, content_col: str = "text",
+                      id_col: str = "doc_id", n: int = 2,
+                      threshold: float = 0.4) -> DataFrame:
+    """Asymmetric containment |A∩B| / |A| ≥ threshold — superset/quote
+    detection that a symmetric Jaccard policy can't express. Directed:
+    both (a,b) and (b,a) are evaluated (intersection is symmetric, so
+    each undirected pair explodes into its two orientations)."""
+    inter, card = _shingle_intersections(df, content_col, id_col, n)
+    both = (inter.select(F.explode(F.array(
+        F.struct(F.col("doc_a"), F.col("doc_b"), F.col("n_inter")),
+        F.struct(F.col("doc_b").alias("doc_a"),
+                 F.col("doc_a").alias("doc_b"),
+                 F.col("n_inter")))).alias("p"))
+        .select("p.*"))
+    ca = card.select(F.col(id_col).alias("doc_a"),
+                     F.col("card").alias("card_a"))
+    return (both.join(ca, "doc_a")
+            .withColumn("containment",
+                        F.round(F.col("n_inter").cast("double")
+                                / F.col("card_a"), 6))
+            .filter(F.col("containment") >= threshold)
+            .select("doc_a", "doc_b", "containment"))

@@ -94,10 +94,16 @@ def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
 
 
 def undirect(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
-    """Symmetrize an edge list (both directions, deduped)."""
-    fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    rev = edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
-    return fwd.union(rev).distinct()
+    """Symmetrize an edge list (both directions, deduped).
+
+    Single-pass: each row explodes into its two orientations — a
+    fwd ∪ rev union would execute the (possibly expensive) edges
+    subtree twice."""
+    both = F.explode(F.array(
+        F.struct(F.col(src).alias("src"), F.col(dst).alias("dst")),
+        F.struct(F.col(dst).alias("src"), F.col(src).alias("dst"))))
+    return (edges.select(both.alias("e"))
+            .select("e.src", "e.dst").distinct())
 
 
 def k_hop(edges: DataFrame, start_nodes: DataFrame, k: int,
@@ -107,7 +113,9 @@ def k_hop(edges: DataFrame, start_nodes: DataFrame, k: int,
     Frontier expansion by join per hop; visited set accumulated by
     union+distinct. k is typically small (the reference's designed
     WHILE traversal is bounded the same way)."""
-    und = undirect(edges, src, dst)
+    # materialize once — every hop joins against it; without the cut
+    # each hop job would recompute the edges subtree
+    und = undirect(edges, src, dst).localCheckpoint(eager=True)
     visited = start_nodes.select(F.col("node"), F.lit(0).alias("hops"))
     frontier = visited
     for i in range(1, k + 1):
@@ -203,7 +211,11 @@ def star_components(edges: DataFrame, max_iter: int = 30,
     sig_prev = None
     rounds = 0
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # checkpoint between the stars: _small_star references its
+        # input three times (groupBy min, join, own-edges) — without
+        # the cut the whole large-star subtree executes three times
+        e = _large_star(e).localCheckpoint(eager=True)
+        e = _small_star(e).localCheckpoint(eager=True)
         rounds += 1
         sig = e.agg(F.count(F.lit(1)),
                     F.coalesce(F.sum(F.xxhash64("a", "b")

@@ -182,26 +182,8 @@ def dd04(spark, sf):
         "detection — near-dup policy jaccard can't express)",
 )
 def dd07(spark, sf):
-    d = table(spark, sf, "documents")
-    sh = d.select(
-        F.col("doc_id"),
-        F.explode(F.array_distinct(D.word_shingles(F.col("text"), 2)))
-        .alias("shingle"))
-    card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("card"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                    & (F.col("a.doc_id") != F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("doc_a"),
-                      F.col("b.doc_id").alias("doc_b"))
-             .agg(F.count(F.lit(1)).alias("n_inter")))
-    ca = card.select(F.col("doc_id").alias("doc_a"),
-                     F.col("card").alias("card_a"))
-    return (inter.join(ca, "doc_a")
-            .withColumn("containment",
-                        F.round(F.col("n_inter").cast("double")
-                                / F.col("card_a"), 6))
-            .filter(F.col("containment") >= 0.4)
-            .select("doc_a", "doc_b", "containment"))
+    return D.containment_pairs(table(spark, sf, "documents"),
+                               n=2, threshold=0.4)
 
 
 # ------------------------------------------------------------------
