@@ -147,7 +147,11 @@ def triangle_count(edges: DataFrame, src: str = "src",
          .filter(F.col("a") != F.col("b")))
     canon = (e.select(F.least("a", "b").alias("a"),
                       F.greatest("a", "b").alias("b"))
-             .distinct())
+             .distinct()
+             # the triangle query references canon three times; cut
+             # the lineage so the (possibly expensive) edge subtree
+             # executes once, not three times
+             .localCheckpoint(eager=True))
     e1 = canon.alias("e1")
     e2 = canon.alias("e2")
     e3 = canon.alias("e3")
@@ -202,12 +206,14 @@ def star_components(edges: DataFrame, max_iter: int = 30,
     (O(diameter) rounds, one full shuffle each) is not on chain-shaped
     graphs. At fixpoint the edge set is a star per component rooted at
     the component's minimum node id."""
-    e = _canon_edges(edges.select(F.col(src).alias("a"),
-                                  F.col(dst).alias("b")))
-    nodes = (edges.select(F.col(src).alias("node"))
-             .union(edges.select(F.col(dst).alias("node")))
+    # materialize the projected edge list once — canon and the node
+    # set both derive from it (an expensive upstream, e.g. a near-dup
+    # pair generator, must not execute twice)
+    raw = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .localCheckpoint(eager=True))
+    e = _canon_edges(raw).localCheckpoint(eager=True)
+    nodes = (raw.select(F.explode(F.array("a", "b")).alias("node"))
              .distinct())
-    e = e.localCheckpoint(eager=True)
     sig_prev = None
     rounds = 0
     for _ in range(max_iter):
