@@ -50,3 +50,37 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
     out = big_s.join(small_r, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def hot_key_split_join(big: DataFrame, small: DataFrame, key: str,
+                       hot_threshold: int = 1_000_000,
+                       hot_keys: list | None = None,
+                       how: str = "inner") -> DataFrame:
+    """Split equi-join for keys too hot even for AQE's partition
+    splitting: the hot slice joins by broadcasting the matching build
+    rows (no shuffle of the hot rows at all), the cold remainder
+    shuffle-joins normally.
+
+    Hot keys are detected with one counting pass over `big` unless the
+    caller supplies them. Both branches re-read `big` — inherent to a
+    split join; on a parquet source that is two pruned scans, the
+    price for never materializing a single monster partition.
+    Supported `how`: 'inner' and 'left' (classification covers every
+    big row exactly once, so the union is exact)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"hot_key_split_join supports inner/left: {how}")
+    if hot_keys is not None:
+        hot = big.sparkSession.createDataFrame(
+            [(k,) for k in hot_keys], f"{key} {dict(big.dtypes)[key]}")
+    else:
+        hot = (big.groupBy(key)
+               .agg(F.count(F.lit(1)).alias("__n"))
+               .filter(F.col("__n") >= hot_threshold)
+               .select(key))
+    hot = F.broadcast(hot.localCheckpoint(eager=True))
+    big_hot = big.join(hot, key, "left_semi")
+    big_cold = big.join(hot, key, "left_anti")
+    small_hot = small.join(hot, key, "left_semi")
+    out_hot = big_hot.join(F.broadcast(small_hot), key, how)
+    out_cold = big_cold.join(small, key, how)
+    return out_hot.unionByName(out_cold)

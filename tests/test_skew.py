@@ -54,3 +54,31 @@ def test_salted_join_left(spark, skewed):
     salted = K.salted_join(skewed, dim, "k", n_salts=4,
                            salt_source="row_id", how="left").count()
     assert salted == direct
+
+
+def test_hot_key_split_join_matches_plain_join(spark):
+    """Split join == plain join on a skewed dataset, for inner and
+    left; the hot branch broadcasts its build rows."""
+    from nowdb_spark.operators.skew import hot_key_split_join
+
+    big = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, 1), (3, 2), (9, 0)],
+        "k long, v long")
+    small = spark.createDataFrame(
+        [(1, "hot"), (2, "cold"), (4, "unused")], "k long, name string")
+
+    for how in ("inner", "left"):
+        want = sorted(tuple(r) for r in big.join(small, "k", how).collect())
+        got_df = hot_key_split_join(big, small, "k",
+                                    hot_threshold=100, how=how)
+        got = sorted(tuple(r) for r in got_df.collect())
+        assert got == want, (how, len(got), len(want))
+    plan = (hot_key_split_join(big, small, "k", hot_threshold=100)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+
+    # caller-supplied hot keys skip the counting pass
+    got = sorted(tuple(r) for r in hot_key_split_join(
+        big, small, "k", hot_keys=[1]).collect())
+    want = sorted(tuple(r) for r in big.join(small, "k").collect())
+    assert got == want
