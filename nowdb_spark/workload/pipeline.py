@@ -187,10 +187,38 @@ def dd07(spark, sf):
 
 
 # ------------------------------------------------------------------
+def _simhash_oracle() -> str:
+    """DuckDB SimHash: 64 generated bit-sums (4 per hex digit) with
+    the same majority rule and token/md5 semantics as simhash64."""
+    sums = [
+        f"sum(((strpos('0123456789abcdef', substr(md5(tok), {pos}, 1))-1)"
+        f">>{b})&1) AS s_{pos}_{b}"
+        for pos in range(1, 17) for b in range(4)
+    ]
+    digit_exprs = []
+    for pos in range(1, 17):
+        val = " + ".join(
+            f"(CASE WHEN 2*s_{pos}_{b} > n THEN {1 << b} ELSE 0 END)"
+            for b in range(4))
+        digit_exprs.append(f"substr('0123456789abcdef', ({val}) + 1, 1)")
+    concat = " || ".join(digit_exprs)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+      FROM documents
+    ),
+    sums AS (
+      SELECT doc_id, count(*) AS n, {", ".join(sums)}
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, {concat} AS simhash FROM sums
+    """
+
+
 @register(
     "dd05_simhash",
-    None,  # bit-twiddling oracle omitted; covered by pytest vs python impl
-    doc="64-bit SimHash fingerprints (rows-only driver check)",
+    _simhash_oracle(),
+    doc="64-bit SimHash fingerprints (bit-exact DuckDB oracle)",
 )
 def dd05(spark, sf):
     return D.simhash_dedup(table(spark, sf, "documents"))
