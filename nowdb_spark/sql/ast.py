@@ -78,8 +78,10 @@ class Select:
     joins: list = field(default_factory=list)
     where: Optional[object] = None
     group_by: list = field(default_factory=list)   # [Field]
+    having: Optional[object] = None                # extension
     order_by: list = field(default_factory=list)   # [Field]
     limit: Optional[int] = None                    # extension
+    distinct: bool = False                         # extension
 
 
 # --- DDL -----------------------------------------------------------

@@ -238,6 +238,11 @@ class SelectBinder:
 
         has_aggs = any(self._item_aggs(it.expr) for it in sel.items)
 
+        if self.strict and (sel.distinct or sel.having is not None):
+            raise BindError(
+                "strict mode: DISTINCT/HAVING are extensions the "
+                "reference grammar does not accept (SURVEY §2.1)")
+
         if sel.group_by or has_aggs:
             df = self._bind_aggregation(df, sel, eb)
         else:
@@ -249,6 +254,9 @@ class SelectBinder:
                 cols.append(eb.bind(item.expr)
                             .alias(item.alias or _expr_name(item.expr, i)))
             df = df.select(*cols)
+
+        if sel.distinct:
+            df = df.distinct()
 
         if sel.order_by:
             # ascending only (nowdbsql.y:834-837); reference requires a
@@ -271,10 +279,14 @@ class SelectBinder:
         if self.strict:
             self._validate_strict(sel)
 
-        # collect every Agg node across items; bind each one once
+        # collect every Agg node across items (and HAVING, which may
+        # filter on aggregates absent from the select list); bind each
+        # one once
         agg_nodes: list[A.Agg] = []
         for item in sel.items:
             _collect_aggs(item.expr, agg_nodes)
+        if sel.having is not None:
+            _collect_aggs(sel.having, agg_nodes)
         agg_cols: dict[int, Column] = {}
         agg_names: dict[int, str] = {}
         for k, node in enumerate(agg_nodes):
@@ -326,7 +338,17 @@ class SelectBinder:
                     out = F.when(cc, tc) if out is None else out.when(cc, tc)
                 return out.otherwise(rebind(node.else_, i)) \
                     if node.else_ is not None else out
+            if isinstance(node, A.IsNull):
+                c = rebind(node.expr, i)
+                return c.isNotNull() if node.negated else c.isNull()
+            if isinstance(node, A.InExpr):
+                return rebind(node.expr, i).isin(
+                    [v.value for v in node.values])
             raise BindError(f"cannot rebind {node!r}")
+
+        if sel.having is not None:
+            # post-aggregation filter over group keys / bound aggs
+            agged = agged.filter(rebind(sel.having, 0))
 
         cols = []
         for i, item in enumerate(sel.items):

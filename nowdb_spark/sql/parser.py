@@ -448,6 +448,7 @@ class Parser:
     # --- DQL -------------------------------------------------------
     def select_stmt(self):
         self.eat_kw("select")
+        distinct = bool(self.try_kw("distinct"))
         items = [self.select_item()]
         while self.at_sym(","):
             self.next()
@@ -473,6 +474,7 @@ class Parser:
                 joins.append(A.JoinClause(vertex, on, alias))
         if self.try_kw("where"):
             where = self.expr()
+        having = None
         if self.at_kw("group"):
             self.next()
             self.eat_kw("by")
@@ -480,6 +482,8 @@ class Parser:
             while self.at_sym(","):
                 self.next()
                 group_by.append(self.field_ref())
+            if self.try_kw("having"):
+                having = self.expr()
         if self.at_kw("order"):
             self.next()
             self.eat_kw("by")
@@ -489,7 +493,8 @@ class Parser:
                 order_by.append(self.field_ref())
         if self.try_kw("limit"):
             limit = int(self.next().value)
-        return A.Select(items, target, joins, where, group_by, order_by, limit)
+        return A.Select(items, target, joins, where, group_by,
+                        having, order_by, limit, distinct)
 
     def select_item(self):
         if self.at_sym("*"):

@@ -564,3 +564,43 @@ def test_merge_upsert(spark, tmp_path_factory):
     r = e.execute("merge into price using newprice on k "
                   "when matched then update set v = v")
     assert not r.ok() and "not unique" in r.details()
+
+
+def test_distinct_and_having(eng, data):
+    """Dialect extensions: SELECT DISTINCT and GROUP BY ... HAVING
+    (the reference grammar has neither — SURVEY §2.1 non-features)."""
+    got = rows(eng.execute("select distinct prod_cat from product"))
+    assert sorted(v for v, in got) == sorted({p[2] for p in data["products"]})
+
+    got = rows(eng.execute(
+        "select origin, count(*) from buys group by origin "
+        "having count(*) > 10 order by origin"))
+    per = {}
+    for b in data["buys"]:
+        per[b[0]] = per.get(b[0], 0) + 1
+    want = sorted((o, c) for o, c in per.items() if c > 10)
+    assert got == want, (got, want)
+
+    # HAVING on an aggregate absent from the select list
+    got = rows(eng.execute(
+        "select origin from buys group by origin "
+        "having sum(quantity) > 60 order by origin"))
+    per_q = {}
+    for b in data["buys"]:
+        per_q[b[0]] = per_q.get(b[0], 0) + b[3]
+    assert [o for o, in got] == sorted(o for o, q in per_q.items() if q > 60)
+
+    # distinct composes with expressions
+    got = rows(eng.execute("select distinct prod_cat % 2 from product"))
+    assert sorted(v for v, in got) == [0, 1]
+
+
+def test_distinct_having_rejected_in_strict_mode(spark, tmp_path_factory):
+    e = Engine(spark, tmp_path_factory.mktemp("strict_dh"), strict=True)
+    assert e.execute("create scope sdh").ok()
+    assert e.execute("use sdh").ok()
+    assert e.execute("create type t (k uint pk, v uint)").ok()
+    r = e.execute("select distinct v from t")
+    assert not r.ok() and "strict" in r.details()
+    r = e.execute("select k, count(*) from t group by k having count(*) > 1")
+    assert not r.ok() and "strict" in r.details()
