@@ -300,6 +300,8 @@ class Engine:
         sc = self._need_scope()
         tdef = sc.get_type(n.target)
         schema = tdef.spark_schema()
+        if n.select is not None:
+            return self._insert_select(sc, n, tdef)
         fields = n.fields or [p.name for p in tdef.props]
         if len(fields) != len(n.values):
             raise EngineError("INSERT: field/value count mismatch")
@@ -332,6 +334,55 @@ class Engine:
         write_context(row, sc.context_dir(n.target), tdef, n=1,
                       codec=self._codec(tdef))
         return ReportResult(affected=1)
+
+    def _insert_select(self, sc: Scope, n: A.Insert,
+                       tdef: TypeDef) -> Result:
+        """INSERT INTO t [(fields)] SELECT ... — extension (the
+        reference only has VALUES). The select's columns map
+        positionally onto the field list (or the leading props);
+        missing props become NULL, an omitted INC prop receives the
+        next dense block of the sequence (the block assignment uses a
+        global row_number — single-task; bulk loads that need a
+        distributed sequence should carry their own key)."""
+        df = self._bind_select(n.select)
+        fields = n.fields or [p.name for p in tdef.props][:len(df.columns)]
+        if len(df.columns) != len(fields):
+            raise EngineError(
+                f"INSERT SELECT: {len(fields)} fields but select "
+                f"produces {len(df.columns)} columns")
+        types = tdef.prop_types()
+        for f in fields:
+            if f not in types:
+                raise EngineError(f"unknown field {f!r}")
+        schema = tdef.spark_schema()
+        out = df.select(*[F.col(c).alias(f)
+                          for c, f in zip(df.columns, fields)])
+        affected = out.count()
+        for p in tdef.props:
+            if p.name in fields:
+                continue
+            if p.inc and affected:
+                from pyspark.sql import Window as _W
+                start = self._reserve_inc(sc, n.target, p.name, affected)
+                seq = (F.row_number().over(
+                    _W.orderBy(F.monotonically_increasing_id()))
+                    + F.lit(start - 1))
+                out = out.withColumn(p.name, seq)
+            else:
+                out = out.withColumn(p.name, F.lit(None))
+        out = out.select(
+            *[F.col(p.name).cast(schema[p.name].dataType).alias(p.name)
+              for p in tdef.props])
+        write_context(out, sc.context_dir(n.target), tdef, n=affected,
+                      codec=self._codec(tdef))
+        return ReportResult(affected=affected)
+
+    def _reserve_inc(self, sc, target: str, prop: str, count: int) -> int:
+        """Reserve a dense block of `count` INC values; returns the
+        first."""
+        start = self._next_inc(sc, target, prop)
+        self._inc_counters[(sc.name, target, prop)] = start + count
+        return start
 
     def _next_inc(self, sc, target: str, prop: str) -> int:
         """Next value of a context's INC sequence — dense from 1.

@@ -20,6 +20,7 @@ class Const:
 class Field:
     name: str
     qualifier: Optional[str] = None   # alias in joins: a.field
+    desc: bool = False                # ORDER BY direction (extension)
 
 
 @dataclass
@@ -182,7 +183,8 @@ class Desc:
 class Insert:
     target: str
     fields: Optional[list]   # None = positional
-    values: list             # [expr]
+    values: list             # [expr]; empty when select is set
+    select: Optional[object] = None   # INSERT ... SELECT (extension)
 
 
 @dataclass

@@ -16,7 +16,8 @@ Semantics carried over:
     sub-aggregates (doc/manual/sql.tex:1189-1208)
   - GROUP BY restriction (select list = group keys + aggregates,
     sql.tex:2659-2697) is *lifted*; strict=True re-imposes it
-  - ORDER BY ascending only (grammar nowdbsql.y:834-837)
+  - ORDER BY defaults ascending (grammar nowdbsql.y:834-837 has no
+    direction); ASC|DESC accepted as an extension
 """
 
 from __future__ import annotations
@@ -378,4 +379,4 @@ class SelectBinder:
 
 
 def _order_col(f: A.Field, sel: A.Select, df: DataFrame) -> Column:
-    return F.col(f.name).asc()
+    return F.col(f.name).desc() if f.desc else F.col(f.name).asc()

@@ -299,6 +299,10 @@ class Parser:
                 self.next()
                 fields.append(self.ident())
             self.eat_sym(")")
+        if self.at_kw("select"):
+            # INSERT INTO t [(fields)] SELECT ... (extension; the
+            # reference only has VALUES)
+            return A.Insert(target, fields, [], self.select_stmt())
         self.eat_kw("values")
         self.eat_sym("(")
         values = [self.expr()]
@@ -487,10 +491,10 @@ class Parser:
         if self.at_kw("order"):
             self.next()
             self.eat_kw("by")
-            order_by = [self.field_ref()]
+            order_by = [self.order_ref()]
             while self.at_sym(","):
                 self.next()
-                order_by.append(self.field_ref())
+                order_by.append(self.order_ref())
         if self.try_kw("limit"):
             limit = int(self.next().value)
         return A.Select(items, target, joins, where, group_by,
@@ -505,6 +509,16 @@ class Parser:
         if self.try_kw("as"):
             alias = self.ident()
         return A.SelectItem(e, alias)
+
+    def order_ref(self):
+        # ORDER BY item with optional ASC|DESC (the reference sorts
+        # ascending only, nowdbsql.y:834-837 — DESC is an extension)
+        f = self.field_ref()
+        if self.try_kw("desc"):
+            f.desc = True
+        else:
+            self.try_kw("asc")
+        return f
 
     def field_ref(self):
         name = self.ident()

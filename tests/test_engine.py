@@ -604,3 +604,42 @@ def test_distinct_having_rejected_in_strict_mode(spark, tmp_path_factory):
     assert not r.ok() and "strict" in r.details()
     r = e.execute("select k, count(*) from t group by k having count(*) > 1")
     assert not r.ok() and "strict" in r.details()
+
+
+def test_order_by_desc(eng, data):
+    all_keys = sorted(k for k, in rows(eng.execute(
+        "select prod_key from product")))
+    got = rows(eng.execute(
+        "select prod_key from product order by prod_key desc limit 3"))
+    assert [k for k, in got] == all_keys[::-1][:3]
+    got = rows(eng.execute(
+        "select prod_cat, prod_key from product "
+        "order by prod_cat desc, prod_key asc limit 2"))
+    assert got[0][0] == 4 and got[0][1] < got[1][1]
+
+
+def test_insert_select(spark, tmp_path_factory):
+    """INSERT ... SELECT (extension): positional mapping, NULL fill,
+    INC block assignment."""
+    e = Engine(spark, tmp_path_factory.mktemp("insel"))
+    assert e.execute("create scope insel").ok()
+    assert e.execute("use insel").ok()
+    assert e.execute("create type src (k uint pk, v float)").ok()
+    assert e.execute(
+        "create type dst (row_id uint pk inc, k uint, v float, "
+        "note text)").ok()
+    for k in range(5):
+        assert e.execute(
+            f"insert into src values ({k}, {float(k) * 1.5})").ok()
+    r = e.execute("insert into dst (k, v) select k, v from src "
+                  "where k >= 2")
+    assert r.ok() and r.affected == 3, r.details()
+    got = rows(e.execute("select row_id, k, v, note from dst"))
+    assert sorted(r[0] for r in got) == [1, 2, 3]       # dense INC block
+    assert {(r[1], r[2]) for r in got} == {(2, 3.0), (3, 4.5), (4, 6.0)}
+    assert all(r[3] is None for r in got)               # NULL fill
+    # sequence continues after the block
+    assert e.execute("insert into dst (k, v) values (9, 9.0)").ok()
+    got = dict((r[0], r[1]) for r in
+               rows(e.execute("select row_id, k from dst")))
+    assert got[4] == 9
