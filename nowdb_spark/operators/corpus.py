@@ -1,0 +1,191 @@
+"""Corpus-curation operators for training-data pipelines.
+
+Repetition/quality filters (in the spirit of the published Gopher/C4
+rules), PII scanning and masking, deterministic train/valid/test
+splits, stratified sampling, and eval-set contamination checks.
+
+The reference engine has no corpus operators — this module is part of
+the LLM-pipeline extension the brief mandates on top of nowdb's query
+surface. Scale notes per function; the common theme: everything per-row
+is a pure Column expression (whole-stage codegen, zero shuffle), the
+only wide operations are an aggregation keyed by document and one
+broadcast join against the (small) eval set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from nowdb_spark.operators import textops as T
+
+# PII patterns: kept RE2-compatible (no backrefs/lookaround) so the
+# DuckDB oracle can run the identical strings.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"([0-9]{1,3}\.){3}[0-9]{1,3}",
+    "id_number": r"[0-9]{6,}",
+}
+PII_MASK = "<PII>"
+
+
+def word_ngrams(ws: Column, n: int) -> Column:
+    """Word n-grams (space-joined) from a word array; empty array when
+    the document is shorter than n words (Spark's sequence(1, 0) counts
+    DOWN, so the guard is load-bearing)."""
+    if n == 1:
+        return ws
+    return F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - F.lit(n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ws, i + F.lit(k)) for k in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-word
+    fraction, duplicate-bigram fraction, and the fraction of bigram
+    mass taken by the single most frequent bigram.
+
+    All array expressions over one row — per-row map, no shuffle, so it
+    streams through a 100 TB corpus at scan speed. The top-bigram scan
+    is O(distinct x total) per doc; fine for documents, not for books —
+    chunk first.
+    """
+    ws = T.words(F.col(text_col))
+    bg = word_ngrams(ws, 2)
+    n_w = F.size(ws).cast("long")
+    n_b = F.size(bg).cast("long")
+    top = F.array_max(F.transform(
+        F.array_distinct(bg),
+        lambda x: F.size(F.filter(bg, lambda y: y == x))))
+    return df.select(
+        id_col,
+        n_w.alias("n_words"),
+        n_b.alias("n_bigrams"),
+        F.round(F.lit(1.0) - F.size(F.array_distinct(ws))
+                / n_w.cast("double"), 6).alias("dup_word_frac"),
+        F.round(F.lit(1.0) - F.size(F.array_distinct(bg))
+                / n_b.cast("double"), 6).alias("dup_bigram_frac"),
+        F.round(top.cast("double") / n_b.cast("double"), 6)
+        .alias("top_bigram_frac"),
+    )
+
+
+def pii_scan(df: DataFrame, text_col: str, id_col: str,
+             patterns: dict | None = None) -> DataFrame:
+    """Count PII-pattern hits per document and emit a masked copy of
+    the text (every hit replaced by <PII>). Pure regex Columns —
+    per-row map, zero shuffle. At 100 TB the regex set should be
+    anchored/bounded (RE2-style linear-time patterns, as here); masking
+    rewrites the text column in place of a second pass.
+    """
+    pats = patterns or PII_PATTERNS
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(p), 0))
+        .cast("long").alias(f"n_{name}")
+        for name, p in pats.items()
+    ]
+    masked = F.col(text_col)
+    for p in pats.values():
+        masked = F.regexp_replace(masked, p, PII_MASK)
+    return df.select(id_col, *counts, masked.alias("masked"))
+
+
+def hash_bucket(key: Column, n: int = 100) -> Column:
+    """Deterministic bucket in [0, n): integer value of the first 4 hex
+    digits of md5(key) modulo n. Engine-portable (anything with md5
+    reproduces it bit-exactly — the DuckDB oracle does) and stable
+    across runs/cluster sizes, which is what a train/test split must
+    be. Per-row map, no shuffle."""
+    return (F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10)
+            .cast("long") % n)
+
+
+def with_split(df: DataFrame, id_col: str = "doc_id",
+               train_pct: int = 80, valid_pct: int = 10) -> DataFrame:
+    """Deterministic train/valid/test assignment by hash bucket of the
+    document id. Unlike randomSplit, membership is a property of the
+    row, not of the run: re-runs, resharded inputs, and incremental
+    appends all land each doc in the same split."""
+    b = hash_bucket(F.col(id_col))
+    split = (F.when(b < train_pct, F.lit("train"))
+             .when(b < train_pct + valid_pct, F.lit("valid"))
+             .otherwise(F.lit("test")))
+    return df.withColumn("split", split)
+
+
+def stratified_sample(df: DataFrame, strata_col: str, k: int,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Deterministic exact-k-per-stratum sample: rank rows inside each
+    stratum by (md5(id), id) — a reproducible uniform order — and keep
+    the first k. One shuffle on the strata key; skewed strata are
+    bounded by rank truncation. At 100 TB, when exact k is not
+    required, prefer hash_bucket(id) < p (Bernoulli, zero shuffle)."""
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    return (df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k))
+
+
+def contamination(docs: DataFrame, eval_docs: DataFrame, n: int = 5,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Eval-set contamination: for each corpus document, the number of
+    its distinct word n-grams that also occur anywhere in the eval set
+    (docs with zero overlap are absent — inner join).
+
+    Shape for 100 TB: the corpus side is a map-side explode of distinct
+    n-gram hashes (md5, fixed 32 bytes — the raw text never shuffles);
+    the eval n-gram set is tiny relative to the corpus and is broadcast,
+    so the corpus scan stays embarrassingly parallel and the only wide
+    op is the final per-doc count. If the eval set outgrows a broadcast
+    (~GBs of hashes), fall back to a shuffle join on the hash — still
+    one shuffle of (doc_id, hash) pairs.
+    """
+    def grams(frame: DataFrame, keep_id: bool):
+        g = word_ngrams(T.words(F.col(text_col)), n)
+        cols = [id_col] if keep_id else []
+        return frame.select(
+            *cols, F.explode(F.array_distinct(g)).alias("gram")
+        ).withColumn("gh", F.md5(F.col("gram"))).drop("gram")
+
+    ev = grams(eval_docs, keep_id=False).distinct()
+    return (grams(docs, keep_id=True)
+            .join(F.broadcast(ev), "gh")
+            .groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_hit_grams")))
+
+
+def clean_corpus(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", lang: str = "en",
+                 min_words: int = 20, max_words: int = 100000,
+                 max_dup_word_frac: float = 0.75) -> DataFrame:
+    """End-to-end curation filter: language gate + length gate +
+    repetition gate + exact-dedup canonicalization. Returns surviving
+    rows with their word counts.
+
+    One pass of per-row Columns plus a single shuffle on the 16-byte
+    content hash (the dedup window) — the classic first stage of a
+    training-data pipeline. Near-dedup (MinHash-LSH, operators.dedup)
+    runs downstream on the survivors.
+    """
+    ws = T.words(F.col(text_col))
+    n_w = F.size(ws).cast("long")
+    dwf = (F.lit(1.0) - F.size(F.array_distinct(ws))
+           / n_w.cast("double"))
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    return (docs
+            .withColumn("n_words", n_w)
+            .withColumn("_dwf", dwf)
+            .withColumn("_canon", F.min(id_col).over(w))
+            .filter((F.col("lang") == lang)
+                    & (F.col("n_words") >= min_words)
+                    & (F.col("n_words") <= max_words)
+                    & (F.col("_dwf") <= max_dup_word_frac)
+                    & (F.col(id_col) == F.col("_canon")))
+            .drop("_dwf", "_canon"))

@@ -50,6 +50,7 @@ from nowdb_spark.workload import dialect  # noqa: E402,F401
 from nowdb_spark.workload import graph  # noqa: E402,F401
 from nowdb_spark.workload import pipeline  # noqa: E402,F401
 from nowdb_spark.workload import timeseries  # noqa: E402,F401
+from nowdb_spark.workload import cleaning  # noqa: E402,F401
 
 
 # ------------------------------------------------------------------
@@ -72,8 +73,7 @@ _PRIORITY_ORDER = [
     "q21_prod", "q22_sessionize", "q23_asof_view_before_purchase",
     "q28_priority_classes", "q31_mode",
     # dialect front-end (parser → binder → DataFrame) representatives
-    "nq02_dialect_formulas", "nq04_dialect_time_range",
-    "nq07_dialect_many_aggs",
+    "nq02_dialect_formulas", "nq07_dialect_many_aggs",
     # graph operators
     "g01_cosupply_pairs", "g02_triangles", "g03_components",
     "g04_pagerank", "g05_khop_reach",
@@ -85,12 +85,15 @@ _PRIORITY_ORDER = [
     "tx01_text_stats", "tx02_quality_lang", "tx03_fingerprint",
     "tx04_token_count",
     # similarity search
-    "ann01_bruteforce_topk", "ann02_centroid_norm", "ann03_lsh_topk",
+    "ann01_bruteforce_topk", "ann03_lsh_topk",
     # multimodal
     "mm01_extract_meta",
     # time-series
     "ts01_downsample", "ts02_moving_avg", "ts03_integral",
     "ts04_gap_fill", "ts05_ohlc",
+    # corpus curation (cleaning.py; tx05/pii01/sp01/sm01 are the
+    # relegated, pytest-verified spellings of the same family)
+    "cx01_contamination", "cc01_clean_corpus",
 ]                                                # exactly 50 entries
 
 

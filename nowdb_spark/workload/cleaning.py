@@ -1,0 +1,185 @@
+"""Corpus-curation workload — repetition filters, PII scan,
+deterministic splits, stratified sampling, contamination, end-to-end
+cleaning — each paired with a bit-exact DuckDB oracle.
+
+Oracle notes:
+  - the md5 hash bucket is recomputed digit-by-digit in SQL via
+    strpos('0123456789abcdef', ...) (same trick as the SimHash oracle);
+  - DuckDB regexp_replace needs the 'g' flag to match Spark's
+    replace-all semantics;
+  - fractions are single double divisions of identical integers on
+    both sides, so comparisons/rounding are bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nowdb_spark.operators import corpus as C
+from nowdb_spark.workload import register, table
+
+_WORDS = "w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)"
+
+
+def _md5_hex4(expr: str) -> str:
+    """SQL for the integer value of the first 4 hex digits of
+    md5(expr) — DuckDB has no hex→int conversion, so walk digits."""
+    digit = ("(strpos('0123456789abcdef', "
+             f"substr(md5({expr}), {{p}}, 1)) - 1)")
+    d = [digit.format(p=p) for p in (1, 2, 3, 4)]
+    return f"((({d[0]} * 16 + {d[1]}) * 16 + {d[2]}) * 16 + {d[3]})"
+
+
+# ------------------------------------------------------------------
+@register(
+    "tx05_repetition",
+    f"""
+    WITH {_WORDS},
+    bg AS (SELECT doc_id, ws,
+                  list_transform(generate_series(1, len(ws) - 1),
+                                 i -> ws[i] || ' ' || ws[i+1]) AS bs
+           FROM w)
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(len(bs) AS BIGINT) AS n_bigrams,
+           round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws),
+                 6) AS dup_word_frac,
+           round(1.0 - CAST(len(list_distinct(bs)) AS DOUBLE) / len(bs),
+                 6) AS dup_bigram_frac,
+           round(CAST(list_max(list_transform(list_distinct(bs),
+                     x -> len(list_filter(bs, y -> y = x)))) AS DOUBLE)
+                 / len(bs), 6) AS top_bigram_frac
+    FROM bg
+    """,
+    doc="Gopher-style repetition signals (dup word/bigram fractions, "
+        "top-bigram mass)",
+)
+def tx05(spark, sf):
+    return C.repetition_stats(table(spark, sf, "documents"))
+
+
+# ------------------------------------------------------------------
+def _pii_oracle() -> str:
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(c_name, '{p}')) AS BIGINT) "
+        f"AS n_{name}"
+        for name, p in C.PII_PATTERNS.items())
+    masked = "c_name"
+    for p in C.PII_PATTERNS.values():
+        masked = f"regexp_replace({masked}, '{p}', '{C.PII_MASK}', 'g')"
+    return f"""
+    SELECT c_custkey,
+           {counts},
+           {masked} AS masked
+    FROM customer
+    """
+
+
+@register(
+    "pii01_scan_mask",
+    _pii_oracle(),
+    doc="PII pattern counts + masked text (email/ipv4/id-number "
+        "regexes over customer names)",
+)
+def pii01(spark, sf):
+    return C.pii_scan(table(spark, sf, "customer"), "c_name", "c_custkey")
+
+
+# ------------------------------------------------------------------
+@register(
+    "sp01_hash_split",
+    f"""
+    WITH b AS (
+      SELECT n_chars,
+             {_md5_hex4("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+      FROM documents)
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'valid'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM b GROUP BY 1
+    """,
+    doc="deterministic md5-bucket train/valid/test split (80/10/10)",
+)
+def sp01(spark, sf):
+    return (C.with_split(table(spark, sf, "documents"))
+            .groupBy("split")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("sum_chars")))
+
+
+# ------------------------------------------------------------------
+@register(
+    "sm01_stratified_sample",
+    """
+    SELECT source, doc_id, rk FROM (
+      SELECT source, doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+             AS BIGINT) AS rk
+      FROM documents)
+    WHERE rk <= 5
+    """,
+    doc="deterministic exact-k-per-stratum sample (rank by md5(id))",
+)
+def sm01(spark, sf):
+    return (C.stratified_sample(table(spark, sf, "documents"),
+                                "source", k=5)
+            .select("source", "doc_id", F.col("rk").cast("long").alias("rk")))
+
+
+# ------------------------------------------------------------------
+@register(
+    "cx01_contamination",
+    """
+    WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+               FROM documents),
+    g AS (SELECT doc_id, source,
+                 ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                       || ws[i+3] || ' ' || ws[i+4] AS gram
+          FROM (SELECT doc_id, source, ws,
+                       unnest(generate_series(1, len(ws) - 4)) AS i
+                FROM w)),
+    tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE source <> 'src0'),
+    ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0')
+    SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+    FROM tr JOIN ev USING (gram) GROUP BY tr.doc_id
+    """,
+    doc="eval-set contamination: distinct 5-gram overlap vs the "
+        "src0 slice (broadcast eval n-gram hashes)",
+)
+def cx01(spark, sf):
+    docs = table(spark, sf, "documents")
+    return C.contamination(docs.filter(F.col("source") != "src0"),
+                           docs.filter(F.col("source") == "src0"), n=5)
+
+
+# ------------------------------------------------------------------
+@register(
+    "cc01_clean_corpus",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents),
+    st AS (SELECT d.doc_id, d.source, d.lang,
+                  CAST(len(ws) AS BIGINT) AS n_words,
+                  1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)
+                    AS dwf,
+                  min(d.doc_id) OVER (PARTITION BY md5(d.text)) AS canon
+           FROM documents d JOIN w USING (doc_id))
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS sum_words
+    FROM st
+    WHERE lang = 'en' AND n_words BETWEEN 20 AND 100000
+      AND dwf <= 0.75 AND doc_id = canon
+    GROUP BY source
+    """,
+    doc="end-to-end curation: lang + length + repetition + exact-dedup "
+        "canonical, per-source survivor counts",
+)
+def cc01(spark, sf):
+    cc = C.clean_corpus(table(spark, sf, "documents"))
+    return (cc.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_words").cast("long").alias("sum_words")))
