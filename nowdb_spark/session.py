@@ -37,6 +37,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # bytes-based coalescing misjudges CPU-heavy, highly
+        # compressible shuffles (e.g. 8.7M packed pair rows compress
+        # to ~2MB and get squeezed onto 2 tasks, serializing the
+        # aggregate — measured 2x slowdown on g01). A small floor only
+        # raises parallelism when shuffle bytes are tiny; at real
+        # scale partitions never shrink to 64KB, so the cluster
+        # behavior is unchanged.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                "64KB")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

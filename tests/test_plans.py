@@ -117,3 +117,36 @@ def test_timeseries_no_python(spark):
         plan = plan_of(spark, name)
         assert "BatchEvalPython" not in plan
         assert "MapInPandas" not in plan, f"{name} leaves the JVM"
+
+
+def test_corpus_ops_stay_jvm_side(spark):
+    # per-row curation signals must be pure Column expressions
+    for name in ["tx05_repetition", "pii01_scan_mask", "sp01_hash_split",
+                 "cx01_contamination", "cc01_clean_corpus"]:
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, f"{name} row-Python"
+        assert "MapInPandas" not in plan, f"{name} leaves the JVM"
+
+
+def test_hash_split_no_shuffle_before_agg(spark):
+    # split assignment is a per-row map; the ONLY exchange is the
+    # final tiny 3-group aggregate
+    plan = plan_of(spark, "sp01_hash_split")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2500]
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    # the eval n-gram set must broadcast; the corpus side must not
+    # shuffle raw text — only (doc_id, hash) pairs into the count agg
+    plan = plan_of(spark, "cx01_contamination")
+    assert "BroadcastHashJoin" in plan, plan[:2500]
+    # exactly two exchanges: the (tiny) eval-side gram distinct and
+    # the final per-doc count — the corpus text itself never shuffles
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:2500]
+
+
+def test_clean_corpus_single_content_hash_shuffle(spark):
+    # lang/length/repetition gates are map-side; the dedup window is
+    # the one wide op
+    plan = plan_of(spark, "cc01_clean_corpus")
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:2500]
