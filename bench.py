@@ -98,12 +98,41 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
         assert n >= 0 and n2 == n
     total = round(sum(timings.values()), 4)
+
+    # Per-node throughput on a 10M-row generated table — the honest
+    # comparison against BASELINE.md (its ~32M rec/s scan / ~5.8M
+    # rec/s insert were measured at 100M+ rows, where the ~0.3s task
+    # floor that dominates sf0.1 vanishes). Warm scan pass is timed;
+    # the write is a single full parquet rewrite.
+    tput: dict[str, float] = {}
+    n_rows = int(os.environ.get("SPARK_GRAFT_TPUT_ROWS", "10000000"))
+    with tempfile.TemporaryDirectory() as tmp:
+        gen = spark.range(n_rows).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 1000).alias("key2"),
+            ((F.col("id") * 7) % 104729).cast("double").alias("v"),
+            (F.lit(1_500_000_000_000_000_000)
+             + F.col("id") * 1_000_000).alias("stamp"))
+        gen.write.mode("overwrite").parquet(f"{tmp}/src")
+        src = spark.read.parquet(f"{tmp}/src")
+        src.agg(*[F.count(c) for c in src.columns]).collect()   # warm
+        t0 = time.perf_counter()
+        src.agg(*[F.count(c) for c in src.columns]).collect()
+        tput["scan_rows_per_sec"] = round(
+            n_rows / (time.perf_counter() - t0))
+        t0 = time.perf_counter()
+        src.write.mode("overwrite").parquet(f"{tmp}/out")
+        tput["write_rows_per_sec"] = round(
+            n_rows / (time.perf_counter() - t0))
+        tput["rows"] = n_rows
+
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "queries_cold": cold,
+        "throughput": tput,
         "sf": sf,
     }))
     spark.stop()
