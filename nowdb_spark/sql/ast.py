@@ -55,6 +55,21 @@ class IsNull:
     negated: bool
 
 
+@dataclass
+class WindowExpr:
+    """fn(args) OVER ([PARTITION BY ...] [ORDER BY ...] [ROWS ...]) —
+    extension (the reference grammar has no window functions; bound to
+    pyspark.sql.Window)."""
+    name: str                       # window/aggregate function name
+    args: list                      # bound per-function
+    partition_by: list              # [Field]
+    order_by: list                  # [Field] (desc honored)
+    # frame: (start, end) where each bound is an int row offset
+    # (negative = preceding), or None for UNBOUNDED in that direction;
+    # the whole attribute is None when no ROWS clause was given
+    frame: Optional[tuple] = None
+
+
 # --- projections / select ------------------------------------------
 
 @dataclass

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nowdb_spark import timeutil as TU
@@ -61,6 +61,16 @@ def _apply_cmp(op: str, left: Column, right: Column) -> Column:
     if op == "<=":
         return left <= right
     return left >= right
+
+
+# window-capable functions (extension; `.over()` must be applied to
+# the bare function column, so composed AGGREGATES builders — median,
+# prod, mode — are deliberately not window-callable)
+_WINDOW_RANKING = {"row_number": F.row_number, "rank": F.rank,
+                   "dense_rank": F.dense_rank}
+_WINDOW_AGGS = {"sum": F.sum, "avg": F.avg, "count": F.count,
+                "min": F.min, "max": F.max, "stddev": F.stddev_samp,
+                "first_value": F.first, "last_value": F.last}
 
 
 class ExprBinder:
@@ -123,9 +133,58 @@ class ExprBinder:
             return out
         if isinstance(node, A.Op):
             return self._bind_op(node)
+        if isinstance(node, A.WindowExpr):
+            return self._bind_window(node)
         if isinstance(node, A.Agg):
             raise BindError("aggregate not allowed here")
         raise BindError(f"cannot bind {node!r}")
+
+    def _bind_window(self, node: A.WindowExpr) -> Column:
+        w = Window.partitionBy(
+            *[self.resolver(f.qualifier, f.name) for f in node.partition_by])
+        if node.order_by:
+            w = w.orderBy(*[
+                self.resolver(f.qualifier, f.name).desc() if f.desc
+                else self.resolver(f.qualifier, f.name).asc()
+                for f in node.order_by])
+        if node.frame is not None:
+            lo, hi = node.frame
+            w = w.rowsBetween(
+                Window.unboundedPreceding if lo is None else lo,
+                Window.unboundedFollowing if hi is None else hi)
+        name = node.name
+        if name in _WINDOW_RANKING:
+            if not node.order_by:
+                raise BindError(f"{name}() OVER requires ORDER BY")
+            if node.args:
+                raise BindError(f"{name}() takes no arguments")
+            return _WINDOW_RANKING[name]().over(w)
+        if name in ("lag", "lead"):
+            if not node.order_by:
+                raise BindError(f"{name}() OVER requires ORDER BY")
+            if not 1 <= len(node.args) <= 3:
+                raise BindError(f"{name}(col[, n[, default]])")
+            col = self.bind(node.args[0])
+            n = 1
+            if len(node.args) >= 2:
+                if not (isinstance(node.args[1], A.Const)
+                        and node.args[1].type == "int"):
+                    raise BindError(f"{name}: offset must be an int literal")
+                n = node.args[1].value
+            dflt = None
+            if len(node.args) == 3:
+                if not isinstance(node.args[2], A.Const):
+                    raise BindError(f"{name}: default must be a literal")
+                dflt = node.args[2].value
+            fn = F.lag if name == "lag" else F.lead
+            return fn(col, n, dflt).over(w)
+        if name in _WINDOW_AGGS:
+            if name == "count" and not node.args:
+                return F.count(F.lit(1)).over(w)
+            if len(node.args) != 1:
+                raise BindError(f"{name}(col) OVER takes one argument")
+            return _WINDOW_AGGS[name](self.bind(node.args[0])).over(w)
+        raise BindError(f"{name!r} is not window-callable")
 
     def _bind_op(self, node: A.Op) -> Column:
         name = node.name
@@ -160,6 +219,8 @@ def _expr_name(node, idx: int) -> str:
         inner = _expr_name(node.arg, idx) if node.arg else "*"
         return f"{node.name}_{inner}" if node.arg else node.name
     if isinstance(node, A.Op):
+        return f"{node.name}_{idx}"
+    if isinstance(node, A.WindowExpr):
         return f"{node.name}_{idx}"
     return f"col_{idx}"
 
@@ -243,6 +304,11 @@ class SelectBinder:
             raise BindError(
                 "strict mode: DISTINCT/HAVING are extensions the "
                 "reference grammar does not accept (SURVEY §2.1)")
+        if self.strict and any(isinstance(it.expr, A.WindowExpr)
+                               for it in sel.items):
+            raise BindError(
+                "strict mode: window functions (OVER) are an extension "
+                "the reference grammar does not accept (SURVEY §2.1)")
 
         if sel.group_by or has_aggs:
             df = self._bind_aggregation(df, sel, eb)

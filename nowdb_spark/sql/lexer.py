@@ -34,6 +34,10 @@ KEYWORDS = {
     # misc
     "true", "false", "join", "limit", "for", "reading", "writing",
     "timeout",
+    # window functions (extension — the reference grammar has no OVER,
+    # nowdbsql.y; Spark's Window frames back the semantics)
+    "over", "partition", "rows", "between", "preceding", "following",
+    "unbounded", "current",
 }
 
 SYMBOLS = [

@@ -657,6 +657,8 @@ class Parser:
                 if self.at_sym("*"):
                     self.next()
                     self.eat_sym(")")
+                    if self.at_kw("over"):
+                        return self.window_spec(name.lower(), [])
                     return A.Agg(name.lower(), None)
                 args = []
                 if not self.at_sym(")"):
@@ -666,6 +668,8 @@ class Parser:
                         args.append(self.expr())
                 self.eat_sym(")")
                 lname = name.lower()
+                if self.at_kw("over"):
+                    return self.window_spec(lname, args)
                 if lname in AGGREGATES:
                     return A.Agg(lname, args[0] if args else None)
                 return A.Op(lname, args)
@@ -674,6 +678,51 @@ class Parser:
                 return A.Field(self.ident(), qualifier=name)
             return A.Field(name)
         raise ParseError(f"unexpected token {t} in expression")
+
+    def window_spec(self, fname: str, args: list):
+        """OVER ([PARTITION BY f,...] [ORDER BY f [desc],...]
+        [ROWS BETWEEN b AND b]) — extension; see ast.WindowExpr."""
+        self.eat_kw("over")
+        self.eat_sym("(")
+        part: list = []
+        order: list = []
+        frame = None
+        if self.try_kw("partition"):
+            self.eat_kw("by")
+            part = [self.field_ref()]
+            while self.at_sym(","):
+                self.next()
+                part.append(self.field_ref())
+        if self.at_kw("order"):
+            self.next()
+            self.eat_kw("by")
+            order = [self.order_ref()]
+            while self.at_sym(","):
+                self.next()
+                order.append(self.order_ref())
+        if self.try_kw("rows"):
+            self.eat_kw("between")
+            frame = (self._frame_bound(start=True),
+                     self._frame_bound(start=False))
+        self.eat_sym(")")
+        return A.WindowExpr(fname, args, part, order, frame)
+
+    def _frame_bound(self, start: bool):
+        """UNBOUNDED PRECEDING|FOLLOWING / CURRENT ROW / n PRECEDING /
+        n FOLLOWING; the AND separator is eaten before the end bound."""
+        if not start:
+            self.eat_kw("and")
+        if self.try_kw("unbounded"):
+            self.eat_kw("preceding" if start else "following")
+            return None
+        if self.try_kw("current"):
+            # ROW is not a keyword; accept the identifier
+            if self.ident().lower() != "row":
+                raise ParseError("expected ROW after CURRENT")
+            return 0
+        n = int(self.next().value)
+        kw = self.eat_kw("preceding", "following")
+        return -n if kw == "preceding" else n
 
     def case_expr(self):
         self.eat_kw("case")

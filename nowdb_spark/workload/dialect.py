@@ -155,6 +155,64 @@ _dialect(
 )
 
 _dialect(
+    "nq08_dialect_window",
+    """
+    select l_orderkey, l_linenumber,
+           row_number() over (partition by l_orderkey
+                              order by l_linenumber) as rn,
+           sum(l_quantity) over (partition by l_orderkey
+                                 order by l_linenumber) as run_qty,
+           lag(l_quantity, 1, 0.0) over (partition by l_orderkey
+                                         order by l_linenumber) as prev_qty,
+           count(*) over (partition by l_orderkey) as cnt_lines
+    from lineitem where l_orderkey < 1000
+    """,
+    """
+    SELECT l_orderkey, l_linenumber,
+           row_number() OVER (PARTITION BY l_orderkey
+                              ORDER BY l_linenumber) AS rn,
+           sum(l_quantity) OVER (PARTITION BY l_orderkey
+                                 ORDER BY l_linenumber) AS run_qty,
+           lag(l_quantity, 1, 0.0) OVER (PARTITION BY l_orderkey
+                                         ORDER BY l_linenumber) AS prev_qty,
+           CAST(count(*) OVER (PARTITION BY l_orderkey) AS BIGINT)
+               AS cnt_lines
+    FROM lineitem WHERE l_orderkey < 1000
+    """,
+    doc="dialect: OVER extension — row_number/running sum/lag/"
+        "partition count (running sum kept exact: integral quantities)",
+)
+
+_dialect(
+    "nq09_dialect_window_frames",
+    """
+    select p_brand, p_partkey,
+           rank() over (partition by p_brand
+                        order by p_size desc, p_partkey) as rk,
+           dense_rank() over (partition by p_brand order by p_size desc)
+               as drk,
+           max(p_retailprice) over (partition by p_brand
+               rows between unbounded preceding and unbounded following)
+               as mx_price
+    from part where p_size >= 40
+    """,
+    """
+    SELECT p_brand, p_partkey,
+           CAST(rank() OVER (PARTITION BY p_brand
+                             ORDER BY p_size DESC, p_partkey) AS INT)
+               AS rk,
+           CAST(dense_rank() OVER (PARTITION BY p_brand
+                                   ORDER BY p_size DESC) AS INT) AS drk,
+           max(p_retailprice) OVER (PARTITION BY p_brand
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS mx_price
+    FROM part WHERE p_size >= 40
+    """,
+    doc="dialect: OVER with DESC ordering, rank/dense_rank, explicit "
+        "unbounded ROWS frame",
+)
+
+_dialect(
     "nq05_dialect_order_limit",
     """
     select c_custkey, c_acctbal from customer

@@ -315,6 +315,31 @@ def test_strict_mode(spark, eng):
     # ordering also requires a matching index
     r = strict.execute("select destin from buys order by destin")
     assert not r.ok() and "index" in r.details()
+    # window functions are an extension → rejected in strict mode
+    r = strict.execute(
+        "select row_number() over (partition by origin order by stamp) "
+        "as rn from buys")
+    assert not r.ok() and "strict" in r.details()
+
+
+def test_window_functions(eng, data):
+    got = rows(eng.execute(
+        "select origin, stamp, quantity, "
+        "row_number() over (partition by origin order by stamp) as rn, "
+        "sum(quantity) over (partition by origin order by stamp) as rq "
+        "from buys"))
+    # per-origin: rn is 1..n in stamp order, rq the running quantity sum
+    from collections import defaultdict
+    per = defaultdict(list)
+    for o, st, q, rn, rq in got:
+        per[o].append((st, q, rn, rq))
+    assert per
+    for o, lst in per.items():
+        lst.sort()
+        run = 0
+        for i, (st, q, rn, rq) in enumerate(lst):
+            run += q
+            assert rn == i + 1 and rq == run
 
 
 # --- procedures (procman parity) ------------------------------------

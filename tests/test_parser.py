@@ -118,3 +118,34 @@ def test_statement_shapes():
     assert len(s.assignments) == 2
     s = parse("delete from t")
     assert s.where is None
+
+
+def test_window_over_parsing():
+    from nowdb_spark.sql import ast as A
+    s = parse("select row_number() over (partition by k order by t) as rn "
+              "from e")
+    w = s.items[0].expr
+    assert isinstance(w, A.WindowExpr) and w.name == "row_number"
+    assert [f.name for f in w.partition_by] == ["k"]
+    assert [f.name for f in w.order_by] == ["t"] and not w.order_by[0].desc
+    assert w.frame is None
+
+    s = parse("select sum(v) over (partition by a, b order by t desc "
+              "rows between 3 preceding and current row) from e")
+    w = s.items[0].expr
+    assert w.name == "sum" and len(w.args) == 1
+    assert [f.name for f in w.partition_by] == ["a", "b"]
+    assert w.order_by[0].desc and w.frame == (-3, 0)
+
+    s = parse("select max(v) over (partition by a rows between unbounded "
+              "preceding and unbounded following) from e")
+    assert s.items[0].expr.frame == (None, None)
+
+    s = parse("select count(*) over (order by t rows between current row "
+              "and 2 following) from e")
+    w = s.items[0].expr
+    assert w.name == "count" and w.args == [] and w.frame == (0, 2)
+    assert w.partition_by == []
+
+    s = parse("select lag(v, 2, 0.0) over (order by t) from e")
+    assert len(s.items[0].expr.args) == 3
