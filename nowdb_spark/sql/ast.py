@@ -47,6 +47,16 @@ class CaseExpr:
 class InExpr:
     expr: object
     values: list           # list of Const
+    select: Optional[object] = None   # IN (SELECT ...) — extension
+    negated: bool = False             # NOT IN — extension
+
+
+@dataclass
+class ScalarSubquery:
+    """(SELECT ...) in expression position — extension. Must be
+    uncorrelated and statically single-row (a global aggregate, a
+    no-FROM select, or LIMIT 1); bound as a broadcast crossJoin."""
+    select: object
 
 
 @dataclass

@@ -84,6 +84,9 @@ class ExprBinder:
                  resolver=None):
         self.col_types = col_types
         self.resolver = resolver or (lambda q, n: F.col(n))
+        # pre-bound scalar-subquery columns, keyed by id(ast node)
+        # (populated by SelectBinder after attaching the 1-row frames)
+        self.subq: dict[int, Column] = {}
 
     # --- helpers ---------------------------------------------------
     def _expr_time_type(self, node) -> bool:
@@ -112,6 +115,10 @@ class ExprBinder:
             c = self.bind(node.expr)
             return c.isNotNull() if node.negated else c.isNull()
         if isinstance(node, A.InExpr):
+            if node.select is not None:
+                raise BindError(
+                    "IN (SELECT ...) is only supported as a top-level "
+                    "WHERE conjunct")
             c = self.bind(node.expr)
             vals = []
             for v in node.values:
@@ -122,7 +129,7 @@ class ExprBinder:
                     vals.append(v.value)
                 else:
                     raise BindError("IN list must contain constants")
-            return c.isin(vals)
+            return ~c.isin(vals) if node.negated else c.isin(vals)
         if isinstance(node, A.CaseExpr):
             out = None
             for cond, then in node.whens:
@@ -135,6 +142,12 @@ class ExprBinder:
             return self._bind_op(node)
         if isinstance(node, A.WindowExpr):
             return self._bind_window(node)
+        if isinstance(node, A.ScalarSubquery):
+            try:
+                return self.subq[id(node)]
+            except KeyError:
+                raise BindError(
+                    "scalar subquery not supported in this position")
         if isinstance(node, A.Agg):
             raise BindError("aggregate not allowed here")
         raise BindError(f"cannot bind {node!r}")
@@ -242,6 +255,60 @@ def _collect_aggs(node, out: list) -> None:
         _collect_aggs(node.expr, out)
 
 
+def _split_conjuncts(node) -> list:
+    if isinstance(node, A.Op) and node.name == "and":
+        return _split_conjuncts(node.args[0]) + _split_conjuncts(node.args[1])
+    return [node]
+
+
+def _scalar_subs(node, out: list, into_aggs: bool = True) -> None:
+    """Collect ScalarSubquery nodes; into_aggs=False stops at Agg
+    boundaries (those are attached pre-aggregation instead)."""
+    if node is None:
+        return
+    if isinstance(node, A.ScalarSubquery):
+        out.append(node)
+        return
+    if isinstance(node, A.Op):
+        for a in node.args:
+            _scalar_subs(a, out, into_aggs)
+    elif isinstance(node, A.Agg):
+        if into_aggs and node.arg is not None:
+            _scalar_subs(node.arg, out, into_aggs)
+    elif isinstance(node, A.CaseExpr):
+        for c, t in node.whens:
+            _scalar_subs(c, out, into_aggs)
+            _scalar_subs(t, out, into_aggs)
+        _scalar_subs(node.else_, out, into_aggs)
+    elif isinstance(node, (A.InExpr, A.IsNull)):
+        _scalar_subs(node.expr, out, into_aggs)
+    elif isinstance(node, A.WindowExpr):
+        for a in node.args:
+            _scalar_subs(a, out, into_aggs)
+
+
+def _has_subquery(node) -> bool:
+    if node is None:
+        return False
+    if isinstance(node, A.ScalarSubquery):
+        return True
+    if isinstance(node, A.InExpr):
+        return node.select is not None or _has_subquery(node.expr)
+    if isinstance(node, A.Op):
+        return any(_has_subquery(a) for a in node.args)
+    if isinstance(node, A.Agg):
+        return node.arg is not None and _has_subquery(node.arg)
+    if isinstance(node, A.CaseExpr):
+        return (any(_has_subquery(c) or _has_subquery(t)
+                    for c, t in node.whens)
+                or _has_subquery(node.else_))
+    if isinstance(node, A.IsNull):
+        return _has_subquery(node.expr)
+    if isinstance(node, A.WindowExpr):
+        return any(_has_subquery(a) for a in node.args)
+    return False
+
+
 class SelectBinder:
     """Binds a Select AST to a DataFrame, given a context resolver."""
 
@@ -253,6 +320,8 @@ class SelectBinder:
         self.spark = spark
         self.load_context = load_context
         self.strict = strict
+        self._sub_n = 0          # attached scalar-subquery column counter
+        self._base_cols: list = []
 
     def bind(self, sel: A.Select) -> DataFrame:
         # select-only (no FROM) → single row (nowdbsql.y:365-367)
@@ -295,8 +364,26 @@ class SelectBinder:
 
         eb = ExprBinder(col_types, resolver)
 
+        if self.strict and (
+                _has_subquery(sel.where) or _has_subquery(sel.having)
+                or any(_has_subquery(it.expr) for it in sel.items)):
+            raise BindError(
+                "strict mode: subqueries are an extension the reference "
+                "grammar does not accept (SURVEY §2.1)")
+
+        self._base_cols = list(df.columns)
         if sel.where is not None:
-            df = df.filter(eb.bind(sel.where))
+            subs: list = []
+            _scalar_subs(sel.where, subs)
+            df = self._attach_scalars(df, subs, eb)
+            plain: list = []
+            for conj in _split_conjuncts(sel.where):
+                if isinstance(conj, A.InExpr) and conj.select is not None:
+                    df = self._bind_in_subquery(df, conj, eb)
+                else:
+                    plain.append(conj)
+            for conj in plain:
+                df = df.filter(eb.bind(conj))
 
         has_aggs = any(self._item_aggs(it.expr) for it in sel.items)
 
@@ -313,10 +400,16 @@ class SelectBinder:
         if sel.group_by or has_aggs:
             df = self._bind_aggregation(df, sel, eb)
         else:
+            subs = []
+            for item in sel.items:
+                _scalar_subs(item.expr, subs)
+            df = self._attach_scalars(df, subs, eb)
             cols = []
             for i, item in enumerate(sel.items):
                 if isinstance(item.expr, A.Field) and item.expr.name == "*":
-                    cols.append(F.col("*"))
+                    # expand * to the base columns so attached helper
+                    # columns (__sub_k) never leak into the output
+                    cols.extend(F.col(c) for c in self._base_cols)
                     continue
                 cols.append(eb.bind(item.expr)
                             .alias(item.alias or _expr_name(item.expr, i)))
@@ -332,6 +425,58 @@ class SelectBinder:
         if sel.limit is not None:
             df = df.limit(sel.limit)
         return df
+
+    # --- subqueries (extension) ------------------------------------
+    def _bind_sub_select(self, sub: A.Select) -> DataFrame:
+        """Bind an uncorrelated subquery with a fresh binder (its
+        fields resolve only against its own FROM context)."""
+        return SelectBinder(self.spark, self.load_context, None,
+                            strict=False).bind(sub)
+
+    def _attach_scalars(self, df: DataFrame, nodes: list,
+                        eb: ExprBinder) -> DataFrame:
+        """Attach each scalar subquery as a broadcast 1-row crossJoin
+        column __sub_k and register it in the expression binder."""
+        for node in nodes:
+            if id(node) in eb.subq:
+                continue
+            sub = node.select
+            aggs: list = []
+            for it in sub.items:
+                _collect_aggs(it.expr, aggs)
+            single_row = (sub.target is None
+                          or sub.limit == 1
+                          or (bool(aggs) and not sub.group_by))
+            if not single_row:
+                raise BindError(
+                    "scalar subquery must be statically single-row: a "
+                    "global aggregate, a no-FROM select, or LIMIT 1")
+            sdf = self._bind_sub_select(sub)
+            if len(sdf.columns) != 1:
+                raise BindError("scalar subquery must return one column")
+            name = f"__sub_{self._sub_n}"
+            self._sub_n += 1
+            df = df.crossJoin(
+                F.broadcast(sdf.select(F.col(sdf.columns[0]).alias(name))))
+            eb.subq[id(node)] = F.col(name)
+        return df
+
+    def _bind_in_subquery(self, df: DataFrame, node: A.InExpr,
+                          eb: ExprBinder) -> DataFrame:
+        """x [NOT] IN (SELECT k FROM ...) → left-semi / left-anti join.
+        The right side is NOT force-broadcast: a large key set must
+        shuffle, a small one gets auto-broadcast by size estimate/AQE.
+        NOT IN uses anti-join semantics (a NULL in the subquery result
+        does not poison the match, unlike ANSI NOT IN)."""
+        sdf = self._bind_sub_select(node.select)
+        if len(sdf.columns) != 1:
+            raise BindError("IN subquery must return one column")
+        name = f"__in_{self._sub_n}"
+        self._sub_n += 1
+        sub = sdf.select(F.col(sdf.columns[0]).alias(name))
+        cond = eb.bind(node.expr) == sub[name]
+        return df.join(sub, cond, "left_anti" if node.negated
+                       else "left_semi")
 
     @staticmethod
     def _item_aggs(expr) -> list:
@@ -354,6 +499,13 @@ class SelectBinder:
             _collect_aggs(item.expr, agg_nodes)
         if sel.having is not None:
             _collect_aggs(sel.having, agg_nodes)
+        # scalar subqueries inside aggregate arguments need their
+        # columns attached BEFORE aggregation
+        pre_subs: list = []
+        for node in agg_nodes:
+            _scalar_subs(node.arg, pre_subs)
+        df = self._attach_scalars(df, pre_subs, eb)
+
         agg_cols: dict[int, Column] = {}
         agg_names: dict[int, str] = {}
         for k, node in enumerate(agg_nodes):
@@ -373,11 +525,21 @@ class SelectBinder:
             agged = gdf.agg(*[agg_cols[id(n)].alias(agg_names[id(n)])
                               for n in agg_nodes])
 
+        # scalar subqueries outside aggregates (select items / HAVING)
+        # are constant per query — attach them to the aggregated frame
+        post_subs: list = []
+        for item in sel.items:
+            _scalar_subs(item.expr, post_subs, into_aggs=False)
+        _scalar_subs(sel.having, post_subs, into_aggs=False)
+        agged = self._attach_scalars(agged, post_subs, eb)
+
         # rebind the select items on top of the aggregated frame:
         # Agg nodes become references to the pre-computed __agg_k cols
         def rebind(node, i) -> Column:
             if isinstance(node, A.Agg):
                 return F.col(agg_names[id(node)])
+            if isinstance(node, A.ScalarSubquery):
+                return eb.subq[id(node)]
             if isinstance(node, A.Field):
                 return F.col(node.name)
             if isinstance(node, A.Const):

@@ -576,15 +576,27 @@ class Parser:
 
     def in_expr(self):
         left = self.add_expr()
+        negated = False
+        if (self.at_kw("not") and self.peek(1).kind == "KW"
+                and self.peek(1).value == "in"):
+            self.next()
+            negated = True
         if self.at_kw("in"):
             self.next()
             self.eat_sym("(")
+            if self.at_kw("select"):
+                # IN (SELECT ...) — extension; bound as semi/anti join
+                sub = self.select_stmt()
+                self.eat_sym(")")
+                return A.InExpr(left, [], select=sub, negated=negated)
             vals = [self.expr()]
             while self.at_sym(","):
                 self.next()
                 vals.append(self.expr())
             self.eat_sym(")")
-            return A.InExpr(left, vals)
+            return A.InExpr(left, vals, negated=negated)
+        if negated:
+            raise ParseError("expected IN after NOT")
         return left
 
     def add_expr(self):
@@ -645,6 +657,11 @@ class Parser:
             return self.case_expr()
         if self.at_sym("("):
             self.next()
+            if self.at_kw("select"):
+                # (SELECT ...) — uncorrelated scalar subquery (extension)
+                sub = self.select_stmt()
+                self.eat_sym(")")
+                return A.ScalarSubquery(sub)
             e = self.expr()
             self.eat_sym(")")
             return e

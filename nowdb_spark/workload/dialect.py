@@ -213,6 +213,27 @@ _dialect(
 )
 
 _dialect(
+    "nq10_dialect_subqueries",
+    """
+    select o_orderkey, o_totalprice
+    from orders
+    where o_custkey in (select c_custkey from customer
+                        where c_mktsegment = 'BUILDING')
+      and o_totalprice > (select max(o_totalprice) from orders) * 0.5
+    """,
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+      AND o_totalprice > (SELECT max(o_totalprice) FROM orders) * 0.5
+    """,
+    doc="dialect: IN (SELECT) semi-join + uncorrelated scalar subquery "
+        "(threshold kept exact via max, not avg, for cross-engine "
+        "float stability)",
+)
+
+_dialect(
     "nq05_dialect_order_limit",
     """
     select c_custkey, c_acctbal from customer

@@ -668,3 +668,48 @@ def test_insert_select(spark, tmp_path_factory):
     got = dict((r[0], r[1]) for r in
                rows(e.execute("select row_id, k from dst")))
     assert got[4] == 9
+
+
+def test_subqueries(eng, data):
+    # IN (SELECT ...) semi-join: buys whose product is cheap
+    got = rows(eng.execute(
+        "select destin, quantity from buys where destin in "
+        "(select prod_key from product where prod_price < 30.0)"))
+    cheap = {p[0] for p in data["products"] if p[4] < 30.0}
+    assert got and all(d in cheap for d, q in got)
+    want = sum(1 for b in data["buys"] if b[1] in cheap)
+    assert len(got) == want
+
+    # NOT IN anti-join
+    got = rows(eng.execute(
+        "select destin from buys where destin not in "
+        "(select prod_key from product where prod_price < 30.0)"))
+    assert all(d not in cheap for (d,) in got)
+    assert len(got) == len(data["buys"]) - want
+
+    # scalar subquery in WHERE and in the select list
+    mx = max(b[3] for b in data["buys"])
+    got = rows(eng.execute(
+        "select quantity, (select max(quantity) from buys) as mq "
+        "from buys where quantity = (select max(quantity) from buys)"))
+    assert got and all(q == mx and m == mx for q, m in got)
+
+    # scalar subquery inside an aggregate argument
+    got = rows(eng.execute(
+        "select sum(quantity - (select min(quantity) from buys)) as s "
+        "from buys"))
+    mn = min(b[3] for b in data["buys"])
+    assert got[0][0] == sum(b[3] - mn for b in data["buys"])
+
+    # non-single-row scalar subquery is rejected
+    r = eng.execute(
+        "select 1 from buys where quantity > (select quantity from buys)")
+    assert not r.ok() and "single-row" in r.details()
+
+    # strict mode rejects subqueries
+    strict = Engine(eng.spark, eng.base, strict=True)
+    assert strict.execute("use retail").ok()
+    r = strict.execute(
+        "select origin from buys where origin in "
+        "(select prod_key from product)")
+    assert not r.ok() and "strict" in r.details()

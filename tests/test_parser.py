@@ -149,3 +149,23 @@ def test_window_over_parsing():
 
     s = parse("select lag(v, 2, 0.0) over (order by t) from e")
     assert len(s.items[0].expr.args) == 3
+
+
+def test_subquery_parsing():
+    from nowdb_spark.sql import ast as A
+    s = parse("select a from t where k in (select k2 from u where x > 1)")
+    c = s.where
+    assert isinstance(c, A.InExpr) and c.select is not None
+    assert not c.negated and c.values == []
+    assert c.select.target == "u"
+
+    s = parse("select a from t where k not in (select k2 from u)")
+    assert s.where.negated
+
+    s = parse("select a from t where v > (select avg(v) from t) * 2")
+    mul = s.where.args[1]
+    assert isinstance(mul.args[0], A.ScalarSubquery)
+
+    s = parse("select a, k not in (1, 2, 3) as flag from t")
+    f = s.items[1].expr
+    assert isinstance(f, A.InExpr) and f.negated and len(f.values) == 3
