@@ -105,6 +105,7 @@ class ScopeMeta:
     indexes: dict = field(default_factory=dict)   # name -> IndexDef
     procs: dict = field(default_factory=dict)     # name -> ProcDef
     locks: list = field(default_factory=list)
+    views: dict = field(default_factory=dict)     # name -> select SQL
 
 
 class CatalogError(ValueError):
@@ -131,6 +132,7 @@ class Scope:
             "indexes": {k: asdict(v) for k, v in self.meta.indexes.items()},
             "procs": {k: asdict(v) for k, v in self.meta.procs.items()},
             "locks": self.meta.locks,
+            "views": self.meta.views,
             "mounts": self.mounts,
         }
         self.path.mkdir(parents=True, exist_ok=True)
@@ -153,6 +155,7 @@ class Scope:
             sc.meta.procs = {
                 k: ProcDef(**v) for k, v in doc.get("procs", {}).items()}
             sc.meta.locks = doc.get("locks", [])
+            sc.meta.views = doc.get("views", {})
             sc.mounts = doc.get("mounts", {})
         return sc
 

@@ -74,6 +74,7 @@ class Engine:
         self._next_cursor = 0
         # (scope, context, prop) → next value of an INC sequence
         self._inc_counters: dict[tuple[str, str, str], int] = {}
+        self._view_stack: set[str] = set()   # cycle guard for views
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     # --- public API (pynow Connection parity) ---------------------
@@ -229,6 +230,25 @@ class Engine:
         sc.save()
         return StatusResult()
 
+    def _create_view(self, n: A.CreateView) -> Result:
+        """CREATE VIEW (extension) — validate by binding now, persist
+        the select text; re-bound on every read so views compose."""
+        if self.strict:
+            raise EngineError(
+                "strict mode: views are an extension the reference "
+                "grammar does not accept (SURVEY §2.1)")
+        sc = self._need_scope()
+        if n.name in sc.meta.views:
+            if n.if_not_exists:
+                return StatusResult()
+            raise EngineError(f"view {n.name!r} already exists")
+        if n.name in sc.meta.types or n.name in sc.mounts:
+            raise EngineError(f"{n.name!r} already names a context")
+        self._bind_select(n.select)      # validates targets/expressions
+        sc.meta.views[n.name] = n.text
+        sc.save()
+        return StatusResult()
+
     def _create_lock(self, n: A.CreateLock) -> Result:
         sc = self._need_scope()
         if n.name not in sc.meta.locks:
@@ -261,6 +281,12 @@ class Engine:
             if n.name in sc.meta.locks:
                 sc.meta.locks.remove(n.name)
                 sc.save()
+        elif n.kind == "view":
+            if n.name in sc.meta.views:
+                del sc.meta.views[n.name]
+                sc.save()
+            elif not n.if_exists:
+                raise EngineError(f"no such view {n.name!r}")
         else:
             raise EngineError(f"cannot DROP {n.kind!r}")
         return StatusResult()
@@ -285,6 +311,8 @@ class Engine:
             return RowResult(["name"], [(k,) for k in sc.meta.storages])
         if what in ("locks",):
             return RowResult(["name"], [(k,) for k in sc.meta.locks])
+        if what in ("views",):
+            return RowResult(["name"], [(k,) for k in sc.meta.views])
         raise EngineError(f"cannot SHOW {what!r}")
 
     def _desc(self, n: A.Desc) -> Result:
@@ -589,6 +617,16 @@ class Engine:
             types = _infer_nowdb_types(df)
             types.update(overrides)
             return df, types, None
+        if name in sc.meta.views:
+            if name in self._view_stack:
+                raise EngineError(f"view cycle through {name!r}")
+            self._view_stack.add(name)
+            try:
+                sel = parse(sc.meta.views[name])
+                df = self._bind_select(sel)
+            finally:
+                self._view_stack.discard(name)
+            return df, _infer_nowdb_types(df), None
         tdef = sc.get_type(name)
         ctx = sc.context_dir(name)
         if ctx.exists():
@@ -606,7 +644,7 @@ class Engine:
         conjuncts become __tb bucket predicates before the partition
         column is dropped (reference period pruning, SURVEY §4)."""
         sc = self._need_scope()
-        if name in sc.mounts or where is None:
+        if name in sc.mounts or name in sc.meta.views or where is None:
             return self._read_context(name)
         tdef = sc.get_type(name)
         stamp = tdef.stamp_prop
@@ -841,6 +879,7 @@ class Engine:
         A.CreateType: _create_type,
         A.CreateEdge: _create_edge,
         A.CreateIndex: _create_index,
+        A.CreateView: _create_view,
         A.CreateStorage: _create_storage,
         A.CreateProcedure: _create_proc,
         A.CreateLock: _create_lock,

@@ -156,6 +156,17 @@ class CreateEdge:
 
 
 @dataclass
+class CreateView:
+    """CREATE VIEW name AS select — extension (the reference has no
+    views); the select TEXT is persisted in the catalog and re-bound
+    on every read, so views compose and survive engine restarts."""
+    name: str
+    text: str              # raw select SQL (persisted)
+    select: object         # parsed Select (validated at CREATE time)
+    if_not_exists: bool = False
+
+
+@dataclass
 class CreateIndex:
     name: str
     target: str

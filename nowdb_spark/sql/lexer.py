@@ -18,7 +18,7 @@ KEYWORDS = {
     "scope", "schema", "database", "storage", "type", "edge", "index",
     "procedure", "proc", "types", "edges", "procedures", "procs",
     "indexes", "indices", "storages", "locks", "scopes", "schemas",
-    "databases",
+    "databases", "view", "views",
     # clauses
     "into", "values", "from", "where", "group", "order", "by", "on",
     "as", "set", "if", "exists", "not", "and", "or", "in", "is", "null",

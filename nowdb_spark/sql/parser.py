@@ -27,6 +27,7 @@ _IDENTISH_KWS = _TYPE_KWS | {"origin", "destin", "stamp", "key", "values",
 
 class Parser:
     def __init__(self, text: str):
+        self.text = text
         self.toks: list[Token] = tokenize(text)
         self.i = 0
 
@@ -213,6 +214,16 @@ class Parser:
         if kind == "lock":
             ine = self.if_not_exists()
             return A.CreateLock(self.ident(), ine)
+        if kind == "view":
+            ine = self.if_not_exists()
+            name = self.ident()
+            self.eat_kw("as")
+            start = self.peek().pos
+            sel = self.select_stmt()
+            t = self.peek()
+            end = t.pos if t.kind != "EOF" else len(self.text)
+            body = self.text[start:end].strip().rstrip(";").strip()
+            return A.CreateView(name, body, sel, ine)
         raise ParseError(f"cannot CREATE {kind!r}")
 
     def storage_clause(self):

@@ -713,3 +713,41 @@ def test_subqueries(eng, data):
         "select origin from buys where origin in "
         "(select prod_key from product)")
     assert not r.ok() and "strict" in r.details()
+
+
+def test_views(eng, data, spark):
+    assert eng.execute(
+        "create view pricey as select prod_key, prod_price from product "
+        "where prod_price > 50.0").ok()
+    got = rows(eng.execute("select prod_key from pricey"))
+    want = sorted(p[0] for p in data["products"] if p[4] > 50.0)
+    assert sorted(x[0] for x in got) == want
+
+    # view on view, with aggregation
+    assert eng.execute(
+        "create view pricey_stats as select count(*) as n, "
+        "round(avg(prod_price), 6) as ap from pricey").ok()
+    n, ap = rows(eng.execute("select n, ap from pricey_stats"))[0]
+    prices = [p[4] for p in data["products"] if p[4] > 50.0]
+    assert n == len(prices)
+    assert ap == pytest.approx(round(sum(prices) / len(prices), 6))
+
+    # catalog persistence across engine restart
+    e2 = Engine(spark, eng.base)
+    assert e2.execute("use retail").ok()
+    assert rows(e2.execute("select n from pricey_stats"))[0][0] == n
+
+    # name collision with an existing context is rejected
+    r = eng.execute("create view product as select 1")
+    assert not r.ok() and "already" in r.details()
+    assert eng.execute(
+        "create view if not exists pricey as select 1").ok()
+
+    # SHOW / DROP
+    names = {row[0] for row in eng.execute("show views")._rows}
+    assert {"pricey", "pricey_stats"} <= names
+    assert eng.execute("drop view pricey_stats").ok()
+    r = eng.execute("drop view pricey_stats")
+    assert not r.ok()
+    assert eng.execute("drop view pricey_stats if exists").ok()
+    assert eng.execute("drop view pricey").ok()
