@@ -71,6 +71,55 @@ def integral(df: DataFrame, stamp_col: str, key_col: str, value_col: str,
             .agg(F.coalesce(F.sum("__area"), F.lit(0.0)).alias("integral")))
 
 
+def zscore(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Per-key z-score (sample stddev): (v - μ_key) / σ_key, 0.0 for
+    degenerate keys (σ=0 or n<2). Pure unordered window expressions —
+    one shuffle on the key, no UDFs, scales to any key cardinality."""
+    w = W.partitionBy(key_col)
+    mu = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    z = F.when(sd > 0, (F.col(value_col) - mu) / sd).otherwise(F.lit(0.0))
+    return df.withColumn("z", z)
+
+
+def ewma(df: DataFrame, stamp_col: str, key_col: str, value_col: str,
+         alpha: float, tiebreak: str | None = None) -> DataFrame:
+    """Exponentially weighted moving average per key in stamp order:
+    y_0 = v_0, y_i = (1-α)·y_{i-1} + α·v_i  (pandas ewm adjust=False).
+
+    The recurrence is inherently sequential — it is NOT expressible as
+    a window aggregate without (1-α)^(n-i) rescaling terms that under/
+    overflow at realistic series lengths — so this is the documented
+    Pandas-UDF escape hatch: one shuffle on the key, then an
+    Arrow-batched applyInPandas per key group. Each key's series must
+    fit one executor (true of any per-entity series; segment by coarse
+    time range upstream if a single key exceeds memory).
+    """
+    cols = [key_col, stamp_col] + ([tiebreak] if tiebreak else []) \
+        + [value_col]
+    src = df.select(*cols)
+    out_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in src.schema.fields)
+    order = [stamp_col] + ([tiebreak] if tiebreak else [])
+
+    def fn(pdf):
+        pdf = pdf.sort_values(order)
+        # explicit recurrence (not pandas .ewm, whose internal
+        # normalized-weight update differs by an ulp): exactly
+        # y = (1-α)·y + α·v per step, in input order
+        vals = pdf[value_col].to_numpy()
+        out = vals.copy().astype("float64")
+        y = 0.0
+        for i, v in enumerate(vals):
+            y = v if i == 0 else (1 - alpha) * y + alpha * v
+            out[i] = y
+        pdf["ewma"] = out
+        return pdf
+
+    return src.groupBy(key_col).applyInPandas(
+        fn, schema=f"{out_fields}, ewma double")
+
+
 def gap_fill(df: DataFrame, stamp_col: str, width_ns: int,
              key_col: str, agg: Column,
              fill_value=0) -> DataFrame:

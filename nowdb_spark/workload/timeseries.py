@@ -120,6 +120,64 @@ def ts05(spark, sf):
 
 
 @register(
+    "ts06_zscore",
+    """
+    SELECT user_id, event_id,
+           round(CASE WHEN stddev_samp(value) OVER w > 0
+                 THEN (value - avg(value) OVER w)
+                      / stddev_samp(value) OVER w
+                 ELSE 0.0 END, 4) AS z_r
+    FROM events WINDOW w AS (PARTITION BY user_id)
+    """,
+    doc="per-user z-score anomaly signal (unordered window mean/std)",
+)
+def ts06(spark, sf):
+    ev = table(spark, sf, "events")
+    out = TS.zscore(ev, "user_id", "value")
+    return out.select("user_id", "event_id",
+                      F.round(F.col("z"), 4).alias("z_r"))
+
+
+@register(
+    "ts07_ewma",
+    """
+    WITH RECURSIVE src AS (
+      SELECT user_id, epoch_us(ts) AS t_us, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), rec AS (
+      SELECT user_id, t_us, event_id, value, rn, value AS ew
+      FROM src WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.t_us, s.event_id, s.value, s.rn,
+             (1 - 0.3) * r.ew + 0.3 * s.value
+      FROM src s, rec r
+      WHERE s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, t_us, event_id, round(ew, 6) AS ewma_r FROM rec
+    """,
+    doc="per-user EWMA (α=0.3; sequential recurrence via Arrow-batched "
+        "applyInPandas; oracle recomputes the identical recurrence with "
+        "a recursive CTE. α must NOT be dyadic (e.g. 0.5): over fixed-"
+        "decimal inputs that lands EWMA values exactly on 6dp rounding "
+        "boundaries, where Spark round (decimal HALF_UP) and DuckDB "
+        "round (binary-scaled) disagree; 0.3 keeps every value off the "
+        "boundary while both engines run bit-identical IEEE ops)",
+)
+def ts07(spark, sf):
+    from nowdb_spark import timeutil as TU
+
+    ev = table(spark, sf, "events")
+    out = TS.ewma(ev, "ts", "user_id", "value", alpha=0.3,
+                  tiebreak="event_id")
+    return out.select("user_id",
+                      TU.ns_to_us(F.col("ts")).alias("t_us"),
+                      "event_id",
+                      F.round(F.col("ewma"), 6).alias("ewma_r"))
+
+
+@register(
     "ts04_gap_fill",
     f"""
     WITH b AS (
