@@ -150,3 +150,52 @@ def test_clean_corpus_single_content_hash_shuffle(spark):
     # the one wide op
     plan = plan_of(spark, "cc01_clean_corpus")
     assert plan.count("Exchange hashpartitioning") <= 2, plan[:2500]
+
+
+def test_subquery_gate_plans(spark):
+    # IN (SELECT small-dim) binds to a broadcast left-semi join and the
+    # outer filter still reaches the parquet scan
+    plan = plan_of(spark, "nq10_dialect_subqueries")
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+    # the 1-row scalar subquery attaches via broadcast, never a shuffle
+    # of the outer table against it
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_window_gate_single_shuffle(spark):
+    # all window specs in nq08 share one partitioning — a single
+    # exchange on l_orderkey, not one per window expression
+    plan = plan_of(spark, "nq08_dialect_window")
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:2000]
+
+
+def test_view_pushdown(spark, tmp_path):
+    from nowdb_spark.engine import Engine
+    eng = Engine(spark, tmp_path)
+    eng.rexecute("create scope planv")
+    eng.rexecute("use planv")
+    eng.scope.mount("lineitem", f"{SF_DIR}/lineitem.parquet")
+    eng.rexecute("create view lv as select l_orderkey, l_quantity "
+                 "from lineitem")
+    df = eng.sql("select l_orderkey from lv where l_quantity > 45.0")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the filter penetrates the view to the scan; only 2 cols read
+    assert "GreaterThan(l_quantity,45.0)" in plan.replace(" ", "")
+    schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_extendedprice" not in schema
+
+
+def test_ewma_single_shuffle_arrow(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+    from nowdb_spark.operators import timeseries as TS
+    from nowdb_spark.workload import table
+    ev = table(spark, SF_DIR, "events")
+    out = TS.ewma(ev, "ts", "user_id", "value", alpha=0.3,
+                  tiebreak="event_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert ("FlatMapGroupsInArrow" in plan
+            or "FlatMapGroupsInPandas" in plan)
+    schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "props" not in schema and "event_type" not in schema
