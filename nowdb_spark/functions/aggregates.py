@@ -123,4 +123,9 @@ AGGREGATES = {
     "median": median,
     "mode": mode,
     "stddev": stddev0,
+    # scale-path approximations (extensions): mergeable sketches that
+    # replace memory-unbounded exact forms at 100 TB — HLL++ for
+    # distinct counts, t-digest for the median
+    "approx_count_distinct": lambda c: F.approx_count_distinct(c),
+    "approx_median": median_approx,
 }

@@ -35,6 +35,7 @@ class Agg:
     """Aggregate call (fun/fun.c names)."""
     name: str
     arg: Optional[object]  # None for count(*)
+    distinct: bool = False  # count/sum(DISTINCT x) — extension
 
 
 @dataclass

@@ -511,7 +511,19 @@ class SelectBinder:
         for k, node in enumerate(agg_nodes):
             builder = AGGREGATES[node.name]
             inner = eb.bind(node.arg) if node.arg is not None else None
-            c = builder(inner) if node.arg is not None else builder()
+            if node.distinct:
+                # count/sum(DISTINCT x) — extension; exact (expands to
+                # a distinct-shuffle; use approx_count_distinct for
+                # the sketch-merge scale path)
+                if node.name == "count":
+                    c = F.count_distinct(inner)
+                elif node.name == "sum":
+                    c = F.sum_distinct(inner)
+                else:
+                    raise BindError(
+                        "DISTINCT is supported for count/sum only")
+            else:
+                c = builder(inner) if node.arg is not None else builder()
             nm = f"__agg_{k}"
             agg_cols[id(node)] = c
             agg_names[id(node)] = nm

@@ -688,6 +688,16 @@ class Parser:
                     if self.at_kw("over"):
                         return self.window_spec(name.lower(), [])
                     return A.Agg(name.lower(), None)
+                if self.try_kw("distinct"):
+                    # count/sum(DISTINCT x) — extension
+                    arg = self.expr()
+                    self.eat_sym(")")
+                    lname = name.lower()
+                    if lname not in AGGREGATES:
+                        raise ParseError(
+                            f"DISTINCT argument only in aggregates, "
+                            f"not {lname!r}")
+                    return A.Agg(lname, arg, distinct=True)
                 args = []
                 if not self.at_sym(")"):
                     args = [self.expr()]

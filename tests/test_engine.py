@@ -751,3 +751,33 @@ def test_views(eng, data, spark):
     assert not r.ok()
     assert eng.execute("drop view pricey_stats if exists").ok()
     assert eng.execute("drop view pricey").ok()
+
+
+def test_distinct_and_approx_aggregates(eng, data):
+    got = rows(eng.execute(
+        "select count(distinct destin) as dd, "
+        "sum(distinct quantity) as sq, "
+        "approx_count_distinct(origin) as ao, "
+        "round(approx_median(quantity), 6) as am from buys"))[0]
+    assert got[0] == len({b[1] for b in data["buys"]})
+    assert got[1] == sum(set(b[3] for b in data["buys"]))
+    # HLL++ at default rsd on ≤10 distinct origins is exact
+    assert got[2] == len({b[0] for b in data["buys"]})
+    qs = sorted(b[3] for b in data["buys"])
+    lo, hi = qs[0], qs[-1]
+    assert lo <= got[3] <= hi
+
+    # per-group distinct counts
+    got = rows(eng.execute(
+        "select origin, count(distinct destin) as dd from buys "
+        "group by origin"))
+    per = {}
+    for b in data["buys"]:
+        per.setdefault(b[0], set()).add(b[1])
+    assert {o: d for o, d in got} == {o: len(s) for o, s in per.items()}
+
+    # DISTINCT arg restricted to count/sum
+    r = eng.execute("select median(distinct quantity) from buys")
+    assert not r.ok() and "count/sum" in r.details()
+    r = eng.execute("select upper(distinct 'x') from buys")
+    assert not r.ok()
