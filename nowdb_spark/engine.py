@@ -583,7 +583,17 @@ class Engine:
         t0 = time.perf_counter()
         type_name = n.as_type or n.target
         tdef = sc.get_type(type_name)
-        good, n_bad = load_csv(self.spark, n.path, tdef, n.header, n.errors)
+        ext = Path(n.path).suffix.lower()
+        if ext == ".parquet" or ext in (".json", ".jsonl", ".ndjson"):
+            # LOAD format extension (reference loader is csv-only,
+            # scope/loader.c); format picked by file extension
+            from nowdb_spark.sources.csv_loader import load_structured
+            fmt = "parquet" if ext == ".parquet" else "json"
+            good, n_bad = load_structured(self.spark, n.path, tdef,
+                                          fmt, n.errors)
+        else:
+            good, n_bad = load_csv(self.spark, n.path, tdef, n.header,
+                                   n.errors)
         # uint64 ingest policy: negatives are diverted like malformed
         # rows (reference corrects/rejects out-of-range literals,
         # doc/manual/sql.tex:190-203)

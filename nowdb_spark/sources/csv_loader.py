@@ -81,6 +81,44 @@ def load_csv(spark: SparkSession, path: str, tdef: TypeDef,
     return good, n_bad
 
 
+def load_structured(spark: SparkSession, path: str, tdef: TypeDef,
+                    fmt: str,
+                    errors_path: str | None = None) -> tuple[DataFrame, int]:
+    """LOAD extension beyond the reference's csv-only loader: ingest
+    parquet or JSON-lines into a context with the same
+    malformed-row-diversion contract.
+
+    parquet is self-describing — columns are matched by name and cast
+    to the model's types (a missing model column loads as NULL, like a
+    short CSV row would); there is no corrupt-record concept.
+    JSON uses the same PERMISSIVE + corrupt-record plan as CSV.
+    """
+    if fmt == "parquet":
+        df = spark.read.parquet(path)
+        schema = tdef.spark_schema()
+        cols = [
+            (F.col(p.name).cast(schema[p.name].dataType)
+             if p.name in df.columns else
+             F.lit(None).cast(schema[p.name].dataType)).alias(p.name)
+            for p in tdef.props
+        ]
+        return df.select(*cols), 0
+    schema = T.StructType(
+        list(tdef.spark_schema().fields)
+        + [T.StructField(_CORRUPT, T.StringType(), True)]
+    )
+    df = (spark.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", _CORRUPT)
+          .json(path).cache())
+    bad = df.filter(F.col(_CORRUPT).isNotNull())
+    n_bad = bad.count()
+    if n_bad and errors_path:
+        bad.select(_CORRUPT).write.mode("overwrite").text(str(errors_path))
+    good = df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
+    return good, n_bad
+
+
 def write_context(df: DataFrame, ctx_dir: Path, tdef: TypeDef,
                   mode: str = "append", n: int | None = None,
                   codec: str | None = None) -> int:

@@ -781,3 +781,40 @@ def test_distinct_and_approx_aggregates(eng, data):
     assert not r.ok() and "count/sum" in r.details()
     r = eng.execute("select upper(distinct 'x') from buys")
     assert not r.ok()
+
+
+def test_load_parquet_and_json(spark, tmp_path_factory):
+    import json as _json
+    base = tmp_path_factory.mktemp("load_ext")
+    e = Engine(spark, base)
+    assert e.execute("create scope loadx").ok()
+    assert e.execute("use loadx").ok()
+    assert e.execute(
+        "create type item (item_key uint pk, label text, price float)"
+    ).ok()
+
+    # parquet load: extra source columns ignored, model columns cast
+    src = spark.createDataFrame(
+        [(1, "a", 9.5, "extra"), (2, "b", 1.25, "extra")],
+        "item_key long, label string, price double, junk string")
+    pq = str(base / "src.parquet")
+    src.write.parquet(pq)
+    r = e.execute(f"load '{pq}' into item as item")
+    assert isinstance(r, ReportResult), r.details()
+    assert r.affected == 2 and r.errors == 0
+
+    # json-lines load with one malformed row diverted
+    jl = base / "src.jsonl"
+    rows_ = [{"item_key": 3, "label": "c", "price": 3.5},
+             {"item_key": 4, "label": "d", "price": 4.5}]
+    text = "\n".join(_json.dumps(x) for x in rows_) + "\nnot json{{{\n"
+    jl.write_text(text)
+    r = e.execute(f"load '{jl}' into item as item "
+                  f"set errors='{base}/errs'")
+    assert isinstance(r, ReportResult), r.details()
+    assert r.affected == 2 and r.errors == 1
+
+    got = rows(e.execute("select item_key, label, price from item "
+                         "order by item_key"))
+    assert got == [(1, "a", 9.5), (2, "b", 1.25),
+                   (3, "c", 3.5), (4, "d", 4.5)]
