@@ -578,6 +578,27 @@ class Engine:
         return ReportResult(affected=self._rewrite_context(n.target,
                                                            transform))
 
+    def _copy(self, n: A.CopyStmt) -> Result:
+        """COPY ... TO 'path' (export extension): one distributed
+        write, format by extension — parquet (default) / csv with
+        header / json lines."""
+        t0 = time.perf_counter()
+        if isinstance(n.source, A.Select):
+            df = self._bind_select(n.source)
+        else:
+            df, _, _ = self._read_context(n.source)
+        ext = Path(n.path).suffix.lower()
+        count = df.count()
+        if ext == ".csv":
+            df.write.mode("overwrite").option("header", "true") \
+                .csv(n.path)
+        elif ext in (".json", ".jsonl", ".ndjson"):
+            df.write.mode("overwrite").json(n.path)
+        else:
+            df.write.mode("overwrite").parquet(n.path)
+        us = int((time.perf_counter() - t0) * 1e6)
+        return ReportResult(affected=count, errors=0, runtime_us=us)
+
     def _load(self, n: A.Load) -> Result:
         sc = self._need_scope()
         t0 = time.perf_counter()
@@ -900,6 +921,7 @@ class Engine:
         A.Update: _update,
         A.Delete: _delete,
         A.Merge: _merge,
+        A.CopyStmt: _copy,
         A.Load: _load,
         A.Select: _select,
         A.Explain: _explain,

@@ -259,6 +259,15 @@ class Load:
     errors: Optional[str] = None
 
 
+@dataclass
+class CopyStmt:
+    """COPY <context> TO 'path' | COPY (SELECT ...) TO 'path' —
+    export sink extension (the reference has no export statement);
+    format from the path extension: parquet | csv | json."""
+    source: object         # str context name | Select node
+    path: str
+
+
 # --- misc ----------------------------------------------------------
 
 @dataclass

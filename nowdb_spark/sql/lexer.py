@@ -13,7 +13,7 @@ KEYWORDS = {
     # statement heads
     "create", "drop", "show", "desc", "describe", "use", "load", "insert",
     "select", "update", "delete", "execute", "exec", "fetch", "close",
-    "lock", "unlock", "explain", "merge",
+    "lock", "unlock", "explain", "merge", "copy", "to",
     # objects (SCOPE/SCHEMA/DATABASE are aliases — nowdbsql.l:75-77)
     "scope", "schema", "database", "storage", "type", "edge", "index",
     "procedure", "proc", "types", "edges", "procedures", "procs",

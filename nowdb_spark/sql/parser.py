@@ -114,6 +114,8 @@ class Parser:
             return self.delete_stmt()
         if t.value == "merge":
             return self.merge_stmt()
+        if t.value == "copy":
+            return self.copy_stmt()
         if t.value in ("exec", "execute"):
             return self.exec_stmt()
         if t.value == "fetch":
@@ -391,6 +393,22 @@ class Parser:
             raise ParseError("MERGE needs at least one WHEN clause")
         return A.Merge(target, source, key, matched_action,
                        assignments, insert_unmatched)
+
+    def copy_stmt(self):
+        """COPY <context> TO 'path' | COPY (SELECT ...) TO 'path' —
+        export extension; format from the path extension."""
+        self.eat_kw("copy")
+        if self.at_sym("("):
+            self.next()
+            source = self.select_stmt()
+            self.eat_sym(")")
+        else:
+            source = self.ident()
+        self.eat_kw("to")
+        t = self.next()
+        if t.kind != "STRING":
+            raise ParseError(f"expected path string, got {t}")
+        return A.CopyStmt(source, t.value)
 
     def load_stmt(self):
         self.eat_kw("load")

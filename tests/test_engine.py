@@ -818,3 +818,24 @@ def test_load_parquet_and_json(spark, tmp_path_factory):
                          "order by item_key"))
     assert got == [(1, "a", 9.5), (2, "b", 1.25),
                    (3, "c", 3.5), (4, "d", 4.5)]
+
+
+def test_copy_export(eng, data, tmp_path, spark):
+    out_pq = str(tmp_path / "out.parquet")
+    r = eng.execute(f"copy product to '{out_pq}'")
+    assert isinstance(r, ReportResult), r.details()
+    assert r.affected >= PRODUCTS
+    assert spark.read.parquet(out_pq).count() == r.affected
+
+    out_csv = str(tmp_path / "cheap.csv")
+    r = eng.execute(
+        f"copy (select prod_key, prod_price from product "
+        f"where prod_price < 30.0) to '{out_csv}'")
+    assert r.ok(), r.details()
+    back = spark.read.option("header", "true").csv(out_csv)
+    assert back.count() == sum(1 for p in data["products"] if p[4] < 30.0)
+    assert set(back.columns) == {"prod_key", "prod_price"}
+
+    out_jl = str(tmp_path / "out.jsonl")
+    r = eng.execute(f"copy (select prod_key from product) to '{out_jl}'")
+    assert r.ok() and spark.read.json(out_jl).count() == r.affected
