@@ -716,9 +716,11 @@ def test_subqueries(eng, data):
 
 
 def test_views(eng, data, spark):
+    # prod_key < 100 keeps the view independent of rows test_load_csv
+    # may have appended (module-scoped engine fixture)
     assert eng.execute(
         "create view pricey as select prod_key, prod_price from product "
-        "where prod_price > 50.0").ok()
+        "where prod_price > 50.0 and prod_key < 100").ok()
     got = rows(eng.execute("select prod_key from pricey"))
     want = sorted(p[0] for p in data["products"] if p[4] > 50.0)
     assert sorted(x[0] for x in got) == want
