@@ -71,6 +71,46 @@ def integral(df: DataFrame, stamp_col: str, key_col: str, value_col: str,
             .agg(F.coalesce(F.sum("__area"), F.lit(0.0)).alias("integral")))
 
 
+def gap_fill_interp(df: DataFrame, stamp_col: str, width_ns: int,
+                    key_col: str, agg: Column) -> DataFrame:
+    """Gap fill with LINEAR INTERPOLATION: missing buckets take the
+    value interpolated between the nearest present buckets; leading/
+    trailing gaps take the nearest present value (cannot extrapolate).
+
+    Same distributed shape as gap_fill (bucketed agg → per-key domain
+    via sequence+explode → left join) plus two ordered window passes
+    (last/first over ignorenulls) — no UDFs, one shuffle on the key.
+    """
+    bucketed = (df.withColumn("bucket_ns",
+                              time_bucket(F.col(stamp_col), width_ns))
+                .groupBy(key_col, "bucket_ns").agg(agg.alias("__v")))
+    spans = bucketed.groupBy(key_col).agg(
+        F.min("bucket_ns").alias("lo"), F.max("bucket_ns").alias("hi"))
+    domain = spans.select(
+        key_col,
+        F.explode(F.sequence("lo", "hi", F.lit(width_ns)))
+        .alias("bucket_ns"))
+    joined = domain.join(bucketed, [key_col, "bucket_ns"], "left")
+
+    wb = (W.partitionBy(key_col).orderBy("bucket_ns")
+          .rowsBetween(W.unboundedPreceding, 0))
+    wf = (W.partitionBy(key_col).orderBy("bucket_ns")
+          .rowsBetween(0, W.unboundedFollowing))
+    v = F.col("__v").cast("double")
+    present_b = F.when(F.col("__v").isNotNull(), F.col("bucket_ns"))
+    prev_v = F.last(v, ignorenulls=True).over(wb)
+    prev_b = F.last(present_b, ignorenulls=True).over(wb)
+    next_v = F.first(v, ignorenulls=True).over(wf)
+    next_b = F.first(present_b, ignorenulls=True).over(wf)
+    frac = ((F.col("bucket_ns") - prev_b).cast("double")
+            / (next_b - prev_b).cast("double"))
+    interp = (F.when(v.isNotNull(), v)
+              .when(prev_v.isNull(), next_v)
+              .when(next_v.isNull(), prev_v)
+              .otherwise(prev_v + (next_v - prev_v) * frac))
+    return joined.select(key_col, "bucket_ns", interp.alias("v"))
+
+
 def zscore(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
     """Per-key z-score (sample stddev): (v - μ_key) / σ_key, 0.0 for
     degenerate keys (σ=0 or n<2). Pure unordered window expressions —

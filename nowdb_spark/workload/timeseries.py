@@ -178,6 +178,63 @@ def ts07(spark, sf):
 
 
 @register(
+    "ts08_gap_fill_interp",
+    f"""
+    WITH b AS (
+      SELECT user_id,
+             epoch_ns(ts) - (epoch_ns(ts) % {_DAY_NS}) AS bucket_ns,
+             count(*) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    spans AS (SELECT user_id, min(bucket_ns) AS lo, max(bucket_ns) AS hi
+              FROM b GROUP BY user_id),
+    dom AS (
+      SELECT user_id,
+             unnest(generate_series(lo, hi, {_DAY_NS})) AS bucket_ns
+      FROM spans
+    ),
+    j AS (
+      SELECT dom.user_id, dom.bucket_ns, CAST(b.v AS DOUBLE) AS v,
+             CASE WHEN b.v IS NOT NULL THEN dom.bucket_ns END AS pb
+      FROM dom LEFT JOIN b
+        ON dom.user_id = b.user_id AND dom.bucket_ns = b.bucket_ns
+    ),
+    w AS (
+      SELECT user_id, bucket_ns, v,
+             last_value(v IGNORE NULLS)  OVER wb AS prev_v,
+             last_value(pb IGNORE NULLS) OVER wb AS prev_b,
+             first_value(v IGNORE NULLS)  OVER wf AS next_v,
+             first_value(pb IGNORE NULLS) OVER wf AS next_b
+      FROM j
+      WINDOW wb AS (PARTITION BY user_id ORDER BY bucket_ns
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY bucket_ns
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, bucket_ns,
+           round(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN prev_v IS NULL THEN next_v
+             WHEN next_v IS NULL THEN prev_v
+             ELSE prev_v + (next_v - prev_v)
+                  * (CAST(bucket_ns - prev_b AS DOUBLE)
+                     / CAST(next_b - prev_b AS DOUBLE))
+           END, 6) AS v_r
+    FROM w
+    """,
+    doc="daily gap-fill with linear interpolation (exact-integer "
+        "bucket counts interpolated — identical IEEE formula on both "
+        "sides, so values are bit-stable)",
+)
+def ts08(spark, sf):
+    ev = table(spark, sf, "events")
+    out = TS.gap_fill_interp(ev, "ts", _DAY_NS, "user_id",
+                             F.count(F.lit(1)))
+    return out.select("user_id", "bucket_ns",
+                      F.round(F.col("v"), 6).alias("v_r"))
+
+
+@register(
     "ts04_gap_fill",
     f"""
     WITH b AS (
