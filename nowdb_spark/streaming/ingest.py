@@ -141,3 +141,51 @@ def stateful_running_totals(df: DataFrame, key_col: str, value_col: str,
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "update",
                                     GroupStateTimeout.NoTimeout))
+
+
+def stream_ewma(df: DataFrame, key_col: str, value_col: str,
+                stamp_col: str, alpha: float,
+                watermark: str = "1 hour") -> DataFrame:
+    """Streaming EWMA: the stateful twin of operators/timeseries.ewma
+    (same recurrence y = (1-α)·y + α·v, same IEEE op order, so batch
+    backfill and streaming ingest agree bit-for-bit when events arrive
+    in event-time order).
+
+    State per key = (initialized, last_y) — O(keys), not O(events).
+    Rows are folded in (stamp, value) order WITHIN each micro-batch;
+    cross-batch order is arrival order, the honest semantics of a
+    one-pass streaming recurrence (reorder-buffering late data would
+    need the full watermark horizon in state — that variant is the
+    batch operator over a compacted context).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (f"{key_col} long, {stamp_col} long, "
+                  f"{value_col} double, ewma double")
+    state_schema = "initialized boolean, y double"
+
+    def fn(key, pdf_iter, state):
+        init, y = state.get if state.exists else (False, 0.0)
+        frames = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values([stamp_col, value_col])
+            out = []
+            for v in pdf[value_col].to_numpy():
+                y = v if not init else (1 - alpha) * y + alpha * v
+                init = True
+                out.append(y)
+            frames.append(pd.DataFrame({
+                key_col: pdf[key_col].to_numpy(),
+                stamp_col: pdf[stamp_col].to_numpy(),
+                value_col: pdf[value_col].to_numpy(),
+                "ewma": out,
+            }))
+        state.update((init, float(y)))
+        yield from frames
+
+    et = _with_event_time(df, stamp_col).withWatermark("__et", watermark)
+    return (et.drop("__et").groupBy(key_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append",
+                                    GroupStateTimeout.NoTimeout))

@@ -273,3 +273,22 @@ def test_stream_lsh_candidates_match_batch_estimator(spark, tmp_path):
     best = {e for _, _, e in events}
     assert {round(r["est_jaccard"], 6) for r in bpairs} == \
         {round(e, 6) for e in best}
+
+
+def test_stream_ewma_matches_batch(spark, events_dir):
+    from nowdb_spark.operators import timeseries as TS
+
+    sdf = S.stream_from_context(spark, events_dir, EVENTS_TDEF)
+    out = S.stream_ewma(sdf, "user_id", "value", "ts", alpha=0.3)
+    q = S.run_stream_to_memory(out, "sewma", "append")
+    try:
+        got = {(r["user_id"], r["ts"]): r["ewma"]
+               for r in spark.sql("select * from sewma").collect()}
+    finally:
+        q.stop()
+    batch = spark.read.parquet(events_dir)
+    want = {(r["user_id"], r["ts"]): r["ewma"]
+            for r in TS.ewma(batch, "ts", "user_id", "value",
+                             alpha=0.3).collect()}
+    # single ingest pass == batch recurrence, bit-for-bit
+    assert got == want and len(got) > 0
