@@ -139,3 +139,73 @@ def test_random_formula(dialect_engine, oracle, seed):
             assert gv == wv, f"formula {tree.nowdb()}: {gv} != {wv}"
     assert not math.isnan(sum(v for _, v in got if isinstance(v, float)
                               and not math.isnan(v)))
+
+
+# --- random window specs (OVER extension) ---------------------------
+#
+# Same differential idea over the window surface: random function ×
+# frame × value column, partitioned by l_orderkey and ordered by the
+# (within-partition unique) l_linenumber so every result is
+# deterministic on both engines.
+
+N_WINDOWS = 16
+_WIN_FUNCS = ["row_number", "rank", "dense_rank", "sum", "avg",
+              "min", "max", "count", "lag", "lead"]
+_FRAMES = [None, "rows between unbounded preceding and current row",
+           "rows between 2 preceding and current row",
+           "rows between current row and 2 following",
+           "rows between 1 preceding and 1 following",
+           "rows between unbounded preceding and unbounded following"]
+
+
+def _gen_window(rng: random.Random) -> tuple[str, str]:
+    fn = rng.choice(_WIN_FUNCS)
+    val = rng.choice(["l_quantity", "l_extendedprice", "l_discount"])
+    frame = rng.choice(_FRAMES)
+    over = "partition by l_orderkey order by l_linenumber"
+    if fn in ("row_number", "rank", "dense_rank"):
+        expr = f"{fn}() over ({over})"
+        return expr, expr
+    if fn in ("lag", "lead"):
+        off = rng.randint(1, 2)
+        expr = f"{fn}({val}, {off}, 0.0) over ({over})"
+        return expr, expr
+    if fn == "count":
+        spec = f"({over}{' ' + frame if frame else ''})"
+        return (f"count(*) over {spec}",
+                f"CAST(count(*) OVER {spec} AS BIGINT)")
+    spec = f"({over}{' ' + frame if frame else ''})"
+    expr = f"{fn}({val}) over {spec}"
+    return expr, expr
+
+
+@pytest.fixture(scope="module")
+def window_engine(spark):
+    eng = Engine(spark, tempfile.mkdtemp(prefix="propw_"))
+    eng.rexecute("create scope propwdb")
+    eng.rexecute("use propwdb")
+    eng.scope.mount("lineitem", f"{SF_DIR}/lineitem.parquet")
+    return eng
+
+
+@pytest.mark.parametrize("seed", range(N_WINDOWS))
+def test_random_window(window_engine, oracle, seed):
+    rng = random.Random(7000 + seed)
+    nb, dk = _gen_window(rng)
+    nowdb_sql = (f"select l_orderkey, l_linenumber, {nb} as w "
+                 f"from lineitem where l_orderkey < 500 "
+                 f"order by l_orderkey, l_linenumber")
+    duck_sql = (f"SELECT l_orderkey, l_linenumber, {dk} AS w "
+                f"FROM lineitem WHERE l_orderkey < 500 "
+                f"ORDER BY l_orderkey, l_linenumber")
+    got = [tuple(r.row()) for r in window_engine.rexecute(nowdb_sql)]
+    want = oracle.execute(duck_sql).fetchall()
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g[:2] == w[:2]
+        gv, wv = g[2], w[2]
+        if isinstance(wv, float):
+            assert gv == pytest.approx(wv, rel=1e-9, abs=1e-12), \
+                f"window {nb}: {gv} != {wv}"
+        else:
+            assert gv == wv, f"window {nb}: {gv} != {wv}"
