@@ -126,7 +126,7 @@ class Engine:
     def sql(self, sql: str) -> DataFrame:
         """SELECT → DataFrame (the engine as a library)."""
         node = parse(sql)
-        if not isinstance(node, A.Select):
+        if not isinstance(node, (A.Select, A.SetOp)):
             raise EngineError("sql() takes a SELECT")
         return self._bind_select(node)
 
@@ -699,7 +699,12 @@ class Engine:
         # same-named stamp prop — pruning a joined context with them
         # would silently drop inner-join rows.
         def loader(name: str):
-            where = n.where if name == n.target else None
+            # SetOp chains carry no target/where of their own — each
+            # arm is a Select bound recursively; pruning then applies
+            # only to single-select statements (arms read unpruned,
+            # a lost optimization, never lost rows)
+            where = n.where if (isinstance(n, A.Select)
+                                and name == n.target) else None
             return self._load_context_pruned(name, where)
         return SelectBinder(self.spark, loader, None,
                             strict=self.strict).bind(n)
@@ -734,7 +739,7 @@ class Engine:
                     "(sql.tex:2718-2725)")
 
     def _select(self, n: A.Select) -> Result:
-        if self.strict:
+        if self.strict and isinstance(n, A.Select):
             self._validate_strict_indexes(n)
         cur = CursorResult(self._bind_select(n))
         # register for FETCH/CLOSE paging (server-side cursor ids,
@@ -924,6 +929,7 @@ class Engine:
         A.CopyStmt: _copy,
         A.Load: _load,
         A.Select: _select,
+        A.SetOp: _select,
         A.Explain: _explain,
         A.ExecProc: _exec,
         A.LockStmt: _lock,

@@ -99,6 +99,18 @@ class JoinClause:
 
 
 @dataclass
+class SetOp:
+    """select UNION [ALL] | INTERSECT [ALL] | EXCEPT [ALL] select —
+    extension (left-associative chain; trailing ORDER BY/LIMIT apply
+    to the whole result). Operands align by position."""
+    op: str                # union|union_all|intersect|intersect_all|...
+    left: object           # Select | SetOp
+    right: object          # Select
+    order_by: list = field(default_factory=list)
+    limit: Optional[int] = None
+
+
+@dataclass
 class Select:
     items: list                      # [SelectItem]
     target: Optional[str] = None     # context name; None = no FROM

@@ -323,7 +323,9 @@ class SelectBinder:
         self._sub_n = 0          # attached scalar-subquery column counter
         self._base_cols: list = []
 
-    def bind(self, sel: A.Select) -> DataFrame:
+    def bind(self, sel) -> DataFrame:
+        if isinstance(sel, A.SetOp):
+            return self._bind_setop(sel)
         # select-only (no FROM) → single row (nowdbsql.y:365-367)
         if sel.target is None:
             eb = ExprBinder({})
@@ -425,6 +427,43 @@ class SelectBinder:
         if sel.limit is not None:
             df = df.limit(sel.limit)
         return df
+
+    def _bind_setop(self, node: A.SetOp) -> DataFrame:
+        """UNION/INTERSECT/EXCEPT [ALL] — extension. Operands align by
+        position (SQL standard); the output carries the left arm's
+        column names. Distinct variants use Spark's set operators
+        (shuffle on all columns); ALL variants stay shuffle-free for
+        union and use (int|exc)ceptAll otherwise."""
+        if self.strict:
+            raise BindError(
+                "strict mode: set operations are an extension the "
+                "reference grammar does not accept (SURVEY §2.1)")
+        left = self.bind(node.left)
+        right = self.bind(node.right)
+        if len(left.columns) != len(right.columns):
+            raise BindError(
+                f"set operands differ in column count "
+                f"({len(left.columns)} vs {len(right.columns)})")
+        right = right.toDF(*left.columns)
+        if node.op == "union":
+            out = left.union(right).distinct()
+        elif node.op == "union_all":
+            out = left.union(right)
+        elif node.op == "intersect":
+            out = left.intersect(right)
+        elif node.op == "intersect_all":
+            out = left.intersectAll(right)
+        elif node.op == "except":
+            out = left.subtract(right)
+        else:
+            out = left.exceptAll(right)
+        if node.order_by:
+            out = out.orderBy(*[
+                F.col(f.name).desc() if f.desc else F.col(f.name).asc()
+                for f in node.order_by])
+        if node.limit is not None:
+            out = out.limit(node.limit)
+        return out
 
     # --- subqueries (extension) ------------------------------------
     def _bind_sub_select(self, sub: A.Select) -> DataFrame:

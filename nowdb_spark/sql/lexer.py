@@ -23,7 +23,7 @@ KEYWORDS = {
     "into", "values", "from", "where", "group", "order", "by", "on",
     "as", "set", "if", "exists", "not", "and", "or", "in", "is", "null",
     "when", "then", "else", "end", "case", "using", "matched",
-    "distinct", "having", "asc",
+    "distinct", "having", "asc", "union", "intersect", "except", "all",
     # ddl attributes
     "pk", "primary", "key", "inc", "increment", "origin", "destin",
     "destination", "stamp", "timestamp", "language",

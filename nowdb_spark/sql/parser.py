@@ -480,6 +480,33 @@ class Parser:
 
     # --- DQL -------------------------------------------------------
     def select_stmt(self):
+        """One select, or a set-operation chain (extension): trailing
+        ORDER BY/LIMIT bind to the whole chain, SQL-standard style."""
+        sel = self.select_core()
+        if not self.at_kw("union", "intersect", "except"):
+            self._order_limit_into(sel)
+            return sel
+        node = sel
+        while self.at_kw("union", "intersect", "except"):
+            op = self.next().value
+            if self.try_kw("all"):
+                op += "_all"
+            node = A.SetOp(op, node, self.select_core())
+        self._order_limit_into(node)
+        return node
+
+    def _order_limit_into(self, node) -> None:
+        if self.at_kw("order"):
+            self.next()
+            self.eat_kw("by")
+            node.order_by = [self.order_ref()]
+            while self.at_sym(","):
+                self.next()
+                node.order_by.append(self.order_ref())
+        if self.try_kw("limit"):
+            node.limit = int(self.next().value)
+
+    def select_core(self):
         self.eat_kw("select")
         distinct = bool(self.try_kw("distinct"))
         items = [self.select_item()]
@@ -517,15 +544,8 @@ class Parser:
                 group_by.append(self.field_ref())
             if self.try_kw("having"):
                 having = self.expr()
-        if self.at_kw("order"):
-            self.next()
-            self.eat_kw("by")
-            order_by = [self.order_ref()]
-            while self.at_sym(","):
-                self.next()
-                order_by.append(self.order_ref())
-        if self.try_kw("limit"):
-            limit = int(self.next().value)
+        # ORDER BY / LIMIT are attached by select_stmt (they bind to
+        # the whole chain when set operations follow)
         return A.Select(items, target, joins, where, group_by,
                         having, order_by, limit, distinct)
 

@@ -234,6 +234,23 @@ _dialect(
 )
 
 _dialect(
+    "nq11_dialect_setops",
+    """
+    select c_custkey from customer where c_mktsegment = 'BUILDING'
+    union select c_custkey from customer where c_acctbal > 8000.0
+    except select c_custkey from customer where c_acctbal < 500.0
+    """,
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION SELECT c_custkey FROM customer WHERE c_acctbal > 8000.0
+    EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal < 500.0
+    """,
+    doc="dialect: UNION/EXCEPT chain (left-associative in both "
+        "engines; INTERSECT kept un-mixed — DuckDB gives it higher "
+        "precedence)",
+)
+
+_dialect(
     "nq05_dialect_order_limit",
     """
     select c_custkey, c_acctbal from customer

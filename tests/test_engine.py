@@ -841,3 +841,32 @@ def test_copy_export(eng, data, tmp_path, spark):
     out_jl = str(tmp_path / "out.jsonl")
     r = eng.execute(f"copy (select prod_key from product) to '{out_jl}'")
     assert r.ok() and spark.read.json(out_jl).count() == r.affected
+
+
+def test_set_operations(eng, data):
+    cheap = {p[0] for p in data["products"] if p[4] < 30.0 and p[0] < 100}
+    early = {p[0] for p in data["products"] if p[0] < 10}
+    got = rows(eng.execute(
+        "select prod_key from product where prod_price < 30.0 "
+        "and prod_key < 100 "
+        "union select prod_key from product where prod_key < 10 "
+        "order by prod_key"))
+    assert [g[0] for g in got] == sorted(cheap | early)
+    got = rows(eng.execute(
+        "select prod_key from product where prod_price < 30.0 "
+        "and prod_key < 100 "
+        "intersect select prod_key from product where prod_key < 10"))
+    assert sorted(g[0] for g in got) == sorted(cheap & early)
+    got = rows(eng.execute(
+        "select prod_key from product where prod_key < 10 "
+        "except select prod_key from product where prod_price < 30.0"))
+    assert sorted(g[0] for g in got) == sorted(early - cheap)
+    # UNION ALL keeps duplicates
+    got = rows(eng.execute(
+        "select prod_key from product where prod_key < 10 "
+        "union all select prod_key from product where prod_key < 10"))
+    assert len(got) == 2 * len(early)
+    # arity mismatch rejected
+    r = eng.execute("select prod_key from product union "
+                    "select prod_key, prod_price from product")
+    assert not r.ok() and "column count" in r.details()

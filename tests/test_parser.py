@@ -169,3 +169,25 @@ def test_subquery_parsing():
     s = parse("select a, k not in (1, 2, 3) as flag from t")
     f = s.items[1].expr
     assert isinstance(f, A.InExpr) and f.negated and len(f.values) == 3
+
+
+def test_setop_parsing():
+    from nowdb_spark.sql import ast as A
+    s = parse("select a from t union select b from u")
+    assert isinstance(s, A.SetOp) and s.op == "union"
+    assert s.left.target == "t" and s.right.target == "u"
+
+    s = parse("select a from t union all select b from u "
+              "intersect select c from v order by a desc limit 3")
+    # left-associative chain; ORDER BY/LIMIT on the whole
+    assert s.op == "intersect" and s.left.op == "union_all"
+    assert s.order_by[0].name == "a" and s.order_by[0].desc
+    assert s.limit == 3
+    assert s.left.order_by == [] and s.left.limit is None
+
+    s = parse("select a from t except all select a from u")
+    assert s.op == "except_all"
+
+    # plain select still owns its ORDER BY/LIMIT
+    s = parse("select a from t order by a limit 2")
+    assert isinstance(s, A.Select) and s.limit == 2
