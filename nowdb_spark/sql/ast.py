@@ -53,6 +53,15 @@ class InExpr:
 
 
 @dataclass
+class ExistsExpr:
+    """[NOT] EXISTS (SELECT ... WHERE outer.col = subcol ...) —
+    extension. Must be correlated through one or more equality
+    conjuncts whose outer side is qualified with the outer FROM
+    context's name; bound as a semi/anti join (NOT via Op('not'))."""
+    select: object
+
+
+@dataclass
 class ScalarSubquery:
     """(SELECT ...) in expression position — extension. Must be
     uncorrelated and statically single-row (a global aggregate, a

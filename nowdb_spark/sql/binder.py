@@ -142,6 +142,9 @@ class ExprBinder:
             return self._bind_op(node)
         if isinstance(node, A.WindowExpr):
             return self._bind_window(node)
+        if isinstance(node, A.ExistsExpr):
+            raise BindError(
+                "EXISTS is only supported as a top-level WHERE conjunct")
         if isinstance(node, A.ScalarSubquery):
             try:
                 return self.subq[id(node)]
@@ -287,6 +290,40 @@ def _scalar_subs(node, out: list, into_aggs: bool = True) -> None:
             _scalar_subs(a, out, into_aggs)
 
 
+def _refs_qualifier(node, q: str) -> bool:
+    if isinstance(node, A.Field):
+        return node.qualifier == q
+    if isinstance(node, A.Op):
+        return any(_refs_qualifier(a, q) for a in node.args)
+    if isinstance(node, A.CaseExpr):
+        return (any(_refs_qualifier(c, q) or _refs_qualifier(t, q)
+                    for c, t in node.whens)
+                or (node.else_ is not None
+                    and _refs_qualifier(node.else_, q)))
+    if isinstance(node, (A.InExpr, A.IsNull)):
+        return _refs_qualifier(node.expr, q)
+    if isinstance(node, A.Agg):
+        return node.arg is not None and _refs_qualifier(node.arg, q)
+    return False
+
+
+def _corr_pair(c, outer_name: str):
+    """`outer.col = <sub expr>` (either side) → (Field(col), sub_expr);
+    None when the conjunct is not a correlation equality."""
+    if not (isinstance(c, A.Op) and c.name == "=" and len(c.args) == 2):
+        return None
+    a, b = c.args
+
+    def is_outer(x):
+        return isinstance(x, A.Field) and x.qualifier == outer_name
+
+    if is_outer(a) and not _refs_qualifier(b, outer_name):
+        return A.Field(a.name), b
+    if is_outer(b) and not _refs_qualifier(a, outer_name):
+        return A.Field(b.name), a
+    return None
+
+
 def _has_subquery(node) -> bool:
     if node is None:
         return False
@@ -294,6 +331,8 @@ def _has_subquery(node) -> bool:
         return True
     if isinstance(node, A.InExpr):
         return node.select is not None or _has_subquery(node.expr)
+    if isinstance(node, A.ExistsExpr):
+        return True
     if isinstance(node, A.Op):
         return any(_has_subquery(a) for a in node.args)
     if isinstance(node, A.Agg):
@@ -382,6 +421,13 @@ class SelectBinder:
             for conj in _split_conjuncts(sel.where):
                 if isinstance(conj, A.InExpr) and conj.select is not None:
                     df = self._bind_in_subquery(df, conj, eb)
+                elif isinstance(conj, A.ExistsExpr):
+                    df = self._bind_exists(df, conj.select, eb,
+                                           sel.target, negated=False)
+                elif (isinstance(conj, A.Op) and conj.name == "not"
+                      and isinstance(conj.args[0], A.ExistsExpr)):
+                    df = self._bind_exists(df, conj.args[0].select, eb,
+                                           sel.target, negated=True)
                 else:
                     plain.append(conj)
             for conj in plain:
@@ -516,6 +562,51 @@ class SelectBinder:
         cond = eb.bind(node.expr) == sub[name]
         return df.join(sub, cond, "left_anti" if node.negated
                        else "left_semi")
+
+    def _bind_exists(self, df: DataFrame, sub: A.Select, eb: ExprBinder,
+                     outer_target: str, negated: bool) -> DataFrame:
+        """[NOT] EXISTS with equality correlation → semi/anti join.
+
+        The subquery's WHERE is split into correlation conjuncts
+        (`<outer_target>.<col> = <sub expr>`) — which become the join
+        keys — and residual conjuncts, which filter the subquery
+        before the join. The join side projects only the correlation
+        expressions, so at scale this shuffles the minimal key set
+        (or broadcasts when small — Catalyst/AQE decide)."""
+        if sub.group_by or sub.joins or sub.target is None:
+            raise BindError(
+                "correlated EXISTS supports a plain single-table "
+                "subquery")
+        corr: list = []
+        inner: list = []
+        conjs = _split_conjuncts(sub.where) if sub.where is not None \
+            else []
+        for c in conjs:
+            pair = _corr_pair(c, outer_target)
+            if pair is not None:
+                corr.append(pair)
+            else:
+                inner.append(c)
+        if not corr:
+            raise BindError(
+                "EXISTS subquery must be correlated via "
+                f"{outer_target}.<col> = <subquery expr> equality "
+                "(uncorrelated existence tests: use IN or a scalar "
+                "count subquery)")
+        where = None
+        for c in inner:
+            where = c if where is None else A.Op("and", [where, c])
+        items = [A.SelectItem(ie, alias=f"__ek_{i}")
+                 for i, (_, ie) in enumerate(corr)]
+        sub2 = A.Select(items, sub.target, [], where, [], None, [],
+                        None, False)
+        sdf = self._bind_sub_select(sub2)
+        cond = None
+        for i, (outer_field, _) in enumerate(corr):
+            c = eb.bind(outer_field) == sdf[f"__ek_{i}"]
+            cond = c if cond is None else cond & c
+        return df.join(sdf, cond,
+                       "left_anti" if negated else "left_semi")
 
     @staticmethod
     def _item_aggs(expr) -> list:

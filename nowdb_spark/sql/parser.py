@@ -704,6 +704,12 @@ class Parser:
             return A.Const(None, "null")
         if t.kind == "KW" and t.value == "case":
             return self.case_expr()
+        if t.kind == "KW" and t.value == "exists":
+            self.next()
+            self.eat_sym("(")
+            sub = self.select_stmt()
+            self.eat_sym(")")
+            return A.ExistsExpr(sub)
         if self.at_sym("("):
             self.next()
             if self.at_kw("select"):

@@ -251,6 +251,26 @@ _dialect(
 )
 
 _dialect(
+    "nq12_dialect_exists",
+    """
+    select c_custkey, c_mktsegment from customer
+    where exists (select 1 from orders
+                  where customer.c_custkey = o_custkey
+                    and o_totalprice > 200000.0)
+      and c_acctbal > 0.0
+    """,
+    """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE customer.c_custkey = o_custkey
+                    AND o_totalprice > 200000.0)
+      AND c_acctbal > 0.0
+    """,
+    doc="dialect: correlated EXISTS -> semi join on the correlation "
+        "equality, residual predicate filters the subquery side",
+)
+
+_dialect(
     "nq05_dialect_order_limit",
     """
     select c_custkey, c_acctbal from customer

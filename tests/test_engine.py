@@ -870,3 +870,26 @@ def test_set_operations(eng, data):
     r = eng.execute("select prod_key from product union "
                     "select prod_key, prod_price from product")
     assert not r.ok() and "column count" in r.details()
+
+
+def test_exists_subqueries(eng, data):
+    pricey = {p[0] for p in data["products"] if p[4] > 50.0 and p[0] < 100}
+    bought = {b[1] for b in data["buys"]}
+    got = rows(eng.execute(
+        "select prod_key from product where prod_key < 100 and exists "
+        "(select 1 from buys where product.prod_key = destin)"))
+    assert sorted(g[0] for g in got) == sorted(
+        k for k in range(PRODUCTS) if k in bought)
+    got = rows(eng.execute(
+        "select prod_key from product where prod_key < 100 and "
+        "not exists (select 1 from buys "
+        "where product.prod_key = destin and quantity > 5)"))
+    big = {b[1] for b in data["buys"] if b[3] > 5}
+    assert sorted(g[0] for g in got) == sorted(
+        k for k in range(PRODUCTS) if k not in big)
+    # uncorrelated EXISTS is rejected with guidance
+    r = eng.execute(
+        "select prod_key from product where exists "
+        "(select 1 from buys)")
+    assert not r.ok() and "correlated" in r.details()
+    assert pricey is not None
