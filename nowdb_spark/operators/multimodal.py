@@ -89,6 +89,72 @@ def extract_meta(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, payload_col).mapInPandas(kernel, META_SCHEMA)
 
 
+def resize_image(df: DataFrame, width: int = 32, height: int = 32,
+                 id_col: str = "doc_id",
+                 payload_col: str = "payload") -> DataFrame:
+    """'Resize' plumbing: binary in → binary out at a fixed target
+    size (width*height bytes — what a thumbnailer's output shape looks
+    like). The deterministic fake truncates/cycles payload bytes to
+    the target length; a real implementation swaps in PIL resize and
+    nothing else changes. Narrow, zero-shuffle."""
+    schema = f"{id_col} long, resized binary, out_w int, out_h int"
+    target = width * height
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        def fake_resize(b: bytes) -> bytes:
+            if not b:
+                return bytes(target)
+            reps = target // len(b) + 1
+            return (b * reps)[:target]
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "resized": [fake_resize(bytes(b))
+                            for b in pdf[payload_col]],
+                "out_w": width,
+                "out_h": height,
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
+def feature_extract(df: DataFrame, dim: int = 16,
+                    id_col: str = "doc_id",
+                    payload_col: str = "payload") -> DataFrame:
+    """Binary → fixed-dim float feature vector (the embedding-
+    extraction plumbing: array<float> column, Arrow-batched, narrow).
+    The deterministic fake folds a rolling byte hash into `dim`
+    buckets and L2-normalizes; a real model inference call has the
+    same signature and batch shape."""
+    schema = f"{id_col} long, features array<float>"
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import math
+
+        import pandas as _pd
+
+        def fake_features(b: bytes) -> list:
+            acc = [0.0] * dim
+            h = 2166136261
+            for i, byte in enumerate(b):
+                h = (h ^ byte) * 16777619 % (1 << 32)
+                acc[i % dim] += (h % 1000) / 1000.0
+            norm = math.sqrt(sum(v * v for v in acc)) or 1.0
+            return [v / norm for v in acc]
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "features": [fake_features(bytes(b))
+                             for b in pdf[payload_col]],
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
 def frame_sample(df: DataFrame, every_n_bytes: int = 997,
                  id_col: str = "doc_id",
                  payload_col: str = "payload") -> DataFrame:

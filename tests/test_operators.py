@@ -107,6 +107,34 @@ def test_multimodal_frame_sample(spark):
         assert bytes(first["chunk"]) == r["text"].encode()[:16]
 
 
+def test_multimodal_resize_and_features(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(5)
+    payloads = M.with_binary_payload(docs)
+
+    resized = M.resize_image(payloads, width=8, height=4).collect()
+    assert len(resized) == 5
+    for r in resized:
+        assert len(bytes(r["resized"])) == 32
+        assert (r["out_w"], r["out_h"]) == (8, 4)
+    # deterministic: first bytes cycle the payload
+    src = {r["doc_id"]: r["text"].encode() for r in docs.collect()}
+    for r in resized:
+        assert bytes(r["resized"])[:8] == src[r["doc_id"]][:8]
+
+    feats = M.feature_extract(payloads, dim=16).collect()
+    assert len(feats) == 5
+    import math
+    for r in feats:
+        v = r["features"]
+        assert len(v) == 16
+        assert math.isclose(sum(x * x for x in v), 1.0, rel_tol=1e-5)
+    # same payload -> same features (deterministic kernel)
+    again = {r["doc_id"]: r["features"]
+             for r in M.feature_extract(payloads, dim=16).collect()}
+    for r in feats:
+        assert again[r["doc_id"]] == pytest.approx(r["features"], abs=1e-6)
+
+
 def test_multimodal_decode_gate():
     with pytest.raises(NotImplementedError):
         M.decode_image(b"xx")
