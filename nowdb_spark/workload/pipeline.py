@@ -447,3 +447,51 @@ def ann04(spark, sf):
 def mm01(spark, sf):
     d = M.with_binary_payload(table(spark, sf, "documents"))
     return M.extract_meta(d)
+
+
+# ------------------------------------------------------------------
+@register(
+    "ann05_quantize_int8",
+    """
+    WITH s AS (
+      SELECT vec_id,
+             list_aggregate(
+               list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+               'max') AS m
+      FROM embeddings
+    ),
+    q AS (
+      SELECT e.vec_id,
+             CASE WHEN s.m > 0 THEN s.m ELSE 1.0 END AS scale,
+             list_transform(
+               e.embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 127.0
+                         / (CASE WHEN s.m > 0 THEN s.m ELSE 1.0 END))
+                    AS INT)) AS qv
+      FROM embeddings e JOIN s ON e.vec_id = s.vec_id
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale_r,
+           CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+           CAST(list_aggregate(qv, 'min') AS INT) AS q_min,
+           CAST(list_aggregate(qv, 'max') AS INT) AS q_max,
+           CAST(len(list_filter(qv, x -> x <> 0)) AS BIGINT) AS nnz
+    FROM q
+    """,
+    doc="symmetric per-vector int8 quantization (map-only, 4x storage "
+        "cut); gate compares per-vector scale and quantized-component "
+        "summaries — identical IEEE formula on both engines",
+)
+def ann05(spark, sf):
+    emb = table(spark, sf, "embeddings")
+    out = S.quantize_int8(emb)
+    q = F.col("q")
+    return out.select(
+        "vec_id",
+        F.round(F.col("scale"), 6).alias("scale_r"),
+        F.aggregate(q, F.lit(0).cast("long"),
+                    lambda acc, x: acc + x.cast("long")).alias("q_sum"),
+        F.array_min(q).alias("q_min"),
+        F.array_max(q).alias("q_max"),
+        F.size(F.filter(q, lambda x: x != 0)).cast("long").alias("nnz"),
+    )

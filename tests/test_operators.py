@@ -215,3 +215,15 @@ def test_ivf_index_partitions_cover_corpus(spark):
            idx.groupBy("cid").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert sum(per.values()) == emb.count()
     assert all(0 <= c < 4 for c in per)
+
+
+def test_quantize_roundtrip(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(20)
+    q = S.quantize_int8(emb)
+    d = S.dequantize_int8(q).collect()
+    for r in d:
+        orig = [float(x) for x in r["embedding"]]
+        back = r["deq"]
+        bound = r["scale"] / 254.0 + 1e-9
+        assert all(abs(a - b) <= bound for a, b in zip(orig, back))
+        assert all(-127 <= x <= 127 for x in r["q"])
