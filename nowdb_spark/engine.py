@@ -727,6 +727,9 @@ class Engine:
             return
         for keys, what in ((n.group_by, "GROUP BY"),
                            (n.order_by, "ORDER BY")):
+            # expression keys (extension) are rejected by the binder's
+            # strict validation with a precise message — skip here
+            keys = [k for k in keys if isinstance(k, A.Field)]
             if not keys:
                 continue
             names = [k.name for k in keys]

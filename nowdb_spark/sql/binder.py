@@ -258,6 +258,40 @@ def _collect_aggs(node, out: list) -> None:
         _collect_aggs(node.expr, out)
 
 
+def _expr_eq(a, b) -> bool:
+    """Structural AST equality (for matching select items to GROUP BY
+    expressions)."""
+    if type(a) is not type(b):
+        return False
+    if isinstance(a, A.Const):
+        return a.value == b.value and a.type == b.type
+    if isinstance(a, A.Field):
+        return a.name == b.name and a.qualifier == b.qualifier
+    if isinstance(a, A.Op):
+        return (a.name == b.name and len(a.args) == len(b.args)
+                and all(_expr_eq(x, y) for x, y in zip(a.args, b.args)))
+    if isinstance(a, A.Agg):
+        return (a.name == b.name and a.distinct == b.distinct
+                and (a.arg is None) == (b.arg is None)
+                and (a.arg is None or _expr_eq(a.arg, b.arg)))
+    if isinstance(a, A.CaseExpr):
+        return (len(a.whens) == len(b.whens)
+                and all(_expr_eq(c1, c2) and _expr_eq(t1, t2)
+                        for (c1, t1), (c2, t2) in zip(a.whens, b.whens))
+                and (a.else_ is None) == (b.else_ is None)
+                and (a.else_ is None or _expr_eq(a.else_, b.else_)))
+    if isinstance(a, A.IsNull):
+        return a.negated == b.negated and _expr_eq(a.expr, b.expr)
+    if isinstance(a, A.InExpr):
+        return (a.negated == b.negated and a.select is None
+                and b.select is None
+                and len(a.values) == len(b.values)
+                and _expr_eq(a.expr, b.expr)
+                and all(_expr_eq(x, y)
+                        for x, y in zip(a.values, b.values)))
+    return False
+
+
 def _split_conjuncts(node) -> list:
     if isinstance(node, A.Op) and node.name == "and":
         return _split_conjuncts(node.args[0]) + _split_conjuncts(node.args[1])
@@ -616,10 +650,22 @@ class SelectBinder:
 
     def _bind_aggregation(self, df: DataFrame, sel: A.Select,
                           eb: ExprBinder) -> DataFrame:
-        group_cols = [eb.bind(g).alias(g.name) for g in sel.group_by]
-
         if self.strict:
             self._validate_strict(sel)
+
+        # GROUP BY expressions (extension): each key gets a stable
+        # output name — the field name, a matching select item's
+        # alias, or a positional __g_k fallback
+        group_names: list[str] = []
+        for k, g in enumerate(sel.group_by):
+            if isinstance(g, A.Field):
+                group_names.append(g.name)
+                continue
+            alias = next((it.alias for it in sel.items
+                          if it.alias and _expr_eq(it.expr, g)), None)
+            group_names.append(alias or f"__g_{k}")
+        group_cols = [eb.bind(g).alias(nm)
+                      for g, nm in zip(sel.group_by, group_names)]
 
         # collect every Agg node across items (and HAVING, which may
         # filter on aggregates absent from the select list); bind each
@@ -678,6 +724,11 @@ class SelectBinder:
         # rebind the select items on top of the aggregated frame:
         # Agg nodes become references to the pre-computed __agg_k cols
         def rebind(node, i) -> Column:
+            # a select item (or subtree) that IS a group key refers to
+            # the pre-computed key column
+            for g, nm in zip(sel.group_by, group_names):
+                if _expr_eq(node, g):
+                    return F.col(nm)
             if isinstance(node, A.Agg):
                 return F.col(agg_names[id(node)])
             if isinstance(node, A.ScalarSubquery):
@@ -731,6 +782,10 @@ class SelectBinder:
     def _validate_strict(sel: A.Select) -> None:
         """Reference rule: select list must be the group keys in order,
         then only aggregates (doc/manual/sql.tex:2659-2697)."""
+        if any(not isinstance(g, A.Field) for g in sel.group_by):
+            raise BindError(
+                "strict mode: GROUP BY accepts field names only "
+                "(expression keys are an extension, SURVEY §2.1)")
         keys = [g.name for g in sel.group_by]
         for i, item in enumerate(sel.items):
             if i < len(keys):

@@ -538,10 +538,12 @@ class Parser:
         if self.at_kw("group"):
             self.next()
             self.eat_kw("by")
-            group_by = [self.field_ref()]
+            # expressions allowed (extension; the reference grammar
+            # only accepts field lists — strict mode re-imposes that)
+            group_by = [self.expr()]
             while self.at_sym(","):
                 self.next()
-                group_by.append(self.field_ref())
+                group_by.append(self.expr())
             if self.try_kw("having"):
                 having = self.expr()
         # ORDER BY / LIMIT are attached by select_stmt (they bind to

@@ -271,6 +271,22 @@ _dialect(
 )
 
 _dialect(
+    "nq13_dialect_group_expr",
+    """
+    select year(ts) as y, mday(ts) as d, count(*) as n,
+           round(sum(value), 4) as total
+    from events group by year(ts), mday(ts)
+    """,
+    """
+    SELECT CAST(year(ts) AS INT) AS y, CAST(dayofmonth(ts) AS INT) AS d,
+           count(*) AS n, round(sum(value), 4) AS total
+    FROM events GROUP BY year(ts), dayofmonth(ts)
+    """,
+    doc="dialect: GROUP BY expressions (time extractions) — extension "
+        "over the reference's field-only group lists",
+)
+
+_dialect(
     "nq05_dialect_order_limit",
     """
     select c_custkey, c_acctbal from customer

@@ -893,3 +893,21 @@ def test_exists_subqueries(eng, data):
         "(select 1 from buys)")
     assert not r.ok() and "correlated" in r.details()
     assert pricey is not None
+
+
+def test_group_by_expression(eng, data):
+    got = rows(eng.execute(
+        "select quantity % 3 as qmod, count(*) as n, "
+        "sum(quantity) as sq from buys group by quantity % 3 "
+        "order by qmod"))
+    per = {}
+    for b in data["buys"]:
+        c, s = per.get(b[3] % 3, (0, 0))
+        per[b[3] % 3] = (c + 1, s + b[3])
+    assert {g[0]: (g[1], g[2]) for g in got} == per
+    # strict mode: expression keys rejected
+    strict = Engine(eng.spark, eng.base, strict=True)
+    assert strict.execute("use retail").ok()
+    r = strict.execute(
+        "select quantity % 3, count(*) from buys group by quantity % 3")
+    assert not r.ok() and "field names only" in r.details()
