@@ -130,6 +130,8 @@ class Select:
     order_by: list = field(default_factory=list)   # [Field]
     limit: Optional[int] = None                    # extension
     distinct: bool = False                         # extension
+    qualify: Optional[object] = None               # extension (post-
+    # projection filter over output columns, e.g. window ranks)
 
 
 # --- DDL -----------------------------------------------------------

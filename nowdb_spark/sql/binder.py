@@ -497,6 +497,17 @@ class SelectBinder:
                             .alias(item.alias or _expr_name(item.expr, i)))
             df = df.select(*cols)
 
+        if sel.qualify is not None:
+            if self.strict:
+                raise BindError(
+                    "strict mode: QUALIFY is an extension the reference "
+                    "grammar does not accept (SURVEY §2.1)")
+            # post-projection filter (DuckDB/Snowflake semantics):
+            # binds against the OUTPUT columns, so window ranks filter
+            # by their select-list alias — or inline window exprs over
+            # projected columns
+            df = df.filter(ExprBinder({}).bind(sel.qualify))
+
         if sel.distinct:
             df = df.distinct()
 

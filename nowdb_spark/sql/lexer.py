@@ -24,6 +24,7 @@ KEYWORDS = {
     "as", "set", "if", "exists", "not", "and", "or", "in", "is", "null",
     "when", "then", "else", "end", "case", "using", "matched",
     "distinct", "having", "asc", "union", "intersect", "except", "all",
+    "qualify",
     # ddl attributes
     "pk", "primary", "key", "inc", "increment", "origin", "destin",
     "destination", "stamp", "timestamp", "language",

@@ -546,10 +546,13 @@ class Parser:
                 group_by.append(self.expr())
             if self.try_kw("having"):
                 having = self.expr()
+        qualify = None
+        if self.try_kw("qualify"):
+            qualify = self.expr()
         # ORDER BY / LIMIT are attached by select_stmt (they bind to
         # the whole chain when set operations follow)
         return A.Select(items, target, joins, where, group_by,
-                        having, order_by, limit, distinct)
+                        having, order_by, limit, distinct, qualify)
 
     def select_item(self):
         if self.at_sym("*"):

@@ -287,6 +287,28 @@ _dialect(
 )
 
 _dialect(
+    "nq14_dialect_qualify",
+    """
+    select l_orderkey, l_linenumber, l_quantity,
+           row_number() over (partition by l_orderkey
+                              order by l_quantity desc, l_linenumber)
+               as rn
+    from lineitem where l_orderkey < 2000
+    qualify rn <= 2
+    """,
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           row_number() OVER (PARTITION BY l_orderkey
+                              ORDER BY l_quantity DESC, l_linenumber)
+               AS rn
+    FROM lineitem WHERE l_orderkey < 2000
+    QUALIFY rn <= 2
+    """,
+    doc="dialect: QUALIFY (post-window filter) — top-2 lines per "
+        "order by quantity in one statement",
+)
+
+_dialect(
     "nq05_dialect_order_limit",
     """
     select c_custkey, c_acctbal from customer

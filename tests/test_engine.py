@@ -911,3 +911,23 @@ def test_group_by_expression(eng, data):
     r = strict.execute(
         "select quantity % 3, count(*) from buys group by quantity % 3")
     assert not r.ok() and "field names only" in r.details()
+
+
+def test_qualify(eng, data):
+    got = rows(eng.execute(
+        "select origin, stamp, "
+        "row_number() over (partition by origin order by stamp) as rn "
+        "from buys qualify rn <= 2 order by origin, rn"))
+    per = {}
+    for b in data["buys"]:
+        per.setdefault(b[0], []).append(b[2])
+    want = []
+    for o in sorted(per):
+        for i, st in enumerate(sorted(per[o])[:2]):
+            want.append((o, st, i + 1))
+    assert got == want
+    strict = Engine(eng.spark, eng.base, strict=True)
+    assert strict.execute("use retail").ok()
+    r = strict.execute(
+        "select origin from buys qualify origin > 0")
+    assert not r.ok() and "strict" in r.details()
