@@ -230,6 +230,44 @@ class Engine:
         sc.save()
         return StatusResult()
 
+    def _create_type_as(self, n: A.CreateTypeAs) -> Result:
+        """CTAS extension: infer the context's props from the bound
+        select's schema (scalar columns only) and materialize the
+        rows — one distributed write, no driver-side row handling."""
+        if self.strict:
+            raise EngineError(
+                "strict mode: CREATE TYPE AS SELECT is an extension "
+                "the reference grammar does not accept (SURVEY §2.1)")
+        sc = self._need_scope()
+        if n.name in sc.meta.types:
+            if n.if_not_exists:
+                return StatusResult()
+            raise CatalogError(f"type {n.name!r} already exists")
+        if n.name in sc.meta.views or n.name in sc.mounts:
+            raise EngineError(f"{n.name!r} already names a context")
+        df = self._bind_select(n.select)
+        _SPARK_TO_NOWDB = {"string": "text", "double": "float",
+                           "bigint": "int", "int": "int",
+                           "boolean": "bool"}
+        props = []
+        for f in df.schema.fields:
+            t = _SPARK_TO_NOWDB.get(f.dataType.simpleString())
+            if t is None:
+                raise EngineError(
+                    f"CREATE TYPE AS: column {f.name!r} has "
+                    f"non-scalar type {f.dataType.simpleString()!r}")
+            props.append(Prop(f.name, t))
+        tdef = TypeDef(n.name, "vertex", props)
+        sc.add_type(tdef)
+        # widen int columns to the model's i64 before writing
+        df = df.select(*[
+            F.col(p.name).cast("long").alias(p.name)
+            if p.type in ("int", "uint") else F.col(p.name)
+            for p in props])
+        write_context(df, sc.context_dir(n.name), tdef,
+                      codec=self._codec(tdef))
+        return StatusResult()
+
     def _create_view(self, n: A.CreateView) -> Result:
         """CREATE VIEW (extension) — validate by binding now, persist
         the select text; re-bound on every read so views compose."""
@@ -916,6 +954,7 @@ class Engine:
         A.DropScope: _drop_scope,
         A.UseScope: _use,
         A.CreateType: _create_type,
+        A.CreateTypeAs: _create_type_as,
         A.CreateEdge: _create_edge,
         A.CreateIndex: _create_index,
         A.CreateView: _create_view,

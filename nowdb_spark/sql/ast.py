@@ -172,6 +172,16 @@ class CreateType:
 
 
 @dataclass
+class CreateTypeAs:
+    """CREATE TYPE name AS select — CTAS extension (the reference
+    creates empty typed contexts only): props inferred from the bound
+    select's schema, rows materialized into the new context."""
+    name: str
+    select: object
+    if_not_exists: bool = False
+
+
+@dataclass
 class CreateEdge:
     name: str
     props: list            # [PropDef] incl. origin/destin/stamp roles

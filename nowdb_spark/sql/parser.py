@@ -170,6 +170,9 @@ class Parser:
         if kind == "type":
             ine = self.if_not_exists()
             name = self.ident()
+            if self.try_kw("as"):
+                # CTAS extension: schema inferred from the select
+                return A.CreateTypeAs(name, self.select_stmt(), ine)
             props = self.prop_defs(edge=False)
             storage = self.storage_clause()
             return A.CreateType(name, props, storage, ine)

@@ -931,3 +931,39 @@ def test_qualify(eng, data):
     r = strict.execute(
         "select origin from buys qualify origin > 0")
     assert not r.ok() and "strict" in r.details()
+
+
+def test_create_type_as_select(eng, data, spark):
+    assert eng.execute(
+        "create type cheap_products as "
+        "select prod_key, prod_desc, prod_price from product "
+        "where prod_price < 30.0 and prod_key < 100").ok()
+    cheap = [(p[0], p[1], p[4]) for p in data["products"] if p[4] < 30.0]
+    got = rows(eng.execute(
+        "select prod_key, prod_desc, prod_price from cheap_products "
+        "order by prod_key"))
+    assert got == sorted(cheap)
+    # inferred schema is a real context: DESC works, INSERT works
+    d = {r[0]: r[1] for r in eng.execute("desc cheap_products")._rows}
+    assert d["prod_desc"] == "text" and d["prod_price"] == "float"
+    assert eng.execute(
+        "insert into cheap_products (prod_key, prod_desc, prod_price) "
+        "values (990, 'extra', 1.0)").ok()
+    assert eng.one_value(
+        "select count(*) from cheap_products") == len(cheap) + 1
+    # survives reload
+    e2 = Engine(spark, eng.base)
+    assert e2.execute("use retail").ok()
+    assert e2.one_value(
+        "select count(*) from cheap_products") == len(cheap) + 1
+    assert eng.execute("drop type cheap_products").ok()
+    # CTAS from an aggregate (group-by result)
+    assert eng.execute(
+        "create type buys_per_client as "
+        "select origin, count(*) as n from buys group by origin").ok()
+    per = {}
+    for b in data["buys"]:
+        per[b[0]] = per.get(b[0], 0) + 1
+    got = rows(eng.execute("select origin, n from buys_per_client"))
+    assert {o: n for o, n in got} == per
+    assert eng.execute("drop type buys_per_client").ok()
