@@ -40,7 +40,10 @@ HEADLINE = [
     "tx01_text_stats",
     "ann01_bruteforce_topk",
     "ts01_downsample",
+    "ts07_ewma",
     "nq01_dialect_group_agg",
+    "nq08_dialect_window",
+    "nq10_dialect_subqueries",
     "g01_cosupply_pairs",
 ]
 

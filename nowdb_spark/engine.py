@@ -355,6 +355,14 @@ class Engine:
 
     def _desc(self, n: A.Desc) -> Result:
         sc = self._need_scope()
+        if n.name in sc.meta.views or n.name in sc.mounts:
+            # views/mounts have no declared model — describe the
+            # inferred schema (extension; reference DESC covers types)
+            kind = "view" if n.name in sc.meta.views else "mount"
+            df, types, _ = self._read_context(n.name)
+            return RowResult(["name", "type", "role"],
+                             [(c, types.get(c, ""), kind)
+                              for c in df.columns])
         t = sc.get_type(n.name)
         rows = [(p.name, p.type,
                  "pk" if p.pk else (p.role or ("stamp" if p.stamp else "")))

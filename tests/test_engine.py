@@ -745,6 +745,11 @@ def test_views(eng, data, spark):
     assert eng.execute(
         "create view if not exists pricey as select 1").ok()
 
+    # DESC on a view reports the inferred schema
+    d = eng.execute("desc pricey")
+    got = {(r[0], r[2]) for r in d._rows}
+    assert ("prod_key", "view") in got and ("prod_price", "view") in got
+
     # SHOW / DROP
     names = {row[0] for row in eng.execute("show views")._rows}
     assert {"pricey", "pricey_stats"} <= names
