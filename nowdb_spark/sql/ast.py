@@ -99,6 +99,14 @@ class SelectItem:
 
 
 @dataclass
+class OrderItem:
+    """ORDER BY <expression> [ASC|DESC] — extension (bare fields stay
+    plain Field nodes; expression keys get this wrapper)."""
+    expr: object
+    desc: bool = False
+
+
+@dataclass
 class JoinClause:
     """Documented nowdb join (sql.tex:2293-2368): join <vertex> on
     origin|destin [as alias] — always inner against the vertex PK."""

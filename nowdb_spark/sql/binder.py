@@ -159,10 +159,13 @@ class ExprBinder:
         w = Window.partitionBy(
             *[self.resolver(f.qualifier, f.name) for f in node.partition_by])
         if node.order_by:
-            w = w.orderBy(*[
-                self.resolver(f.qualifier, f.name).desc() if f.desc
-                else self.resolver(f.qualifier, f.name).asc()
-                for f in node.order_by])
+            def ocol(f):
+                if isinstance(f, A.OrderItem):
+                    c = self.bind(f.expr)
+                else:
+                    c = self.resolver(f.qualifier, f.name)
+                return c.desc() if f.desc else c.asc()
+            w = w.orderBy(*[ocol(f) for f in node.order_by])
         if node.frame is not None:
             lo, hi = node.frame
             w = w.rowsBetween(
@@ -512,6 +515,11 @@ class SelectBinder:
             df = df.distinct()
 
         if sel.order_by:
+            if self.strict and any(isinstance(f, A.OrderItem)
+                                   for f in sel.order_by):
+                raise BindError(
+                    "strict mode: ORDER BY accepts field names only "
+                    "(expression keys are an extension, SURVEY §2.1)")
             # ascending only (nowdbsql.y:834-837); reference requires a
             # matching index — Spark sorts freely (SURVEY §2.5)
             df = df.orderBy(*[_order_col(f, sel, df) for f in sel.order_by])
@@ -549,9 +557,11 @@ class SelectBinder:
         else:
             out = left.exceptAll(right)
         if node.order_by:
-            out = out.orderBy(*[
-                F.col(f.name).desc() if f.desc else F.col(f.name).asc()
-                for f in node.order_by])
+            def ocol(f):
+                c = (ExprBinder({}).bind(f.expr)
+                     if isinstance(f, A.OrderItem) else F.col(f.name))
+                return c.desc() if f.desc else c.asc()
+            out = out.orderBy(*[ocol(f) for f in node.order_by])
         if node.limit is not None:
             out = out.limit(node.limit)
         return out
@@ -814,5 +824,16 @@ class SelectBinder:
                         "keys (sql.tex:2659-2697)")
 
 
-def _order_col(f: A.Field, sel: A.Select, df: DataFrame) -> Column:
-    return F.col(f.name).desc() if f.desc else F.col(f.name).asc()
+def _order_col(f, sel: A.Select, df: DataFrame) -> Column:
+    """Bare field → output column. OrderItem expression (extension):
+    structurally matching select item → its output column (covers
+    `ORDER BY count(*) DESC`); otherwise the expression binds over the
+    projected frame's columns."""
+    if isinstance(f, A.Field):
+        return F.col(f.name).desc() if f.desc else F.col(f.name).asc()
+    for i, it in enumerate(sel.items):
+        if _expr_eq(it.expr, f.expr):
+            c = F.col(it.alias or _expr_name(it.expr, i))
+            return c.desc() if f.desc else c.asc()
+    c = ExprBinder({}).bind(f.expr)
+    return c.desc() if f.desc else c.asc()

@@ -569,13 +569,18 @@ class Parser:
 
     def order_ref(self):
         # ORDER BY item with optional ASC|DESC (the reference sorts
-        # ascending only, nowdbsql.y:834-837 — DESC is an extension)
-        f = self.field_ref()
+        # ascending only, nowdbsql.y:834-837 — DESC and expression
+        # keys are extensions)
+        e = self.expr()
+        desc = False
         if self.try_kw("desc"):
-            f.desc = True
+            desc = True
         else:
             self.try_kw("asc")
-        return f
+        if isinstance(e, A.Field):
+            e.desc = desc
+            return e
+        return A.OrderItem(e, desc)
 
     def field_ref(self):
         name = self.ident()

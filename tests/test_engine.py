@@ -972,3 +972,27 @@ def test_create_type_as_select(eng, data, spark):
     got = rows(eng.execute("select origin, n from buys_per_client"))
     assert {o: n for o, n in got} == per
     assert eng.execute("drop type buys_per_client").ok()
+
+
+def test_order_by_expression(eng, data):
+    got = rows(eng.execute(
+        "select destin, count(*) as n from buys group by destin "
+        "order by count(*) desc, destin limit 5"))
+    per = {}
+    for b in data["buys"]:
+        per[b[1]] = per.get(b[1], 0) + 1
+    want = sorted(per.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(d, n) for d, n in got] == want
+    # expression over a projected column
+    got = rows(eng.execute(
+        "select prod_key, prod_price from product where prod_key < 100 "
+        "order by abs(prod_price - 50.0) limit 3"))
+    want = sorted(((p[0], p[4]) for p in data["products"]),
+                  key=lambda kv: abs(kv[1] - 50.0))[:3]
+    assert got == want
+    # strict rejects expression order keys
+    strict = Engine(eng.spark, eng.base, strict=True)
+    assert strict.execute("use retail").ok()
+    r = strict.execute(
+        "select prod_key from product order by prod_key % 2")
+    assert not r.ok()
