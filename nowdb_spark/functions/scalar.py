@@ -100,6 +100,10 @@ SCALAR_OPS: dict[str, tuple[int, object]] = {
     "dawn": (0, TU.dawn),
     "dusk": (0, TU.dusk),
     "now": (0, TU.now),
+    # time bucketing (extension — composes with GROUP BY expressions:
+    # `group by bucket(stamp, 3600000000000)` = hourly rollup; exact
+    # i64 floor, same math as operators/timeseries.time_bucket)
+    "bucket": (2, lambda ns, w: ns - F.pmod(ns, w)),
     # internal (fun/expr.h:521)
     "version": (0, lambda: F.lit("nowdb_spark-0.1.0")),
 }

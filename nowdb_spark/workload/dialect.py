@@ -309,6 +309,24 @@ _dialect(
 )
 
 _dialect(
+    "nq15_dialect_bucket_rollup",
+    """
+    select bucket(ts, 21600000000000) as b, count(*) as n,
+           round(sum(value), 4) as total
+    from events group by bucket(ts, 21600000000000)
+    order by count(*) desc, b
+    """,
+    """
+    SELECT epoch_ns(ts) - (epoch_ns(ts) % 21600000000000) AS b,
+           count(*) AS n, round(sum(value), 4) AS total
+    FROM events GROUP BY 1
+    ORDER BY count(*) DESC, b
+    """,
+    doc="dialect: bucket() time rollup through GROUP BY/ORDER BY "
+        "expressions (6h buckets, exact i64 floor)",
+)
+
+_dialect(
     "nq05_dialect_order_limit",
     """
     select c_custkey, c_acctbal from customer
