@@ -240,7 +240,9 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a",
 
 
 def _shingle_intersections(df: DataFrame, content_col: str, id_col: str,
-                           n: int) -> tuple[DataFrame, DataFrame]:
+                           n: int,
+                           max_df: int | None = None
+                           ) -> tuple[DataFrame, DataFrame]:
     """(inter, card): per-pair shared-shingle counts (a<b) and per-doc
     distinct-shingle cardinalities.
 
@@ -250,12 +252,25 @@ def _shingle_intersections(df: DataFrame, content_col: str, id_col: str,
     sh⋈sh self-join would execute the shingle explode twice and
     shuffle it twice. Cardinality is map-side (size of the distinct
     shingle array), no shuffle and no reuse of the exploded subtree.
+
+    `max_df` (stop-shingle cutoff): drop shingles whose posting list
+    exceeds max_df docs before pair emission. A shingle shared by a
+    large fraction of the corpus carries no dedup signal but emits
+    O(df²) pairs — on a corpus whose common n-grams appear in >1% of
+    documents the exact index degenerates toward all-pairs. With the
+    cutoff, intersections are computed over informative shingles only
+    (an undercount for dropped ones — the standard approximation;
+    gates run with max_df=None for exact oracle parity).
     """
     from nowdb_spark.operators.graph import pairs_from_groups
 
     shingles = F.array_distinct(word_shingles(F.col(content_col), n))
     card = df.select(F.col(id_col), F.size(shingles).alias("card"))
     sh = df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+    if max_df is not None:
+        keep = (sh.groupBy("shingle").count()
+                .filter(F.col("count") <= max_df).select("shingle"))
+        sh = sh.join(keep, "shingle")
     inter = (pairs_from_groups(sh, "shingle", id_col)
              .groupBy(F.col("a").alias("doc_a"),
                       F.col("b").alias("doc_b"))
@@ -265,14 +280,17 @@ def _shingle_intersections(df: DataFrame, content_col: str, id_col: str,
 
 def ngram_jaccard_pairs(df: DataFrame, content_col: str = "text",
                         id_col: str = "doc_id", n: int = 2,
-                        threshold: float = 0.2) -> DataFrame:
+                        threshold: float = 0.2,
+                        max_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity via the shingle inverted index.
     Returns (doc_a, doc_b, jaccard) for pairs ≥ threshold.
 
-    Exact; at 100 TB use as the verify stage behind minhash_lsh_pairs
-    candidates.
+    Exact at max_df=None; at 100 TB use as the verify stage behind
+    minhash_lsh_pairs candidates, or set max_df (stop-shingle cutoff,
+    see _shingle_intersections) for a full-corpus approximate sweep.
     """
-    inter, card = _shingle_intersections(df, content_col, id_col, n)
+    inter, card = _shingle_intersections(df, content_col, id_col, n,
+                                         max_df)
     ca = card.select(F.col(id_col).alias("doc_a"), F.col("card").alias("card_a"))
     cb = card.select(F.col(id_col).alias("doc_b"), F.col("card").alias("card_b"))
     return (
@@ -288,12 +306,15 @@ def ngram_jaccard_pairs(df: DataFrame, content_col: str = "text",
 
 def containment_pairs(df: DataFrame, content_col: str = "text",
                       id_col: str = "doc_id", n: int = 2,
-                      threshold: float = 0.4) -> DataFrame:
+                      threshold: float = 0.4,
+                      max_df: int | None = None) -> DataFrame:
     """Asymmetric containment |A∩B| / |A| ≥ threshold — superset/quote
     detection that a symmetric Jaccard policy can't express. Directed:
     both (a,b) and (b,a) are evaluated (intersection is symmetric, so
-    each undirected pair explodes into its two orientations)."""
-    inter, card = _shingle_intersections(df, content_col, id_col, n)
+    each undirected pair explodes into its two orientations).
+    `max_df`: stop-shingle cutoff, see _shingle_intersections."""
+    inter, card = _shingle_intersections(df, content_col, id_col, n,
+                                         max_df)
     both = (inter.select(F.explode(F.array(
         F.struct(F.col("doc_a"), F.col("doc_b"), F.col("n_inter")),
         F.struct(F.col("doc_b").alias("doc_a"),

@@ -227,3 +227,20 @@ def test_quantize_roundtrip(spark):
         bound = r["scale"] / 254.0 + 1e-9
         assert all(abs(a - b) <= bound for a, b in zip(orig, back))
         assert all(-127 <= x <= 127 for x in r["q"])
+
+
+def test_ngram_jaccard_max_df(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "x y a b"), (4, "p q r s")],
+        "doc_id long, text string")
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in D.ngram_jaccard_pairs(df, threshold=0.0).collect()}
+    # 'a b' appears in 3 docs; max_df=2 drops its posting list, so
+    # intersections through it disappear (undercount, by design)
+    capped = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+              for r in D.ngram_jaccard_pairs(df, threshold=0.0,
+                                             max_df=2).collect()}
+    assert (1, 2) in exact and (1, 3) in exact
+    assert (1, 3) not in capped           # only shared 'a b'
+    assert (1, 2) in capped               # still shares 'b c'
+    assert capped[(1, 2)] < exact[(1, 2)]
