@@ -185,34 +185,42 @@ def simhash64(text: Column, shingle_n: int = 1) -> Column:
     )
     # per token: md5 hex (32 chars); use first 16 chars = 64 bits
     hexes = F.transform(toks, lambda t: F.substring(F.md5(t), 1, 16))
-    n = F.size(toks)
-    # for each of 16 hex digits, sum the 4-bit patterns' bits;
-    # bit b of digit at `pos`: (value >> b) & 1 where value = index of
-    # the hex char in the digit alphabet.
     digits = "0123456789abcdef"
-    out_digits = []
 
+    # ONE fold carrying all 64 bit counters (+ token count in slot 65):
+    # 64 separate aggregates would each re-execute the tokenize+md5
+    # subtree (no common-subtree reuse in Catalyst — measured 64× the
+    # md5 work); here every token is hashed once and votes all its
+    # bits in a single pass, and the `finish` lambda assembles the
+    # final hex fingerprint inside the same expression.
     def digit_value(h: Column, pos: int) -> Column:
-        c = F.substring(h, pos, 1)
-        return F.instr(F.lit(digits), c) - 1  # 0..15
+        return F.instr(F.lit(digits), F.substring(h, pos, 1)) - 1  # 0..15
 
-    def bit_summer(pos: int, b: int):
-        # higher-order-function lambdas must take exactly (acc, h)
-        def f(acc: Column, h: Column) -> Column:
-            return acc + F.shiftright(digit_value(h, pos), b).bitwiseAND(F.lit(1))
-        return f
+    def merge(acc: Column, h: Column) -> Column:
+        cells = []
+        for pos in range(16):
+            v = digit_value(h, pos + 1)
+            for b in range(4):
+                cells.append(F.element_at(acc, pos * 4 + b + 1)
+                             + F.shiftright(v, b).bitwiseAND(F.lit(1)))
+        cells.append(F.element_at(acc, 65) + 1)
+        return F.array(*cells)
 
-    for pos in range(1, 17):
-        sums = [F.aggregate(hexes, F.lit(0), bit_summer(pos, b))
-                for b in range(4)]
-        # majority vote per bit → rebuild the hex digit
-        bits = [
-            F.when(s * 2 > n, F.lit(1 << b)).otherwise(F.lit(0))
-            for b, s in enumerate(sums)
-        ]
-        val = bits[0] + bits[1] + bits[2] + bits[3]
-        out_digits.append(F.substring(F.lit(digits), (val + 1).cast("int"), 1))
-    return F.concat(*out_digits)
+    def finish(acc: Column) -> Column:
+        n = F.element_at(acc, 65)
+        out_digits = []
+        for pos in range(16):
+            bits = [
+                F.when(F.element_at(acc, pos * 4 + b + 1) * 2 > n,
+                       F.lit(1 << b)).otherwise(F.lit(0))
+                for b in range(4)
+            ]
+            val = bits[0] + bits[1] + bits[2] + bits[3]
+            out_digits.append(
+                F.substring(F.lit(digits), (val + 1).cast("int"), 1))
+        return F.concat(*out_digits)
+
+    return F.aggregate(hexes, F.array(*[F.lit(0)] * 65), merge, finish)
 
 
 def simhash_dedup(df: DataFrame, content_col: str = "text",
