@@ -377,37 +377,48 @@ class Engine:
         if n.select is not None:
             return self._insert_select(sc, n, tdef)
         fields = n.fields or [p.name for p in tdef.props]
-        if len(fields) != len(n.values):
-            raise EngineError("INSERT: field/value count mismatch")
+        all_rows = [n.values, *(n.more or [])]
         types = tdef.prop_types()
         eb = ExprBinder({})
-        cols = []
-        for fname, vexpr in zip(fields, n.values):
-            if fname not in types:
-                raise EngineError(f"unknown field {fname!r}")
-            c = self._insert_value(vexpr, types[fname], eb)
-            cols.append(c.alias(fname))
-        # INC prop omitted → assign the next value of the context's
+        # INC prop omitted → assign the next value(s) of the context's
         # auto-increasing sequence (the reference's "promise to keep
         # increasing pk", model/types.h:51); counter cached per
-        # context, seeded once from the stored max
-        for p in tdef.props:
-            if p.inc and p.name not in fields:
-                nxt = self._next_inc(sc, n.target, p.name)
-                cols.append(F.lit(nxt).cast(schema[p.name].dataType)
-                            .alias(p.name))
-                fields = [*fields, p.name]
-        # missing fields → NULL (exercises `is null`, sql.tex:311-333)
-        for p in tdef.props:
-            if p.name not in fields:
-                cols.append(F.lit(None).cast(schema[p.name].dataType)
-                            .alias(p.name))
-        row = self.spark.range(1).select(*cols).select(
+        # context, seeded once from the stored max. Multi-row inserts
+        # reserve a dense block up front.
+        inc_props = [p for p in tdef.props
+                     if p.inc and p.name not in fields]
+        inc_start = {p.name: self._reserve_inc(sc, n.target, p.name,
+                                               len(all_rows))
+                     for p in inc_props}
+        frames = []
+        for ridx, vals in enumerate(all_rows):
+            if len(fields) != len(vals):
+                raise EngineError("INSERT: field/value count mismatch")
+            cols = []
+            for fname, vexpr in zip(fields, vals):
+                if fname not in types:
+                    raise EngineError(f"unknown field {fname!r}")
+                cols.append(self._insert_value(vexpr, types[fname], eb)
+                            .alias(fname))
+            for p in inc_props:
+                cols.append(F.lit(inc_start[p.name] + ridx)
+                            .cast(schema[p.name].dataType).alias(p.name))
+            # missing fields → NULL (`is null`, sql.tex:311-333)
+            present = set(fields) | {p.name for p in inc_props}
+            for p in tdef.props:
+                if p.name not in present:
+                    cols.append(F.lit(None).cast(schema[p.name].dataType)
+                                .alias(p.name))
+            frames.append(self.spark.range(1).select(*cols))
+        row = frames[0]
+        for f in frames[1:]:
+            row = row.unionByName(f)
+        row = row.select(
             *[F.col(p.name).cast(schema[p.name].dataType).alias(p.name)
               for p in tdef.props])
-        write_context(row, sc.context_dir(n.target), tdef, n=1,
-                      codec=self._codec(tdef))
-        return ReportResult(affected=1)
+        write_context(row, sc.context_dir(n.target), tdef,
+                      n=len(all_rows), codec=self._codec(tdef))
+        return ReportResult(affected=len(all_rows))
 
     def _insert_select(self, sc: Scope, n: A.Insert,
                        tdef: TypeDef) -> Result:

@@ -263,6 +263,8 @@ class Insert:
     fields: Optional[list]   # None = positional
     values: list             # [expr]; empty when select is set
     select: Optional[object] = None   # INSERT ... SELECT (extension)
+    more: Optional[list] = None       # extra VALUES tuples (extension:
+    # multi-row insert — the reference grammar takes one tuple)
 
 
 @dataclass

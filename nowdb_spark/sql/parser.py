@@ -320,13 +320,22 @@ class Parser:
             # reference only has VALUES)
             return A.Insert(target, fields, [], self.select_stmt())
         self.eat_kw("values")
-        self.eat_sym("(")
-        values = [self.expr()]
-        while self.at_sym(","):
+
+        def tuple_():
+            self.eat_sym("(")
+            row = [self.expr()]
+            while self.at_sym(","):
+                self.next()
+                row.append(self.expr())
+            self.eat_sym(")")
+            return row
+
+        values = tuple_()
+        more = []
+        while self.at_sym(","):       # multi-row VALUES (extension)
             self.next()
-            values.append(self.expr())
-        self.eat_sym(")")
-        return A.Insert(target, fields, values)
+            more.append(tuple_())
+        return A.Insert(target, fields, values, more=more or None)
 
     def update_stmt(self):
         # the reference designs UPDATE but stubs it

@@ -158,3 +158,30 @@ def test_strict_flag_not_contagious(eng):
     # non-strict engine accepts general select lists with group by
     r = eng.execute("select count(*), name from item group by name")
     assert r.ok(), r.details()
+
+
+def test_multirow_insert(spark, tmp_path_factory):
+    from nowdb_spark.engine import Engine
+    from nowdb_spark.results import ReportResult
+    e = Engine(spark, tmp_path_factory.mktemp("multirow"))
+    assert e.execute("create scope mr").ok()
+    assert e.execute("use mr").ok()
+    assert e.execute(
+        "create type seqd (sid uint pk inc, label text, v float)").ok()
+    r = e.execute(
+        "insert into seqd (label, v) values ('a', 1.5), ('b', 2.5), "
+        "('c', 3.5)")
+    assert isinstance(r, ReportResult), r.details()
+    assert r.affected == 3
+    got = sorted(tuple(x.row()) for x in e.rexecute(
+        "select sid, label, v from seqd"))
+    # INC assigns a dense block across the tuples
+    assert got == [(1, "a", 1.5), (2, "b", 2.5), (3, "c", 3.5)]
+    # single-row path still fine, sequence continues
+    assert e.execute("insert into seqd (label, v) values ('d', 4.5)").ok()
+    assert e.one_value("select count(*) from seqd") == 4
+    assert e.one_value(
+        "select sid from seqd where label = 'd'") == 4
+    # mismatched tuple arity is rejected
+    r = e.execute("insert into seqd (label, v) values ('x', 1.0), ('y')")
+    assert not r.ok() and "mismatch" in r.details()
