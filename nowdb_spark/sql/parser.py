@@ -830,10 +830,17 @@ class Parser:
 
     def case_expr(self):
         self.eat_kw("case")
+        # simple CASE (extension): CASE <operand> WHEN v THEN r ...
+        # desugars to searched CASE with equality conditions
+        operand = None
+        if not self.at_kw("when"):
+            operand = self.expr()
         whens = []
         while self.at_kw("when"):
             self.next()
             cond = self.expr()
+            if operand is not None:
+                cond = A.Op("=", [operand, cond])
             self.eat_kw("then")
             whens.append((cond, self.expr()))
         else_ = None

@@ -191,3 +191,16 @@ def test_setop_parsing():
     # plain select still owns its ORDER BY/LIMIT
     s = parse("select a from t order by a limit 2")
     assert isinstance(s, A.Select) and s.limit == 2
+
+
+def test_simple_case_desugar():
+    from nowdb_spark.sql import ast as A
+    s = parse("select case status when 'O' then 1 when 'F' then 2 "
+              "else 0 end as c from t")
+    ce = s.items[0].expr
+    assert isinstance(ce, A.CaseExpr) and len(ce.whens) == 2
+    cond0 = ce.whens[0][0]
+    assert isinstance(cond0, A.Op) and cond0.name == "="
+    assert cond0.args[0].name == "status"
+    assert cond0.args[1].value == "O"
+    assert ce.else_.value == 0
