@@ -143,6 +143,37 @@ def stateful_running_totals(df: DataFrame, key_col: str, value_col: str,
                                     GroupStateTimeout.NoTimeout))
 
 
+def stream_interval_join(left: DataFrame, right: DataFrame,
+                         key_col: str, stamp_col: str,
+                         lookback: str = "6 hours",
+                         watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream interval join: each left row pairs with right
+    rows of the same key whose stamp falls within
+    [left.stamp − lookback, left.stamp] (the streaming twin of the
+    batch as-of/interval correlation, e.g. purchases ⋈ recent views).
+
+    Both sides carry watermarks, and the time-range condition bounds
+    the join state: Spark retains right-side rows only for
+    lookback + watermark before dropping them — state is O(rate ×
+    horizon), never the full history. Works unchanged on batch frames
+    (the differential tests exploit this).
+
+    Output: left columns + right columns suffixed `_r` (stamps stay
+    ns Longs; the internal event-time columns are dropped).
+    """
+    lt = _with_event_time(left, stamp_col)
+    rt = _with_event_time(right, stamp_col)
+    if lt.isStreaming:
+        lt = lt.withWatermark("__et", watermark)
+    if rt.isStreaming:
+        rt = rt.withWatermark("__et", watermark)
+    rt = rt.select(*[F.col(c).alias(f"{c}_r") for c in rt.columns])
+    cond = ((lt[key_col] == rt[f"{key_col}_r"])
+            & (rt["__et_r"] >= lt["__et"] - F.expr(f"INTERVAL {lookback}"))
+            & (rt["__et_r"] <= lt["__et"]))
+    return lt.join(rt, cond, "inner").drop("__et", "__et_r")
+
+
 def stream_ewma(df: DataFrame, key_col: str, value_col: str,
                 stamp_col: str, alpha: float,
                 watermark: str = "1 hour") -> DataFrame:

@@ -292,3 +292,32 @@ def test_stream_ewma_matches_batch(spark, events_dir):
                              alpha=0.3).collect()}
     # single ingest pass == batch recurrence, bit-for-bit
     assert got == want and len(got) > 0
+
+
+def test_stream_interval_join_matches_batch(spark, events_dir):
+    NS_6H = 6 * 3_600_000_000_000
+    batch = spark.read.parquet(events_dir)
+    kinds = [r[0] for r in batch.select("event_type").distinct().collect()]
+    t_left, t_right = sorted(kinds)[:2]
+
+    sdf = S.stream_from_context(spark, events_dir, EVENTS_TDEF)
+    out = S.stream_interval_join(
+        sdf.filter(F.col("event_type") == t_left),
+        sdf.filter(F.col("event_type") == t_right),
+        "user_id", "ts", lookback="6 hours")
+    q = S.run_stream_to_memory(out, "sij", "append")
+    try:
+        got = {(r["event_id"], r["event_id_r"])
+               for r in spark.sql("select * from sij").collect()}
+    finally:
+        q.stop()
+
+    # independent batch recomputation with exact ns arithmetic
+    li = batch.filter(F.col("event_type") == t_left)
+    ri = batch.filter(F.col("event_type") == t_right).select(
+        *[F.col(c).alias(f"{c}_r") for c in batch.columns])
+    want = {(r["event_id"], r["event_id_r"]) for r in li.join(
+        ri, (li["user_id"] == ri["user_id_r"])
+        & (ri["ts_r"] >= li["ts"] - F.lit(NS_6H))
+        & (ri["ts_r"] <= li["ts"])).collect()}
+    assert got == want and len(got) > 0
