@@ -17,7 +17,9 @@ import sys
 
 def _print_result(r) -> None:
     kind = getattr(r, "kind", None)
-    kind = kind() if callable(kind) else None
+    if callable(kind):          # engine results: method; client: property
+        kind = None
+
     # cursor/row results iterate rows; everything else prints status
     try:
         cols = r.columns() if callable(getattr(r, "columns", None)) \
