@@ -780,7 +780,10 @@ class Engine:
         sql.tex:2718-2725,2765-2768). Obsolete on Spark — kept behind
         the flag for bug-compatible error behavior."""
         sc = self._need_scope()
-        if n.target is None or n.target in sc.mounts:
+        # derived-table targets (non-str) are rejected by the binder's
+        # strict validation with a precise message — skip here
+        if (n.target is None or not isinstance(n.target, str)
+                or n.target in sc.mounts):
             return
         for keys, what in ((n.group_by, "GROUP BY"),
                            (n.order_by, "ORDER BY")):

@@ -116,6 +116,18 @@ class JoinClause:
 
 
 @dataclass
+class GeneralJoin:
+    """[INNER|LEFT|RIGHT|FULL|SEMI|ANTI] JOIN <context | (SELECT ...)>
+    [AS alias] ON <condition> — extension. The reference's only join
+    form is the edge→vertex origin/destin join (JoinClause above);
+    this is the unrestricted equi/theta join over any two frames."""
+    target: object         # str (context name) | Select | SetOp (derived)
+    kind: str              # inner|left|right|full|semi|anti
+    on: object             # boolean expression AST
+    alias: Optional[str] = None
+
+
+@dataclass
 class SetOp:
     """select UNION [ALL] | INTERSECT [ALL] | EXCEPT [ALL] select —
     extension (left-associative chain; trailing ORDER BY/LIMIT apply
@@ -130,7 +142,9 @@ class SetOp:
 @dataclass
 class Select:
     items: list                      # [SelectItem]
-    target: Optional[str] = None     # context name; None = no FROM
+    # context name; None = no FROM; a Select/SetOp node = derived
+    # table `FROM (SELECT ...)` (extension)
+    target: Optional[object] = None
     joins: list = field(default_factory=list)
     where: Optional[object] = None
     group_by: list = field(default_factory=list)   # [Field]
@@ -138,6 +152,7 @@ class Select:
     order_by: list = field(default_factory=list)   # [Field]
     limit: Optional[int] = None                    # extension
     distinct: bool = False                         # extension
+    target_alias: Optional[str] = None             # FROM t AS a (ext.)
     qualify: Optional[object] = None               # extension (post-
     # projection filter over output columns, e.g. window ranks)
 

@@ -344,19 +344,23 @@ def _refs_qualifier(node, q: str) -> bool:
     return False
 
 
-def _corr_pair(c, outer_name: str):
+def _corr_pair(c, outer_names):
     """`outer.col = <sub expr>` (either side) → (Field(col), sub_expr);
-    None when the conjunct is not a correlation equality."""
+    None when the conjunct is not a correlation equality.
+    outer_names: the outer FROM target's name and/or alias."""
     if not (isinstance(c, A.Op) and c.name == "=" and len(c.args) == 2):
         return None
     a, b = c.args
 
     def is_outer(x):
-        return isinstance(x, A.Field) and x.qualifier == outer_name
+        return isinstance(x, A.Field) and x.qualifier in outer_names
 
-    if is_outer(a) and not _refs_qualifier(b, outer_name):
+    def refs_outer(x):
+        return any(_refs_qualifier(x, q) for q in outer_names)
+
+    if is_outer(a) and not refs_outer(b):
         return A.Field(a.name), b
-    if is_outer(b) and not _refs_qualifier(a, outer_name):
+    if is_outer(b) and not refs_outer(a):
         return A.Field(b.name), a
     return None
 
@@ -411,11 +415,36 @@ class SelectBinder:
                 cols.append(c.alias(item.alias or _expr_name(item.expr, i)))
             return self.spark.range(1).select(*cols)
 
-        df, col_types, tdef = self.load_context(sel.target)
+        derived = sel.target is not None and not isinstance(sel.target, str)
+        if self.strict and (derived or sel.target_alias is not None
+                            or any(isinstance(j, A.GeneralJoin)
+                                   for j in sel.joins)):
+            raise BindError(
+                "strict mode: general joins, derived tables and FROM "
+                "aliases are extensions the reference grammar does not "
+                "accept (SURVEY §2.1)")
+        if derived:
+            df, col_types, tdef = self._bind_sub_select(sel.target), {}, None
+        else:
+            df, col_types, tdef = self.load_context(sel.target)
 
-        # documented join design (sql.tex:2293-2368): edge joins a
-        # vertex on origin/destin against the vertex PK, always inner
+        # qualifier → physical column prefix (None = base columns are
+        # unprefixed); the base context resolves by its own name or its
+        # FROM alias
+        qualmap: dict[str, Optional[str]] = {}
+        if isinstance(sel.target, str):
+            qualmap[sel.target] = None
+        if sel.target_alias is not None:
+            qualmap[sel.target_alias] = None
+
         for j in sel.joins:
+            if isinstance(j, A.GeneralJoin):
+                df, col_types = self._bind_general_join(
+                    df, col_types, qualmap, j)
+                continue
+            # documented join design (sql.tex:2293-2368): edge joins a
+            # vertex on origin/destin against the vertex PK, always
+            # inner, and a vertex table is a dimension — broadcast
             vdf, vtypes, vdef = self.load_context(j.vertex)
             if vdef is None or vdef.pk is None:
                 raise BindError(f"join target {j.vertex!r} has no PK")
@@ -429,15 +458,15 @@ class SelectBinder:
                          df[j.on] == renamed[pk], "inner")
             for c, t in vtypes.items():
                 col_types.setdefault(f"{prefix}__{c}", t)
-
-        qualifiers = {j.alias or j.vertex for j in sel.joins} \
-            | {j.vertex for j in sel.joins}
+            qualmap[prefix] = prefix
+            qualmap.setdefault(j.vertex, prefix)
 
         def resolver(q: Optional[str], n: str) -> Column:
             if q is not None:
-                if q not in qualifiers:
+                if q not in qualmap:
                     raise BindError(f"unknown alias {q!r}")
-                return F.col(f"{q}__{n}")
+                p = qualmap[q]
+                return F.col(n if p is None else f"{p}__{n}")
             return F.col(n)
 
         eb = ExprBinder(col_types, resolver)
@@ -455,16 +484,19 @@ class SelectBinder:
             _scalar_subs(sel.where, subs)
             df = self._attach_scalars(df, subs, eb)
             plain: list = []
+            outer_names = {x for x in (
+                sel.target if isinstance(sel.target, str) else None,
+                sel.target_alias) if x}
             for conj in _split_conjuncts(sel.where):
                 if isinstance(conj, A.InExpr) and conj.select is not None:
                     df = self._bind_in_subquery(df, conj, eb)
                 elif isinstance(conj, A.ExistsExpr):
                     df = self._bind_exists(df, conj.select, eb,
-                                           sel.target, negated=False)
+                                           outer_names, negated=False)
                 elif (isinstance(conj, A.Op) and conj.name == "not"
                       and isinstance(conj.args[0], A.ExistsExpr)):
                     df = self._bind_exists(df, conj.args[0].select, eb,
-                                           sel.target, negated=True)
+                                           outer_names, negated=True)
                 else:
                     plain.append(conj)
             for conj in plain:
@@ -566,6 +598,63 @@ class SelectBinder:
             out = out.limit(node.limit)
         return out
 
+    # --- general joins (extension) ---------------------------------
+    def _bind_general_join(self, df: DataFrame, col_types: dict,
+                           qualmap: dict, j: A.GeneralJoin):
+        """Bind `[kind] JOIN <ctx | (SELECT ...)> ON <cond>`.
+
+        The right side's columns are prefix-renamed (`alias__col`) so
+        both sides resolve unambiguously; unqualified ON references
+        resolve left-first, then right. The physical strategy is left
+        to Catalyst/AQE — broadcast below the size threshold, shuffle
+        hash otherwise — never forced, unlike the documented edge join
+        whose vertex side is a dimension by construction."""
+        prefix = j.alias or (j.target if isinstance(j.target, str)
+                             else None)
+        if prefix is None:
+            raise BindError("a derived join target needs AS <alias>")
+        if prefix in qualmap:
+            raise BindError(f"duplicate join alias {prefix!r}")
+        if isinstance(j.target, str):
+            rdf, rtypes, _ = self.load_context(j.target)
+        else:
+            rdf, rtypes = self._bind_sub_select(j.target), {}
+        lcols, rcols = set(df.columns), set(rdf.columns)
+        renamed = rdf.select(
+            *[F.col(c).alias(f"{prefix}__{c}") for c in rdf.columns])
+
+        merged = dict(col_types)
+        for c, t in rtypes.items():
+            merged.setdefault(f"{prefix}__{c}", t)
+
+        def on_res(q: Optional[str], n: str) -> Column:
+            if q is not None:
+                if q == prefix or (isinstance(j.target, str)
+                                   and q == j.target):
+                    return F.col(f"{prefix}__{n}")
+                if q in qualmap:
+                    p = qualmap[q]
+                    return F.col(n if p is None else f"{p}__{n}")
+                raise BindError(f"unknown alias {q!r} in JOIN ON")
+            if n in lcols:
+                return F.col(n)
+            if n in rcols:
+                return F.col(f"{prefix}__{n}")
+            raise BindError(f"unknown column {n!r} in JOIN ON")
+
+        cond = ExprBinder(merged, on_res).bind(j.on)
+        _HOW = {"inner": "inner", "left": "left", "right": "right",
+                "full": "full", "semi": "left_semi",
+                "anti": "left_anti"}
+        out = df.join(renamed, cond, _HOW[j.kind])
+        if j.kind in ("semi", "anti"):
+            # right columns do not survive a semi/anti join
+            return out, col_types
+        qualmap[prefix] = prefix
+        if isinstance(j.target, str):
+            qualmap.setdefault(j.target, prefix)
+        return out, merged
+
     # --- subqueries (extension) ------------------------------------
     def _bind_sub_select(self, sub: A.Select) -> DataFrame:
         """Bind an uncorrelated subquery with a fresh binder (its
@@ -619,7 +708,7 @@ class SelectBinder:
                        else "left_semi")
 
     def _bind_exists(self, df: DataFrame, sub: A.Select, eb: ExprBinder,
-                     outer_target: str, negated: bool) -> DataFrame:
+                     outer_names: set, negated: bool) -> DataFrame:
         """[NOT] EXISTS with equality correlation → semi/anti join.
 
         The subquery's WHERE is split into correlation conjuncts
@@ -637,15 +726,16 @@ class SelectBinder:
         conjs = _split_conjuncts(sub.where) if sub.where is not None \
             else []
         for c in conjs:
-            pair = _corr_pair(c, outer_target)
+            pair = _corr_pair(c, outer_names)
             if pair is not None:
                 corr.append(pair)
             else:
                 inner.append(c)
         if not corr:
+            names = "|".join(sorted(outer_names)) or "<outer>"
             raise BindError(
                 "EXISTS subquery must be correlated via "
-                f"{outer_target}.<col> = <subquery expr> equality "
+                f"{names}.<col> = <subquery expr> equality "
                 "(uncorrelated existence tests: use IN or a scalar "
                 "count subquery)")
         where = None

@@ -35,6 +35,9 @@ KEYWORDS = {
     # misc
     "true", "false", "join", "limit", "for", "reading", "writing",
     "timeout",
+    # general joins (extension — the reference grammar only joins a
+    # vertex on origin/destin, sql.tex:2293-2368)
+    "inner", "left", "right", "full", "outer", "semi", "anti",
     # window functions (extension — the reference grammar has no OVER,
     # nowdbsql.y; Spark's Window frames back the semantics)
     "over", "partition", "rows", "between", "preceding", "following",

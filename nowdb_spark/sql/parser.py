@@ -531,19 +531,12 @@ class Parser:
         group_by: list = []
         order_by: list = []
         limit = None
+        target_alias = None
         if self.try_kw("from"):
-            target = self.ident()
-            while self.at_kw("join"):
-                self.next()
-                vertex = self.ident()
-                self.eat_kw("on")
-                on = self.eat_kw("origin", "destin", "destination")
-                if on == "destination":
-                    on = "destin"
-                alias = None
-                if self.try_kw("as"):
-                    alias = self.ident()
-                joins.append(A.JoinClause(vertex, on, alias))
+            target, target_alias = self.table_ref()
+            while self.at_kw("join", "inner", "left", "right", "full",
+                             "semi", "anti"):
+                joins.append(self.join_clause())
         if self.try_kw("where"):
             where = self.expr()
         having = None
@@ -564,7 +557,53 @@ class Parser:
         # ORDER BY / LIMIT are attached by select_stmt (they bind to
         # the whole chain when set operations follow)
         return A.Select(items, target, joins, where, group_by,
-                        having, order_by, limit, distinct, qualify)
+                        having, order_by, limit, distinct,
+                        target_alias=target_alias, qualify=qualify)
+
+    def table_ref(self):
+        """Context name or `(SELECT ...)` derived table (extension),
+        each with an optional `AS alias`."""
+        if self.at_sym("("):
+            self.next()
+            target = self.select_stmt()
+            self.eat_sym(")")
+        else:
+            target = self.ident()
+        alias = self.ident() if self.try_kw("as") else None
+        return target, alias
+
+    def join_clause(self):
+        """Either the reference's documented edge join
+        (`JOIN <vertex> ON origin|destin [AS a]`, sql.tex:2293-2368)
+        or the general form (extension):
+        `[INNER|LEFT|RIGHT|FULL|SEMI|ANTI] JOIN <table_ref> ON <cond>`.
+        `ON origin` stays an edge join unless an operator follows
+        (e.g. `ON origin = s.id`, a general condition over the edge's
+        origin column)."""
+        kind = None
+        if not self.at_kw("join"):
+            kw = self.next().value
+            if kw in ("left", "right", "full"):
+                self.try_kw("outer")
+            kind = kw
+        self.eat_kw("join")
+        jtarget, jalias = self.table_ref()
+        self.eat_kw("on")
+        _ops = {"=", "<", ">", "<=", ">=", "!=", "<>", "+", "-", "*",
+                "/", "%", "^", ".", "("}
+        edge_on = (kind is None and isinstance(jtarget, str)
+                   and self.at_kw("origin", "destin", "destination")
+                   and not (self.peek(1).kind == "SYM"
+                            and self.peek(1).value in _ops))
+        if edge_on:
+            on = self.next().value
+            if on == "destination":
+                on = "destin"
+            if jalias is None and self.try_kw("as"):
+                jalias = self.ident()
+            return A.JoinClause(jtarget, on, jalias)
+        return A.GeneralJoin(jtarget, kind or "inner", self.expr(),
+                             jalias)
 
     def select_item(self):
         if self.at_sym("*"):
