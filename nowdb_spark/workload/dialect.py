@@ -327,6 +327,46 @@ _dialect(
 )
 
 _dialect(
+    "nq16_dialect_general_join",
+    """
+    select o.o_orderpriority as pri, count(*) as cnt,
+           round(sum(l_extendedprice), 2) as rev
+    from lineitem join orders as o on l_orderkey = o.o_orderkey
+    where o.o_orderstatus = 'F'
+    group by o.o_orderpriority
+    """,
+    """
+    SELECT o.o_orderpriority AS pri, count(*) AS cnt,
+           round(sum(l_extendedprice), 2) AS rev
+    FROM lineitem JOIN orders AS o ON l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY o.o_orderpriority
+    """,
+    doc="dialect: general equi-JOIN (extension over the reference's "
+        "edge-only join) — fact-fact join, strategy left to AQE",
+)
+
+_dialect(
+    "nq17_dialect_derived_join",
+    """
+    select big.seg as seg, count(*) as cnt
+    from orders join (select c_custkey, c_mktsegment as seg
+                      from customer where c_acctbal > 5000.0) as big
+         on o_custkey = big.c_custkey
+    group by big.seg
+    """,
+    """
+    SELECT big.seg AS seg, count(*) AS cnt
+    FROM orders JOIN (SELECT c_custkey, c_mktsegment AS seg
+                      FROM customer WHERE c_acctbal > 5000.0) AS big
+         ON o_custkey = big.c_custkey
+    GROUP BY big.seg
+    """,
+    doc="dialect: derived-table join target (extension) — the "
+        "subquery prunes columns+rows before the join",
+)
+
+_dialect(
     "nq05_dialect_order_limit",
     """
     select c_custkey, c_acctbal from customer
