@@ -402,10 +402,88 @@ def ann02(spark, sf):
 
 
 # ------------------------------------------------------------------
+def _lsh_oracle_sql(k: int = 5, n_planes: int = 4, n_tables: int = 8,
+                    dim: int = 64, seed: int = 42) -> str:
+    """Generated DuckDB oracle for ann03: the hyperplanes are
+    deterministic LCG constants (similarity._hyperplanes), so the full
+    pipeline — sign-pattern bucket keys per table, 1-bit multiprobe
+    flips, candidate bucket join, exact-cosine rerank, row_number<=k —
+    is reproducible in SQL with the planes inlined as literal arrays
+    (the dd05/g04 generated-oracle pattern)."""
+    from nowdb_spark.operators.similarity import _hyperplanes
+
+    bit_cols = []                    # 32 sign-bit columns b_<table>_<plane>
+    for t in range(n_tables):
+        for p, plane in enumerate(_hyperplanes(dim, n_planes,
+                                               seed + 1000 * t)):
+            arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+            bit_cols.append(
+                f"CASE WHEN list_dot_product(embedding::DOUBLE[], "
+                f"{arr}::DOUBLE[]) >= 0 THEN '1' ELSE '0' END AS b_{t}_{p}")
+
+    def key(t: int, flip: int | None) -> str:
+        # bucket key '<t>:' || b0..b3, with bit `flip` (1-based) inverted
+        bits = []
+        for p in range(n_planes):
+            b = f"b_{t}_{p}"
+            if flip is not None and flip == p + 1:
+                b = f"(CASE WHEN {b} = '1' THEN '0' ELSE '1' END)"
+            bits.append(b)
+        return f"'{t}:' || " + " || ".join(bits)
+
+    ckeys = ",\n    ".join(key(t, None) for t in range(n_tables))
+    qkeys = ",\n    ".join(
+        key(t, f) for t in range(n_tables)
+        for f in [None, *range(1, n_planes + 1)])
+    dp = "list_dot_product({}::DOUBLE[], {}::DOUBLE[])"
+    bits_sql = ",\n         ".join(bit_cols)
+    return f"""
+WITH cb AS (
+  SELECT vec_id, embedding,
+         {bits_sql}
+  FROM embeddings
+),
+ck AS (
+  SELECT vec_id, u.bkey
+  FROM cb, UNNEST([
+    {ckeys}
+  ]) AS u(bkey)
+),
+qk AS (
+  SELECT DISTINCT vec_id AS qid, u.bkey
+  FROM cb, UNNEST([
+    {qkeys}
+  ]) AS u(bkey)
+  WHERE vec_id < 3
+),
+cand AS (
+  SELECT DISTINCT qk.qid, ck.vec_id
+  FROM ck JOIN qk USING (bkey)
+),
+sims AS (
+  SELECT c.qid, c.vec_id,
+         round({dp.format('e.embedding', 'q.embedding')} /
+               (sqrt({dp.format('e.embedding', 'e.embedding')}) *
+                sqrt({dp.format('q.embedding', 'q.embedding')})), 6) AS sim
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN embeddings q ON q.vec_id = c.qid
+)
+SELECT qid, vec_id, sim, rnk FROM (
+  SELECT qid, vec_id, sim,
+         CAST(row_number() OVER (PARTITION BY qid
+                                 ORDER BY sim DESC, vec_id) AS INT) AS rnk
+  FROM sims
+) WHERE rnk <= {k}
+"""
+
+
 @register(
     "ann03_lsh_topk",
-    None,  # approximate — verified by recall-vs-bruteforce pytest
-    doc="LSH-bucketed approximate top-k (rows-only driver check)",
+    _lsh_oracle_sql(),
+    doc="LSH-bucketed approximate top-k (generated oracle: deterministic "
+        "hyperplanes inlined as SQL literals; multiprobe + exact rerank "
+        "reproduced in DuckDB)",
 )
 def ann03(spark, sf):
     e = table(spark, sf, "embeddings")
@@ -417,11 +495,91 @@ def ann03(spark, sf):
                              dim=64)
 
 
+def _ivf_oracle_sql(k: int = 5, n_centroids: int = 8, n_probe: int = 3,
+                    iters: int = 3, train_limit: int = 100_000) -> str:
+    """Generated DuckDB oracle for ann04: IVF training is deterministic
+    (first-C init in vec_id order, bounded sample, fixed Lloyd
+    iterations), so the whole pipeline unrolls into chained CTEs —
+    c0 → assign → elementwise mean → renorm, `iters` times — followed
+    by the probe join and exact rerank. Cross-engine float noise lives
+    only in avg's summation order (ulp-level); assignments flip only on
+    exact dot-product ties, measure-zero for continuous embeddings.
+    Tie-breaks mirror the Spark operators exactly: assignment takes the
+    LOWEST centroid id among max-sim (array_position first-match),
+    probing takes the HIGHEST id first (reverse(array_sort(structs)))."""
+    unit = ("list_transform(v, x -> x / (CASE WHEN "
+            "sqrt(list_dot_product(v, v)) = 0 THEN 1.0 "
+            "ELSE sqrt(list_dot_product(v, v)) END))")
+    parts = [f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+train AS (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {train_limit}),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         {unit} AS c
+  FROM (SELECT vec_id, v FROM train ORDER BY vec_id LIMIT {n_centroids})
+)"""]
+    for i in range(iters):
+        parts.append(f""",
+a{i} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT t.vec_id, t.v, p.cid,
+           row_number() OVER (PARTITION BY t.vec_id
+             ORDER BY list_dot_product(t.v, p.c) DESC, p.cid) AS rn
+    FROM train t CROSS JOIN c{i} p) WHERE rn = 1
+),
+mv{i} AS (
+  SELECT cid, list(m ORDER BY pos) AS v FROM (
+    SELECT cid, pos, avg(x) AS m FROM (
+      SELECT cid, unnest(generate_series(1, len(v))) AS pos,
+             unnest(v) AS x
+      FROM a{i}) GROUP BY cid, pos) GROUP BY cid
+),
+c{i + 1} AS (
+  SELECT p.cid,
+         CASE WHEN mv.v IS NULL THEN p.c ELSE {unit} END AS c
+  FROM c{i} p LEFT JOIN mv{i} mv USING (cid)
+)""")
+    parts.append(f""",
+idx AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, p.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, p.c) DESC, p.cid) AS rn
+    FROM emb e CROSS JOIN c{iters} p) WHERE rn = 1
+),
+probe AS (
+  SELECT qid, cid FROM (
+    SELECT q.vec_id AS qid, p.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.v, p.c) DESC, p.cid DESC) AS rn
+    FROM emb q CROSS JOIN c{iters} p WHERE q.vec_id < 3) WHERE rn <= {n_probe}
+),
+cand AS (SELECT p.qid, i.vec_id FROM idx i JOIN probe p USING (cid)),
+sims AS (
+  SELECT c.qid, c.vec_id,
+         round(list_dot_product(e.v, q.v) /
+               (sqrt(list_dot_product(e.v, e.v)) *
+                sqrt(list_dot_product(q.v, q.v))), 6) AS sim
+  FROM cand c
+  JOIN emb e ON e.vec_id = c.vec_id
+  JOIN emb q ON q.vec_id = c.qid
+)
+SELECT qid, vec_id, sim, rnk FROM (
+  SELECT qid, vec_id, sim,
+         CAST(row_number() OVER (PARTITION BY qid
+                                 ORDER BY sim DESC, vec_id) AS INT) AS rnk
+  FROM sims
+) WHERE rnk <= {k}
+""")
+    return "".join(parts)
+
+
 @register(
     "ann04_ivf_topk",
-    None,  # approximate — verified by exactness/recall pytests
+    _ivf_oracle_sql(),
     doc="IVF (k-means inverted lists) approximate top-k; data-adaptive "
-        "counterpart to ann03's LSH buckets",
+        "counterpart to ann03's LSH buckets. Generated oracle unrolls "
+        "the deterministic Lloyd training into chained CTEs.",
 )
 def ann04(spark, sf):
     e = table(spark, sf, "embeddings")
