@@ -140,17 +140,38 @@ def triangle_count(edges: DataFrame, src: str = "src",
                    dst: str = "dst") -> DataFrame:
     """Global triangle count over the undirected simple graph.
 
-    Canonical orientation (a<b) + two joins — the standard distributed
-    formulation; with degree-ordered orientation the heavy-hitter
-    explosion is bounded."""
+    Degree-ordered orientation + two joins — the standard distributed
+    formulation (Suri & Vassilvitskii, "Counting Triangles and the
+    Curse of the Last Reducer"). Each undirected edge is oriented from
+    its lower-rank endpoint to its higher-rank endpoint under the total
+    order (degree, id); out-degree is then bounded by O(√m), so the
+    wedge join e1.b == e2.a emits at most Σ in(u)·out(u) = O(m^1.5)
+    rows and no single hub key can explode — orienting by raw id
+    (the naive a<b) lets a small-id hub own all its edges as `a` and
+    emit O(deg²) wedges from one key."""
     e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
          .filter(F.col("a") != F.col("b")))
-    canon = (e.select(F.least("a", "b").alias("a"),
-                      F.greatest("a", "b").alias("b"))
-             .distinct()
-             # the triangle query references canon three times; cut
-             # the lineage so the (possibly expensive) edge subtree
-             # executes once, not three times
+    undirected = (e.select(F.least("a", "b").alias("a"),
+                           F.greatest("a", "b").alias("b"))
+                  .distinct()
+                  # referenced by the degree agg AND both endpoint
+                  # joins; cut the lineage so the (possibly expensive)
+                  # edge subtree executes once
+                  .localCheckpoint(eager=True))
+    deg = (undirected
+           .select(F.explode(F.array("a", "b")).alias("node"))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    da, db = deg.alias("da"), deg.alias("db")
+    a_first = (F.col("da.deg") < F.col("db.deg")) | (
+        (F.col("da.deg") == F.col("db.deg")) & (F.col("a") < F.col("b")))
+    canon = (undirected
+             .join(da, F.col("a") == F.col("da.node"))
+             .join(db, F.col("b") == F.col("db.node"))
+             .select(F.when(a_first, F.col("a")).otherwise(F.col("b"))
+                     .alias("a"),
+                     F.when(a_first, F.col("b")).otherwise(F.col("a"))
+                     .alias("b"))
+             # referenced three times by the triangle query
              .localCheckpoint(eager=True))
     e1 = canon.alias("e1")
     e2 = canon.alias("e2")

@@ -115,6 +115,36 @@ def test_triangles_small_known(spark):
     assert G.triangle_count(edges).first()["n_triangles"] == 2
 
 
+def test_triangles_hub_no_wedge_blowup(spark):
+    """Star hub with the SMALLEST id plus a few rim triangles: raw-id
+    orientation (least/greatest) would give hub 0 out-degree n_spokes
+    and the wedge join O(deg²) fan-in from that one key; degree
+    ordering must orient every spoke→hub, bounding the hub's
+    out-degree at 0. Count must come out right too."""
+    n_spokes = 200
+    hub = [(0, i) for i in range(1, n_spokes + 1)]
+    rim = [(1, 2), (3, 4), (5, 6)]            # 3 triangles through hub
+    edges = spark.createDataFrame(hub + rim, "src long, dst long")
+    assert G.triangle_count(edges).first()["n_triangles"] == 3
+
+    # re-derive the oriented edge list the operator builds and assert
+    # the fan-in bound directly: with (degree, id) orientation the hub
+    # (max degree) is never a source, so max out-degree is tiny
+    e = edges.select(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b")).distinct()
+    deg = (e.select(F.explode(F.array("a", "b")).alias("node"))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    da, db = deg.alias("da"), deg.alias("db")
+    a_first = (F.col("da.deg") < F.col("db.deg")) | (
+        (F.col("da.deg") == F.col("db.deg")) & (F.col("a") < F.col("b")))
+    oriented = (e.join(da, F.col("a") == F.col("da.node"))
+                .join(db, F.col("b") == F.col("db.node"))
+                .select(F.when(a_first, F.col("a")).otherwise(F.col("b"))
+                        .alias("a")))
+    max_out = oriented.groupBy("a").count().agg(F.max("count")).first()[0]
+    assert max_out <= 3          # id-orientation would make this 200
+
+
 def test_workload_graph_queries_run(spark):
     for name in ("g03_components", "g04_pagerank"):
         df = QUERIES[name].spark(spark, SF_DIR)
