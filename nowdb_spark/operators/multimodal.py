@@ -1,11 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-The container has no image/audio codecs, so the decode kernels are
-STUBS behind `_HAVE_CODECS` — the Spark-side plumbing (binary schema,
-Arrow batch shape, mapInPandas signature, partitioning) is real and
-tested. Swap `_fake_decode` for a PIL/libav call and nothing else
-changes.
+Uncompressed formats (24-bit BMP, PPM) decode for REAL through the
+vendored pure-Python codec (`imagecodec.py`) — see
+`decode_meta_real` / `resize_image_real`. Formats needing entropy
+decoding (JPEG/PNG/audio/video) stay honestly stubbed behind
+`_HAVE_CODECS`: the Spark-side plumbing (binary schema, Arrow batch
+shape, mapInPandas signature, partitioning) is real and tested; swap
+`_fake_decode` for a PIL/libav call and nothing else changes.
 
 Design for 100 TB of media: binary payloads stay in their partition
 (mapInPandas = narrow, zero shuffle); metadata extraction emits small
@@ -46,12 +48,19 @@ def _fake_decode(payload: bytes) -> dict:
     }
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub
-    """Real decode entry point — requires codec libs."""
+def decode_image(payload: bytes):
+    """Real decode entry point. BMP/PPM decode via the vendored
+    pure-Python codec; anything else needs codec libs (absent in this
+    container) and raises honestly."""
+    from nowdb_spark.operators.imagecodec import CODEC
+
+    img = CODEC.decode(payload)
+    if img is not None:
+        return img
     if not _HAVE_CODECS:
         raise NotImplementedError(
-            "image codecs not available in this environment; "
-            "metadata plumbing uses _fake_decode")
+            "only uncompressed BMP/PPM decode without codec libs; "
+            "metadata plumbing for other formats uses _fake_decode")
     raise NotImplementedError("wire to PIL.Image.open(io.BytesIO(payload))")
 
 
@@ -150,6 +159,116 @@ def feature_extract(df: DataFrame, dim: int = 16,
                 id_col: pdf[id_col].values,
                 "features": [fake_features(bytes(b))
                              for b in pdf[payload_col]],
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
+REAL_META_SCHEMA = ("doc_id long, fmt string, width int, height int, "
+                    "n_bytes long, px_check long")
+
+
+def synth_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize deterministic BMP/PPM payloads from an id column.
+
+    Oracle-harness companion to the REAL decode path: pixel values are
+    a pure function of (id, x, y), so a SQL oracle can recompute what
+    the decoder must read back from the actual encoded bytes —
+    id % 2 == 0 → 24-bit BMP (bottom-up, padded stride), else binary
+    PPM (P6). Dimensions: w = id % 12 + 2, h = id % 7 + 2; pixel
+    (x, y) = ((id+3x+7y) % 256, (2id+5x+y) % 256, (id+x*y) % 256).
+    """
+    from nowdb_spark.operators.imagecodec import make_image_codec
+
+    codec = make_image_codec()        # closures ship by value (driver)
+    schema = f"{id_col} long, payload binary"
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        def synth(did: int) -> bytes:
+            did = int(did)
+            w, h = did % 12 + 2, did % 7 + 2
+            rows = [[((did + 3 * x + 7 * y) % 256,
+                      (2 * did + 5 * x + y) % 256,
+                      (did + x * y) % 256) for x in range(w)]
+                    for y in range(h)]
+            if did % 2 == 0:
+                return codec.encode_bmp(w, h, rows)
+            return codec.encode_ppm(w, h, rows)
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "payload": [synth(d) for d in pdf[id_col]],
+            })
+
+    return df.select(id_col).mapInPandas(kernel, schema)
+
+
+def decode_meta_real(df: DataFrame, id_col: str = "doc_id",
+                     payload_col: str = "payload") -> DataFrame:
+    """REAL metadata extraction: BMP/PPM payloads are parsed by the
+    vendored pure-Python codec (header fields + full pixel decode);
+    bytes the codec cannot decode yield NULL dims rather than fakes.
+
+    px_check is a position- and channel-weighted checksum
+    Σ (y*w + x + 1) * (r + 2g + 3b) over the decoded top-down pixel
+    grid — it catches row-order (BMP bottom-up) and BGR/RGB channel
+    mistakes that a plain byte sum would miss. Narrow, zero-shuffle.
+    """
+    from nowdb_spark.operators.imagecodec import make_image_codec
+
+    codec = make_image_codec()
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                img = codec.decode(b)
+                if img is None:
+                    out.append((int(did), None, None, None, len(b), None))
+                    continue
+                w, h = img["width"], img["height"]
+                chk = 0
+                for y, row in enumerate(img["rows"]):
+                    base = y * w + 1
+                    for x, (r, g, bl) in enumerate(row):
+                        chk += (base + x) * (r + 2 * g + 3 * bl)
+                out.append((int(did), img["fmt"], w, h, len(b), chk))
+            yield _pd.DataFrame(out, columns=[id_col, "fmt", "width",
+                                              "height", "n_bytes",
+                                              "px_check"])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, REAL_META_SCHEMA)
+
+
+def resize_image_real(df: DataFrame, width: int, height: int,
+                      id_col: str = "doc_id",
+                      payload_col: str = "payload") -> DataFrame:
+    """REAL nearest-neighbor resize for BMP/PPM payloads (output is
+    24-bit BMP); non-decodable payloads pass through as NULL. Source
+    pixel for output (x, y) is (x*w // tw, y*h // th) — the oracle can
+    replay that index arithmetic exactly. Narrow, zero-shuffle."""
+    from nowdb_spark.operators.imagecodec import make_image_codec
+
+    codec = make_image_codec()
+    schema = f"{id_col} long, resized binary, out_w int, out_h int"
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "resized": [codec.resize_nn(bytes(b), width, height)
+                            for b in pdf[payload_col]],
+                "out_w": width,
+                "out_h": height,
             })
 
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)

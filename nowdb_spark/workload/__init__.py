@@ -91,8 +91,9 @@ _PRIORITY_ORDER = [
     "tx04_token_count",
     # similarity search
     "ann01_bruteforce_topk", "ann03_lsh_topk",
-    # multimodal
-    "mm01_extract_meta",
+    # multimodal (mm02 exercises the REAL BMP/PPM decode path; mm01's
+    # fake-decode plumbing variant is relegated, still oracle-verified)
+    "mm02_real_decode",
     # time-series
     "ts01_downsample", "ts02_moving_avg", "ts03_integral",
     "ts04_gap_fill", "ts05_ohlc",

@@ -610,6 +610,85 @@ def mm01(spark, sf):
 
 
 # ------------------------------------------------------------------
+# Real decode gates: payloads are ACTUAL encoded BMP/PPM bytes built
+# by imagecodec.py (pixel values a pure function of (doc_id, x, y)),
+# and the Spark side re-derives width/height/px_check by DECODING the
+# bytes — header parse, bottom-up BMP rows, BGR order, stride padding,
+# PPM token scan. The oracle recomputes the same values arithmetically
+# from doc_id, so any decode defect breaks the hash match.
+_MM_PX = ("( (doc_id + 3*({x}) + 7*({y})) % 256"
+          " + 2*((2*doc_id + 5*({x}) + ({y})) % 256)"
+          " + 3*((doc_id + ({x})*({y})) % 256) )")
+
+_MM02_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, doc_id % 12 + 2 AS w, doc_id % 7 + 2 AS h
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0
+                 THEN 54 + ((3*w + 3) // 4) * 4 * h
+                 ELSE 9 + length(CAST(w AS VARCHAR))
+                      + length(CAST(h AS VARCHAR)) + 3*w*h
+            END AS BIGINT) AS n_bytes,
+       CAST(list_aggregate(
+         list_transform(range(0, w*h), i ->
+           (i + 1) * {_MM_PX.format(x="i % w", y="i // w")}),
+         'sum') AS BIGINT) AS px_check
+FROM d
+"""
+
+
+@register(
+    "mm02_real_decode",
+    _MM02_ORACLE,
+    doc="REAL BMP/PPM decode: synthesize actual encoded image bytes "
+        "per doc_id, decode them with the vendored pure-Python codec "
+        "(imagecodec.py), emit header dims + a position/channel "
+        "weighted pixel checksum; oracle replays the pixel function "
+        "arithmetically",
+)
+def mm02(spark, sf):
+    d = table(spark, sf, "documents")
+    return M.decode_meta_real(M.synth_images(d))
+
+
+_MM03_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, doc_id % 12 + 2 AS w, doc_id % 7 + 2 AS h
+  FROM documents
+)
+SELECT doc_id,
+       'bmp' AS fmt,
+       CAST(5 AS INT) AS width,
+       CAST(4 AS INT) AS height,
+       CAST(118 AS BIGINT) AS n_bytes,
+       CAST(list_aggregate(
+         list_transform(range(0, 20), i ->
+           (i + 1) * {_MM_PX.format(x="((i % 5) * w) // 5",
+                                    y="((i // 5) * h) // 4")}),
+         'sum') AS BIGINT) AS px_check
+FROM d
+"""
+
+
+@register(
+    "mm03_real_resize",
+    _MM03_ORACLE,
+    doc="REAL nearest-neighbor resize to 5x4 through the codec (BMP "
+        "out), then REAL re-decode; oracle replays the src-index "
+        "arithmetic (x*w//tw, y*h//th) over the pixel function",
+)
+def mm03(spark, sf):
+    d = table(spark, sf, "documents")
+    resized = M.resize_image_real(M.synth_images(d), 5, 4)
+    return M.decode_meta_real(resized, payload_col="resized")
+
+
+# ------------------------------------------------------------------
 @register(
     "ann05_quantize_int8",
     """

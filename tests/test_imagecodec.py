@@ -1,0 +1,140 @@
+"""Pure-Python BMP/PPM codec + the REAL multimodal decode path.
+
+The codec is the round-3 answer to "multimodal decoders are stubs":
+uncompressed formats need no codec libraries, so header + pixel
+arithmetic decode for real. The Spark tests drive the same kernels the
+mm02/mm03 gates use and assert against the closed-form pixel function
+the DuckDB oracle replays.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from nowdb_spark.operators import multimodal as M
+from nowdb_spark.operators.imagecodec import make_image_codec
+
+SF_DIR = os.environ.get("NOWDB_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+codec = make_image_codec()
+
+
+def _grad(w, h, seed=0):
+    return [[((seed + 3 * x + 7 * y) % 256, (2 * seed + 5 * x + y) % 256,
+              (seed + x * y) % 256) for x in range(w)] for y in range(h)]
+
+
+# ------------------------------------------------------------------
+# codec unit tests
+def test_bmp_roundtrip_padded_stride():
+    # w=3 -> 9-byte rows padded to 12: exercises the stride math
+    for w, h in [(3, 2), (4, 4), (5, 3), (1, 1)]:
+        rows = _grad(w, h, seed=w * h)
+        b = codec.encode_bmp(w, h, rows)
+        assert codec.sniff(b) == "bmp"
+        assert codec.decode_meta(b) == {
+            "fmt": "bmp", "width": w, "height": h, "n_bytes": len(b)}
+        img = codec.decode(b)
+        assert img["rows"] == rows          # top-down after decode
+        stride = (3 * w + 3) // 4 * 4
+        assert len(b) == 54 + stride * h
+
+
+def test_bmp_topdown_negative_height():
+    import struct
+    rows = _grad(3, 2, seed=9)
+    b = bytearray(codec.encode_bmp(3, 2, rows))
+    # flip to the top-down convention: negative height, rows in order
+    struct.pack_into("<i", b, 22, -2)
+    stride = (3 * 3 + 3) // 4 * 4
+    px = bytearray()
+    for row in rows:                         # top-down pixel array
+        for r, g, bl in row:
+            px += bytes((bl, g, r))
+        px += b"\x00" * (stride - 9)
+    b[54:] = px
+    img = codec.decode(bytes(b))
+    assert img["height"] == 2 and img["rows"] == rows
+
+
+def test_ppm_p6_roundtrip_and_comments():
+    rows = _grad(4, 3, seed=5)
+    b = codec.encode_ppm(4, 3, rows)
+    assert codec.sniff(b) == "ppm"
+    assert codec.decode(b)["rows"] == rows
+    # header comments + weird whitespace are tolerated
+    hairy = b"P6 # comment\n# another\n 4\t3 # dims\n255\n" + b[b.index(b"255\n") + 4:]
+    assert codec.decode(hairy)["rows"] == rows
+
+
+def test_ppm_p3_ascii():
+    rows = [[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (250, 251, 252)]]
+    ascii_ppm = b"P3\n2 2\n255\n1 2 3 4 5 6\n7 8 9 250 251 252\n"
+    img = codec.decode(ascii_ppm)
+    assert img["width"] == 2 and img["rows"] == rows
+
+
+def test_decode_rejects_garbage_and_truncation():
+    assert codec.decode(b"") is None
+    assert codec.decode(b"xx not an image") is None
+    assert codec.decode(b"P6\n4 4\n255\n\x00\x01") is None   # truncated
+    good = codec.encode_bmp(4, 4, _grad(4, 4))
+    assert codec.decode(good[:40]) is None                   # short header
+
+
+def test_resize_nn_exact_indices():
+    w, h, tw, th = 8, 6, 4, 3
+    rows = _grad(w, h, seed=2)
+    out = codec.decode(codec.resize_nn(codec.encode_ppm(w, h, rows), tw, th))
+    assert (out["width"], out["height"]) == (tw, th)
+    for y in range(th):
+        for x in range(tw):
+            assert out["rows"][y][x] == rows[y * h // th][x * w // tw]
+
+
+def test_decode_image_entry_real_formats():
+    b = codec.encode_bmp(2, 2, _grad(2, 2))
+    img = M.decode_image(b)
+    assert img["fmt"] == "bmp" and img["width"] == 2
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\x89PNG\r\n\x1a\n not decodable here")
+
+
+# ------------------------------------------------------------------
+# Spark kernels (same path as the mm02/mm03 gates)
+def test_real_decode_matches_pixel_function(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(40)
+    out = {r["doc_id"]: r
+           for r in M.decode_meta_real(M.synth_images(docs)).collect()}
+    assert len(out) == 40
+    for did, r in out.items():
+        w, h = did % 12 + 2, did % 7 + 2
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["fmt"] == ("bmp" if did % 2 == 0 else "ppm")
+        chk = sum((y * w + x + 1) * ((did + 3 * x + 7 * y) % 256
+                                     + 2 * ((2 * did + 5 * x + y) % 256)
+                                     + 3 * ((did + x * y) % 256))
+                  for y in range(h) for x in range(w))
+        assert r["px_check"] == chk
+
+
+def test_real_resize_kernel(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(10)
+    resized = M.resize_image_real(M.synth_images(docs), 5, 4)
+    out = M.decode_meta_real(resized, payload_col="resized").collect()
+    assert len(out) == 10
+    for r in out:
+        assert (r["width"], r["height"], r["fmt"]) == (5, 4, "bmp")
+        assert r["n_bytes"] == 118
+
+
+def test_real_decode_null_on_garbage(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not an image")), (2, bytearray(codec.encode_ppm(2, 2, _grad(2, 2))))],
+        "doc_id long, payload binary")
+    rows = {r["doc_id"]: r for r in M.decode_meta_real(df).collect()}
+    assert rows[1]["width"] is None and rows[1]["fmt"] is None
+    assert rows[1]["n_bytes"] == 12
+    assert rows[2]["width"] == 2 and rows[2]["fmt"] == "ppm"
