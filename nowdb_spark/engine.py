@@ -702,7 +702,15 @@ class Engine:
             for k, v in opts.items():
                 reader = reader.option(k, v)
             df = reader.load(path)
+            # mount stamp policy: physically timestamp-typed columns
+            # (parquet timestamp[us]/TIMESTAMP_NTZ etc.) become Long ns
+            # stamps, independent of file encoding and session tz.
+            ts_cols = [f.name for f in df.schema.fields
+                       if f.dataType.typeName().startswith("timestamp")]
+            df = TU.normalize_stamps(df)
             types = _infer_nowdb_types(df)
+            for c in ts_cols:
+                types[c] = "time"
             types.update(overrides)
             return df, types, None
         if name in sc.meta.views:

@@ -31,9 +31,15 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     """n-word shingles as an array<string> (distinct not applied).
 
     slice+array_join per index — measured 3.3× faster than n
-    element_at lookups + concat_ws per shingle (identical output)."""
+    element_at lookups + concat_ws per shingle (identical output).
+
+    Documents shorter than n words yield an empty array (guarded:
+    sequence(1, size-n+1) would otherwise run DESCENDING and feed
+    slice a zero/negative start)."""
     ws = F.split(text, r"\s+")
-    idx = F.sequence(F.lit(1), F.size(ws) - (n - 1))
+    idx = F.when(F.size(ws) >= n,
+                 F.sequence(F.lit(1), F.size(ws) - (n - 1))) \
+           .otherwise(F.array().cast("array<int>"))
     return F.transform(
         idx,
         lambda i: F.array_join(F.slice(ws, i, n), " "),
@@ -59,21 +65,37 @@ def exact_dedup(df: DataFrame, content_col: str = "text",
 def minhash_signature(df: DataFrame, content_col: str = "text",
                       id_col: str = "doc_id", k: int = 8,
                       shingle_n: int = 3,
-                      keep: tuple = ()) -> DataFrame:
+                      keep: tuple = (),
+                      hash_fn: str = "md5") -> DataFrame:
     """k-component MinHash signature per document.
 
-    Component i = min over shingles of rot_i(md5(shingle)), where
-    rot_i left-rotates the 32-hex digest by 4·i characters. Each
-    rotation is a bijection of the digest space, so every component is
-    a valid MinHash permutation; components share one md5 per shingle
-    (the standard single-hash + derived-permutation trade, cf.
-    datasketch's a·h+b mixing — measured 7× faster than k independent
-    md5s, whose per-element lambda evaluation dominates at scale).
-    k ≤ 8 keeps the rotations distinct (4·k ≤ 32 hex chars).
+    ``hash_fn="md5"`` (default, oracle-parity): component i = min over
+    shingles of rot_i(md5(shingle)), where rot_i left-rotates the
+    32-hex digest by 4·i characters. Each rotation is a bijection of
+    the digest space, so every component is a valid MinHash
+    permutation; components share one md5 per shingle (the standard
+    single-hash + derived-permutation trade, cf. datasketch's a·h+b
+    mixing — measured 7× faster than k independent md5s, whose
+    per-element lambda evaluation dominates at scale). k ≤ 8 keeps the
+    rotations distinct (4·k ≤ 32 hex chars); components are hex
+    strings.
 
-    Entirely map-side: shingles never leave their row (aggregate over
-    the array, no explode/shuffle).
+    ``hash_fn="xxhash64"`` (production): component i = min over
+    shingles of xxhash64(shingle, i). xxhash64 is JVM-native and ~an
+    order of magnitude cheaper than md5 per call; the per-component
+    seed column makes each component an independent hash family, so k
+    is unbounded. Components are signed longs rendered as 16-hex
+    strings (same downstream schema either way; not reproducible in
+    ANSI SQL, hence the md5 default for the DuckDB-oracled gates).
+
+    Entirely map-side either way: shingles never leave their row
+    (aggregate over the array, no explode/shuffle).
     """
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"minhash_signature: unknown hash_fn {hash_fn!r}")
+    if hash_fn == "xxhash64":
+        return _minhash_signature_xx(df, content_col, id_col, k,
+                                     shingle_n, keep)
     if k > 8:
         raise ValueError("minhash_signature: k ≤ 8 (4·k ≤ 32 digest chars)")
     sh = F.array_distinct(word_shingles(F.col(content_col), shingle_n))
@@ -112,10 +134,52 @@ def minhash_signature(df: DataFrame, content_col: str = "text",
                       *comp_cols)
 
 
+def _minhash_signature_xx(df: DataFrame, content_col: str, id_col: str,
+                          k: int, shingle_n: int,
+                          keep: tuple) -> DataFrame:
+    """xxhash64 MinHash backend (see minhash_signature docstring).
+
+    Each shingle STRING is hashed exactly once (xxhash64(s)); the k
+    per-component values re-hash that fixed-width long with the
+    component index as seed column (xxhash64(h, i) — an 8-byte input,
+    an order of magnitude cheaper than re-hashing the string k times).
+    One fold over the pre-hashed array then carries all k running
+    minima as an array<long>. Sentinel for "no shingles" is Long.MAX →
+    NULL after the fold, mirroring the md5 path's 'g' sentinel.
+    Components are emitted as zero-padded 16-hex strings so both
+    backends share one downstream schema (banding, est-Jaccard, tests
+    are backend-agnostic).
+    """
+    sh = F.array_distinct(word_shingles(F.col(content_col), shingle_n))
+    hs = F.transform(sh, lambda s: F.xxhash64(s))
+    sentinel = (1 << 63) - 1
+    fold = F.aggregate(
+        hs,
+        F.array(*[F.lit(sentinel).cast("long") for _ in range(k)]),
+        lambda acc, h: F.array(*[
+            F.least(F.element_at(acc, i + 1), F.xxhash64(h, F.lit(i)))
+            for i in range(k)]),
+    )
+    out = df.select(F.col(id_col), *[F.col(c) for c in keep],
+                    fold.alias("__sig"))
+    if not out.isStreaming:
+        # same projection-collapse barrier as the md5 path
+        out = out.localCheckpoint(eager=False)
+    comp_cols = [
+        F.when(F.element_at("__sig", i + 1) != sentinel,
+               F.lpad(F.hex(F.element_at("__sig", i + 1)), 16, "0"))
+        .alias(f"s{i}")
+        for i in range(k)
+    ]
+    return out.select(F.col(id_col), *[F.col(c) for c in keep],
+                      *comp_cols)
+
+
 def minhash_lsh_pairs(df: DataFrame, content_col: str = "text",
                       id_col: str = "doc_id", k: int = 8, bands: int = 4,
                       threshold: float = 0.5,
-                      shingle_n: int = 3) -> DataFrame:
+                      shingle_n: int = 3,
+                      hash_fn: str = "md5") -> DataFrame:
     """LSH candidate pairs + estimated Jaccard, filtered by threshold.
 
     Signature → `bands` band-keys (md5 of concatenated rows-per-band)
@@ -125,7 +189,8 @@ def minhash_lsh_pairs(df: DataFrame, content_col: str = "text",
     collision probability, never O(n²).
     """
     rows = k // bands
-    sig = minhash_signature(df, content_col, id_col, k, shingle_n)
+    sig = minhash_signature(df, content_col, id_col, k, shingle_n,
+                            hash_fn=hash_fn)
     band_cols = [
         F.struct(
             F.lit(b).alias("band_id"),

@@ -94,7 +94,10 @@ def load_structured(spark: SparkSession, path: str, tdef: TypeDef,
     JSON uses the same PERMISSIVE + corrupt-record plan as CSV.
     """
     if fmt == "parquet":
-        df = spark.read.parquet(path)
+        from nowdb_spark.timeutil import normalize_stamps
+        # timestamp-typed parquet columns become Long ns stamps first;
+        # a direct timestamp→long cast would yield epoch SECONDS.
+        df = normalize_stamps(spark.read.parquet(path))
         schema = tdef.spark_schema()
         cols = [
             (F.col(p.name).cast(schema[p.name].dataType)

@@ -247,3 +247,61 @@ def dawn() -> Column:
 
 def dusk() -> Column:
     return F.lit(DUSK)
+
+
+# --- physical-encoding normalization --------------------------------
+
+def stamp_col_to_ns(col: Column, dtype) -> Column:
+    """Rewrite one column of any physical stamp encoding to Long ns.
+
+    The engine's stamp policy is int64 nanoseconds (types/types.h:70-71),
+    but parquet files arrive in three physical encodings:
+
+      * INT64 / TIMESTAMP(NANOS): already Long ns (with
+        ``spark.sql.legacy.parquet.nanosAsLong`` for the NANOS case) —
+        passed through unchanged;
+      * TIMESTAMP (instant / LTZ): ``unix_micros`` — an epoch instant,
+        timezone-free by construction;
+      * TIMESTAMP_NTZ (e.g. parquet ``timestamp[us]`` with
+        isAdjustedToUTC=false, what pandas/pyarrow writers emit):
+        wall-clock diff against the NTZ epoch literal via
+        ``timestamp_diff`` — deliberately NOT a cast to TimestampType,
+        which would re-interpret the wall clock in the session timezone
+        and break on non-UTC drivers.
+
+    All three yield identical Longs for the same stored instant, so
+    results are independent of both file encoding and session tz.
+    """
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.TimestampNTZType):
+        ntz_epoch = F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00"))
+        return F.timestamp_diff("MICROSECOND", ntz_epoch, col) * F.lit(NS_PER_US)
+    if isinstance(dtype, T.TimestampType):
+        return F.unix_micros(col) * F.lit(NS_PER_US)
+    return col
+
+
+def normalize_stamps(df, columns=None):
+    """Normalize timestamp-typed columns of ``df`` to Long ns stamps.
+
+    ``columns=None`` rewrites every TimestampType/TimestampNTZType
+    column; pass an explicit list to restrict (engine mounts restrict
+    to the columns the user declared ``time``).  Long columns are left
+    untouched, so the call is idempotent and safe across all physical
+    encodings (see stamp_col_to_ns).
+    """
+    from pyspark.sql import types as T
+
+    targets = {
+        f.name for f in df.schema.fields
+        if (columns is None or f.name in columns)
+        and isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
+    }
+    if not targets:
+        return df
+    return df.select(*[
+        stamp_col_to_ns(F.col(f.name), f.dataType).alias(f.name)
+        if f.name in targets else F.col(f.name)
+        for f in df.schema.fields
+    ])

@@ -18,6 +18,8 @@ from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
+from nowdb_spark.timeutil import normalize_stamps
+
 
 @dataclass(frozen=True)
 class QuerySpec:
@@ -37,11 +39,19 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # the driver supplies its own SparkSession; make sure parquet
-    # TIMESTAMP(NANOS) columns (events.ts) read as ns-Longs — the
-    # engine's nowdb stamp policy (runtime-settable SQL conf).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # the driver supplies its own SparkSession; the engine's stamp
+    # policy is int64 ns regardless of the file's physical encoding:
+    # TIMESTAMP(NANOS) needs the read-time conf (Spark otherwise
+    # refuses NANOS parquet), timestamp[us] / TIMESTAMP_NTZ are
+    # rewritten post-read by normalize_stamps (session-tz-proof).
+    # Only the STAMP column is normalized ("ts", the events stamp —
+    # TESTDATA.md contract): TPC-H date columns (l_shipdate,
+    # o_orderdate) stay native timestamps, matching the oracle's
+    # date-literal comparisons on both sides.
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return normalize_stamps(df, columns=("ts",))
 
 
 # populate the registry

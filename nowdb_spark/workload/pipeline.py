@@ -88,6 +88,19 @@ def dd02(spark, sf):
 
 # ------------------------------------------------------------------
 @register(
+    "dd02x_minhash_xxhash",
+    None,   # xxhash64 is Spark-native; not reproducible in ANSI SQL
+    doc="production MinHash backend: xxhash64 per-seed hash family "
+        "(same topology as dd02, ~10× cheaper per shingle; rows-only "
+        "check — the md5 variant dd02 carries the value oracle)",
+)
+def dd02x(spark, sf):
+    return D.minhash_signature(table(spark, sf, "documents"), k=8,
+                               hash_fn="xxhash64")
+
+
+# ------------------------------------------------------------------
+@register(
     "dd03_minhash_lsh_pairs",
     f"""
     WITH {_MINHASH_CTE},

@@ -66,7 +66,8 @@ def test_nowapi_style_program(server):
         assert rows[0] == {"k": 1, "name": "hat", "price": 9.5}
         assert [r["name"] for r in rows] == ["hat", "cap", "tie"]
 
-        cur.execute("select k, price from item where price > %s", (6,))
+        cur.execute("select k, price from item where price > %s order by k",
+                    (6,))
         one = cur.fetchone()
         assert one["k"] == 1 and cur.rowcount == 1
         rest = cur.fetchall()

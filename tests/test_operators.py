@@ -174,6 +174,45 @@ def test_minhash_lsh_finds_injected_neardups(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+@pytest.mark.parametrize("hash_fn", ["md5", "xxhash64"])
+def test_minhash_backends_agree_on_neardups(spark, hash_fn):
+    """Both hash backends must find the injected near-dup pair and
+    reject the far pair; identical docs must have identical
+    signatures under either backend."""
+    base = ("w%d " * 40) % tuple(range(40))
+    near = base.replace("w3 ", "w3x ")
+    far = ("z%d " * 40) % tuple(range(40))
+    df = spark.createDataFrame(
+        [(1, base.strip()), (2, near.strip()), (3, far.strip()),
+         (4, base.strip())],
+        "doc_id long, text string")
+    pairs = {(r["doc_a"], r["doc_b"]): r["est_jaccard"]
+             for r in D.minhash_lsh_pairs(
+                 df, threshold=0.3, hash_fn=hash_fn).collect()}
+    assert (1, 2) in pairs
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0   # identical docs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    sigs = {r["doc_id"]: tuple(r)[1:]
+            for r in D.minhash_signature(
+                df, hash_fn=hash_fn).collect()}
+    assert sigs[1] == sigs[4]
+    assert sigs[1] != sigs[3]
+
+
+def test_minhash_xxhash_unbounded_k_and_empty_doc(spark):
+    # k > 8 is valid for the xxhash64 backend; empty docs → NULLs
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "")], "doc_id long, text string")
+    rows = {r["doc_id"]: r
+            for r in D.minhash_signature(
+                df, k=16, hash_fn="xxhash64").collect()}
+    assert all(rows[1][f"s{i}"] is not None for i in range(16))
+    with pytest.raises(ValueError):
+        D.minhash_signature(df, k=16, hash_fn="md5")
+    with pytest.raises(ValueError):
+        D.minhash_signature(df, hash_fn="sha1")
+
+
 def test_ivf_exact_when_probing_all(spark):
     """n_probe == n_centroids degenerates IVF to exact knn_join."""
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")

@@ -71,7 +71,9 @@ def test_partial_aggregation_q08(spark):
     assert plan.count("HashAggregate") >= 2, plan[:2000]
 
 
-_PY_ALLOWED = {"mm01_extract_meta"}  # mapInPandas is the point there
+# mapInPandas is the point there: multimodal decode plumbing is the
+# documented Arrow-batch escape hatch (real BMP/PPM codec for mm02/03)
+_PY_ALLOWED = {"mm01_extract_meta", "mm02_real_decode", "mm03_real_resize"}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

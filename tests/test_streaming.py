@@ -27,7 +27,8 @@ def events_dir(spark, tmp_path_factory):
     engine's ns-Long stamp (streaming source needs a static schema)."""
     from tests.conftest import SF_DIR
     out = tmp_path_factory.mktemp("stream_src") / "events"
-    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    from nowdb_spark.timeutil import normalize_stamps
+    df = normalize_stamps(spark.read.parquet(f"{SF_DIR}/events.parquet"))
     df.write.mode("overwrite").parquet(str(out))
     return str(out)
 
