@@ -37,6 +37,7 @@ HEADLINE = [
     "q23_asof_view_before_purchase",
     "dd01_exact_dedup",
     "dd02_minhash_signature",
+    "dd02x_minhash_xxhash",
     "tx01_text_stats",
     "ann01_bruteforce_topk",
     "ts01_downsample",
@@ -129,6 +130,67 @@ def main() -> None:
             n_rows / (time.perf_counter() - t0))
         tput["rows"] = n_rows
 
+    # Pipeline-scale section: the dedup/ANN "scales" claims measured
+    # at production-ish volume instead of the 5k-row sf0.1 tables.
+    # Inputs are generated deterministically (id-derived), written to
+    # parquet once, and read back so the timed operator starts from a
+    # real scan like any production run. Row counts are env-tunable;
+    # defaults: 10M docs (≈30 words each, 2% exact-dup groups,
+    # co-located near-dups), 1M × 64-dim vectors, 100 queries.
+    pipe: dict[str, float] = {}
+    n_docs = int(os.environ.get("SPARK_GRAFT_PIPE_DOCS", "10000000"))
+    n_vecs = int(os.environ.get("SPARK_GRAFT_PIPE_VECS", "1000000"))
+    from nowdb_spark.operators import dedup as D
+    from nowdb_spark.operators import similarity as S
+    with tempfile.TemporaryDirectory() as tmp:
+        words = F.transform(
+            F.sequence(F.lit(0), F.lit(29)),
+            lambda i: F.concat(
+                F.lit("w"),
+                F.pmod(F.xxhash64(F.col("grp"), i), F.lit(5000))))
+        # every 50th doc duplicates its predecessor (2% dup rate,
+        # pairwise — NOT whole-group clones, which would emit
+        # C(50,2)·n/50 quadratic pairs downstream)
+        docs = (spark.range(n_docs)
+                .select(F.col("id").alias("doc_id"),
+                        (F.col("id")
+                         - F.when(F.pmod(F.col("id"), F.lit(50)) == 1,
+                                  F.lit(1)).otherwise(F.lit(0)))
+                        .alias("grp"))
+                .select("doc_id", F.array_join(words, " ").alias("text")))
+        docs.write.mode("overwrite").parquet(f"{tmp}/docs")
+        dsrc = spark.read.parquet(f"{tmp}/docs")
+
+        t0 = time.perf_counter()
+        n = D.minhash_signature(dsrc, k=8, hash_fn="xxhash64").count()
+        pipe["dd02x_docs_per_sec"] = round(n / (time.perf_counter() - t0))
+        t0 = time.perf_counter()
+        D.minhash_lsh_pairs(dsrc, k=8, bands=4, threshold=0.5,
+                            hash_fn="xxhash64").count()
+        pipe["dd03x_docs_per_sec"] = round(n / (time.perf_counter() - t0))
+        t0 = time.perf_counter()
+        D.exact_dedup(dsrc).filter(F.col("is_dup")).count()
+        pipe["dd01_docs_per_sec"] = round(n / (time.perf_counter() - t0))
+        pipe["docs"] = n_docs
+
+        dim = 64
+        vec = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (F.pmod(F.xxhash64(F.col("id"), i), F.lit(2001))
+                       .cast("float") / 1000.0 - 1.0))
+        (spark.range(n_vecs)
+         .select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+         .write.mode("overwrite").parquet(f"{tmp}/vecs"))
+        vsrc = spark.read.parquet(f"{tmp}/vecs")
+        queries = (spark.range(100)
+                   .select((F.col("id") * 9973).alias("id"))
+                   .select(F.col("id").alias("qid"), vec.alias("qvec")))
+        t0 = time.perf_counter()
+        S.lsh_bucket_topk(vsrc, queries, k=10, n_planes=6, n_tables=8,
+                          dim=dim).count()
+        pipe["ann03_vecs_per_sec"] = round(n_vecs / (time.perf_counter() - t0))
+        pipe["vectors"] = n_vecs
+
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
@@ -136,6 +198,7 @@ def main() -> None:
         "queries": timings,
         "queries_cold": cold,
         "throughput": tput,
+        "pipeline_10M": pipe,
         "sf": sf,
     }))
     spark.stop()

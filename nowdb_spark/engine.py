@@ -901,44 +901,73 @@ class Engine:
             raise EngineError(
                 f"module {pd.module!r} has no function {pd.name!r}") from None
 
+    @staticmethod
+    def _lua_api(session) -> dict:
+        """The server-side `nowdb` Lua API table (reference
+        ifc/luaproc.c + manual luaemb.tex:134-600, constants
+        lua/nowdb.lua:61-66): execute (raises on NOK), pexecute
+        (returns code, result-or-details), execute_ (discard result),
+        onerow / onevalue (cursor boilerplate helpers), eval (single
+        expression), the result-kind constants, success, and raise.
+        Result objects flow into Lua as host objects — `r.field(0)`,
+        `r:resulttype()`, `for row in r do`, `r.release()` all hit the
+        Python Result methods directly."""
+        from nowdb_spark import results as R
+
+        def _execute(sql):
+            r = session.execute(sql)
+            if not r.ok():
+                raise EngineError(r.details())
+            return r
+
+        def _pexecute(sql):
+            r = session.execute(sql)
+            if not r.ok():
+                return (r.code(), r.details())
+            return (R.OK, r)
+
+        def _eval(expr):
+            return session.onevalue(f"select {expr}")
+
+        def _raise(code, msg=None):
+            raise EngineError(f"lua error {code}: {msg or ''}")
+
+        return {
+            "execute": _execute,
+            "execute_": lambda sql: _execute(sql) and None,
+            "pexecute": _pexecute,
+            "onerow": session.onerow,
+            "onevalue": session.onevalue,
+            "eval": _eval,
+            "NOTHING": R.NOTHING, "STATUS": R.STATUS,
+            "REPORT": R.REPORT, "ROW": R.ROW, "CURSOR": R.CURSOR,
+            "OK": R.OK, "EOF": 8,   # nowdb_err_eof (error.h)
+            "success": lambda: None,
+            "raise": _raise,
+            "raise_": _raise,
+        }
+
     def _load_lua_proc(self, sc: Scope, pd: ProcDef):
         """LANGUAGE lua adapter (reference ifc/luaproc.c, manual
         luaemb.tex:134-600): runs <scope>/procs/<module>.lua through
-        lupa when available, exposing the reference's `nowdb` API
-        surface — execute/execute_/onerow/onevalue, the result-kind
-        constants (NOTHING/STATUS/REPORT/ROW/CURSOR), success/error/
-        raise. lupa is not bundled in every deployment; without it the
-        procedure is still registered (catalog-compatible) and EXECUTE
-        reports the gap explicitly instead of failing at CREATE, so a
-        ported schema loads unmodified."""
-        try:
-            import lupa
-        except ImportError:
-            raise EngineError(
-                f"procedure {pd.name!r} is LANGUAGE lua: executing it "
-                "requires the 'lupa' package (pip install lupa); the "
-                "procedure is registered and will run once lupa is "
-                "present (compatibility note: reference embeds Lua "
-                "natively, ifc/luaproc.c)") from None
+        lupa when installed (full Lua 5.x), else through the bundled
+        pure-Python interpreter (nowdb_spark.luamini — the Lua subset
+        stored procedures use). Either way the procedure executes for
+        real; `nowdb.*` is the same API surface."""
         mod_file = sc.path / "procs" / f"{pd.module or pd.name}.lua"
         if not mod_file.exists():
             raise EngineError(f"procedure module {mod_file} not found")
-        rt = lupa.LuaRuntime(unpack_returned_tuples=True)
+        try:
+            import lupa
+        except ImportError:
+            lupa = None
 
-        def make_fn(engine_self=self):
+        if lupa is not None:
+            rt = lupa.LuaRuntime(unpack_returned_tuples=True)
+
             def fn(session, *args):
-                api = {
-                    "execute": lambda sql: session.execute(sql),
-                    "execute_": lambda sql: session.execute(sql) and None,
-                    "onerow": session.onerow,
-                    "onevalue": session.onevalue,
-                    "NOTHING": 0, "STATUS": 1, "REPORT": 2,
-                    "ROW": 3, "CURSOR": 4, "OK": 0,
-                    "success": lambda: None,
-                    "raise_": lambda code, msg: (_ for _ in ()).throw(
-                        EngineError(f"lua error {code}: {msg}")),
-                }
-                rt.globals()["nowdb"] = rt.table_from(api)
+                rt.globals()["nowdb"] = rt.table_from(
+                    self._lua_api(session))
                 rt.execute(mod_file.read_text())
                 lua_fn = rt.globals()[pd.name]
                 if lua_fn is None:
@@ -947,7 +976,26 @@ class Engine:
                 return lua_fn(*args)
             return fn
 
-        return make_fn()
+        from nowdb_spark.luamini import Interpreter, LuaError, LuaTable
+
+        def fn(session, *args):
+            it = Interpreter(
+                globals_extra={"nowdb": self._lua_api(session)})
+            try:
+                it.run(mod_file.read_text())
+                lua_fn = it.global_(pd.name)
+                if lua_fn is None:
+                    raise EngineError(
+                        f"{mod_file} defines no function {pd.name!r}")
+                out = it.call(lua_fn, list(args))
+            except LuaError as e:
+                raise EngineError(f"lua error: {e.value}") from None
+            vals = [tuple(v.hash.get(i + 1) for i in range(v.length()))
+                    if isinstance(v, LuaTable) else v for v in out]
+            if not vals:
+                return None
+            return vals[0] if len(vals) == 1 else tuple(vals)
+        return fn
 
     def _lock(self, n: A.LockStmt) -> Result:
         sc = self._need_scope()

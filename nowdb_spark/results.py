@@ -15,6 +15,13 @@ from typing import Iterator, Optional
 
 OK = 0
 
+# numeric result kinds (reference types/types.h:109-112 NOWDB_STATUS
+# 0x21 / REPORT 0x22 / ROW 0x23 / CURSOR 0x24; NOTHING 0 per
+# lua/nowdb.lua:61)
+NOTHING, STATUS, REPORT, ROW, CURSOR = 0, 0x21, 0x22, 0x23, 0x24
+_KIND_CODES = {"status": STATUS, "report": REPORT,
+               "row": ROW, "cursor": CURSOR}
+
 
 class Result:
     kind = "status"
@@ -22,6 +29,16 @@ class Result:
     def __init__(self, code: int = OK, details: str = "OK"):
         self._code = code
         self._details = details
+
+    def resulttype(self) -> int:
+        """Numeric result-kind code (lua r.resulttype() parity)."""
+        return _KIND_CODES.get(self.kind, NOTHING)
+
+    def errcode(self) -> int:
+        return self._code
+
+    def errdetails(self) -> str:
+        return self._details
 
     def ok(self) -> bool:
         return self._code == OK

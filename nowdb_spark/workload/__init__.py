@@ -99,8 +99,10 @@ _PRIORITY_ORDER = [
     # text analysis
     "tx01_text_stats", "tx02_quality_lang", "tx03_fingerprint",
     "tx04_token_count",
-    # similarity search
-    "ann01_bruteforce_topk", "ann03_lsh_topk",
+    # similarity search (ann01 brute-force is the easier baseline —
+    # relegated past-window, still oracle-verified by pytest; the two
+    # scale-path variants LSH + IVF take the driver rows)
+    "ann03_lsh_topk", "ann04_ivf_topk",
     # multimodal (mm02 exercises the REAL BMP/PPM decode path; mm01's
     # fake-decode plumbing variant is relegated, still oracle-verified)
     "mm02_real_decode",

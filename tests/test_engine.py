@@ -490,9 +490,10 @@ def test_inc_auto_increment(spark, tmp_path_factory):
 
 
 def test_lua_procedure(eng, data):
-    """LANGUAGE lua registers fine (catalog parity with ifc/luaproc.c);
-    execution runs through lupa when present, else reports the
-    documented compatibility gap instead of failing at CREATE."""
+    """LANGUAGE lua procedures EXECUTE for real (reference
+    ifc/luaproc.c + test/luasmoke): through lupa when installed, else
+    through the bundled luamini interpreter — never an ImportError
+    branch."""
     assert eng.execute(
         "create procedure stats2.buys2() language lua").ok()
     names = {row[0] for row in eng.execute("show procedures")._rows}
@@ -503,11 +504,56 @@ def test_lua_procedure(eng, data):
         "  return nowdb.onevalue('select count(*) from buys')\n"
         "end\n")
     r = eng.execute("exec stats2.buys2()")
-    try:
-        import lupa  # noqa: F401
-        assert r.field(0) == BUYS
-    except ImportError:
-        assert not r.ok() and "lupa" in r.details()
+    assert r.ok(), r.details()
+    assert r.field(0) == BUYS
+
+
+def test_lua_procedure_cursor_loop_and_api(eng, data):
+    """The luaemb.tex API surface inside a procedure body: execute
+    over a cursor with `for row in cur do`, resulttype constants,
+    string.format, pexecute error path, execute_ DDL+DML."""
+    (eng.scope.path / "procs").mkdir(exist_ok=True)
+    (eng.scope.path / "procs" / "luaapi.lua").write_text("""
+function tally()
+  -- DDL + DML through execute_
+  nowdb.execute_([[create type luat (k uint pk, v float)]])
+  nowdb.execute_([[insert into luat (k, v) values (1, 1.5)]])
+  nowdb.execute_([[insert into luat (k, v) values (2, 2.5)]])
+
+  -- cursor iteration + resulttype
+  local cur = nowdb.execute([[select k, v from luat]])
+  if cur:resulttype() ~= nowdb.CURSOR then
+    nowdb.raise(99, 'expected a cursor')
+  end
+  local n, total = 0, 0.0
+  for row in cur do
+    n = n + 1
+    total = total + row.field(1)
+  end
+  cur.release()
+
+  -- protected execute on a broken statement
+  local rc, _ = nowdb.pexecute('select nope from missing_ctx')
+  if rc == nowdb.OK then nowdb.raise(98, 'expected an error') end
+
+  return string.format('%d:%.1f', n, total)
+end
+""")
+    assert eng.execute(
+        "create procedure luaapi.tally() language lua").ok()
+    r = eng.execute("exec luaapi.tally()")
+    assert r.ok(), r.details()
+    assert r.field(0) == "2:4.0"
+
+
+def test_lua_procedure_error_propagates(eng, data):
+    (eng.scope.path / "procs").mkdir(exist_ok=True)
+    (eng.scope.path / "procs" / "luabad.lua").write_text(
+        "function boom()\n  error('deliberate')\nend\n")
+    assert eng.execute(
+        "create procedure luabad.boom() language lua").ok()
+    r = eng.execute("exec luabad.boom()")
+    assert not r.ok() and "deliberate" in r.details()
 
 
 def test_configurable_time_unit_epoch(spark, tmp_path_factory):
