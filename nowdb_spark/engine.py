@@ -874,6 +874,8 @@ class Engine:
             else:
                 raise EngineError("EXEC arguments must be constants")
         out = fn(ProcSession(self), *args)
+        if hasattr(out, "to_result"):        # lua makerow/makeresult
+            return out.to_result()
         if isinstance(out, Result):
             return out
         if isinstance(out, DataFrame):
@@ -932,6 +934,63 @@ class Engine:
         def _raise(code, msg=None):
             raise EngineError(f"lua error {code}: {msg or ''}")
 
+        class _RowBuilder:
+            """nowdb.makerow() row under construction
+            (lua/nowdb.lua:294-447): add2row(type, value) appends a
+            typed field, closerow() seals it; the builder IS a
+            RowResult-compatible return value once closed."""
+
+            def __init__(self):
+                self._vals = []
+                self._closed = False
+
+            def add2row(self, typ, value):
+                if self._closed:
+                    raise EngineError("add2row on a closed row")
+                self._vals.append(value)
+
+            def closerow(self):
+                self._closed = True
+
+            def countfields(self):
+                return len(self._vals)
+
+            def field(self, i):
+                return self._vals[i]
+
+            def release(self):
+                pass
+
+            def to_result(self):
+                return RowResult(
+                    [f"c{i}" for i in range(len(self._vals))],
+                    [tuple(self._vals)])
+
+        def _makerow():
+            return _RowBuilder()
+
+        def _makeresult(typ, value):
+            rb = _RowBuilder()
+            rb.add2row(typ, value)
+            rb.closerow()
+            return rb
+
+        def _array2row(typs, vals):
+            # luamini passes LuaTables; lupa passes its own tables —
+            # both expose 1-based integer access via [] / .get
+            def arr(t):
+                if hasattr(t, "length"):         # luamini LuaTable
+                    return [t.get(i + 1) for i in range(t.length())]
+                return [t[i + 1] for i in range(len(t))]
+            ts, vs = arr(typs), arr(vals)
+            if len(ts) != len(vs):
+                raise EngineError("types and values do not match")
+            rb = _RowBuilder()
+            for t, v in zip(ts, vs):
+                rb.add2row(t, v)
+            rb.closerow()
+            return rb
+
         return {
             "execute": _execute,
             "execute_": lambda sql: _execute(sql) and None,
@@ -939,12 +998,25 @@ class Engine:
             "onerow": session.onerow,
             "onevalue": session.onevalue,
             "eval": _eval,
+            # result kinds (lua/nowdb.lua:61-65)
             "NOTHING": R.NOTHING, "STATUS": R.STATUS,
             "REPORT": R.REPORT, "ROW": R.ROW, "CURSOR": R.CURSOR,
+            # static types (types/types.h:89-98)
+            "TEXT": 1, "DATE": 2, "TIME": 3, "FLOAT": 4,
+            "INT": 5, "UINT": 6, "BOOL": 9, "EOR": 10,
+            # time constants in ns (lua/nowdb.lua:84-88)
+            "second": 1_000_000_000,
+            "minute": 60_000_000_000,
+            "hour": 3_600_000_000_000,
+            "day": 86_400_000_000_000,
+            "year": 365 * 86_400_000_000_000,
             "OK": R.OK, "EOF": 8,   # nowdb_err_eof (error.h)
             "success": lambda: None,
             "raise": _raise,
             "raise_": _raise,
+            "makerow": _makerow,
+            "makeresult": _makeresult,
+            "array2row": _array2row,
         }
 
     def _load_lua_proc(self, sc: Scope, pd: ProcDef):

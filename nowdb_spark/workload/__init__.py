@@ -80,7 +80,11 @@ _PRIORITY_ORDER = [
     "q10_median_stddev", "q11_order_topk",
     "q13_time_extract", "q14_null_semantics", "q15_join_origin",
     "q16_join_two_dims", "q19_semi_join", "q20_anti_join",
-    "q21_prod", "q22_sessionize", "q23_asof_view_before_purchase",
+    # sessionize/as-of gate rows run the SQL-dialect spellings
+    # (nq18/nq19: parser→binder→framed window) — the DataFrame twins
+    # q22/q23 are relegated past-window, still oracle-verified by
+    # tests/test_workload.py
+    "q21_prod", "nq18_dialect_sessionize", "nq19_dialect_asof",
     "q28_priority_classes", "q31_mode",
     # dialect front-end (parser → binder → DataFrame) representatives
     # (q12's scalar-formula battery is covered in-window by nq02; its

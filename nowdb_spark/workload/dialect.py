@@ -380,3 +380,65 @@ _dialect(
     """,
     doc="dialect: ORDER BY (ascending, reference-style) + LIMIT",
 )
+
+_dialect(
+    "nq18_dialect_sessionize",
+    """
+    select user_id, count(*) as n_events,
+           1 + sum(case when gap_ns > 1800000000000 then 1 else 0 end)
+               as n_sessions
+    from (
+      select user_id, ts,
+             ts - lag(ts) over (partition by user_id
+                                order by ts, event_id) as gap_ns
+      from events
+    ) group by user_id
+    """,
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(1 + sum(CASE WHEN gap_ns > 1800000000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+    FROM (
+      SELECT user_id, ts,
+             epoch_ns(ts) - epoch_ns(lag(ts) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_ns
+      FROM events
+    ) GROUP BY user_id
+    """,
+    doc="dialect: sessionization reachable from the SQL front-end — "
+        "lag window in a derived table + gap>30min conditional count "
+        "(q22's operator through parser→binder)",
+)
+
+_dialect(
+    "nq19_dialect_asof",
+    """
+    select event_id, user_id,
+           ts as purchase_ns, last_view_ns
+    from (
+      select event_id, user_id, ts, event_type,
+             max(case when event_type = 'view' then ts end) over (
+               partition by user_id order by ts, event_id
+               rows between unbounded preceding and 1 preceding
+             ) as last_view_ns
+      from events
+    ) where event_type = 'purchase'
+    """,
+    """
+    SELECT event_id, user_id,
+           epoch_ns(ts) AS purchase_ns,
+           CAST(epoch_ns(last_view_ts) AS DOUBLE) AS last_view_ns
+    FROM (
+      SELECT event_id, user_id, ts, event_type,
+             max(CASE WHEN event_type = 'view' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS last_view_ts
+      FROM events
+    ) WHERE event_type = 'purchase'
+    """,
+    doc="dialect: as-of join reachable from the SQL front-end — "
+        "running max over the ordered per-user stream, framed window "
+        "(q23's operator through parser→binder; ns presentation — "
+        "both sides derive from the same µs-encoded parquet)",
+)

@@ -546,6 +546,35 @@ end
     assert r.field(0) == "2:4.0"
 
 
+def test_lua_makerow_and_constants(eng, data):
+    """nowdb.makerow/add2row/closerow, makeresult, array2row and the
+    type/time constants (lua/nowdb.lua:61-88, 294-447)."""
+    (eng.scope.path / "procs").mkdir(exist_ok=True)
+    (eng.scope.path / "procs" / "luarow.lua").write_text("""
+function mkrow()
+  local row = nowdb.makerow()
+  row.add2row(nowdb.TEXT, 'answer')
+  row.add2row(nowdb.INT, 42)
+  row.add2row(nowdb.TIME, 2 * nowdb.hour)
+  row.closerow()
+  return row
+end
+function mkarr()
+  return nowdb.array2row({nowdb.TEXT, nowdb.FLOAT}, {'pi', 3.5})
+end
+""")
+    assert eng.execute(
+        "create procedure luarow.mkrow() language lua").ok()
+    assert eng.execute(
+        "create procedure luarow.mkarr() language lua").ok()
+    r = eng.execute("exec luarow.mkrow()")
+    assert r.ok(), r.details()
+    assert (r.field(0), r.field(1), r.field(2)) == \
+        ("answer", 42, 7_200_000_000_000)
+    r2 = eng.execute("exec luarow.mkarr()")
+    assert r2.ok() and (r2.field(0), r2.field(1)) == ("pi", 3.5)
+
+
 def test_lua_procedure_error_propagates(eng, data):
     (eng.scope.path / "procs").mkdir(exist_ok=True)
     (eng.scope.path / "procs" / "luabad.lua").write_text(
