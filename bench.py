@@ -161,13 +161,15 @@ def main() -> None:
         docs.write.mode("overwrite").parquet(f"{tmp}/docs")
         dsrc = spark.read.parquet(f"{tmp}/docs")
 
+        # the arrow backend is the production minhash path at this
+        # volume; the JVM backends are headline-measured at sf0.1
         t0 = time.perf_counter()
-        n = D.minhash_signature(dsrc, k=8, hash_fn="xxhash64").count()
-        pipe["dd02x_docs_per_sec"] = round(n / (time.perf_counter() - t0))
+        n = D.minhash_signature(dsrc, k=8, hash_fn="arrow").count()
+        pipe["dd02a_docs_per_sec"] = round(n / (time.perf_counter() - t0))
         t0 = time.perf_counter()
         D.minhash_lsh_pairs(dsrc, k=8, bands=4, threshold=0.5,
-                            hash_fn="xxhash64").count()
-        pipe["dd03x_docs_per_sec"] = round(n / (time.perf_counter() - t0))
+                            hash_fn="arrow").count()
+        pipe["dd03a_docs_per_sec"] = round(n / (time.perf_counter() - t0))
         t0 = time.perf_counter()
         D.exact_dedup(dsrc).filter(F.col("is_dup")).count()
         pipe["dd01_docs_per_sec"] = round(n / (time.perf_counter() - t0))
@@ -185,9 +187,12 @@ def main() -> None:
         queries = (spark.range(100)
                    .select((F.col("id") * 9973).alias("id"))
                    .select(F.col("id").alias("qid"), vec.alias("qvec")))
+        # n_planes sized to the corpus: 2^12 = 4096 buckets/table keeps
+        # bucket size ~250 at 1M vectors (candidates stay ~2.5M total
+        # for 100 queries instead of scanning most of the corpus)
         t0 = time.perf_counter()
-        S.lsh_bucket_topk(vsrc, queries, k=10, n_planes=6, n_tables=8,
-                          dim=dim).count()
+        S.lsh_bucket_topk(vsrc, queries, k=10, n_planes=12, n_tables=8,
+                          dim=dim, kernel="pandas").count()
         pipe["ann03_vecs_per_sec"] = round(n_vecs / (time.perf_counter() - t0))
         pipe["vectors"] = n_vecs
 

@@ -1,10 +1,10 @@
-"""Pure-Python BMP / PPM image codec — the real decode path for the
-multimodal operators.
+"""Pure-Python BMP / PPM / PNG image codec — the real decode path for
+the multimodal operators.
 
-The container ships no codec libraries (PIL, libav), so formats that
-need entropy decoding stay honestly stubbed in `multimodal.py`. But
-uncompressed formats are header + pixel arithmetic, which plain Python
-does fine:
+The container ships no codec libraries (PIL, libav); formats whose
+entropy coder is NOT in the stdlib (JPEG arithmetic/Huffman-DCT,
+video) stay honestly stubbed in `multimodal.py`. Everything the
+stdlib can express is decoded for real:
 
   BMP  — 14-byte file header ('BM', file size, pixel-array offset) +
          BITMAPINFOHEADER (40 bytes: width, height, planes, bpp),
@@ -12,6 +12,11 @@ does fine:
          (top-down when height < 0), stride padded to 4 bytes.
   PPM  — netpbm 'P6' (binary) / 'P3' (ascii): whitespace/comment
          tolerant header `P6 <w> <h> <maxval>` then RGB triplets.
+  PNG  — real entropy-coded path: chunk stream (IHDR/PLTE/IDAT/IEND,
+         CRC-verified), IDAT inflated with stdlib zlib (DEFLATE =
+         LZ77 + Huffman), per-scanline filters None/Sub/Up/Average/
+         Paeth reversed; 8-bit gray / truecolor / palette / +alpha,
+         non-interlaced.
 
 Everything is built by `make_image_codec()` as NESTED closures so
 cloudpickle ships the code by value to executors — a mapInPandas
@@ -42,12 +47,17 @@ def make_image_codec() -> SimpleNamespace:
       resize_nn(b, tw, th)-> bytes | None (nearest-neighbor, BMP out)
     """
     import struct
+    import zlib
+
+    PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
     def sniff(b: bytes):
         if len(b) >= 2 and b[:2] == b"BM":
             return "bmp"
         if len(b) >= 2 and b[:2] in (b"P6", b"P3"):
             return "ppm"
+        if len(b) >= 8 and b[:8] == PNG_SIG:
+            return "png"
         return None
 
     # -- PPM header scanning (whitespace + '#'-comment tolerant) -----
@@ -71,8 +81,120 @@ def make_image_codec() -> SimpleNamespace:
             toks.append(tok)
         return toks, i
 
+    # -- PNG chunk walk / inflate / unfilter -------------------------
+    def _png_chunks(b: bytes):
+        """Yield (type, data) for each CRC-valid chunk; stop at IEND
+        or the first corrupt chunk."""
+        i = 8
+        while i + 8 <= len(b):
+            (ln,) = struct.unpack_from(">I", b, i)
+            typ = b[i + 4:i + 8]
+            data = b[i + 8:i + 8 + ln]
+            if len(data) < ln or i + 12 + ln > len(b):
+                return
+            (crc,) = struct.unpack_from(">I", b, i + 8 + ln)
+            if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+                return
+            yield typ, data
+            if typ == b"IEND":
+                return
+            i += 12 + ln
+
+    def _png_header(b: bytes):
+        for typ, data in _png_chunks(b):
+            if typ == b"IHDR" and len(data) >= 13:
+                w, h = struct.unpack_from(">II", data, 0)
+                depth, ctype, comp, filt, ilace = data[8:13]
+                return (w, h, depth, ctype, comp, filt, ilace)
+            break
+        return None
+
+    def _paeth(a, bb, c):
+        p = a + bb - c
+        pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return bb if pb <= pc else c
+
+    def _png_decode(b: bytes):
+        hdr = _png_header(b)
+        if hdr is None:
+            return None
+        w, h, depth, ctype, comp, filt, ilace = hdr
+        # 8-bit, non-interlaced; gray(0) rgb(2) palette(3) +alpha(4,6)
+        if depth != 8 or comp != 0 or filt != 0 or ilace != 0 \
+                or ctype not in (0, 2, 3, 4, 6) or w <= 0 or h <= 0:
+            return None
+        nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+        plte = None
+        idat = bytearray()
+        for typ, data in _png_chunks(b):
+            if typ == b"PLTE":
+                plte = [(data[i], data[i + 1], data[i + 2])
+                        for i in range(0, len(data) - 2, 3)]
+            elif typ == b"IDAT":
+                idat += data
+        try:
+            raw = zlib.decompress(bytes(idat))
+        except zlib.error:
+            return None
+        stride = w * nch
+        if len(raw) < h * (stride + 1):
+            return None
+        rows = []
+        prev = bytearray(stride)
+        pos = 0
+        for _y in range(h):
+            ftype = raw[pos]
+            line = bytearray(raw[pos + 1:pos + 1 + stride])
+            pos += 1 + stride
+            if ftype == 1:                              # Sub
+                for i in range(nch, stride):
+                    line[i] = (line[i] + line[i - nch]) & 0xFF
+            elif ftype == 2:                            # Up
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif ftype == 3:                            # Average
+                for i in range(stride):
+                    left = line[i - nch] if i >= nch else 0
+                    line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+            elif ftype == 4:                            # Paeth
+                for i in range(stride):
+                    left = line[i - nch] if i >= nch else 0
+                    ul = prev[i - nch] if i >= nch else 0
+                    line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+            elif ftype != 0:
+                return None
+            prev = line
+            if ctype == 2:
+                row = [(line[3 * x], line[3 * x + 1], line[3 * x + 2])
+                       for x in range(w)]
+            elif ctype == 6:
+                row = [(line[4 * x], line[4 * x + 1], line[4 * x + 2])
+                       for x in range(w)]
+            elif ctype == 0:
+                row = [(line[x],) * 3 for x in range(w)]
+            elif ctype == 4:
+                row = [(line[2 * x],) * 3 for x in range(w)]
+            else:                                       # palette
+                if plte is None:
+                    return None
+                try:
+                    row = [plte[line[x]] for x in range(w)]
+                except IndexError:
+                    return None
+            rows.append(row)
+        return {"fmt": "png", "width": w, "height": h,
+                "n_bytes": len(b), "rows": rows}
+
     def decode_meta(b: bytes):
         fmt = sniff(b)
+        if fmt == "png":
+            hdr = _png_header(b)
+            if hdr is None:
+                return None
+            return {"fmt": "png", "width": hdr[0], "height": hdr[1],
+                    "n_bytes": len(b)}
         if fmt == "bmp":
             if len(b) < 26:
                 return None
@@ -94,6 +216,8 @@ def make_image_codec() -> SimpleNamespace:
 
     def decode(b: bytes):
         fmt = sniff(b)
+        if fmt == "png":
+            return _png_decode(b)
         if fmt == "bmp":
             if len(b) < 54:
                 return None
@@ -164,6 +288,44 @@ def make_image_codec() -> SimpleNamespace:
                 out += bytes((rd, g, bl))
         return bytes(out)
 
+    def encode_png(w: int, h: int, rows, cycle_filters: bool = True) -> bytes:
+        """8-bit truecolor PNG. `cycle_filters` applies filter type
+        y % 5 per scanline (None/Sub/Up/Average/Paeth) so a decoder
+        must implement ALL five reconstructions to round-trip; False
+        writes filter 0 only."""
+        def chunk(typ: bytes, data: bytes) -> bytes:
+            return (struct.pack(">I", len(data)) + typ + data
+                    + struct.pack(">I", zlib.crc32(typ + data)
+                                  & 0xFFFFFFFF))
+        stride = 3 * w
+        raw = bytearray()
+        prev = bytearray(stride)
+        for y in range(h):
+            line = bytearray()
+            for rd, g, bl in rows[y]:
+                line += bytes((rd, g, bl))
+            f = (y % 5) if cycle_filters else 0
+            filt = bytearray(stride)
+            for i in range(stride):
+                left = line[i - 3] if i >= 3 else 0
+                ul = prev[i - 3] if i >= 3 else 0
+                if f == 0:
+                    filt[i] = line[i]
+                elif f == 1:
+                    filt[i] = (line[i] - left) & 0xFF
+                elif f == 2:
+                    filt[i] = (line[i] - prev[i]) & 0xFF
+                elif f == 3:
+                    filt[i] = (line[i] - ((left + prev[i]) >> 1)) & 0xFF
+                else:
+                    filt[i] = (line[i] - _paeth(left, prev[i], ul)) & 0xFF
+            raw += bytes([f]) + filt
+            prev = line
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (PNG_SIG + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+                + chunk(b"IEND", b""))
+
     def resize_nn(b: bytes, tw: int, th: int):
         img = decode(b)
         if img is None:
@@ -175,7 +337,8 @@ def make_image_codec() -> SimpleNamespace:
 
     return SimpleNamespace(sniff=sniff, decode_meta=decode_meta,
                            decode=decode, encode_bmp=encode_bmp,
-                           encode_ppm=encode_ppm, resize_nn=resize_nn)
+                           encode_ppm=encode_ppm, encode_png=encode_png,
+                           resize_nn=resize_nn)
 
 
 # Driver-side convenience instance (kernels must call

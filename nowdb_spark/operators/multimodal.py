@@ -168,20 +168,24 @@ REAL_META_SCHEMA = ("doc_id long, fmt string, width int, height int, "
                     "n_bytes long, px_check long")
 
 
-def synth_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Synthesize deterministic BMP/PPM payloads from an id column.
+def synth_images(df: DataFrame, id_col: str = "doc_id",
+                 formats: tuple = ("bmp", "ppm")) -> DataFrame:
+    """Synthesize deterministic image payloads from an id column.
 
     Oracle-harness companion to the REAL decode path: pixel values are
     a pure function of (id, x, y), so a SQL oracle can recompute what
-    the decoder must read back from the actual encoded bytes —
-    id % 2 == 0 → 24-bit BMP (bottom-up, padded stride), else binary
-    PPM (P6). Dimensions: w = id % 12 + 2, h = id % 7 + 2; pixel
-    (x, y) = ((id+3x+7y) % 256, (2id+5x+y) % 256, (id+x*y) % 256).
+    the decoder must read back from the actual encoded bytes — format
+    = formats[id % len(formats)] (default parity split bmp/ppm; pass
+    ("bmp", "ppm", "png") to include the zlib/DEFLATE path, whose
+    encoder cycles all five PNG scanline filters). Dimensions:
+    w = id % 12 + 2, h = id % 7 + 2; pixel (x, y) =
+    ((id+3x+7y) % 256, (2id+5x+y) % 256, (id+x*y) % 256).
     """
     from nowdb_spark.operators.imagecodec import make_image_codec
 
     codec = make_image_codec()        # closures ship by value (driver)
     schema = f"{id_col} long, payload binary"
+    fmts = tuple(formats)
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as _pd
@@ -193,8 +197,11 @@ def synth_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                       (2 * did + 5 * x + y) % 256,
                       (did + x * y) % 256) for x in range(w)]
                     for y in range(h)]
-            if did % 2 == 0:
+            fmt = fmts[did % len(fmts)]
+            if fmt == "bmp":
                 return codec.encode_bmp(w, h, rows)
+            if fmt == "png":
+                return codec.encode_png(w, h, rows)
             return codec.encode_ppm(w, h, rows)
 
         for pdf in batches:
@@ -204,6 +211,70 @@ def synth_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             })
 
     return df.select(id_col).mapInPandas(kernel, schema)
+
+
+def synth_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize deterministic PCM16 WAV payloads from an id column
+    (audio analogue of synth_images): n = id % 50 + 10 samples at
+    8 kHz, sample i = ((id*7 + i*13) % 4001) - 2000 — pure integer
+    arithmetic a SQL oracle replays exactly."""
+    from nowdb_spark.operators.audiocodec import make_audio_codec
+
+    codec = make_audio_codec()
+    schema = f"{id_col} long, payload binary"
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        def synth(did: int) -> bytes:
+            did = int(did)
+            n = did % 50 + 10
+            samples = [((did * 7 + i * 13) % 4001) - 2000
+                       for i in range(n)]
+            return codec.encode_wav(samples, rate=8000, bits=16)
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "payload": [synth(d) for d in pdf[id_col]],
+            })
+
+    return df.select(id_col).mapInPandas(kernel, schema)
+
+
+def audio_features_real(df: DataFrame, id_col: str = "doc_id",
+                        payload_col: str = "payload") -> DataFrame:
+    """REAL WAV decode + integer features: the RIFF container and PCM
+    samples are parsed by the vendored pure-Python codec; bytes it
+    cannot decode yield NULLs. Features are exact integers (count,
+    rate, floor-ms duration, |peak|, sum of squares) so the oracle
+    compares hash-exactly. Narrow, zero-shuffle."""
+    from nowdb_spark.operators.audiocodec import make_audio_codec
+
+    codec = make_audio_codec()
+    schema = (f"{id_col} long, fmt string, n_samples long, "
+              "sample_rate long, duration_ms long, peak long, "
+              "sq_sum long")
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                f = codec.features(bytes(payload))
+                if f is None:
+                    out.append((int(did), None, None, None, None,
+                                None, None))
+                else:
+                    out.append((int(did), "wav", f["n_samples"],
+                                f["sample_rate"], f["duration_ms"],
+                                f["peak"], f["sq_sum"]))
+            yield _pd.DataFrame(out, columns=[
+                id_col, "fmt", "n_samples", "sample_rate",
+                "duration_ms", "peak", "sq_sum"])
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
 
 
 def decode_meta_real(df: DataFrame, id_col: str = "doc_id",

@@ -100,16 +100,19 @@ _PRIORITY_ORDER = [
     "dd01_exact_dedup", "dd03_minhash_lsh_pairs",
     "dd04_ngram_jaccard_pairs", "dd05_simhash",
     "dd06_embedding_neardup", "dd07_containment_pairs",
-    # text analysis
-    "tx01_text_stats", "tx02_quality_lang", "tx03_fingerprint",
+    # text analysis (tx03 fingerprinting relegated past-window — its
+    # slot goes to the audio modality; still oracle-verified by pytest)
+    "tx01_text_stats", "tx02_quality_lang",
     "tx04_token_count",
     # similarity search (ann01 brute-force is the easier baseline —
     # relegated past-window, still oracle-verified by pytest; the two
     # scale-path variants LSH + IVF take the driver rows)
     "ann03_lsh_topk", "ann04_ivf_topk",
-    # multimodal (mm02 exercises the REAL BMP/PPM decode path; mm01's
-    # fake-decode plumbing variant is relegated, still oracle-verified)
-    "mm02_real_decode",
+    # multimodal: mm04 is the three-format decode gate (bmp/ppm/png —
+    # png is a REAL zlib/DEFLATE entropy-coded path, all five scanline
+    # filters); mm05 decodes RIFF/PCM16 WAV audio. mm01/mm02/mm03
+    # variants relegated, still oracle-verified.
+    "mm04_entropy_decode", "mm05_wav_features",
     # time-series
     "ts01_downsample", "ts02_moving_avg", "ts03_integral",
     "ts04_gap_fill", "ts05_ohlc",

@@ -427,7 +427,7 @@ _dialect(
     """
     SELECT event_id, user_id,
            epoch_ns(ts) AS purchase_ns,
-           CAST(epoch_ns(last_view_ts) AS DOUBLE) AS last_view_ns
+           epoch_ns(last_view_ts) AS last_view_ns
     FROM (
       SELECT event_id, user_id, ts, event_type,
              max(CASE WHEN event_type = 'view' THEN ts END) OVER (

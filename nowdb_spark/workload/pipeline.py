@@ -702,6 +702,80 @@ def mm03(spark, sf):
 
 
 # ------------------------------------------------------------------
+# mm04: three-format decode gate incl. the ENTROPY-CODED path — PNG
+# payloads are real zlib/DEFLATE streams (LZ77 + Huffman) whose
+# scanlines cycle all five PNG filters, so the decoder must inflate
+# and reverse Sub/Up/Average/Paeth to reproduce px_check. n_bytes is
+# omitted (compressed size is not SQL-replayable); width/height/
+# px_check are pure (doc_id, x, y) arithmetic on every format.
+_MM04_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, doc_id % 12 + 2 AS w, doc_id % 7 + 2 AS h
+  FROM documents
+)
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+            ELSE 'png' END AS fmt,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(list_aggregate(
+         list_transform(range(0, w*h), i ->
+           (i + 1) * {_MM_PX.format(x="i % w", y="i // w")}),
+         'sum') AS BIGINT) AS px_check
+FROM d
+"""
+
+
+@register(
+    "mm04_entropy_decode",
+    _MM04_ORACLE,
+    doc="REAL bmp/ppm/png decode — png exercises stdlib-zlib DEFLATE "
+        "inflation + all five scanline filter reconstructions; oracle "
+        "replays the pixel function arithmetically",
+)
+def mm04(spark, sf):
+    d = table(spark, sf, "documents")
+    imgs = M.synth_images(d, formats=("bmp", "ppm", "png"))
+    return M.decode_meta_real(imgs).drop("n_bytes")
+
+
+# ------------------------------------------------------------------
+_MM05_ORACLE = """
+WITH d AS (
+  SELECT doc_id, doc_id % 50 + 10 AS n FROM documents
+)
+SELECT doc_id,
+       'wav' AS fmt,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(list_aggregate(
+         list_transform(range(0, n), i ->
+           abs((doc_id*7 + i*13) % 4001 - 2000)), 'max') AS BIGINT)
+         AS peak,
+       CAST(list_aggregate(
+         list_transform(range(0, n), i ->
+           ((doc_id*7 + i*13) % 4001 - 2000)
+           * ((doc_id*7 + i*13) % 4001 - 2000)), 'sum') AS BIGINT)
+         AS sq_sum
+FROM d
+"""
+
+
+@register(
+    "mm05_wav_features",
+    _MM05_ORACLE,
+    doc="REAL WAV decode: RIFF chunk walk + PCM16 samples through the "
+        "pure-Python audio codec, exact integer features (peak, sum "
+        "of squares, floor-ms duration); oracle replays the sample "
+        "function arithmetically",
+)
+def mm05(spark, sf):
+    d = table(spark, sf, "documents")
+    return M.audio_features_real(M.synth_audio(d))
+
+
+# ------------------------------------------------------------------
 @register(
     "ann05_quantize_int8",
     """

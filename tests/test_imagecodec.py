@@ -138,3 +138,71 @@ def test_real_decode_null_on_garbage(spark):
     assert rows[1]["width"] is None and rows[1]["fmt"] is None
     assert rows[1]["n_bytes"] == 12
     assert rows[2]["width"] == 2 and rows[2]["fmt"] == "ppm"
+
+
+# --- PNG (entropy-coded path: stdlib zlib DEFLATE + filters) --------
+
+def test_png_roundtrip_all_filters():
+    """encode_png cycles filter types y%5, so decoding a tall image
+    exercises None/Sub/Up/Average/Paeth reconstruction."""
+    from nowdb_spark.operators.imagecodec import make_image_codec
+    c = make_image_codec()
+    for (w, h) in [(7, 9), (1, 5), (13, 11)]:
+        rows = [[((x * 7 + y * 3) % 256, (x + y * 11) % 256,
+                  (x * x + y) % 256) for x in range(w)]
+                for y in range(h)]
+        b = c.encode_png(w, h, rows)
+        assert c.sniff(b) == "png"
+        m = c.decode_meta(b)
+        assert (m["width"], m["height"]) == (w, h)
+        assert c.decode(b)["rows"] == rows
+
+
+def test_png_crc_rejected():
+    from nowdb_spark.operators.imagecodec import make_image_codec
+    c = make_image_codec()
+    b = bytearray(c.encode_png(3, 3, [[(1, 2, 3)] * 3] * 3))
+    b[20] ^= 0xFF                      # corrupt IHDR payload → CRC fail
+    assert c.decode(bytes(b)) is None
+    assert c.decode_meta(bytes(b)) is None
+
+
+def test_png_gray_and_palette():
+    """Hand-built gray (color type 0) and palette (type 3) PNGs decode
+    through the same path (gray replicates to RGB; palette indexes
+    PLTE)."""
+    import struct
+    import zlib
+    from nowdb_spark.operators.imagecodec import make_image_codec
+    c = make_image_codec()
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # 3x2 grayscale, filter 0 rows
+    raw = b"\x00\x10\x20\x30" + b"\x00\x40\x50\x60"
+    g = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0))
+         + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    img = c.decode(g)
+    assert img["rows"] == [[(0x10,) * 3, (0x20,) * 3, (0x30,) * 3],
+                           [(0x40,) * 3, (0x50,) * 3, (0x60,) * 3]]
+    # 2x1 palette
+    plte = bytes((255, 0, 0, 0, 255, 0))
+    p = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+         + chunk(b"PLTE", plte)
+         + chunk(b"IDAT", zlib.compress(b"\x00\x00\x01"))
+         + chunk(b"IEND", b""))
+    assert c.decode(p)["rows"] == [[(255, 0, 0), (0, 255, 0)]]
+
+
+def test_png_resize_path():
+    from nowdb_spark.operators.imagecodec import make_image_codec
+    c = make_image_codec()
+    rows = [[(x * 30 % 256, y * 30 % 256, 0) for x in range(8)]
+            for y in range(8)]
+    out = c.resize_nn(c.encode_png(8, 8, rows), 4, 4)
+    img = c.decode(out)
+    assert img["fmt"] == "bmp" and img["width"] == 4
+    assert img["rows"][0][0] == rows[0][0]

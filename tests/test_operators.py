@@ -74,6 +74,24 @@ def test_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_lsh_kernels_agree(spark):
+    """The Arrow/numpy corpus-hashing kernel must produce the same
+    top-k as the JVM column kernel (identical buckets away from the
+    sign boundary; real embeddings never sit on it)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec")))
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    col = S.lsh_bucket_topk(corpus, queries, k=5, n_planes=4,
+                            n_tables=8, dim=64, kernel="column")
+    pdk = S.lsh_bucket_topk(corpus, queries, k=5, n_planes=4,
+                            n_tables=8, dim=64, kernel="pandas")
+    a = {(r["qid"], r["vec_id"], r["sim"]) for r in col.collect()}
+    b = {(r["qid"], r["vec_id"], r["sim"]) for r in pdk.collect()}
+    assert a == b
+
+
 def test_pandas_kernel_matches_jvm(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
@@ -174,7 +192,7 @@ def test_minhash_lsh_finds_injected_neardups(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
-@pytest.mark.parametrize("hash_fn", ["md5", "xxhash64"])
+@pytest.mark.parametrize("hash_fn", ["md5", "xxhash64", "arrow"])
 def test_minhash_backends_agree_on_neardups(spark, hash_fn):
     """Both hash backends must find the injected near-dup pair and
     reject the far pair; identical docs must have identical
