@@ -246,6 +246,24 @@ def test_ivf_exact_when_probing_all(spark):
     assert e == i
 
 
+def test_ivf_kernels_agree(spark):
+    """Arrow/numpy centroid assignment must reproduce the Column
+    kernel's clusters and top-k (argmax first-max tie-break matches;
+    ties at float-rounding distance are measure-zero)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = (emb.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec")))
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    col = S.ivf_topk(corpus, queries, k=5, n_centroids=4, n_probe=2,
+                     iters=2, kernel="column")
+    pdk = S.ivf_topk(corpus, queries, k=5, n_centroids=4, n_probe=2,
+                     iters=2, kernel="pandas")
+    a = {(r["qid"], r["vec_id"], r["sim"]) for r in col.collect()}
+    b = {(r["qid"], r["vec_id"], r["sim"]) for r in pdk.collect()}
+    assert a == b
+
+
 def test_ivf_recall_vs_bruteforce(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     queries = (emb.filter(F.col("vec_id") < 5)
