@@ -110,6 +110,10 @@ def main() -> None:
     # the write is a single full parquet rewrite.
     tput: dict[str, float] = {}
     n_rows = int(os.environ.get("SPARK_GRAFT_TPUT_ROWS", "10000000"))
+    # the mpb conf above was sized for the small sf-dir files; the
+    # generated tables below are hundreds of MB, and a 1 MB split
+    # would pay ~300 task floors per pass — restore the 128 MB default
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 << 20))
     with tempfile.TemporaryDirectory() as tmp:
         gen = spark.range(n_rows).select(
             F.col("id").alias("k"),
@@ -120,10 +124,14 @@ def main() -> None:
         gen.write.mode("overwrite").parquet(f"{tmp}/src")
         src = spark.read.parquet(f"{tmp}/src")
         src.agg(*[F.count(c) for c in src.columns]).collect()   # warm
-        t0 = time.perf_counter()
-        src.agg(*[F.count(c) for c in src.columns]).collect()
-        tput["scan_rows_per_sec"] = round(
-            n_rows / (time.perf_counter() - t0))
+        # median of 3 warm passes: single-pass timing is dominated by
+        # JIT ramp (observed 16M vs 38M rows/s pass-to-pass)
+        scan_ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            src.agg(*[F.count(c) for c in src.columns]).collect()
+            scan_ts.append(time.perf_counter() - t0)
+        tput["scan_rows_per_sec"] = round(n_rows / sorted(scan_ts)[1])
         t0 = time.perf_counter()
         src.write.mode("overwrite").parquet(f"{tmp}/out")
         tput["write_rows_per_sec"] = round(

@@ -54,6 +54,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return normalize_stamps(df, columns=("ts",))
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Fan a small CPU-heavy input across every core.
+
+    Gate/bench-scale parquet files arrive as 1-2 splits, so a per-row
+    CPU-bound map (md5 MinHash folds, pure-Python decodes) would run
+    on one core while 31 idle. At production scale inputs already
+    carry >= defaultParallelism partitions and this is a no-op; below
+    that, the round-robin shuffle of a few MB is noise next to the map
+    it parallelizes.
+    """
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 # populate the registry
 from nowdb_spark.workload import core  # noqa: E402,F401
 from nowdb_spark.workload import dialect  # noqa: E402,F401

@@ -21,7 +21,7 @@ from nowdb_spark.operators import dedup as D
 from nowdb_spark.operators import multimodal as M
 from nowdb_spark.operators import similarity as S
 from nowdb_spark.operators import textops as T
-from nowdb_spark.workload import register, table
+from nowdb_spark.workload import register, spread, table
 
 # shared DuckDB CTE: per-doc word arrays
 _WORDS_CTE = "words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)"
@@ -83,7 +83,7 @@ def dd01(spark, sf):
         "(rotation family: one md5 per shingle)",
 )
 def dd02(spark, sf):
-    return D.minhash_signature(table(spark, sf, "documents"), k=8)
+    return D.minhash_signature(spread(table(spark, sf, "documents")), k=8)
 
 
 # ------------------------------------------------------------------
@@ -95,7 +95,7 @@ def dd02(spark, sf):
         "check — the md5 variant dd02 carries the value oracle)",
 )
 def dd02x(spark, sf):
-    return D.minhash_signature(table(spark, sf, "documents"), k=8,
+    return D.minhash_signature(spread(table(spark, sf, "documents")), k=8,
                                hash_fn="xxhash64")
 
 
@@ -618,7 +618,7 @@ def ann04(spark, sf):
     doc="multimodal metadata plumbing (mapInPandas over binary payloads)",
 )
 def mm01(spark, sf):
-    d = M.with_binary_payload(table(spark, sf, "documents"))
+    d = M.with_binary_payload(spread(table(spark, sf, "documents")))
     return M.extract_meta(d)
 
 
@@ -665,7 +665,7 @@ FROM d
         "arithmetically",
 )
 def mm02(spark, sf):
-    d = table(spark, sf, "documents")
+    d = spread(table(spark, sf, "documents"))
     return M.decode_meta_real(M.synth_images(d))
 
 
@@ -696,7 +696,7 @@ FROM d
         "arithmetic (x*w//tw, y*h//th) over the pixel function",
 )
 def mm03(spark, sf):
-    d = table(spark, sf, "documents")
+    d = spread(table(spark, sf, "documents"))
     resized = M.resize_image_real(M.synth_images(d), 5, 4)
     return M.decode_meta_real(resized, payload_col="resized")
 
@@ -734,7 +734,7 @@ FROM d
         "replays the pixel function arithmetically",
 )
 def mm04(spark, sf):
-    d = table(spark, sf, "documents")
+    d = spread(table(spark, sf, "documents"))
     imgs = M.synth_images(d, formats=("bmp", "ppm", "png"))
     return M.decode_meta_real(imgs).drop("n_bytes")
 
@@ -771,7 +771,7 @@ FROM d
         "function arithmetically",
 )
 def mm05(spark, sf):
-    d = table(spark, sf, "documents")
+    d = spread(table(spark, sf, "documents"))
     return M.audio_features_real(M.synth_audio(d))
 
 
