@@ -76,10 +76,24 @@ def tokenize(text: str) -> list[Token]:
             j = text.find("\n", i)
             i = n if j < 0 else j + 1
             continue
+        if c == "/" and text[i:i + 2] == "/*":  # block comment
+            j = text.find("*/", i + 2)          # (MCOMMENT state,
+            if j < 0:                           # nowdbsql.l:175-180)
+                raise LexError(f"unterminated comment at {i}")
+            i = j + 2
+            continue
         if c == "'":
             j = i + 1
             buf = []
+            # escapes per the reference string state (nowdbsql.l:182-190):
+            # \\ \' \n \r \t; unknown \x passes through literally.
+            # '' doubling is kept too (standard-SQL clients expect it).
+            esc = {"\\": "\\", "'": "'", "n": "\n", "r": "\r", "t": "\t"}
             while j < n:
+                if text[j] == "\\" and j + 1 < n:
+                    buf.append(esc.get(text[j + 1], text[j:j + 2]))
+                    j += 2
+                    continue
                 if text[j] == "'":
                     if text[j:j + 2] == "''":
                         buf.append("'")

@@ -76,6 +76,14 @@ class Parser:
     # --- entry -----------------------------------------------------
     def parse(self):
         stmt = self.statement()
+        # trailing IF NOT EXISTS binds to the whole create clause in
+        # the reference grammar (nowdbsql.y:232: `ddl ::= create_clause
+        # IF NOT EXISTS`) — the head-position form is kept as well
+        if self.at_kw("if") and hasattr(stmt, "if_not_exists"):
+            self.next()
+            self.eat_kw("not")
+            self.eat_kw("exists")
+            stmt.if_not_exists = True
         if self.at_sym(";"):
             self.next()
         if self.peek().kind != "EOF":
@@ -319,7 +327,10 @@ class Parser:
             # INSERT INTO t [(fields)] SELECT ... (extension; the
             # reference only has VALUES)
             return A.Insert(target, fields, [], self.select_stmt())
-        self.eat_kw("values")
+        # VALUES is optional after a field list: `insert into t (a, b)
+        # (1, 2)` (nowdbsql.y:303-305)
+        if not (fields is not None and self.at_sym("(")):
+            self.eat_kw("values")
 
         def tuple_():
             self.eat_sym("(")
@@ -904,27 +915,52 @@ def parse_script(text: str) -> list:
 
 
 def _split_statements(text: str) -> list[str]:
-    """Split on ';' outside string literals."""
-    out, buf, in_str = [], [], False
-    i = 0
-    while i < len(text):
+    """Split on ';' outside string literals and comments.
+
+    String tracking honors both escape conventions the lexer accepts
+    (backslash escapes incl. ``\\'`` per nowdbsql.l:182-190, and ``''``
+    doubling); a ';' inside ``--`` or ``/* */`` comments does not
+    split. Chunks that hold no tokens at all (comment-only trailers
+    like create2.sql's end-of-file block) are dropped.
+    """
+    out, buf = [], []
+    i, n = 0, len(text)
+    while i < n:
         c = text[i]
-        if in_str:
+        if c == "'":                       # string literal
             buf.append(c)
-            if c == "'":
-                if text[i:i + 2] == "''":
-                    buf.append("'")
+            i += 1
+            while i < n:
+                if text[i] == "\\" and i + 1 < n:
+                    buf.append(text[i:i + 2])
+                    i += 2
+                    continue
+                buf.append(text[i])
+                if text[i] == "'":
+                    if text[i:i + 2] == "''":
+                        buf.append("'")
+                        i += 2
+                        continue
                     i += 1
-                else:
-                    in_str = False
-        elif c == "'":
-            in_str = True
-            buf.append(c)
-        elif c == ";":
+                    break
+                i += 1
+            continue
+        if c == "-" and text[i:i + 2] == "--":
+            j = text.find("\n", i)
+            i = n if j < 0 else j + 1
+            buf.append("\n")
+            continue
+        if c == "/" and text[i:i + 2] == "/*":
+            j = text.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+            buf.append(" ")
+            continue
+        if c == ";":
             out.append("".join(buf))
             buf = []
-        else:
-            buf.append(c)
+            i += 1
+            continue
+        buf.append(c)
         i += 1
     out.append("".join(buf))
-    return out
+    return [s for s in out if s.strip()]

@@ -1,0 +1,138 @@
+"""The reference's own SQL test scripts, run through our engine.
+
+Sources: /root/reference/test/sql/*.sql (read-only fixtures). The goal
+statement is literal parity — "a user of the reference could switch
+and run every query they run today" — so the scripts are fed through
+``Engine.execute_script`` verbatim wherever they match the CURRENT
+reference grammar (sql/nowdbsql.y).
+
+Known legacy constructs in those files that the current grammar itself
+rejects (no TABLE token exists in nowdbsql.l/nowdbsql.y):
+  * ``create table sales`` (create.sql, index.sql)
+  * ``insert into sales (edge, origin, ...)`` against such a table
+Those statements are excluded here, with the exclusion asserted — if
+the reference ever re-adds TABLE, this test starts failing loudly
+instead of silently skipping.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from nowdb_spark.engine import Engine
+from nowdb_spark.results import CursorResult
+
+REF_SQL = "/root/reference/test/sql"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_SQL), reason="reference checkout not mounted")
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    return Engine(spark, tmp_path / "wh")
+
+
+def _read(name: str) -> str:
+    with open(os.path.join(REF_SQL, name)) as f:
+        return f.read()
+
+
+def test_create2_sql_verbatim(eng):
+    """create2.sql end-to-end, byte-for-byte: schema + comments (line,
+    block, inline, trailing junk after the last ';') + escaped string
+    literals + time-literal edge insert."""
+    results = eng.execute_script(_read("create2.sql"))
+    bad = [r.details() for r in results if not r.ok()]
+    assert not bad, bad
+
+    r = eng.execute("select id, name from client")
+    assert isinstance(r, CursorResult)
+    assert r.fetch() == [(1, "otto")]
+
+    # the escaped literal must round-trip with REAL \n and \t bytes
+    # (string state semantics, nowdbsql.l:182-190)
+    r = eng.execute("select title, price from product where id = 1")
+    [(title, price)] = r.fetch()
+    assert title == "pizza 'speciale'\nFamily Size\tYou love it! "\
+                    "Or money back!"
+    assert price == pytest.approx(5.99)
+
+    r = eng.execute("select origin, destin, quantity, amount from buys")
+    assert r.fetch() == [(1, 1, 5, 29.95)]
+
+    # stamp parsed from '2021-03-01T17:30:00' → ns Long, UTC
+    r = eng.execute("select stamp from buys")
+    [(stamp,)] = r.fetch()
+    assert stamp == 1614619800 * 1_000_000_000
+
+
+def test_create_sql_current_grammar(eng):
+    """create.sql minus the one legacy statement (`create table`)."""
+    script = _read("create.sql")
+    stmts = [s.strip() for s in script.split(";") if s.strip()]
+    legacy = [s for s in stmts if s.lower().startswith("create table")]
+    assert len(legacy) == 1        # exclusion is intentional + audited
+    for s in stmts:
+        if s in legacy:
+            continue
+        r = eng.execute(s)
+        assert r.ok(), (s, r.details())
+    # the db200 catalog now holds both types and the edge
+    r = eng.execute("desc client")
+    assert r.ok()
+    r = eng.execute("desc buys")
+    assert r.ok()
+
+
+def test_trailing_if_not_exists(eng):
+    """`create X ... if not exists` — trailing position per
+    nowdbsql.y:232 — is idempotent for every object kind."""
+    assert eng.execute("create schema s1 if not exists").ok()
+    assert eng.execute("create schema s1 if not exists").ok()
+    assert eng.execute("use s1").ok()
+    assert eng.execute(
+        "create type t1 (k uint pk, v text) if not exists").ok()
+    assert eng.execute(
+        "create type t1 (k uint pk, v text) if not exists").ok()
+    assert eng.execute("create index i1 on t1 (v) if not exists").ok()
+    assert eng.execute("create index i1 on t1 (v) if not exists").ok()
+    # without the marker the duplicate must fail
+    assert not eng.execute("create type t1 (k uint pk, v text)").ok()
+
+
+def test_values_less_insert(eng):
+    """`insert into t (cols) (vals)` — nowdbsql.y:303-305 — and the
+    pre-1970 stamp from insert.sql (negative ns)."""
+    assert eng.execute("create schema s2 if not exists").ok()
+    assert eng.execute("use s2").ok()
+    assert eng.execute(
+        "create type client (client_key uint primary key, "
+        "client_name text, client_birth time)").ok()
+    r = eng.execute(
+        "insert into client(client_key, client_name) "
+        "(9000001, 'Popeye the Sailor')")
+    assert r.ok(), r.details()
+    r = eng.execute(
+        "insert into client(client_key, client_name, client_birth) "
+        "(9000002, 'Olive Oyl', '1929-01-17T09:35:12')")
+    assert r.ok(), r.details()
+    rows = set(eng.execute(
+        "select client_key, client_name from client").fetch())
+    assert rows == {(9000001, "Popeye the Sailor"),
+                    (9000002, "Olive Oyl")}
+    [(birth,)] = eng.execute(
+        "select client_birth from client where client_key = 9000002").fetch()
+    assert birth < 0                      # pre-epoch instant
+    assert birth == -1292423088 * 1_000_000_000
+
+
+def test_comment_only_chunks_are_noops(eng):
+    """Scripts ending in comments (create2.sql's trailer) yield no
+    phantom statements."""
+    results = eng.execute_script(
+        "-- nothing\n/* still\nnothing */\n"
+        "create schema s3 if not exists;\n-- end of file\n/* beyond */")
+    assert len(results) == 1 and results[0].ok()
