@@ -1,13 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-Uncompressed formats (24-bit BMP, PPM) decode for REAL through the
-vendored pure-Python codec (`imagecodec.py`) — see
-`decode_meta_real` / `resize_image_real`. Formats needing entropy
-decoding (JPEG/PNG/audio/video) stay honestly stubbed behind
-`_HAVE_CODECS`: the Spark-side plumbing (binary schema, Arrow batch
-shape, mapInPandas signature, partitioning) is real and tested; swap
-`_fake_decode` for a PIL/libav call and nothing else changes.
+Real decode paths, all pure-Python/stdlib: images BMP/PPM/PNG
+(`imagecodec.py`; PNG is a true entropy-coded path — zlib DEFLATE +
+all five scanline filters), audio RIFF/PCM WAV (`audiocodec.py`),
+video Y4M planar YUV with temporal frame sampling (`videocodec.py`).
+Formats needing codec LIBS (JPEG/H.264/MP3...) stay honestly stubbed
+behind `_HAVE_CODECS`: the Spark-side plumbing (binary schema, Arrow
+batch shape, mapInPandas signature, partitioning) is real and tested;
+swap `_fake_decode` for a PIL/libav call and nothing else changes.
 
 Design for 100 TB of media: binary payloads stay in their partition
 (mapInPandas = narrow, zero shuffle); metadata extraction emits small
@@ -340,6 +341,110 @@ def resize_image_real(df: DataFrame, width: int, height: int,
                             for b in pdf[payload_col]],
                 "out_w": width,
                 "out_h": height,
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
+def synth_videos(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize deterministic Y4M video payloads from an id column
+    (video analogue of synth_images/synth_audio). For doc d:
+    width = 8 + (d % 3) * 4, height = 8, n_frames = d % 5 + 2,
+    C420jpeg at 25:1; plane bytes are pure integer arithmetic a SQL
+    oracle replays exactly —
+      Y[f][i] = (d*7 + f*13 + i*3)  % 256
+      U[f][i] = (d*5 + f*11 + i*7)  % 256
+      V[f][i] = (d*3 + f*17 + i*5)  % 256
+    """
+    from nowdb_spark.operators.videocodec import make_video_codec
+
+    codec = make_video_codec()
+    schema = f"{id_col} long, payload binary"
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        def synth(did: int) -> bytes:
+            did = int(did)
+            w, h = 8 + (did % 3) * 4, 8
+            ysz, csz = w * h, (w // 2) * (h // 2)
+            frames = []
+            for f in range(did % 5 + 2):
+                y = bytes((did * 7 + f * 13 + i * 3) % 256
+                          for i in range(ysz))
+                u = bytes((did * 5 + f * 11 + i * 7) % 256
+                          for i in range(csz))
+                v = bytes((did * 3 + f * 17 + i * 5) % 256
+                          for i in range(csz))
+                frames.append((y, u, v))
+            return codec.encode_y4m(frames, w, h)
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "payload": [synth(d) for d in pdf[id_col]],
+            })
+
+    return df.select(id_col).mapInPandas(kernel, schema)
+
+
+def video_features_real(df: DataFrame, every_n: int = 1,
+                        id_col: str = "doc_id",
+                        payload_col: str = "payload") -> DataFrame:
+    """REAL Y4M decode + exact integer features over every
+    ``every_n``-th frame: container facts (dims, frame count, fps,
+    floor-ms duration) and plane statistics (luma sum/max, chroma
+    sum). Bytes the codec cannot decode yield NULLs. Narrow,
+    zero-shuffle — payloads never leave their partition."""
+    from nowdb_spark.operators.videocodec import make_video_codec
+
+    codec = make_video_codec()
+    schema = (f"{id_col} long, fmt string, width long, height long, "
+              "n_frames long, n_sampled long, duration_ms long, "
+              "luma_sum long, luma_max long, chroma_sum long")
+    cols = [id_col, "fmt", "width", "height", "n_frames", "n_sampled",
+            "duration_ms", "luma_sum", "luma_max", "chroma_sum"]
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                ft = codec.features(bytes(payload), every_n)
+                if ft is None:
+                    out.append((int(did),) + (None,) * 9)
+                else:
+                    out.append((int(did), "y4m", ft["width"],
+                                ft["height"], ft["n_frames"],
+                                ft["n_sampled"], ft["duration_ms"],
+                                ft["luma_sum"], ft["luma_max"],
+                                ft["chroma_sum"]))
+            yield _pd.DataFrame(out, columns=cols)
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
+def frame_sample_real(df: DataFrame, every_n: int = 2,
+                      id_col: str = "doc_id",
+                      payload_col: str = "payload") -> DataFrame:
+    """REAL temporal subsampling: decode the Y4M container, keep every
+    ``every_n``-th frame, re-encode a valid stream (fps rescaled so
+    duration is preserved). Output column ``sampled`` is binary —
+    composes with video_features_real. Narrow, zero-shuffle."""
+    from nowdb_spark.operators.videocodec import make_video_codec
+
+    codec = make_video_codec()
+    schema = f"{id_col} long, sampled binary"
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "sampled": [codec.frame_sample(bytes(b), every_n)
+                            for b in pdf[payload_col]],
             })
 
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)

@@ -776,6 +776,62 @@ def mm05(spark, sf):
 
 
 # ------------------------------------------------------------------
+# Synth parameters (synth_videos): doc d → w = 8 + (d%3)*4, h = 8,
+# n = d%5+2 frames of C420 YUV at 25:1. mm06 keeps every 2nd frame
+# via frame_sample_real (a REAL decode→subsample→re-encode round
+# trip, fps rescaled to 25:2) and then decodes the re-encoded stream
+# for features, so the oracle sees the SAMPLED stream: (n+1)//2
+# frames, duration floor(nf·1000·2/25) = nf·80 ms.
+_MM06_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         8 + (doc_id % 3) * 4 AS w,
+         doc_id % 5 + 2 AS n
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, w, n, unnest(range(0, n, 2)) AS f FROM d
+),
+pf AS (
+  SELECT doc_id, w, n, f,
+         list_aggregate(list_transform(range(0, w*8),
+            i -> (doc_id*7 + f*13 + i*3) % 256), 'sum') AS lsum,
+         list_aggregate(list_transform(range(0, w*8),
+            i -> (doc_id*7 + f*13 + i*3) % 256), 'max') AS lmax,
+         list_aggregate(list_transform(range(0, (w//2)*4),
+            i -> ((doc_id*5 + f*11 + i*7) % 256)
+               + ((doc_id*3 + f*17 + i*5) % 256)), 'sum') AS csum
+  FROM fr
+)
+SELECT doc_id, 'y4m' AS fmt,
+       CAST(max(w) AS BIGINT) AS width,
+       CAST(8 AS BIGINT) AS height,
+       CAST((max(n)+1)//2 AS BIGINT) AS n_frames,
+       CAST((max(n)+1)//2 AS BIGINT) AS n_sampled,
+       CAST(((max(n)+1)//2) * 80 AS BIGINT) AS duration_ms,
+       CAST(sum(lsum) AS BIGINT) AS luma_sum,
+       CAST(max(lmax) AS BIGINT) AS luma_max,
+       CAST(sum(csum) AS BIGINT) AS chroma_sum
+FROM pf GROUP BY doc_id
+"""
+
+
+@register(
+    "mm06_video_frame_sample",
+    _MM06_ORACLE,
+    doc="REAL Y4M video path: synth C420 streams, temporal subsample "
+        "(decode → keep every 2nd frame → re-encode, fps rescaled), "
+        "then decode the re-encoded stream for exact integer plane "
+        "features; oracle replays the sampled-frame arithmetic",
+)
+def mm06(spark, sf):
+    d = spread(table(spark, sf, "documents"))
+    vids = M.synth_videos(d)
+    sampled = M.frame_sample_real(vids, every_n=2)
+    return M.video_features_real(sampled, payload_col="sampled")
+
+
+# ------------------------------------------------------------------
 @register(
     "ann05_quantize_int8",
     """

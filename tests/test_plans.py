@@ -74,7 +74,8 @@ def test_partial_aggregation_q08(spark):
 # mapInPandas is the point there: multimodal decode plumbing is the
 # documented Arrow-batch escape hatch (real BMP/PPM codec for mm02/03)
 _PY_ALLOWED = {"mm01_extract_meta", "mm02_real_decode", "mm03_real_resize",
-               "mm04_entropy_decode", "mm05_wav_features"}
+               "mm04_entropy_decode", "mm05_wav_features",
+               "mm06_video_frame_sample"}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
