@@ -17,6 +17,11 @@ stdlib can express is decoded for real:
          LZ77 + Huffman), per-scanline filters None/Sub/Up/Average/
          Paeth reversed; 8-bit gray / truecolor / palette / +alpha,
          non-interlaced.
+  GIF  — second real entropy-coded path, decoder written here: LSB-
+         first variable-width LZW (3..12-bit codes, CLEAR/EOI, KwKwK
+         case, table freeze at 4096), global/local color tables,
+         extension-block skipping, 4-pass interlace; encoder emits
+         single-frame GIF89a with a palette built from the pixels.
 
 Everything is built by `make_image_codec()` as NESTED closures so
 cloudpickle ships the code by value to executors — a mapInPandas
@@ -58,7 +63,166 @@ def make_image_codec() -> SimpleNamespace:
             return "ppm"
         if len(b) >= 8 and b[:8] == PNG_SIG:
             return "png"
+        if len(b) >= 6 and b[:6] in (b"GIF87a", b"GIF89a"):
+            return "gif"
         return None
+
+    # -- GIF (LZW entropy coding, variable-width codes) --------------
+    def _gif_lzw_decode(min_code_size: int, data: bytes):
+        """GIF-variant LZW: LSB-first bitstream, code widths grow
+        from min+1 up to 12 bits, CLEAR resets the table."""
+        clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+        base = [bytes([i]) for i in range(clear)] + [b"", b""]
+        table = list(base)
+        code_size = min_code_size + 1
+        out = bytearray()
+        acc = nbits = 0
+        prev = None
+        for byte in data:
+            acc |= byte << nbits
+            nbits += 8
+            while nbits >= code_size:
+                code = acc & ((1 << code_size) - 1)
+                acc >>= code_size
+                nbits -= code_size
+                if code == clear:
+                    table = list(base)
+                    code_size = min_code_size + 1
+                    prev = None
+                    continue
+                if code == eoi:
+                    return bytes(out)
+                if prev is None:
+                    if code >= len(table):
+                        return None
+                    out += table[code]
+                    prev = code
+                    continue
+                if code < len(table):
+                    entry = table[code]
+                    if len(table) < 4096:    # table freezes when full
+                        table.append(table[prev] + entry[:1])
+                elif code == len(table) and len(table) < 4096:
+                    entry = table[prev] + table[prev][:1]
+                    table.append(entry)
+                else:
+                    return None
+                out += entry
+                prev = code
+                if len(table) == (1 << code_size) and code_size < 12:
+                    code_size += 1
+        return bytes(out)                    # EOI-less streams exist
+
+    def _gif_lzw_encode(min_code_size: int, idx: bytes) -> bytes:
+        clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+        table = {bytes([i]): i for i in range(clear)}
+        next_code = eoi + 1
+        code_size = min_code_size + 1
+        out = bytearray()
+        acc = nbits = 0
+
+        def emit(code: int):
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += code_size
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        emit(clear)
+        cur = b""
+        for k in idx:
+            nxt = cur + bytes([k])
+            if nxt in table:
+                cur = nxt
+                continue
+            emit(table[cur])
+            # mirror of the decoder's growth rule: the decoder widens
+            # when ITS table (one entry behind ours) hits 2^code_size
+            if next_code < 4096:
+                table[nxt] = next_code
+                next_code += 1
+                if next_code - 1 == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            cur = bytes([k])
+        if cur:
+            emit(table[cur])
+        emit(eoi)
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    def _gif_decode(b: bytes):
+        if len(b) < 13:
+            return None
+        w, h = struct.unpack_from("<HH", b, 6)
+        packed = b[10]
+        off = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            gct = [(b[off + 3 * i], b[off + 3 * i + 1],
+                    b[off + 3 * i + 2]) for i in range(n)]
+            off += 3 * n
+        rows = None
+        n_frames = 0
+        while off < len(b):
+            block = b[off]
+            if block == 0x3B:                # trailer
+                break
+            if block == 0x21:                # extension: label + subs
+                off += 2
+                while off < len(b) and b[off] != 0:
+                    off += 1 + b[off]
+                off += 1
+                continue
+            if block != 0x2C:
+                return None
+            ix, iy, iw, ih = struct.unpack_from("<HHHH", b, off + 1)
+            ipacked = b[off + 9]
+            off += 10
+            pal = gct
+            if ipacked & 0x80:               # local color table
+                n = 2 << (ipacked & 0x07)
+                pal = [(b[off + 3 * i], b[off + 3 * i + 1],
+                        b[off + 3 * i + 2]) for i in range(n)]
+                off += 3 * n
+            interlaced = bool(ipacked & 0x40)
+            if off >= len(b):
+                return None
+            mcs = b[off]
+            off += 1
+            data = bytearray()
+            while off < len(b) and b[off] != 0:
+                ln = b[off]
+                data += b[off + 1:off + 1 + ln]
+                off += 1 + ln
+            if off >= len(b):
+                return None
+            off += 1                         # block terminator
+            n_frames += 1
+            if rows is not None:             # stats use frame 1 only
+                continue
+            if pal is None or not (2 <= mcs <= 11):
+                return None
+            idx = _gif_lzw_decode(mcs, bytes(data))
+            if idx is None or len(idx) < iw * ih:
+                return None
+            grid = [[pal[idx[r * iw + x] % len(pal)] for x in range(iw)]
+                    for r in range(ih)]
+            if interlaced:                   # 8/8, 8/8+4, 4/4+2, 2/2+1
+                deint = [None] * ih
+                src = iter(grid)
+                for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                    for r in range(start, ih, step):
+                        deint[r] = next(src)
+                grid = deint
+            rows = grid
+        if rows is None:
+            return None
+        return {"fmt": "gif", "width": len(rows[0]), "height": len(rows),
+                "n_bytes": len(b), "rows": rows}
 
     # -- PPM header scanning (whitespace + '#'-comment tolerant) -----
     def _ppm_tokens(b: bytes, n_tokens: int):
@@ -187,8 +351,46 @@ def make_image_codec() -> SimpleNamespace:
         return {"fmt": "png", "width": w, "height": h,
                 "n_bytes": len(b), "rows": rows}
 
+    def encode_gif(w: int, h: int, rows) -> bytes:
+        """GIF89a, single frame, global color table built from the
+        distinct pixel colors (≤ 256), non-interlaced, real LZW."""
+        colors = []
+        index = {}
+        for row in rows:
+            for px in row:
+                if px not in index:
+                    index[px] = len(colors)
+                    colors.append(px)
+        if len(colors) > 256:
+            raise ValueError("GIF needs <= 256 distinct colors")
+        bits = max(1, (len(colors) - 1).bit_length())
+        n = 1 << bits
+        mcs = max(2, bits)                   # LZW min code size
+        out = [b"GIF89a", struct.pack("<HH", w, h),
+               bytes([0x80 | (bits - 1), 0, 0])]
+        pal = bytearray()
+        for c in colors:
+            pal += bytes(c)
+        pal += b"\0" * (3 * (n - len(colors)))
+        out.append(bytes(pal))
+        out.append(b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\0")
+        out.append(bytes([mcs]))
+        idx = bytes(index[px] for row in rows for px in row)
+        lzw = _gif_lzw_encode(mcs, idx)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i:i + 255]
+            out.append(bytes([len(chunk)]) + chunk)
+        out.append(b"\0\x3B")
+        return b"".join(out)
+
     def decode_meta(b: bytes):
         fmt = sniff(b)
+        if fmt == "gif":
+            if len(b) < 10:
+                return None
+            w, h = struct.unpack_from("<HH", b, 6)
+            return {"fmt": "gif", "width": w, "height": h,
+                    "n_bytes": len(b)}
         if fmt == "png":
             hdr = _png_header(b)
             if hdr is None:
@@ -216,6 +418,8 @@ def make_image_codec() -> SimpleNamespace:
 
     def decode(b: bytes):
         fmt = sniff(b)
+        if fmt == "gif":
+            return _gif_decode(b)
         if fmt == "png":
             return _png_decode(b)
         if fmt == "bmp":
@@ -338,7 +542,7 @@ def make_image_codec() -> SimpleNamespace:
     return SimpleNamespace(sniff=sniff, decode_meta=decode_meta,
                            decode=decode, encode_bmp=encode_bmp,
                            encode_ppm=encode_ppm, encode_png=encode_png,
-                           resize_nn=resize_nn)
+                           encode_gif=encode_gif, resize_nn=resize_nn)
 
 
 # Driver-side convenience instance (kernels must call

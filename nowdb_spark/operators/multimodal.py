@@ -203,6 +203,8 @@ def synth_images(df: DataFrame, id_col: str = "doc_id",
                 return codec.encode_bmp(w, h, rows)
             if fmt == "png":
                 return codec.encode_png(w, h, rows)
+            if fmt == "gif":
+                return codec.encode_gif(w, h, rows)
             return codec.encode_ppm(w, h, rows)
 
         for pdf in batches:

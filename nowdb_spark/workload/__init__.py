@@ -124,10 +124,11 @@ _PRIORITY_ORDER = [
     # relegated past-window, still oracle-verified by pytest; the two
     # scale-path variants LSH + IVF take the driver rows)
     "ann03_lsh_topk", "ann04_ivf_topk",
-    # multimodal: mm04 is the three-format decode gate (bmp/ppm/png —
-    # png is a REAL zlib/DEFLATE entropy-coded path, all five scanline
-    # filters); mm05 decodes RIFF/PCM16 WAV audio. mm01/mm02/mm03
-    # variants relegated, still oracle-verified.
+    # multimodal: mm04 is the four-format decode gate (bmp/ppm/png/gif
+    # — png is a REAL zlib/DEFLATE entropy-coded path with all five
+    # scanline filters, gif a from-scratch variable-width LZW
+    # decoder); mm05 decodes RIFF/PCM16 WAV audio. mm01/mm02/mm03 and
+    # the y4m video round trip mm06 relegated, still oracle-verified.
     "mm04_entropy_decode", "mm05_wav_features",
     # time-series
     "ts01_downsample", "ts02_moving_avg", "ts03_integral",

@@ -714,8 +714,8 @@ WITH d AS (
   FROM documents
 )
 SELECT doc_id,
-       CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
-            ELSE 'png' END AS fmt,
+       CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+            WHEN 2 THEN 'png' ELSE 'gif' END AS fmt,
        CAST(w AS INT) AS width,
        CAST(h AS INT) AS height,
        CAST(list_aggregate(
@@ -729,13 +729,14 @@ FROM d
 @register(
     "mm04_entropy_decode",
     _MM04_ORACLE,
-    doc="REAL bmp/ppm/png decode — png exercises stdlib-zlib DEFLATE "
-        "inflation + all five scanline filter reconstructions; oracle "
-        "replays the pixel function arithmetically",
+    doc="REAL bmp/ppm/png/gif decode — png exercises stdlib-zlib "
+        "DEFLATE inflation + all five scanline filter reconstructions, "
+        "gif a from-scratch variable-width LZW decoder; oracle replays "
+        "the pixel function arithmetically",
 )
 def mm04(spark, sf):
     d = spread(table(spark, sf, "documents"))
-    imgs = M.synth_images(d, formats=("bmp", "ppm", "png"))
+    imgs = M.synth_images(d, formats=("bmp", "ppm", "png", "gif"))
     return M.decode_meta_real(imgs).drop("n_bytes")
 
 

@@ -206,3 +206,87 @@ def test_png_resize_path():
     img = c.decode(out)
     assert img["fmt"] == "bmp" and img["width"] == 4
     assert img["rows"][0][0] == rows[0][0]
+
+
+# ---------------------------------------------------------------
+# GIF: the second real entropy-coded path (variable-width LZW)
+
+_GIF_1PX = bytes.fromhex(
+    # the canonical 1x1 white GIF: 2-bit LZW, codes CLEAR(4), 0, EOI(5)
+    "474946383961010001008000"
+    "00ffffff000000"
+    "2c00000000010001000002"
+    "024401003b")
+
+
+def test_gif_known_vector_decodes():
+    d = codec.decode(_GIF_1PX)
+    assert d is not None
+    assert (d["fmt"], d["width"], d["height"]) == ("gif", 1, 1)
+    assert d["rows"] == [[(255, 255, 255)]]
+
+
+def _gif_descriptor_off(b):
+    """Image-descriptor offset: header + LSD + global color table."""
+    n = 2 << (b[10] & 0x07) if b[10] & 0x80 else 0
+    return 13 + 3 * n
+
+
+def test_gif_roundtrip_crosses_code_widths():
+    """200 distinct colors over 64x32 pixels: the LZW table grows from
+    9-bit through 11-bit codes, so the width-switch logic on both
+    sides must agree exactly."""
+    w, h = 64, 32
+    rows = [[(lambda v: (v, (v * 3) % 256, (v * 7) % 256))
+             ((x * 17 + y * 29) % 200)
+             for x in range(w)] for y in range(h)]
+    assert len({px for r in rows for px in r}) == 200
+    b = codec.encode_gif(w, h, rows)
+    d = codec.decode(b)
+    assert d["rows"] == rows
+    assert codec.decode_meta(b)["width"] == w
+
+
+def test_gif_roundtrip_two_colors_and_repetitions():
+    """Long runs exercise the KwKwK case (code == next table slot)."""
+    w, h = 24, 24
+    rows = [[(255, 0, 0) if (x + y) % 9 else (0, 0, 255)
+             for x in range(w)] for y in range(h)]
+    assert codec.decode(codec.encode_gif(w, h, rows))["rows"] == rows
+
+
+def test_gif_interlaced():
+    """Set the interlace flag on a stream whose rows were stored in
+    4-pass order; the decoder must reassemble the original grid."""
+    w, h = 5, 13
+    rows = [[((x * 3 + y) % 256, (y * 5) % 256, (x + 7 * y) % 256)
+             for x in range(w)] for y in range(h)]
+    order = [r for s, st in ((0, 8), (4, 8), (2, 4), (1, 2))
+             for r in range(s, h, st)]
+    b = codec.encode_gif(w, h, [rows[r] for r in order])
+    i = _gif_descriptor_off(b)
+    assert b[i] == 0x2C
+    b = b[:i + 9] + bytes([b[i + 9] | 0x40]) + b[i + 10:]
+    assert codec.decode(b)["rows"] == rows
+
+
+def test_gif_extension_blocks_skipped():
+    """A graphic-control extension before the image descriptor (what
+    every real-world GIF89a carries) must be skipped cleanly."""
+    rows = [[(1, 2, 3), (4, 5, 6)]]
+    b = codec.encode_gif(2, 1, rows)
+    i = _gif_descriptor_off(b)
+    assert b[i] == 0x2C
+    gce = b"\x21\xF9\x04\x00\x00\x00\x00\x00"
+    b = b[:i] + gce + b[i:]
+    assert codec.decode(b)["rows"] == rows
+
+
+def test_gif_malformed():
+    assert codec.decode(b"GIF89a") is None
+    b = codec.encode_gif(2, 2, [[(0, 0, 0), (1, 1, 1)],
+                                [(2, 2, 2), (3, 3, 3)]])
+    assert codec.decode(b[:-6]) is None          # truncated data
+    with pytest.raises(ValueError):
+        codec.encode_gif(1, 300, [[(i, 0, 0)] for i in range(256)]
+                         + [[(0, 1, 0)] for _ in range(44)])
