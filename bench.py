@@ -181,7 +181,29 @@ def main() -> None:
         t0 = time.perf_counter()
         D.exact_dedup(dsrc).filter(F.col("is_dup")).count()
         pipe["dd01_docs_per_sec"] = round(n / (time.perf_counter() - t0))
+
+        from nowdb_spark.operators import textops as TX
+        from nowdb_spark.operators.dedup import simhash64
+        t0 = time.perf_counter()
+        dsrc.select("doc_id", simhash64(F.col("text")).alias("sh")) \
+            .agg(F.count("sh")).collect()
+        pipe["dd05_docs_per_sec"] = round(n / (time.perf_counter() - t0))
+        t0 = time.perf_counter()
+        TX.with_text_stats(dsrc).agg(F.count(F.lit(1))).collect()
+        pipe["tx01_docs_per_sec"] = round(n / (time.perf_counter() - t0))
         pipe["docs"] = n_docs
+
+        # pure-Python decode rate (mapInPandas path): synth + decode
+        # 100k four-format images end-to-end
+        from nowdb_spark.operators import multimodal as MM
+        n_imgs = int(os.environ.get("SPARK_GRAFT_PIPE_IMGS", "100000"))
+        ids = spark.range(n_imgs).select(F.col("id").alias("doc_id")) \
+                   .repartition(cores)
+        t0 = time.perf_counter()
+        MM.decode_meta_real(
+            MM.synth_images(ids, formats=("bmp", "ppm", "png", "gif"))
+        ).agg(F.count(F.lit(1))).collect()
+        pipe["mm04_imgs_per_sec"] = round(n_imgs / (time.perf_counter() - t0))
 
         dim = 64
         vec = F.transform(

@@ -188,6 +188,16 @@ class Engine:
 
     def _create_edge(self, n: A.CreateEdge) -> Result:
         sc = self._need_scope()
+        # an edge must carry exactly one origin and one destin role,
+        # each referencing an existing VERTEX type (model/model.c:1850-
+        # 1859 "no origin/destin in edge"; endpoint type resolution
+        # rejects non-vertex names — pysmoke bugs.py createInvalidEdge)
+        roles = [p.role for p in n.props if p.role]
+        for role in ("origin", "destin"):
+            if roles.count(role) == 0:
+                raise EngineError(f"no {role} in edge")
+            if roles.count(role) > 1:
+                raise EngineError(f"duplicate {role} in edge")
         props = []
         for p in n.props:
             ptype = p.type
@@ -195,10 +205,12 @@ class Engine:
                 # endpoint declared with its vertex type name → the
                 # stored value is that vertex's PK type (model/types.h:60-70)
                 ref = sc.meta.types.get(p.type)
-                if ref is not None and ref.pk is not None:
+                if ref is None or ref.kind != "vertex":
+                    raise EngineError(
+                        f"{p.role} {p.type!r} is not a vertex type")
+                if ref.pk is not None:
                     ptype = ref.prop_types()[ref.pk]
-                elif p.type not in ("text", "int", "uint", "time", "date",
-                                    "float", "bool"):
+                else:
                     ptype = "uint"
             props.append(Prop(p.name, ptype, False, False, p.stamp, p.role))
         sc.add_type(TypeDef(n.name, "edge", props, n.storage),
@@ -379,6 +391,16 @@ class Engine:
         fields = n.fields or [p.name for p in tdef.props]
         all_rows = [n.values, *(n.more or [])]
         types = tdef.prop_types()
+        if tdef.kind == "edge":
+            # edge rows must supply origin, destin and (when the edge
+            # is stamped) the stamp — NULL endpoints are not edges
+            # (pysmoke bugs.py invalidEdgeInserts)
+            required = [p.name for p in tdef.props
+                        if p.role in ("origin", "destin") or p.stamp]
+            missing = [f for f in required if f not in fields]
+            if missing:
+                raise EngineError(
+                    "edge insert requires " + ", ".join(missing))
         eb = ExprBinder({})
         # INC prop omitted → assign the next value(s) of the context's
         # auto-increasing sequence (the reference's "promise to keep

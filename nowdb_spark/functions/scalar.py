@@ -61,16 +61,20 @@ SCALAR_OPS: dict[str, tuple[int, object]] = {
     # trigonometry + aliases (fun/expr.h:436-447, names expr.c:2787-2816)
     "sin": (1, F.sin), "sine": (1, F.sin),
     "cos": (1, F.cos), "cosine": (1, F.cos),
-    "tan": (1, F.tan), "tangent": (1, F.tan),
-    "asin": (1, F.asin), "arcsin": (1, F.asin),
-    "acos": (1, F.acos), "arccos": (1, F.acos),
-    "atan": (1, F.atan), "arctan": (1, F.atan),
+    "tan": (1, F.tan), "tang": (1, F.tan), "tangent": (1, F.tan),
+    "asin": (1, F.asin), "asine": (1, F.asin),
+    "arcsin": (1, F.asin), "arcsine": (1, F.asin),
+    "acos": (1, F.acos), "acosine": (1, F.acos),
+    "arccos": (1, F.acos), "arccosine": (1, F.acos),
+    "atan": (1, F.atan), "atang": (1, F.atan), "atangent": (1, F.atan),
+    "arctan": (1, F.atan), "arctang": (1, F.atan),
+    "arctangent": (1, F.atan),
     "sinh": (1, F.sinh),
     "cosh": (1, F.cosh),
     "tanh": (1, F.tanh),
-    "asinh": (1, F.asinh),
-    "acosh": (1, F.acosh),
-    "atanh": (1, F.atanh),
+    "asinh": (1, F.asinh), "arcsinh": (1, F.asinh),
+    "acosh": (1, F.acosh), "arccosh": (1, F.acosh),
+    "atanh": (1, F.atanh), "arctanh": (1, F.atanh),
     # constants (fun/expr.h:449-450)
     "pi": (0, lambda: F.lit(math.pi)),
     "e": (0, lambda: F.lit(math.e)),

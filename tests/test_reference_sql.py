@@ -70,7 +70,13 @@ def test_create2_sql_verbatim(eng):
 
 
 def test_create_sql_current_grammar(eng):
-    """create.sql minus the one legacy statement (`create table`)."""
+    """create.sql minus the one legacy statement (`create table`).
+
+    Its edge declaration `create edge buys (origin client, destin
+    product, ...)` carries NO role markers — under the current
+    fallback grammar (nowdbsql.y:207) `origin` is just a field name,
+    so the reference's model layer rejects it with "no origin in
+    edge" (model/model.c:1850-1859). We must fail it the same way."""
     script = _read("create.sql")
     stmts = [s.strip() for s in script.split(";") if s.strip()]
     legacy = [s for s in stmts if s.lower().startswith("create table")]
@@ -79,12 +85,63 @@ def test_create_sql_current_grammar(eng):
         if s in legacy:
             continue
         r = eng.execute(s)
-        assert r.ok(), (s, r.details())
-    # the db200 catalog now holds both types and the edge
-    r = eng.execute("desc client")
-    assert r.ok()
-    r = eng.execute("desc buys")
-    assert r.ok()
+        if s.lower().startswith("create edge"):
+            assert not r.ok()
+            assert "no origin in edge" in r.details()
+        else:
+            assert r.ok(), (s, r.details())
+    assert eng.execute("desc client").ok()
+
+
+def test_edge_validation_parity(eng):
+    """createInvalidEdge + invalidEdgeInserts from pysmoke bugs.py:
+    edges need origin AND destin roles referencing vertex types;
+    edge inserts must supply origin, destin and the stamp iff the
+    edge is stamped."""
+    assert eng.execute("create schema ev if not exists").ok()
+    assert eng.execute("use ev").ok()
+    assert eng.execute("create type client (k uint pk, n text)").ok()
+    assert eng.execute("create type product (k uint pk, n text)").ok()
+
+    bad = [
+        "create edge e (origin client origin, price float)",
+        "create edge e (destin product destin, price float)",
+        "create edge e (origin uint origin, destin product destin, "
+        "price float)",
+        "create edge e (origin client origin, destin uint destin, "
+        "price float)",
+    ]
+    for s in bad:
+        r = eng.execute(s)
+        assert not r.ok(), s
+
+    assert eng.execute(
+        "create edge buys (origin client origin, destin product "
+        "destin, stamp time stamp, price float)").ok()
+    assert eng.execute(
+        "create edge unstamped (origin client origin, "
+        "destin product destin)").ok()
+
+    bad_inserts = [
+        "insert into buys (origin, destin, price) (1, 1, 0.99)",
+        "insert into buys (destin, stamp, price) "
+        "(1, '2018-10-10', 0.99)",
+        "insert into buys (origin, stamp, price) "
+        "(1, '2018-10-10', 0.99)",
+        "insert into unstamped (origin, destin, stamp) "
+        "(1, 1, '2018-10-10')",
+        "insert into unstamped (origin, stamp) (1, '2018-10-10')",
+        "insert into unstamped (destin, stamp) (1, '2018-10-10')",
+        "insert into unstamped (origin) (1)",
+        "insert into unstamped (destin) (1)",
+    ]
+    for s in bad_inserts:
+        r = eng.execute(s)
+        assert not r.ok(), s
+    assert eng.execute(
+        "insert into buys (origin, destin, stamp, price) "
+        "(1, 1, '2018-10-10', 0.99)").ok()
+    assert eng.execute("insert into unstamped (origin, destin) (1, 1)").ok()
 
 
 def test_trailing_if_not_exists(eng):
