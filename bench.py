@@ -183,11 +183,14 @@ def main() -> None:
         pipe["dd01_docs_per_sec"] = round(n / (time.perf_counter() - t0))
 
         from nowdb_spark.operators import textops as TX
-        from nowdb_spark.operators.dedup import simhash64
+        from nowdb_spark.operators.dedup import simhash64, simhash64_arrow
         t0 = time.perf_counter()
         dsrc.select("doc_id", simhash64(F.col("text")).alias("sh")) \
             .agg(F.count("sh")).collect()
         pipe["dd05_docs_per_sec"] = round(n / (time.perf_counter() - t0))
+        t0 = time.perf_counter()
+        simhash64_arrow(dsrc).agg(F.count("simhash")).collect()
+        pipe["dd05a_docs_per_sec"] = round(n / (time.perf_counter() - t0))
         t0 = time.perf_counter()
         TX.with_text_stats(dsrc).agg(F.count(F.lit(1))).collect()
         pipe["tx01_docs_per_sec"] = round(n / (time.perf_counter() - t0))

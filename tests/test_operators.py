@@ -319,3 +319,34 @@ def test_ngram_jaccard_max_df(spark):
     assert (1, 3) not in capped           # only shared 'a b'
     assert (1, 2) in capped               # still shares 'b c'
     assert capped[(1, 2)] < exact[(1, 2)]
+
+
+def test_simhash_arrow_backend(spark):
+    """Arrow simhash: deterministic, 16-hex, equal docs → equal
+    fingerprints, near-dups → small Hamming distance, empty → NULL."""
+    from pyspark.sql import Row
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    rows = [Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base),                      # exact dup
+            Row(doc_id=3, text=base + " with a tiny tail"),
+            Row(doc_id=4, text="completely different words entirely "
+                               "unrelated corpus segment"),
+            Row(doc_id=5, text="")]
+    df = spark.createDataFrame(rows)
+    got = {r["doc_id"]: r["simhash"]
+           for r in D.simhash64_arrow(df).collect()}
+    assert got[1] == got[2] and len(got[1]) == 16
+    int(got[1], 16)                                        # valid hex
+    assert got[5] is None
+
+    def ham(a, b):
+        return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+    assert ham(got[1], got[3]) <= 12       # near-dup: small distance
+    assert ham(got[1], got[4]) > ham(got[1], got[3])
+
+    # determinism across a second evaluation (fixed-key SipHash)
+    again = {r["doc_id"]: r["simhash"]
+             for r in D.simhash64_arrow(df).collect()}
+    assert again == got
