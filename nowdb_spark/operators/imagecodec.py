@@ -56,6 +56,12 @@ def make_image_codec() -> SimpleNamespace:
 
     PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+    # baseline JPEG delegate (Huffman-DCT path, jpegcodec.py); its
+    # closures are nested too, so the captured namespace still ships
+    # by value to executors
+    from nowdb_spark.operators.jpegcodec import make_jpeg_codec
+    _jpeg = make_jpeg_codec()
+
     def sniff(b: bytes):
         if len(b) >= 2 and b[:2] == b"BM":
             return "bmp"
@@ -65,6 +71,8 @@ def make_image_codec() -> SimpleNamespace:
             return "png"
         if len(b) >= 6 and b[:6] in (b"GIF87a", b"GIF89a"):
             return "gif"
+        if _jpeg.sniff(b):
+            return "jpeg"
         return None
 
     # -- GIF (LZW entropy coding, variable-width codes) --------------
@@ -385,6 +393,12 @@ def make_image_codec() -> SimpleNamespace:
 
     def decode_meta(b: bytes):
         fmt = sniff(b)
+        if fmt == "jpeg":
+            m = _jpeg.decode_meta(b)
+            if m is None:
+                return None
+            return {"fmt": "jpeg", "width": m["width"],
+                    "height": m["height"], "n_bytes": len(b)}
         if fmt == "gif":
             if len(b) < 10:
                 return None
@@ -418,6 +432,13 @@ def make_image_codec() -> SimpleNamespace:
 
     def decode(b: bytes):
         fmt = sniff(b)
+        if fmt == "jpeg":
+            d = _jpeg.decode(b)
+            if d is None:
+                return None
+            return {"fmt": "jpeg", "width": d["width"],
+                    "height": d["height"], "n_bytes": len(b),
+                    "rows": d["rows"]}
         if fmt == "gif":
             return _gif_decode(b)
         if fmt == "png":

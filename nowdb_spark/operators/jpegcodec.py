@@ -1,0 +1,531 @@
+"""Pure-Python/numpy baseline JPEG codec — the Huffman-DCT entropy
+path the other codecs could not cover.
+
+Scope (honest): BASELINE sequential DCT (SOF0), Huffman entropy
+coding only; grayscale (1 component) and YCbCr without chroma
+subsampling (3 components, all sampling factors 1x1). Progressive
+(SOF2), arithmetic coding, and subsampled color raise cleanly —
+decoding those needs nothing new in kind, just more index math, and
+the honest-gate rule applies until it exists.
+
+What is REAL here:
+  * marker stream walk (SOI/APPn/COM/DQT/SOF0/DHT/DRI/SOS/EOI),
+  * Huffman tables built from the DHT segments themselves (so any
+    conforming baseline file with 1x1 sampling decodes, not just our
+    encoder's output),
+  * MSB-first bit reader with 0xFF00 byte-unstuffing (DRI/RSTn
+    streams are rejected honestly — DC-prediction reset is not
+    wired),
+  * DC prediction, run-length AC coding (EOB/ZRL), zigzag order
+    (computed, not hardcoded),
+  * dequantize + separable float IDCT (numpy matrix form) + level
+    shift.
+
+Exactness note for oracles: a UNIFORM 8x8 block has only a DC
+coefficient, which the forward DCT produces as the integer 8*(v-128);
+with a unit (all-ones) quantization table it is stored exactly and
+the IDCT returns exactly v for every pixel — so uniform-gray images
+round-trip bit-exactly and a SQL oracle can replay the decoded
+pixels. Non-uniform blocks are subject to float rounding (|err| <= 1
+with unit tables; more with real quant tables) — tested with
+tolerances, never oracled.
+
+Built by ``make_jpeg_codec()`` as nested closures (cloudpickle
+by-value shipping, same rule as the other codecs).
+
+Reference parity note: the reference engine has no media handling;
+this belongs to the training-data-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+from types import SimpleNamespace
+
+
+def make_jpeg_codec() -> SimpleNamespace:
+    """Returns a namespace with:
+      sniff(b)                  -> 'jpeg' | None
+      decode_meta(b)            -> {fmt, width, height, n_components,
+                                    n_bytes} | None
+      decode(b)                 -> meta + {'rows': [[(r,g,b)]]} | None
+                                   (grayscale replicated to RGB)
+      encode_gray(w, h, rows, unit_quant=False) -> bytes
+      encode_rgb(w, h, rows, unit_quant=False)  -> bytes (4:4:4)
+    """
+    import struct
+
+    import numpy as np
+
+    # ---- constant tables -------------------------------------------
+    # zigzag: computed by the diagonal walk, not transcribed — odd
+    # diagonals run row-ascending, even ones row-descending
+    def _zigzag():
+        out = []
+        for d in range(15):
+            rng = list(range(max(0, d - 7), min(d, 7) + 1))
+            for r in (rng if d % 2 == 1 else reversed(rng)):
+                out.append(r * 8 + (d - r))
+        return out
+
+    ZZ = np.array(_zigzag(), dtype=np.int64)          # freq -> raster
+    # standard Annex K quantization tables
+    QL = np.array([
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64)
+    QC = np.array([
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int64)
+    # standard Annex K Huffman specs: (BITS[1..16], HUFFVAL)
+    DC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+            list(range(12)))
+    DC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+            list(range(12)))
+    AC_L = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31,
+        0x41, 0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32,
+        0x81, 0x91, 0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52,
+        0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28, 0x29, 0x2A,
+        0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57,
+        0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x83,
+        0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93, 0x94,
+        0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8,
+        0xD9, 0xDA, 0xE1, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8,
+        0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA])
+    AC_C = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06,
+        0x12, 0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81,
+        0x08, 0x14, 0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33,
+        0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56,
+        0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A,
+        0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92,
+        0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6,
+        0xD7, 0xD8, 0xD9, 0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7,
+        0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA])
+
+    # IDCT/DCT basis: M[u, x] = C(u)/2 * cos((2x+1) u pi / 16)
+    _u = np.arange(8).reshape(8, 1)
+    _x = np.arange(8).reshape(1, 8)
+    _M = 0.5 * np.cos((2 * _x + 1) * _u * np.pi / 16)
+    _M[0, :] *= 1 / np.sqrt(2)
+
+    def _fdct2(block):                 # spatial (8,8) -> freq (8,8)
+        return _M @ block @ _M.T
+
+    def _idct2(coef):                  # freq (8,8) -> spatial (8,8)
+        return _M.T @ coef @ _M
+
+    # ---- Huffman helpers -------------------------------------------
+    def _codes_from_spec(bits, vals):
+        """JPEG canonical code assignment → {symbol: (code, length)}."""
+        out = {}
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                out[vals[k]] = (code, ln)
+                code += 1
+                k += 1
+            code <<= 1
+        return out
+
+    def _lut_from_spec(bits, vals):
+        """→ {(length, code): symbol} for the decoder."""
+        out = {}
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                out[(ln, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+        return out
+
+    def sniff(b: bytes):
+        return "jpeg" if b[:3] == b"\xFF\xD8\xFF" else None
+
+    # ---- encoder ---------------------------------------------------
+    class _BitWriter:
+        def __init__(self):
+            self.buf = bytearray()
+            self.acc = 0
+            self.n = 0
+
+        def put(self, code, length):
+            self.acc = (self.acc << length) | code
+            self.n += length
+            while self.n >= 8:
+                byte = (self.acc >> (self.n - 8)) & 0xFF
+                self.buf.append(byte)
+                if byte == 0xFF:
+                    self.buf.append(0x00)          # byte stuffing
+                self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+        def flush(self):
+            if self.n:
+                pad = 8 - self.n
+                self.put((1 << pad) - 1, pad)      # 1-pad per spec
+
+    def _mag_bits(v):
+        """value → (category, amplitude-bits): negatives are stored
+        as the (v-1) complement per the spec."""
+        if v == 0:
+            return 0, 0
+        a = abs(v)
+        size = a.bit_length()
+        return size, (v if v > 0 else v + (1 << size) - 1)
+
+    def _encode_block(bw, coef_zz, pred, dc_codes, ac_codes):
+        diff = int(coef_zz[0]) - pred
+        size, amp = _mag_bits(diff)
+        c, ln = dc_codes[size]
+        bw.put(c, ln)
+        if size:
+            bw.put(amp, size)
+        run = 0
+        last_nz = 0
+        for i in range(1, 64):
+            if coef_zz[i]:
+                last_nz = i
+        for i in range(1, last_nz + 1):
+            v = int(coef_zz[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_codes[0xF0]             # ZRL
+                bw.put(c, ln)
+                run -= 16
+            size, amp = _mag_bits(v)
+            c, ln = ac_codes[(run << 4) | size]
+            bw.put(c, ln)
+            bw.put(amp, size)
+            run = 0
+        if last_nz < 63:
+            c, ln = ac_codes[0x00]                 # EOB
+            bw.put(c, ln)
+        return int(coef_zz[0])
+
+    def _dqt_seg(tid, q):
+        return (b"\xFF\xDB" + struct.pack(">H", 67) + bytes([tid])
+                + bytes(int(q[z]) for z in ZZ))
+
+    def _dht_seg(cls, tid, spec):
+        bits, vals = spec
+        data = bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals)
+        return b"\xFF\xC4" + struct.pack(">H", 2 + len(data)) + data
+
+    def _encode(w, h, planes, quants, specs):
+        """planes: list of (h, w) int arrays; quants: per-component
+        64-int raster tables; specs: per-component
+        ((dc_bits, dc_vals), (ac_bits, ac_vals), dc_tid, ac_tid)."""
+        nc = len(planes)
+        out = [b"\xFF\xD8"]                        # SOI
+        out.append(b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00"
+                   + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1)
+                   + bytes([0, 0]))
+        seen_q = {}
+        for ci in range(nc):
+            qid = id(quants[ci])
+            if qid not in seen_q:
+                seen_q[qid] = len(seen_q)
+                out.append(_dqt_seg(seen_q[qid], quants[ci]))
+        sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+        for ci in range(nc):
+            sof += bytes([ci + 1, 0x11, seen_q[id(quants[ci])]])
+        out.append(b"\xFF\xC0" + struct.pack(">H", 2 + len(sof)) + sof)
+        seen_h = {}
+        for ci in range(nc):
+            dc_spec, ac_spec, _, _ = specs[ci]
+            for cls, spec in ((0, dc_spec), (1, ac_spec)):
+                key = (cls, id(spec))
+                if key not in seen_h:
+                    seen_h[key] = len([k for k in seen_h
+                                       if k[0] == cls])
+                    out.append(_dht_seg(cls, seen_h[key], spec))
+        sos = bytes([nc])
+        for ci in range(nc):
+            dc_spec, ac_spec, _, _ = specs[ci]
+            sos += bytes([ci + 1,
+                          seen_h[(0, id(dc_spec))] << 4
+                          | seen_h[(1, id(ac_spec))]])
+        sos += bytes([0, 63, 0])
+        out.append(b"\xFF\xDA" + struct.pack(">H", 2 + len(sos)) + sos)
+
+        bw = _BitWriter()
+        dc_codes = [_codes_from_spec(*s[0]) for s in specs]
+        ac_codes = [_codes_from_spec(*s[1]) for s in specs]
+        preds = [0] * nc
+        bh, bwid = (h + 7) // 8, (w + 7) // 8
+        padded = []
+        for p in planes:
+            pp = np.empty(((bh) * 8, (bwid) * 8), dtype=np.float64)
+            pp[:h, :w] = p
+            pp[h:, :w] = p[-1:, :]                 # edge replicate
+            pp[:, w:] = pp[:, w - 1:w]
+            padded.append(pp - 128.0)
+        for by in range(bh):
+            for bx in range(bwid):
+                for ci in range(nc):
+                    blk = padded[ci][by * 8:by * 8 + 8,
+                                     bx * 8:bx * 8 + 8]
+                    coef = np.round(_fdct2(blk)
+                                    / quants[ci].reshape(8, 8)
+                                    ).astype(np.int64)
+                    zz = coef.reshape(64)[ZZ]
+                    preds[ci] = _encode_block(
+                        bw, zz, preds[ci], dc_codes[ci], ac_codes[ci])
+        bw.flush()
+        out.append(bytes(bw.buf))
+        out.append(b"\xFF\xD9")                    # EOI
+        return b"".join(out)
+
+    def encode_gray(w, h, rows, unit_quant=False):
+        plane = np.asarray(rows, dtype=np.float64)
+        q = (np.ones(64, dtype=np.int64) if unit_quant else QL)
+        return _encode(w, h, [plane], [q], [(DC_L, AC_L, 0, 0)])
+
+    def encode_rgb(w, h, rows, unit_quant=False):
+        """4:4:4 color: JFIF YCbCr transform, three 1x1 components."""
+        a = np.asarray(rows, dtype=np.float64)     # (h, w, 3)
+        r, g, b = a[..., 0], a[..., 1], a[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        ql = np.ones(64, dtype=np.int64) if unit_quant else QL
+        qc = np.ones(64, dtype=np.int64) if unit_quant else QC
+        return _encode(w, h, [y, cb, cr], [ql, qc, qc],
+                       [(DC_L, AC_L, 0, 0), (DC_C, AC_C, 1, 1),
+                        (DC_C, AC_C, 1, 1)])
+
+    # ---- decoder ---------------------------------------------------
+    class _BitReader:
+        """MSB-first over the entropy segment with FF00 unstuffing;
+        stops at any non-RST marker."""
+        def __init__(self, b, off):
+            self.b = b
+            self.i = off
+            self.acc = 0
+            self.n = 0
+
+        def _fill(self):
+            if self.i >= len(self.b):
+                raise EOFError
+            c = self.b[self.i]
+            if c == 0xFF:
+                nxt = self.b[self.i + 1] if self.i + 1 < len(self.b) \
+                    else 0xD9
+                if nxt == 0x00:
+                    self.i += 2
+                elif 0xD0 <= nxt <= 0xD7:          # RSTn: DC-pred
+                    raise ValueError(              # reset not wired —
+                        "restart intervals not implemented")
+                else:
+                    raise EOFError                 # real marker
+            else:
+                self.i += 1
+            self.acc = (self.acc << 8) | c
+            self.n += 8
+
+        def bit(self):
+            if self.n == 0:
+                self._fill()
+            self.n -= 1
+            return (self.acc >> self.n) & 1
+
+        def bits(self, k):
+            v = 0
+            for _ in range(k):
+                v = (v << 1) | self.bit()
+            return v
+
+    def _extend(v, size):
+        if size == 0:
+            return 0
+        return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+    def _read_sym(br, lut):
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | br.bit()
+            if (ln, code) in lut:
+                return lut[(ln, code)]
+        raise ValueError("bad huffman code")
+
+    def decode(b: bytes):
+        if sniff(b) is None:
+            return None
+        try:
+            return _decode_inner(b)
+        except (EOFError, ValueError, IndexError, struct.error):
+            return None
+
+    def _decode_inner(b):
+        i = 2
+        quant = {}
+        huff = {}
+        comps = None
+        w = h = 0
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                return None
+            m = b[i + 1]
+            if m == 0xD9:
+                return None                        # EOI before SOS
+            ln = struct.unpack_from(">H", b, i + 2)[0]
+            seg = b[i + 4:i + 2 + ln]
+            if m == 0xDB:                          # DQT (multi-table)
+                j = 0
+                while j < len(seg):
+                    prec, tid = seg[j] >> 4, seg[j] & 0x0F
+                    n = 64 * (2 if prec else 1)
+                    raw = seg[j + 1:j + 1 + n]
+                    tbl = np.empty(64, dtype=np.int64)
+                    if prec:
+                        vals = struct.unpack(f">{64}H", raw)
+                    else:
+                        vals = list(raw)
+                    tbl[ZZ] = vals                 # de-zigzag
+                    quant[tid] = tbl
+                    j += 1 + n
+            elif m == 0xC4:                        # DHT (multi-table)
+                j = 0
+                while j < len(seg):
+                    cls, tid = seg[j] >> 4, seg[j] & 0x0F
+                    bits = list(seg[j + 1:j + 17])
+                    n = sum(bits)
+                    vals = list(seg[j + 17:j + 17 + n])
+                    huff[(cls, tid)] = _lut_from_spec(bits, vals)
+                    j += 17 + n
+            elif m == 0xC0 or m == 0xC1:           # SOF0/1 baseline
+                h, w = struct.unpack_from(">HH", seg, 1)
+                nc = seg[5]
+                comps = []
+                for c in range(nc):
+                    cid, samp, qid = seg[6 + 3 * c:9 + 3 * c]
+                    if samp != 0x11:
+                        raise ValueError(
+                            "only 1x1 sampling (no chroma "
+                            "subsampling) is implemented")
+                    comps.append({"id": cid, "qid": qid})
+            elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                       0xCB, 0xCD, 0xCE, 0xCF):
+                raise ValueError("only baseline (SOF0) implemented")
+            elif m == 0xDA:                        # SOS → entropy data
+                nc = seg[0]
+                order = []
+                for c in range(nc):
+                    cid, tids = seg[1 + 2 * c], seg[2 + 2 * c]
+                    comp = next(x for x in comps if x["id"] == cid)
+                    comp["dc"] = huff[(0, tids >> 4)]
+                    comp["ac"] = huff[(1, tids & 0x0F)]
+                    order.append(comp)
+                return _decode_scan(b, i + 2 + ln, w, h, order, quant,
+                                    len(b))
+            i += 2 + ln
+        return None
+
+    def _decode_scan(b, off, w, h, comps, quant, n_bytes):
+        br = _BitReader(b, off)
+        bh, bw_ = (h + 7) // 8, (w + 7) // 8
+        planes = [np.zeros((bh * 8, bw_ * 8)) for _ in comps]
+        preds = [0] * len(comps)
+        for by in range(bh):
+            for bx in range(bw_):
+                for ci, comp in enumerate(comps):
+                    zz = np.zeros(64, dtype=np.int64)
+                    size = _read_sym(br, comp["dc"])
+                    diff = _extend(br.bits(size), size)
+                    preds[ci] += diff
+                    zz[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _read_sym(br, comp["ac"])
+                        if rs == 0x00:             # EOB
+                            break
+                        if rs == 0xF0:             # ZRL
+                            k += 16
+                            continue
+                        k += rs >> 4
+                        size = rs & 0x0F
+                        if k > 63:
+                            raise ValueError("AC overflow")
+                        zz[k] = _extend(br.bits(size), size)
+                        k += 1
+                    coef = np.empty(64, dtype=np.float64)
+                    coef[ZZ] = zz * quant[comp["qid"]][ZZ]
+                    planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] \
+                        = _idct2(coef.reshape(8, 8))
+        planes = [np.clip(np.round(p + 128.0), 0, 255)[:h, :w]
+                  for p in planes]
+        if len(planes) == 1:
+            g = planes[0].astype(np.int64)
+            rows = [[(int(v),) * 3 for v in row] for row in g]
+        elif len(planes) == 3:
+            y, cb, cr = planes
+            r = y + 1.402 * (cr - 128.0)
+            g_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            bl = y + 1.772 * (cb - 128.0)
+            rgb = [np.clip(np.round(x), 0, 255).astype(np.int64)
+                   for x in (r, g_, bl)]
+            rows = [[(int(rgb[0][yy, xx]), int(rgb[1][yy, xx]),
+                      int(rgb[2][yy, xx])) for xx in range(w)]
+                    for yy in range(h)]
+        else:
+            raise ValueError("1 or 3 components only")
+        return {"fmt": "jpeg", "width": w, "height": h,
+                "n_components": len(planes), "n_bytes": n_bytes,
+                "rows": rows}
+
+    def decode_meta(b: bytes):
+        if sniff(b) is None:
+            return None
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                return None
+            m = b[i + 1]
+            if m in (0xC0, 0xC1, 0xC2):
+                h, w = struct.unpack_from(">HH", b, i + 5)
+                return {"fmt": "jpeg", "width": w, "height": h,
+                        "n_components": b[i + 9], "n_bytes": len(b)}
+            if m == 0xD9 or m == 0xDA:
+                return None
+            i += 2 + struct.unpack_from(">H", b, i + 2)[0]
+        return None
+
+    return SimpleNamespace(sniff=sniff, decode=decode,
+                           decode_meta=decode_meta,
+                           encode_gray=encode_gray,
+                           encode_rgb=encode_rgb)
+
+
+CODEC = make_jpeg_codec()

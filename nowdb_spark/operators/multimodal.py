@@ -348,6 +348,38 @@ def resize_image_real(df: DataFrame, width: int, height: int,
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)
 
 
+def synth_jpegs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize UNIFORM-gray baseline JPEGs from an id column: for
+    doc d, w = d % 12 + 2, h = d % 7 + 2, every pixel = d % 256, unit
+    quantization tables. Uniform 8x8 blocks carry only a DC
+    coefficient — the integer 8*(v-128) — which unit tables store
+    exactly, so the decode is bit-exact and a SQL oracle can replay
+    the pixels (see jpegcodec.py exactness note). Gradient/noisy
+    content is exercised by tests with tolerances instead."""
+    from nowdb_spark.operators.jpegcodec import make_jpeg_codec
+
+    codec = make_jpeg_codec()
+    schema = f"{id_col} long, payload binary"
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        def synth(did: int) -> bytes:
+            did = int(did)
+            w, h = did % 12 + 2, did % 7 + 2
+            v = did % 256
+            return codec.encode_gray(w, h, [[v] * w] * h,
+                                     unit_quant=True)
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "payload": [synth(d) for d in pdf[id_col]],
+            })
+
+    return df.select(id_col).mapInPandas(kernel, schema)
+
+
 def synth_videos(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize deterministic Y4M video payloads from an id column
     (video analogue of synth_images/synth_audio). For doc d:

@@ -818,6 +818,31 @@ FROM pf GROUP BY doc_id
 
 
 @register(
+    "mm07_jpeg_decode",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 12 + 2 AS w, doc_id % 7 + 2 AS h,
+             doc_id % 256 AS v
+      FROM documents
+    )
+    SELECT doc_id, 'jpeg' AS fmt,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(3 * v * (w*h) * (w*h + 1) AS BIGINT) AS px_check
+    FROM d
+    """,
+    doc="REAL baseline-JPEG decode (marker walk, DHT-driven Huffman, "
+        "dequant + IDCT): uniform-gray unit-quant payloads round-trip "
+        "bit-exactly (DC-only blocks), so the oracle replays the "
+        "pixels; px_check = sum (i+1)*(6*v) = 3*v*wh*(wh+1)",
+)
+def mm07(spark, sf):
+    d = spread(table(spark, sf, "documents"))
+    return M.decode_meta_real(M.synth_jpegs(d)).drop("n_bytes")
+
+
+# ------------------------------------------------------------------
+@register(
     "mm06_video_frame_sample",
     _MM06_ORACLE,
     doc="REAL Y4M video path: synth C420 streams, temporal subsample "

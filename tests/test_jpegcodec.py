@@ -1,0 +1,122 @@
+"""Baseline JPEG codec tests: exactness guarantees, lossy tolerances,
+Huffman/marker edge cases, honest rejections."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from nowdb_spark.operators.jpegcodec import make_jpeg_codec
+
+C = make_jpeg_codec()
+
+
+def _maxerr_gray(decoded, rows):
+    return max(abs(decoded["rows"][y][x][0] - rows[y][x])
+               for y in range(len(rows)) for x in range(len(rows[0])))
+
+
+def test_uniform_gray_unit_quant_bit_exact():
+    """DC-only blocks with unit tables round-trip exactly — the
+    property the mm07 oracle relies on."""
+    for v in (0, 1, 127, 128, 137, 254, 255):
+        rows = [[v] * 13 for _ in range(9)]       # non-multiple-of-8
+        d = C.decode(C.encode_gray(13, 9, rows, unit_quant=True))
+        assert d["rows"] == [[(v, v, v)] * 13 for _ in range(9)]
+        assert (d["width"], d["height"]) == (13, 9)
+
+
+def test_gradient_unit_quant_tight():
+    w, h = 24, 17
+    rows = [[(3 * x + 7 * y) % 256 for x in range(w)] for y in range(h)]
+    d = C.decode(C.encode_gray(w, h, rows, unit_quant=True))
+    assert _maxerr_gray(d, rows) <= 1
+
+
+def test_standard_tables_lossy_but_close():
+    """Smooth ramp (no sawtooth wraps — those legitimately ring under
+    coarse quantization) stays close under the Annex K tables."""
+    w, h = 32, 24
+    rows = [[x * 3 + y * 2 + 20 for x in range(w)] for y in range(h)]
+    b = C.encode_gray(w, h, rows)                 # Annex K tables
+    d = C.decode(b)
+    assert _maxerr_gray(d, rows) <= 24            # quantization loss
+    # compression actually happened vs raw
+    assert len(b) < w * h
+
+
+def test_rgb_444_roundtrip():
+    w, h = 16, 16
+    rows = [[((3 * x + y) % 256, (x + 5 * y) % 256, (x * y) % 256)
+             for x in range(w)] for y in range(h)]
+    d = C.decode(C.encode_rgb(w, h, rows, unit_quant=True))
+    assert d["n_components"] == 3
+    err = max(abs(d["rows"][y][x][c] - rows[y][x][c])
+              for y in range(h) for x in range(w) for c in range(3))
+    assert err <= 2                               # YCbCr rounding
+
+
+def test_sparse_block_exercises_zrl():
+    """A single bright pixel at the block's end forces long zero runs
+    (ZRL codes) in the AC stream."""
+    rows = [[0] * 8 for _ in range(8)]
+    rows[7][7] = 255
+    d = C.decode(C.encode_gray(8, 8, rows, unit_quant=True))
+    assert abs(d["rows"][7][7][0] - 255) <= 1
+    assert abs(d["rows"][0][0][0] - 0) <= 1
+
+
+def test_meta_without_full_decode():
+    b = C.encode_gray(10, 4, [[9] * 10] * 4, unit_quant=True)
+    m = C.decode_meta(b)
+    assert (m["width"], m["height"], m["n_components"]) == (10, 4, 1)
+
+
+def test_progressive_rejected():
+    b = bytearray(C.encode_gray(8, 8, [[1] * 8] * 8))
+    i = b.index(b"\xFF\xC0")
+    b[i + 1] = 0xC2                               # pretend SOF2
+    assert C.decode(bytes(b)) is None
+
+
+def test_subsampled_rejected():
+    b = bytearray(C.encode_gray(8, 8, [[1] * 8] * 8))
+    i = b.index(b"\xFF\xC0")
+    # SOF payload: len(2) prec(1) h(2) w(2) nc(1) then cid,samp,qid
+    b[i + 11] = 0x22                              # 2x2 sampling
+    assert C.decode(bytes(b)) is None
+
+
+def test_truncation_and_garbage():
+    b = C.encode_gray(8, 8, [[7] * 8] * 8, unit_quant=True)
+    assert C.decode(b[:20]) is None
+    assert C.decode(b"\xFF\xD8\xFF\xFE" + b"\x00\x04garbage") is None
+    assert C.sniff(b"BM......") is None
+
+
+def test_byte_stuffing_roundtrip():
+    """Content chosen to produce 0xFF bytes in the entropy stream —
+    the unstuffing path must reconstruct it. (Run over many seeds so
+    at least some streams contain stuffed bytes.)"""
+    hit = False
+    for seed in range(12):
+        w, h = 16, 16
+        rows = [[(x * 31 + y * 17 + seed * 53) % 256
+                 for x in range(w)] for y in range(h)]
+        b = C.encode_gray(w, h, rows, unit_quant=True)
+        body = b[b.index(b"\xFF\xDA") + 2:-2]
+        if b"\xFF\x00" in body:
+            hit = True
+        assert _maxerr_gray(C.decode(b), rows) <= 1
+    assert hit
+
+
+def test_decodes_through_image_codec_dispatch():
+    from nowdb_spark.operators.imagecodec import make_image_codec
+
+    ic = make_image_codec()
+    b = C.encode_gray(6, 5, [[200] * 6] * 5, unit_quant=True)
+    assert ic.sniff(b) == "jpeg"
+    assert ic.decode_meta(b)["width"] == 6
+    assert ic.decode(b)["rows"][0][0] == (200, 200, 200)
