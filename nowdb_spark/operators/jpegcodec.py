@@ -1,21 +1,20 @@
 """Pure-Python/numpy baseline JPEG codec — the Huffman-DCT entropy
 path the other codecs could not cover.
 
-Scope (honest): BASELINE sequential DCT (SOF0), Huffman entropy
-coding only; grayscale (1 component) and YCbCr without chroma
-subsampling (3 components, all sampling factors 1x1). Progressive
-(SOF2), arithmetic coding, and subsampled color raise cleanly —
-decoding those needs nothing new in kind, just more index math, and
-the honest-gate rule applies until it exists.
+Scope (honest): BASELINE sequential DCT (SOF0/1) with Huffman entropy
+coding — grayscale and YCbCr color at any integer sampling-factor
+combination (4:4:4, 4:2:2, 4:2:0, ...), MCU-interleaved, with restart
+intervals. Progressive (SOF2) and arithmetic-coded streams raise
+cleanly; chroma upsampling is pixel replication (not bilinear).
 
 What is REAL here:
   * marker stream walk (SOI/APPn/COM/DQT/SOF0/DHT/DRI/SOS/EOI),
   * Huffman tables built from the DHT segments themselves (so any
-    conforming baseline file with 1x1 sampling decodes, not just our
-    encoder's output),
-  * MSB-first bit reader with 0xFF00 byte-unstuffing (DRI/RSTn
-    streams are rejected honestly — DC-prediction reset is not
-    wired),
+    conforming baseline file decodes, not just our encoder's output),
+  * MSB-first bit reader with 0xFF00 byte-unstuffing, restart-marker
+    sync with DC-prediction reset,
+  * MCU interleave per sampling factors, box-average chroma
+    downsampling on encode, replication upsampling on decode,
   * DC prediction, run-length AC coding (EOB/ZRL), zigzag order
     (computed, not hardcoded),
   * dequantize + separable float IDCT (numpy matrix form) + level
@@ -243,11 +242,18 @@ def make_jpeg_codec() -> SimpleNamespace:
         data = bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals)
         return b"\xFF\xC4" + struct.pack(">H", 2 + len(data)) + data
 
-    def _encode(w, h, planes, quants, specs):
-        """planes: list of (h, w) int arrays; quants: per-component
-        64-int raster tables; specs: per-component
-        ((dc_bits, dc_vals), (ac_bits, ac_vals), dc_tid, ac_tid)."""
+    def _encode(w, h, planes, quants, specs, samps=None, dri=0):
+        """planes: per-component 2-D arrays ALREADY at component
+        resolution (chroma pre-downsampled for subsampled modes);
+        quants: per-component 64-int raster tables; specs: per-
+        component ((dc_bits, dc_vals), (ac_bits, ac_vals), _, _);
+        samps: per-component (hi, vi) sampling factors (default all
+        1x1); dri > 0 emits a DRI segment and a restart marker every
+        `dri` MCUs."""
         nc = len(planes)
+        samps = samps or [(1, 1)] * nc
+        maxh = max(s[0] for s in samps)
+        maxv = max(s[1] for s in samps)
         out = [b"\xFF\xD8"]                        # SOI
         out.append(b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00"
                    + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1)
@@ -260,7 +266,8 @@ def make_jpeg_codec() -> SimpleNamespace:
                 out.append(_dqt_seg(seen_q[qid], quants[ci]))
         sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
         for ci in range(nc):
-            sof += bytes([ci + 1, 0x11, seen_q[id(quants[ci])]])
+            sof += bytes([ci + 1, samps[ci][0] << 4 | samps[ci][1],
+                          seen_q[id(quants[ci])]])
         out.append(b"\xFF\xC0" + struct.pack(">H", 2 + len(sof)) + sof)
         seen_h = {}
         for ci in range(nc):
@@ -271,6 +278,8 @@ def make_jpeg_codec() -> SimpleNamespace:
                     seen_h[key] = len([k for k in seen_h
                                        if k[0] == cls])
                     out.append(_dht_seg(cls, seen_h[key], spec))
+        if dri:
+            out.append(b"\xFF\xDD" + struct.pack(">HH", 4, dri))
         sos = bytes([nc])
         for ci in range(nc):
             dc_spec, ac_spec, _, _ = specs[ci]
@@ -280,51 +289,87 @@ def make_jpeg_codec() -> SimpleNamespace:
         sos += bytes([0, 63, 0])
         out.append(b"\xFF\xDA" + struct.pack(">H", 2 + len(sos)) + sos)
 
-        bw = _BitWriter()
+        mcux = (w + 8 * maxh - 1) // (8 * maxh)
+        mcuy = (h + 8 * maxv - 1) // (8 * maxv)
         dc_codes = [_codes_from_spec(*s[0]) for s in specs]
         ac_codes = [_codes_from_spec(*s[1]) for s in specs]
-        preds = [0] * nc
-        bh, bwid = (h + 7) // 8, (w + 7) // 8
         padded = []
-        for p in planes:
-            pp = np.empty(((bh) * 8, (bwid) * 8), dtype=np.float64)
-            pp[:h, :w] = p
-            pp[h:, :w] = p[-1:, :]                 # edge replicate
-            pp[:, w:] = pp[:, w - 1:w]
+        for ci, p in enumerate(planes):
+            hi, vi = samps[ci]
+            ph, pw = mcuy * 8 * vi, mcux * 8 * hi
+            ch, cw = p.shape
+            pp = np.empty((ph, pw), dtype=np.float64)
+            pp[:ch, :cw] = p
+            pp[ch:, :cw] = p[-1:, :]               # edge replicate
+            pp[:, cw:] = pp[:, cw - 1:cw]
             padded.append(pp - 128.0)
-        for by in range(bh):
-            for bx in range(bwid):
-                for ci in range(nc):
-                    blk = padded[ci][by * 8:by * 8 + 8,
-                                     bx * 8:bx * 8 + 8]
-                    coef = np.round(_fdct2(blk)
-                                    / quants[ci].reshape(8, 8)
-                                    ).astype(np.int64)
-                    zz = coef.reshape(64)[ZZ]
-                    preds[ci] = _encode_block(
-                        bw, zz, preds[ci], dc_codes[ci], ac_codes[ci])
+
+        bw = _BitWriter()
+        preds = [0] * nc
+        rst = 0
+        n_mcu = mcux * mcuy
+        for mi in range(n_mcu):
+            if dri and mi and mi % dri == 0:
+                bw.flush()                         # byte-align + RSTn
+                bw.buf.append(0xFF)
+                bw.buf.append(0xD0 + rst)
+                rst = (rst + 1) % 8
+                preds = [0] * nc
+            my, mx = divmod(mi, mcux)
+            for ci in range(nc):
+                hi, vi = samps[ci]
+                for v in range(vi):
+                    for hh in range(hi):
+                        by, bx = my * vi + v, mx * hi + hh
+                        blk = padded[ci][by * 8:by * 8 + 8,
+                                         bx * 8:bx * 8 + 8]
+                        coef = np.round(_fdct2(blk)
+                                        / quants[ci].reshape(8, 8)
+                                        ).astype(np.int64)
+                        zz = coef.reshape(64)[ZZ]
+                        preds[ci] = _encode_block(
+                            bw, zz, preds[ci], dc_codes[ci],
+                            ac_codes[ci])
         bw.flush()
         out.append(bytes(bw.buf))
         out.append(b"\xFF\xD9")                    # EOI
         return b"".join(out)
 
-    def encode_gray(w, h, rows, unit_quant=False):
+    def encode_gray(w, h, rows, unit_quant=False, dri=0):
         plane = np.asarray(rows, dtype=np.float64)
         q = (np.ones(64, dtype=np.int64) if unit_quant else QL)
-        return _encode(w, h, [plane], [q], [(DC_L, AC_L, 0, 0)])
+        return _encode(w, h, [plane], [q], [(DC_L, AC_L, 0, 0)],
+                       dri=dri)
 
-    def encode_rgb(w, h, rows, unit_quant=False):
-        """4:4:4 color: JFIF YCbCr transform, three 1x1 components."""
+    def _downsample(p, fx, fy):
+        """Box-average downsample by (fx, fy) with edge padding."""
+        h, w = p.shape
+        ph, pw = (h + fy - 1) // fy * fy, (w + fx - 1) // fx * fx
+        pp = np.empty((ph, pw), dtype=np.float64)
+        pp[:h, :w] = p
+        pp[h:, :w] = p[-1:, :]
+        pp[:, w:] = pp[:, w - 1:w]
+        return pp.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+
+    def encode_rgb(w, h, rows, unit_quant=False, sampling="444",
+                   dri=0):
+        """JFIF YCbCr color. sampling: '444' (no subsampling), '422'
+        (chroma halved horizontally), '420' (halved both ways) —
+        chroma planes are box-average downsampled before coding."""
         a = np.asarray(rows, dtype=np.float64)     # (h, w, 3)
         r, g, b = a[..., 0], a[..., 1], a[..., 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        fx, fy = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[sampling]
+        if fx > 1 or fy > 1:
+            cb, cr = _downsample(cb, fx, fy), _downsample(cr, fx, fy)
+        samps = [(fx, fy), (1, 1), (1, 1)]
         ql = np.ones(64, dtype=np.int64) if unit_quant else QL
         qc = np.ones(64, dtype=np.int64) if unit_quant else QC
         return _encode(w, h, [y, cb, cr], [ql, qc, qc],
                        [(DC_L, AC_L, 0, 0), (DC_C, AC_C, 1, 1),
-                        (DC_C, AC_C, 1, 1)])
+                        (DC_C, AC_C, 1, 1)], samps=samps, dri=dri)
 
     # ---- decoder ---------------------------------------------------
     class _BitReader:
@@ -345,11 +390,8 @@ def make_jpeg_codec() -> SimpleNamespace:
                     else 0xD9
                 if nxt == 0x00:
                     self.i += 2
-                elif 0xD0 <= nxt <= 0xD7:          # RSTn: DC-pred
-                    raise ValueError(              # reset not wired —
-                        "restart intervals not implemented")
                 else:
-                    raise EOFError                 # real marker
+                    raise EOFError                 # marker (incl RST)
             else:
                 self.i += 1
             self.acc = (self.acc << 8) | c
@@ -366,6 +408,16 @@ def make_jpeg_codec() -> SimpleNamespace:
             for _ in range(k):
                 v = (v << 1) | self.bit()
             return v
+
+        def sync_restart(self):
+            """Discard pad bits, consume the expected RSTn marker."""
+            self.acc = 0
+            self.n = 0
+            if (self.i + 1 < len(self.b) and self.b[self.i] == 0xFF
+                    and 0xD0 <= self.b[self.i + 1] <= 0xD7):
+                self.i += 2
+            else:
+                raise ValueError("expected restart marker")
 
     def _extend(v, size):
         if size == 0:
@@ -394,6 +446,7 @@ def make_jpeg_codec() -> SimpleNamespace:
         huff = {}
         comps = None
         w = h = 0
+        dri = 0
         while i + 4 <= len(b):
             if b[i] != 0xFF:
                 return None
@@ -431,11 +484,19 @@ def make_jpeg_codec() -> SimpleNamespace:
                 comps = []
                 for c in range(nc):
                     cid, samp, qid = seg[6 + 3 * c:9 + 3 * c]
-                    if samp != 0x11:
+                    hi, vi = samp >> 4, samp & 0x0F
+                    if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                        raise ValueError("bad sampling factors")
+                    comps.append({"id": cid, "qid": qid,
+                                  "h": hi, "v": vi})
+                maxh = max(c["h"] for c in comps)
+                maxv = max(c["v"] for c in comps)
+                for c in comps:
+                    if maxh % c["h"] or maxv % c["v"]:
                         raise ValueError(
-                            "only 1x1 sampling (no chroma "
-                            "subsampling) is implemented")
-                    comps.append({"id": cid, "qid": qid})
+                            "non-integer upsampling ratios")
+            elif m == 0xDD:                        # DRI
+                dri = struct.unpack_from(">H", seg, 0)[0]
             elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                        0xCB, 0xCD, 0xCE, 0xCF):
                 raise ValueError("only baseline (SOF0) implemented")
@@ -449,43 +510,67 @@ def make_jpeg_codec() -> SimpleNamespace:
                     comp["ac"] = huff[(1, tids & 0x0F)]
                     order.append(comp)
                 return _decode_scan(b, i + 2 + ln, w, h, order, quant,
-                                    len(b))
+                                    len(b), dri)
             i += 2 + ln
         return None
 
-    def _decode_scan(b, off, w, h, comps, quant, n_bytes):
+    def _decode_block(br, comp, preds, ci, quant):
+        zz = np.zeros(64, dtype=np.int64)
+        size = _read_sym(br, comp["dc"])
+        preds[ci] += _extend(br.bits(size), size)
+        zz[0] = preds[ci]
+        k = 1
+        while k < 64:
+            rs = _read_sym(br, comp["ac"])
+            if rs == 0x00:                         # EOB
+                break
+            if rs == 0xF0:                         # ZRL
+                k += 16
+                continue
+            k += rs >> 4
+            size = rs & 0x0F
+            if k > 63:
+                raise ValueError("AC overflow")
+            zz[k] = _extend(br.bits(size), size)
+            k += 1
+        coef = np.empty(64, dtype=np.float64)
+        coef[ZZ] = zz * quant[comp["qid"]][ZZ]
+        return _idct2(coef.reshape(8, 8))
+
+    def _decode_scan(b, off, w, h, comps, quant, n_bytes, dri):
         br = _BitReader(b, off)
-        bh, bw_ = (h + 7) // 8, (w + 7) // 8
-        planes = [np.zeros((bh * 8, bw_ * 8)) for _ in comps]
+        maxh = max(c["h"] for c in comps)
+        maxv = max(c["v"] for c in comps)
+        mcux = (w + 8 * maxh - 1) // (8 * maxh)
+        mcuy = (h + 8 * maxv - 1) // (8 * maxv)
+        planes = [np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]))
+                  for c in comps]
         preds = [0] * len(comps)
-        for by in range(bh):
-            for bx in range(bw_):
-                for ci, comp in enumerate(comps):
-                    zz = np.zeros(64, dtype=np.int64)
-                    size = _read_sym(br, comp["dc"])
-                    diff = _extend(br.bits(size), size)
-                    preds[ci] += diff
-                    zz[0] = preds[ci]
-                    k = 1
-                    while k < 64:
-                        rs = _read_sym(br, comp["ac"])
-                        if rs == 0x00:             # EOB
-                            break
-                        if rs == 0xF0:             # ZRL
-                            k += 16
-                            continue
-                        k += rs >> 4
-                        size = rs & 0x0F
-                        if k > 63:
-                            raise ValueError("AC overflow")
-                        zz[k] = _extend(br.bits(size), size)
-                        k += 1
-                    coef = np.empty(64, dtype=np.float64)
-                    coef[ZZ] = zz * quant[comp["qid"]][ZZ]
-                    planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] \
-                        = _idct2(coef.reshape(8, 8))
+        for mi in range(mcux * mcuy):
+            if dri and mi and mi % dri == 0:
+                br.sync_restart()                  # byte-align + RSTn
+                preds = [0] * len(comps)
+            my, mx = divmod(mi, mcux)
+            for ci, comp in enumerate(comps):
+                for v in range(comp["v"]):
+                    for hh in range(comp["h"]):
+                        by = my * comp["v"] + v
+                        bx = mx * comp["h"] + hh
+                        planes[ci][by * 8:by * 8 + 8,
+                                   bx * 8:bx * 8 + 8] = \
+                            _decode_block(br, comp, preds, ci, quant)
+        # upsample to full grid (pixel replication), then crop
+        full = []
+        for ci, comp in enumerate(comps):
+            p = planes[ci]
+            fx, fy = maxh // comp["h"], maxv // comp["v"]
+            if fx > 1:
+                p = np.repeat(p, fx, axis=1)
+            if fy > 1:
+                p = np.repeat(p, fy, axis=0)
+            full.append(p)
         planes = [np.clip(np.round(p + 128.0), 0, 255)[:h, :w]
-                  for p in planes]
+                  for p in full]
         if len(planes) == 1:
             g = planes[0].astype(np.int64)
             rows = [[(int(v),) * 3 for v in row] for row in g]

@@ -1,14 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-Real decode paths, all pure-Python/stdlib: images BMP/PPM/PNG
-(`imagecodec.py`; PNG is a true entropy-coded path — zlib DEFLATE +
-all five scanline filters), audio RIFF/PCM WAV (`audiocodec.py`),
-video Y4M planar YUV with temporal frame sampling (`videocodec.py`).
-Formats needing codec LIBS (JPEG/H.264/MP3...) stay honestly stubbed
-behind `_HAVE_CODECS`: the Spark-side plumbing (binary schema, Arrow
-batch shape, mapInPandas signature, partitioning) is real and tested;
-swap `_fake_decode` for a PIL/libav call and nothing else changes.
+Real decode paths, all pure-Python/numpy/stdlib: images
+BMP/PPM/PNG/GIF/JPEG (`imagecodec.py` + `jpegcodec.py`; PNG is a
+zlib/DEFLATE entropy path, GIF a from-scratch variable-width LZW
+decoder, JPEG a baseline Huffman-DCT decoder), audio RIFF/PCM WAV
+(`audiocodec.py`), video Y4M planar YUV with temporal frame sampling
+(`videocodec.py`). Formats needing codec LIBS (H.264/VP9/MP3/AAC,
+progressive or subsampled JPEG) stay honestly stubbed behind
+`_HAVE_CODECS`: the Spark-side plumbing (binary schema, Arrow batch
+shape, mapInPandas signature, partitioning) is real and tested; swap
+`_fake_decode` for a PIL/libav call and nothing else changes.
 
 Design for 100 TB of media: binary payloads stay in their partition
 (mapInPandas = narrow, zero shuffle); metadata extraction emits small

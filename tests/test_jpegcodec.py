@@ -80,11 +80,52 @@ def test_progressive_rejected():
     assert C.decode(bytes(b)) is None
 
 
-def test_subsampled_rejected():
-    b = bytearray(C.encode_gray(8, 8, [[1] * 8] * 8))
-    i = b.index(b"\xFF\xC0")
-    # SOF payload: len(2) prec(1) h(2) w(2) nc(1) then cid,samp,qid
-    b[i + 11] = 0x22                              # 2x2 sampling
+@pytest.mark.parametrize("sampling,tol", [("444", 2), ("422", 40),
+                                          ("420", 40)])
+def test_chroma_subsampling_roundtrip(sampling, tol):
+    """4:2:2 / 4:2:0: chroma is box-downsampled then replication-
+    upsampled, so smooth chroma stays within tolerance while luma
+    stays tight."""
+    w, h = 19, 14                                 # odd dims on purpose
+    rows = [[(min(255, x * 6 + 40), min(255, y * 7 + 30),
+              min(255, x * 3 + y * 3 + 20)) for x in range(w)]
+            for y in range(h)]
+    d = C.decode(C.encode_rgb(w, h, rows, unit_quant=True,
+                              sampling=sampling))
+    err = max(abs(d["rows"][y][x][c] - rows[y][x][c])
+              for y in range(h) for x in range(w) for c in range(3))
+    assert err <= tol, err
+    # luma alone must stay tight even when chroma is subsampled
+    lum = max(abs(sum(d["rows"][y][x]) / 3 - sum(rows[y][x]) / 3)
+              for y in range(h) for x in range(w))
+    assert lum <= 16
+
+
+def test_restart_intervals_roundtrip():
+    """DRI/RSTn: encoder emits a restart every 2 MCUs, decoder must
+    re-sync and reset DC prediction."""
+    w, h = 40, 24                                 # 15 MCUs at 8x8
+    rows = [[(x * 11 + y * 5) % 256 for x in range(w)]
+            for y in range(h)]
+    b = C.encode_gray(w, h, rows, unit_quant=True, dri=2)
+    assert any(bytes([0xFF, 0xD0 + i]) in b for i in range(8))
+    assert _maxerr_gray(C.decode(b), rows) <= 1
+    # color + subsampling + restarts together
+    rows3 = [[(min(255, x * 9), min(255, y * 8), 128)
+              for x in range(w)] for y in range(h)]
+    b3 = C.encode_rgb(w, h, rows3, unit_quant=True, sampling="420",
+                      dri=1)
+    assert C.decode(b3) is not None
+
+
+def test_corrupt_restart_rejected():
+    b = bytearray(C.encode_gray(40, 24,
+                                [[(x + y) % 256 for x in range(40)]
+                                 for y in range(24)],
+                                unit_quant=True, dri=2))
+    i = next(j for j in range(len(b) - 1)
+             if b[j] == 0xFF and 0xD0 <= b[j + 1] <= 0xD7)
+    b[i + 1] = 0xD9                               # RST -> EOI
     assert C.decode(bytes(b)) is None
 
 
