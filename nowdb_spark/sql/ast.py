@@ -155,6 +155,14 @@ class Select:
     target_alias: Optional[str] = None             # FROM t AS a (ext.)
     qualify: Optional[object] = None               # extension (post-
     # projection filter over output columns, e.g. window ranks)
+    # WHILE <cond> [DEPTH <n>] — the reference's designed-only
+    # traversal clause (sql.tex:2518-2554): WHERE seeds the start
+    # edges, traversal follows destin→origin links through the whole
+    # edge context, expanding every reached edge that satisfies the
+    # condition (violating edges are terminal but included), bounded
+    # by DEPTH, cycle-safe
+    while_cond: Optional[object] = None
+    while_depth: int = 10
 
 
 # --- DDL -----------------------------------------------------------

@@ -479,6 +479,7 @@ class SelectBinder:
                 "grammar does not accept (SURVEY §2.1)")
 
         self._base_cols = list(df.columns)
+        pre_where = df                 # traversal universe (WHILE)
         if sel.where is not None:
             subs: list = []
             _scalar_subs(sel.where, subs)
@@ -501,6 +502,16 @@ class SelectBinder:
                     plain.append(conj)
             for conj in plain:
                 df = df.filter(eb.bind(conj))
+
+        if sel.while_cond is not None:
+            if self.strict:
+                raise BindError(
+                    "strict mode: WHILE traversal is designed but not "
+                    "in the shipped reference grammar "
+                    "(sql.tex:2518-2554)")
+            df = self._bind_while(df, pre_where, sel, eb, tdef,
+                                  col_types)
+            self._base_cols = list(df.columns)
 
         has_aggs = any(self._item_aggs(it.expr) for it in sel.items)
 
@@ -558,6 +569,58 @@ class SelectBinder:
         if sel.limit is not None:
             df = df.limit(sel.limit)
         return df
+
+    def _bind_while(self, seeds: DataFrame, universe: DataFrame, sel,
+                    eb, tdef, col_types: dict) -> DataFrame:
+        """WHILE traversal — the reference's designed-only recursive
+        edge-following (doc/manual/sql.tex:2518-2554, \\ignore'd).
+
+        Semantics (fixed here, since the design left them open):
+        WHERE seeds the start edges (depth 0); each reached edge that
+        satisfies the WHILE condition is expanded by following its
+        destin to the origins of the WHOLE edge context; an edge that
+        violates the condition is included but terminal (exactly the
+        manual's "follow until an edge with destination X is
+        reached"). DEPTH bounds the iteration (default 10 — the
+        design's own caveat that "the number of iterations must be
+        bounded"); visited-edge dedup makes cycles safe. A `depth`
+        column is exposed to the projection.
+
+        Scale shape: frontier-bounded BFS — per round one broadcast
+        semi-join of the context against the frontier's destin set
+        and one anti-join against the visited accumulator, lineage
+        cut with localCheckpoint per round (same pattern as
+        connected_components, operators/graph.py).
+        """
+        if tdef is None or getattr(tdef, "kind", None) != "edge":
+            raise BindError("WHILE requires an edge context "
+                            "(sql.tex:2518-2554)")
+        roles = {p.role: p.name for p in tdef.props if p.role}
+        if "origin" not in roles or "destin" not in roles:
+            raise BindError("WHILE requires origin/destin roles")
+        ocol, dcol = roles["origin"], roles["destin"]
+        cond = eb.bind(sel.while_cond)
+        base_cols = list(universe.columns)
+
+        frontier = seeds.withColumn("depth", F.lit(0).cast("long"))
+        acc = frontier.localCheckpoint(eager=False)
+        for d in range(1, max(1, sel.while_depth) + 1):
+            heads = (frontier.filter(cond)
+                     .select(F.col(dcol).alias("__w_src")).distinct())
+            nxt = universe.join(
+                F.broadcast(heads),
+                F.col(ocol) == F.col("__w_src"), "leftsemi")
+            nxt = nxt.join(acc.select(ocol, dcol),
+                           on=[ocol, dcol], how="leftanti")
+            nxt = (nxt.select(*base_cols)
+                   .withColumn("depth", F.lit(d).cast("long"))
+                   .localCheckpoint(eager=True))
+            if not nxt.take(1):
+                break
+            acc = acc.unionByName(nxt).localCheckpoint(eager=False)
+            frontier = nxt
+        col_types.setdefault("depth", "uint")
+        return acc
 
     def _bind_setop(self, node: A.SetOp) -> DataFrame:
         """UNION/INTERSECT/EXCEPT [ALL] — extension. Operands align by

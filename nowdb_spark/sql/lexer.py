@@ -35,6 +35,9 @@ KEYWORDS = {
     # misc
     "true", "false", "join", "limit", "for", "reading", "writing",
     "timeout",
+    # traversal (the reference DESIGNED this clause but never shipped
+    # it — doc/manual/sql.tex:2518-2554, commented out with \ignore)
+    "while", "depth",
     # general joins (extension — the reference grammar only joins a
     # vertex on origin/destin, sql.tex:2293-2368)
     "inner", "left", "right", "full", "outer", "semi", "anti",

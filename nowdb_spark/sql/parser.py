@@ -22,7 +22,7 @@ _TYPE_KWS = {"text", "date", "time", "float", "int", "uint", "bool",
 # keywords that may double as identifiers (column/object names)
 _IDENTISH_KWS = _TYPE_KWS | {"origin", "destin", "stamp", "key", "values",
                              "language", "errors", "header", "storage",
-                             "vertex", "type", "edge", "index"}
+                             "vertex", "type", "edge", "index", "depth"}
 
 
 class Parser:
@@ -550,6 +550,12 @@ class Parser:
                 joins.append(self.join_clause())
         if self.try_kw("where"):
             where = self.expr()
+        while_cond = None
+        while_depth = 10
+        if self.try_kw("while"):
+            while_cond = self.expr()
+            if self.try_kw("depth"):
+                while_depth = int(self.next().value)
         having = None
         if self.at_kw("group"):
             self.next()
@@ -569,7 +575,8 @@ class Parser:
         # the whole chain when set operations follow)
         return A.Select(items, target, joins, where, group_by,
                         having, order_by, limit, distinct,
-                        target_alias=target_alias, qualify=qualify)
+                        target_alias=target_alias, qualify=qualify,
+                        while_cond=while_cond, while_depth=while_depth)
 
     def table_ref(self):
         """Context name or `(SELECT ...)` derived table (extension),

@@ -193,3 +193,65 @@ def test_comment_only_chunks_are_noops(eng):
         "-- nothing\n/* still\nnothing */\n"
         "create schema s3 if not exists;\n-- end of file\n/* beyond */")
     assert len(results) == 1 and results[0].ok()
+
+
+def test_while_traversal(eng):
+    """The reference's designed-only WHILE clause
+    (doc/manual/sql.tex:2518-2554, \\ignore'd in the manual, no
+    grammar rule shipped): follow edges recursively from the WHERE
+    seeds, expanding while the condition holds, DEPTH-bounded and
+    cycle-safe."""
+    assert eng.execute("create schema tw if not exists").ok()
+    assert eng.execute("use tw").ok()
+    assert eng.execute("create type node (nid uint pk, label text)").ok()
+    for i in range(1, 13):
+        assert eng.execute(
+            f"insert into node (nid, label) ({i}, 'n{i}')").ok()
+    assert eng.execute(
+        "create edge link (origin node origin, destin node destin, "
+        "w uint)").ok()
+    # chain 1->2->3->4->5, branch 2->6, cycle 10->11->12->10
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (2, 6),
+             (10, 11), (11, 12), (12, 10)]
+    for o, d in edges:
+        assert eng.execute(
+            f"insert into link (origin, destin, w) ({o}, {d}, 1)").ok()
+
+    # follow from 1 until an edge REACHES destination 4: (3,4) is
+    # included but terminal, so (4,5) is never visited
+    rows = set(eng.execute(
+        "select origin, destin, depth from link "
+        "where origin = 1 while destin != 4").fetch())
+    assert rows == {(1, 2, 0), (2, 3, 1), (2, 6, 1), (3, 4, 2)}
+
+    # cycles terminate via visited-edge dedup, not DEPTH
+    rows = set(eng.execute(
+        "select origin, destin, depth from link "
+        "where origin = 10 while destin > 0 depth 50").fetch())
+    assert rows == {(10, 11, 0), (11, 12, 1), (12, 10, 2)}
+
+    # DEPTH bounds expansion
+    rows = set(eng.execute(
+        "select origin, destin, depth from link "
+        "where origin = 1 while destin > 0 depth 1").fetch())
+    assert rows == {(1, 2, 0), (2, 3, 1), (2, 6, 1)}
+
+    # aggregates compose over the traversal frame
+    [(n,)] = eng.execute(
+        "select count(*) from link where origin = 1 "
+        "while destin != 4").fetch()
+    assert n == 4
+
+    # connectivity probe, the manual's own example shape
+    rows = eng.execute(
+        "select true from link where origin = 10 "
+        "while destin != 12").fetch()
+    assert len(rows) == 2                     # (10,11) then (11,12)
+
+
+def test_while_requires_edge_context(eng):
+    assert eng.execute("create schema tw2 if not exists").ok()
+    assert eng.execute("use tw2").ok()
+    assert eng.execute("create type v (k uint pk, t text)").ok()
+    r = eng.execute("select k from v while k != 3")
+    assert not r.ok()
