@@ -64,10 +64,15 @@ def spread(df: DataFrame) -> DataFrame:
     that, the round-robin shuffle of a few MB is noise next to the map
     it parallelizes.
     """
-    p = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
-        return df.repartition(p)
-    return df
+    try:
+        p = df.sparkSession.sparkContext.defaultParallelism
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        # Spark Connect has no sparkContext/rdd surface — fall back
+        # to an unconditional spread (still a no-op cost-wise at the
+        # file sizes where this path matters)
+        return df.repartition(32)
+    return df.repartition(p) if n < p else df
 
 
 # populate the registry

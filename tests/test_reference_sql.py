@@ -255,3 +255,25 @@ def test_while_requires_edge_context(eng):
     assert eng.execute("create type v (k uint pk, t text)").ok()
     r = eng.execute("select k from v while k != 3")
     assert not r.ok()
+
+
+def test_string_escape_parity(eng):
+    """pysmoke strings.py, verbatim statements: every escape shape
+    through a select-only round trip (oneRow semantics)."""
+    cases = [
+        ("select 'pizza \\'speciale\\'\\rFamily Size!', 5.99",
+         "pizza 'speciale'\rFamily Size!"),
+        ("select 'pizza \\'speciale\\'\\r\\nFamily Size!', 5.99",
+         "pizza 'speciale'\r\nFamily Size!"),
+        ("select 'pizza \\'speciale\\'\\r\\nFamily Size!\\tYou\\'ll "
+         "love it!', 5.99",
+         "pizza 'speciale'\r\nFamily Size!\tYou'll love it!"),
+        ("select 'pizza \\\\ Or Money back!', 5.99",
+         "pizza \\ Or Money back!"),
+        ("select '', 5.99", ""),
+        ("select '\\'\\'', 5.99", "''"),
+    ]
+    for stmt, want in cases:
+        [(got, price)] = eng.execute(stmt).fetch()
+        assert got == want, (stmt, got)
+        assert price == pytest.approx(5.99)
