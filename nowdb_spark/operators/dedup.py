@@ -372,9 +372,10 @@ def simhash64_arrow(df: DataFrame, content_col: str = "text",
     The Column backend (simhash64) folds ~80 interpreted string/array
     ops per token; this kernel hashes every token in the batch with
     ONE vectorized SipHash call (`pd.util.hash_array`), expands the
-    64 vote matrix with a single broadcasted shift-and-mask, and
-    accumulates per-doc bit sums with `np.add.at` — measured ~10× the
-    Column backend. Different hash family than the md5-oracled
+    64 vote matrix from packed bit planes, and accumulates per-doc
+    bit sums with segmented reduceat — measured 1.7M docs/s at 10M ×
+    30-word docs vs 40k for the Column fold (~40×). Different hash
+    family than the md5-oracled
     simhash64 (fingerprints are not comparable across backends;
     Hamming-distance semantics are identical). Output: (id, simhash
     16-hex string, NULL for docs with no tokens). Narrow plan, zero

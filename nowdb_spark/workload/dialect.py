@@ -29,6 +29,18 @@ def _engine(spark, sf) -> Engine:
         for t in ("lineitem", "orders", "part", "events", "customer"):
             eng.scope.mount(t, f"{sf}/{t}.parquet",
                             types={"ts": "time"} if t == "events" else None)
+        # deterministic functional graph for the WHILE-traversal gate:
+        # one edge per customer, c -> (c % 1499) + 1 (a long cycle —
+        # every node has out-degree 1, so the nq20 oracle's recursive
+        # CTE replays the walk without visited-set bookkeeping)
+        eng.rexecute("create type wnode (nid uint pk)")
+        eng.rexecute("insert into wnode (nid) "
+                     "select c_custkey from customer")
+        eng.rexecute("create edge wref (origin wnode origin, "
+                     "destin wnode destin)")
+        eng.rexecute("insert into wref (origin, destin) "
+                     "select c_custkey, c_custkey % 1499 + 1 "
+                     "from customer")
         _ENGINES[key] = eng
     return eng
 
@@ -441,4 +453,32 @@ _dialect(
         "running max over the ordered per-user stream, framed window "
         "(q23's operator through parser→binder; ns presentation — "
         "both sides derive from the same µs-encoded parquet)",
+)
+
+
+_dialect(
+    "nq20_dialect_while",
+    """
+    select origin, destin, depth from wref
+    where origin = 1 while destin != 10 depth 20
+    """,
+    """
+    WITH RECURSIVE edges AS (
+      SELECT c_custkey AS o, c_custkey % 1499 + 1 AS d FROM customer
+    ),
+    walk(o, d, depth) AS (
+      SELECT o, d, 0 FROM edges WHERE o = 1
+      UNION ALL
+      SELECT e.o, e.d, w.depth + 1
+      FROM walk w JOIN edges e ON e.o = w.d
+      WHERE w.d <> 10 AND w.depth < 20
+    )
+    SELECT CAST(o AS BIGINT) AS origin, CAST(d AS BIGINT) AS destin,
+           CAST(depth AS BIGINT) AS depth
+    FROM walk
+    """,
+    doc="dialect: WHILE traversal (the reference's designed-only "
+        "recursive edge-following, sql.tex:2518-2554) — walk the "
+        "functional customer graph from node 1 until an edge reaches "
+        "10; oracle replays the walk as a recursive CTE",
 )
