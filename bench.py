@@ -207,6 +207,14 @@ def main() -> None:
             MM.synth_images(ids, formats=("bmp", "ppm", "png", "gif"))
         ).agg(F.count(F.lit(1))).collect()
         pipe["mm04_imgs_per_sec"] = round(n_imgs / (time.perf_counter() - t0))
+        t0 = time.perf_counter()
+        MM.audio_features_real(MM.synth_audio(ids)) \
+            .agg(F.count(F.lit(1))).collect()
+        pipe["mm05_clips_per_sec"] = round(n_imgs / (time.perf_counter() - t0))
+        t0 = time.perf_counter()
+        MM.video_features_real(MM.synth_videos(ids), every_n=2) \
+            .agg(F.count(F.lit(1))).collect()
+        pipe["mm06_vids_per_sec"] = round(n_imgs / (time.perf_counter() - t0))
 
         dim = 64
         vec = F.transform(
