@@ -172,6 +172,45 @@ def _lsh_keys_pandas_udf(all_planes: list[list[list[float]]]):
     return keys
 
 
+def _lsh_probe_keys_pandas_udf(all_planes: list[list[list[float]]],
+                               multiprobe: int):
+    """Query-side Arrow hashing: one numpy matmul yields every
+    (table, plane) margin, then the exact bucket key plus the 1-bit
+    multiprobe flips are string-assembled per row. Exists because the
+    unrolled Column kernel's n_tables·n_planes·dim expression tree is
+    plan-time quadratic — at 8×12×64 Catalyst spends ~36 s compiling a
+    plan that evaluates 100 rows (measured; the Arrow path is <1 s).
+    Same keys as the Column kernel modulo BLAS sign-boundary rounding
+    (see _lsh_keys_pandas_udf)."""
+    import numpy as np
+    import pandas as pd
+    globals().setdefault("pd", pd)
+
+    n_tables, n_planes = len(all_planes), len(all_planes[0])
+    W = np.array([p for planes in all_planes for p in planes],
+                 dtype=np.float64).T          # dim × (T·P)
+
+    @F.pandas_udf("array<string>")
+    def probe_keys(v: pd.Series) -> pd.Series:
+        M = np.vstack(v.to_numpy()).astype(np.float64)    # B × dim
+        bits = ((M @ W) >= 0).reshape(len(M), n_tables, n_planes)
+        out = []
+        for row in bits:
+            keys = []
+            for t in range(n_tables):
+                base = "".join("1" if b else "0" for b in row[t])
+                keys.append(f"{t}:{base}")
+                if multiprobe:
+                    for i in range(n_planes):
+                        keys.append(
+                            f"{t}:{base[:i]}"
+                            f"{'0' if base[i] == '1' else '1'}"
+                            f"{base[i + 1:]}")
+            out.append(keys)
+        return pd.Series(out)
+    return probe_keys
+
+
 def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     n_planes: int = 4, n_tables: int = 8, dim: int = 64,
                     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -219,36 +258,52 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             id_col,
             F.explode(F.array(*ck_cols)).alias("bkey"))
 
-    # Query keys materialize behind a projection barrier BEFORE the
-    # multiprobe flips: each flip takes 3 substrings of the key, and
-    # Catalyst's projection collapse would re-inline the full
-    # n_planes·dim dot-product tree into every one of them —
-    # (n_planes+1)·3 copies per table, a plan-size explosion that can
-    # OOM the driver before a single task runs.
-    qk = queries.select(
-        qid_col, qvec_col,
-        F.sqrt(dot_unpacked(F.col(qvec_col), F.col(qvec_col), dim))
-        .alias("__qn"),
-        *[lsh_bucket_key(F.col(qvec_col), planes).alias(f"__qk{t}")
-          for t, planes in enumerate(all_planes)])
-    if not qk.isStreaming:
-        qk = qk.localCheckpoint(eager=False)
-    q_probe_cols = []
-    for t in range(n_tables):
-        qkey = F.col(f"__qk{t}")
-        probes = [qkey]
-        if multiprobe:
-            for i in range(1, n_planes + 1):
-                probes.append(F.concat(
-                    F.substring(qkey, 1, i - 1),
-                    F.when(F.substring(qkey, i, 1) == "1", "0")
-                    .otherwise("1"),
-                    F.substring(qkey, i + 1, n_planes - i)))
-        q_probe_cols.extend(F.concat(F.lit(f"{t}:"), p) for p in probes)
-    qp = qk.select(
-        qid_col,
-        F.explode(F.array(*q_probe_cols)).alias("bkey"),
-    ).dropDuplicates([qid_col, "bkey"])
+    if kernel == "pandas":
+        # the Column kernel's query-key tree is plan-time quadratic
+        # (n_tables·n_planes·dim nodes — 36 s of Catalyst compile for
+        # 100 rows at 8×12×64); the Arrow kernel emits exact key +
+        # multiprobe flips in one matmul pass
+        qk = queries.select(
+            qid_col, qvec_col,
+            F.sqrt(dot_unpacked(F.col(qvec_col), F.col(qvec_col), dim))
+            .alias("__qn"))
+        probe_udf = _lsh_probe_keys_pandas_udf(all_planes, multiprobe)
+        qp = queries.select(
+            qid_col,
+            F.explode(probe_udf(F.col(qvec_col))).alias("bkey"),
+        ).dropDuplicates([qid_col, "bkey"])
+    else:
+        # Query keys materialize behind a projection barrier BEFORE
+        # the multiprobe flips: each flip takes 3 substrings of the
+        # key, and Catalyst's projection collapse would re-inline the
+        # full n_planes·dim dot-product tree into every one of them —
+        # (n_planes+1)·3 copies per table, a plan-size explosion that
+        # can OOM the driver before a single task runs.
+        qk = queries.select(
+            qid_col, qvec_col,
+            F.sqrt(dot_unpacked(F.col(qvec_col), F.col(qvec_col), dim))
+            .alias("__qn"),
+            *[lsh_bucket_key(F.col(qvec_col), planes).alias(f"__qk{t}")
+              for t, planes in enumerate(all_planes)])
+        if not qk.isStreaming:
+            qk = qk.localCheckpoint(eager=False)
+        q_probe_cols = []
+        for t in range(n_tables):
+            qkey = F.col(f"__qk{t}")
+            probes = [qkey]
+            if multiprobe:
+                for i in range(1, n_planes + 1):
+                    probes.append(F.concat(
+                        F.substring(qkey, 1, i - 1),
+                        F.when(F.substring(qkey, i, 1) == "1", "0")
+                        .otherwise("1"),
+                        F.substring(qkey, i + 1, n_planes - i)))
+            q_probe_cols.extend(
+                F.concat(F.lit(f"{t}:"), p) for p in probes)
+        qp = qk.select(
+            qid_col,
+            F.explode(F.array(*q_probe_cols)).alias("bkey"),
+        ).dropDuplicates([qid_col, "bkey"])
 
     # narrow candidate pairs → dedup → vectors fetched back once:
     # corpus side by shuffle join on id (norm computed map-side in
