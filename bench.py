@@ -181,6 +181,16 @@ def main() -> None:
         t0 = time.perf_counter()
         D.exact_dedup(dsrc).filter(F.col("is_dup")).count()
         pipe["dd01_docs_per_sec"] = round(n / (time.perf_counter() - t0))
+        # duplicate spans emit+shuffle ~26 positional windows per doc
+        # (5 GB of shuffle at 10M docs, ~4 min) — rate is measured on a
+        # 1M-doc slice and the slice size is recorded alongside
+        n_span = min(n_docs, 1_000_000)
+        t0 = time.perf_counter()
+        D.duplicate_spans(dsrc.filter(F.col("doc_id") < n_span)
+                          .repartition(cores),   # slice = few input splits
+                          k=5, hash_fn="xxhash64").count()
+        pipe["dd08_docs_per_sec"] = round(n_span / (time.perf_counter() - t0))
+        pipe["dd08_docs"] = n_span
 
         from nowdb_spark.operators import textops as TX
         from nowdb_spark.operators.dedup import simhash64, simhash64_arrow

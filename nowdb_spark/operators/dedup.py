@@ -549,3 +549,110 @@ def containment_pairs(df: DataFrame, content_col: str = "text",
                                 / F.col("card_a"), 6))
             .filter(F.col("containment") >= threshold)
             .select("doc_a", "doc_b", "containment"))
+
+
+def duplicate_spans(df: DataFrame, content_col: str = "text",
+                    id_col: str = "doc_id", k: int = 5,
+                    hash_fn: str = "md5") -> DataFrame:
+    """Substring-level dedup: maximal duplicated token spans.
+
+    The shingle-granular form of exact-substring deduplication (Lee
+    et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): a k-token window is *duplicated* when the same k tokens
+    occur anywhere else in the corpus (another document OR another
+    position of the same document); runs of consecutive duplicated
+    windows merge into maximal spans. Where the paper builds a suffix
+    array, the Spark-native plan is an inverted index over positional
+    shingles — same duplicated-span output at shingle granularity
+    (spans are detected from length k upward, and a maximal span's
+    boundaries are token-exact because every one of its windows must
+    be duplicated).
+
+    Returns (id, span_start, span_end, n_tokens) — token indices,
+    0-based, end-exclusive. Empty result = no duplicated spans.
+
+    Shape at 100 TB: one shuffle of (id, pos, hash) — ~#tokens rows,
+    the same order as a distributed suffix-array build's I/O — where
+    the count-over-hash window marks duplicated windows with map-side
+    partial counts; then one shuffle by document for the
+    gaps-and-islands merge (row_number difference). No driver state,
+    no O(n²) pair expansion: a window repeated R times costs R rows,
+    not R² pairs. ``hash_fn="md5"`` is the oracle-reproducible
+    default; "xxhash64" halves the shuffle key width (8-byte Long) for
+    production runs.
+    """
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"duplicate_spans: unknown hash_fn {hash_fn!r}")
+    ws = F.split(F.col(content_col), r"\s+")
+    idx = F.when(F.size(ws) >= k,
+                 F.sequence(F.lit(1), F.size(ws) - (k - 1))) \
+           .otherwise(F.array().cast("array<int>"))
+    shingle = lambda i: F.array_join(F.slice(ws, i, k), " ")  # noqa: E731
+    hashed = (F.md5 if hash_fn == "md5" else F.xxhash64)
+    sh = df.select(
+        F.col(id_col),
+        F.posexplode(F.transform(idx, lambda i: hashed(shingle(i))))
+        .alias("pos", "h"))                      # pos 0-based
+    dup = (sh
+           .withColumn("__c", F.count(F.lit(1)).over(W.partitionBy("h")))
+           .filter(F.col("__c") >= 2))
+    grp = (F.col("pos")
+           - F.row_number().over(W.partitionBy(id_col).orderBy("pos")))
+    return (dup
+            .withColumn("__g", grp)
+            .groupBy(id_col, "__g")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + F.lit(k)).alias("span_end"))
+            .select(F.col(id_col),
+                    F.col("span_start").cast("long"),
+                    F.col("span_end").cast("long"),
+                    (F.col("span_end") - F.col("span_start"))
+                    .cast("long").alias("n_tokens")))
+
+
+def remove_duplicate_spans(df: DataFrame, content_col: str = "text",
+                           id_col: str = "doc_id", k: int = 5,
+                           hash_fn: str = "xxhash64") -> DataFrame:
+    """Rewrite each document with its duplicated spans cut out
+    (every occurrence whose k-token windows are duplicated corpus-wide
+    is dropped; Lee et al. keep one occurrence, which needs a global
+    occurrence order). Note the cut re-joins the tokens on either side
+    of a removed span, which can create NEW k-token windows — like the
+    suffix-array original, one pass removes all *pre-existing*
+    duplicates but is not a fixed point; iterate if that matters.
+
+    Returns (id, text) with the deduplicated text (tokens joined by a
+    single space; documents losing every token keep an empty string).
+
+    One extra shuffle over duplicate_spans: spans join back to the
+    exploded tokens by document, tokens inside any span are dropped,
+    survivors re-assemble ordered by position (the groupBy carries
+    (pos, token) structs so reassembly is order-exact without relying
+    on collect_list ordering).
+    """
+    spans = duplicate_spans(df, content_col, id_col, k, hash_fn) \
+        .groupBy(id_col) \
+        .agg(F.collect_list(F.struct("span_start", "span_end"))
+             .alias("__spans"))
+    ws = F.split(F.col(content_col), r"\s+")
+    toks = df.select(F.col(id_col),
+                     F.posexplode(ws).alias("pos", "tok"))
+    in_span = F.exists(
+        "__spans",
+        lambda s: (F.col("pos") >= s["span_start"])
+        & (F.col("pos") < s["span_end"]))
+    kept = (toks.join(spans, id_col, "left")
+            .filter(F.col("__spans").isNull() | ~in_span))
+    rebuilt = (kept
+               .groupBy(id_col)
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("pos", "tok"))),
+                       lambda s: s["tok"]),
+                   " ").alias(content_col)))
+    # documents whose every token fell inside a span still come back
+    ids = df.select(id_col)
+    return (ids.join(rebuilt, id_col, "left")
+            .withColumn(content_col,
+                        F.coalesce(F.col(content_col), F.lit(""))))

@@ -202,6 +202,39 @@ def dd07(spark, sf):
 
 
 # ------------------------------------------------------------------
+@register(
+    "dd08_duplicate_spans",
+    f"""
+    WITH {_WORDS_CTE},
+    sh AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(ws[i:i+4], ' ')) AS h
+      FROM (SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws) - 4)) AS i
+            FROM words)
+    ),
+    dup AS (SELECT doc_id, pos FROM (
+      SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS c FROM sh)
+      WHERE c >= 2),
+    g AS (SELECT doc_id, pos,
+            pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+              AS grp
+          FROM dup)
+    SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 5 AS BIGINT) AS span_end,
+           CAST(max(pos) + 5 - min(pos) AS BIGINT) AS n_tokens
+    FROM g GROUP BY doc_id, grp
+    """,
+    doc="substring-level dedup (Lee et al. 2022): maximal duplicated "
+        "token spans (>= 5-token windows occurring elsewhere in the "
+        "corpus) via positional shingle inverted index + "
+        "gaps-and-islands merge",
+)
+def dd08(spark, sf):
+    return D.duplicate_spans(table(spark, sf, "documents"), k=5)
+
+
+# ------------------------------------------------------------------
 def _simhash_oracle() -> str:
     """DuckDB SimHash: 64 generated bit-sums (4 per hex digit) with
     the same majority rule and token/md5 semantics as simhash64."""

@@ -350,3 +350,69 @@ def test_simhash_arrow_backend(spark):
     again = {r["doc_id"]: r["simhash"]
              for r in D.simhash64_arrow(df).collect()}
     assert again == got
+
+
+def _py_duplicate_spans(texts: dict, k: int):
+    """Pure-python reference for duplicate_spans (positional shingle
+    counts + island merge)."""
+    from collections import Counter
+    occ = Counter()
+    shingles = {}
+    for doc, text in texts.items():
+        ws = text.split()
+        sh = [" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)]
+        shingles[doc] = sh
+        occ.update(sh)
+    spans = {}
+    for doc, sh in shingles.items():
+        dup_pos = [i for i, s in enumerate(sh) if occ[s] >= 2]
+        out, start = [], None
+        for j, p in enumerate(dup_pos):
+            if start is None:
+                start = p
+            if j + 1 == len(dup_pos) or dup_pos[j + 1] != p + 1:
+                out.append((start, p + k))
+                start = None
+        spans[doc] = out
+    return spans
+
+
+def test_duplicate_spans_matches_python(spark):
+    texts = {
+        0: "p q a b c d e r s",
+        1: "x y a b c d e z w",          # shares the 5-token run a..e
+        2: "p q m n o r s t u",
+        3: "u v m m m m m m w",
+        4: "m m m m m m",                # within-doc + cross-doc repeats
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {(r.doc_id, r.span_start, r.span_end)
+           for r in D.duplicate_spans(df, k=5).collect()}
+    want = {(d, a, b) for d, sp in _py_duplicate_spans(texts, 5).items()
+            for a, b in sp}
+    assert got == want and got  # non-trivial fixture
+
+
+def test_duplicate_spans_hash_fn_agree(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = {tuple(r) for r in D.duplicate_spans(docs, k=5).collect()}
+    b = {tuple(r) for r in
+         D.duplicate_spans(docs, k=5, hash_fn="xxhash64").collect()}
+    assert a == b and a
+
+
+def test_remove_duplicate_spans_matches_python(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    spans = _py_duplicate_spans(texts, 5)
+    want = {}
+    for doc, text in texts.items():
+        ws = text.split()
+        cut = set()
+        for a, b in spans.get(doc, []):
+            cut.update(range(a, b))
+        want[doc] = " ".join(w for i, w in enumerate(ws) if i not in cut)
+    got = {r.doc_id: r.text
+           for r in D.remove_duplicate_spans(docs, k=5).collect()}
+    assert got == want
+    assert any(got[d] != texts[d] for d in texts)  # something was cut
