@@ -552,3 +552,152 @@ def dequantize_int8(df: DataFrame, q_col: str = "q",
         "deq", F.transform(
             F.col(q_col),
             lambda x: x.cast("double") * F.col(scale_col) / 127.0))
+
+
+# ------------------------------------------------------------------
+# Product quantization (PQ): the codebook half of IVF-PQ. Vectors are
+# split into m subvectors; each subvector is replaced by the id of its
+# nearest centroid in a per-subspace codebook of size k. Storage drops
+# from dim×fp32 to m×log2(k) bits (+ the shared m×k×(dim/m) codebook);
+# queries score codes with ADC (asymmetric distance computation):
+# dist(q, x) ≈ Σ_j ||q_j − codebook[j][code_j]||².
+
+def pq_codebooks_lcg(dim: int, m: int = 8, k: int = 16,
+                     seed: int = 7) -> list[list[list[float]]]:
+    """Deterministic data-independent codebooks (same LCG normal
+    generator as _hyperplanes): m codebooks × k centroids × dim/m.
+    Used by the oracle-paired gate — both engines embed the identical
+    literals. For real corpora train with pq_train_codebooks."""
+    assert dim % m == 0, "dim must divide into m subspaces"
+    sub = dim // m
+    flat = _hyperplanes(sub, m * k, seed)       # unit rows, deterministic
+    return [[flat[j * k + c] for c in range(k)] for j in range(m)]
+
+
+def pq_train_codebooks(corpus: DataFrame, dim: int, m: int = 8,
+                       k: int = 16, iters: int = 10,
+                       train_limit: int = 100_000,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> list[list[list[float]]]:
+    """Data-adaptive codebooks: per-subspace Lloyd on a bounded,
+    deterministic sample (lowest `train_limit` ids) — numpy on the
+    driver, FAISS-style. Only the sample and the m×k×(dim/m) model
+    ever leave the executors; at 100 TB training cost is independent
+    of corpus size. Deterministic: init = first k sample subvectors,
+    empty clusters keep their previous centroid."""
+    import numpy as np
+
+    assert dim % m == 0
+    sub = dim // m
+    sample = np.array(
+        [list(r[0]) for r in corpus.select(vec_col, id_col)
+         .orderBy(id_col).limit(train_limit).select(vec_col).collect()],
+        dtype=np.float64)
+    books = []
+    for j in range(m):
+        X = sample[:, j * sub:(j + 1) * sub]
+        C = X[:k].copy()
+        for _ in range(iters):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    C[c] = X[mask].mean(axis=0)
+        books.append([[float(w) for w in c] for c in C])
+    return books
+
+
+def _pq_subdist(vec: Column, j: int, sub: int, cent: list[float]) -> Column:
+    """||vec[j·sub : (j+1)·sub] − cent||², unrolled left-to-right —
+    the identical association order is spelled in the DuckDB oracle,
+    so distances (and therefore argmins) are bit-identical."""
+    s = None
+    for d, w in enumerate(cent):
+        x = F.element_at(vec, j * sub + d + 1).cast("double") - F.lit(w)
+        term = x * x
+        s = term if s is None else s + term
+    return s
+
+
+def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              kernel: str = "column") -> DataFrame:
+    """(id, code: array<int>) — code[j] = argmin_c ||v_j − cb[j][c]||²
+    (ties → lowest c). Map-only, no shuffle. `kernel="column"` is the
+    oracle-reproducible JVM expression (m×k×(dim/m) codegen terms —
+    fine at 8×16×8); "pandas" is one numpy distance matrix per batch,
+    the scale path when m·k·dim outgrows codegen."""
+    m, k = len(codebooks), len(codebooks[0])
+    sub = len(codebooks[0][0])
+    if kernel == "pandas":
+        import numpy as np
+        import pandas as pd
+        globals().setdefault("pd", pd)
+        CB = np.array(codebooks, dtype=np.float64)   # m × k × sub
+
+        @F.pandas_udf("array<int>")
+        def enc(v: pd.Series) -> pd.Series:
+            M = np.vstack(v.to_numpy()).astype(np.float64)
+            B = M.reshape(len(M), m, 1, sub)
+            d2 = ((B - CB[None, :, :, :]) ** 2).sum(axis=3)
+            return pd.Series(list(d2.argmin(axis=2).astype("int32")))
+        return df.select(id_col, enc(F.col(vec_col)).alias("code"))
+
+    code = F.array(*[
+        F.element_at(
+            F.array_sort(F.array(*[
+                F.struct(_pq_subdist(F.col(vec_col), j, sub, cent)
+                         .alias("d"), F.lit(c).alias("c"))
+                for c, cent in enumerate(cb)])), 1)["c"]
+        for j, cb in enumerate(codebooks)])
+    return df.select(id_col, code.alias("code"))
+
+
+def pq_decode(df: DataFrame, codebooks: list[list[list[float]]],
+              code_col: str = "code") -> DataFrame:
+    """Reconstruct the approximate vector from its code: concatenation
+    of the chosen centroids (array<double> column "deq")."""
+    parts = []
+    for j, cb in enumerate(codebooks):
+        cbl = F.array(*[F.array(*[F.lit(w) for w in cent])
+                        for cent in cb])
+        parts.append(F.element_at(cbl,
+                                  F.element_at(F.col(code_col), j + 1) + 1))
+    return df.withColumn("deq", F.concat(*parts))
+
+
+def pq_adc_topk(codes: DataFrame, queries: DataFrame,
+                codebooks: list[list[list[float]]], k: int = 5,
+                id_col: str = "vec_id", code_col: str = "code",
+                qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
+    """ADC top-k: for each query, dist(q, x) = Σ_j ||q_j −
+    cb[j][code_j]||² evaluated directly from the codes — the corpus
+    vectors are never touched. (qid, vec_id, dist, rnk), rnk ≤ k,
+    ascending dist, ties → lowest vec_id.
+
+    Shape at scale: queries broadcast against the code table (m ints
+    per corpus row — 32× narrower than fp32 vectors), one window for
+    the per-query top-k. The per-(query, centroid) lookup table the
+    classical formulation precomputes is here folded into the codegen
+    expression; with thousands of queries, materialize the LUT join
+    instead."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    dist = None
+    for j, cb in enumerate(codebooks):
+        cbl = F.array(*[F.array(*[F.lit(w) for w in cent])
+                        for cent in cb])
+        cent = F.element_at(cbl, F.element_at(F.col(code_col), j + 1) + 1)
+        s = None
+        for d in range(sub):
+            x = (F.element_at(F.col(qvec_col), j * sub + d + 1)
+                 .cast("double") - F.element_at(cent, d + 1))
+            term = x * x
+            s = term if s is None else s + term
+        dist = s if dist is None else dist + s
+    w = W.partitionBy(qid_col).orderBy(F.col("dist").asc(), F.col(id_col))
+    return (codes.crossJoin(F.broadcast(queries))
+            .select(qid_col, id_col, F.round(dist, 6).alias("dist"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k))

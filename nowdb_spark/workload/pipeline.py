@@ -637,6 +637,84 @@ def ann04(spark, sf):
 
 
 # ------------------------------------------------------------------
+_PQ_M, _PQ_K, _PQ_SUB = 8, 16, 8       # 64-dim → 8 subspaces × 16 cents
+
+
+def _pq_oracle_sql() -> str:
+    """DuckDB replay of pq_encode + pq_adc_topk with the LCG codebook
+    literals embedded. Every float literal is 17-sig-digit scientific
+    (parses as DOUBLE, exact round-trip of the Spark-side F.lit), and
+    every distance sum is spelled in the SAME left-to-right
+    association order as the unrolled Column expressions — argmins and
+    rounded distances are bit-identical, not merely close."""
+    cbs = S.pq_codebooks_lcg(64, _PQ_M, _PQ_K, seed=7)
+
+    def flit(w: float) -> str:
+        return f"{w:.17e}"
+
+    def subdist(vexpr: str, j: int, cent: list[float]) -> str:
+        return " + ".join(
+            f"({vexpr}[{j * _PQ_SUB + d + 1}] - {flit(w)})"
+            f" * ({vexpr}[{j * _PQ_SUB + d + 1}] - {flit(w)})"
+            for d, w in enumerate(cent))
+
+    code_items = []
+    for j, cb in enumerate(cbs):
+        structs = ", ".join(
+            f"{{'d': {subdist('v', j, cent)}, 'c': {c}}}"
+            for c, cent in enumerate(cb))
+        code_items.append(f"list_sort([{structs}])[1].c")
+    enc = ", ".join(code_items)
+
+    cb_lits = [
+        "[" + ", ".join(
+            "[" + ", ".join(flit(w) for w in cent) + "]" for cent in cb)
+        + "]"
+        for cb in cbs]
+    dist_terms = []
+    for j in range(_PQ_M):
+        cent = f"{cb_lits[j]}[e.code[{j + 1}] + 1]"
+        dist_terms.append("(" + " + ".join(
+            f"(q.v[{j * _PQ_SUB + d + 1}] - {cent}[{d + 1}])"
+            f" * (q.v[{j * _PQ_SUB + d + 1}] - {cent}[{d + 1}])"
+            for d in range(_PQ_SUB)) + ")")
+    dist = " + ".join(dist_terms)
+
+    return f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+enc AS (SELECT vec_id, [{enc}] AS code FROM emb)
+SELECT qid, vec_id, dist, rnk FROM (
+  SELECT q.vec_id AS qid, e.vec_id,
+         round({dist}, 6) AS dist,
+         CAST(row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY round({dist}, 6), e.vec_id) AS INT) AS rnk
+  FROM enc e CROSS JOIN (SELECT vec_id, v FROM emb WHERE vec_id < 3) q
+) WHERE rnk <= 5
+"""
+
+
+@register(
+    "ann06_pq_adc",
+    _pq_oracle_sql(),
+    doc="product quantization: per-subspace codebook encode (argmin, "
+        "map-only) + ADC top-k scored from the 32x-compressed codes — "
+        "the codebook half of IVF-PQ. Gate uses deterministic LCG "
+        "codebooks so the oracle embeds identical literals; "
+        "pq_train_codebooks is the data-adaptive production path.",
+)
+def ann06(spark, sf):
+    e = table(spark, sf, "embeddings")
+    cbs = S.pq_codebooks_lcg(64, _PQ_M, _PQ_K, seed=7)
+    codes = S.pq_encode(e, cbs)
+    queries = (e.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec")))
+    return S.pq_adc_topk(codes, queries, cbs, k=5)
+
+
+# ------------------------------------------------------------------
 @register(
     "mm01_extract_meta",
     """

@@ -416,3 +416,63 @@ def test_remove_duplicate_spans_matches_python(spark):
            for r in D.remove_duplicate_spans(docs, k=5).collect()}
     assert got == want
     assert any(got[d] != texts[d] for d in texts)  # something was cut
+
+
+def test_pq_encode_kernels_agree(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cbs = S.pq_codebooks_lcg(64, m=8, k=16, seed=7)
+    col = {r.vec_id: list(r.code)
+           for r in S.pq_encode(emb, cbs, kernel="column").collect()}
+    pdk = {r.vec_id: list(r.code)
+           for r in S.pq_encode(emb, cbs, kernel="pandas").collect()}
+    assert col == pdk and col
+
+
+def test_pq_trained_beats_lcg_reconstruction(spark):
+    import numpy as np
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+
+    def recon_err(cbs):
+        deq = {r.vec_id: np.array(r.deq)
+               for r in S.pq_decode(S.pq_encode(emb, cbs, kernel="pandas"),
+                                    cbs).collect()}
+        return sum(np.linalg.norm(vecs[i] - deq[i]) for i in vecs)
+
+    lcg = S.pq_codebooks_lcg(64, m=8, k=16, seed=7)
+    trained = S.pq_train_codebooks(emb, dim=64, m=8, k=16, iters=5)
+    assert recon_err(trained) < recon_err(lcg)
+
+
+def test_pq_adc_recall_improves_with_resolution(spark):
+    """Uniform-random vectors are PQ's adversarial case (no cluster
+    structure to exploit), so absolute recall is modest — the property
+    that matters is that the (m, k) quality knob works: finer
+    quantization → better recall@10 (measured 0.34 → 0.54 → 0.80 at
+    m8k16 / m16k32 / m32k64 on this fixture)."""
+    import numpy as np
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec")))
+
+    def recall(m, k):
+        trained = S.pq_train_codebooks(emb, dim=64, m=m, k=k, iters=5)
+        codes = S.pq_encode(emb, trained, kernel="pandas")
+        got = {}
+        for r in S.pq_adc_topk(codes, queries, trained, k=10).collect():
+            got.setdefault(r.qid, set()).add(r.vec_id)
+        hits = tot = 0
+        for qid in got:
+            d = sorted(vecs, key=lambda i: (
+                float(np.linalg.norm(vecs[i] - vecs[qid])), i))
+            hits += len(got[qid] & set(d[:10]))
+            tot += 10
+        return hits / tot
+
+    coarse, fine = recall(8, 16), recall(32, 64)
+    assert coarse >= 0.2
+    assert fine >= coarse + 0.2
