@@ -198,3 +198,114 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
                     & (F.col("_dwf") <= max_dup_word_frac)
                     & (F.col(id_col) == F.col("_canon")))
             .drop("_dwf", "_canon"))
+
+
+def deterministic_shuffle(df: DataFrame, id_col: str = "doc_id",
+                          seed: int = 0,
+                          out_col: str = "shuffle_order",
+                          hash_fn: str = "md5") -> DataFrame:
+    """Seed-stable global shuffle order for training runs.
+
+    Training pipelines need the corpus in a random-but-reproducible
+    order (epoch seed → identical batches on every re-run, machine
+    count notwithstanding). `orderBy(rand(seed))` is NOT reproducible
+    across partition layouts; a keyed hash is: order =
+    hash("seed:id"). Returns the frame with a dense 0-based
+    `shuffle_order` (row_number over the hash, ties by id for hash
+    collisions). ``hash_fn="md5"`` is ANSI-reproducible (the oracle
+    runs the identical expression); "xxhash64" is the cheaper
+    production key.
+
+    One global sort — at 100 TB that's the range-partitioned tera-sort
+    Spark already does well; for writing shards, follow with
+    `repartitionByRange(n_shards, out_col)` so shard files are the
+    contiguous order ranges.
+    """
+    sid = F.col(id_col).cast("string")
+    if hash_fn == "md5":
+        key = F.md5(F.concat(F.lit(f"{seed}:"), sid))
+    elif hash_fn == "xxhash64":
+        key = F.xxhash64(F.lit(seed), F.col(id_col))
+    else:
+        raise ValueError(f"deterministic_shuffle: unknown hash_fn {hash_fn!r}")
+    w = Window.orderBy(key, F.col(id_col))
+    return df.withColumn(out_col,
+                         (F.row_number().over(w) - F.lit(1)).cast("long"))
+
+
+def pack_sequences(df: DataFrame, id_col: str = "doc_id",
+                   len_col: str = "n_tokens", max_len: int = 2048,
+                   seed: int = 0, slice_len: int = 100_000) -> DataFrame:
+    """Greedy sequence packing: assign documents to fixed-capacity
+    training sequences (bins of `max_len` tokens) — the standard
+    fill-the-context-window step before tokenizer sharding.
+
+    Deterministic first-fit in shuffle order: documents are laid
+    head-to-tail along the deterministic_shuffle order; a doc that
+    would straddle a bin boundary starts the next bin (no doc is
+    split). Documents longer than max_len get a bin of their own
+    (flagged `oversize` — chunk them upstream).
+
+    The sequential scan is parallelized over fixed LOGICAL slices of
+    the order (`slice = shuffle_order // slice_len`): each slice
+    packs independently with a fresh bin, so bins never span slices
+    and the result is a pure function of (ids, lengths, seed,
+    max_len, slice_len) — identical on any cluster layout. The cost
+    of the slice boundaries is at most one partially-filled bin per
+    `slice_len` docs. Scale shape: the deterministic_shuffle sort,
+    one applyInPandas keyed by slice (bounded state: one slice of
+    (id, len) pairs), one broadcast join to globalize seq ids.
+
+    Returns (id, n_tokens, seq_id, offset, oversize): seq_id = dense
+    global sequence index, offset = token start within the sequence.
+    """
+    from pyspark.sql.types import (BooleanType, LongType, StructField,
+                                   StructType)
+
+    ordered = deterministic_shuffle(df.select(id_col, len_col),
+                                    id_col, seed)
+    sliced = ordered.withColumn(
+        "__slice", F.floor(F.col("shuffle_order") / F.lit(slice_len))
+        .cast("long"))
+
+    schema = StructType([
+        StructField(id_col, LongType()),
+        StructField("n_tokens", LongType()),
+        StructField("slice_id", LongType()),
+        StructField("local_seq", LongType()),
+        StructField("offset", LongType()),
+        StructField("oversize", BooleanType()),
+    ])
+
+    def pack(key, pdf):
+        import pandas as pd
+        slice_id = int(key[0])
+        pdf = pdf.sort_values("shuffle_order")
+        seq, off, rows = 0, 0, []
+        for did, n in zip(pdf[id_col], pdf[len_col]):
+            n = int(n)
+            if off > 0 and off + n > max_len:
+                seq += 1
+                off = 0
+            rows.append((int(did), n, slice_id, seq, off, n > max_len))
+            off += n
+            if n > max_len:          # oversize doc: close its bin
+                seq += 1
+                off = 0
+        return pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    packed = sliced.groupBy("__slice").applyInPandas(pack, schema)
+    # globalize seq ids: one tiny window over per-slice bin counts
+    per_slice = (packed.groupBy("slice_id")
+                 .agg((F.max("local_seq") + 1).alias("n_seqs")))
+    w = Window.orderBy("slice_id")
+    base = per_slice.withColumn(
+        "seq_base",
+        F.coalesce(F.sum("n_seqs").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)))
+    return (packed.join(F.broadcast(base.select("slice_id", "seq_base")),
+                        "slice_id")
+            .select(F.col(id_col), F.col("n_tokens"),
+                    (F.col("seq_base") + F.col("local_seq"))
+                    .alias("seq_id"),
+                    "offset", "oversize"))

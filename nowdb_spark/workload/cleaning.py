@@ -183,3 +183,74 @@ def cc01(spark, sf):
     return (cc.groupBy("source")
             .agg(F.count("*").cast("long").alias("n_docs"),
                  F.sum("n_words").cast("long").alias("sum_words")))
+
+
+@register(
+    "cx02_det_shuffle",
+    """
+    SELECT doc_id, n_chars,
+           CAST(row_number() OVER (
+             ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+             AS BIGINT) AS shuffle_order
+    FROM documents
+    """,
+    doc="seed-stable global shuffle order (epoch-reproducible corpus "
+        "order independent of partition layout)",
+)
+def cx02(spark, sf):
+    d = table(spark, sf, "documents").select("doc_id", "n_chars")
+    return C.deterministic_shuffle(d, seed=7)
+
+
+def _pack_oracle() -> str:
+    """Recursive-CTE replay of the greedy first-fit packer: one state
+    row per document in shuffle order (same md5 order expression as
+    cx02), carrying (seq, offset) through the linear recurrence."""
+    return """
+WITH RECURSIVE ordered AS (
+  SELECT doc_id, n_chars AS n,
+         row_number() OVER (
+           ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+),
+st AS (
+  SELECT rn, doc_id, n,
+         CAST(0 AS BIGINT) AS seq, CAST(0 AS BIGINT) AS off,
+         CAST(CASE WHEN n > 512 THEN 1 ELSE 0 END AS BIGINT) AS seq_next,
+         CAST(CASE WHEN n > 512 THEN 0 ELSE n END AS BIGINT) AS off_next
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.rn, o.doc_id, o.n,
+         CASE WHEN s.off_next > 0 AND s.off_next + o.n > 512
+              THEN s.seq_next + 1 ELSE s.seq_next END AS seq,
+         CASE WHEN s.off_next > 0 AND s.off_next + o.n > 512
+              THEN CAST(0 AS BIGINT) ELSE s.off_next END AS off,
+         CASE WHEN s.off_next > 0 AND s.off_next + o.n > 512 THEN
+                CASE WHEN o.n > 512 THEN s.seq_next + 2
+                     ELSE s.seq_next + 1 END
+              ELSE
+                CASE WHEN o.n > 512 THEN s.seq_next + 1
+                     ELSE s.seq_next END
+         END AS seq_next,
+         CASE WHEN o.n > 512 THEN CAST(0 AS BIGINT)
+              WHEN s.off_next > 0 AND s.off_next + o.n > 512 THEN o.n
+              ELSE s.off_next + o.n END AS off_next
+  FROM st s JOIN ordered o ON o.rn = s.rn + 1
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, seq AS seq_id,
+       off AS "offset", n > 512 AS oversize
+FROM st
+"""
+
+
+@register(
+    "cx03_pack_sequences",
+    _pack_oracle(),
+    doc="greedy sequence packing into 512-token training bins along "
+        "the deterministic shuffle order; oracle replays the "
+        "first-fit recurrence as a recursive CTE",
+)
+def cx03(spark, sf):
+    d = table(spark, sf, "documents") \
+        .select("doc_id", F.col("n_chars").alias("n_tokens"))
+    return C.pack_sequences(d, len_col="n_tokens", max_len=512, seed=7)

@@ -1,0 +1,59 @@
+"""Sequence packing + deterministic shuffle: layout invariance and
+bin-capacity properties (the gate cx03 pins exact equivalence to the
+sequential first-fit recurrence)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nowdb_spark.operators import corpus as C
+from tests.conftest import SF_DIR
+
+
+def _docs(spark):
+    return (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", F.col("n_chars").alias("n_tokens")))
+
+
+def test_pack_layout_invariant(spark):
+    d = _docs(spark)
+    a = sorted(tuple(r) for r in C.pack_sequences(d, max_len=512).collect())
+    b = sorted(tuple(r) for r in
+               C.pack_sequences(d.repartition(7), max_len=512).collect())
+    assert a == b and a
+
+
+def test_pack_bin_capacity_and_contiguity(spark):
+    rows = C.pack_sequences(_docs(spark), max_len=512).collect()
+    bins = {}
+    for r in rows:
+        bins.setdefault(r.seq_id, []).append(r)
+    for seq, docs in bins.items():
+        docs.sort(key=lambda r: r.offset)
+        off = 0
+        for r in docs:
+            assert r.offset == off
+            off += r.n_tokens
+        if not any(r.oversize for r in docs):
+            assert off <= 512
+        else:
+            assert len(docs) == 1          # oversize docs pack alone
+    # seq ids are dense from 0
+    assert sorted(bins) == list(range(len(bins)))
+
+
+def test_shuffle_hash_fns_both_permutations(spark):
+    d = _docs(spark)
+    md5 = {r.doc_id: r.shuffle_order
+           for r in C.deterministic_shuffle(d, seed=1).collect()}
+    xx = {r.doc_id: r.shuffle_order
+          for r in C.deterministic_shuffle(d, seed=1,
+                                           hash_fn="xxhash64").collect()}
+    n = len(md5)
+    assert sorted(md5.values()) == list(range(n))
+    assert sorted(xx.values()) == list(range(n))
+    assert md5 != xx                        # different keys, different order
+    # and seed changes the order too
+    md5b = {r.doc_id: r.shuffle_order
+            for r in C.deterministic_shuffle(d, seed=2).collect()}
+    assert md5 != md5b
