@@ -194,10 +194,17 @@ def main() -> None:
 
         from nowdb_spark.operators import textops as TX
         from nowdb_spark.operators.dedup import simhash64, simhash64_arrow
+        # the Column backend is ~30× slower than the Arrow kernel
+        # (65-counter fold in codegen) — rate it on a 1M slice so it
+        # doesn't dominate the bench wall-clock; the Arrow production
+        # path below runs the full volume
+        n_sh = min(n_docs, 1_000_000)
+        sh_slice = dsrc.filter(F.col("doc_id") < n_sh).repartition(cores)
         t0 = time.perf_counter()
-        dsrc.select("doc_id", simhash64(F.col("text")).alias("sh")) \
+        sh_slice.select("doc_id", simhash64(F.col("text")).alias("sh")) \
             .agg(F.count("sh")).collect()
-        pipe["dd05_docs_per_sec"] = round(n / (time.perf_counter() - t0))
+        pipe["dd05_docs_per_sec"] = round(n_sh / (time.perf_counter() - t0))
+        pipe["dd05_docs"] = n_sh
         t0 = time.perf_counter()
         simhash64_arrow(dsrc).agg(F.count("simhash")).collect()
         pipe["dd05a_docs_per_sec"] = round(n / (time.perf_counter() - t0))

@@ -701,3 +701,87 @@ def pq_adc_topk(codes: DataFrame, queries: DataFrame,
             .select(qid_col, id_col, F.round(dist, 6).alias("dist"))
             .withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k))
+
+
+def semdedup(corpus: DataFrame, n_centroids: int = 16, iters: int = 3,
+             threshold: float = 0.8,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: list[list[float]] | None = None,
+             keep: str = "min_id", kernel: str = "column") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication via k-means clustering + intra-cluster cosine.
+
+    The insight that makes embedding dedup tractable at corpus scale:
+    never compare across clusters. Spherical k-means buckets the
+    corpus into ``n_centroids`` clusters (the same coarse quantizer as
+    ivf_topk); pairwise cosine runs only WITHIN a cluster, so total
+    pair work is Σ|cluster|² instead of n² — choose
+    n_centroids ∝ n / target_cluster_size and the per-cluster
+    quadratic stays bounded as the corpus grows.
+
+    ``keep`` selects the canonical representative of a duplicate
+    group:
+      * ``"min_id"`` (default) — lowest id wins, matching
+        exact_dedup's convention and reproducible in ANSI SQL (the
+        gate's oracle).
+      * ``"far"`` — the paper's choice: keep the example FARTHEST
+        from its centroid (lowest centroid-cosine; id tie-break).
+
+    Returns (id, cid, dup_of, is_dup): ``dup_of`` = the winning
+    neighbor's id (NULL for keepers), ``is_dup`` marks rows a
+    downstream filter drops.
+
+    Shape at 100 TB: assignment is map-side (no shuffle); the
+    self-join shuffles both sides once on cid — persist the assigned
+    corpus with ``.write.partitionBy('cid')`` and the join runs
+    co-located with zero exchange. No driver state beyond the C×D
+    centroid matrix.
+    """
+    if keep not in ("min_id", "far"):
+        raise ValueError(f"semdedup: unknown keep policy {keep!r}")
+    if centroids is None:
+        centroids = kmeans_centroids(corpus, n_centroids, iters,
+                                     vec_col, id_col, kernel=kernel)
+    dim = len(centroids[0])
+    idx = (ivf_index(corpus.select(id_col, vec_col), centroids, vec_col,
+                     kernel=kernel)
+           .withColumn("__n", F.sqrt(dot_unpacked(F.col(vec_col),
+                                                  F.col(vec_col), dim))))
+    if keep == "far":
+        # centroid-cosine (centroids are unit vectors): max dot / ‖v‖
+        sims = F.array(*[_dot_const(F.col(vec_col), c)
+                         for c in centroids])
+        idx = idx.withColumn(
+            "__cs", F.round(F.array_max(sims) / F.col("__n"), 6))
+    prio = ["__cs", id_col] if keep == "far" else [id_col]
+    a = idx.select("cid", *[F.col(c).alias(f"{c}_a") for c in
+                            (id_col, vec_col, "__n", *prio[:-1])])
+    b = idx.select("cid", *[F.col(c).alias(f"{c}_b") for c in
+                            (id_col, vec_col, "__n", *prio[:-1])])
+    sim = F.round(
+        dot_unpacked(F.col(f"{vec_col}_a"), F.col(f"{vec_col}_b"), dim)
+        / (F.col("__n_a") * F.col("__n_b")), 6)
+    pairs = (a.join(b, "cid")
+             .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+             .select("cid", f"{id_col}_a", f"{id_col}_b",
+                     *([f"__cs_a", f"__cs_b"] if keep == "far" else []),
+                     sim.alias("sim"))
+             .filter(F.col("sim") >= F.lit(float(threshold))))
+    if keep == "min_id":
+        loser = F.col(f"{id_col}_b")
+        winner = F.col(f"{id_col}_a")
+    else:
+        a_wins = (F.struct(F.col("__cs_a").alias("s"),
+                           F.col(f"{id_col}_a").alias("i"))
+                  < F.struct(F.col("__cs_b").alias("s"),
+                             F.col(f"{id_col}_b").alias("i")))
+        loser = F.when(a_wins, F.col(f"{id_col}_b")) \
+                 .otherwise(F.col(f"{id_col}_a"))
+        winner = F.when(a_wins, F.col(f"{id_col}_a")) \
+                  .otherwise(F.col(f"{id_col}_b"))
+    dups = (pairs.select(loser.alias(id_col), winner.alias("dup_of"))
+            .groupBy(id_col).agg(F.min("dup_of").alias("dup_of")))
+    return (idx.select(id_col, "cid")
+            .join(dups, id_col, "left")
+            .select(id_col, "cid", "dup_of",
+                    F.col("dup_of").isNotNull().alias("is_dup")))

@@ -311,6 +311,7 @@ def dd06(spark, sf):
 
 
 # ------------------------------------------------------------------
+# ------------------------------------------------------------------
 @register(
     "tx01_text_stats",
     f"""
@@ -541,18 +542,18 @@ def ann03(spark, sf):
                              dim=64)
 
 
-def _ivf_oracle_sql(k: int = 5, n_centroids: int = 8, n_probe: int = 3,
-                    iters: int = 3, train_limit: int = 100_000) -> str:
-    """Generated DuckDB oracle for ann04: IVF training is deterministic
-    (first-C init in vec_id order, bounded sample, fixed Lloyd
-    iterations), so the whole pipeline unrolls into chained CTEs —
-    c0 → assign → elementwise mean → renorm, `iters` times — followed
-    by the probe join and exact rerank. Cross-engine float noise lives
-    only in avg's summation order (ulp-level); assignments flip only on
-    exact dot-product ties, measure-zero for continuous embeddings.
-    Tie-breaks mirror the Spark operators exactly: assignment takes the
-    LOWEST centroid id among max-sim (array_position first-match),
-    probing takes the HIGHEST id first (reverse(array_sort(structs)))."""
+def _kmeans_idx_ctes(n_centroids: int, iters: int,
+                     train_limit: int) -> list[str]:
+    """CTE chain replaying kmeans_centroids + ivf_index in DuckDB:
+    deterministic training (first-C init in vec_id order, bounded
+    sample, fixed Lloyd iterations) unrolls into chained CTEs —
+    c0 → assign → elementwise mean → renorm, `iters` times — ending
+    with `idx` (vec_id, cid): every vector's final cluster. Shared by
+    the ann04 and dd09 generated oracles. Cross-engine float noise
+    lives only in avg's summation order (ulp-level); assignments flip
+    only on exact dot-product ties, measure-zero for continuous
+    embeddings. Assignment tie-break mirrors nearest_centroid: LOWEST
+    centroid id among max-sim (array_position first-match)."""
     unit = ("list_transform(v, x -> x / (CASE WHEN "
             "sqrt(list_dot_product(v, v)) = 0 THEN 1.0 "
             "ELSE sqrt(list_dot_product(v, v)) END))")
@@ -592,7 +593,18 @@ idx AS (
            row_number() OVER (PARTITION BY e.vec_id
              ORDER BY list_dot_product(e.v, p.c) DESC, p.cid) AS rn
     FROM emb e CROSS JOIN c{iters} p) WHERE rn = 1
-),
+)""")
+    return parts
+
+
+def _ivf_oracle_sql(k: int = 5, n_centroids: int = 8, n_probe: int = 3,
+                    iters: int = 3, train_limit: int = 100_000) -> str:
+    """Generated DuckDB oracle for ann04: the shared k-means/idx CTE
+    chain followed by the probe join and exact rerank. Probe tie-break
+    mirrors ivf_topk: HIGHEST centroid id first
+    (reverse(array_sort(structs)))."""
+    parts = _kmeans_idx_ctes(n_centroids, iters, train_limit)
+    parts.append(f""",
 probe AS (
   SELECT qid, cid FROM (
     SELECT q.vec_id AS qid, p.cid,
@@ -634,6 +646,51 @@ def ann04(spark, sf):
         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
     )
     return S.ivf_topk(e, queries, k=5, n_centroids=8, n_probe=3, iters=3)
+
+
+def _semdedup_oracle_sql(n_centroids: int = 8, iters: int = 3,
+                         threshold: float = 0.35,
+                         train_limit: int = 100_000) -> str:
+    """Generated DuckDB oracle for dd09: the shared k-means/idx CTE
+    chain (see _kmeans_idx_ctes), then intra-cluster pairwise cosine
+    and the min-id keep policy replayed relationally."""
+    parts = _kmeans_idx_ctes(n_centroids, iters, train_limit)
+    parts.append(f""",
+nrm AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS n FROM emb),
+pairs AS (
+  SELECT b.vec_id AS loser, a.vec_id AS winner
+  FROM idx a JOIN idx b USING (cid)
+  JOIN emb ea ON ea.vec_id = a.vec_id
+  JOIN emb eb ON eb.vec_id = b.vec_id
+  JOIN nrm na ON na.vec_id = a.vec_id
+  JOIN nrm nb ON nb.vec_id = b.vec_id
+  WHERE a.vec_id < b.vec_id
+    AND round(list_dot_product(ea.v, eb.v) / (na.n * nb.n), 6)
+        >= {threshold}
+),
+dups AS (SELECT loser AS vec_id, min(winner) AS dup_of
+         FROM pairs GROUP BY loser)
+SELECT i.vec_id, i.cid, d.dup_of, d.dup_of IS NOT NULL AS is_dup
+FROM idx i LEFT JOIN dups d USING (vec_id)
+""")
+    return "".join(parts)
+
+
+@register(
+    "dd09_semdedup",
+    _semdedup_oracle_sql(),
+    doc="SemDeDup (Abbas et al. 2023): semantic dedup — k-means "
+        "clusters bound the pairwise-cosine work to Σ|cluster|² "
+        "instead of n²; min-id keep policy for the generated oracle "
+        "(the paper's keep-farthest-from-centroid policy is "
+        "keep='far', pytest-verified). Gate threshold 0.35 sits at "
+        "the synthetic embeddings' ~99.9th pairwise percentile so the "
+        "dup set is non-trivial.",
+)
+def dd09(spark, sf):
+    e = table(spark, sf, "embeddings")
+    return S.semdedup(e, n_centroids=8, iters=3, threshold=0.35)
+
 
 
 # ------------------------------------------------------------------

@@ -476,3 +476,58 @@ def test_pq_adc_recall_improves_with_resolution(spark):
     coarse, fine = recall(8, 16), recall(32, 64)
     assert coarse >= 0.2
     assert fine >= coarse + 0.2
+
+
+def test_semdedup_known_dups(spark):
+    """Hand-built corpus: two exact-direction pairs inside clusters →
+    min_id policy marks the higher id of each pair."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0, 0.0]),     # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.98, 0.02, 0.0]),     # near-dup of 2
+        (4, [0.0, 0.0, 1.0, 0.0]),       # singleton
+        (5, [0.5, 0.5, 0.5, 0.5]),       # far from everything at 0.99
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    r = {x["vec_id"]: x for x in
+         S.semdedup(df, n_centroids=3, iters=2, threshold=0.99).collect()}
+    assert not r[0]["is_dup"] and r[1]["is_dup"] and r[1]["dup_of"] == 0
+    assert not r[2]["is_dup"] and r[3]["is_dup"] and r[3]["dup_of"] == 2
+    assert not r[4]["is_dup"] and not r[5]["is_dup"]
+
+
+def test_semdedup_far_policy_keeps_farthest(spark):
+    """keep='far' keeps the pair member with the LOWER centroid
+    cosine (the paper's policy); min_id keeps the lower id. Build a
+    pair where those disagree: id 0 sits exactly on the centroid
+    direction, id 1 slightly off — 'far' must keep 1, min_id keeps
+    0."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.995, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),       # second cluster anchor
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # centroids fixed so the test controls geometry (unit vectors)
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    mi = {x["vec_id"]: x for x in
+          S.semdedup(df, centroids=cents, threshold=0.9).collect()}
+    fa = {x["vec_id"]: x for x in
+          S.semdedup(df, centroids=cents, threshold=0.9,
+                     keep="far").collect()}
+    assert mi[1]["is_dup"] and mi[1]["dup_of"] == 0 and not mi[0]["is_dup"]
+    assert fa[0]["is_dup"] and fa[0]["dup_of"] == 1 and not fa[1]["is_dup"]
+
+
+def test_semdedup_partition_invariance(spark):
+    """Result is a pure function of the data — any input layout."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = S.semdedup(emb, n_centroids=4, iters=2, threshold=0.35)
+    b = S.semdedup(emb.repartition(13), n_centroids=4, iters=2,
+                   threshold=0.35)
+    ka = {(r["vec_id"], r["cid"], r["dup_of"], r["is_dup"])
+          for r in a.collect()}
+    kb = {(r["vec_id"], r["cid"], r["dup_of"], r["is_dup"])
+          for r in b.collect()}
+    assert ka == kb
