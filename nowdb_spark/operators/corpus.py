@@ -309,3 +309,85 @@ def pack_sequences(df: DataFrame, id_col: str = "doc_id",
                     (F.col("seq_base") + F.col("local_seq"))
                     .alias("seq_id"),
                     "offset", "oversize"))
+
+
+def importance_weights(df: DataFrame, target: Column,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       buckets: int = 256, alpha: float = 1.0) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    log p_target(x)/p_raw(x) under bag-of-hashed-ngrams models.
+
+    The data-selection primitive for pretraining corpora: score every
+    raw document by how target-like it looks, where both distributions
+    are unigram+bigram bags hashed into ``buckets`` features —
+    log w(x) = Σ_f count_f(x) · (log p_tgt(f) − log p_raw(f)) with
+    add-``alpha`` smoothing. ``target`` is any boolean Column naming
+    the in-domain rows (the paper fits p_target on a small trusted
+    corpus; here it is a predicate over the same frame, e.g.
+    lang == 'en').
+
+    Returns (id, score): natural-log importance weight, rounded to 6.
+
+    Shape at 100 TB: two passes over exploded features — one
+    groupBy(bucket) building the ≤``buckets``-row weight table
+    (map-side partials; the table is broadcast back), one
+    groupBy(doc) summing count·weight per document. No driver state;
+    both shuffles carry bounded keys. Hashing is the md5 idiom shared
+    with hash_bucket (engine-portable → DuckDB-oracle-able); swap in
+    F.xxhash64 at production scale for a cheaper hash with the same
+    topology.
+    """
+    ws = F.split(F.col(text_col), " ")
+    feats = F.concat(word_ngrams(ws, 1), word_ngrams(ws, 2))
+    fb = (df.select(F.col(id_col), target.alias("__t"),
+                    F.explode(feats).alias("__f"))
+          .select(id_col, "__t",
+                  hash_bucket(F.col("__f"), buckets).alias("__b")))
+    counts = (fb.groupBy("__b")
+              .agg(F.count("*").alias("n_raw"),
+                   F.count(F.when(F.col("__t"), 1)).alias("n_tgt")))
+    totals = counts.agg(F.sum("n_raw").alias("t_raw"),
+                        F.sum("n_tgt").alias("t_tgt"))
+    a = F.lit(float(alpha))
+    ab = F.lit(float(alpha) * buckets)
+    wtab = (counts.crossJoin(F.broadcast(totals))
+            .select("__b",
+                    (F.log((F.col("n_tgt") + a) / (F.col("t_tgt") + ab))
+                     - F.log((F.col("n_raw") + a) / (F.col("t_raw") + ab))
+                     ).alias("__w")))
+    return (df.select(id_col)
+            .join(fb.join(F.broadcast(wtab), "__b")
+                  .groupBy(id_col).agg(F.sum("__w").alias("s")),
+                  id_col, "left")
+            .select(id_col,
+                    F.round(F.coalesce(F.col("s"), F.lit(0.0)), 6)
+                    .alias("score")))
+
+
+def importance_resample(df: DataFrame, target: Column, k: int,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        buckets: int = 256, alpha: float = 1.0,
+                        temperature: float = 1.0) -> DataFrame:
+    """DSIR's sampling half: draw ``k`` documents without replacement
+    with probability ∝ w(x)^(1/temperature) via the Gumbel-top-k
+    trick — key = score/temperature + Gumbel noise, take the k largest
+    keys. The noise is DETERMINISTIC (inverse-CDF of an md5-derived
+    uniform per doc id), so selection is a pure function of the data:
+    re-runs, resharding, and both engines of the gate agree exactly.
+
+    Returns (id, score, key, selected); downstream keeps
+    ``selected`` rows. One extra window over the key — at full scale
+    replace the global rank with an approximate threshold (sample the
+    key distribution, keep key > cutoff) to avoid the single-reducer
+    tail sort; documented rather than defaulted because exact k is
+    what the gate checks.
+    """
+    scored = importance_weights(df, target, text_col, id_col,
+                                buckets, alpha)
+    u = (hash_bucket(F.col(id_col).cast("string"), 65536)
+         .cast("double") + 0.5) / 65536.0
+    key = F.round(F.col("score") / F.lit(float(temperature))
+                  - F.log(-F.log(u)), 6)
+    w = Window.orderBy(F.col("key").desc(), F.col(id_col))
+    return (scored.withColumn("key", key)
+            .withColumn("selected", F.row_number().over(w) <= k))

@@ -254,3 +254,80 @@ def cx03(spark, sf):
     d = table(spark, sf, "documents") \
         .select("doc_id", F.col("n_chars").alias("n_tokens"))
     return C.pack_sequences(d, len_col="n_tokens", max_len=512, seed=7)
+
+
+# ------------------------------------------------------------------
+def _dsir_score_ctes() -> str:
+    """Shared oracle CTE chain replaying importance_weights: unigram+
+    bigram features, md5 bucket (the hash_bucket idiom), add-1
+    smoothed log-ratio weight table, per-doc count·weight sum."""
+    return f"""
+ws AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+feats AS (
+  SELECT doc_id, lang, unnest(ws) AS f FROM ws
+  UNION ALL
+  SELECT doc_id, lang, ws[i] || ' ' || ws[i+1] AS f
+  FROM (SELECT doc_id, lang, ws,
+               unnest(generate_series(1, len(ws) - 1)) AS i
+        FROM ws)
+),
+fb AS (SELECT doc_id, lang = 'en' AS t,
+              {_md5_hex4("f")} % 256 AS b
+       FROM feats),
+counts AS (
+  SELECT b, count(*) AS n_raw, count(*) FILTER (t) AS n_tgt
+  FROM fb GROUP BY b
+),
+tot AS (SELECT sum(n_raw) AS t_raw, sum(n_tgt) AS t_tgt FROM counts),
+wtab AS (
+  SELECT b, ln((n_tgt + 1.0) / (t_tgt + 256.0))
+            - ln((n_raw + 1.0) / (t_raw + 256.0)) AS w
+  FROM counts, tot
+),
+ds AS (
+  SELECT fb.doc_id, sum(w) AS s
+  FROM fb JOIN wtab USING (b) GROUP BY fb.doc_id
+),
+scored AS (
+  SELECT d.doc_id, round(coalesce(ds.s, 0.0), 6) AS score
+  FROM documents d LEFT JOIN ds USING (doc_id)
+)"""
+
+
+@register(
+    "cx04_dsir_weights",
+    f"""
+    WITH {_dsir_score_ctes()}
+    SELECT doc_id, score FROM scored
+    """,
+    doc="DSIR importance weights (Xie et al. 2023): per-doc "
+        "log p_target/p_raw under hashed unigram+bigram bag models, "
+        "target = the English slice",
+)
+def cx04(spark, sf):
+    d = table(spark, sf, "documents")
+    return C.importance_weights(d, F.col("lang") == "en", buckets=256)
+
+
+@register(
+    "cx05_dsir_resample",
+    f"""
+    WITH {_dsir_score_ctes()}
+    SELECT doc_id, score, key,
+           row_number() OVER (ORDER BY key DESC, doc_id) <= 100
+             AS selected
+    FROM (
+      SELECT doc_id, score,
+             round(score - ln(-ln(
+               ({_md5_hex4("CAST(doc_id AS VARCHAR)")} % 65536 + 0.5)
+               / 65536.0)), 6) AS key
+      FROM scored)
+    """,
+    doc="DSIR's sampling half: Gumbel-top-k draw of 100 docs with "
+        "probability ∝ exp(score), noise derived deterministically "
+        "from md5(doc_id) so both engines select identically",
+)
+def cx05(spark, sf):
+    d = table(spark, sf, "documents")
+    return C.importance_resample(d, F.col("lang") == "en", k=100,
+                                 buckets=256)

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from nowdb_spark.operators import corpus as C
 from nowdb_spark.operators import textops as T
+from tests.conftest import SF_DIR
 
 
 def _docs(spark, texts):
@@ -98,3 +99,63 @@ def test_clean_corpus_filters(spark):
     df = spark.createDataFrame(rows)
     got = C.clean_corpus(df, min_words=10).select("doc_id").collect()
     assert sorted(r.doc_id for r in got) == [0]
+
+
+def test_dsir_weights_match_python(spark):
+    """importance_weights recomputed in pure python on a toy corpus:
+    same hashed features, same smoothing, same log-ratio sum."""
+    import hashlib
+    import math
+
+    rows = [(0, "aa bb cc", True), (1, "aa bb", True),
+            (2, "xx yy zz", False), (3, "cc xx", False),
+            (4, "aa cc aa", True)]
+    B, alpha = 64, 1.0
+
+    def bucket(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:4], 16) % B
+
+    def feats(text):
+        ws = text.split(" ")
+        return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    n_raw, n_tgt = {}, {}
+    for _, text, t in rows:
+        for f in feats(text):
+            b = bucket(f)
+            n_raw[b] = n_raw.get(b, 0) + 1
+            if t:
+                n_tgt[b] = n_tgt.get(b, 0) + 1
+    t_raw = sum(n_raw.values())
+    t_tgt = sum(n_tgt.values())
+    want = {}
+    for did, text, _ in rows:
+        s = 0.0
+        for f in feats(text):
+            b = bucket(f)
+            s += (math.log((n_tgt.get(b, 0) + alpha) / (t_tgt + alpha * B))
+                  - math.log((n_raw[b] + alpha) / (t_raw + alpha * B)))
+        want[did] = round(s, 6)
+
+    df = spark.createDataFrame(
+        [(d, t, tg) for d, t, tg in rows],
+        "doc_id long, text string, tgt boolean")
+    got = {r["doc_id"]: r["score"] for r in
+           C.importance_weights(df, F.col("tgt"), buckets=B).collect()}
+    for did in want:
+        assert abs(got[did] - want[did]) < 2e-6, (did, got[did], want[did])
+    # the English-slice analog: target docs average above non-target
+    tgt_avg = sum(got[d] for d, _, t in rows if t) / 3
+    raw_avg = sum(got[d] for d, _, t in rows if not t) / 2
+    assert tgt_avg > raw_avg
+
+
+def test_dsir_resample_exact_k_and_invariance(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    r1 = C.importance_resample(docs, F.col("lang") == "en", k=50)
+    assert r1.filter("selected").count() == 50
+    r2 = C.importance_resample(docs.repartition(17),
+                               F.col("lang") == "en", k=50)
+    s1 = {r["doc_id"] for r in r1.filter("selected").collect()}
+    s2 = {r["doc_id"] for r in r2.filter("selected").collect()}
+    assert s1 == s2
