@@ -1,0 +1,201 @@
+"""Byte-pair-encoding tokenization for training-data pipelines.
+
+BPE (Sennrich et al. 2016, arXiv:1508.07909) learned from the corpus
+itself — the step after cleaning/dedup that turns documents into the
+token ids a trainer consumes, and the honest version of tx04's
+"BPE-ish regex" token counting.
+
+Division of labor at 100 TB:
+  * word counting (`word_freq`) — the only pass over the full corpus;
+    one groupBy(word) shuffle with map-side partials.
+  * merge learning (`bpe_train`) — runs on the WORD-FREQUENCY table,
+    whose size is the vocabulary (≪ corpus, and `top_words` caps it
+    like every production tokenizer does). Driver mode collects that
+    bounded table and loops in Python (what HuggingFace/SentencePiece
+    do after their own distributed-ish counting); distributed mode
+    keeps the vocab as a DataFrame and runs one pair-count
+    aggregation per merge round — unbounded vocab, n_merges small
+    jobs. Both modes produce IDENTICAL merges (same tie-breaks).
+  * segmentation (`bpe_segment`) — embarrassingly parallel map over
+    docs; the merge ranks broadcast as a plain dict inside an
+    Arrow-batched pandas UDF (the per-word min-rank merge loop is a
+    data-dependent recurrence with no Column expression, same escape
+    hatch as EWMA).
+
+Merge semantics (all paths agree, including the gate's DuckDB
+oracle):
+  * a word's initial symbols are its characters;
+  * pair counts include every adjacent occurrence (overlaps count),
+    weighted by word frequency;
+  * the best pair = highest count, ties → lexicographically smallest
+    (a, b);
+  * applying a merge rewrites every non-overlapping occurrence
+    left-to-right in one pass;
+  * segmentation repeatedly merges the present pair with the LOWEST
+    rank until none applies (Sennrich's apply loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_freq(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over the corpus — the one full-corpus shuffle."""
+    return (df.select(F.explode(F.split(F.col(text_col), " "))
+                      .alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word").agg(F.count("*").alias("freq")))
+
+
+# ---------------------------------------------------------------- python core
+def merge_word(syms: tuple, a: str, b: str) -> tuple:
+    """One left-to-right non-overlapping merge pass."""
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def train_merges_py(freqs: dict, n_merges: int) -> list:
+    """Reference/driver BPE trainer over a {word: freq} dict."""
+    vocab = {tuple(w): f for w, f in freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs: dict = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        vocab = {merge_word(s, *best): f for s, f in vocab.items()}
+    return merges
+
+
+def segment_word(word: str, ranks: dict) -> list:
+    """Sennrich apply: repeatedly merge the lowest-rank present pair."""
+    syms = tuple(word)
+    while len(syms) > 1:
+        best, best_rank = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = (syms[i], syms[i + 1]), r
+        if best is None:
+            break
+        syms = merge_word(syms, *best)
+    return list(syms)
+
+
+# ---------------------------------------------------------------- train
+def _merge_pair_col(arr: Column, a: str, b: str) -> Column:
+    """Column fold replaying merge_word: left fold that concatenates
+    the accumulator's last element with the current symbol when they
+    spell (a, b). Equivalent to the two-pointer pass because a merged
+    symbol a+b can never equal `a` again within the same pass (b is
+    non-empty)."""
+    la, lb = F.lit(a), F.lit(b)
+    return F.aggregate(
+        arr,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == la) & (s == lb),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+                     F.array(F.concat(la, lb)))
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_train(df: DataFrame, n_merges: int = 100,
+              text_col: str = "text", mode: str = "driver",
+              top_words: int = 1_000_000) -> list:
+    """Learn ``n_merges`` BPE merge rules from the corpus.
+
+    ``mode="driver"``: collect the word-frequency table (capped at the
+    ``top_words`` most frequent — the standard vocabulary bound; the
+    cap is deterministic: freq desc, word asc) and loop in Python.
+    ``mode="distributed"``: the vocab stays a DataFrame; each round
+    runs one pair-count aggregation + a 1-row argmax collect + a
+    map-side merge rewrite, localCheckpointed to keep lineage flat.
+    Use it when the vocabulary itself cannot sit on the driver.
+    """
+    wf = word_freq(df, text_col)
+    if mode == "driver":
+        rows = (wf.orderBy(F.col("freq").desc(), F.col("word"))
+                .limit(top_words).collect())
+        return train_merges_py({r["word"]: r["freq"] for r in rows},
+                               n_merges)
+    if mode != "distributed":
+        raise ValueError(f"bpe_train: unknown mode {mode!r}")
+
+    vocab = wf.select(
+        F.split(F.col("word"), "").alias("syms"), "freq")
+    vocab = vocab.localCheckpoint(eager=True)
+    merges: list = []
+    for i in range(n_merges):
+        pairs = (vocab.select(
+            "freq",
+            F.explode(F.when(
+                F.size("syms") >= 2,
+                F.transform(F.sequence(F.lit(1), F.size("syms") - 1),
+                            lambda j: F.struct(
+                                F.element_at("syms", j).alias("a"),
+                                F.element_at("syms", j + 1).alias("b"))))
+                .otherwise(F.array().cast(
+                    "array<struct<a:string,b:string>>"))).alias("p"))
+            .groupBy("p.a", "p.b").agg(F.sum("freq").alias("n")))
+        best = (pairs.orderBy(F.col("n").desc(), F.col("a"), F.col("b"))
+                .limit(1).collect())
+        if not best:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        vocab = vocab.select(
+            _merge_pair_col(F.col("syms"), a, b).alias("syms"), "freq")
+        # flatten lineage: each round otherwise nests another fold
+        vocab = vocab.localCheckpoint(eager=True)
+    return merges
+
+
+# ---------------------------------------------------------------- apply
+def bpe_segment(df: DataFrame, merges: list, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Tokenize each document with a learned merge list.
+
+    Returns (id, tokens array<string>, n_tokens). The ranks dict is
+    captured in the UDF closure (broadcast once per executor by Spark)
+    — map-side only, no shuffle, scales with partition count.
+    """
+    import pandas as pd
+    globals().setdefault("pd", pd)   # type-hint resolution for the udf
+
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+
+    @F.pandas_udf("array<string>")
+    def seg(texts: pd.Series) -> pd.Series:
+        cache: dict = {}
+
+        def run(text):
+            out = []
+            for w in text.split(" "):
+                if not w:
+                    continue
+                toks = cache.get(w)
+                if toks is None:
+                    toks = segment_word(w, ranks)
+                    cache[w] = toks
+                out.extend(toks)
+            return out
+        return texts.map(run)
+
+    return (df.select(F.col(id_col), seg(F.col(text_col)).alias("tokens"))
+            .withColumn("n_tokens", F.size("tokens").cast("long")))

@@ -21,6 +21,7 @@ from nowdb_spark.operators import dedup as D
 from nowdb_spark.operators import multimodal as M
 from nowdb_spark.operators import similarity as S
 from nowdb_spark.operators import textops as T
+from nowdb_spark.operators import tokenize as TK
 from nowdb_spark.workload import register, spread, table
 
 # shared DuckDB CTE: per-doc word arrays
@@ -1071,3 +1072,99 @@ def ann05(spark, sf):
         F.array_max(q).alias("q_max"),
         F.size(F.filter(q, lambda x: x != 0)).cast("long").alias("nnz"),
     )
+
+
+# ------------------------------------------------------------------
+def _bpe_oracle_sql(n_merges: int = 8) -> str:
+    """Generated DuckDB oracle for tx06: replays BPE TRAINING and
+    SEGMENTATION end-to-end in SQL.
+
+    Training (deterministic, so it unrolls like the Lloyd chain):
+    word-freq table → per-round CTEs p{i} (pair counts) / m{i}
+    (argmax: count desc, then lexicographic pair) / v{i+1} (merge
+    applied). Symbol strings use DOUBLE-space separators with single
+    spaces at the ends — every symbol then owns one space on each
+    side, so one replace(' a  b ', ' ab ') pass rewrites every
+    non-overlapping occurrence left-to-right WITHOUT consuming a
+    neighbor's separator (with single spaces, consecutive matches
+    share the boundary space and replace() diverges from the
+    two-pointer merge on runs like 'aaaaa').
+
+    Segmentation is Sennrich's min-rank loop as a recursive CTE: each
+    step LATERAL-picks the lowest-rank rule present in the word's
+    symbol string and applies one replace pass; rows finish when no
+    rule matches."""
+    parts = ["""
+WITH RECURSIVE wf AS (
+  SELECT word, count(*)::BIGINT AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+v0 AS (SELECT word,
+              ' ' || array_to_string(string_split(word, ''), '  ') || ' '
+                AS s,
+              freq
+       FROM wf)"""]
+    for i in range(n_merges):
+        parts.append(f""",
+p{i} AS (
+  SELECT syms[j] AS a, syms[j+1] AS b, sum(freq) AS n
+  FROM (SELECT string_split(trim(s), '  ') AS syms, freq FROM v{i}),
+       LATERAL unnest(generate_series(1, len(syms) - 1)) AS t(j)
+  WHERE len(syms) >= 2
+  GROUP BY 1, 2
+),
+m{i} AS (SELECT a, b, {i} AS rank FROM p{i} ORDER BY n DESC, a, b LIMIT 1),
+v{i + 1} AS (
+  SELECT word, replace(s, ' ' || a || '  ' || b || ' ',
+                       ' ' || a || b || ' ') AS s, freq
+  FROM v{i} CROSS JOIN m{i}
+)""")
+    parts.append(",\nmg AS (" + " UNION ALL ".join(
+        f"SELECT a, b, rank FROM m{i}" for i in range(n_merges)) + ")")
+    parts.append(""",
+w0 AS (SELECT word, s FROM v0),
+seg AS (
+  SELECT word, s FROM w0
+  UNION ALL
+  SELECT word, replace(s, ' ' || m.a || '  ' || m.b || ' ',
+                       ' ' || m.a || m.b || ' ') AS s
+  FROM seg, LATERAL (
+    SELECT a, b FROM mg
+    WHERE strpos(seg.s, ' ' || a || '  ' || b || ' ') > 0
+    ORDER BY rank LIMIT 1) m
+),
+final AS (
+  SELECT word, s FROM seg
+  WHERE NOT EXISTS (SELECT 1 FROM mg
+                    WHERE strpos(seg.s, ' ' || a || '  ' || b || ' ') > 0)
+),
+toksq AS (
+  SELECT d.doc_id, t.i, f.s
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d,
+       LATERAL unnest(generate_series(1, len(d.ws))) AS t(i)
+  JOIN final f ON f.word = d.ws[i]
+)
+SELECT doc_id,
+       CAST(sum(len(string_split(trim(s), '  '))) AS BIGINT) AS n_tokens,
+       string_agg(replace(trim(s), '  ', ' '), ' ' ORDER BY i) AS toks
+FROM toksq GROUP BY doc_id
+""")
+    return "".join(parts)
+
+
+@register(
+    "tx06_bpe_tokenize",
+    _bpe_oracle_sql(),
+    doc="BPE tokenizer (Sennrich et al. 2016) trained ON the corpus "
+        "(8 merges) and applied to every document — the oracle "
+        "replays training as unrolled pair-count/argmax/merge CTEs "
+        "and segmentation as a recursive min-rank CTE, so learned "
+        "rules AND tokenizations are compared exactly.",
+)
+def tx06(spark, sf):
+    d = table(spark, sf, "documents")
+    merges = TK.bpe_train(d, n_merges=8, mode="driver")
+    seg = TK.bpe_segment(spread(d), merges)
+    return seg.select("doc_id", "n_tokens",
+                      F.array_join("tokens", " ").alias("toks"))
