@@ -106,7 +106,10 @@ _PRIORITY_ORDER = [
     # q22/q23 are relegated past-window, still oracle-verified by
     # tests/test_workload.py
     "q21_prod", "nq18_dialect_sessionize", "nq19_dialect_asof",
-    "q28_priority_classes", "q31_mode",
+    # q28's CASE/priority semantics are covered in-window by q14/nq02;
+    # its slot carries the DSIR resample gate (cx05 subsumes cx04: the
+    # oracle checks scores AND the Gumbel-top-k selection)
+    "cx05_dsir_resample", "q31_mode",
     # dialect front-end (parser → binder → DataFrame) representatives
     # (q12's scalar-formula battery is covered in-window by nq02; its
     # slot goes to the window-function extension. g05's k-hop slot
@@ -120,11 +123,16 @@ _PRIORITY_ORDER = [
     # dedup family (dd02 signatures are subsumed by dd03's LSH path)
     "dd01_exact_dedup", "dd03_minhash_lsh_pairs",
     "dd04_ngram_jaccard_pairs", "dd05_simhash",
-    "dd06_embedding_neardup", "dd07_containment_pairs",
+    # dd06's bounded crossJoin is subsumed by its own documented scale
+    # path: dd09 SemDeDup (cluster-bounded pairwise cosine)
+    "dd09_semdedup", "dd07_containment_pairs",
     # text analysis (tx03 fingerprinting relegated past-window — its
     # slot goes to the audio modality; still oracle-verified by pytest)
     "tx01_text_stats", "tx02_quality_lang",
-    "tx04_token_count",
+    # tx04's whitespace/regex token counting is subsumed by the
+    # corpus-trained BPE tokenizer gate (training + segmentation both
+    # oracle-replayed)
+    "tx06_bpe_tokenize",
     # similarity search (ann01 brute-force is the easier baseline —
     # relegated past-window, still oracle-verified by pytest; the two
     # scale-path variants LSH + IVF take the driver rows)
