@@ -213,6 +213,25 @@ def main() -> None:
         pipe["tx01_docs_per_sec"] = round(n / (time.perf_counter() - t0))
         pipe["docs"] = n_docs
 
+        # DSIR importance weights at full doc volume: exploded-feature
+        # agg -> broadcast weight table -> per-doc sum (two shuffles)
+        from nowdb_spark.operators import corpus as CO
+        t0 = time.perf_counter()
+        CO.importance_weights(
+            dsrc, F.pmod(F.xxhash64("doc_id"), F.lit(7)) == 0,
+            buckets=4096).agg(F.count(F.lit(1))).collect()
+        pipe["cx04_docs_per_sec"] = round(n / (time.perf_counter() - t0))
+
+        # BPE: train on the corpus vocabulary (bounded — the synthetic
+        # words), then rate full-volume segmentation (Arrow UDF with a
+        # per-batch word cache)
+        from nowdb_spark.operators import tokenize as TKZ
+        merges = TKZ.bpe_train(
+            dsrc.filter(F.col("doc_id") < 100_000), n_merges=32)
+        t0 = time.perf_counter()
+        TKZ.bpe_segment(dsrc, merges).agg(F.sum("n_tokens")).collect()
+        pipe["tx06_docs_per_sec"] = round(n / (time.perf_counter() - t0))
+
         # pure-Python decode rate (mapInPandas path): synth + decode
         # 100k four-format images end-to-end
         from nowdb_spark.operators import multimodal as MM
@@ -252,6 +271,15 @@ def main() -> None:
         S.lsh_bucket_topk(vsrc, queries, k=10, n_planes=12, n_tables=8,
                           dim=dim, kernel="pandas").count()
         pipe["ann03_vecs_per_sec"] = round(n_vecs / (time.perf_counter() - t0))
+        # SemDeDup at 1M vectors: clusters sized so the intra-cluster
+        # quadratic stays ~(n/C)^2 * C ≈ 60M candidate pairs; Arrow
+        # kernel for the 4096-centroid assignment (codegen can't take
+        # a 260k-term unrolled argmax)
+        t0 = time.perf_counter()
+        S.semdedup(vsrc, n_centroids=4096, iters=2, threshold=0.95,
+                   kernel="pandas",
+                   pair_kernel="arrow").filter("is_dup").count()
+        pipe["dd09_vecs_per_sec"] = round(n_vecs / (time.perf_counter() - t0))
         pipe["vectors"] = n_vecs
 
     print(json.dumps({

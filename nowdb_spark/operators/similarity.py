@@ -400,22 +400,25 @@ def kmeans_centroids(corpus: DataFrame, n_centroids: int = 16,
     cents = [_unit(list(r[0])) for r in
              train.orderBy(id_col).limit(n_centroids).select(vec_col)
              .collect()]
+    dim = len(cents[0])
     for _ in range(iters):
         if kernel == "pandas":
             cid = _nearest_centroid_pandas_udf(cents)(
                 F.col(vec_col)).alias("cid")
         else:
             cid = nearest_centroid(F.col(vec_col), cents).alias("cid")
-        means = (train.select(cid, F.posexplode(vec_col)
-                              .alias("pos", "x"))
-                 .groupBy("cid", "pos").agg(F.avg("x").alias("m"))
+        # elementwise mean as dim avg() aggregates — NOT a posexplode
+        # (a Generate under the assignment column re-evaluates the
+        # assignment once per exploded element: measured 44s vs 2s at
+        # C=1024, d=64, 100k sample). Map-side partials, C rows back.
+        means = (train.groupBy(cid)
+                 .agg(*[F.avg(F.element_at(F.col(vec_col), i + 1))
+                        .alias(f"m{i}") for i in range(dim)])
                  .collect())
-        by_cid: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+        by_cid = {r["cid"]: [r[f"m{i}"] for i in range(dim)]
+                  for r in means}
         cents = [
-            _unit([by_cid[c][p] for p in sorted(by_cid[c])])
-            if c in by_cid else cents[c]          # empty cluster: keep
+            _unit(by_cid[c]) if c in by_cid else cents[c]  # empty: keep
             for c in range(n_centroids)
         ]
     return cents
@@ -707,7 +710,8 @@ def semdedup(corpus: DataFrame, n_centroids: int = 16, iters: int = 3,
              threshold: float = 0.8,
              id_col: str = "vec_id", vec_col: str = "embedding",
              centroids: list[list[float]] | None = None,
-             keep: str = "min_id", kernel: str = "column") -> DataFrame:
+             keep: str = "min_id", kernel: str = "column",
+             pair_kernel: str = "column") -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication via k-means clustering + intra-cluster cosine.
 
@@ -747,6 +751,60 @@ def semdedup(corpus: DataFrame, n_centroids: int = 16, iters: int = 3,
                      kernel=kernel)
            .withColumn("__n", F.sqrt(dot_unpacked(F.col(vec_col),
                                                   F.col(vec_col), dim))))
+    # idx feeds both join sides AND the final projection — checkpoint
+    # so the centroid assignment (a C×d matmul per row) runs once,
+    # not three times
+    idx = idx.localCheckpoint(eager=False)
+
+    if pair_kernel not in ("column", "arrow"):
+        raise ValueError(
+            f"semdedup: unknown pair_kernel {pair_kernel!r}")
+    if pair_kernel == "arrow":
+        # cluster-local BLAS pairwise — the paper's actual shape. The
+        # column path shuffles both embedding arrays through the join
+        # and materializes Σ|c|² wide rows (measured 379 s at 1M×64d,
+        # 123M pairs); here each cluster arrives ONCE via Arrow and
+        # its pair matrix is a blockwise matmul (memory O(k·d + k·B)),
+        # ~20× faster. Keep policy: min_id only (the oracle-checked
+        # semantics; 'far' stays on the column path).
+        if keep != "min_id":
+            raise ValueError(
+                "semdedup: pair_kernel='arrow' implements keep='min_id'")
+        import numpy as np
+        import pandas as pd
+        globals().setdefault("pd", pd)
+        thr = float(threshold)
+        out_schema = f"{id_col} long, cid int, dup_of long, is_dup boolean"
+
+        def per_cluster(key, pdf):
+            pdf = pdf.sort_values(id_col, ignore_index=True)
+            ids = pdf[id_col].to_numpy()
+            k = len(ids)
+            U = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            nrm = np.sqrt((U * U).sum(axis=1))
+            nrm[nrm == 0] = 1.0
+            U /= nrm[:, None]
+            dup = np.full(k, -1, dtype=np.int64)
+            B = 2048
+            rows = np.arange(k)
+            for j0 in range(0, k, B):
+                j1 = min(j0 + B, k)
+                sim = np.round(U @ U[j0:j1].T, 6)        # k × (j1-j0)
+                mask = (sim >= thr) & (rows[:, None]
+                                       < np.arange(j0, j1)[None, :])
+                has = mask.any(axis=0)
+                first = mask.argmax(axis=0)
+                dup[j0:j1][has] = ids[first[has]]
+            return pd.DataFrame({
+                id_col: ids,
+                "cid": np.full(k, key[0], dtype=np.int32),
+                "dup_of": pd.array([None if d < 0 else int(d)
+                                    for d in dup], dtype="Int64"),
+                "is_dup": dup >= 0,
+            })
+
+        return (idx.select(id_col, vec_col, "cid")
+                .groupBy("cid").applyInPandas(per_cluster, out_schema))
     if keep == "far":
         # centroid-cosine (centroids are unit vectors): max dot / ‖v‖
         sims = F.array(*[_dot_const(F.col(vec_col), c)

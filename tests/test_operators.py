@@ -531,3 +531,19 @@ def test_semdedup_partition_invariance(spark):
     kb = {(r["vec_id"], r["cid"], r["dup_of"], r["is_dup"])
           for r in b.collect()}
     assert ka == kb
+
+
+def test_semdedup_pair_kernels_agree(spark):
+    """The Arrow cluster-local BLAS pairwise path must reproduce the
+    column join's marks exactly (same min-id policy, same round-6
+    cosine; half-even vs half-up rounding differs only exactly ON a
+    1e-6 boundary, measure-zero for real embeddings)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    col = S.semdedup(emb, n_centroids=4, iters=2, threshold=0.35)
+    arr = S.semdedup(emb, n_centroids=4, iters=2, threshold=0.35,
+                     pair_kernel="arrow")
+    kc = {(r["vec_id"], r["cid"], r["dup_of"], r["is_dup"])
+          for r in col.collect()}
+    ka = {(r["vec_id"], r["cid"], r["dup_of"], r["is_dup"])
+          for r in arr.collect()}
+    assert kc == ka
