@@ -313,7 +313,8 @@ def pack_sequences(df: DataFrame, id_col: str = "doc_id",
 
 def importance_weights(df: DataFrame, target: Column,
                        text_col: str = "text", id_col: str = "doc_id",
-                       buckets: int = 256, alpha: float = 1.0) -> DataFrame:
+                       buckets: int = 256, alpha: float = 1.0,
+                       hash_fn: str = "md5") -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
     log p_target(x)/p_raw(x) under bag-of-hashed-ngrams models.
 
@@ -333,16 +334,21 @@ def importance_weights(df: DataFrame, target: Column,
     (map-side partials; the table is broadcast back), one
     groupBy(doc) summing count·weight per document. No driver state;
     both shuffles carry bounded keys. Hashing is the md5 idiom shared
-    with hash_bucket (engine-portable → DuckDB-oracle-able); swap in
-    F.xxhash64 at production scale for a cheaper hash with the same
-    topology.
+    with hash_bucket (engine-portable → DuckDB-oracle-able);
+    ``hash_fn="xxhash64"`` is the production variant — same topology,
+    an order of magnitude cheaper per feature, not SQL-replayable.
     """
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"importance_weights: unknown hash_fn {hash_fn!r}")
     ws = F.split(F.col(text_col), " ")
     feats = F.concat(word_ngrams(ws, 1), word_ngrams(ws, 2))
+    if hash_fn == "xxhash64":
+        bucket = F.pmod(F.xxhash64(F.col("__f")), F.lit(buckets))
+    else:
+        bucket = hash_bucket(F.col("__f"), buckets)
     fb = (df.select(F.col(id_col), target.alias("__t"),
                     F.explode(feats).alias("__f"))
-          .select(id_col, "__t",
-                  hash_bucket(F.col("__f"), buckets).alias("__b")))
+          .select(id_col, "__t", bucket.alias("__b")))
     counts = (fb.groupBy("__b")
               .agg(F.count("*").alias("n_raw"),
                    F.count(F.when(F.col("__t"), 1)).alias("n_tgt")))

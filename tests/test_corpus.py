@@ -159,3 +159,21 @@ def test_dsir_resample_exact_k_and_invariance(spark):
     s1 = {r["doc_id"] for r in r1.filter("selected").collect()}
     s2 = {r["doc_id"] for r in r2.filter("selected").collect()}
     assert s1 == s2
+
+
+def test_dsir_hash_backends_rank_similarly(spark):
+    """xxhash64 buckets differ from md5's, so scores differ — but on
+    a corpus whose target slice has a distinct vocabulary, both
+    backends must steer selection the same way (the target docs score
+    above the non-target ones)."""
+    rows = ([(i, "alpha beta gamma delta", True) for i in range(10)]
+            + [(i + 10, "zeta eta theta iota", False)
+               for i in range(10)])
+    df = spark.createDataFrame(rows,
+                               "doc_id long, text string, tgt boolean")
+    for fn in ("md5", "xxhash64"):
+        got = {r["doc_id"]: r["score"] for r in
+               C.importance_weights(df, F.col("tgt"), buckets=128,
+                                    hash_fn=fn).collect()}
+        assert min(got[d] for d in range(10)) > \
+            max(got[d] for d in range(10, 20)), fn
