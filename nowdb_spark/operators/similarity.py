@@ -785,16 +785,28 @@ def semdedup(corpus: DataFrame, n_centroids: int = 16, iters: int = 3,
             nrm[nrm == 0] = 1.0
             U /= nrm[:, None]
             dup = np.full(k, -1, dtype=np.int64)
+            # block BOTH axes: memory stays O(B²) even for a
+            # degenerate cluster (e.g. thousands of identical
+            # embeddings landing in one cid). Row blocks scan in
+            # ascending-id order, so the FIRST row block containing a
+            # hit for a column gives that column's min-id canonical —
+            # later row blocks skip already-decided columns.
             B = 2048
-            rows = np.arange(k)
             for j0 in range(0, k, B):
                 j1 = min(j0 + B, k)
-                sim = np.round(U @ U[j0:j1].T, 6)        # k × (j1-j0)
-                mask = (sim >= thr) & (rows[:, None]
-                                       < np.arange(j0, j1)[None, :])
-                has = mask.any(axis=0)
-                first = mask.argmax(axis=0)
-                dup[j0:j1][has] = ids[first[has]]
+                undecided = np.arange(j0, j1)
+                for i0 in range(0, j1, B):
+                    if not len(undecided):
+                        break
+                    i1 = min(i0 + B, j1)
+                    sim = np.round(U[i0:i1] @ U[undecided].T, 6)
+                    mask = ((sim >= thr)
+                            & (np.arange(i0, i1)[:, None]
+                               < undecided[None, :]))
+                    has = mask.any(axis=0)
+                    first = mask.argmax(axis=0)
+                    dup[undecided[has]] = ids[i0 + first[has]]
+                    undecided = undecided[~has]
             return pd.DataFrame({
                 id_col: ids,
                 "cid": np.full(k, key[0], dtype=np.int32),

@@ -547,3 +547,18 @@ def test_semdedup_pair_kernels_agree(spark):
     ka = {(r["vec_id"], r["cid"], r["dup_of"], r["is_dup"])
           for r in arr.collect()}
     assert kc == ka
+
+
+def test_semdedup_degenerate_cluster(spark):
+    """A cluster of thousands of IDENTICAL embeddings (real corpora
+    have them) must resolve with O(B²) kernel memory and every dup
+    pointing at the single min-id canonical."""
+    df = (spark.range(6000)
+          .select(F.col("id").alias("vec_id"),
+                  F.array(*[F.lit(1.0)] * 8).alias("embedding")))
+    r = S.semdedup(df, centroids=[[1.0] + [0.0] * 7,
+                                  [0.0, 1.0] + [0.0] * 6],
+                   threshold=0.99, pair_kernel="arrow").cache()
+    assert r.filter("is_dup").count() == 5999
+    rng = r.filter("is_dup").agg(F.min("dup_of"), F.max("dup_of")).first()
+    assert tuple(rng) == (0, 0)
