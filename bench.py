@@ -213,14 +213,20 @@ def main() -> None:
         pipe["tx01_docs_per_sec"] = round(n / (time.perf_counter() - t0))
         pipe["docs"] = n_docs
 
-        # DSIR importance weights at full doc volume: exploded-feature
-        # agg -> broadcast weight table -> per-doc sum (two shuffles)
+        # DSIR importance weights: one exploded counts pass + map-only
+        # literal-array scoring fold. sum(score), not count(*): a
+        # count would let Catalyst prune the scoring expression and
+        # time an empty plan. Hash-bound (~120 feature hashes per doc
+        # across the two passes) — rated on a 1M slice, size recorded.
         from nowdb_spark.operators import corpus as CO
+        n_cx = min(n_docs, 1_000_000)
         t0 = time.perf_counter()
         CO.importance_weights(
-            dsrc, F.pmod(F.xxhash64("doc_id"), F.lit(7)) == 0,
-            buckets=4096).agg(F.count(F.lit(1))).collect()
-        pipe["cx04_docs_per_sec"] = round(n / (time.perf_counter() - t0))
+            dsrc.filter(F.col("doc_id") < n_cx).repartition(cores),
+            F.pmod(F.xxhash64("doc_id"), F.lit(7)) == 0,
+            buckets=4096).agg(F.sum("score")).collect()
+        pipe["cx04_docs_per_sec"] = round(n_cx / (time.perf_counter() - t0))
+        pipe["cx04_docs"] = n_cx
 
         # BPE: train on the corpus vocabulary (bounded — the synthetic
         # words), then rate full-volume segmentation (Arrow UDF with a

