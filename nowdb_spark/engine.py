@@ -76,6 +76,8 @@ class Engine:
         self._inc_counters: dict[tuple[str, str, str], int] = {}
         self._view_stack: set[str] = set()   # cycle guard for views
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from nowdb_spark.procs import register_builtin_procs
+        register_builtin_procs(self)
 
     # --- public API (pynow Connection parity) ---------------------
     def execute(self, sql: str) -> Result:
@@ -1173,6 +1175,12 @@ class ProcSession:
 
     def onevalue(self, sql: str):
         return self.engine.one_value(sql)
+
+    def dataframe(self, name: str):
+        """The DataFrame behind a context/mount/view — the bridge
+        that lets builtin pipeline procedures (procs.py) run the
+        operator library over engine-managed data."""
+        return self.engine._read_context(name)[0]
 
 
 def _infer_nowdb_types(df: DataFrame) -> dict[str, str]:

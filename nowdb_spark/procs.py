@@ -1,0 +1,73 @@
+"""Builtin pipeline procedures.
+
+The reference exposes server-side functionality through stored
+procedures (`EXECUTE name(args)`, ifc/nowproc.c); this module
+pre-registers the repo's pipeline operators under the same surface, so
+a SQL-dialect user reaches dedup / data-selection / tokenization
+without leaving the session:
+
+    exec pipe.exact_dedup('docs')
+    exec pipe.minhash_pairs('docs', 8, 4, 0.5)
+    exec pipe.semdedup('vectors', 8, 0.35)
+    exec pipe.dsir_weights('docs', 'lang', 'en', 256)
+    exec pipe.bpe_tokenize('docs', 8)
+    exec pipe.text_stats('docs')
+
+Every procedure takes a context/mount/view NAME plus constant
+parameters (the reference's EXEC restriction) and returns a cursor —
+the same FETCH/CLOSE paging as any SELECT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def register_builtin_procs(engine) -> None:
+    from nowdb_spark.operators import corpus as C
+    from nowdb_spark.operators import dedup as D
+    from nowdb_spark.operators import similarity as S
+    from nowdb_spark.operators import tokenize as TK
+
+    def exact_dedup(session, ctx, content_col="text", id_col="doc_id"):
+        return D.exact_dedup(session.dataframe(ctx),
+                             str(content_col), str(id_col))
+
+    def minhash_pairs(session, ctx, k=8, bands=4, threshold=0.5):
+        return D.minhash_lsh_pairs(session.dataframe(ctx), k=int(k),
+                                   bands=int(bands),
+                                   threshold=float(threshold))
+
+    def semdedup(session, ctx, n_centroids=8, threshold=0.8,
+                 id_col="vec_id", vec_col="embedding"):
+        return S.semdedup(session.dataframe(ctx),
+                          n_centroids=int(n_centroids),
+                          threshold=float(threshold),
+                          id_col=str(id_col), vec_col=str(vec_col))
+
+    def dsir_weights(session, ctx, target_col, target_value,
+                     buckets=256):
+        return C.importance_weights(
+            session.dataframe(ctx),
+            F.col(str(target_col)) == target_value,
+            buckets=int(buckets))
+
+    def bpe_tokenize(session, ctx, n_merges=8, text_col="text",
+                     id_col="doc_id"):
+        df = session.dataframe(ctx)
+        merges = TK.bpe_train(df, n_merges=int(n_merges),
+                              text_col=str(text_col))
+        return TK.bpe_segment(df, merges, text_col=str(text_col),
+                              id_col=str(id_col))
+
+    def text_stats(session, ctx):
+        from nowdb_spark.operators import textops as T
+        return T.with_text_stats(session.dataframe(ctx))
+
+    for name, fn in [("exact_dedup", exact_dedup),
+                     ("minhash_pairs", minhash_pairs),
+                     ("semdedup", semdedup),
+                     ("dsir_weights", dsir_weights),
+                     ("bpe_tokenize", bpe_tokenize),
+                     ("text_stats", text_stats)]:
+        engine.register_procedure(f"pipe.{name}", fn)

@@ -185,3 +185,39 @@ def test_multirow_insert(spark, tmp_path_factory):
     # mismatched tuple arity is rejected
     r = e.execute("insert into seqd (label, v) values ('x', 1.0), ('y')")
     assert not r.ok() and "mismatch" in r.details()
+
+
+# --- builtin pipeline procedures (procs.py) -------------------------
+
+def test_builtin_pipeline_procs(spark, tmp_path):
+    from nowdb_spark.engine import Engine
+    from nowdb_spark.results import CursorResult
+
+    e = Engine(spark, tmp_path / "wh")
+    assert e.execute("create scope pipes").ok()
+    assert e.execute("use pipes").ok()
+    assert e.execute("create type docs (doc_id uint pk, text text, "
+                     "lang text)").ok()
+    rows = [(0, "alpha beta gamma", "en"), (1, "alpha beta gamma", "en"),
+            (2, "delta epsilon zeta", "fr"), (3, "alpha beta delta", "en")]
+    for did, txt, lg in rows:
+        assert e.execute(
+            f"insert into docs (doc_id, text, lang) "
+            f"values ({did}, '{txt}', '{lg}')").ok()
+
+    r = e.rexecute("exec pipe.exact_dedup('docs')")
+    assert isinstance(r, CursorResult)
+    got = {t[0]: t[3] for t in r.fetch(100)}       # id -> is_dup
+    assert got[1] is True and got[0] is False and got[2] is False
+
+    r = e.rexecute("exec pipe.dsir_weights('docs', 'lang', 'en', 64)")
+    scores = {t[0]: t[1] for t in r.fetch(100)}
+    assert len(scores) == 4
+    assert min(scores[0], scores[1], scores[3]) > scores[2]
+
+    r = e.rexecute("exec pipe.bpe_tokenize('docs', 4)")
+    toks = {t[0]: t[1] for t in r.fetch(100)}
+    assert len(toks) == 4 and all(len(v) >= 1 for v in toks.values())
+
+    r = e.rexecute("exec pipe.text_stats('docs')")
+    assert len(r.fetch(100)) == 4
