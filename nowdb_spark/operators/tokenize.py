@@ -199,3 +199,69 @@ def bpe_segment(df: DataFrame, merges: list, text_col: str = "text",
 
     return (df.select(F.col(id_col), seg(F.col(text_col)).alias("tokens"))
             .withColumn("n_tokens", F.size("tokens").cast("long")))
+
+
+def bpe_vocab(merges: list, base_chars: list) -> list:
+    """The tokenizer's vocabulary: sorted base characters first (ids
+    0..n_base-1), then one entry per merge in rank order — the id
+    layout every BPE implementation ships. Pure function of
+    (merges, base alphabet); no data pass."""
+    seen = set()
+    vocab = []
+    for c in sorted(base_chars):
+        if c not in seen:
+            seen.add(c)
+            vocab.append(c)
+    for a, b in merges:
+        tok = a + b
+        if tok not in seen:
+            seen.add(tok)
+            vocab.append(tok)
+    return vocab
+
+
+def base_chars(df: DataFrame, text_col: str = "text") -> list:
+    """Distinct characters of the corpus (space excluded) — one
+    exploded distinct, bounded by the alphabet."""
+    return [r["c"] for r in
+            (df.select(F.explode(F.split(F.col(text_col), ""))
+                       .alias("c"))
+             .filter(F.col("c") != " ")
+             .distinct().collect())]
+
+
+def bpe_encode(df: DataFrame, merges: list, vocab: list,
+               text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Segment AND map to vocabulary ids in one Arrow pass — the
+    trainer-ready output (id, token_ids array<int>, n_tokens).
+    Unknown tokens (characters absent from the vocab) map to -1;
+    with a vocab built by bpe_vocab over the training corpus's own
+    base_chars, unknowns only arise on out-of-corpus text."""
+    import pandas as pd
+    globals().setdefault("pd", pd)
+
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    tok2id = {t: i for i, t in enumerate(vocab)}
+
+    @F.pandas_udf("array<int>")
+    def enc(texts: pd.Series) -> pd.Series:
+        cache: dict = {}
+
+        def run(text):
+            out = []
+            for w in text.split(" "):
+                if not w:
+                    continue
+                ids = cache.get(w)
+                if ids is None:
+                    ids = [tok2id.get(t, -1)
+                           for t in segment_word(w, ranks)]
+                    cache[w] = ids
+                out.extend(ids)
+            return out
+        return texts.map(run)
+
+    return (df.select(F.col(id_col),
+                      enc(F.col(text_col)).alias("token_ids"))
+            .withColumn("n_tokens", F.size("token_ids").cast("long")))

@@ -1075,9 +1075,11 @@ def ann05(spark, sf):
 
 
 # ------------------------------------------------------------------
-def _bpe_oracle_sql(n_merges: int = 8) -> str:
-    """Generated DuckDB oracle for tx06: replays BPE TRAINING and
-    SEGMENTATION end-to-end in SQL.
+def _bpe_chain_ctes(n_merges: int = 8) -> list:
+    """Shared oracle CTE chain replaying BPE TRAINING and per-word
+    SEGMENTATION end-to-end in SQL (through the `final` CTE: every
+    distinct word's finished symbol string). tx06 assembles token
+    strings from it, tx07 joins a replayed vocabulary for token ids.
 
     Training (deterministic, so it unrolls like the Lloyd chain):
     word-freq table → per-round CTEs p{i} (pair counts) / m{i}
@@ -1138,7 +1140,13 @@ final AS (
   SELECT word, s FROM seg
   WHERE NOT EXISTS (SELECT 1 FROM mg
                     WHERE strpos(seg.s, ' ' || a || '  ' || b || ' ') > 0)
-),
+)""")
+    return parts
+
+
+def _bpe_oracle_sql(n_merges: int = 8) -> str:
+    parts = _bpe_chain_ctes(n_merges)
+    parts.append(""",
 toksq AS (
   SELECT d.doc_id, t.i, f.s
   FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d,
@@ -1168,3 +1176,70 @@ def tx06(spark, sf):
     seg = TK.bpe_segment(spread(d), merges)
     return seg.select("doc_id", "n_tokens",
                       F.array_join("tokens", " ").alias("toks"))
+
+
+def _bpe_ids_oracle_sql(n_merges: int = 8) -> str:
+    """tx07: the shared BPE chain + a replayed VOCABULARY (sorted base
+    characters first, merge products in rank order, first occurrence
+    wins on collisions) joined per token for trainer-ready ids."""
+    parts = _bpe_chain_ctes(n_merges)
+    parts.append(""",
+bc AS (SELECT DISTINCT unnest(string_split(word, '')) AS c FROM wf),
+vocab AS (
+  SELECT tok, CAST(row_number() OVER (ORDER BY pri, sub) - 1 AS INT)
+           AS id
+  FROM (
+    SELECT tok, pri, sub,
+           row_number() OVER (PARTITION BY tok ORDER BY pri, sub)
+             AS dup
+    FROM (
+      SELECT c AS tok, 0 AS pri,
+             row_number() OVER (ORDER BY c) AS sub
+      FROM bc
+      UNION ALL
+      SELECT a || b AS tok, 1 AS pri, rank AS sub FROM mg))
+  WHERE dup = 1
+),
+wtoks AS (
+  SELECT f.word, t.j, v.id
+  FROM (SELECT word, string_split(trim(s), '  ') AS toks
+        FROM final) f,
+       LATERAL unnest(generate_series(1, len(f.toks))) AS t(j)
+  JOIN vocab v ON v.tok = f.toks[j]
+),
+wids AS (
+  SELECT word, string_agg(id::VARCHAR, ' ' ORDER BY j) AS ids,
+         count(*) AS nt
+  FROM wtoks GROUP BY word
+),
+toksq AS (
+  SELECT d.doc_id, t.i, w.ids, w.nt
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d,
+       LATERAL unnest(generate_series(1, len(d.ws))) AS t(i)
+  JOIN wids w ON w.word = d.ws[i]
+)
+SELECT doc_id, CAST(sum(nt) AS BIGINT) AS n_tokens,
+       string_agg(ids, ' ' ORDER BY i) AS ids
+FROM toksq GROUP BY doc_id
+""")
+    return "".join(parts)
+
+
+@register(
+    "tx07_bpe_ids",
+    _bpe_ids_oracle_sql(),
+    doc="BPE encoding to vocabulary ids — the trainer-ready output "
+        "(sorted base chars get ids 0..n-1, merge products follow in "
+        "rank order). Oracle replays the vocabulary layout on top of "
+        "the tx06 training/segmentation chain.",
+)
+def tx07(spark, sf):
+    d = table(spark, sf, "documents")
+    merges = TK.bpe_train(d, n_merges=8, mode="driver")
+    vocab = TK.bpe_vocab(merges, TK.base_chars(d))
+    enc = TK.bpe_encode(spread(d), merges, vocab)
+    return enc.select(
+        "doc_id", "n_tokens",
+        F.array_join(F.transform("token_ids",
+                                 lambda x: x.cast("string")), " ")
+        .alias("ids"))

@@ -75,3 +75,31 @@ def test_round_trip_preserves_text(spark):
          == F.replace(F.col("text"), F.lit(" "), F.lit("")))
         .alias("ok"))
     assert all(r["ok"] for r in joined.collect())
+
+
+def test_vocab_and_encode_roundtrip(spark):
+    docs = _toy(spark)
+    merges = TK.bpe_train(docs, n_merges=8)
+    vocab = TK.bpe_vocab(merges, TK.base_chars(docs))
+    # ids 0..n_base-1 are the sorted alphabet, then merges in order
+    n_base = len(TK.base_chars(docs))
+    assert vocab[:n_base] == sorted(set("".join(
+        r["text"].replace(" ", "") for r in docs.collect())))
+    enc = {r["doc_id"]: r["token_ids"]
+           for r in TK.bpe_encode(docs, merges, vocab).collect()}
+    seg = {r["doc_id"]: r["tokens"]
+           for r in TK.bpe_segment(docs, merges).collect()}
+    inv = {i: t for i, t in enumerate(vocab)}
+    for did, ids in enc.items():
+        assert all(i >= 0 for i in ids)
+        assert [inv[i] for i in ids] == seg[did]
+
+
+def test_encode_unknown_token_is_minus_one(spark):
+    train = _toy(spark)
+    merges = TK.bpe_train(train, n_merges=4)
+    vocab = TK.bpe_vocab(merges, TK.base_chars(train))
+    other = spark.createDataFrame([(0, "l0w")],
+                                  "doc_id long, text string")
+    ids = TK.bpe_encode(other, merges, vocab).first()["token_ids"]
+    assert -1 in ids                      # '0' never seen in training
