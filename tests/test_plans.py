@@ -203,3 +203,17 @@ def test_ewma_single_shuffle_arrow(spark):
             or "FlatMapGroupsInPandas" in plan)
     schema = plan.split("ReadSchema:")[1].split("\n")[0]
     assert "props" not in schema and "event_type" not in schema
+
+
+def test_dsir_scoring_is_map_only(spark):
+    """After the bounded counts pass, importance_weights scoring must
+    be a shuffle-free map pass (weight table folded in as a literal —
+    no join, no Exchange in the returned plan)."""
+    from pyspark.sql import functions as F
+
+    from nowdb_spark.operators import corpus as C
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = C.importance_weights(docs, F.col("lang") == "en", buckets=64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
