@@ -331,3 +331,79 @@ def cx05(spark, sf):
     d = table(spark, sf, "documents")
     return C.importance_resample(d, F.col("lang") == "en", k=100,
                                  buckets=256)
+
+
+# ------------------------------------------------------------------
+def _qc_oracle_sql(buckets: int = 64, iters: int = 4,
+                   lr: float = 0.5) -> str:
+    """Generated oracle for qc01: the WHOLE logistic-regression
+    training loop unrolled as SQL CTEs — per round: margins (weight
+    join + sum), sigmoid residuals, per-bucket gradient, weight/bias
+    update — then the final forward pass. Deterministic (zero init,
+    fixed rounds); cross-engine float noise is ulp-level summation
+    order under the round-6 cut, as in the k-means and EWMA oracles."""
+    n_sql = "(SELECT n FROM nn)"
+    parts = [f"""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws
+            FROM documents),
+feats AS (
+  SELECT doc_id, unnest(ws) AS f FROM ws
+  UNION ALL
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS f
+  FROM (SELECT doc_id, ws,
+               unnest(generate_series(1, len(ws) - 1)) AS i
+        FROM ws)
+),
+fb AS (SELECT doc_id, {_md5_hex4("f")} % {buckets} AS b FROM feats),
+dy AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+       FROM documents),
+nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+w0 AS (SELECT DISTINCT b, 0.0 AS w FROM fb),
+bi0 AS (SELECT 0.0 AS bias)"""]
+    for i in range(iters):
+        parts.append(f""",
+m{i} AS (
+  SELECT d.doc_id, d.y,
+         (SELECT bias FROM bi{i}) + coalesce(sum(w.w), 0.0) AS m
+  FROM dy d LEFT JOIN fb USING (doc_id) LEFT JOIN w{i} w USING (b)
+  GROUP BY d.doc_id, d.y
+),
+r{i} AS (SELECT doc_id, y, 1.0 / (1.0 + exp(-m)) - y AS r FROM m{i}),
+g{i} AS (SELECT fb.b, sum(r.r) AS g
+         FROM fb JOIN r{i} r USING (doc_id) GROUP BY fb.b),
+w{i + 1} AS (
+  SELECT w.b, w.w - {lr} / {n_sql} * coalesce(g.g, 0.0) AS w
+  FROM w{i} w LEFT JOIN g{i} g USING (b)
+),
+bi{i + 1} AS (
+  SELECT bias - {lr} / {n_sql} * (SELECT sum(r) FROM r{i}) AS bias
+  FROM bi{i}
+)""")
+    parts.append(f""",
+mf AS (
+  SELECT d.doc_id,
+         (SELECT bias FROM bi{iters}) + coalesce(sum(w.w), 0.0) AS m
+  FROM dy d LEFT JOIN fb USING (doc_id) LEFT JOIN w{iters} w USING (b)
+  GROUP BY d.doc_id
+)
+SELECT doc_id, round(1.0 / (1.0 + exp(-m)), 6) AS score,
+       round(1.0 / (1.0 + exp(-m)), 6) >= 0.5 AS keep
+FROM mf
+""")
+    return "".join(parts)
+
+
+@register(
+    "qc01_quality_classifier",
+    _qc_oracle_sql(),
+    doc="model-based quality filter: logistic regression on hashed "
+        "unigram+bigram features, trained BY the engine (4 GD rounds, "
+        "label = the English slice) and applied to every document — "
+        "the oracle replays the full training loop as unrolled CTEs",
+)
+def qc01(spark, sf):
+    from nowdb_spark.operators import quality as Q
+    d = table(spark, sf, "documents")
+    w, b = Q.train_quality_classifier(d, F.col("lang") == "en",
+                                      buckets=64, iters=4, lr=0.5)
+    return Q.quality_score(d, w, b)

@@ -1,0 +1,83 @@
+"""Model-based quality filter: the distributed GD must match a pure
+python reference step-for-step, learn a separable corpus, and be
+layout-independent."""
+
+from pyspark.sql import functions as F
+
+from nowdb_spark.operators import quality as Q
+
+
+def _corpus(spark):
+    rows = ([(i, "alpha beta gamma delta epsilon", True)
+             for i in range(20)]
+            + [(i + 20, "zeta eta theta iota kappa", False)
+               for i in range(20)])
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, good boolean")
+
+
+def test_gd_matches_python_reference(spark):
+    import hashlib
+    import math
+
+    B, T, lr = 32, 3, 0.5
+    rows = [(0, "aa bb cc", 1.0), (1, "aa bb", 1.0),
+            (2, "xx yy zz", 0.0), (3, "cc xx", 0.0)]
+
+    def bucket(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:4], 16) % B
+
+    def feats(text):
+        ws = text.split(" ")
+        return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    docs = [(d, [bucket(f) for f in feats(t)], y) for d, t, y in rows]
+    w, bias, n = [0.0] * B, 0.0, len(rows)
+    for _ in range(T):
+        grad, gb = [0.0] * B, 0.0
+        for _, bs, y in docs:
+            m = bias + sum(w[b] for b in bs)
+            r = 1.0 / (1.0 + math.exp(-m)) - y
+            for b in bs:
+                grad[b] += r
+            gb += r
+        w = [w[b] - lr / n * grad[b] for b in range(B)]
+        bias -= lr / n * gb
+    want = {}
+    for d, bs, _ in docs:
+        m = bias + sum(w[b] for b in bs)
+        want[d] = round(1.0 / (1.0 + math.exp(-m)), 6)
+
+    df = spark.createDataFrame(
+        [(d, t, y > 0) for d, t, y in rows],
+        "doc_id long, text string, good boolean")
+    wg, bg = Q.train_quality_classifier(df, F.col("good"), buckets=B,
+                                        iters=T, lr=lr)
+    got = {r["doc_id"]: r["score"]
+           for r in Q.quality_score(df, wg, bg, buckets=B).collect()}
+    for d in want:
+        assert abs(got[d] - want[d]) < 2e-6, (d, got[d], want[d])
+
+
+def test_classifier_separates(spark):
+    df = _corpus(spark)
+    w, b = Q.train_quality_classifier(df, F.col("good"), buckets=64,
+                                      iters=20, lr=1.0)
+    sc = {r["doc_id"]: r for r in Q.quality_score(df, w, b).collect()}
+    assert min(sc[i]["score"] for i in range(20)) > \
+        max(sc[i]["score"] for i in range(20, 40))
+    assert all(sc[i]["keep"] for i in range(20))
+    assert not any(sc[i]["keep"] for i in range(20, 40))
+
+
+def test_training_partition_invariant(spark):
+    """Gradient sums are distributed float additions, so layouts can
+    differ at ulp level (like any groupBy(sum) of doubles) — but
+    nothing beyond: weights agree far inside the gate's round-6
+    tolerance."""
+    df = _corpus(spark)
+    w1, b1 = Q.train_quality_classifier(df, F.col("good"), iters=3)
+    w2, b2 = Q.train_quality_classifier(df.repartition(7),
+                                        F.col("good"), iters=3)
+    assert abs(b1 - b2) < 1e-9
+    assert all(abs(a - b) < 1e-9 for a, b in zip(w1, w2))
