@@ -97,3 +97,62 @@ def quality_score(df: DataFrame, weights: list, bias: float,
     score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 6)
     return df.select(F.col(id_col), score.alias("score"),
                      (score >= 0.5).alias("keep"))
+
+
+def train_bigram_lm(df: DataFrame, text_col: str = "text",
+                    buckets: int = 2048, hash_fn: str = "md5") -> tuple:
+    """Hashed bigram language model: the count tables behind
+    P(w₂|w₁) ≈ (c(bucket(w₁ w₂)) + α) / (c(bucket(w₁)) + α·B).
+
+    Hashing bounds the model at 2·``buckets`` longs no matter the
+    vocabulary — the same state-size discipline as the DSIR weight
+    table and the k-means centroids. One exploded pass per table,
+    map-side partials, shuffles carry bucket keys only.
+
+    Returns (unigram_counts, bigram_counts) as python lists.
+    """
+    def counts_of(col: Column) -> list:
+        rows = (df.select(F.explode(col).alias("__f"))
+                .select(_bucket_of(F.col("__f"), buckets, hash_fn)
+                        .alias("__b"))
+                .groupBy("__b").agg(F.count("*").alias("n")).collect())
+        m = {r["__b"]: r["n"] for r in rows}
+        return [int(m.get(b, 0)) for b in range(buckets)]
+
+    ws = F.split(F.col(text_col), " ")
+    return (counts_of(word_ngrams(ws, 1)), counts_of(word_ngrams(ws, 2)))
+
+
+def perplexity(df: DataFrame, uni: list, bi: list,
+               text_col: str = "text", id_col: str = "doc_id",
+               alpha: float = 1.0, hash_fn: str = "md5") -> DataFrame:
+    """Per-document perplexity under the hashed bigram LM — CCNet's
+    filtering criterion (Wenzek et al. 2020): documents that the
+    corpus-level LM finds surprising are the tail to inspect/drop.
+
+    ppl = exp(−(1/n₂) Σ log P(wᵢ₊₁|wᵢ)), rounded to 6; NULL for
+    documents with no bigram. Map-only: both count tables fold in as
+    array literals, no join, no shuffle.
+    """
+    B = len(uni)
+    ua = F.array(*[F.lit(float(c)) for c in uni])
+    ba = F.array(*[F.lit(float(c)) for c in bi])
+    a = float(alpha)
+    ws = F.split(F.col(text_col), " ")
+    ub = F.transform(word_ngrams(ws, 1),
+                     lambda w: _bucket_of(w, B, hash_fn))
+    bb = F.transform(word_ngrams(ws, 2),
+                     lambda g: _bucket_of(g, B, hash_fn))
+    lp = F.aggregate(
+        F.zip_with(F.slice(ub, 1, F.greatest(F.size(ub) - 1, F.lit(0))),
+                   bb,
+                   lambda u, b: F.log(
+                       (F.element_at(ba, (b + 1).cast("int")) + F.lit(a))
+                       / (F.element_at(ua, (u + 1).cast("int"))
+                          + F.lit(a * B)))),
+        F.lit(0.0), lambda acc, x: acc + x)
+    n2 = F.size(bb)
+    ppl = F.when(n2 > 0,
+                 F.round(F.exp(-lp / n2), 6)).otherwise(F.lit(None))
+    return df.select(F.col(id_col), n2.cast("long").alias("n_bigrams"),
+                     ppl.alias("ppl"))

@@ -128,7 +128,11 @@ _PRIORITY_ORDER = [
     "dd09_semdedup", "dd07_containment_pairs",
     # text analysis (tx03 fingerprinting relegated past-window — its
     # slot goes to the audio modality; still oracle-verified by pytest)
-    "tx01_text_stats", "tx02_quality_lang",
+    # tx02's heuristic quality/lang scores yield to the model-based
+    # filter: qc01 trains a logistic regression IN the engine and its
+    # oracle replays the whole GD loop (tx02 stays oracle-verified by
+    # the workload differential suite)
+    "tx01_text_stats", "qc01_quality_classifier",
     # tx04's whitespace/regex token counting is subsumed by the
     # corpus-trained BPE tokenizer gate (training + segmentation both
     # oracle-replayed)

@@ -407,3 +407,46 @@ def qc01(spark, sf):
     w, b = Q.train_quality_classifier(d, F.col("lang") == "en",
                                       buckets=64, iters=4, lr=0.5)
     return Q.quality_score(d, w, b)
+
+
+# ------------------------------------------------------------------
+@register(
+    "px01_perplexity",
+    f"""
+    WITH ws0 AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents),
+    uni AS (SELECT {_md5_hex4("w")} % 2048 AS b, count(*) AS n
+            FROM (SELECT unnest(ws) AS w FROM ws0) GROUP BY 1),
+    big AS (SELECT {_md5_hex4("g")} % 2048 AS b, count(*) AS n
+            FROM (SELECT ws[i] || ' ' || ws[i+1] AS g
+                  FROM (SELECT ws,
+                               unnest(generate_series(1, len(ws) - 1))
+                                 AS i
+                        FROM ws0)) GROUP BY 1),
+    pos AS (SELECT doc_id,
+                   {_md5_hex4("ws[i]")} % 2048 AS ub,
+                   {_md5_hex4("ws[i] || ' ' || ws[i+1]")} % 2048 AS bb
+            FROM (SELECT doc_id, ws,
+                         unnest(generate_series(1, len(ws) - 1)) AS i
+                  FROM ws0)),
+    lp AS (
+      SELECT p.doc_id, count(*) AS n2,
+             sum(ln((b.n + 1.0) / (u.n + 2048.0))) AS lp
+      FROM pos p
+      JOIN uni u ON u.b = p.ub
+      JOIN big b ON b.b = p.bb
+      GROUP BY p.doc_id
+    )
+    SELECT d.doc_id, CAST(coalesce(lp.n2, 0) AS BIGINT) AS n_bigrams,
+           round(exp(-lp.lp / lp.n2), 6) AS ppl
+    FROM documents d LEFT JOIN lp USING (doc_id)
+    """,
+    doc="perplexity filtering (CCNet, Wenzek et al. 2020): hashed "
+        "bigram LM trained on the corpus itself, per-doc ppl — the "
+        "model is 2x2048 counts, scoring is a shuffle-free map pass",
+)
+def px01(spark, sf):
+    from nowdb_spark.operators import quality as Q
+    d = table(spark, sf, "documents")
+    uni, bi = Q.train_bigram_lm(d, buckets=2048)
+    return Q.perplexity(d, uni, bi)

@@ -81,3 +81,65 @@ def test_training_partition_invariant(spark):
                                         F.col("good"), iters=3)
     assert abs(b1 - b2) < 1e-9
     assert all(abs(a - b) < 1e-9 for a, b in zip(w1, w2))
+
+
+def test_perplexity_matches_python(spark):
+    import hashlib
+    import math
+
+    B = 128
+    texts = {0: "aa bb aa bb cc", 1: "aa", 2: "zz qq"}
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+
+    def bucket(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:4], 16) % B
+
+    uni, bi = {}, {}
+    for t in texts.values():
+        ws = t.split(" ")
+        for w in ws:
+            uni[bucket(w)] = uni.get(bucket(w), 0) + 1
+        for g in [f"{a} {b}" for a, b in zip(ws, ws[1:])]:
+            bi[bucket(g)] = bi.get(bucket(g), 0) + 1
+    want = {}
+    for d, t in texts.items():
+        ws = t.split(" ")
+        if len(ws) < 2:
+            want[d] = None
+            continue
+        lp = sum(math.log((bi[bucket(f"{a} {b}")] + 1.0)
+                          / (uni[bucket(a)] + 1.0 * B))
+                 for a, b in zip(ws, ws[1:]))
+        want[d] = round(math.exp(-lp / (len(ws) - 1)), 6)
+
+    u = [uni.get(b, 0) for b in range(B)]
+    g = [bi.get(b, 0) for b in range(B)]
+    got = {r["doc_id"]: r["ppl"]
+           for r in Q.perplexity(df, u, g).collect()}
+    for d in want:
+        if want[d] is None:
+            assert got[d] is None
+        else:
+            assert abs(got[d] - want[d]) < 2e-6, (d, got[d], want[d])
+
+
+def test_lm_training_matches_operator(spark):
+    """train_bigram_lm's distributed counts equal a python recount."""
+    import hashlib
+    B = 64
+    df = spark.createDataFrame(
+        [(0, "x y z"), (1, "x y"), (2, "w")],
+        "doc_id long, text string")
+    uni, bi = Q.train_bigram_lm(df, buckets=B)
+
+    def bucket(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:4], 16) % B
+    wu, wb = [0] * B, [0] * B
+    for t in ("x y z", "x y", "w"):
+        ws = t.split(" ")
+        for w in ws:
+            wu[bucket(w)] += 1
+        for g in [f"{a} {b}" for a, b in zip(ws, ws[1:])]:
+            wb[bucket(g)] += 1
+    assert uni == wu and bi == wb
