@@ -12,6 +12,8 @@ without leaving the session:
     exec pipe.dsir_weights('docs', 'lang', 'en', 256)
     exec pipe.bpe_tokenize('docs', 8)
     exec pipe.text_stats('docs')
+    exec pipe.quality_filter('docs', 'lang', 'en', 64, 4)
+    exec pipe.perplexity('docs', 2048)
 
 Every procedure takes a context/mount/view NAME plus constant
 parameters (the reference's EXEC restriction) and returns a cursor —
@@ -64,10 +66,27 @@ def register_builtin_procs(engine) -> None:
         from nowdb_spark.operators import textops as T
         return T.with_text_stats(session.dataframe(ctx))
 
+    def quality_filter(session, ctx, label_col, label_value,
+                       buckets=64, iters=4):
+        from nowdb_spark.operators import quality as Q
+        df = session.dataframe(ctx)
+        w, b = Q.train_quality_classifier(
+            df, F.col(str(label_col)) == label_value,
+            buckets=int(buckets), iters=int(iters))
+        return Q.quality_score(df, w, b)
+
+    def perplexity(session, ctx, buckets=2048):
+        from nowdb_spark.operators import quality as Q
+        df = session.dataframe(ctx)
+        uni, bi = Q.train_bigram_lm(df, buckets=int(buckets))
+        return Q.perplexity(df, uni, bi)
+
     for name, fn in [("exact_dedup", exact_dedup),
                      ("minhash_pairs", minhash_pairs),
                      ("semdedup", semdedup),
                      ("dsir_weights", dsir_weights),
                      ("bpe_tokenize", bpe_tokenize),
-                     ("text_stats", text_stats)]:
+                     ("text_stats", text_stats),
+                     ("quality_filter", quality_filter),
+                     ("perplexity", perplexity)]:
         engine.register_procedure(f"pipe.{name}", fn)

@@ -322,3 +322,63 @@ def test_stream_interval_join_matches_batch(spark, events_dir):
         & (ri["ts_r"] >= li["ts"] - F.lit(NS_6H))
         & (ri["ts_r"] <= li["ts"])).collect()}
     assert got == want and len(got) > 0
+
+
+def test_stream_quality_and_tokens_match_batch(spark, tmp_path):
+    """The new map-only scorers (quality_score, perplexity,
+    bpe_segment) are stateless Column/Arrow transforms, so they
+    compose with readStream unchanged — stream output must equal the
+    batch run on the same files."""
+    from nowdb_spark.catalog import Prop, TypeDef
+    from nowdb_spark.operators import quality as Q
+    from nowdb_spark.operators import tokenize as TK
+
+    src, write_batch = _doc_batch_writer(spark, tmp_path)
+    base = 1_700_000_000 * 10**9
+    rows = [(1, base, "alpha beta gamma"),
+            (2, base + 10**9, "beta gamma delta"),
+            (3, base + 2 * 10**9, "zeta eta")]
+    write_batch("b1", rows[:2])
+    write_batch("b2", rows[2:])
+
+    batch = spark.createDataFrame(
+        [(i, t) for i, _, t in rows], "doc_id long, text string")
+    w, b = Q.train_quality_classifier(
+        batch, F.col("doc_id") < 3, buckets=32, iters=2)
+    uni, bi = Q.train_bigram_lm(batch, buckets=64)
+    merges = TK.bpe_train(batch, n_merges=4)
+
+    tdef = TypeDef("docs", "vertex", [
+        Prop("doc_id", "int"), Prop("ts", "time", stamp=True),
+        Prop("text", "text")])
+    sdf = S.stream_from_context(spark, str(src), tdef)
+    scored = Q.quality_score(sdf, w, b)
+    sdf2 = S.stream_from_context(spark, str(src), tdef)
+    ppl = Q.perplexity(sdf2, uni, bi)
+    sdf3 = S.stream_from_context(spark, str(src), tdef)
+    toks = TK.bpe_segment(sdf3, merges)
+
+    def run(df, name):
+        q = (df.writeStream.outputMode("append")
+             .format("memory").queryName(name).start())
+        try:
+            q.processAllAvailable()
+            return spark.sql(f"select * from {name}").collect()
+        finally:
+            q.stop()
+
+    got_q = {r["doc_id"]: (r["score"], r["keep"])
+             for r in run(scored, "squal")}
+    want_q = {r["doc_id"]: (r["score"], r["keep"])
+              for r in Q.quality_score(batch, w, b).collect()}
+    assert got_q == want_q
+
+    got_p = {r["doc_id"]: r["ppl"] for r in run(ppl, "sppl")}
+    want_p = {r["doc_id"]: r["ppl"]
+              for r in Q.perplexity(batch, uni, bi).collect()}
+    assert got_p == want_p
+
+    got_t = {r["doc_id"]: r["tokens"] for r in run(toks, "stoks")}
+    want_t = {r["doc_id"]: r["tokens"]
+              for r in TK.bpe_segment(batch, merges).collect()}
+    assert got_t == want_t
