@@ -257,21 +257,23 @@ def cx03(spark, sf):
 
 
 # ------------------------------------------------------------------
-def _dsir_score_ctes() -> str:
+def _dsir_score_ctes(src: str = "documents",
+                     target: str = "lang = 'en'") -> str:
     """Shared oracle CTE chain replaying importance_weights: unigram+
     bigram features, md5 bucket (the hash_bucket idiom), add-1
-    smoothed log-ratio weight table, per-doc count·weight sum."""
+    smoothed log-ratio weight table, per-doc count·weight sum.
+    ``src`` is the table/CTE holding (doc_id, text, …); ``target``
+    the SQL boolean naming the in-domain slice."""
     return f"""
-ws AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+ws AS (SELECT *, string_split(text, ' ') AS ws FROM {src}),
 feats AS (
-  SELECT doc_id, lang, unnest(ws) AS f FROM ws
+  SELECT doc_id, {target} AS t, unnest(ws) AS f FROM ws
   UNION ALL
-  SELECT doc_id, lang, ws[i] || ' ' || ws[i+1] AS f
-  FROM (SELECT doc_id, lang, ws,
-               unnest(generate_series(1, len(ws) - 1)) AS i
+  SELECT doc_id, {target} AS t, ws[i] || ' ' || ws[i+1] AS f
+  FROM (SELECT *, unnest(generate_series(1, len(ws) - 1)) AS i
         FROM ws)
 ),
-fb AS (SELECT doc_id, lang = 'en' AS t,
+fb AS (SELECT doc_id, t,
               {_md5_hex4("f")} % 256 AS b
        FROM feats),
 counts AS (
@@ -290,7 +292,7 @@ ds AS (
 ),
 scored AS (
   SELECT d.doc_id, round(coalesce(ds.s, 0.0), 6) AS score
-  FROM documents d LEFT JOIN ds USING (doc_id)
+  FROM {src} d LEFT JOIN ds USING (doc_id)
 )"""
 
 
@@ -450,3 +452,47 @@ def px01(spark, sf):
     d = table(spark, sf, "documents")
     uni, bi = Q.train_bigram_lm(d, buckets=2048)
     return Q.perplexity(d, uni, bi)
+
+
+# ------------------------------------------------------------------
+@register(
+    "cc02_curation_pipeline",
+    f"""
+    WITH wv AS (SELECT doc_id, string_split(text, ' ') AS wv
+                FROM documents),
+    stv AS (SELECT d.doc_id, d.text, d.lang, d.source,
+                  CAST(len(wv) AS BIGINT) AS n_words,
+                  1.0 - CAST(len(list_distinct(wv)) AS DOUBLE) / len(wv)
+                    AS dwf,
+                  min(d.doc_id) OVER (PARTITION BY md5(d.text)) AS canon
+           FROM documents d JOIN wv USING (doc_id)),
+    cleaned AS (
+      SELECT doc_id, text, source FROM stv
+      WHERE lang = 'en' AND n_words BETWEEN 20 AND 100000
+        AND dwf <= 0.75 AND doc_id = canon
+    ),
+    {_dsir_score_ctes(src="cleaned", target="source = 'src1'")}
+    SELECT doc_id, score, rnk FROM (
+      SELECT doc_id, score,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+               AS INT) AS rnk
+      FROM scored)
+    WHERE rnk <= 100
+    """,
+    doc="end-to-end curation pipeline under ONE oracle: clean "
+        "(lang+length+repetition+exact-dedup) → DSIR scoring over the "
+        "survivors (target = the src1 slice) → deterministic top-100 "
+        "selection — the composed DataFrame graph a real pretraining "
+        "prep run executes",
+)
+def cc02(spark, sf):
+    d = table(spark, sf, "documents")
+    cleaned = C.clean_corpus(d)
+    scored = C.importance_weights(cleaned,
+                                  F.col("source") == "src1",
+                                  buckets=256)
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (scored
+            .withColumn("rnk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rnk") <= 100))
