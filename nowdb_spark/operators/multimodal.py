@@ -52,9 +52,10 @@ def _fake_decode(payload: bytes) -> dict:
 
 
 def decode_image(payload: bytes):
-    """Real decode entry point. BMP/PPM decode via the vendored
-    pure-Python codec; anything else needs codec libs (absent in this
-    container) and raises honestly."""
+    """Real decode entry point. BMP/PPM/PNG (zlib/DEFLATE)/GIF (LZW)
+    and baseline JPEG decode via the vendored pure-Python codecs;
+    remaining formats (progressive JPEG, WebP, …) need codec libs
+    (absent in this container) and raise honestly."""
     from nowdb_spark.operators.imagecodec import CODEC
 
     img = CODEC.decode(payload)
@@ -62,7 +63,7 @@ def decode_image(payload: bytes):
         return img
     if not _HAVE_CODECS:
         raise NotImplementedError(
-            "only uncompressed BMP/PPM decode without codec libs; "
+            "BMP/PPM/PNG/GIF/baseline-JPEG decode without codec libs; "
             "metadata plumbing for other formats uses _fake_decode")
     raise NotImplementedError("wire to PIL.Image.open(io.BytesIO(payload))")
 

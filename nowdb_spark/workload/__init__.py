@@ -152,7 +152,9 @@ _PRIORITY_ORDER = [
     "ts04_gap_fill", "ts05_ohlc",
     # corpus curation (cleaning.py; tx05/pii01/sp01/sm01 are the
     # relegated, pytest-verified spellings of the same family)
-    "cx01_contamination", "cc01_clean_corpus",
+    # cc02 runs cc01's cleaning AND the DSIR selection stage under
+    # one oracle — the composed pipeline takes the window row
+    "cx01_contamination", "cc02_curation_pipeline",
 ]                                                # exactly 50 entries
 
 

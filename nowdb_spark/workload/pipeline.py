@@ -1243,3 +1243,45 @@ def tx07(spark, sf):
         F.array_join(F.transform("token_ids",
                                  lambda x: x.cast("string")), " ")
         .alias("ids"))
+
+
+# ------------------------------------------------------------------
+@register(
+    "pr01_profile",
+    """
+    WITH base AS (SELECT l_orderkey, l_quantity, l_returnflag
+                  FROM lineitem)
+    SELECT 'l_orderkey' AS "column", count(*) AS n_rows,
+           count(*) FILTER (l_orderkey IS NULL) AS n_nulls,
+           count(DISTINCT l_orderkey) AS n_distinct,
+           CAST(min(l_orderkey) AS VARCHAR) AS min_str,
+           CAST(max(l_orderkey) AS VARCHAR) AS max_str,
+           round(avg(l_orderkey), 6) AS mean,
+           round(coalesce(stddev_samp(l_orderkey), 0.0), 6) AS stddev
+    FROM base
+    UNION ALL
+    SELECT 'l_quantity', count(*),
+           count(*) FILTER (l_quantity IS NULL),
+           count(DISTINCT l_quantity),
+           CAST(min(l_quantity) AS VARCHAR),
+           CAST(max(l_quantity) AS VARCHAR),
+           round(avg(l_quantity), 6),
+           round(coalesce(stddev_samp(l_quantity), 0.0), 6)
+    FROM base
+    UNION ALL
+    SELECT 'l_returnflag', count(*),
+           count(*) FILTER (l_returnflag IS NULL),
+           count(DISTINCT l_returnflag),
+           min(l_returnflag), max(l_returnflag),
+           NULL, NULL
+    FROM base
+    """,
+    doc="dataset profiling: per-column null/distinct/min/max/moments "
+        "in ONE aggregation pass (algebraic + sketchable stats only — "
+        "the approx=True HLL path is the 100 TB spelling)",
+)
+def pr01(spark, sf):
+    from nowdb_spark.operators.profile import profile
+    li = table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag")
+    return profile(li)
