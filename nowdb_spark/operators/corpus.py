@@ -407,3 +407,29 @@ def importance_resample(df: DataFrame, target: Column, k: int,
     w = Window.orderBy(F.col("key").desc(), F.col(id_col))
     return (scored.withColumn("key", key)
             .withColumn("selected", F.row_number().over(w) <= k))
+
+
+def write_training_shards(packed: DataFrame, out_dir: str,
+                          rows_per_file: int = 1_000_000,
+                          id_col: str = "doc_id") -> int:
+    """Materialize pack_sequences output as trainer-consumable parquet
+    shards: range-partitioned by seq_id (a shard holds contiguous
+    training sequences, never splits one) and row-capped per file.
+
+    One range shuffle + one write; returns the number of sequences
+    written. At 100 TB tune ``rows_per_file`` so a shard matches the
+    trainer's shard-size appetite — the range partitioner keeps
+    global sequence order across shard file names meaningless but
+    seq_id itself total-orders the corpus, which is what data loaders
+    key on.
+    """
+    n_seqs = packed.select(F.max("seq_id")).first()[0]
+    if n_seqs is None:
+        return 0
+    (packed
+     .repartitionByRange(F.col("seq_id"))
+     .sortWithinPartitions("seq_id", "offset")
+     .write.mode("overwrite")
+     .option("maxRecordsPerFile", rows_per_file)
+     .parquet(out_dir))
+    return int(n_seqs) + 1

@@ -57,3 +57,27 @@ def test_shuffle_hash_fns_both_permutations(spark):
     md5b = {r.doc_id: r.shuffle_order
             for r in C.deterministic_shuffle(d, seed=2).collect()}
     assert md5 != md5b
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    from nowdb_spark.operators import corpus as C
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 37, F.lit(90)) + 10).alias("n_tokens"))
+    packed = C.pack_sequences(docs, len_col="n_tokens", max_len=256,
+                              seed=3)
+    out = str(tmp_path / "shards")
+    n = C.write_training_shards(packed, out, rows_per_file=50)
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+    assert back.select(F.max("seq_id")).first()[0] == n - 1
+    # every sequence is intact: same (doc -> seq, offset) assignment
+    a = {(r["doc_id"], r["seq_id"], r["offset"])
+         for r in packed.collect()}
+    b = {(r["doc_id"], r["seq_id"], r["offset"])
+         for r in back.collect()}
+    assert a == b
+    import glob
+    files = glob.glob(f"{out}/*.parquet")
+    assert len(files) >= 4            # row cap produced multiple shards
