@@ -14,6 +14,7 @@ without leaving the session:
     exec pipe.text_stats('docs')
     exec pipe.quality_filter('docs', 'lang', 'en', 64, 4)
     exec pipe.perplexity('docs', 2048)
+    exec pipe.profile('docs')
 
 Every procedure takes a context/mount/view NAME plus constant
 parameters (the reference's EXEC restriction) and returns a cursor —
@@ -81,6 +82,10 @@ def register_builtin_procs(engine) -> None:
         uni, bi = Q.train_bigram_lm(df, buckets=int(buckets))
         return Q.perplexity(df, uni, bi)
 
+    def profile(session, ctx):
+        from nowdb_spark.operators.profile import profile as P
+        return P(session.dataframe(ctx))
+
     for name, fn in [("exact_dedup", exact_dedup),
                      ("minhash_pairs", minhash_pairs),
                      ("semdedup", semdedup),
@@ -88,5 +93,6 @@ def register_builtin_procs(engine) -> None:
                      ("bpe_tokenize", bpe_tokenize),
                      ("text_stats", text_stats),
                      ("quality_filter", quality_filter),
-                     ("perplexity", perplexity)]:
+                     ("perplexity", perplexity),
+                     ("profile", profile)]:
         engine.register_procedure(f"pipe.{name}", fn)

@@ -221,3 +221,8 @@ def test_builtin_pipeline_procs(spark, tmp_path):
 
     r = e.rexecute("exec pipe.text_stats('docs')")
     assert len(r.fetch(100)) == 4
+
+    r = e.rexecute("exec pipe.profile('docs')")
+    prof = {t[0]: t for t in r.fetch(100)}
+    assert prof["doc_id"][1] == 4 and prof["doc_id"][3] == 4
+    assert prof["lang"][3] == 2          # en, fr
