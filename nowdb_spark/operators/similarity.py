@@ -625,7 +625,7 @@ def _pq_subdist(vec: Column, j: int, sub: int, cent: list[float]) -> Column:
 
 def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
               vec_col: str = "embedding", id_col: str = "vec_id",
-              kernel: str = "column") -> DataFrame:
+              kernel: str = "column", keep: tuple = ()) -> DataFrame:
     """(id, code: array<int>) — code[j] = argmin_c ||v_j − cb[j][c]||²
     (ties → lowest c). Map-only, no shuffle. `kernel="column"` is the
     oracle-reproducible JVM expression (m×k×(dim/m) codegen terms —
@@ -645,7 +645,8 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
             B = M.reshape(len(M), m, 1, sub)
             d2 = ((B - CB[None, :, :, :]) ** 2).sum(axis=3)
             return pd.Series(list(d2.argmin(axis=2).astype("int32")))
-        return df.select(id_col, enc(F.col(vec_col)).alias("code"))
+        return df.select(id_col, *keep,
+                         enc(F.col(vec_col)).alias("code"))
 
     code = F.array(*[
         F.element_at(
@@ -654,7 +655,7 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
                          .alias("d"), F.lit(c).alias("c"))
                 for c, cent in enumerate(cb)])), 1)["c"]
         for j, cb in enumerate(codebooks)])
-    return df.select(id_col, code.alias("code"))
+    return df.select(id_col, *keep, code.alias("code"))
 
 
 def pq_decode(df: DataFrame, codebooks: list[list[list[float]]],
@@ -668,6 +669,27 @@ def pq_decode(df: DataFrame, codebooks: list[list[list[float]]],
         parts.append(F.element_at(cbl,
                                   F.element_at(F.col(code_col), j + 1) + 1))
     return df.withColumn("deq", F.concat(*parts))
+
+
+def _adc_dist(codebooks: list[list[list[float]]],
+              code_col: str, qvec_col: str) -> Column:
+    """ADC distance expression: Σ_j ||q_j − cb[j][code_j]||² with the
+    per-(query,centroid) lookup folded into codegen (same summation
+    order as the unrolled encode expressions)."""
+    sub = len(codebooks[0][0])
+    dist = None
+    for j, cb in enumerate(codebooks):
+        cbl = F.array(*[F.array(*[F.lit(w) for w in cent])
+                        for cent in cb])
+        cent = F.element_at(cbl, F.element_at(F.col(code_col), j + 1) + 1)
+        s = None
+        for d in range(sub):
+            x = (F.element_at(F.col(qvec_col), j * sub + d + 1)
+                 .cast("double") - F.element_at(cent, d + 1))
+            term = x * x
+            s = term if s is None else s + term
+        dist = s if dist is None else dist + s
+    return dist
 
 
 def pq_adc_topk(codes: DataFrame, queries: DataFrame,
@@ -685,20 +707,7 @@ def pq_adc_topk(codes: DataFrame, queries: DataFrame,
     classical formulation precomputes is here folded into the codegen
     expression; with thousands of queries, materialize the LUT join
     instead."""
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
-    dist = None
-    for j, cb in enumerate(codebooks):
-        cbl = F.array(*[F.array(*[F.lit(w) for w in cent])
-                        for cent in cb])
-        cent = F.element_at(cbl, F.element_at(F.col(code_col), j + 1) + 1)
-        s = None
-        for d in range(sub):
-            x = (F.element_at(F.col(qvec_col), j * sub + d + 1)
-                 .cast("double") - F.element_at(cent, d + 1))
-            term = x * x
-            s = term if s is None else s + term
-        dist = s if dist is None else dist + s
+    dist = _adc_dist(codebooks, code_col, qvec_col)
     w = W.partitionBy(qid_col).orderBy(F.col("dist").asc(), F.col(id_col))
     return (codes.crossJoin(F.broadcast(queries))
             .select(qid_col, id_col, F.round(dist, 6).alias("dist"))
@@ -855,3 +864,53 @@ def semdedup(corpus: DataFrame, n_centroids: int = 16, iters: int = 3,
             .join(dups, id_col, "left")
             .select(id_col, "cid", "dup_of",
                     F.col("dup_of").isNotNull().alias("is_dup")))
+
+
+def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
+                codebooks: list[list[list[float]]], k: int = 5,
+                n_centroids: int = 8, n_probe: int = 3, iters: int = 3,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                qid_col: str = "qid", qvec_col: str = "qvec",
+                centroids: list[list[float]] | None = None,
+                kernel: str = "column") -> DataFrame:
+    """IVF-PQ: the standard billion-scale ANN architecture (Jégou et
+    al. 2011) — IVF coarse quantizer prunes the corpus to ``n_probe``
+    inverted lists per query, PQ asymmetric-distance scoring ranks the
+    candidates from their 32×-compressed codes. The full-precision
+    vectors are read ONCE (at encode time); the query path touches
+    only (cid, code) — m bytes per corpus row.
+
+    Composition of ivf_topk's candidate generation and pq_adc_topk's
+    scoring; returns (qid, vec_id, dist, rnk), rnk ≤ k, ascending
+    ADC distance, ties → lowest id.
+
+    Shape at scale: codes table persisted partitionBy('cid') makes
+    every query's probe a partition-pruned scan of n_probe/n_centroids
+    of a 32×-smaller table; probes broadcast; one window for top-k.
+    """
+    if centroids is None:
+        centroids = kmeans_centroids(corpus, n_centroids, iters,
+                                     vec_col, id_col, kernel=kernel)
+    indexed = ivf_index(corpus.select(id_col, vec_col), centroids,
+                        vec_col, kernel=kernel)
+    codes = pq_encode(indexed, codebooks, vec_col, id_col,
+                      kernel=kernel if kernel == "pandas" else "column",
+                      keep=("cid",))
+
+    qsims = F.array(*[
+        F.struct(_dot_const(F.col(qvec_col), c).alias("s"),
+                 F.lit(i).alias("c"))
+        for i, c in enumerate(centroids)])
+    probed = (queries
+              .select(qid_col, qvec_col,
+                      F.explode(F.slice(F.reverse(F.array_sort(qsims)),
+                                        1, n_probe)).alias("p"))
+              .select(qid_col, qvec_col, F.col("p.c").alias("cid")))
+
+    cands = codes.join(F.broadcast(probed), "cid")
+    dist = F.round(_adc_dist(codebooks, "code", qvec_col), 6)
+    w = W.partitionBy(qid_col).orderBy(F.col("dist").asc(), F.col(id_col))
+    return (cands.select(F.col(qid_col), F.col(id_col),
+                         dist.alias("dist"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k))

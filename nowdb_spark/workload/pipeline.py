@@ -698,13 +698,16 @@ def dd09(spark, sf):
 _PQ_M, _PQ_K, _PQ_SUB = 8, 16, 8       # 64-dim → 8 subspaces × 16 cents
 
 
-def _pq_oracle_sql() -> str:
-    """DuckDB replay of pq_encode + pq_adc_topk with the LCG codebook
-    literals embedded. Every float literal is 17-sig-digit scientific
-    (parses as DOUBLE, exact round-trip of the Spark-side F.lit), and
-    every distance sum is spelled in the SAME left-to-right
-    association order as the unrolled Column expressions — argmins and
-    rounded distances are bit-identical, not merely close."""
+def _pq_sql_parts() -> tuple:
+    """SQL fragments replaying pq_encode / ADC with the LCG codebook
+    literals embedded: (enc_list, dist_expr). Every float literal is
+    17-sig-digit scientific (parses as DOUBLE, exact round-trip of the
+    Spark-side F.lit), and every distance sum is spelled in the SAME
+    left-to-right association order as the unrolled Column
+    expressions — argmins and rounded distances are bit-identical,
+    not merely close. Shared by the ann06 and ann07 oracles; `enc`
+    expects the vector as column `v`, `dist` scores `e.code` against
+    `q.v`."""
     cbs = S.pq_codebooks_lcg(64, _PQ_M, _PQ_K, seed=7)
 
     def flit(w: float) -> str:
@@ -737,7 +740,11 @@ def _pq_oracle_sql() -> str:
             f" * (q.v[{j * _PQ_SUB + d + 1}] - {cent}[{d + 1}])"
             for d in range(_PQ_SUB)) + ")")
     dist = " + ".join(dist_terms)
+    return enc, dist
 
+
+def _pq_oracle_sql() -> str:
+    enc, dist = _pq_sql_parts()
     return f"""
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
              FROM embeddings),
@@ -770,6 +777,57 @@ def ann06(spark, sf):
                .select(F.col("vec_id").alias("qid"),
                        F.col("embedding").alias("qvec")))
     return S.pq_adc_topk(codes, queries, cbs, k=5)
+
+
+def _ivfpq_oracle_sql(k: int = 5, n_centroids: int = 8,
+                      n_probe: int = 3, iters: int = 3,
+                      train_limit: int = 100_000) -> str:
+    """ann07: the shared k-means/idx chain generates candidates, the
+    shared PQ fragments score them — the composed IVF-PQ pipeline
+    replayed end-to-end (training, assignment, probing, encoding, ADC
+    ranking) in one generated statement."""
+    enc, dist = _pq_sql_parts()
+    parts = _kmeans_idx_ctes(n_centroids, iters, train_limit)
+    parts.append(f""",
+enc AS (SELECT vec_id, [{enc}] AS code FROM emb),
+probe AS (
+  SELECT qid, cid FROM (
+    SELECT q.vec_id AS qid, p.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.v, p.c) DESC, p.cid DESC) AS rn
+    FROM emb q CROSS JOIN c{iters} p WHERE q.vec_id < 3)
+  WHERE rn <= {n_probe}
+),
+cand AS (SELECT p.qid, i.vec_id FROM idx i JOIN probe p USING (cid))
+SELECT qid, vec_id, dist, rnk FROM (
+  SELECT c.qid, e.vec_id, round({dist}, 6) AS dist,
+         CAST(row_number() OVER (PARTITION BY c.qid
+                ORDER BY round({dist}, 6), e.vec_id) AS INT) AS rnk
+  FROM cand c
+  JOIN enc e ON e.vec_id = c.vec_id
+  JOIN emb q ON q.vec_id = c.qid
+) WHERE rnk <= {k}
+""")
+    return "".join(parts)
+
+
+@register(
+    "ann07_ivf_pq",
+    _ivfpq_oracle_sql(),
+    doc="IVF-PQ (Jégou et al. 2011): coarse-quantizer candidate "
+        "pruning + asymmetric-distance scoring from 32x-compressed "
+        "codes — the standard billion-scale ANN architecture, its "
+        "training/assignment/probe/encode/rank pipeline replayed "
+        "end-to-end by the composed generated oracle.",
+)
+def ann07(spark, sf):
+    e = table(spark, sf, "embeddings")
+    cbs = S.pq_codebooks_lcg(64, _PQ_M, _PQ_K, seed=7)
+    queries = (e.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec")))
+    return S.ivf_pq_topk(e, queries, cbs, k=5, n_centroids=8,
+                         n_probe=3, iters=3)
 
 
 # ------------------------------------------------------------------

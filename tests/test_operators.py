@@ -562,3 +562,21 @@ def test_semdedup_degenerate_cluster(spark):
     assert r.filter("is_dup").count() == 5999
     rng = r.filter("is_dup").agg(F.min("dup_of"), F.max("dup_of")).first()
     assert tuple(rng) == (0, 0)
+
+
+def test_ivf_pq_full_probe_equals_adc(spark):
+    """Probing every list degenerates IVF-PQ to plain ADC over the
+    whole corpus — identical ranks and distances."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cbs = S.pq_codebooks_lcg(64, 8, 16, seed=7)
+    queries = (emb.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec")))
+    full = S.pq_adc_topk(S.pq_encode(emb, cbs), queries, cbs, k=5)
+    ivf = S.ivf_pq_topk(emb, queries, cbs, k=5, n_centroids=4,
+                        n_probe=4, iters=2)
+    a = {(r["qid"], r["vec_id"], r["dist"], r["rnk"])
+         for r in full.collect()}
+    b = {(r["qid"], r["vec_id"], r["dist"], r["rnk"])
+         for r in ivf.collect()}
+    assert a == b
