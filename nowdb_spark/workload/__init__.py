@@ -82,6 +82,7 @@ from nowdb_spark.workload import graph  # noqa: E402,F401
 from nowdb_spark.workload import pipeline  # noqa: E402,F401
 from nowdb_spark.workload import timeseries  # noqa: E402,F401
 from nowdb_spark.workload import cleaning  # noqa: E402,F401
+from nowdb_spark.workload import streams  # noqa: E402,F401
 
 
 # ------------------------------------------------------------------
@@ -147,8 +148,12 @@ _PRIORITY_ORDER = [
     # decoder); mm05 decodes RIFF/PCM16 WAV audio. mm01/mm02/mm03 and
     # the y4m video round trip mm06 relegated, still oracle-verified.
     "mm04_entropy_decode", "mm05_wav_features",
-    # time-series
-    "ts01_downsample", "ts02_moving_avg", "ts03_integral",
+    # time-series (ts02's row-frame moving aggregates are covered
+    # in-window by nq08's window-function row; its slot carries the
+    # streaming extension gate — a REAL readStream→memory-sink run
+    # whose final state the oracle replays exactly. ts02 stays
+    # oracle-verified by tests/test_workload.py.)
+    "ts01_downsample", "st01_stream_window_agg", "ts03_integral",
     "ts04_gap_fill", "ts05_ohlc",
     # corpus curation (cleaning.py; tx05/pii01/sp01/sm01 are the
     # relegated, pytest-verified spellings of the same family)

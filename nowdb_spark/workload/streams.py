@@ -1,0 +1,137 @@
+"""Structured-Streaming workload entries (SURVEY §2.6), gate-verified.
+
+The reference's streaming story is its insert path + pending buffers
+(`scope/scope.c` insert → store pending → sorted files); the designed
+extension (doc/manual: continuous queries) never shipped. Here the
+streaming operators are real Structured Streaming queries, and these
+two entries prove them against the same DuckDB oracles as the batch
+battery: the events parquet is consumed through `readStream` (file
+source, schema-pinned), aggregated with event-time windows, driven to
+completion against the memory sink, and the FINAL result is compared
+value-for-value with an ANSI-SQL replay.
+
+Determinism: complete-output-mode aggregations over a finite file
+source are batch-equivalent by Spark's semantics — no watermark
+dropping, no trigger-timing dependence — so the oracle comparison is
+exact, not rows-only.
+
+Scale stance: the plans are the same watermark-bounded windowed aggs
+(`streaming/ingest.py`) a production stream would run; only the sink
+(memory, for the gate) and output mode differ. State per key×window,
+shuffle on (window, keys) — AQE-balanced, no driver loops.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import shutil
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nowdb_spark import timeutil as TU
+from nowdb_spark.streaming.ingest import (session_window_agg,
+                                          windowed_agg)
+from nowdb_spark.workload import register
+
+_HOUR_NS = 3_600_000_000_000
+_GAP_NS = 1_800_000_000_000  # 30 min session gap (q22 parity)
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a streaming frame: schema pinned from the static
+    footer (file-stream sources cannot infer), stamps normalized to
+    the engine's i64-ns policy exactly like workload.table()."""
+    src = Path(sf_dir) / "events.parquet"
+    # the file-stream source lists a DIRECTORY; testdata ships one
+    # file per table, so stage it (copy-once, size-checked) into a
+    # per-sf staging dir — exactly how a stream lands in practice
+    # (files appearing under a watched prefix)
+    tag = hashlib.md5(str(src).encode()).hexdigest()[:12]
+    stage = Path(tempfile.gettempdir()) / f"nowdb_stream_src_{tag}"
+    stage.mkdir(exist_ok=True)
+    dst = stage / "events.parquet"
+    if not dst.exists() or dst.stat().st_size != src.stat().st_size:
+        shutil.copyfile(src, dst)
+    static = spark.read.parquet(str(src))
+    sdf = spark.readStream.schema(static.schema).parquet(str(stage))
+    return TU.normalize_stamps(sdf, columns=("ts",))
+
+
+def _run_to_table(sdf, name: str) -> None:
+    spark = sdf.sparkSession
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (sdf.writeStream.outputMode("complete")
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+@register(
+    "st01_stream_window_agg",
+    f"""
+    SELECT epoch_ns(ts) - (epoch_ns(ts) % {_HOUR_NS}) AS window_start_ns,
+           epoch_ns(ts) - (epoch_ns(ts) % {_HOUR_NS}) + {_HOUR_NS}
+             AS window_end_ns,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS total
+    FROM events GROUP BY 1, 2, 3
+    """,
+    doc="tumbling 1h event-time window per event_type through a REAL "
+        "readStream → memory-sink run (complete mode; final state is "
+        "batch-equivalent and oracle-exact)",
+)
+def st01(spark, sf):
+    sdf = _stream_events(spark, sf)
+    agg = windowed_agg(
+        sdf, "ts", ["event_type"],
+        [F.count(F.lit(1)).alias("n"),
+         F.round(F.sum("value"), 4).alias("total")],
+        window="1 hour")
+    _run_to_table(agg, "_st01_sink")
+    return spark.table("_st01_sink")
+
+
+@register(
+    "st02_stream_session_window",
+    f"""
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_ns(ts) - epoch_ns(lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts)) > {_GAP_NS}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           min(epoch_ns(ts)) AS window_start_ns,
+           max(epoch_ns(ts)) + {_GAP_NS} AS window_end_ns,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS total
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="gap-based session windows (30 min) per user through a REAL "
+        "streaming session_window aggregation; oracle replays the "
+        "merge as a lag/cumsum islands query (session membership is "
+        "order-independent under equal stamps, so the replay is exact)",
+)
+def st02(spark, sf):
+    sdf = _stream_events(spark, sf)
+    agg = session_window_agg(
+        sdf, "ts", ["user_id"],
+        [F.count(F.lit(1)).alias("n"),
+         F.round(F.sum("value"), 4).alias("total")],
+        gap="30 minutes")
+    _run_to_table(agg, "_st02_sink")
+    return spark.table("_st02_sink")
