@@ -176,29 +176,29 @@ def main() -> None:
         pipe["dd02a_docs_per_sec"] = round(n / (time.perf_counter() - t0))
         t0 = time.perf_counter()
         D.minhash_lsh_pairs(dsrc, k=8, bands=4, threshold=0.5,
-                            hash_fn="arrow").count()
+                            hash_fn="arrow", compact=True).count()
         pipe["dd03a_docs_per_sec"] = round(n / (time.perf_counter() - t0))
         t0 = time.perf_counter()
         D.exact_dedup(dsrc).filter(F.col("is_dup")).count()
         pipe["dd01_docs_per_sec"] = round(n / (time.perf_counter() - t0))
         # duplicate spans emit+shuffle ~26 positional windows per doc
         # (5 GB of shuffle at 10M docs, ~4 min) — rate is measured on a
-        # 1M-doc slice and the slice size is recorded alongside
-        n_span = min(n_docs, 1_000_000)
+        # bounded slice and the slice size is recorded alongside
+        n_span = min(n_docs, 500_000)
         t0 = time.perf_counter()
         D.duplicate_spans(dsrc.filter(F.col("doc_id") < n_span)
                           .repartition(cores),   # slice = few input splits
-                          k=5, hash_fn="xxhash64").count()
+                          k=5, hash_fn="arrow").count()
         pipe["dd08_docs_per_sec"] = round(n_span / (time.perf_counter() - t0))
         pipe["dd08_docs"] = n_span
 
         from nowdb_spark.operators import textops as TX
         from nowdb_spark.operators.dedup import simhash64, simhash64_arrow
         # the Column backend is ~30× slower than the Arrow kernel
-        # (65-counter fold in codegen) — rate it on a 1M slice so it
+        # (65-counter fold in codegen) — rate it on a bounded slice so it
         # doesn't dominate the bench wall-clock; the Arrow production
         # path below runs the full volume
-        n_sh = min(n_docs, 1_000_000)
+        n_sh = min(n_docs, 250_000)
         sh_slice = dsrc.filter(F.col("doc_id") < n_sh).repartition(cores)
         t0 = time.perf_counter()
         sh_slice.select("doc_id", simhash64(F.col("text")).alias("sh")) \
@@ -217,9 +217,9 @@ def main() -> None:
         # literal-array scoring fold. sum(score), not count(*): a
         # count would let Catalyst prune the scoring expression and
         # time an empty plan. Hash-bound (~120 feature hashes per doc
-        # across the two passes) — rated on a 1M slice, size recorded.
+        # across the two passes) — rated on a bounded slice, size recorded.
         from nowdb_spark.operators import corpus as CO
-        n_cx = min(n_docs, 1_000_000)
+        n_cx = min(n_docs, 500_000)
         t0 = time.perf_counter()
         CO.importance_weights(
             dsrc.filter(F.col("doc_id") < n_cx).repartition(cores),

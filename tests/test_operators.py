@@ -231,6 +231,19 @@ def test_minhash_xxhash_unbounded_k_and_empty_doc(spark):
         D.minhash_signature(df, hash_fn="sha1")
 
 
+def test_minhash_compact_lsh_matches_hex(spark):
+    """compact=True (int64 components, xxhash64 band keys) must yield
+    the exact hex-path pairs and estimates; compact is arrow-only."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = sorted(tuple(r) for r in D.minhash_lsh_pairs(
+        docs, threshold=0.3, hash_fn="arrow").collect())
+    b = sorted(tuple(r) for r in D.minhash_lsh_pairs(
+        docs, threshold=0.3, hash_fn="arrow", compact=True).collect())
+    assert a == b and a
+    with pytest.raises(ValueError):
+        D.minhash_signature(docs, hash_fn="md5", compact=True)
+
+
 def test_ivf_exact_when_probing_all(spark):
     """n_probe == n_centroids degenerates IVF to exact knn_join."""
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
@@ -398,7 +411,9 @@ def test_duplicate_spans_hash_fn_agree(spark):
     a = {tuple(r) for r in D.duplicate_spans(docs, k=5).collect()}
     b = {tuple(r) for r in
          D.duplicate_spans(docs, k=5, hash_fn="xxhash64").collect()}
-    assert a == b and a
+    c = {tuple(r) for r in
+         D.duplicate_spans(docs, k=5, hash_fn="arrow").collect()}
+    assert a == b == c and a
 
 
 def test_remove_duplicate_spans_matches_python(spark):
