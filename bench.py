@@ -224,7 +224,7 @@ def main() -> None:
         CO.importance_weights(
             dsrc.filter(F.col("doc_id") < n_cx).repartition(cores),
             F.pmod(F.xxhash64("doc_id"), F.lit(7)) == 0,
-            buckets=4096).agg(F.sum("score")).collect()
+            buckets=4096, hash_fn="arrow").agg(F.sum("score")).collect()
         pipe["cx04_docs_per_sec"] = round(n_cx / (time.perf_counter() - t0))
         pipe["cx04_docs"] = n_cx
 

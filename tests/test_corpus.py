@@ -150,6 +150,55 @@ def test_dsir_weights_match_python(spark):
     assert tgt_avg > raw_avg
 
 
+def test_dsir_arrow_matches_python(spark):
+    """The Arrow backend recomputed in pure python with the SAME hash
+    (pd.util.hash_array) — locks bucketing, target attribution,
+    smoothing, and the per-doc segment sums."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    rows = [(0, "aa bb cc", True), (1, "aa bb", True),
+            (2, "xx yy zz", False), (3, "cc xx", False),
+            (4, "aa cc aa", True)]
+    B, alpha = 64, 1.0
+
+    def bucket(s):
+        # int() BEFORE the modulo: numpy uint64 % python-int promotes
+        # to float64 and quantizes the hash
+        return int(pd.util.hash_array(
+            np.asarray([s], dtype=object))[0]) % B
+
+    def feats(text):
+        ws = text.split(" ")
+        return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    n_raw, n_tgt = {}, {}
+    for _, text, t in rows:
+        for f in feats(text):
+            b = bucket(f)
+            n_raw[b] = n_raw.get(b, 0) + 1
+            if t:
+                n_tgt[b] = n_tgt.get(b, 0) + 1
+    t_raw, t_tgt = sum(n_raw.values()), sum(n_tgt.values())
+    want = {}
+    for did, text, _ in rows:
+        s = sum(math.log((n_tgt.get(bucket(f), 0) + alpha)
+                         / (t_tgt + alpha * B))
+                - math.log((n_raw[bucket(f)] + alpha)
+                           / (t_raw + alpha * B))
+                for f in feats(text))
+        want[did] = round(s, 6)
+
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    got = {r["doc_id"]: r["score"] for r in
+           C.importance_weights(df, F.col("tgt"), buckets=B,
+                                hash_fn="arrow").collect()}
+    for did in want:
+        assert abs(got[did] - want[did]) < 2e-6, (did, got[did], want[did])
+
+
 def test_dsir_resample_exact_k_and_invariance(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     r1 = C.importance_resample(docs, F.col("lang") == "en", k=50)
@@ -171,7 +220,7 @@ def test_dsir_hash_backends_rank_similarly(spark):
                for i in range(10)])
     df = spark.createDataFrame(rows,
                                "doc_id long, text string, tgt boolean")
-    for fn in ("md5", "xxhash64"):
+    for fn in ("md5", "xxhash64", "arrow"):
         got = {r["doc_id"]: r["score"] for r in
                C.importance_weights(df, F.col("tgt"), buckets=128,
                                     hash_fn=fn).collect()}
