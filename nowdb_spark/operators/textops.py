@@ -70,6 +70,53 @@ def lang_id(text: Column) -> Column:
     return F.when(ratio > 0.05, F.lit("en")).otherwise(F.lit("unk"))
 
 
+def bm25_scores(df: DataFrame, query_terms: list[str],
+                text_col: str = "text", id_col: str = "doc_id",
+                k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Okapi BM25 (Lucene variant) of a fixed query against every doc.
+
+    The retrieval staple of contamination screens and quality-biased
+    sampling: score(d) = Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)),
+    idf(t) = ln((N − df_t + ½)/(df_t + ½) + 1).
+
+    Plan shape at 100 TB: ONE global aggregate produces the whole
+    model state — N, Σdl, and one df counter per query term, a single
+    row — which broadcast-joins back; scoring is then a map-only pass
+    (tf via a filter over the in-row token array, no explode, no
+    per-term shuffle). Exactness: Σdl is an integer sum, so
+    avgdl = Σdl/N is bit-identical across engines — every floating
+    step is a per-row pure function of exact integers, which is what
+    lets the DuckDB oracle match to round-6.
+    """
+    ws = words(F.col(text_col))
+    base = df.select(id_col, ws.alias("__ws"),
+                     F.size(ws).cast("long").alias("__dl"))
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        (F.sum("__dl").cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("__avgdl"),
+        *[F.sum(F.when(F.array_contains("__ws", t), 1).otherwise(0))
+          .cast("double").alias(f"__df{i}")
+          for i, t in enumerate(query_terms)])
+    scored = base.crossJoin(F.broadcast(stats))
+    dl = F.col("__dl").cast("double")
+
+    def _eq(term):
+        # NOT `lambda w, t=t:` — a second parameter (even defaulted)
+        # makes pyspark pass the array INDEX into it
+        return lambda w: w == F.lit(term)
+
+    score = None
+    for i, t in enumerate(query_terms):
+        tf = F.size(F.filter("__ws", _eq(t))).cast("double")
+        dft = F.col(f"__df{i}")
+        idf = F.log((F.col("__n") - dft + 0.5) / (dft + 0.5) + 1.0)
+        part = (idf * tf * (k1 + 1.0)
+                / (tf + k1 * (1.0 - b + b * dl / F.col("__avgdl"))))
+        score = part if score is None else score + part
+    return scored.select(F.col(id_col), F.round(score, 6).alias("bm25"))
+
+
 def fingerprint(text: Column) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted
     distinct word set (bag-of-words identity; robust to shuffling)."""

@@ -398,6 +398,48 @@ def tx04(spark, sf):
 
 
 # ------------------------------------------------------------------
+_BM25_TERMS = ("spark", "query", "vector")
+_BM25_TF = ",\n           ".join(
+    f"CAST(len(list_filter(w.ws, x -> x = '{t}')) AS DOUBLE) AS tf{i}"
+    for i, t in enumerate(_BM25_TERMS))
+_BM25_DF = ",\n             ".join(
+    f"CAST(sum(CASE WHEN list_contains(ws, '{t}') THEN 1 ELSE 0 END)"
+    f" AS DOUBLE) AS df{i}"
+    for i, t in enumerate(_BM25_TERMS))
+_BM25_SUM = "\n             + ".join(
+    f"ln((s.n - s.df{i} + 0.5)/(s.df{i} + 0.5) + 1.0) * d.tf{i} * 2.2"
+    f" / (d.tf{i} + 1.2*(0.25 + 0.75*d.dl/s.avgdl))"
+    for i in range(len(_BM25_TERMS)))
+
+
+@register(
+    "tx08_bm25",
+    f"""
+    WITH {_WORDS_CTE},
+    d AS (
+      SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl,
+           {_BM25_TF}
+      FROM words w
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(len(ws)) AS DOUBLE) / count(*) AS avgdl,
+             {_BM25_DF}
+      FROM words
+    )
+    SELECT d.doc_id,
+           round({_BM25_SUM}, 6) AS bm25
+    FROM d CROSS JOIN s
+    """,
+    doc="Okapi BM25 of a fixed query over the corpus (one global "
+        "stats row broadcast back; map-only scoring)",
+)
+def tx08(spark, sf):
+    return T.bm25_scores(table(spark, sf, "documents"),
+                         list(_BM25_TERMS))
+
+
+# ------------------------------------------------------------------
 @register(
     "ann01_bruteforce_topk",
     """

@@ -143,3 +143,17 @@ def test_lm_training_matches_operator(spark):
         for g in [f"{a} {b}" for a, b in zip(ws, ws[1:])]:
             wb[bucket(g)] += 1
     assert uni == wu and bi == wb
+
+
+def test_bm25_semantics(spark):
+    """More query-term occurrences -> higher score (same doc length);
+    docs without any query term score 0; shorter matching docs beat
+    longer ones with the same tf (length normalization)."""
+    from nowdb_spark.operators import textops as TX
+    df = spark.createDataFrame(
+        [(0, "spark a b c"), (1, "spark spark b c"),
+         (2, "x y z w"), (3, "spark a b c d e f g h")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["bm25"] for r in
+           TX.bm25_scores(df, ["spark"]).collect()}
+    assert got[1] > got[0] > got[3] > got[2] == 0.0
