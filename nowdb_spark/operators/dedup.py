@@ -269,7 +269,8 @@ def minhash_lsh_pairs(df: DataFrame, content_col: str = "text",
                       threshold: float = 0.5,
                       shingle_n: int = 3,
                       hash_fn: str = "md5",
-                      compact: bool = False) -> DataFrame:
+                      compact: bool = False,
+                      hub_cap: int | None = None) -> DataFrame:
     """LSH candidate pairs + estimated Jaccard, filtered by threshold.
 
     Signature → `bands` band-keys (md5 of concatenated rows-per-band)
@@ -284,6 +285,23 @@ def minhash_lsh_pairs(df: DataFrame, content_col: str = "text",
     the band key is one JVM xxhash64 over the row's longs instead of
     md5-of-concat — same pairs, same estimates, ~3× less shuffle at
     10M docs. The production configuration; hex is oracle parity.
+
+    ``hub_cap``: real corpora contain CLONE GROUPS (boilerplate pages
+    repeated 10⁴-10⁶×) whose members all land in one bucket — all-pairs
+    there is C(n,2) and the bucket's collect_list is one giant row.
+    With hub_cap set, buckets larger than it switch to STAR emission:
+    the min-id member pairs with every other member, streamed as a
+    join (no per-bucket array at all). Linear in bucket size. For
+    clone groups — where giant buckets come from, and all a giant
+    bucket can be once exact_dedup has run first (standard pipeline
+    order) — every star pair estimates 1.0, so dup_clusters() over
+    the capped pairs equals the uncapped clustering exactly (locked
+    by test). For a giant bucket of merely-similar docs the star is
+    an approximation (a member chain-linked through another member,
+    not the hub, can fall under the threshold); the cap trades that
+    tail for not emitting C(n,2) pairs. Use when pairs feed
+    clustering / canonical-doc selection, not when the full pair
+    list itself is the product.
     """
     rows = k // bands
     sig = minhash_signature(df, content_col, id_col, k, shingle_n,
@@ -324,21 +342,44 @@ def minhash_lsh_pairs(df: DataFrame, content_col: str = "text",
     # computes signatures once and shuffles the bucket lists once.
     # Bucket sizes are bounded by collision probability (identical
     # band keys), so per-row pair emission stays small.
-    buckets = (banded
-               .groupBy("band_id", "band_key")
-               .agg(F.sort_array(F.collect_list(
-                   F.struct(F.col(id_col).alias("id"),
-                            F.col("sig").alias("sig")))).alias("ms"))
-               .filter(F.size("ms") >= 2))
-    pairs = (buckets
-             .select(F.posexplode("ms").alias("i", "a"), "ms")
-             .select("a", F.explode(
-                 F.slice("ms", F.col("i") + 2, F.size("ms"))).alias("b"))
-             .select(F.col("a.id").alias("doc_a"),
-                     F.col("b.id").alias("doc_b"),
-                     F.col("a.sig").alias("siga"),
-                     F.col("b.sig").alias("sigb"))
-             .dropDuplicates(["doc_a", "doc_b"]))
+    def _allpairs(bd: DataFrame) -> DataFrame:
+        buckets = (bd
+                   .groupBy("band_id", "band_key")
+                   .agg(F.sort_array(F.collect_list(
+                       F.struct(F.col(id_col).alias("id"),
+                                F.col("sig").alias("sig")))).alias("ms"))
+                   .filter(F.size("ms") >= 2))
+        return (buckets
+                .select(F.posexplode("ms").alias("i", "a"), "ms")
+                .select("a", F.explode(
+                    F.slice("ms", F.col("i") + 2, F.size("ms"))).alias("b"))
+                .select(F.col("a.id").alias("doc_a"),
+                        F.col("b.id").alias("doc_b"),
+                        F.col("a.sig").alias("siga"),
+                        F.col("b.sig").alias("sigb")))
+
+    if hub_cap is None:
+        pairs = _allpairs(banded).dropDuplicates(["doc_a", "doc_b"])
+    else:
+        sizes = (banded.groupBy("band_id", "band_key")
+                 .agg(F.count(F.lit(1)).alias("__n")))
+        tagged = banded.join(sizes, ["band_id", "band_key"])
+        small = _allpairs(
+            tagged.filter(F.col("__n") <= hub_cap).drop("__n"))
+        big = tagged.filter(F.col("__n") > hub_cap).drop("__n")
+        # star: min-id member joins against every other member — pure
+        # streaming join, no bucket array, linear emission
+        hubs = (big.groupBy("band_id", "band_key")
+                .agg(F.min(id_col).alias("__hub"),
+                     F.min_by("sig", F.col(id_col)).alias("__hubsig")))
+        star = (big.join(hubs, ["band_id", "band_key"])
+                .filter(F.col(id_col) != F.col("__hub"))
+                .select(F.col("__hub").alias("doc_a"),
+                        F.col(id_col).alias("doc_b"),
+                        F.col("__hubsig").alias("siga"),
+                        F.col("sig").alias("sigb")))
+        pairs = small.unionByName(star) \
+                     .dropDuplicates(["doc_a", "doc_b"])
     est = (F.size(F.filter(F.zip_with("siga", "sigb",
                                       lambda x, y: x == y),
                            lambda v: v))

@@ -595,3 +595,28 @@ def test_ivf_pq_full_probe_equals_adc(spark):
     b = {(r["qid"], r["vec_id"], r["dist"], r["rnk"])
          for r in ivf.collect()}
     assert a == b
+
+
+def test_lsh_hub_cap_linear_and_cluster_exact(spark):
+    """A 200-doc clone group: hub_cap switches its buckets to star
+    emission — pair count collapses from C(200,2)+extras to linear —
+    while dup_clusters over the capped pairs equals the uncapped
+    clustering exactly (clone-group members all estimate 1.0)."""
+    clones = [(i, "the same boilerplate page body repeated "
+                  "verbatim across the crawl again and again")
+              for i in range(200)]
+    singles = [(1000 + i, f"unique document {i} q{i*7} z{i*13} "
+                          f"alpha{i} beta{i} gamma{i} delta{i}")
+               for i in range(20)]
+    df = spark.createDataFrame(clones + singles,
+                               "doc_id long, text string")
+    full = D.minhash_lsh_pairs(df, threshold=0.5)
+    capped = D.minhash_lsh_pairs(df, threshold=0.5, hub_cap=50)
+    n_full, n_capped = full.count(), capped.count()
+    assert n_full >= 199 * 100          # C(200,2) all-pairs blowup
+    assert n_capped == 199              # one star over the clone group
+    a = {(r["doc_id"], r["canonical_id"]) for r in
+         D.dup_clusters(full).collect()}
+    b = {(r["doc_id"], r["canonical_id"]) for r in
+         D.dup_clusters(capped).collect()}
+    assert a == b
