@@ -219,6 +219,18 @@ class ExprBinder:
             lc, rc = self.bind(le), self.bind(re)
             lc, rc = self._coerce_pair(le, re, lc, rc)
             return _apply_cmp(name, lc, rc)
+        if name == "between":
+            v_n, lo_n, hi_n = node.args
+            v = self.bind(v_n)
+            lo, hi = self.bind(lo_n), self.bind(hi_n)
+            _, lo = self._coerce_pair(v_n, lo_n, v, lo)
+            v2, hi = self._coerce_pair(v_n, hi_n, v, hi)
+            return (v2 >= lo) & (v2 <= hi)
+        if name == "like":
+            pat = node.args[1]
+            if not (isinstance(pat, A.Const) and pat.type == "string"):
+                raise BindError("LIKE pattern must be a string literal")
+            return self.bind(node.args[0]).like(pat.value)
         if name == "round" and len(node.args) == 2:
             return _round2(self.bind(node.args[0]), node.args[1])
         if name in SCALAR_OPS:
@@ -389,6 +401,28 @@ def _has_subquery(node) -> bool:
     return False
 
 
+def _has_op(node, *names: str) -> bool:
+    """Does the expression tree contain an Op with one of `names`?"""
+    if node is None:
+        return False
+    if isinstance(node, A.Op):
+        return (node.name in names
+                or any(_has_op(a, *names) for a in node.args))
+    if isinstance(node, A.InExpr):
+        return _has_op(node.expr, *names)
+    if isinstance(node, A.Agg):
+        return node.arg is not None and _has_op(node.arg, *names)
+    if isinstance(node, A.CaseExpr):
+        return (any(_has_op(c, *names) or _has_op(t, *names)
+                    for c, t in node.whens)
+                or _has_op(node.else_, *names))
+    if isinstance(node, A.IsNull):
+        return _has_op(node.expr, *names)
+    if isinstance(node, A.WindowExpr):
+        return any(_has_op(a, *names) for a in node.args)
+    return False
+
+
 class SelectBinder:
     """Binds a Select AST to a DataFrame, given a context resolver."""
 
@@ -477,6 +511,13 @@ class SelectBinder:
             raise BindError(
                 "strict mode: subqueries are an extension the reference "
                 "grammar does not accept (SURVEY §2.1)")
+        if self.strict and any(
+                _has_op(e, "like", "between")
+                for e in [sel.where, sel.having,
+                          *[it.expr for it in sel.items]]):
+            raise BindError(
+                "strict mode: LIKE/BETWEEN are extensions — the "
+                "reference grammar stubs them out (nowdbsql.y:846)")
 
         self._base_cols = list(df.columns)
         pre_where = df                 # traversal universe (WHILE)

@@ -45,6 +45,9 @@ KEYWORDS = {
     # nowdbsql.y; Spark's Window frames back the semantics)
     "over", "partition", "rows", "between", "preceding", "following",
     "unbounded", "current",
+    # predicate extensions (the reference grammar stubs LIKE/BETWEEN
+    # out — nowdbsql.y:846 '%left MATCH LIKE_KW BETWEEN' is commented)
+    "like",
 }
 
 SYMBOLS = [

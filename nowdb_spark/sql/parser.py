@@ -706,9 +706,23 @@ class Parser:
         left = self.add_expr()
         negated = False
         if (self.at_kw("not") and self.peek(1).kind == "KW"
-                and self.peek(1).value == "in"):
+                and self.peek(1).value in ("in", "between", "like")):
             self.next()
             negated = True
+        if self.at_kw("between"):
+            # value BETWEEN lo AND hi (extension; the reference stubs
+            # it out, nowdbsql.y:846). Bounds parse at add_expr level
+            # so the separating AND is not consumed as a conjunction.
+            self.next()
+            lo = self.add_expr()
+            self.eat_kw("and")
+            hi = self.add_expr()
+            e = A.Op("between", [left, lo, hi])
+            return A.Op("not", [e]) if negated else e
+        if self.at_kw("like"):
+            self.next()
+            e = A.Op("like", [left, self.add_expr()])
+            return A.Op("not", [e]) if negated else e
         if self.at_kw("in"):
             self.next()
             self.eat_sym("(")

@@ -53,8 +53,11 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = Path(tempfile.gettempdir()) / f"nowdb_stream_src_{tag}"
     stage.mkdir(exist_ok=True)
     dst = stage / "events.parquet"
-    if not dst.exists() or dst.stat().st_size != src.stat().st_size:
+    s = src.stat()
+    if (not dst.exists() or dst.stat().st_size != s.st_size
+            or abs(dst.stat().st_mtime - s.st_mtime) > 1e-3):
         shutil.copyfile(src, dst)
+        shutil.copystat(src, dst)
     static = spark.read.parquet(str(src))
     sdf = spark.readStream.schema(static.schema).parquet(str(stage))
     return TU.normalize_stamps(sdf, columns=("ts",))

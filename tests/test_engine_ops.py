@@ -226,3 +226,34 @@ def test_builtin_pipeline_procs(spark, tmp_path):
     prof = {t[0]: t for t in r.fetch(100)}
     assert prof["doc_id"][1] == 4 and prof["doc_id"][3] == 4
     assert prof["lang"][3] == 2          # en, fr
+
+
+def test_like_between_predicates(eng, spark):
+    """LIKE / NOT LIKE / BETWEEN / NOT BETWEEN (dialect extensions —
+    the reference grammar stubs them out, nowdbsql.y:846); strict
+    mode rejects both."""
+    from nowdb_spark.engine import Engine
+
+    total = eng.one_value("select count(*) from item")
+    got = [r[0] for r in eng.rexecute(
+        "select k from item where name like 'n1%' order by k").fetch()]
+    assert [k for k in got if k < 50] == [1] + list(range(10, 20))
+    n = eng.one_value(
+        "select count(*) from item where name not like 'n1%'")
+    assert n == total - len(got)
+    rows = eng.rexecute(
+        "select k from item where k between 5 and 8 order by k").fetch()
+    assert [r[0] for r in rows] == [5, 6, 7, 8]
+    n = eng.one_value(
+        "select count(*) from item where k not between 5 and 8")
+    assert n == total - 4
+    # composes with other conjuncts and expressions
+    n = eng.one_value("select count(*) from item "
+                      "where k between 5 and 8 and name like 'n%'")
+    assert n == 4
+    strict = Engine(spark, eng.base, strict=True)
+    assert strict.execute("use ops").ok()
+    r = strict.execute("select count(*) from item where k between 1 and 2")
+    assert not r.ok() and "strict" in r.details()
+    r = strict.execute("select count(*) from item where name like 'n%'")
+    assert not r.ok() and "strict" in r.details()
