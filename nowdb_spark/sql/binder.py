@@ -513,7 +513,7 @@ class SelectBinder:
                 "grammar does not accept (SURVEY §2.1)")
         if self.strict and any(
                 _has_op(e, "like", "between")
-                for e in [sel.where, sel.having,
+                for e in [sel.where, sel.having, sel.qualify,
                           *[it.expr for it in sel.items]]):
             raise BindError(
                 "strict mode: LIKE/BETWEEN are extensions — the "
