@@ -144,14 +144,35 @@ class Engine:
             raise EngineError("no scope in use (USE <scope> first)")
         return self.scope
 
+    # sizing preset → (target sorted-file bytes, default codec):
+    # the reference's storage.c:261-302 largesize/comp table. TINY is
+    # COMP_FLAT (uncompressed); every other preset defaults to zstd.
+    _SIZING = {
+        "tiny": (1 << 20, "uncompressed"),
+        "small": (8 << 20, "zstd"),
+        "medium": (64 << 20, "zstd"),
+        "big": (128 << 20, "zstd"),
+        "large": (256 << 20, "zstd"),
+        "huge": (1 << 30, "zstd"),
+    }
+
+    def _storage_opts(self, tdef: TypeDef) -> dict:
+        if tdef.storage is None:
+            return {}
+        return self._need_scope().meta.storages.get(tdef.storage, {})
+
     def _codec(self, tdef: TypeDef) -> Optional[str]:
         """Context's parquet codec from its storage options (CREATE
-        STORAGE ... SET compression='zstd' parity)."""
-        if tdef.storage is None:
-            return None
-        opts = self._need_scope().meta.storages.get(tdef.storage, {})
+        STORAGE ... SET compression='zstd' parity); an explicit
+        compression option wins over the sizing preset's default."""
+        opts = self._storage_opts(tdef)
         comp = opts.get("compression")
-        return comp.strip("'\"") if isinstance(comp, str) else None
+        if isinstance(comp, str):
+            return comp.strip("'\"")
+        size = opts.get("size")
+        if isinstance(size, str) and size.strip("'\"") in self._SIZING:
+            return self._SIZING[size.strip("'\"")][1]
+        return None
 
     # --- DDL -------------------------------------------------------
     def _create_scope(self, n: A.CreateScope) -> Result:
@@ -862,10 +883,17 @@ class Engine:
     def compact(self, context: str) -> dict:
         """Compact a context's parquet files (the background-sorter
         analogue; sources/compact.py)."""
-        from nowdb_spark.sources.compact import compact_context
+        from nowdb_spark.sources.compact import (TARGET_FILE_BYTES,
+                                                 compact_context)
         sc = self._need_scope()
         tdef = sc.get_type(context)
-        return compact_context(self.spark, sc.context_dir(context), tdef)
+        size = self._storage_opts(tdef).get("size", "")
+        target, _ = self._SIZING.get(
+            size.strip("'\"") if isinstance(size, str) else "",
+            (TARGET_FILE_BYTES, None))
+        return compact_context(self.spark, sc.context_dir(context), tdef,
+                               target_file_bytes=target,
+                               codec=self._codec(tdef))
 
     def insert_rows(self, context: str, rows: list[tuple]) -> Result:
         """Bulk insert (library API; the SQL surface is row-at-a-time

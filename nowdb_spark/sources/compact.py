@@ -43,7 +43,8 @@ def context_file_stats(ctx_dir: Path) -> tuple[int, int]:
 def compact_context(spark: SparkSession, ctx_dir: str | Path,
                     tdef: TypeDef,
                     target_file_bytes: int = TARGET_FILE_BYTES,
-                    min_files: int = 8) -> dict:
+                    min_files: int = 8,
+                    codec: str | None = None) -> dict:
     """Rewrite a context into few, sorted files. Returns a report
     {files_before, files_after, bytes}."""
     ctx_dir = Path(ctx_dir)
@@ -61,12 +62,18 @@ def compact_context(spark: SparkSession, ctx_dir: str | Path,
     if stamp is not None and "__tb" in df.columns:
         out = (df.repartition(int(n_files), F.col("__tb"))
                .sortWithinPartitions("__tb", stamp))
-        out.write.mode("overwrite").partitionBy("__tb").parquet(str(tmp))
+        w = out.write.mode("overwrite").partitionBy("__tb")
+        if codec:
+            w = w.option("compression", codec)
+        w.parquet(str(tmp))
     else:
         out = df.coalesce(int(n_files))
         if stamp is not None:
             out = out.sortWithinPartitions(stamp)
-        out.write.mode("overwrite").parquet(str(tmp))
+        w = out.write.mode("overwrite")
+        if codec:
+            w = w.option("compression", codec)
+        w.parquet(str(tmp))
 
     old = ctx_dir.with_suffix(".compact-old")
     shutil.rmtree(old, ignore_errors=True)

@@ -38,6 +38,8 @@ KEYWORDS = {
     # traversal (the reference DESIGNED this clause but never shipped
     # it — doc/manual/sql.tex:2518-2554, commented out with \ignore)
     "while", "depth",
+    # storage/index sizing presets (nowdbsql.y:668-696)
+    "tiny", "small", "medium", "big", "large", "huge",
     # general joins (extension — the reference grammar only joins a
     # vertex on origin/destin, sql.tex:2293-2368)
     "inner", "left", "right", "full", "outer", "semi", "anti",

@@ -19,10 +19,14 @@ class ParseError(ValueError):
 _TYPE_KWS = {"text", "date", "time", "float", "int", "uint", "bool",
              "longtext", "timestamp"}
 
+# sizing prefixes (reference storage.c:261-302 file-size presets)
+_SIZING_KWS = {"tiny", "small", "medium", "big", "large", "huge"}
+
 # keywords that may double as identifiers (column/object names)
-_IDENTISH_KWS = _TYPE_KWS | {"origin", "destin", "stamp", "key", "values",
-                             "language", "errors", "header", "storage",
-                             "vertex", "type", "edge", "index", "depth"}
+_IDENTISH_KWS = _TYPE_KWS | _SIZING_KWS | {
+    "origin", "destin", "stamp", "key", "values",
+    "language", "errors", "header", "storage",
+    "vertex", "type", "edge", "index", "depth"}
 
 
 class Parser:
@@ -158,13 +162,23 @@ class Parser:
         if kw.kind != "KW":
             raise ParseError(f"expected object kind, got {kw}")
         kind = kw.value
+        sizing = None
+        if kind in _SIZING_KWS:
+            # CREATE <sizing> STORAGE|INDEX (nowdbsql.y:409-430,668-696)
+            sizing = kind
+            kw = self.next()
+            if kw.kind != "KW" or kw.value not in ("storage", "index"):
+                raise ParseError(
+                    f"sizing {sizing.upper()} applies to STORAGE or "
+                    f"INDEX, got {kw}")
+            kind = kw.value
         if kind in ("scope", "schema", "database"):
             ine = self.if_not_exists()
             return A.CreateScope(self.ident(), ine)
         if kind == "storage":
             ine = self.if_not_exists()
             name = self.ident()
-            opts = {}
+            opts = {} if sizing is None else {"size": sizing}
             if self.try_kw("set"):
                 while True:
                     k = self.ident()

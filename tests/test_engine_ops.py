@@ -257,3 +257,39 @@ def test_like_between_predicates(eng, spark):
     assert not r.ok() and "strict" in r.details()
     r = strict.execute("select count(*) from item where name like 'n%'")
     assert not r.ok() and "strict" in r.details()
+
+
+def test_storage_sizing_presets(eng):
+    """CREATE <sizing> STORAGE (nowdbsql.y:409, storage.c:261-302):
+    TINY maps to COMP_FLAT (uncompressed parquet), the bigger presets
+    default to zstd; explicit compression overrides; sizing drives
+    the compaction target file size."""
+    eng.rexecute("create tiny storage tinyst")
+    eng.rexecute("create type trow (k uint pk, v text) storage = tinyst")
+    eng.rexecute("insert into trow values (1, 'flat bytes')")
+    files = list(eng.scope.context_dir("trow").rglob("*.parquet"))
+    assert files and not any(".zstd." in f.name for f in files), files
+
+    eng.rexecute("create medium storage medst")
+    eng.rexecute("create type mrow (k uint pk, v text) storage = medst")
+    eng.rexecute("insert into mrow values (1, 'zstd default')")
+    files = list(eng.scope.context_dir("mrow").rglob("*.parquet"))
+    assert files and all(".zstd." in f.name for f in files), files
+
+    # explicit compression beats the preset default
+    eng.rexecute("create huge storage hugest set compression = 'snappy'")
+    eng.rexecute("create type hrow (k uint pk, v text) storage = hugest")
+    eng.rexecute("insert into hrow values (1, 'snappy wins')")
+    files = list(eng.scope.context_dir("hrow").rglob("*.parquet"))
+    assert files and all(".snappy." in f.name for f in files), files
+
+    # SET size = <preset> spelling reaches the same table
+    eng.rexecute("create storage szopt set size = tiny")
+    assert eng.scope.meta.storages["szopt"]["size"] == "tiny"
+
+    # sizing prefix parses on INDEX (metadata-only; no B-trees here)
+    assert eng.execute(
+        "create small index idx_sz on item (name)").ok()
+    # ... and rejects other objects
+    r = eng.execute("create big scope nope")
+    assert not r.ok()
