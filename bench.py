@@ -74,10 +74,14 @@ def main() -> None:
     # full-scan throughput (compare against BASELINE.md's ~32-140M
     # rec/s single-node scan): force reading every lineitem column
     from pyspark.sql import functions as F
+    errors: dict[str, str] = {}
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    t0 = time.perf_counter()
-    li.agg(*[F.count(c) for c in li.columns]).collect()
-    timings["scan_full"] = round(time.perf_counter() - t0, 4)
+    try:
+        t0 = time.perf_counter()
+        li.agg(*[F.count(c) for c in li.columns]).collect()
+        timings["scan_full"] = round(time.perf_counter() - t0, 4)
+    except Exception as e:  # noqa: BLE001
+        errors["scan_full"] = str(e).split("\n")[0][:200]
 
     # bulk ingest throughput (compare BASELINE.md ~5.8M rec/s C writer):
     # rewrite lineitem to parquet
@@ -91,16 +95,22 @@ def main() -> None:
     # (cold timings at toy SFs are ~90% JVM noise floor). The driver
     # contract keys stay scalar: `queries` carries warm seconds,
     # `queries_cold` the first-run seconds.
+    # One failing query must not cost the round its bench artifact
+    # (round 3 lost ALL numbers to a single crashed query): errors are
+    # recorded per-key and the run carries on, rc stays 0.
     cold: dict[str, float] = dict(timings)
     for name in HEADLINE:
         spec = QUERIES[name]
-        t0 = time.perf_counter()
-        n = spec.spark(spark, sf_dir).count()
-        cold[name] = round(time.perf_counter() - t0, 4)
-        t0 = time.perf_counter()
-        n2 = spec.spark(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        assert n >= 0 and n2 == n
+        try:
+            t0 = time.perf_counter()
+            n = spec.spark(spark, sf_dir).count()
+            cold[name] = round(time.perf_counter() - t0, 4)
+            t0 = time.perf_counter()
+            n2 = spec.spark(spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 4)
+            assert n >= 0 and n2 == n
+        except Exception as e:  # noqa: BLE001
+            errors[name] = str(e).split("\n")[0][:200]
     total = round(sum(timings.values()), 4)
 
     # Per-node throughput on a 10M-row generated table — the honest
@@ -114,7 +124,8 @@ def main() -> None:
     # generated tables below are hundreds of MB, and a 1 MB split
     # would pay ~300 task floors per pass — restore the 128 MB default
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 << 20))
-    with tempfile.TemporaryDirectory() as tmp:
+    try:
+      with tempfile.TemporaryDirectory() as tmp:
         gen = spark.range(n_rows).select(
             F.col("id").alias("k"),
             (F.col("id") % 1000).alias("key2"),
@@ -137,6 +148,8 @@ def main() -> None:
         tput["write_rows_per_sec"] = round(
             n_rows / (time.perf_counter() - t0))
         tput["rows"] = n_rows
+    except Exception as e:  # noqa: BLE001
+        errors["throughput"] = str(e).split("\n")[0][:200]
 
     # Pipeline-scale section: the dedup/ANN "scales" claims measured
     # at production-ish volume instead of the 5k-row sf0.1 tables.
@@ -169,28 +182,41 @@ def main() -> None:
         docs.write.mode("overwrite").parquet(f"{tmp}/docs")
         dsrc = spark.read.parquet(f"{tmp}/docs")
 
+        def rate(key, volume, action, extra=None):
+            """Time `action` (a thunk running one operator to an
+            action) and record volume/elapsed under `key`. A failure
+            records the error and the bench CARRIES ON — one broken
+            operator must not cost the round its whole artifact."""
+            try:
+                t0 = time.perf_counter()
+                action()
+                pipe[key] = round(volume / (time.perf_counter() - t0))
+                if extra:
+                    pipe.update(extra)
+            except Exception as e:  # noqa: BLE001
+                errors[key] = str(e).split("\n")[0][:200]
+
         # the arrow backend is the production minhash path at this
         # volume; the JVM backends are headline-measured at sf0.1
-        t0 = time.perf_counter()
-        n = D.minhash_signature(dsrc, k=8, hash_fn="arrow").count()
-        pipe["dd02a_docs_per_sec"] = round(n / (time.perf_counter() - t0))
-        t0 = time.perf_counter()
-        D.minhash_lsh_pairs(dsrc, k=8, bands=4, threshold=0.5,
-                            hash_fn="arrow", compact=True).count()
-        pipe["dd03a_docs_per_sec"] = round(n / (time.perf_counter() - t0))
-        t0 = time.perf_counter()
-        D.exact_dedup(dsrc).filter(F.col("is_dup")).count()
-        pipe["dd01_docs_per_sec"] = round(n / (time.perf_counter() - t0))
+        rate("dd02a_docs_per_sec", n_docs,
+             lambda: D.minhash_signature(dsrc, k=8,
+                                         hash_fn="arrow").count())
+        rate("dd03a_docs_per_sec", n_docs,
+             lambda: D.minhash_lsh_pairs(dsrc, k=8, bands=4,
+                                         threshold=0.5, hash_fn="arrow",
+                                         compact=True).count())
+        rate("dd01_docs_per_sec", n_docs,
+             lambda: D.exact_dedup(dsrc).filter(F.col("is_dup")).count())
         # duplicate spans emit+shuffle ~26 positional windows per doc
         # (5 GB of shuffle at 10M docs, ~4 min) — rate is measured on a
         # bounded slice and the slice size is recorded alongside
         n_span = min(n_docs, 500_000)
-        t0 = time.perf_counter()
-        D.duplicate_spans(dsrc.filter(F.col("doc_id") < n_span)
-                          .repartition(cores),   # slice = few input splits
-                          k=5, hash_fn="arrow").count()
-        pipe["dd08_docs_per_sec"] = round(n_span / (time.perf_counter() - t0))
-        pipe["dd08_docs"] = n_span
+        rate("dd08_docs_per_sec", n_span,
+             lambda: D.duplicate_spans(
+                 dsrc.filter(F.col("doc_id") < n_span)
+                 .repartition(cores),   # slice = few input splits
+                 k=5, hash_fn="arrow").count(),
+             extra={"dd08_docs": n_span})
 
         from nowdb_spark.operators import textops as TX
         from nowdb_spark.operators.dedup import simhash64, simhash64_arrow
@@ -200,43 +226,45 @@ def main() -> None:
         # path below runs the full volume
         n_sh = min(n_docs, 250_000)
         sh_slice = dsrc.filter(F.col("doc_id") < n_sh).repartition(cores)
-        t0 = time.perf_counter()
-        sh_slice.select("doc_id", simhash64(F.col("text")).alias("sh")) \
-            .agg(F.count("sh")).collect()
-        pipe["dd05_docs_per_sec"] = round(n_sh / (time.perf_counter() - t0))
-        pipe["dd05_docs"] = n_sh
-        t0 = time.perf_counter()
-        simhash64_arrow(dsrc).agg(F.count("simhash")).collect()
-        pipe["dd05a_docs_per_sec"] = round(n / (time.perf_counter() - t0))
-        t0 = time.perf_counter()
-        TX.with_text_stats(dsrc).agg(F.count(F.lit(1))).collect()
-        pipe["tx01_docs_per_sec"] = round(n / (time.perf_counter() - t0))
-        pipe["docs"] = n_docs
+        rate("dd05_docs_per_sec", n_sh,
+             lambda: sh_slice.select(
+                 "doc_id", simhash64(F.col("text")).alias("sh"))
+             .agg(F.count("sh")).collect(),
+             extra={"dd05_docs": n_sh})
+        rate("dd05a_docs_per_sec", n_docs,
+             lambda: simhash64_arrow(dsrc)
+             .agg(F.count("simhash")).collect())
+        rate("tx01_docs_per_sec", n_docs,
+             lambda: TX.with_text_stats(dsrc)
+             .agg(F.count(F.lit(1))).collect(),
+             extra={"docs": n_docs})
 
-        # DSIR importance weights: one exploded counts pass + map-only
-        # literal-array scoring fold. sum(score), not count(*): a
-        # count would let Catalyst prune the scoring expression and
-        # time an empty plan. Hash-bound (~120 feature hashes per doc
-        # across the two passes) — rated on a bounded slice, size recorded.
+        # DSIR importance weights, Arrow backend. sum(score), not
+        # count(*): a count would let Catalyst prune the scoring
+        # expression and time an empty plan. Rated on a bounded
+        # slice, size recorded.
         from nowdb_spark.operators import corpus as CO
         n_cx = min(n_docs, 500_000)
-        t0 = time.perf_counter()
-        CO.importance_weights(
-            dsrc.filter(F.col("doc_id") < n_cx).repartition(cores),
-            F.pmod(F.xxhash64("doc_id"), F.lit(7)) == 0,
-            buckets=4096, hash_fn="arrow").agg(F.sum("score")).collect()
-        pipe["cx04_docs_per_sec"] = round(n_cx / (time.perf_counter() - t0))
-        pipe["cx04_docs"] = n_cx
+        rate("cx04_docs_per_sec", n_cx,
+             lambda: CO.importance_weights(
+                 dsrc.filter(F.col("doc_id") < n_cx).repartition(cores),
+                 F.pmod(F.xxhash64("doc_id"), F.lit(7)) == 0,
+                 buckets=4096, hash_fn="arrow")
+             .agg(F.sum("score")).collect(),
+             extra={"cx04_docs": n_cx})
 
         # BPE: train on the corpus vocabulary (bounded — the synthetic
         # words), then rate full-volume segmentation (Arrow UDF with a
         # per-batch word cache)
         from nowdb_spark.operators import tokenize as TKZ
-        merges = TKZ.bpe_train(
-            dsrc.filter(F.col("doc_id") < 100_000), n_merges=32)
-        t0 = time.perf_counter()
-        TKZ.bpe_segment(dsrc, merges).agg(F.sum("n_tokens")).collect()
-        pipe["tx06_docs_per_sec"] = round(n / (time.perf_counter() - t0))
+        try:
+            merges = TKZ.bpe_train(
+                dsrc.filter(F.col("doc_id") < 100_000), n_merges=32)
+            rate("tx06_docs_per_sec", n_docs,
+                 lambda: TKZ.bpe_segment(dsrc, merges)
+                 .agg(F.sum("n_tokens")).collect())
+        except Exception as e:  # noqa: BLE001
+            errors["tx06_train"] = str(e).split("\n")[0][:200]
 
         # pure-Python decode rate (mapInPandas path): synth + decode
         # 100k four-format images end-to-end
@@ -244,51 +272,55 @@ def main() -> None:
         n_imgs = int(os.environ.get("SPARK_GRAFT_PIPE_IMGS", "100000"))
         ids = spark.range(n_imgs).select(F.col("id").alias("doc_id")) \
                    .repartition(cores)
-        t0 = time.perf_counter()
-        MM.decode_meta_real(
-            MM.synth_images(ids, formats=("bmp", "ppm", "png", "gif"))
-        ).agg(F.count(F.lit(1))).collect()
-        pipe["mm04_imgs_per_sec"] = round(n_imgs / (time.perf_counter() - t0))
-        t0 = time.perf_counter()
-        MM.audio_features_real(MM.synth_audio(ids)) \
-            .agg(F.count(F.lit(1))).collect()
-        pipe["mm05_clips_per_sec"] = round(n_imgs / (time.perf_counter() - t0))
-        t0 = time.perf_counter()
-        MM.video_features_real(MM.synth_videos(ids), every_n=2) \
-            .agg(F.count(F.lit(1))).collect()
-        pipe["mm06_vids_per_sec"] = round(n_imgs / (time.perf_counter() - t0))
+        rate("mm04_imgs_per_sec", n_imgs,
+             lambda: MM.decode_meta_real(
+                 MM.synth_images(ids, formats=("bmp", "ppm", "png",
+                                               "gif")))
+             .agg(F.count(F.lit(1))).collect())
+        rate("mm05_clips_per_sec", n_imgs,
+             lambda: MM.audio_features_real(MM.synth_audio(ids))
+             .agg(F.count(F.lit(1))).collect())
+        rate("mm06_vids_per_sec", n_imgs,
+             lambda: MM.video_features_real(MM.synth_videos(ids),
+                                            every_n=2)
+             .agg(F.count(F.lit(1))).collect())
 
         dim = 64
         vec = F.transform(
             F.sequence(F.lit(0), F.lit(dim - 1)),
             lambda i: (F.pmod(F.xxhash64(F.col("id"), i), F.lit(2001))
                        .cast("float") / 1000.0 - 1.0))
-        (spark.range(n_vecs)
-         .select(F.col("id").alias("vec_id"), vec.alias("embedding"))
-         .write.mode("overwrite").parquet(f"{tmp}/vecs"))
-        vsrc = spark.read.parquet(f"{tmp}/vecs")
-        queries = (spark.range(100)
-                   .select((F.col("id") * 9973).alias("id"))
-                   .select(F.col("id").alias("qid"), vec.alias("qvec")))
-        # n_planes sized to the corpus: 2^12 = 4096 buckets/table keeps
-        # bucket size ~250 at 1M vectors (candidates stay ~2.5M total
-        # for 100 queries instead of scanning most of the corpus)
-        t0 = time.perf_counter()
-        S.lsh_bucket_topk(vsrc, queries, k=10, n_planes=12, n_tables=8,
-                          dim=dim, kernel="pandas").count()
-        pipe["ann03_vecs_per_sec"] = round(n_vecs / (time.perf_counter() - t0))
-        # SemDeDup at 1M vectors: clusters sized so the intra-cluster
-        # quadratic stays ~(n/C)^2 * C ≈ 60M candidate pairs; Arrow
-        # kernel for the 4096-centroid assignment (codegen can't take
-        # a 260k-term unrolled argmax)
-        t0 = time.perf_counter()
-        S.semdedup(vsrc, n_centroids=4096, iters=2, threshold=0.95,
-                   kernel="pandas",
-                   pair_kernel="arrow").filter("is_dup").count()
-        pipe["dd09_vecs_per_sec"] = round(n_vecs / (time.perf_counter() - t0))
-        pipe["vectors"] = n_vecs
+        try:
+            (spark.range(n_vecs)
+             .select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+             .write.mode("overwrite").parquet(f"{tmp}/vecs"))
+            vsrc = spark.read.parquet(f"{tmp}/vecs")
+            queries = (spark.range(100)
+                       .select((F.col("id") * 9973).alias("id"))
+                       .select(F.col("id").alias("qid"),
+                               vec.alias("qvec")))
+            # n_planes sized to the corpus: 2^12 = 4096 buckets/table
+            # keeps bucket size ~250 at 1M vectors (candidates stay
+            # ~2.5M total for 100 queries instead of scanning most of
+            # the corpus)
+            rate("ann03_vecs_per_sec", n_vecs,
+                 lambda: S.lsh_bucket_topk(
+                     vsrc, queries, k=10, n_planes=12, n_tables=8,
+                     dim=dim, kernel="pandas").count())
+            # SemDeDup at 1M vectors: clusters sized so the
+            # intra-cluster quadratic stays ~(n/C)^2 * C ≈ 60M pairs;
+            # Arrow kernel for the 4096-centroid assignment (codegen
+            # can't take a 260k-term unrolled argmax)
+            rate("dd09_vecs_per_sec", n_vecs,
+                 lambda: S.semdedup(
+                     vsrc, n_centroids=4096, iters=2, threshold=0.95,
+                     kernel="pandas",
+                     pair_kernel="arrow").filter("is_dup").count(),
+                 extra={"vectors": n_vecs})
+        except Exception as e:  # noqa: BLE001
+            errors["vectors_setup"] = str(e).split("\n")[0][:200]
 
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -297,7 +329,10 @@ def main() -> None:
         "throughput": tput,
         "pipeline_10M": pipe,
         "sf": sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 
