@@ -200,6 +200,101 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
             .drop("_dwf", "_canon"))
 
 
+def line_dedup(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", sep: str = "\n") -> DataFrame:
+    """C4-style line-level deduplication: every distinct non-blank
+    line survives only at its FIRST corpus occurrence (lowest doc id,
+    then lowest line position); later occurrences are removed and the
+    documents re-assembled (C4 did this with three-sentence spans to
+    strip boilerplate headers/footers/navigation).
+
+    Blank/whitespace-only lines are always kept — they carry document
+    structure, and as the single hottest key in any real corpus they
+    must never enter the dedup shuffle (a partition-sized skew key).
+
+    Output: (id_col, text rebuilt from the kept lines, n_lines_kept,
+    n_lines_dropped). Documents are never dropped here — a doc whose
+    every line was boilerplate comes back with text '' so the caller's
+    length filter (clean_corpus) makes the drop decision.
+
+    Shape for 100 TB: two shuffles — one hash shuffle of (line, doc,
+    pos) for the keep-first window (the line text itself is the key;
+    Spark hash-partitions it, and blank lines bypass the window
+    entirely), one groupBy doc_id to re-assemble. Both are
+    AQE-managed; no driver state, no collects.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"))
+    blank = F.trim(F.col("line")) == ""
+    w = Window.partitionBy("line").orderBy(F.col(id_col), F.col("pos"))
+    # blanks bypass the window as a separate branch — a when() inside
+    # one frame would still shuffle the hot '' key into the window
+    flagged = (lines.filter(~blank)
+               .withColumn("_keep", F.row_number().over(w) == 1)
+               .unionByName(lines.filter(blank)
+                            .withColumn("_keep", F.lit(True))))
+    kept = F.when(F.col("_keep"), F.struct("pos", "line"))
+    return (flagged.groupBy(id_col)
+            .agg(F.array_join(
+                    F.transform(F.array_sort(F.collect_list(kept)),
+                                lambda s: s["line"]),
+                    sep).alias(text_col),
+                 F.sum(F.when(F.col("_keep"), 1).otherwise(0))
+                  .cast("long").alias("n_lines_kept"),
+                 F.sum(F.when(F.col("_keep"), 0).otherwise(1))
+                  .cast("long").alias("n_lines_dropped")))
+
+
+def domain_mix_sample(df: DataFrame, domain_col: str = "source",
+                      id_col: str = "doc_id", total: int = 200,
+                      alpha: float = 0.5, seed: int = 13) -> DataFrame:
+    """Temperature-scaled domain mixture sampling: draw a corpus of
+    ~`total` docs whose domain proportions follow p_d ∝ count_d^alpha
+    (alpha=1 keeps natural proportions, alpha=0 is uniform over
+    domains, 0<alpha<1 up-weights small domains — the standard
+    mixture-flattening knob in multilingual / multi-source pretraining).
+
+    Per-domain quota = min(count_d, floor(total * p_d)) — floor on
+    both sides so the oracle is rounding-mode-proof; the handful of
+    remainder slots is deliberately forgone rather than re-balanced
+    (largest-remainder would make the quota of one domain depend on
+    every other's fractional part — fragile to verify, irrelevant at
+    corpus scale). Selection inside a domain is the deterministic
+    md5("seed:id") rank, so re-runs and resharded inputs pick the
+    identical sample.
+
+    Shape for 100 TB: the per-domain counts and quotas are a tiny
+    aggregate (one row per domain) broadcast back; the only wide op is
+    the per-domain rank window. When exact quotas aren't required at
+    extreme scale, replace the rank with a hash threshold
+    (md5 fraction < quota/count: zero-sort Bernoulli, same
+    determinism).
+    """
+    counts = df.groupBy(domain_col).agg(
+        F.count("*").cast("double").alias("_c"))
+    z = counts.agg(F.sum(F.pow("_c", F.lit(alpha))).alias("_z"))
+    # round at 1e-6 before floor: the z summation order differs
+    # between engines by ~1 ulp, and floor would amplify exactly at
+    # integer boundaries (same guard the other float oracles use)
+    quota = (counts.crossJoin(F.broadcast(z))
+             .select(domain_col,
+                     F.least(
+                         F.col("_c"),
+                         F.floor(F.round(
+                             F.lit(float(total)) * F.pow("_c", F.lit(alpha))
+                             / F.col("_z"), 6)))
+                     .cast("long").alias("_quota")))
+    w = Window.partitionBy(domain_col).orderBy(
+        F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+        F.col(id_col))
+    return (df.select(id_col, domain_col)
+            .withColumn("rk", F.row_number().over(w).cast("long"))
+            .join(F.broadcast(quota), domain_col)
+            .filter(F.col("rk") <= F.col("_quota"))
+            .select(id_col, domain_col, "rk"))
+
+
 def deterministic_shuffle(df: DataFrame, id_col: str = "doc_id",
                           seed: int = 0,
                           out_col: str = "shuffle_order",

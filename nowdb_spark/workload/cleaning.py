@@ -496,3 +496,68 @@ def cc02(spark, sf):
     return (scored
             .withColumn("rnk", F.row_number().over(w).cast("int"))
             .filter(F.col("rnk") <= 100))
+
+
+# ------------------------------------------------------------------
+@register(
+    "ld01_line_dedup",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, chr(10)) AS ws
+               FROM documents),
+    l AS (SELECT doc_id, i AS pos, ws[i] AS line
+          FROM (SELECT doc_id, ws,
+                       unnest(generate_series(1, len(ws))) AS i
+                FROM w)),
+    nb AS (SELECT doc_id, pos, line,
+                  (row_number() OVER (PARTITION BY line
+                     ORDER BY doc_id, pos) = 1) AS keep
+           FROM l WHERE trim(line) <> ''),
+    al AS (SELECT doc_id, pos, line, keep FROM nb
+           UNION ALL
+           SELECT doc_id, pos, line, TRUE AS keep
+           FROM l WHERE trim(line) = '')
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN keep THEN line END,
+                               chr(10) ORDER BY pos), '') AS text,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lines_kept,
+           CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_lines_dropped
+    FROM al GROUP BY doc_id
+    """,
+    doc="C4-style line-level dedup: keep each distinct non-blank line "
+        "only at its first corpus occurrence, re-assemble documents "
+        "(on the newline-free synthetic corpus this degenerates to "
+        "whole-text keep-first — the multi-line path is locked by "
+        "tests/test_corpus.py fixtures)",
+)
+def ld01(spark, sf):
+    return C.line_dedup(table(spark, sf, "documents"))
+
+
+# ------------------------------------------------------------------
+@register(
+    "dm01_domain_mix",
+    """
+    WITH c AS (SELECT source, CAST(count(*) AS DOUBLE) AS c
+               FROM documents GROUP BY source),
+    z AS (SELECT sum(pow(c, 0.5)) AS z FROM c),
+    q AS (SELECT source,
+                 CAST(least(c, floor(round(200 * pow(c, 0.5) / z, 6)))
+                   AS BIGINT) AS quota
+          FROM c, z),
+    r AS (SELECT doc_id, source,
+                 CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY md5('13:' || CAST(doc_id AS VARCHAR)),
+                            doc_id) AS BIGINT) AS rk
+          FROM documents)
+    SELECT r.doc_id, r.source, r.rk
+    FROM r JOIN q USING (source) WHERE rk <= quota
+    """,
+    doc="temperature-scaled domain mixture sample (alpha=0.5, "
+        "budget=200): per-domain quotas proportional to count^alpha, "
+        "deterministic md5-rank selection inside each domain",
+)
+def dm01(spark, sf):
+    return C.domain_mix_sample(table(spark, sf, "documents"),
+                               total=200, alpha=0.5, seed=13)

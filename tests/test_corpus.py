@@ -226,3 +226,50 @@ def test_dsir_hash_backends_rank_similarly(spark):
                                     hash_fn=fn).collect()}
         assert min(got[d] for d in range(10)) > \
             max(got[d] for d in range(10, 20)), fn
+
+
+def test_line_dedup_multiline(spark):
+    # doc0 owns 'header' first; doc1 repeats it (dropped there) and
+    # keeps its unique body; doc2 is pure boilerplate -> empty text;
+    # blank lines always survive, even repeated ones
+    df = _docs(spark, [
+        "header\n\nbody zero",
+        "header\n\nbody one",
+        "header",
+    ])
+    got = {r.doc_id: r for r in C.line_dedup(df).collect()}
+    assert got[0].text == "header\n\nbody zero"
+    assert got[0].n_lines_kept == 3 and got[0].n_lines_dropped == 0
+    assert got[1].text == "\nbody one"          # header dropped, blank kept
+    assert got[1].n_lines_kept == 2 and got[1].n_lines_dropped == 1
+    assert got[2].text == "" and got[2].n_lines_dropped == 1
+
+
+def test_line_dedup_within_doc_repeat(spark):
+    # a line repeated INSIDE one doc keeps only its first position
+    df = _docs(spark, ["x\ny\nx"])
+    got = C.line_dedup(df).collect()[0]
+    assert got.text == "x\ny" and got.n_lines_dropped == 1
+
+
+def test_domain_mix_quotas_and_determinism(spark):
+    from pyspark.sql import Row
+    rows = ([Row(doc_id=i, source="big") for i in range(16)]
+            + [Row(doc_id=100 + i, source="small") for i in range(4)])
+    df = spark.createDataFrame(rows)
+    # alpha=0.5: weights 4:2 -> quotas floor(9*4/6)=6, floor(9*2/6)=3
+    got = C.domain_mix_sample(df, total=9, alpha=0.5, seed=3)
+    per = {r[0]: r[1] for r in
+           got.groupBy("source").count().collect()}
+    assert per == {"big": 6, "small": 3}
+    # deterministic under repartitioning
+    a = sorted(r.doc_id for r in got.collect())
+    b = sorted(r.doc_id for r in
+               C.domain_mix_sample(df.repartition(7), total=9,
+                                   alpha=0.5, seed=3).collect())
+    assert a == b
+    # alpha=1 keeps natural proportions: floor(10*16/20)=8, floor(10*4/20)=2
+    nat = {r[0]: r[1] for r in
+           C.domain_mix_sample(df, total=10, alpha=1.0, seed=3)
+           .groupBy("source").count().collect()}
+    assert nat == {"big": 8, "small": 2}
