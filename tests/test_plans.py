@@ -217,3 +217,19 @@ def test_dsir_scoring_is_map_only(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan[:2000]
     assert "Join" not in plan, plan[:2000]
+
+
+def test_line_dedup_two_shuffles(spark):
+    # one exchange on the line key (keep-first window), one on doc_id
+    # (re-assembly) — blanks bypass via the union branch, no join
+    plan = plan_of(spark, "ld01_line_dedup")
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:2500]
+    assert "SortMergeJoin" not in plan
+
+
+def test_domain_mix_broadcasts_quota(spark):
+    # per-domain quotas are a tiny aggregate broadcast back to the
+    # corpus — never a shuffle join
+    plan = plan_of(spark, "dm01_domain_mix")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
