@@ -63,12 +63,12 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TU.normalize_stamps(sdf, columns=("ts",))
 
 
-def _run_to_table(sdf, name: str) -> None:
+def _run_to_table(sdf, name: str, mode: str = "complete") -> None:
     spark = sdf.sparkSession
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    q = (sdf.writeStream.outputMode("complete")
+    q = (sdf.writeStream.outputMode(mode)
          .format("memory").queryName(name).start())
     try:
         q.processAllAvailable()
@@ -138,3 +138,33 @@ def st02(spark, sf):
         gap="30 minutes")
     _run_to_table(agg, "_st02_sink")
     return spark.table("_st02_sink")
+
+
+@register(
+    "st03_stream_interval_join",
+    """
+    SELECT l.event_id AS buy_id, r.event_id AS view_id, l.user_id
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts BETWEEN l.ts - INTERVAL 6 HOUR AND l.ts
+    WHERE l.event_type = 'purchase' AND r.event_type = 'view'
+    """,
+    doc="stream-stream interval join (purchases ⋈ same-user views in "
+        "the prior 6h) through a REAL self-joined readStream in append "
+        "mode; inner joins emit eagerly, so the finite-source output "
+        "is batch-equivalent and the oracle replay exact. Watermark + "
+        "range condition bound the state to O(rate × 7h) — never the "
+        "full history.",
+)
+def st03(spark, sf):
+    sdf = _stream_events(spark, sf)
+    from nowdb_spark.streaming.ingest import stream_interval_join
+    out = stream_interval_join(
+        sdf.filter(F.col("event_type") == "purchase"),
+        sdf.filter(F.col("event_type") == "view"),
+        "user_id", "ts", lookback="6 hours")
+    sel = out.select(F.col("event_id").alias("buy_id"),
+                     F.col("event_id_r").alias("view_id"),
+                     F.col("user_id"))
+    _run_to_table(sel, "_st03_sink", mode="append")
+    return spark.table("_st03_sink")
