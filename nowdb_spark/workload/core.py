@@ -535,20 +535,26 @@ def q19(spark, sf):
 
 
 # ------------------------------------------------------------------
-# q20 — anti join (NOT EXISTS): parts never ordered
+# q20 — anti join (NOT EXISTS): parts never shipped in bulk. The
+# unfiltered "parts never ordered" form matches the oracle with ZERO
+# rows on the dense synthetic data — a vacuous gate row; the quantity
+# predicate keeps the result non-empty at every sf so the anti-join
+# semantics are actually exercised.
 @register(
     "q20_anti_join",
     """
     SELECT p_partkey, p_name
     FROM part p
     WHERE NOT EXISTS (SELECT 1 FROM lineitem l
-                      WHERE l.l_partkey = p.p_partkey)
+                      WHERE l.l_partkey = p.p_partkey
+                        AND l.l_quantity > 45)
     """,
-    doc="left-anti join (NOT EXISTS)",
+    doc="left-anti join (NOT EXISTS), non-empty at gate scale",
 )
 def q20(spark, sf):
     p = table(spark, sf, "part")
-    li = table(spark, sf, "lineitem").select("l_partkey")
+    li = (table(spark, sf, "lineitem")
+          .filter(F.col("l_quantity") > 45).select("l_partkey"))
     return (
         p.join(li, p.p_partkey == li.l_partkey, "left_anti")
         .select("p_partkey", "p_name")
