@@ -38,13 +38,44 @@ def dot(a: Column, b: Column) -> Column:
         F.lit(0.0), lambda acc, v: acc + v)
 
 
-def dot_unpacked(a: Column, b: Column, dim: int) -> Column:
+def _fdl(x: float) -> str:
+    """Exact double literal for SQL text (repr round-trips the bits)."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _dot_const_sql(ref: str, const: list[float]) -> str:
+    """SQL text of the unrolled constant dot — a left-associative
+    `+` chain of `element_at * weight` terms, the same summation
+    order as the Column loop (bit-identical)."""
+    return " + ".join(
+        f"CAST(element_at({ref}, {i + 1}) AS DOUBLE) * {_fdl(x)}"
+        for i, x in enumerate(const))
+
+
+def _dot_cols_sql(a: str, b: str, dim: int) -> str:
+    return " + ".join(
+        f"CAST(element_at({a}, {i + 1}) AS DOUBLE) * "
+        f"CAST(element_at({b}, {i + 1}) AS DOUBLE)"
+        for i in range(dim))
+
+
+def dot_unpacked(a: Column | str, b: Column | str, dim: int) -> Column:
     """Dot product with a KNOWN dimension, unrolled to element_at
     multiply-adds. Same left-to-right summation order as the
     aggregate fold (bit-identical result), but the expression stays
     inside whole-stage codegen instead of the interpreted
     higher-order-function path — measured ~5× cheaper per row in the
-    LSH rerank. Use when dim is statically known; `dot` otherwise."""
+    LSH rerank. Use when dim is statically known; `dot` otherwise.
+
+    Pass COLUMN NAMES (str) where possible: the unrolled tree is then
+    built as one SQL string parsed JVM-side (a single py4j call)
+    instead of ~4·dim Column-API round-trips — the round-trips, not
+    the plan, were the dominant cost of plan construction (36 s →
+    sub-second for the 8-table LSH pipeline)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_cols_sql(f"`{a}`", f"`{b}`", dim))
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
     s = None
     for i in range(dim):
         term = (F.element_at(a, i + 1).cast("double")
@@ -118,13 +149,20 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
-def lsh_bucket_key(vec: Column, planes: list[list[float]]) -> Column:
+def lsh_bucket_key(vec: Column | str, planes: list[list[float]]) -> Column:
     """Sign-pattern bucket key from random hyperplanes (SimHash for
     vectors). One string key per row, fully JVM-side; each plane dot
     is unrolled to codegen multiply-adds (the plane is a plan-time
     constant, so element_at(vec, i) * w_i folds into whole-stage
     codegen — same left-to-right sum as the HOF fold, bit-identical
-    keys, no interpreted lambda per row)."""
+    keys, no interpreted lambda per row). A str `vec` builds the whole
+    key as one SQL string (one py4j call instead of ~4·planes·dim —
+    see dot_unpacked)."""
+    if isinstance(vec, str):
+        bits = ", ".join(
+            f"CASE WHEN ({_dot_const_sql(f'`{vec}`', p)}) >= 0 "
+            "THEN '1' ELSE '0' END" for p in planes)
+        return F.expr(f"concat({bits})")
     def _plane_dot(plane):
         s = None
         for i, w in enumerate(plane):
@@ -251,7 +289,7 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     else:
         ck_cols = [
             F.concat(F.lit(f"{t}:"),
-                     lsh_bucket_key(F.col(vec_col), planes))
+                     lsh_bucket_key(vec_col, planes))
             for t, planes in enumerate(all_planes)
         ]
         ck = corpus.select(
@@ -265,7 +303,7 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         # multiprobe flips in one matmul pass
         qk = queries.select(
             qid_col, qvec_col,
-            F.sqrt(dot_unpacked(F.col(qvec_col), F.col(qvec_col), dim))
+            F.sqrt(dot_unpacked(qvec_col, qvec_col, dim))
             .alias("__qn"))
         probe_udf = _lsh_probe_keys_pandas_udf(all_planes, multiprobe)
         qp = queries.select(
@@ -281,9 +319,9 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         # can OOM the driver before a single task runs.
         qk = queries.select(
             qid_col, qvec_col,
-            F.sqrt(dot_unpacked(F.col(qvec_col), F.col(qvec_col), dim))
+            F.sqrt(dot_unpacked(qvec_col, qvec_col, dim))
             .alias("__qn"),
-            *[lsh_bucket_key(F.col(qvec_col), planes).alias(f"__qk{t}")
+            *[lsh_bucket_key(qvec_col, planes).alias(f"__qk{t}")
               for t, planes in enumerate(all_planes)])
         if not qk.isStreaming:
             qk = qk.localCheckpoint(eager=False)
@@ -313,13 +351,13 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              .dropDuplicates([qid_col, id_col]))
     cvec = corpus.select(
         id_col, vec_col,
-        F.sqrt(dot_unpacked(F.col(vec_col), F.col(vec_col), dim))
+        F.sqrt(dot_unpacked(vec_col, vec_col, dim))
         .alias("__cn"))
     qvec = qk.select(qid_col, qvec_col, "__qn")
     cands = (pairs.join(cvec, id_col)
              .join(F.broadcast(qvec), qid_col))
     sim = F.round(
-        dot_unpacked(F.col(vec_col), F.col(qvec_col), dim)
+        dot_unpacked(vec_col, qvec_col, dim)
         / (F.col("__cn") * F.col("__qn")), 6)
     w = W.partitionBy(qid_col).orderBy(F.col("sim").desc(), F.col(id_col))
     return (
@@ -329,10 +367,13 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
-def _dot_const(vec: Column, const: list[float]) -> Column:
+def _dot_const(vec: Column | str, const: list[float]) -> Column:
     """Dot product of an array column with a constant vector — unrolled
     multiply-adds in whole-stage codegen (same summation order as an
-    aggregate fold; the constant is plan-time)."""
+    aggregate fold; the constant is plan-time). A str `vec` builds the
+    tree as one SQL string — see dot_unpacked."""
+    if isinstance(vec, str):
+        return F.expr("(" + _dot_const_sql(f"`{vec}`", const) + ")")
     s = None
     for i, x in enumerate(const):
         term = F.element_at(vec, i + 1).cast("double") * F.lit(float(x))
@@ -345,9 +386,18 @@ def _unit(v: list[float]) -> list[float]:
     return [x / n for x in v]
 
 
-def nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+def nearest_centroid(vec: Column | str,
+                     centroids: list[list[float]]) -> Column:
     """0-based index of the max-cosine centroid (centroids unit-norm,
-    so argmax of the plain dot product; first-max tie-break)."""
+    so argmax of the plain dot product; first-max tie-break). A str
+    `vec` builds the whole C·dim tree as one SQL string — see
+    dot_unpacked."""
+    if isinstance(vec, str):
+        arr = "array(" + ", ".join(
+            "(" + _dot_const_sql(f"`{vec}`", c) + ")"
+            for c in centroids) + ")"
+        return F.expr(
+            f"CAST(array_position({arr}, array_max({arr})) - 1 AS INT)")
     sims = F.array(*[_dot_const(vec, c) for c in centroids])
     return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
 
@@ -406,7 +456,7 @@ def kmeans_centroids(corpus: DataFrame, n_centroids: int = 16,
             cid = _nearest_centroid_pandas_udf(cents)(
                 F.col(vec_col)).alias("cid")
         else:
-            cid = nearest_centroid(F.col(vec_col), cents).alias("cid")
+            cid = nearest_centroid(vec_col, cents).alias("cid")
         # elementwise mean as dim avg() aggregates — NOT a posexplode
         # (a Generate under the assignment column re-evaluates the
         # assignment once per exploded element: measured 44s vs 2s at
@@ -436,7 +486,7 @@ def ivf_index(corpus: DataFrame, centroids: list[list[float]],
         return corpus.withColumn(
             "cid", _nearest_centroid_pandas_udf(centroids)(F.col(vec_col)))
     return corpus.withColumn(
-        "cid", nearest_centroid(F.col(vec_col), centroids))
+        "cid", nearest_centroid(vec_col, centroids))
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -468,16 +518,15 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     # fold — bit-identical sims; measured ~8× on 10⁷-candidate probes)
     indexed = ivf_index(corpus, centroids, vec_col,
                         kernel=kernel).withColumn(
-        "__cn", F.sqrt(dot_unpacked(F.col(vec_col), F.col(vec_col), dim)))
+        "__cn", F.sqrt(dot_unpacked(vec_col, vec_col, dim)))
 
     qsims = F.array(*[
-        F.struct(_dot_const(F.col(qvec_col), c).alias("s"),
+        F.struct(_dot_const(qvec_col, c).alias("s"),
                  F.lit(i).alias("c"))
         for i, c in enumerate(centroids)])
     probed = (queries
               .select(qid_col, qvec_col,
-                      F.sqrt(dot_unpacked(F.col(qvec_col),
-                                          F.col(qvec_col), dim))
+                      F.sqrt(dot_unpacked(qvec_col, qvec_col, dim))
                       .alias("__qn"),
                       F.explode(F.slice(F.reverse(F.array_sort(qsims)),
                                         1, n_probe)).alias("p"))
@@ -486,7 +535,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     cands = indexed.join(F.broadcast(probed), "cid")
     sim = F.round(
-        dot_unpacked(F.col(vec_col), F.col(qvec_col), dim)
+        dot_unpacked(vec_col, qvec_col, dim)
         / (F.col("__cn") * F.col("__qn")), 6)
     w = W.partitionBy(qid_col).orderBy(F.col("sim").desc(), F.col(id_col))
     return (
@@ -758,8 +807,7 @@ def semdedup(corpus: DataFrame, n_centroids: int = 16, iters: int = 3,
     dim = len(centroids[0])
     idx = (ivf_index(corpus.select(id_col, vec_col), centroids, vec_col,
                      kernel=kernel)
-           .withColumn("__n", F.sqrt(dot_unpacked(F.col(vec_col),
-                                                  F.col(vec_col), dim))))
+           .withColumn("__n", F.sqrt(dot_unpacked(vec_col, vec_col, dim))))
     # idx feeds both join sides AND the final projection — checkpoint
     # so the centroid assignment (a C×d matmul per row) runs once,
     # not three times
@@ -828,7 +876,7 @@ def semdedup(corpus: DataFrame, n_centroids: int = 16, iters: int = 3,
                 .groupBy("cid").applyInPandas(per_cluster, out_schema))
     if keep == "far":
         # centroid-cosine (centroids are unit vectors): max dot / ‖v‖
-        sims = F.array(*[_dot_const(F.col(vec_col), c)
+        sims = F.array(*[_dot_const(vec_col, c)
                          for c in centroids])
         idx = idx.withColumn(
             "__cs", F.round(F.array_max(sims) / F.col("__n"), 6))
@@ -838,7 +886,7 @@ def semdedup(corpus: DataFrame, n_centroids: int = 16, iters: int = 3,
     b = idx.select("cid", *[F.col(c).alias(f"{c}_b") for c in
                             (id_col, vec_col, "__n", *prio[:-1])])
     sim = F.round(
-        dot_unpacked(F.col(f"{vec_col}_a"), F.col(f"{vec_col}_b"), dim)
+        dot_unpacked(f"{vec_col}_a", f"{vec_col}_b", dim)
         / (F.col("__n_a") * F.col("__n_b")), 6)
     pairs = (a.join(b, "cid")
              .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
@@ -898,7 +946,7 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
                       keep=("cid",))
 
     qsims = F.array(*[
-        F.struct(_dot_const(F.col(qvec_col), c).alias("s"),
+        F.struct(_dot_const(qvec_col, c).alias("s"),
                  F.lit(i).alias("c"))
         for i, c in enumerate(centroids)])
     probed = (queries
