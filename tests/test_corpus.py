@@ -273,3 +273,32 @@ def test_domain_mix_quotas_and_determinism(spark):
            C.domain_mix_sample(df, total=10, alpha=1.0, seed=3)
            .groupBy("source").count().collect()}
     assert nat == {"big": 8, "small": 2}
+
+
+def test_line_dedup_properties(spark):
+    """Randomized-corpus invariants: (1) every non-blank line occurs
+    at most once across the whole output, (2) kept+dropped == input
+    line count per doc, (3) the operator is idempotent."""
+    import random
+    rng = random.Random(11)
+    vocab = ["alpha", "beta", "gamma", "delta", ""]
+    texts = ["\n".join(rng.choice(vocab) for _ in range(rng.randint(1, 6)))
+             for _ in range(30)]
+    df = _docs(spark, texts)
+    out = C.line_dedup(df)
+    rows = out.collect()
+
+    seen = {}
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        n_in = len(texts[r.doc_id].split("\n"))
+        assert r.n_lines_kept + r.n_lines_dropped == n_in, r
+        for ln in r.text.split("\n") if r.text != "" else []:
+            if ln.strip():
+                assert ln not in seen, (ln, r.doc_id, seen[ln])
+                seen[ln] = r.doc_id
+
+    again = {r.doc_id: r for r in C.line_dedup(
+        out.select("doc_id", "text")).collect()}
+    for r in rows:
+        assert again[r.doc_id].text == r.text
+        assert again[r.doc_id].n_lines_dropped == 0 or r.text == "", r
