@@ -264,6 +264,132 @@ def _minhash_signature_arrow(df: DataFrame, content_col: str, id_col: str,
     return df.select(id_col, *keep, content_col).mapInPandas(gen, schema)
 
 
+def lsh_index(df: DataFrame, content_col: str = "text",
+              id_col: str = "doc_id", k: int = 8, bands: int = 4,
+              shingle_n: int = 3, hash_fn: str = "md5",
+              compact: bool = False) -> DataFrame:
+    """Persistable MinHash-LSH index of a corpus: one
+    (id, sig array, band_id, band_key) row per band per document.
+
+    This is the state an INCREMENTAL dedup pipeline keeps: write it
+    once with `.write.partitionBy("band_id")` (or bucketBy(band_key)
+    for a shuffle-free probe join), then dedup each arriving batch
+    against it with `lsh_increment_pairs` — the corpus is never
+    re-shingled. At 100 TB the index is ~bands× small rows per doc
+    (ids + k hashes, no text), a fraction of the corpus bytes.
+
+    Docs below shingle_n words carry NULL signatures and are dropped
+    here — md5-of-concat gave them a NULL band key (one degenerate
+    all-shorts bucket whose pairs were always filtered at est=0);
+    xxhash64 would otherwise hash "no component" to a REAL shared key
+    and make that bucket quadratic.
+    """
+    rows = k // bands
+    sig = minhash_signature(df, content_col, id_col, k, shingle_n,
+                            hash_fn=hash_fn, compact=compact)
+    if compact:
+        band_cols = [
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(*[F.col(f"s{b * rows + r}")
+                             for r in range(rows)]).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    else:
+        band_cols = [
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat(*[F.col(f"s{b * rows + r}")
+                                 for r in range(rows)]))
+                .alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    return sig.filter(F.col("s0").isNotNull()).select(
+        id_col,
+        F.array(*[F.col(f"s{i}") for i in range(k)]).alias("sig"),
+        F.explode(F.array(*band_cols)).alias("band"),
+    ).select(id_col, "sig", "band.band_id", "band.band_key")
+
+
+def _bucket_allpairs(bd: DataFrame, id_col: str) -> DataFrame:
+    """Emit each (band_id, band_key) bucket's a<b member pairs from
+    the id-sorted member list — a banded⋈banded self-join would
+    execute the signature subtree twice and shuffle it twice; this
+    computes signatures once and shuffles the bucket lists once.
+    Bucket sizes are bounded by collision probability (identical
+    band keys), so per-row pair emission stays small."""
+    buckets = (bd
+               .groupBy("band_id", "band_key")
+               .agg(F.sort_array(F.collect_list(
+                   F.struct(F.col(id_col).alias("id"),
+                            F.col("sig").alias("sig")))).alias("ms"))
+               .filter(F.size("ms") >= 2))
+    return (buckets
+            .select(F.posexplode("ms").alias("i", "a"), "ms")
+            .select("a", F.explode(
+                F.slice("ms", F.col("i") + 2, F.size("ms"))).alias("b"))
+            .select(F.col("a.id").alias("doc_a"),
+                    F.col("b.id").alias("doc_b"),
+                    F.col("a.sig").alias("siga"),
+                    F.col("b.sig").alias("sigb")))
+
+
+def _est_jaccard(k: int):
+    return (F.size(F.filter(F.zip_with("siga", "sigb",
+                                       lambda x, y: x == y),
+                            lambda v: v))
+            / F.lit(float(k)))
+
+
+def lsh_increment_pairs(index: DataFrame, new_df: DataFrame,
+                        content_col: str = "text",
+                        id_col: str = "doc_id", k: int = 8,
+                        bands: int = 4, threshold: float = 0.5,
+                        shingle_n: int = 3, hash_fn: str = "md5",
+                        compact: bool = False,
+                        include_new_pairs: bool = True) -> DataFrame:
+    """Incremental MinHash-LSH dedup: candidate pairs between a NEW
+    batch and an already-indexed corpus (`lsh_index` output), plus the
+    batch's internal pairs — WITHOUT re-hashing the corpus.
+
+    Equivalence contract (locked by test): the result equals
+    `minhash_lsh_pairs(corpus ∪ batch)` restricted to pairs touching
+    at least one batch document. This is the production shape at
+    100 TB — per-arrival work is O(batch) hashing + one join against
+    the stored index, not O(corpus).
+
+    Pairs are canonicalized doc_a < doc_b regardless of which side is
+    the batch, so downstream `dup_clusters` works unchanged.
+    """
+    nb = lsh_index(new_df, content_col, id_col, k, bands, shingle_n,
+                   hash_fn=hash_fn, compact=compact)
+    a = index.select(F.col(id_col).alias("doc_a"),
+                     F.col("sig").alias("siga"), "band_id", "band_key")
+    b = nb.select(F.col(id_col).alias("doc_b"),
+                  F.col("sig").alias("sigb"), "band_id", "band_key")
+    sw = F.col("doc_a") > F.col("doc_b")
+    cross = (a.join(b, ["band_id", "band_key"])
+             .filter(F.col("doc_a") != F.col("doc_b"))
+             .select(
+                 F.when(sw, F.col("doc_b")).otherwise(F.col("doc_a"))
+                 .alias("doc_a"),
+                 F.when(sw, F.col("doc_a")).otherwise(F.col("doc_b"))
+                 .alias("doc_b"),
+                 F.when(sw, F.col("sigb")).otherwise(F.col("siga"))
+                 .alias("siga"),
+                 F.when(sw, F.col("siga")).otherwise(F.col("sigb"))
+                 .alias("sigb")))
+    pairs = cross
+    if include_new_pairs:
+        pairs = pairs.unionByName(_bucket_allpairs(nb, id_col))
+    return (pairs.dropDuplicates(["doc_a", "doc_b"])
+            .withColumn("est_jaccard", F.round(_est_jaccard(k), 6))
+            .filter(F.col("est_jaccard") >= threshold)
+            .select("doc_a", "doc_b", "est_jaccard"))
+
+
 def minhash_lsh_pairs(df: DataFrame, content_col: str = "text",
                       id_col: str = "doc_id", k: int = 8, bands: int = 4,
                       threshold: float = 0.5,
@@ -303,69 +429,18 @@ def minhash_lsh_pairs(df: DataFrame, content_col: str = "text",
     clustering / canonical-doc selection, not when the full pair
     list itself is the product.
     """
-    rows = k // bands
-    sig = minhash_signature(df, content_col, id_col, k, shingle_n,
-                            hash_fn=hash_fn, compact=compact)
-    if compact:
-        band_cols = [
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.xxhash64(*[F.col(f"s{b * rows + r}")
-                             for r in range(rows)]).alias("band_key"),
-            )
-            for b in range(bands)
-        ]
-    else:
-        band_cols = [
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.md5(F.concat(*[F.col(f"s{b * rows + r}")
-                                 for r in range(rows)]))
-                .alias("band_key"),
-            )
-            for b in range(bands)
-        ]
-    # docs below shingle_n words have NULL signatures: md5-of-concat
-    # gave them a NULL band key (one degenerate all-shorts bucket whose
-    # pairs were always filtered at est=0); drop them before the
-    # shuffle instead — xxhash64 would otherwise hash "no component"
-    # to a REAL shared key and make that bucket quadratic.
-    banded = sig.filter(F.col("s0").isNotNull()).select(
-        id_col,
-        F.array(*[F.col(f"s{i}") for i in range(k)]).alias("sig"),
-        F.explode(F.array(*band_cols)).alias("band"),
-    ).select(id_col, "sig", "band.band_id", "band.band_key")
-
-    # group each (band_id, band_key) bucket and emit its a<b pairs
-    # from the id-sorted member list — a banded⋈banded self-join would
-    # execute the signature subtree twice and shuffle it twice; this
-    # computes signatures once and shuffles the bucket lists once.
-    # Bucket sizes are bounded by collision probability (identical
-    # band keys), so per-row pair emission stays small.
-    def _allpairs(bd: DataFrame) -> DataFrame:
-        buckets = (bd
-                   .groupBy("band_id", "band_key")
-                   .agg(F.sort_array(F.collect_list(
-                       F.struct(F.col(id_col).alias("id"),
-                                F.col("sig").alias("sig")))).alias("ms"))
-                   .filter(F.size("ms") >= 2))
-        return (buckets
-                .select(F.posexplode("ms").alias("i", "a"), "ms")
-                .select("a", F.explode(
-                    F.slice("ms", F.col("i") + 2, F.size("ms"))).alias("b"))
-                .select(F.col("a.id").alias("doc_a"),
-                        F.col("b.id").alias("doc_b"),
-                        F.col("a.sig").alias("siga"),
-                        F.col("b.sig").alias("sigb")))
+    banded = lsh_index(df, content_col, id_col, k, bands, shingle_n,
+                       hash_fn=hash_fn, compact=compact)
 
     if hub_cap is None:
-        pairs = _allpairs(banded).dropDuplicates(["doc_a", "doc_b"])
+        pairs = _bucket_allpairs(banded, id_col) \
+            .dropDuplicates(["doc_a", "doc_b"])
     else:
         sizes = (banded.groupBy("band_id", "band_key")
                  .agg(F.count(F.lit(1)).alias("__n")))
         tagged = banded.join(sizes, ["band_id", "band_key"])
-        small = _allpairs(
-            tagged.filter(F.col("__n") <= hub_cap).drop("__n"))
+        small = _bucket_allpairs(
+            tagged.filter(F.col("__n") <= hub_cap).drop("__n"), id_col)
         big = tagged.filter(F.col("__n") > hub_cap).drop("__n")
         # star: min-id member joins against every other member — pure
         # streaming join, no bucket array, linear emission
@@ -380,12 +455,8 @@ def minhash_lsh_pairs(df: DataFrame, content_col: str = "text",
                         F.col("sig").alias("sigb")))
         pairs = small.unionByName(star) \
                      .dropDuplicates(["doc_a", "doc_b"])
-    est = (F.size(F.filter(F.zip_with("siga", "sigb",
-                                      lambda x, y: x == y),
-                           lambda v: v))
-           / F.lit(float(k)))
     return (
-        pairs.withColumn("est_jaccard", F.round(est, 6))
+        pairs.withColumn("est_jaccard", F.round(_est_jaccard(k), 6))
         .filter(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
     )

@@ -140,6 +140,54 @@ def dd03(spark, sf):
 
 # ------------------------------------------------------------------
 @register(
+    "di01_incremental_lsh",
+    f"""
+    WITH {_MINHASH_CTE},
+    banded AS (
+      SELECT doc_id, s0, s1, s2, s3, s4, s5, s6, s7, band_id,
+             CASE band_id
+               WHEN 0 THEN md5(s0 || s1) WHEN 1 THEN md5(s2 || s3)
+               WHEN 2 THEN md5(s4 || s5) ELSE md5(s6 || s7) END AS band_key
+      FROM sig, LATERAL (VALUES (0), (1), (2), (3)) AS bands(band_id)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.s0 AS as0, a.s1 AS as1, a.s2 AS as2, a.s3 AS as3,
+             a.s4 AS as4, a.s5 AS as5, a.s6 AS as6, a.s7 AS as7,
+             b.s0 AS bs0, b.s1 AS bs1, b.s2 AS bs2, b.s3 AS bs3,
+             b.s4 AS bs4, b.s5 AS bs5, b.s6 AS bs6, b.s7 AS bs7
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(((as0 = bs0)::INT + (as1 = bs1)::INT + (as2 = bs2)::INT
+                + (as3 = bs3)::INT + (as4 = bs4)::INT + (as5 = bs5)::INT
+                + (as6 = bs6)::INT + (as7 = bs7)::INT) / 8.0, 6) AS est_jaccard
+    FROM pairs
+    WHERE ((as0 = bs0)::INT + (as1 = bs1)::INT + (as2 = bs2)::INT
+         + (as3 = bs3)::INT + (as4 = bs4)::INT + (as5 = bs5)::INT
+         + (as6 = bs6)::INT + (as7 = bs7)::INT) / 8.0 >= 0.5
+      AND (doc_a % 5 = 0 OR doc_b % 5 = 0)
+    """,
+    doc="incremental MinHash-LSH dedup: the doc_id%5==0 slice arrives "
+        "as a new batch against an lsh_index of the rest — per-arrival "
+        "work is O(batch) hashing + one index join, never O(corpus). "
+        "Oracle: the full-corpus LSH pair set restricted to pairs "
+        "touching a batch doc (the equivalence the operator "
+        "guarantees, also locked by test_operators).",
+)
+def di01(spark, sf):
+    docs = table(spark, sf, "documents")
+    idx = D.lsh_index(docs.filter(F.col("doc_id") % 5 != 0),
+                      k=8, bands=4)
+    return D.lsh_increment_pairs(idx,
+                                 docs.filter(F.col("doc_id") % 5 == 0),
+                                 k=8, bands=4, threshold=0.5)
+
+
+# ------------------------------------------------------------------
+@register(
     "dd04_ngram_jaccard_pairs",
     f"""
     WITH {_WORDS_CTE},

@@ -620,3 +620,25 @@ def test_lsh_hub_cap_linear_and_cluster_exact(spark):
     b = {(r["doc_id"], r["canonical_id"]) for r in
          D.dup_clusters(capped).collect()}
     assert a == b
+
+
+def test_lsh_increment_matches_full_restriction(spark):
+    """Incremental dedup contract: index the corpus slice once, probe
+    the batch against it — the result must equal the FULL-corpus LSH
+    pair set restricted to pairs touching a batch doc."""
+    from tests.conftest import SF_DIR
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+
+    idx = D.lsh_index(corpus, k=8, bands=4)
+    got = {(r["doc_a"], r["doc_b"], r["est_jaccard"]) for r in
+           D.lsh_increment_pairs(idx, batch, k=8, bands=4,
+                                 threshold=0.5).collect()}
+    full = {(r["doc_a"], r["doc_b"], r["est_jaccard"]) for r in
+            D.minhash_lsh_pairs(docs, k=8, bands=4,
+                                threshold=0.5).collect()}
+    want = {p for p in full if p[0] % 5 == 0 or p[1] % 5 == 0}
+    assert got == want and len(got) > 0
+    # corpus-only pairs never re-emitted
+    assert all(a % 5 == 0 or b % 5 == 0 for a, b, _ in got)
