@@ -15,6 +15,9 @@ without leaving the session:
     exec pipe.quality_filter('docs', 'lang', 'en', 64, 4)
     exec pipe.perplexity('docs', 2048)
     exec pipe.profile('docs')
+    exec pipe.line_dedup('docs')
+    exec pipe.domain_mix('docs', 'source', 200, 0.5, 13)
+    exec pipe.dedup_increment('lsh_idx', 'batch', 8, 4, 0.5)
 
 Every procedure takes a context/mount/view NAME plus constant
 parameters (the reference's EXEC restriction) and returns a cursor —
@@ -86,6 +89,24 @@ def register_builtin_procs(engine) -> None:
         from nowdb_spark.operators.profile import profile as P
         return P(session.dataframe(ctx))
 
+    def line_dedup(session, ctx, text_col="text", id_col="doc_id"):
+        return C.line_dedup(session.dataframe(ctx),
+                            text_col=str(text_col), id_col=str(id_col))
+
+    def domain_mix(session, ctx, domain_col="source", total=200,
+                   alpha=0.5, seed=13):
+        return C.domain_mix_sample(session.dataframe(ctx),
+                                   domain_col=str(domain_col),
+                                   total=int(total), alpha=float(alpha),
+                                   seed=int(seed))
+
+    def dedup_increment(session, index_ctx, batch_ctx, k=8, bands=4,
+                        threshold=0.5):
+        return D.lsh_increment_pairs(session.dataframe(index_ctx),
+                                     session.dataframe(batch_ctx),
+                                     k=int(k), bands=int(bands),
+                                     threshold=float(threshold))
+
     for name, fn in [("exact_dedup", exact_dedup),
                      ("minhash_pairs", minhash_pairs),
                      ("semdedup", semdedup),
@@ -94,5 +115,8 @@ def register_builtin_procs(engine) -> None:
                      ("text_stats", text_stats),
                      ("quality_filter", quality_filter),
                      ("perplexity", perplexity),
-                     ("profile", profile)]:
+                     ("profile", profile),
+                     ("line_dedup", line_dedup),
+                     ("domain_mix", domain_mix),
+                     ("dedup_increment", dedup_increment)]:
         engine.register_procedure(f"pipe.{name}", fn)

@@ -227,6 +227,19 @@ def test_builtin_pipeline_procs(spark, tmp_path):
     assert prof["doc_id"][1] == 4 and prof["doc_id"][3] == 4
     assert prof["lang"][3] == 2          # en, fr
 
+    r = e.rexecute("exec pipe.line_dedup('docs')")
+    ld = {t[0]: (t[1], t[2], t[3]) for t in r.fetch(100)}
+    assert ld[1] == ("", 0, 1)            # exact clone of doc 0: emptied
+    assert ld[0][0] == "alpha beta gamma" and ld[0][1] == 1
+
+    r = e.rexecute("exec pipe.domain_mix('docs', 'lang', 3, 0.5, 13)")
+    dm = [t for t in r.fetch(100)]
+    by_lang = {}
+    for t in dm:
+        by_lang[t[1]] = by_lang.get(t[1], 0) + 1
+    # weights sqrt(3):sqrt(1) -> quotas floor(3*.634)=1, floor(3*.366)=1
+    assert by_lang == {"en": 1, "fr": 1}
+
 
 def test_like_between_predicates(eng, spark):
     """LIKE / NOT LIKE / BETWEEN / NOT BETWEEN (dialect extensions —
