@@ -125,8 +125,12 @@ _PRIORITY_ORDER = [
     "dd01_exact_dedup", "dd03_minhash_lsh_pairs",
     "dd04_ngram_jaccard_pairs", "dd05_simhash",
     # dd06's bounded crossJoin is subsumed by its own documented scale
-    # path: dd09 SemDeDup (cluster-bounded pairwise cosine)
-    "dd09_semdedup", "dd07_containment_pairs",
+    # path: dd09 SemDeDup (cluster-bounded pairwise cosine).
+    # dd07 containment is dd04 jaccard's cousin (same inverted-index
+    # machinery, different denominator) — relegated; its slot carries
+    # the incremental index+probe shape (di01), a capability no other
+    # dedup row demonstrates. dd07 stays oracle-verified by pytest.
+    "dd09_semdedup", "di01_incremental_lsh",
     # text analysis (tx03 fingerprinting relegated past-window — its
     # slot goes to the audio modality; still oracle-verified by pytest)
     # tx02's heuristic quality/lang scores yield to the model-based
@@ -153,8 +157,12 @@ _PRIORITY_ORDER = [
     # streaming extension gate — a REAL readStream→memory-sink run
     # whose final state the oracle replays exactly. ts02 stays
     # oracle-verified by tests/test_workload.py.)
+    # ts05 OHLC is another bucketed-agg flavor of ts01's downsample —
+    # relegated (still oracle-verified by pytest); its slot carries the
+    # stream-stream interval join st03, a streaming capability st01's
+    # windowed agg doesn't demonstrate.
     "ts01_downsample", "st01_stream_window_agg", "ts03_integral",
-    "ts04_gap_fill", "ts05_ohlc",
+    "ts04_gap_fill", "st03_stream_interval_join",
     # corpus curation (cleaning.py; tx05/pii01/sp01/sm01 are the
     # relegated, pytest-verified spellings of the same family)
     # cc02 runs cc01's cleaning AND the DSIR selection stage under
