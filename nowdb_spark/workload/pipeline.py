@@ -1240,55 +1240,66 @@ def _bpe_chain_ctes(n_merges: int = 8) -> list:
     share the boundary space and replace() diverges from the
     two-pointer merge on runs like 'aaaaa').
 
-    Segmentation is Sennrich's min-rank loop as a recursive CTE: each
-    step LATERAL-picks the lowest-rank rule present in the word's
-    symbol string and applies one replace pass; rows finish when no
-    rule matches."""
+    Segmentation is Sennrich's min-rank loop UNROLLED to exactly
+    n_merges passes: each pass LATERAL-picks the lowest-rank rule
+    present in the word's symbol string and applies one replace pass.
+    n_merges passes always reach the fixpoint — processing min-rank
+    first permanently exhausts that rank (a pair's adjacency can only
+    be (re)enabled by applying a strictly LOWER-rank rule, since the
+    merged symbol that could recreate it was itself learned earlier),
+    so each rule fires in at most one pass.
+
+    Every CTE is MATERIALIZED: DuckDB otherwise inlines each
+    multiply-referenced v{i} (p{i} + v{i+1} both read it), making the
+    training chain 2^n_merges re-evaluations of v0 — measured 42 s vs
+    0.3 s at sf0.01. The unroll (replacing the previous recursive-CTE
+    segmentation) is what makes the hint safe: MATERIALIZED inside
+    WITH RECURSIVE mis-iterates on DuckDB 1.0 (run-to-run
+    nondeterministic row loss, found while benchmarking)."""
     parts = ["""
-WITH RECURSIVE wf AS (
+WITH wf AS MATERIALIZED (
   SELECT word, count(*)::BIGINT AS freq
   FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
   WHERE word <> '' GROUP BY word
 ),
-v0 AS (SELECT word,
+v0 AS MATERIALIZED (SELECT word,
               ' ' || array_to_string(string_split(word, ''), '  ') || ' '
                 AS s,
               freq
        FROM wf)"""]
     for i in range(n_merges):
         parts.append(f""",
-p{i} AS (
+p{i} AS MATERIALIZED (
   SELECT syms[j] AS a, syms[j+1] AS b, sum(freq) AS n
   FROM (SELECT string_split(trim(s), '  ') AS syms, freq FROM v{i}),
        LATERAL unnest(generate_series(1, len(syms) - 1)) AS t(j)
   WHERE len(syms) >= 2
   GROUP BY 1, 2
 ),
-m{i} AS (SELECT a, b, {i} AS rank FROM p{i} ORDER BY n DESC, a, b LIMIT 1),
-v{i + 1} AS (
+m{i} AS MATERIALIZED (
+  SELECT a, b, {i} AS rank FROM p{i} ORDER BY n DESC, a, b LIMIT 1),
+v{i + 1} AS MATERIALIZED (
   SELECT word, replace(s, ' ' || a || '  ' || b || ' ',
                        ' ' || a || b || ' ') AS s, freq
   FROM v{i} CROSS JOIN m{i}
 )""")
-    parts.append(",\nmg AS (" + " UNION ALL ".join(
+    parts.append(",\nmg AS MATERIALIZED (" + " UNION ALL ".join(
         f"SELECT a, b, rank FROM m{i}" for i in range(n_merges)) + ")")
-    parts.append(""",
-w0 AS (SELECT word, s FROM v0),
-seg AS (
-  SELECT word, s FROM w0
-  UNION ALL
-  SELECT word, replace(s, ' ' || m.a || '  ' || m.b || ' ',
-                       ' ' || m.a || m.b || ' ') AS s
-  FROM seg, LATERAL (
+    parts.append(",\ns0 AS MATERIALIZED (SELECT word, s FROM v0)")
+    for t in range(n_merges):
+        parts.append(f""",
+s{t + 1} AS MATERIALIZED (
+  SELECT s{t}.word,
+         CASE WHEN m.a IS NULL THEN s{t}.s
+              ELSE replace(s{t}.s, ' ' || m.a || '  ' || m.b || ' ',
+                           ' ' || m.a || m.b || ' ') END AS s
+  FROM s{t} LEFT JOIN LATERAL (
     SELECT a, b FROM mg
-    WHERE strpos(seg.s, ' ' || a || '  ' || b || ' ') > 0
-    ORDER BY rank LIMIT 1) m
-),
-final AS (
-  SELECT word, s FROM seg
-  WHERE NOT EXISTS (SELECT 1 FROM mg
-                    WHERE strpos(seg.s, ' ' || a || '  ' || b || ' ') > 0)
+    WHERE strpos(s{t}.s, ' ' || a || '  ' || b || ' ') > 0
+    ORDER BY rank LIMIT 1) m ON true
 )""")
+    parts.append(f""",
+final AS MATERIALIZED (SELECT word, s FROM s{n_merges})""")
     return parts
 
 
