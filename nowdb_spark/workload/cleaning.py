@@ -346,9 +346,9 @@ def _qc_oracle_sql(buckets: int = 64, iters: int = 4,
     order under the round-6 cut, as in the k-means and EWMA oracles."""
     n_sql = "(SELECT n FROM nn)"
     parts = [f"""
-WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws
+WITH ws AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS ws
             FROM documents),
-feats AS (
+feats AS MATERIALIZED (
   SELECT doc_id, unnest(ws) AS f FROM ws
   UNION ALL
   SELECT doc_id, ws[i] || ' ' || ws[i+1] AS f
@@ -356,28 +356,28 @@ feats AS (
                unnest(generate_series(1, len(ws) - 1)) AS i
         FROM ws)
 ),
-fb AS (SELECT doc_id, {_md5_hex4("f")} % {buckets} AS b FROM feats),
-dy AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+fb AS MATERIALIZED (SELECT doc_id, {_md5_hex4("f")} % {buckets} AS b FROM feats),
+dy AS MATERIALIZED (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
        FROM documents),
-nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
-w0 AS (SELECT DISTINCT b, 0.0 AS w FROM fb),
-bi0 AS (SELECT 0.0 AS bias)"""]
+nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM documents),
+w0 AS MATERIALIZED (SELECT DISTINCT b, 0.0 AS w FROM fb),
+bi0 AS MATERIALIZED (SELECT 0.0 AS bias)"""]
     for i in range(iters):
         parts.append(f""",
-m{i} AS (
+m{i} AS MATERIALIZED (
   SELECT d.doc_id, d.y,
          (SELECT bias FROM bi{i}) + coalesce(sum(w.w), 0.0) AS m
   FROM dy d LEFT JOIN fb USING (doc_id) LEFT JOIN w{i} w USING (b)
   GROUP BY d.doc_id, d.y
 ),
-r{i} AS (SELECT doc_id, y, 1.0 / (1.0 + exp(-m)) - y AS r FROM m{i}),
-g{i} AS (SELECT fb.b, sum(r.r) AS g
+r{i} AS MATERIALIZED (SELECT doc_id, y, 1.0 / (1.0 + exp(-m)) - y AS r FROM m{i}),
+g{i} AS MATERIALIZED (SELECT fb.b, sum(r.r) AS g
          FROM fb JOIN r{i} r USING (doc_id) GROUP BY fb.b),
-w{i + 1} AS (
+w{i + 1} AS MATERIALIZED (
   SELECT w.b, w.w - {lr} / {n_sql} * coalesce(g.g, 0.0) AS w
   FROM w{i} w LEFT JOIN g{i} g USING (b)
 ),
-bi{i + 1} AS (
+bi{i + 1} AS MATERIALIZED (
   SELECT bias - {lr} / {n_sql} * (SELECT sum(r) FROM r{i}) AS bias
   FROM bi{i}
 )""")

@@ -146,20 +146,20 @@ def _pagerank_oracle(iters: int = 10, damping: float = 0.85) -> str:
     recursive CTE term); base is spelled (1-d)/n to match the engine's
     float evaluation bit-for-bit before the 6dp round."""
     ctes = ["""
-    sp AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
-    cp AS (SELECT a.l_suppkey AS a, b.l_suppkey AS b
+    sp AS MATERIALIZED (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+    cp AS MATERIALIZED (SELECT a.l_suppkey AS a, b.l_suppkey AS b
            FROM sp a JOIN sp b ON a.l_partkey = b.l_partkey
                               AND a.l_suppkey < b.l_suppkey
            GROUP BY 1, 2),
-    e AS (SELECT a AS src, b AS dst FROM cp
+    e AS MATERIALIZED (SELECT a AS src, b AS dst FROM cp
           UNION SELECT b AS src, a AS dst FROM cp),
-    nodes AS (SELECT DISTINCT src AS node FROM e),
-    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-    deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
-    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""]
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+    nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+    r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""]
     for i in range(1, iters + 1):
         ctes.append(f"""
-    r{i} AS (
+    r{i} AS MATERIALIZED (
       SELECT nd.node,
              (1.0 - {damping}) / (SELECT n FROM nn)
                + {damping} * coalesce(s.inc, 0.0) AS rank

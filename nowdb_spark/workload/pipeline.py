@@ -817,26 +817,37 @@ def _pq_sql_parts() -> tuple:
         code_items.append(f"list_sort([{structs}])[1].c")
     enc = ", ".join(code_items)
 
-    cb_lits = [
-        "[" + ", ".join(
+    # each codebook literal lands in ONE single-row CTE and the
+    # distance expression references it via a scalar subquery —
+    # inlining the ~7 KB literal at each of the M·SUB·2 use sites
+    # made the statement ~930 KB and cost ~4.5 s of parse/bind alone.
+    # Same values, same left-to-right association: bit-identical.
+    cb_ctes = ", ".join(
+        f"cbj{j} AS MATERIALIZED (SELECT ["
+        + ", ".join(
             "[" + ", ".join(flit(w) for w in cent) + "]" for cent in cb)
-        + "]"
-        for cb in cbs]
+        + "] AS cb)"
+        for j, cb in enumerate(cbs))
+    # the FROM clause using `dist` must CROSS JOIN cbj0..cbj{M-1}
+    # (single-row CTEs — free) so each centroid lookup is a direct
+    # column reference, not a per-row scalar subquery
+    cb_joins = " ".join(f"CROSS JOIN cbj{j}" for j in range(_PQ_M))
     dist_terms = []
     for j in range(_PQ_M):
-        cent = f"{cb_lits[j]}[e.code[{j + 1}] + 1]"
+        cent = f"cbj{j}.cb[e.code[{j + 1}] + 1]"
         dist_terms.append("(" + " + ".join(
             f"(q.v[{j * _PQ_SUB + d + 1}] - {cent}[{d + 1}])"
             f" * (q.v[{j * _PQ_SUB + d + 1}] - {cent}[{d + 1}])"
             for d in range(_PQ_SUB)) + ")")
     dist = " + ".join(dist_terms)
-    return enc, dist
+    return cb_ctes, cb_joins, enc, dist
 
 
 def _pq_oracle_sql() -> str:
-    enc, dist = _pq_sql_parts()
+    cb_ctes, cb_joins, enc, dist = _pq_sql_parts()
     return f"""
-WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+WITH {cb_ctes},
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
              FROM embeddings),
 enc AS (SELECT vec_id, [{enc}] AS code FROM emb)
 SELECT qid, vec_id, dist, rnk FROM (
@@ -846,6 +857,7 @@ SELECT qid, vec_id, dist, rnk FROM (
             PARTITION BY q.vec_id
             ORDER BY round({dist}, 6), e.vec_id) AS INT) AS rnk
   FROM enc e CROSS JOIN (SELECT vec_id, v FROM emb WHERE vec_id < 3) q
+       {cb_joins}
 ) WHERE rnk <= 5
 """
 
@@ -876,8 +888,9 @@ def _ivfpq_oracle_sql(k: int = 5, n_centroids: int = 8,
     shared PQ fragments score them — the composed IVF-PQ pipeline
     replayed end-to-end (training, assignment, probing, encoding, ADC
     ranking) in one generated statement."""
-    enc, dist = _pq_sql_parts()
+    cb_ctes, cb_joins, enc, dist = _pq_sql_parts()
     parts = _kmeans_idx_ctes(n_centroids, iters, train_limit)
+    parts[0] = parts[0].replace("WITH ", f"WITH {cb_ctes},\n", 1)
     parts.append(f""",
 enc AS (SELECT vec_id, [{enc}] AS code FROM emb),
 probe AS (
@@ -896,6 +909,7 @@ SELECT qid, vec_id, dist, rnk FROM (
   FROM cand c
   JOIN enc e ON e.vec_id = c.vec_id
   JOIN emb q ON q.vec_id = c.qid
+  {cb_joins}
 ) WHERE rnk <= {k}
 """)
     return "".join(parts)
