@@ -62,6 +62,38 @@ def exact_dedup(df: DataFrame, content_col: str = "text",
     )
 
 
+def exact_dedup_increment(index: DataFrame, new_df: DataFrame,
+                          content_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Incremental exact dedup: flag NEW-batch docs whose content
+    already exists in a stored hash index, or is repeated inside the
+    batch — without rereading the corpus.
+
+    `index` is (content_hash, canonical_id) — e.g.
+    ``exact_dedup(corpus).groupBy("content_hash")
+    .agg(F.min("canonical_id").alias("canonical_id"))`` persisted
+    once; each arrival appends its surviving hashes. Canonical
+    precedence: an index hit wins over a within-batch canonical
+    (the corpus copy pre-existed), matching what a full re-run over
+    corpus ∪ batch would pick when corpus ids precede batch ids.
+
+    Returns the same (id, content_hash, canonical_id, is_dup) shape
+    as exact_dedup. One window shuffle over the batch + one join
+    against the index (broadcast- or bucket-joinable at scale).
+    """
+    h = F.md5(F.col(content_col))
+    w = W.partitionBy("content_hash")
+    batch = (new_df.select(F.col(id_col), h.alias("content_hash"))
+             .withColumn("_batch_canon", F.min(id_col).over(w)))
+    idx = index.select("content_hash",
+                       F.col("canonical_id").alias("_idx_canon"))
+    return (batch.join(idx, "content_hash", "left")
+            .withColumn("canonical_id",
+                        F.coalesce("_idx_canon", "_batch_canon"))
+            .withColumn("is_dup", F.col(id_col) != F.col("canonical_id"))
+            .select(id_col, "content_hash", "canonical_id", "is_dup"))
+
+
 def minhash_signature(df: DataFrame, content_col: str = "text",
                       id_col: str = "doc_id", k: int = 8,
                       shingle_n: int = 3,

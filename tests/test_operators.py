@@ -642,3 +642,36 @@ def test_lsh_increment_matches_full_restriction(spark):
     assert got == want and len(got) > 0
     # corpus-only pairs never re-emitted
     assert all(a % 5 == 0 or b % 5 == 0 for a, b, _ in got)
+
+
+def test_exact_dedup_increment_matches_full(spark):
+    """Same contract as the LSH twin: index the corpus, probe the
+    batch — flags must equal a full re-run restricted to the batch."""
+    from tests.conftest import SF_DIR
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    idx = (D.exact_dedup(corpus).groupBy("content_hash")
+           .agg(F.min("canonical_id").alias("canonical_id")))
+    got = {r["doc_id"]: (r["canonical_id"], r["is_dup"]) for r in
+           D.exact_dedup_increment(idx, batch).collect()}
+    full = {r["doc_id"]: (r["canonical_id"], r["is_dup"]) for r in
+            D.exact_dedup(docs).collect() if r["doc_id"] % 5 == 0}
+    assert got == full and len(got) > 0
+
+    # cross-over flagging, guaranteed by construction: batch doc 100
+    # clones corpus doc 1's text and must resolve to ITS canonical
+    from pyspark.sql import Row
+    sdocs = spark.createDataFrame(
+        [Row(doc_id=1, text="same old text"),
+         Row(doc_id=2, text="fresh corpus text")])
+    sbatch = spark.createDataFrame(
+        [Row(doc_id=100, text="same old text"),
+         Row(doc_id=101, text="brand new text"),
+         Row(doc_id=102, text="brand new text")])
+    sidx = (D.exact_dedup(sdocs).groupBy("content_hash")
+            .agg(F.min("canonical_id").alias("canonical_id")))
+    out = {r["doc_id"]: (r["canonical_id"], r["is_dup"]) for r in
+           D.exact_dedup_increment(sidx, sbatch).collect()}
+    assert out[100] == (1, True)            # index hit wins
+    assert out[101] == (101, False) and out[102] == (101, True)
