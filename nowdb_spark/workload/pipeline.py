@@ -649,36 +649,36 @@ def _kmeans_idx_ctes(n_centroids: int, iters: int,
             "sqrt(list_dot_product(v, v)) = 0 THEN 1.0 "
             "ELSE sqrt(list_dot_product(v, v)) END))")
     parts = [f"""
-WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-train AS (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {train_limit}),
-c0 AS (
+WITH emb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+train AS MATERIALIZED (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {train_limit}),
+c0 AS MATERIALIZED (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
          {unit} AS c
   FROM (SELECT vec_id, v FROM train ORDER BY vec_id LIMIT {n_centroids})
 )"""]
     for i in range(iters):
         parts.append(f""",
-a{i} AS (
+a{i} AS MATERIALIZED (
   SELECT vec_id, v, cid FROM (
     SELECT t.vec_id, t.v, p.cid,
            row_number() OVER (PARTITION BY t.vec_id
              ORDER BY list_dot_product(t.v, p.c) DESC, p.cid) AS rn
     FROM train t CROSS JOIN c{i} p) WHERE rn = 1
 ),
-mv{i} AS (
+mv{i} AS MATERIALIZED (
   SELECT cid, list(m ORDER BY pos) AS v FROM (
     SELECT cid, pos, avg(x) AS m FROM (
       SELECT cid, unnest(generate_series(1, len(v))) AS pos,
              unnest(v) AS x
       FROM a{i}) GROUP BY cid, pos) GROUP BY cid
 ),
-c{i + 1} AS (
+c{i + 1} AS MATERIALIZED (
   SELECT p.cid,
          CASE WHEN mv.v IS NULL THEN p.c ELSE {unit} END AS c
   FROM c{i} p LEFT JOIN mv{i} mv USING (cid)
 )""")
     parts.append(f""",
-idx AS (
+idx AS MATERIALIZED (
   SELECT vec_id, cid FROM (
     SELECT e.vec_id, p.cid,
            row_number() OVER (PARTITION BY e.vec_id
