@@ -148,6 +148,21 @@ def main() -> None:
         tput["write_rows_per_sec"] = round(
             n_rows / (time.perf_counter() - t0))
         tput["rows"] = n_rows
+        # on-disk parity with BASELINE.md's third metric (reference:
+        # 100M fixed 32 B records → 1.0 GB zstd, ~6:1): bytes/row of
+        # the written table (snappy default) and of a zstd rewrite —
+        # the codec the reference's stores use
+        raw_bytes = n_rows * 32        # 4 × 8-byte fields, its raw row
+        out_b = sum(f.stat().st_size
+                    for f in Path(f"{tmp}/out").rglob("*.parquet"))
+        tput["disk_bytes_per_row"] = round(out_b / n_rows, 2)
+        tput["disk_ratio_vs_raw"] = round(raw_bytes / out_b, 2)
+        src.write.mode("overwrite").option(
+            "compression", "zstd").parquet(f"{tmp}/outz")
+        z_b = sum(f.stat().st_size
+                  for f in Path(f"{tmp}/outz").rglob("*.parquet"))
+        tput["disk_zstd_bytes_per_row"] = round(z_b / n_rows, 2)
+        tput["disk_zstd_ratio_vs_raw"] = round(raw_bytes / z_b, 2)
     except Exception as e:  # noqa: BLE001
         errors["throughput"] = str(e).split("\n")[0][:200]
 
