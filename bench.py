@@ -368,7 +368,33 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # Full detail first (and to a side file), COMPACT summary LAST:
+    # the driver's tail capture holds ~2000 chars, and round 5's
+    # all-on-one-line detail outgrew it (BENCH_r05.json parsed:null).
+    # The final stdout line must always fit and carry the headline.
     print(json.dumps(out))
+    try:
+        Path(__file__).with_name("BENCH_DETAIL.json").write_text(
+            json.dumps(out, indent=1))
+    except OSError:
+        pass
+    summary = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "scan_rows_per_sec": tput.get("scan_rows_per_sec"),
+        "write_rows_per_sec": tput.get("write_rows_per_sec"),
+        "disk_zstd_bytes_per_row": tput.get("disk_zstd_bytes_per_row"),
+        "queries": timings,
+    }
+    line = json.dumps(summary)
+    if len(line) > 1800:  # belt-and-braces: never outgrow the capture
+        summary.pop("queries")
+        line = json.dumps(summary)
+    print(line)
     spark.stop()
 
 

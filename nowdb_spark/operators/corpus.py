@@ -223,9 +223,14 @@ def line_dedup(df: DataFrame, text_col: str = "text",
     entirely), one groupBy doc_id to re-assemble. Both are
     AQE-managed; no driver state, no collects.
     """
+    # F.split takes a Java regex — quote the separator (\Q..\E, i.e.
+    # Pattern.quote) so a metacharacter sep like '.' or '|' splits
+    # literally and the array_join reassembly round-trips
+    sep_rx = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"))
+        F.posexplode(
+            F.split(F.col(text_col), sep_rx)).alias("pos", "line"))
     blank = F.trim(F.col("line")) == ""
     w = Window.partitionBy("line").orderBy(F.col(id_col), F.col("pos"))
     # blanks bypass the window as a separate branch — a when() inside

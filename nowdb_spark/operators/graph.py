@@ -305,9 +305,15 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
              src: str = "src", dst: str = "dst") -> DataFrame:
     """(node, rank) by power iteration (fixed iterations, dangling
     mass redistributed uniformly — the classic formulation)."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).cache()
-    nodes = e.select(F.col("src").alias("node")).union(
-        e.select(F.col("dst").alias("node"))).distinct().cache()
+    # localCheckpoint, not cache: a cut lineage keeps every
+    # iteration's analyzed plan O(1) — with cache() the (possibly
+    # huge) edge-derivation subtree is re-analyzed and re-printed
+    # into each round's plan even though execution reuses the cache
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .localCheckpoint(eager=True))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint(eager=True))
     n_nodes = nodes.count()
     out_deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg"))

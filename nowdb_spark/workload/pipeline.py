@@ -818,10 +818,11 @@ def _pq_sql_parts() -> tuple:
     enc = ", ".join(code_items)
 
     # each codebook literal lands in ONE single-row CTE and the
-    # distance expression references it via a scalar subquery —
-    # inlining the ~7 KB literal at each of the M·SUB·2 use sites
-    # made the statement ~930 KB and cost ~4.5 s of parse/bind alone.
-    # Same values, same left-to-right association: bit-identical.
+    # distance expression references it via CROSS JOIN direct column
+    # lookups (see cb_joins below; the scalar-subquery form was ~3×
+    # slower) — inlining the ~7 KB literal at each of the M·SUB·2 use
+    # sites made the statement ~930 KB and cost ~4.5 s of parse/bind
+    # alone. Same values, same left-to-right association: bit-identical.
     cb_ctes = ", ".join(
         f"cbj{j} AS MATERIALIZED (SELECT ["
         + ", ".join(

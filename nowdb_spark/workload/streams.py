@@ -154,7 +154,11 @@ def st02(spark, sf):
         "mode; inner joins emit eagerly, so the finite-source output "
         "is batch-equivalent and the oracle replay exact. Watermark + "
         "range condition bound the state to O(rate × 7h) — never the "
-        "full history.",
+        "full history. Exactness relies on _stream_events staging ONE "
+        "file = one micro-batch: with multiple triggers, watermark "
+        "eviction could drop late cross-batch matches, so any "
+        "multi-file staging change must pin maxFilesPerTrigger or "
+        "drop the exact-oracle claim.",
 )
 def st03(spark, sf):
     sdf = _stream_events(spark, sf)

@@ -82,13 +82,63 @@ _PY_ALLOWED = {"mm01_extract_meta", "mm02_real_decode", "mm03_real_resize",
 def test_no_row_python_in_hot_path(spark, name):
     """No row-at-a-time Python UDFs anywhere; Arrow batch ops only
     where multimodal plumbing requires them."""
-    if name in ("g03_components", "g04_pagerank"):
-        pytest.skip("iterative drivers build many plans")
+    # g03/g04 iterative drivers execute (localCheckpoint) during plan
+    # construction; their per-iteration plans are bounded separately in
+    # test_g03_g04_iteration_plans_bounded — the final plan is still
+    # checked here like any other query.
     plan = plan_of(spark, name)
     assert "BatchEvalPython" not in plan, f"{name} uses row-Python UDF"
     if name not in _PY_ALLOWED:
         assert "MapInPandas" not in plan or name.startswith("ann03"), (
             f"{name} unexpectedly leaves the JVM")
+
+
+def test_g03_g04_iteration_plans_bounded(spark, monkeypatch):
+    """Iterative graph drivers (CC large/small-star, PageRank power
+    iteration) checkpoint every round — so each pre-checkpoint plan IS
+    one iteration's work. Intercept localCheckpoint to assert, per
+    iteration: no row-Python, Exchange count bounded (a regression
+    that, e.g., loses the broadcast of the dangling-mass aggregate or
+    re-derives the edge set would blow the bound), and the checkpoint
+    discipline itself (PageRank: exactly one checkpoint per iteration;
+    CC: two star passes per round plus the two setup checkpoints)."""
+    # patch the CONCRETE class: in Spark 4 `pyspark.sql.DataFrame` is
+    # the abstract base and instances are classic.dataframe.DataFrame,
+    # whose own localCheckpoint would shadow a base-class patch
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pre-4.0 layout
+        from pyspark.sql import DataFrame
+
+    seen: list[int] = []
+    orig = DataFrame.localCheckpoint
+
+    def counting(self, eager=True):
+        plan = self._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, plan[:1500]
+        seen.append(plan.count("Exchange hashpartitioning"))
+        return orig(self, eager)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", counting)
+
+    QUERIES["g03_components"].spark(spark, SF_DIR).count()
+    # raw edges + canonical edges setup, then 2 star passes per round
+    assert len(seen) >= 4 and len(seen) % 2 == 0, seen
+    assert (len(seen) - 2) // 2 <= 30, seen
+    # every per-round star plan reads the previous checkpoint — a
+    # regression that re-derives the edge subtree would blow this
+    assert all(n <= 8 for n in seen), seen
+
+    seen.clear()
+    QUERIES["g04_pagerank"].spark(spark, SF_DIR).count()
+    # 2 setup cuts (edges, node set) + exactly one checkpoint per
+    # power iteration (iters=10): the dangling-mass term is folded
+    # into the plan, never a second driver action per round
+    assert len(seen) == 12, seen
+    iters = seen[2:]
+    assert all(n <= 8 for n in iters), seen
+    # constant-size iteration plans: lineage truly cut every round
+    assert len(set(iters)) == 1, seen
 
 
 def test_exact_dedup_single_shuffle(spark):
