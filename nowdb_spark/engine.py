@@ -75,6 +75,15 @@ class Engine:
         # (scope, context, prop) → next value of an INC sequence
         self._inc_counters: dict[tuple[str, str, str], int] = {}
         self._view_stack: set[str] = set()   # cycle guard for views
+        # mount-path DataFrame cache: external mounts are static files,
+        # but spark.read.format(...).load() costs a footer/schema read
+        # (~0.1s py4j round-trip) per table reference per statement —
+        # half of a dialect query's warm latency was plan BUILD. Keyed
+        # by the full mount definition, so a re-mount naturally misses.
+        # Contexts (INSERT/LOAD targets) are NEVER cached: their file
+        # sets change. A mount whose directory gains files mid-session
+        # can opt out via mount option {"refresh": true}.
+        self._mount_df_cache: dict = {}
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from nowdb_spark.procs import register_builtin_procs
         register_builtin_procs(self)
@@ -741,8 +750,15 @@ class Engine:
             if isinstance(m, dict):
                 path, overrides = m["path"], m.get("types", {})
                 fmt, opts = m.get("format", "parquet"), m.get("options", {})
+                refresh = bool(m.get("refresh", False))
             else:
                 path, overrides, fmt, opts = m, {}, "parquet", {}
+                refresh = False
+            key = (sc.name, name, repr(m))
+            hit = None if refresh else self._mount_df_cache.get(key)
+            if hit is not None:
+                df, types = hit
+                return df, dict(types), None
             reader = self.spark.read.format(fmt)
             for k, v in opts.items():
                 reader = reader.option(k, v)
@@ -757,6 +773,8 @@ class Engine:
             for c in ts_cols:
                 types[c] = "time"
             types.update(overrides)
+            if not refresh:
+                self._mount_df_cache[key] = (df, dict(types))
             return df, types, None
         if name in sc.meta.views:
             if name in self._view_stack:
