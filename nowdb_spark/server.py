@@ -2,9 +2,21 @@
 (ifc/nowdb.c: one session thread per connection, streaming statement
 execution, server-side cursors driven by FETCH/CLOSE).
 
-Protocol: newline-delimited JSON over TCP (the reference speaks a
-binary wire format, types/types.h:107-117; JSON keeps the same result
-kinds STATUS/REPORT/ROW/CURSOR observable and testable):
+TWO protocols share the port, sniffed from the first bytes of each
+connection:
+
+1. The reference's BINARY wire protocol (types/types.h:107-117
+   markers, ifc/nowdb.c sendOK/sendErr/sendReport/sendRow/sendCursor,
+   framing in `nowdb_spark.wire`). A session opens with the 8-byte
+   option string b"SQL(LE|BE|TX)(0|1)  " (nowdbclient.c
+   sendSessionOpts) — the reference's own client library, and
+   therefore its unmodified pynow/now.py, can connect, execute, and
+   page cursors with "fetch <id>;"/"close <id>;" statements.
+   tests/test_reference_client.py drives exactly that file against
+   this server.
+
+2. Newline-delimited JSON (anything not starting with "SQL") — the
+   repo's own client.py/dbapi.py transport; same result kinds:
 
     → {"op": "execute", "sql": "..."}
     ← {"kind": "status", "ok": true, "code": 0, "details": "OK"}
@@ -63,8 +75,133 @@ class _Session(socketserver.StreamRequestHandler):
     def handle(self):  # one thread per session (reference parity)
         eng: Engine = self.server.engine
         lock: threading.Lock = self.server.exec_lock
+        head = self.rfile.read(3)
+        if head == b"SQL":
+            self._handle_binary(eng, lock)
+            return
+        self._pushback = head
+        self._handle_json(eng, lock)
+
+    # --- binary session (reference wire protocol) -------------------
+    def _handle_binary(self, eng: Engine, lock: threading.Lock) -> None:
+        from nowdb_spark import wire
+
+        # rest of the 8-byte option string: (LE|BE|TX)(0|1)"  "
+        # (ifc/nowdb.c negotiate). rtype is accepted but, like the
+        # reference, not acted on — results are native little-endian.
+        opt = self.rfile.read(5)
+        if len(opt) < 5 or opt[:2] not in (b"LE", b"BE", b"TX") \
+                or opt[2:3] not in b"01" or opt[3:] != b"  ":
+            return  # protocol error: reference just drops the session
+        if opt[2:3] == b"1":  # ack'd channel: echo opts, await ack
+            self.wfile.write(b"SQL" + opt)
+            self.wfile.flush()
+            ack = self.rfile.read(2)
+            if len(ack) < 2 or ack[1] != wire.ACK:
+                return
+        import re as _re
+        import struct as _struct
+        batch = self.server.cursor_batch_rows
+        while True:
+            szb = self.rfile.read(4)
+            if len(szb) < 4:
+                break
+            sz = _struct.unpack("<i", szb)[0]
+            if sz <= 0 or sz > wire.MAX_FRAME:
+                break
+            sql = self.rfile.read(sz).decode("utf-8", "replace")
+            m = _re.match(r"\s*(fetch|close)\s+(\d+)\s*;?\s*$", sql,
+                          _re.IGNORECASE)
+            with lock:
+                if m and m.group(1).lower() == "fetch":
+                    self._bin_fetch(eng, m.group(2))
+                    continue
+                res = eng.execute(sql)
+                if isinstance(res, CursorResult):
+                    # openCursor semantics (ifc/nowdb.c:1206): first
+                    # batch rides with the cursor frame; an empty
+                    # cursor is a bare EOF and is closed server-side
+                    payload = self._encode_batch(res, batch)
+                    if payload is None:
+                        eng._cursors.pop(res.cursor_id, None)
+                        self._send_raw(wire.frame_eof())
+                        continue
+                    self._send_raw(wire.frame_cursor(
+                        int(res.cursor_id), payload))
+                elif isinstance(res, RowResult):
+                    self._send_raw(wire.frame_row(
+                        wire.encode_rows(res._rows)))
+                elif isinstance(res, ReportResult):
+                    self._send_raw(wire.frame_report(
+                        res.affected, res.errors, res.runtime))
+                elif res.ok():
+                    self._send_raw(wire.frame_ok())
+                else:
+                    self._send_raw(wire.frame_err(res.code(),
+                                                  res.details()))
+
+    def _bin_fetch(self, eng: Engine, cid: str) -> None:
+        from nowdb_spark import wire
+        cur = eng._cursors.get(cid)
+        if cur is None:
+            self._send_raw(wire.frame_err(1, "not an open cursor"))
+            return
+        payload = self._encode_batch(cur, self.server.cursor_batch_rows)
+        if payload is None:
+            self._send_raw(wire.frame_eof())
+            return
+        self._send_raw(wire.frame_cursor(int(cid), payload))
+
+    def _encode_batch(self, cur: CursorResult, batch: int):
+        """Encode up to `batch` rows, byte-capped well under the
+        client's fixed 1 MB receive buffer (nowdbclient.c BUFSIZE);
+        rows that would overflow wait on the cursor for the next
+        fetch. None = cursor exhausted."""
+        from nowdb_spark import wire
+        pending = getattr(cur, "_wire_pending", None) or []
+        want = batch - len(pending)
+        rows = pending + (cur.fetch(want) if want > 0 else [])
+        if not rows:
+            return None
+        hints = self._hints(cur)
+        out = bytearray()
+        sent = 0
+        for r in rows:
+            n0 = len(out)
+            for i, v in enumerate(r):
+                wire.encode_value(v, out, hints[i])
+            out.append(wire.EOR)
+            if len(out) > 0x80000 and sent > 0:
+                del out[n0:]  # push this row back
+                break
+            sent += 1
+        cur._wire_pending = rows[sent:]
+        return bytes(out)
+
+    @staticmethod
+    def _hints(cur: CursorResult) -> list:
+        """Wire type hints per column: int64 stamp columns go out as
+        TIME so typedField sees the reference's type byte."""
+        try:
+            from nowdb_spark.engine import _infer_nowdb_types
+            t = _infer_nowdb_types(cur.df)
+            return [("time" if c == "ts" and t.get(c) == "int"
+                     else t.get(c)) for c in cur.columns]
+        except Exception:  # noqa: BLE001
+            return [None] * len(cur.columns)
+
+    def _send_raw(self, frame: bytes) -> None:
+        self.wfile.write(frame)
+        self.wfile.flush()
+
+    # --- JSON session ----------------------------------------------
+    def _handle_json(self, eng: Engine, lock: threading.Lock) -> None:
+        first = True
         while True:
             line = self.rfile.readline()
+            if first:
+                line = self._pushback + line
+                first = False
             if not line:
                 break
             try:
@@ -119,10 +256,14 @@ class NowServer(socketserver.ThreadingTCPServer):
     daemon_threads = True
 
     def __init__(self, engine: Engine, host: str = "127.0.0.1",
-                 port: int = 0):
+                 port: int = 0, cursor_batch_rows: int = 4096):
         super().__init__((host, port), _Session)
         self.engine = engine
         self.exec_lock = threading.Lock()
+        # rows per binary-cursor frame; the reference pages by buffer
+        # fill (~1 MB), we page by row count — tests shrink it to
+        # force the client's fetch loop
+        self.cursor_batch_rows = cursor_batch_rows
 
     @property
     def address(self) -> tuple[str, int]:
