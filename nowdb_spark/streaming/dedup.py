@@ -130,3 +130,96 @@ def stream_lsh_candidates(df: DataFrame, content_col: str = "text",
     return (et.groupBy("band_id", "band_key")
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "update", GroupStateTimeout.NoTimeout))
+
+
+def stream_index_maintenance(stream_df: DataFrame, index_dir: str,
+                             checkpoint_dir: str,
+                             content_col: str = "text",
+                             id_col: str = "doc_id",
+                             k: int = 8, bands: int = 4,
+                             threshold: float = 0.5, shingle_n: int = 3,
+                             hash_fn: str = "md5", compact: bool = False,
+                             exact_dir: str | None = None,
+                             pairs_dir: str | None = None):
+    """Keep the PERSISTED dedup indexes current from a stream — the
+    composition of the batch incremental family (operators/dedup.py
+    lsh_index / lsh_increment_pairs / exact_dedup_increment) with
+    Structured Streaming ingest.
+
+    Per micro-batch (foreachBatch):
+      1. probe: candidate near-dup pairs between the batch and the
+         index-so-far via `lsh_increment_pairs` (O(batch) hashing +
+         one index join; the corpus is never re-shingled) — appended
+         to `pairs_dir` when given
+      2. extend the band index: `lsh_index(batch)` rows land under
+         `index_dir/batch=<id>`
+      3. exact-hash twin: content hashes first seen in this batch
+         land under `exact_dir/batch=<id>` as
+         (content_hash, canonical_id)
+
+    Equivalence contract (locked by test_streaming_index_maintenance):
+    after the stream drains, `read(index_dir)` equals
+    `lsh_index(corpus ∪ stream)` row-for-row, and the exact twin maps
+    every content hash to its first-occurrence canonical id — the
+    stream and a batch rebuild agree on state.
+
+    Idempotency at 100 TB: every write is an OVERWRITE of the
+    micro-batch's own `batch=<id>` partition, so a replayed batch
+    (failure before checkpoint commit) rewrites the same files
+    instead of duplicating rows. Pair emission dedups on re-read.
+
+    Pre-condition shared with the batch twins: ids are assigned in
+    arrival order (corpus ids < batch ids), so min-id canonicals are
+    stable as the stream grows.
+    """
+    from nowdb_spark.operators import dedup as D
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            try:
+                idx = spark.read.option("basePath", index_dir) \
+                    .parquet(index_dir)
+                have_idx = True
+            except Exception:  # noqa: BLE001  (first batch, empty dir)
+                have_idx = False
+            if pairs_dir is not None:
+                if have_idx:
+                    pairs = D.lsh_increment_pairs(
+                        idx.select(id_col, "sig", "band_id", "band_key"),
+                        batch_df, content_col, id_col, k, bands,
+                        threshold, shingle_n, hash_fn, compact)
+                else:
+                    pairs = D.minhash_lsh_pairs(
+                        batch_df, content_col, id_col, k, bands,
+                        threshold, shingle_n, hash_fn, compact)
+                pairs.write.mode("overwrite").parquet(
+                    f"{pairs_dir}/batch={batch_id}")
+            D.lsh_index(batch_df, content_col, id_col, k, bands,
+                        shingle_n, hash_fn, compact) \
+                .write.mode("overwrite") \
+                .parquet(f"{index_dir}/batch={batch_id}")
+            if exact_dir is not None:
+                batch_hashed = batch_df.select(
+                    F.col(id_col),
+                    F.md5(F.col(content_col)).alias("content_hash"))
+                fresh = (batch_hashed.groupBy("content_hash")
+                         .agg(F.min(id_col).alias("canonical_id")))
+                try:
+                    known = spark.read.option("basePath", exact_dir) \
+                        .parquet(exact_dir).select("content_hash")
+                    fresh = fresh.join(known, "content_hash",
+                                       "left_anti")
+                except Exception:  # noqa: BLE001
+                    pass
+                fresh.write.mode("overwrite").parquet(
+                    f"{exact_dir}/batch={batch_id}")
+        finally:
+            batch_df.unpersist()
+
+    return (stream_df.writeStream
+            .foreachBatch(per_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+            .trigger(availableNow=True))

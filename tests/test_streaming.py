@@ -382,3 +382,84 @@ def test_stream_quality_and_tokens_match_batch(spark, tmp_path):
     want_t = {r["doc_id"]: r["tokens"]
               for r in TK.bpe_segment(batch, merges).collect()}
     assert got_t == want_t
+
+
+def test_streaming_index_maintenance_matches_batch(spark, tmp_path):
+    """Round-6 composition: a stream keeps the persisted LSH band
+    index + exact-hash twin current (foreachBatch over the batch
+    incremental operators). Contract: after the stream drains,
+    - read(index_dir)  == lsh_index(corpus ∪ stream) row-for-row,
+    - read(exact_dir)  == first-occurrence canonical per content hash
+                          over corpus ∪ stream,
+    - ∪ read(pairs_dir) == minhash_lsh_pairs(corpus ∪ stream)
+                          restricted to pairs touching a stream doc —
+    i.e. streaming ingest and a batch rebuild agree on state. Two
+    staged files + maxFilesPerTrigger=1 force MULTIPLE micro-batches,
+    so cross-batch pairs (stream doc vs earlier stream doc) go
+    through the index, not same-batch shortcuts."""
+    import glob
+    import shutil
+
+    from nowdb_spark.operators import dedup as D
+    from nowdb_spark.streaming import dedup as SD
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    cut = 300
+    corpus = docs.filter(F.col("doc_id") < cut)
+    s1 = docs.filter((F.col("doc_id") >= cut) & (F.col("doc_id") < 400))
+    s2 = docs.filter(F.col("doc_id") >= 400)
+
+    index_dir = str(tmp_path / "lshidx")
+    exact_dir = str(tmp_path / "exidx")
+    pairs_dir = str(tmp_path / "pairs")
+
+    # seed from the corpus (the batch-built starting state)
+    D.lsh_index(corpus).write.parquet(f"{index_dir}/batch=seed")
+    (D.exact_dedup(corpus).groupBy("content_hash")
+     .agg(F.min("canonical_id").alias("canonical_id"))
+     .write.parquet(f"{exact_dir}/batch=seed"))
+
+    # stage the stream as two files -> two micro-batches
+    src = tmp_path / "docsrc"
+    src.mkdir()
+    for name, part in (("f1", s1), ("f2", s2)):
+        part.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "stage" / name))
+        f = glob.glob(str(tmp_path / "stage" / name / "*.parquet"))[0]
+        shutil.copy(f, src / f"{name}.parquet")
+
+    sdf = (spark.readStream.schema(docs.schema)
+           .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    writer = SD.stream_index_maintenance(
+        sdf, index_dir, str(tmp_path / "ckpt"),
+        exact_dir=exact_dir, pairs_dir=pairs_dir)
+    q = writer.start()
+    q.awaitTermination(timeout=120)
+
+    def idx_key(df):
+        return {(r["doc_id"], r["band_id"], r["band_key"],
+                 tuple(r["sig"])) for r in df.collect()}
+
+    got_idx = idx_key(spark.read.option("basePath", index_dir)
+                      .parquet(index_dir))
+    want_idx = idx_key(D.lsh_index(docs))
+    assert got_idx == want_idx and len(got_idx) > 0
+
+    got_exact = {r["content_hash"]: r["canonical_id"]
+                 for r in spark.read.option("basePath", exact_dir)
+                 .parquet(exact_dir).collect()}
+    want_exact = {r["content_hash"]: r["canonical_id"]
+                  for r in D.exact_dedup(docs).groupBy("content_hash")
+                  .agg(F.min("canonical_id").alias("canonical_id"))
+                  .collect()}
+    assert got_exact == want_exact
+
+    got_pairs = {(r["doc_a"], r["doc_b"], r["est_jaccard"])
+                 for r in spark.read.option("basePath", pairs_dir)
+                 .parquet(pairs_dir).collect()}
+    full = {(r["doc_a"], r["doc_b"], r["est_jaccard"])
+            for r in D.minhash_lsh_pairs(docs).collect()}
+    want_pairs = {p for p in full if p[0] >= cut or p[1] >= cut}
+    assert got_pairs == want_pairs
