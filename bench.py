@@ -127,6 +127,14 @@ def main() -> None:
     # floor that dominates sf0.1 vanishes). Warm scan pass is timed;
     # the write is a single full parquet rewrite.
     tput: dict[str, float] = {}
+    pipe: dict[str, float] = {}
+    # queries-only mode (tools/scale_check.py): the throughput and
+    # pipeline sections generate their own fixed-volume inputs, so a
+    # scale-factor sweep over the query battery skips them
+    if os.environ.get("SPARK_GRAFT_QUERIES_ONLY"):
+        _emit(total, timings, cold, tput, pipe, sf, errors)
+        spark.stop()
+        return
     n_rows = int(os.environ.get("SPARK_GRAFT_TPUT_ROWS", "10000000"))
     # the mpb conf above was sized for the small sf-dir files; the
     # generated tables below are hundreds of MB, and a 1 MB split
@@ -361,9 +369,125 @@ def main() -> None:
                      kernel="pandas",
                      pair_kernel="arrow").filter("is_dup").count(),
                  extra={"vectors": n_vecs})
+
+            # ANN QUALITY at full bench volume: recall@10 of each
+            # approximate index vs exact cosine ground truth,
+            # 1M corpus / 100 queries. Real embedding corpora are
+            # CLUSTERED — that structure is precisely what IVF / PQ /
+            # LSH exploit — so the recall corpus is a deterministic
+            # 256-cluster mixture (hash-derived center + 0.35·noise),
+            # the ANN-benchmarks-style representative case; the
+            # uniform corpus above would be an adversarial floor.
+            # Ground truth = ivf_topk with n_probe == n_centroids
+            # (documented exact: every inverted list probed).
+            # Settings are recorded alongside each number.
+            n_cl = 256
+            cid_c = F.pmod(F.col("id"), F.lit(n_cl))
+            vec_cl = F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: (
+                    (F.pmod(F.xxhash64(F.lit("ctr"), cid_c, i),
+                            F.lit(2001)).cast("float") / 1000.0 - 1.0)
+                    + 0.35 * (F.pmod(F.xxhash64(F.col("id"), i),
+                                     F.lit(2001)).cast("float")
+                              / 1000.0 - 1.0)))
+            # queries share the cluster structure but the "q" salt
+            # keeps every query vector distinct from the corpus
+            qvec_cl = F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: (
+                    (F.pmod(F.xxhash64(F.lit("ctr"), cid_c, i),
+                            F.lit(2001)).cast("float") / 1000.0 - 1.0)
+                    + 0.35 * (F.pmod(F.xxhash64(F.lit("q"),
+                                                F.col("id"), i),
+                                     F.lit(2001)).cast("float")
+                              / 1000.0 - 1.0)))
+            # unit-normalize: the ground truth ranks by cosine while
+            # PQ's ADC ranks by L2 — on the unit sphere the two
+            # orders coincide (‖a−b‖² = 2−2cosθ), so recall compares
+            # index quality, not metric mismatch
+            def unit(col):
+                nrm = F.sqrt(F.aggregate(
+                    col, F.lit(0.0),
+                    lambda a, x: a + x.cast("double") * x))
+                return F.transform(col, lambda x: (x / nrm)
+                                   .cast("float"))
+
+            (spark.range(n_vecs)
+             .select(F.col("id").alias("vec_id"),
+                     vec_cl.alias("e0"))
+             .select("vec_id", unit(F.col("e0")).alias("embedding"))
+             .write.mode("overwrite").parquet(f"{tmp}/vecs_cl"))
+            csrc = spark.read.parquet(f"{tmp}/vecs_cl")
+            cqueries = (spark.range(100)
+                        .select(F.col("id").alias("qid"),
+                                qvec_cl.alias("q0"))
+                        .select("qid", unit(F.col("q0")).alias("qvec")))
+
+            def collect_pairs(df):
+                return {(r["qid"], r["vec_id"])
+                        for r in df.select("qid", "vec_id").collect()}
+
+            t0 = time.perf_counter()
+            truth = collect_pairs(S.ivf_topk(
+                csrc, cqueries, k=10, n_centroids=16, n_probe=16,
+                iters=1, kernel="pandas"))
+            pipe["ann_exact_truth_sec"] = round(
+                time.perf_counter() - t0, 2)
+
+            def recall(key, thunk, conf):
+                try:
+                    got = collect_pairs(thunk())
+                    pipe[key] = round(
+                        len(got & truth) / max(len(truth), 1), 4)
+                    pipe.update(conf)
+                except Exception as e:  # noqa: BLE001
+                    errors[key] = str(e).split("\n")[0][:200]
+
+            recall("ann03_recall_at_10",
+                   lambda: S.lsh_bucket_topk(
+                       csrc, cqueries, k=10, n_planes=12, n_tables=8,
+                       dim=dim, multiprobe=2, kernel="pandas"),
+                   {"ann03_n_planes": 12, "ann03_n_tables": 8,
+                    "ann03_multiprobe": 2})
+            recall("ann04_recall_at_10",
+                   lambda: S.ivf_topk(
+                       csrc, cqueries, k=10, n_centroids=256,
+                       n_probe=16, iters=2, kernel="pandas"),
+                   {"ann04_n_centroids": 256, "ann04_n_probe": 16})
+            # IVFADC production form: residual encoding + codebooks
+            # trained on the residuals of a bounded sample (the LCG
+            # books exist for the bit-exact oracle, not for quality).
+            # Raw-vector PQ on this corpus measures ~0.09 — every
+            # cluster member maps to one code; see
+            # similarity.ivf_pq_topk docstring.
+            recall("ann07_recall_at_10",
+                   lambda: S.ivf_pq_topk(
+                       csrc, cqueries, None, k=10, n_centroids=256,
+                       n_probe=16, iters=2, kernel="pandas",
+                       residual=True, pq_m=8, pq_k=64,
+                       pq_train_limit=50_000),
+                   {"ann07_n_centroids": 256, "ann07_n_probe": 16,
+                    "ann07_pq_m": 8, "ann07_pq_k": 64,
+                    "ann07_codebooks": "trained-residual"})
+            # + exact refine of ADC's top-100 (IndexRefineFlat): the
+            # production recipe when recall matters more than the
+            # last 2× of scan cost
+            recall("ann07r_recall_at_10",
+                   lambda: S.ivf_pq_topk(
+                       csrc, cqueries, None, k=10, n_centroids=256,
+                       n_probe=16, iters=2, kernel="pandas",
+                       residual=True, pq_m=8, pq_k=64,
+                       pq_train_limit=50_000, rerank=100),
+                   {"ann07r_rerank": 100})
         except Exception as e:  # noqa: BLE001
             errors["vectors_setup"] = str(e).split("\n")[0][:200]
 
+    _emit(total, timings, cold, tput, pipe, sf, errors)
+    spark.stop()
+
+
+def _emit(total, timings, cold, tput, pipe, sf, errors) -> None:
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -381,11 +505,13 @@ def main() -> None:
     # all-on-one-line detail outgrew it (BENCH_r05.json parsed:null).
     # The final stdout line must always fit and carry the headline.
     print(json.dumps(out))
-    try:
-        Path(__file__).with_name("BENCH_DETAIL.json").write_text(
-            json.dumps(out, indent=1))
-    except OSError:
-        pass
+    if not os.environ.get("SPARK_GRAFT_QUERIES_ONLY"):
+        # scale_check sweeps must not clobber the full run's detail
+        try:
+            Path(__file__).with_name("BENCH_DETAIL.json").write_text(
+                json.dumps(out, indent=1))
+        except OSError:
+            pass
     summary = {
         "metric": "headline_queries_total",
         "value": total,
@@ -403,7 +529,6 @@ def main() -> None:
         summary.pop("queries")
         line = json.dumps(summary)
     print(line)
-    spark.stop()
 
 
 if __name__ == "__main__":

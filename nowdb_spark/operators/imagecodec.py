@@ -56,7 +56,7 @@ def make_image_codec() -> SimpleNamespace:
 
     PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-    # baseline JPEG delegate (Huffman-DCT path, jpegcodec.py); its
+    # JPEG delegate (baseline+progressive Huffman-DCT, jpegcodec.py); its
     # closures are nested too, so the captured namespace still ships
     # by value to executors
     from nowdb_spark.operators.jpegcodec import make_jpeg_codec

@@ -1,24 +1,33 @@
-"""Pure-Python/numpy baseline JPEG codec — the Huffman-DCT entropy
-path the other codecs could not cover.
+"""Pure-Python/numpy JPEG codec — the Huffman-DCT entropy path the
+other codecs could not cover.
 
-Scope (honest): BASELINE sequential DCT (SOF0/1) with Huffman entropy
-coding — grayscale and YCbCr color at any integer sampling-factor
-combination (4:4:4, 4:2:2, 4:2:0, ...), MCU-interleaved, with restart
-intervals. Progressive (SOF2) and arithmetic-coded streams raise
-cleanly; chroma upsampling is pixel replication (not bilinear).
+Scope (honest): BASELINE sequential DCT (SOF0/1) and PROGRESSIVE
+(SOF2) with Huffman entropy coding — grayscale and YCbCr color at any
+integer sampling-factor combination (4:4:4, 4:2:2, 4:2:0, ...),
+MCU-interleaved, with restart intervals. Arithmetic-coded and
+hierarchical/lossless streams raise cleanly; chroma upsampling is
+pixel replication (not bilinear).
 
 What is REAL here:
-  * marker stream walk (SOI/APPn/COM/DQT/SOF0/DHT/DRI/SOS/EOI),
+  * marker stream walk (SOI/APPn/COM/DQT/SOF0/2/DHT/DRI/SOS/EOI),
   * Huffman tables built from the DHT segments themselves (so any
-    conforming baseline file decodes, not just our encoder's output),
+    conforming file decodes, not just our encoder's output),
   * MSB-first bit reader with 0xFF00 byte-unstuffing, restart-marker
     sync with DC-prediction reset,
   * MCU interleave per sampling factors, box-average chroma
     downsampling on encode, replication upsampling on decode,
   * DC prediction, run-length AC coding (EOB/ZRL), zigzag order
     (computed, not hardcoded),
-  * dequantize + separable float IDCT (numpy matrix form) + level
-    shift.
+  * a coefficient-domain multi-scan decoder (T.81 G.2): every SOS —
+    baseline's single full-band scan or progressive's DC/AC
+    spectral-selection, successive-approximation and refinement
+    scans (EOB-run + correction-bit logic per G.1.2) — updates
+    per-component coefficient state; dequantize + batched IDCT run
+    once at EOI,
+  * a progressive ENCODER following cjpeg's standard scan script
+    (DC Al=1 first, per-component AC bands, successive-approximation
+    refinements, DC refine last), used to round-trip-test every
+    decoder path against the baseline decode of the same pixels.
 
 Exactness note for oracles: a UNIFORM 8x8 block has only a DC
 coefficient, which the forward DCT produces as the integer 8*(v-128);
@@ -371,6 +380,272 @@ def make_jpeg_codec() -> SimpleNamespace:
                        [(DC_L, AC_L, 0, 0), (DC_C, AC_C, 1, 1),
                         (DC_C, AC_C, 1, 1)], samps=samps, dri=dri)
 
+    # ---- progressive encoder ---------------------------------------
+    def _coef_blocks(w, h, planes, quants, samps):
+        """Per-component zigzag-ordered quantized DCT coefficients on
+        the MCU-padded grid: list of (nby, nbx, 64) int arrays."""
+        maxh = max(s[0] for s in samps)
+        maxv = max(s[1] for s in samps)
+        mcux = (w + 8 * maxh - 1) // (8 * maxh)
+        mcuy = (h + 8 * maxv - 1) // (8 * maxv)
+        out = []
+        for ci, p in enumerate(planes):
+            hi, vi = samps[ci]
+            nby, nbx = mcuy * vi, mcux * hi
+            ch, cw = p.shape
+            pp = np.empty((nby * 8, nbx * 8), dtype=np.float64)
+            pp[:ch, :cw] = p
+            pp[ch:, :cw] = p[-1:, :]
+            pp[:, cw:] = pp[:, cw - 1:cw]
+            pp -= 128.0
+            blocks = (pp.reshape(nby, 8, nbx, 8)
+                      .transpose(0, 2, 1, 3))
+            freq = np.einsum("ab,yxbc,cd->yxad", _M, blocks, _M.T)
+            q = quants[ci].reshape(8, 8)
+            zz = np.round(freq / q[None, None]).astype(
+                np.int64).reshape(nby, nbx, 64)[..., ZZ]
+            out.append(zz)
+        return out, mcux, mcuy
+
+    def _emit_eobrun(bw, ac_codes, eobrun):
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            c, ln = ac_codes[r << 4]
+            bw.put(c, ln)
+            if r:
+                bw.put(eobrun - (1 << r), r)
+
+    # Progressive AC scans need EOBn symbols (r<<4 for r = 1..14)
+    # that the Annex K baseline tables do not define — real encoders
+    # ship custom DHTs. This one is deliberately flat: all 176
+    # symbols the scan types can emit (EOB0..EOB14, ZRL, every
+    # (run 0-15, size 1-10)) at code length 8 — Kraft sum 176/256,
+    # trivially canonical, decoded from the DHT like any other table.
+    PROG_AC = ([0] * 7 + [176] + [0] * 8,
+               [r << 4 for r in range(15)] + [0xF0]
+               + [(run << 4) | s for run in range(16)
+                  for s in range(1, 11)])
+
+    def _encode_progressive(w, h, planes, quants, specs, samps=None):
+        """SOF2 progressive writer following cjpeg's standard scan
+        script: DC-first at Al=1 (interleaved), spectral-selection AC
+        first scans at Al≥1 per component, then AC successive-
+        approximation refinements down to Al=0, DC refinement last.
+        First scans accumulate cross-block EOB runs; refinement scans
+        use the per-block EOB form (both legal, and together they
+        exercise every decoder path)."""
+        nc = len(planes)
+        samps = samps or [(1, 1)] * nc
+        # every component's AC coding uses the shared progressive
+        # table; DC keeps the caller's (standard) tables
+        specs = [(s[0], PROG_AC, s[2], s[3]) for s in specs]
+        coefs, mcux, mcuy = _coef_blocks(w, h, planes, quants, samps)
+        maxh = max(s[0] for s in samps)
+        maxv = max(s[1] for s in samps)
+
+        out = [b"\xFF\xD8"]
+        out.append(b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00"
+                   + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1)
+                   + bytes([0, 0]))
+        seen_q = {}
+        for ci in range(nc):
+            qid = id(quants[ci])
+            if qid not in seen_q:
+                seen_q[qid] = len(seen_q)
+                out.append(_dqt_seg(seen_q[qid], quants[ci]))
+        sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+        for ci in range(nc):
+            sof += bytes([ci + 1, samps[ci][0] << 4 | samps[ci][1],
+                          seen_q[id(quants[ci])]])
+        out.append(b"\xFF\xC2" + struct.pack(">H", 2 + len(sof)) + sof)
+        seen_h = {}
+        for ci in range(nc):
+            dc_spec, ac_spec, _, _ = specs[ci]
+            for cls, spec in ((0, dc_spec), (1, ac_spec)):
+                key = (cls, id(spec))
+                if key not in seen_h:
+                    seen_h[key] = len([k for k in seen_h
+                                       if k[0] == cls])
+                    out.append(_dht_seg(cls, seen_h[key], spec))
+        dc_codes = [_codes_from_spec(*s[0]) for s in specs]
+        ac_codes = [_codes_from_spec(*s[1]) for s in specs]
+
+        def sos_seg(cis, ss, se, ah, al):
+            seg = bytes([len(cis)])
+            for ci in cis:
+                dc_spec, ac_spec, _, _ = specs[ci]
+                seg += bytes([ci + 1,
+                              seen_h[(0, id(dc_spec))] << 4
+                              | seen_h[(1, id(ac_spec))]])
+            seg += bytes([ss, se, ah << 4 | al])
+            return (b"\xFF\xDA"
+                    + struct.pack(">H", 2 + len(seg)) + seg)
+
+        def dc_scan(al, refine):
+            bw = _BitWriter()
+            preds = [0] * nc
+            for mi in range(mcux * mcuy):
+                my, mx = divmod(mi, mcux)
+                for ci in range(nc):
+                    hi, vi = samps[ci]
+                    for v in range(vi):
+                        for hh in range(hi):
+                            dc = int(coefs[ci][my * vi + v,
+                                               mx * hi + hh, 0])
+                            if refine:
+                                bw.put((dc >> al) & 1, 1)
+                                continue
+                            val = dc >> al        # arith shift (G.1.2.1)
+                            size, amp = _mag_bits(val - preds[ci])
+                            c, ln = dc_codes[ci][size]
+                            bw.put(c, ln)
+                            if size:
+                                bw.put(amp, size)
+                            preds[ci] = val
+            bw.flush()
+            return bytes(bw.buf)
+
+        def _noninterleaved_grid(ci):
+            hi, vi = samps[ci]
+            nbx = (-(-w * hi // maxh) + 7) // 8
+            nby = (-(-h * vi // maxv) + 7) // 8
+            return nby, nbx
+
+        def ac_first(ci, ss, se, al):
+            bw = _BitWriter()
+            nby, nbx = _noninterleaved_grid(ci)
+            eobrun = 0
+            for bi in range(nby * nbx):
+                by, bx = divmod(bi, nbx)
+                band = coefs[ci][by, bx, ss:se + 1]
+                # AC point transform truncates toward zero (G.1.2.2)
+                vals = [(1 if v > 0 else -1) * (abs(int(v)) >> al)
+                        for v in band]
+                if not any(vals):
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        _emit_eobrun(bw, ac_codes[ci], eobrun)
+                        eobrun = 0
+                    continue
+                _emit_eobrun(bw, ac_codes[ci], eobrun)
+                eobrun = 0
+                run = 0
+                last_nz = max(i for i, v in enumerate(vals) if v)
+                for i, v in enumerate(vals[:last_nz + 1]):
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        c, ln = ac_codes[ci][0xF0]
+                        bw.put(c, ln)
+                        run -= 16
+                    size, amp = _mag_bits(v)
+                    c, ln = ac_codes[ci][(run << 4) | size]
+                    bw.put(c, ln)
+                    bw.put(amp, size)
+                    run = 0
+                if last_nz < len(vals) - 1:
+                    eobrun = 1
+            _emit_eobrun(bw, ac_codes[ci], eobrun)
+            bw.flush()
+            return bytes(bw.buf)
+
+        def ac_refine(ci, ss, se, al):
+            bw = _BitWriter()
+            nby, nbx = _noninterleaved_grid(ci)
+
+            def flush_br(br_bits):
+                for bit in br_bits:
+                    bw.put(bit, 1)
+                br_bits.clear()
+
+            for bi in range(nby * nbx):
+                by, bx = divmod(bi, nbx)
+                band = [int(v) for v in coefs[ci][by, bx, ss:se + 1]]
+                absv = [abs(v) >> al for v in band]
+                # last newly-significant position: zero-runs beyond
+                # it fold into the EOB instead of ZRLs
+                eobpos = max((i for i, t in enumerate(absv)
+                              if t == 1), default=-1)
+                r = 0
+                br_bits = []
+                for i, t in enumerate(absv):
+                    if t == 0:
+                        r += 1
+                        continue
+                    # ZRL check at EVERY nonzero position (libjpeg
+                    # encode_mcu_AC_refine): correction bits must
+                    # flush in the order the decoder's skip-16 pass
+                    # consumes them — emitting ZRL only at newly-
+                    # significant positions reorders bits whenever an
+                    # already-significant coefficient sits past the
+                    # 16th zero of a long run
+                    while r > 15 and i <= eobpos:
+                        c, ln = ac_codes[ci][0xF0]
+                        bw.put(c, ln)
+                        flush_br(br_bits)
+                        r -= 16
+                    if t > 1:                      # already significant
+                        br_bits.append(t & 1)
+                        continue
+                    c, ln = ac_codes[ci][(r << 4) | 1]
+                    bw.put(c, ln)
+                    bw.put(1 if band[i] > 0 else 0, 1)
+                    flush_br(br_bits)
+                    r = 0
+                if r or br_bits:                   # per-block EOB
+                    c, ln = ac_codes[ci][0x00]
+                    bw.put(c, ln)
+                    flush_br(br_bits)
+            bw.flush()
+            return bytes(bw.buf)
+
+        all_cis = list(range(nc))
+        out.append(sos_seg(all_cis, 0, 0, 0, 1))
+        out.append(dc_scan(1, refine=False))
+        if nc == 1:
+            script = [(0, 1, 5, 0, 2), (0, 6, 63, 0, 2),
+                      (0, 1, 63, 2, 1), (0, 1, 63, 1, 0)]
+        else:
+            script = [(0, 1, 5, 0, 2), (2, 1, 63, 0, 1),
+                      (1, 1, 63, 0, 1), (0, 6, 63, 0, 2),
+                      (0, 1, 63, 2, 1), (2, 1, 63, 1, 0),
+                      (0, 1, 63, 1, 0), (1, 1, 63, 1, 0)]
+        for ci, ss, se, ah, al in script:
+            out.append(sos_seg([ci], ss, se, ah, al))
+            if ah == 0:
+                out.append(ac_first(ci, ss, se, al))
+            else:
+                out.append(ac_refine(ci, ss, se, al))
+        out.append(sos_seg(all_cis, 0, 0, 1, 0))
+        out.append(dc_scan(0, refine=True))
+        out.append(b"\xFF\xD9")
+        return b"".join(out)
+
+    def encode_progressive_gray(w, h, rows, unit_quant=False):
+        plane = np.asarray(rows, dtype=np.float64)
+        q = (np.ones(64, dtype=np.int64) if unit_quant else QL)
+        return _encode_progressive(w, h, [plane], [q],
+                                   [(DC_L, AC_L, 0, 0)])
+
+    def encode_progressive_rgb(w, h, rows, unit_quant=False,
+                               sampling="444"):
+        a = np.asarray(rows, dtype=np.float64)
+        r, g, b = a[..., 0], a[..., 1], a[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        fx, fy = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[sampling]
+        if fx > 1 or fy > 1:
+            cb, cr = _downsample(cb, fx, fy), _downsample(cr, fx, fy)
+        samps = [(fx, fy), (1, 1), (1, 1)]
+        ql = np.ones(64, dtype=np.int64) if unit_quant else QL
+        qc = np.ones(64, dtype=np.int64) if unit_quant else QC
+        return _encode_progressive(
+            w, h, [y, cb, cr], [ql, qc, qc],
+            [(DC_L, AC_L, 0, 0), (DC_C, AC_C, 1, 1),
+             (DC_C, AC_C, 1, 1)], samps=samps)
+
     # ---- decoder ---------------------------------------------------
     class _BitReader:
         """MSB-first over the entropy segment with FF00 unstuffing;
@@ -440,6 +715,12 @@ def make_jpeg_codec() -> SimpleNamespace:
         except (EOFError, ValueError, IndexError, struct.error):
             return None
 
+    # The decoder is coefficient-domain and multi-scan: every SOS
+    # (baseline's single full-band scan, or progressive's DC/AC
+    # spectral-selection and successive-approximation scans) updates
+    # per-component zigzag coefficient arrays; dequantize + IDCT +
+    # color happen ONCE at EOI. This is the T.81 G.2 model — baseline
+    # is just the degenerate script [Ss=0, Se=63, Ah=Al=0].
     def _decode_inner(b):
         i = 2
         quant = {}
@@ -447,12 +728,16 @@ def make_jpeg_codec() -> SimpleNamespace:
         comps = None
         w = h = 0
         dri = 0
-        while i + 4 <= len(b):
+        seen_scan = False
+        while i + 2 <= len(b):
             if b[i] != 0xFF:
                 return None
             m = b[i + 1]
-            if m == 0xD9:
-                return None                        # EOI before SOS
+            if m == 0xD9:                          # EOI → reconstruct
+                break
+            if m == 0xFF:                          # fill byte
+                i += 1
+                continue
             ln = struct.unpack_from(">H", b, i + 2)[0]
             seg = b[i + 4:i + 2 + ln]
             if m == 0xDB:                          # DQT (multi-table)
@@ -478,7 +763,7 @@ def make_jpeg_codec() -> SimpleNamespace:
                     vals = list(seg[j + 17:j + 17 + n])
                     huff[(cls, tid)] = _lut_from_spec(bits, vals)
                     j += 17 + n
-            elif m == 0xC0 or m == 0xC1:           # SOF0/1 baseline
+            elif m in (0xC0, 0xC1, 0xC2):          # SOF0/1/2
                 h, w = struct.unpack_from(">HH", seg, 1)
                 nc = seg[5]
                 comps = []
@@ -491,78 +776,183 @@ def make_jpeg_codec() -> SimpleNamespace:
                                   "h": hi, "v": vi})
                 maxh = max(c["h"] for c in comps)
                 maxv = max(c["v"] for c in comps)
+                mcux = (w + 8 * maxh - 1) // (8 * maxh)
+                mcuy = (h + 8 * maxv - 1) // (8 * maxv)
                 for c in comps:
                     if maxh % c["h"] or maxv % c["v"]:
                         raise ValueError(
                             "non-integer upsampling ratios")
+                    # full (MCU-padded) grid for interleaved scans;
+                    # non-interleaved scans cover only the blocks of
+                    # the component's own ceil(size/8) grid
+                    c["nbx"] = (-(-w * c["h"] // maxh) + 7) // 8
+                    c["nby"] = (-(-h * c["v"] // maxv) + 7) // 8
+                    c["coef"] = np.zeros(
+                        (mcuy * c["v"], mcux * c["h"], 64),
+                        dtype=np.int64)
+            elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                       0xCD, 0xCE, 0xCF):
+                raise ValueError(
+                    "only baseline (SOF0/1) and progressive (SOF2)")
             elif m == 0xDD:                        # DRI
                 dri = struct.unpack_from(">H", seg, 0)[0]
-            elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
-                       0xCB, 0xCD, 0xCE, 0xCF):
-                raise ValueError("only baseline (SOF0) implemented")
-            elif m == 0xDA:                        # SOS → entropy data
+            elif m == 0xDA:                        # SOS (one of many)
                 nc = seg[0]
                 order = []
                 for c in range(nc):
                     cid, tids = seg[1 + 2 * c], seg[2 + 2 * c]
                     comp = next(x for x in comps if x["id"] == cid)
-                    comp["dc"] = huff[(0, tids >> 4)]
-                    comp["ac"] = huff[(1, tids & 0x0F)]
+                    comp["dc"] = huff.get((0, tids >> 4))
+                    comp["ac"] = huff.get((1, tids & 0x0F))
                     order.append(comp)
-                return _decode_scan(b, i + 2 + ln, w, h, order, quant,
-                                    len(b), dri)
-            i += 2 + ln
-        return None
-
-    def _decode_block(br, comp, preds, ci, quant):
-        zz = np.zeros(64, dtype=np.int64)
-        size = _read_sym(br, comp["dc"])
-        preds[ci] += _extend(br.bits(size), size)
-        zz[0] = preds[ci]
-        k = 1
-        while k < 64:
-            rs = _read_sym(br, comp["ac"])
-            if rs == 0x00:                         # EOB
-                break
-            if rs == 0xF0:                         # ZRL
-                k += 16
+                ss, se, ahal = seg[1 + 2 * nc:4 + 2 * nc]
+                i = _entropy_scan(b, i + 2 + ln, order, ss, se,
+                                  ahal >> 4, ahal & 0x0F, dri,
+                                  mcux, mcuy)
+                seen_scan = True
+                # resync to the next marker
+                while i < len(b) and b[i] != 0xFF:
+                    i += 1
                 continue
-            k += rs >> 4
-            size = rs & 0x0F
-            if k > 63:
-                raise ValueError("AC overflow")
-            zz[k] = _extend(br.bits(size), size)
-            k += 1
-        coef = np.empty(64, dtype=np.float64)
-        coef[ZZ] = zz * quant[comp["qid"]][ZZ]
-        return _idct2(coef.reshape(8, 8))
+            i += 2 + ln
+        if comps is None or not seen_scan:
+            return None
+        return _reconstruct(b, w, h, comps, quant, maxh, maxv,
+                            mcux, mcuy)
 
-    def _decode_scan(b, off, w, h, comps, quant, n_bytes, dri):
+    def _first_pass(br, comp, blk, ss, se, al, preds, ci, eob):
+        """Ah == 0: initial contribution of each coefficient in the
+        band, scaled by 2^Al. Baseline (ss=0, se=63, al=0) and the
+        progressive DC/AC first scans share this path — a baseline
+        EOB is just an EOB-run of length 1 (r = 0)."""
+        k = ss
+        if ss == 0:                                # DC (+ prediction)
+            size = _read_sym(br, comp["dc"])
+            preds[ci] += _extend(br.bits(size), size)
+            blk[0] = preds[ci] << al
+            k = 1
+        if k > se:
+            return eob
+        if eob > 0:
+            return eob - 1                         # band stays zero
+        while k <= se:
+            rs = _read_sym(br, comp["ac"])
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:                        # ZRL
+                    k += 16
+                    continue
+                return (1 << r) + br.bits(r) - 1   # EOB run starts
+            k += r
+            if k > se:
+                raise ValueError("AC overflow")
+            blk[k] = _extend(br.bits(s), s) << al
+            k += 1
+        return 0
+
+    def _refine_ac(br, comp, blk, ss, se, al, eob):
+        """Ah == Al + 1 AC refinement (T.81 G.1.2.3): newly
+        significant coefficients arrive as ±1·2^Al; every
+        already-nonzero coefficient visited contributes one
+        correction bit (1 → add 2^Al toward its sign)."""
+        p1, m1 = 1 << al, -1 << al
+
+        def correct(k):
+            if br.bit() and not (blk[k] & p1):
+                blk[k] += p1 if blk[k] > 0 else m1
+
+        k = ss
+        if eob == 0:
+            while k <= se:
+                rs = _read_sym(br, comp["ac"])
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0 and r != 15:
+                    eob = (1 << r) + br.bits(r)    # incl. this block
+                    break
+                newval = 0
+                if s:
+                    if s != 1:
+                        raise ValueError("refine size != 1")
+                    newval = p1 if br.bit() else m1
+                # advance past r zero-history slots, correcting
+                # nonzero coefficients along the way
+                while k <= se:
+                    if blk[k]:
+                        correct(k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    blk[k] = newval
+                k += 1
+        if eob > 0:
+            # EOB-covered: the rest of the band still carries one
+            # correction bit per nonzero coefficient
+            while k <= se:
+                if blk[k]:
+                    correct(k)
+                k += 1
+            eob -= 1
+        return eob
+
+    def _entropy_scan(b, off, scomps, ss, se, ah, al, dri,
+                      mcux, mcuy):
         br = _BitReader(b, off)
-        maxh = max(c["h"] for c in comps)
-        maxv = max(c["v"] for c in comps)
-        mcux = (w + 8 * maxh - 1) // (8 * maxh)
-        mcuy = (h + 8 * maxv - 1) // (8 * maxv)
-        planes = [np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]))
-                  for c in comps]
-        preds = [0] * len(comps)
-        for mi in range(mcux * mcuy):
-            if dri and mi and mi % dri == 0:
-                br.sync_restart()                  # byte-align + RSTn
-                preds = [0] * len(comps)
-            my, mx = divmod(mi, mcux)
-            for ci, comp in enumerate(comps):
-                for v in range(comp["v"]):
-                    for hh in range(comp["h"]):
-                        by = my * comp["v"] + v
-                        bx = mx * comp["h"] + hh
-                        planes[ci][by * 8:by * 8 + 8,
-                                   bx * 8:bx * 8 + 8] = \
-                            _decode_block(br, comp, preds, ci, quant)
-        # upsample to full grid (pixel replication), then crop
+        interleaved = len(scomps) > 1
+        preds = [0] * len(scomps)
+        eob = 0
+        if interleaved:
+            n_units = mcux * mcuy
+        else:
+            n_units = scomps[0]["nbx"] * scomps[0]["nby"]
+        for ui in range(n_units):
+            if dri and ui and ui % dri == 0:
+                br.sync_restart()
+                preds = [0] * len(scomps)
+                eob = 0
+            if interleaved:
+                my, mx = divmod(ui, mcux)
+                for ci, comp in enumerate(scomps):
+                    for v in range(comp["v"]):
+                        for hh in range(comp["h"]):
+                            blk = comp["coef"][my * comp["v"] + v,
+                                               mx * comp["h"] + hh]
+                            if ah == 0:
+                                eob = _first_pass(
+                                    br, comp, blk, ss, se, al,
+                                    preds, ci, eob)
+                            elif ss == 0:          # DC refinement
+                                blk[0] |= br.bit() << al
+                            else:
+                                eob = _refine_ac(
+                                    br, comp, blk, ss, se, al, eob)
+            else:
+                comp = scomps[0]
+                by, bx = divmod(ui, comp["nbx"])
+                blk = comp["coef"][by, bx]
+                if ah == 0:
+                    eob = _first_pass(br, comp, blk, ss, se, al,
+                                      preds, 0, eob)
+                elif ss == 0:
+                    blk[0] |= br.bit() << al
+                else:
+                    eob = _refine_ac(br, comp, blk, ss, se, al, eob)
+        return br.i
+
+    def _reconstruct(b, w, h, comps, quant, maxh, maxv, mcux, mcuy):
         full = []
-        for ci, comp in enumerate(comps):
-            p = planes[ci]
+        for comp in comps:
+            zz = comp["coef"]                      # (by, bx, 64) zigzag
+            q = quant[comp["qid"]]
+            nby, nbx = zz.shape[:2]
+            rast = np.zeros((nby, nbx, 64), dtype=np.float64)
+            rast[..., ZZ] = zz * q[ZZ][None, None, :]
+            blocks = rast.reshape(nby, nbx, 8, 8)
+            # batched separable IDCT: M.T @ C @ M over every block
+            spat = np.einsum("ab,yxbc,cd->yxad", _M.T, blocks, _M)
+            p = spat.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
             fx, fy = maxh // comp["h"], maxv // comp["v"]
             if fx > 1:
                 p = np.repeat(p, fx, axis=1)
@@ -587,7 +977,7 @@ def make_jpeg_codec() -> SimpleNamespace:
         else:
             raise ValueError("1 or 3 components only")
         return {"fmt": "jpeg", "width": w, "height": h,
-                "n_components": len(planes), "n_bytes": n_bytes,
+                "n_components": len(planes), "n_bytes": len(b),
                 "rows": rows}
 
     def decode_meta(b: bytes):
@@ -607,10 +997,11 @@ def make_jpeg_codec() -> SimpleNamespace:
             i += 2 + struct.unpack_from(">H", b, i + 2)[0]
         return None
 
-    return SimpleNamespace(sniff=sniff, decode=decode,
-                           decode_meta=decode_meta,
-                           encode_gray=encode_gray,
-                           encode_rgb=encode_rgb)
+    return SimpleNamespace(
+        sniff=sniff, decode=decode, decode_meta=decode_meta,
+        encode_gray=encode_gray, encode_rgb=encode_rgb,
+        encode_progressive_gray=encode_progressive_gray,
+        encode_progressive_rgb=encode_progressive_rgb)
 
 
 CODEC = make_jpeg_codec()

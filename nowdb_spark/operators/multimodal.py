@@ -4,10 +4,10 @@ columns with typed metadata.
 Real decode paths, all pure-Python/numpy/stdlib: images
 BMP/PPM/PNG/GIF/JPEG (`imagecodec.py` + `jpegcodec.py`; PNG is a
 zlib/DEFLATE entropy path, GIF a from-scratch variable-width LZW
-decoder, JPEG a baseline Huffman-DCT decoder), audio RIFF/PCM WAV
+decoder, JPEG a baseline+progressive Huffman-DCT decoder), audio RIFF/PCM WAV
 (`audiocodec.py`), video Y4M planar YUV with temporal frame sampling
 (`videocodec.py`). Formats needing codec LIBS (H.264/VP9/MP3/AAC,
-progressive or subsampled JPEG) stay honestly stubbed behind
+WebP, arithmetic-coded JPEG) stay honestly stubbed behind
 `_HAVE_CODECS`: the Spark-side plumbing (binary schema, Arrow batch
 shape, mapInPandas signature, partitioning) is real and tested; swap
 `_fake_decode` for a PIL/libav call and nothing else changes.
@@ -53,9 +53,10 @@ def _fake_decode(payload: bytes) -> dict:
 
 def decode_image(payload: bytes):
     """Real decode entry point. BMP/PPM/PNG (zlib/DEFLATE)/GIF (LZW)
-    and baseline JPEG decode via the vendored pure-Python codecs;
-    remaining formats (progressive JPEG, WebP, …) need codec libs
-    (absent in this container) and raise honestly."""
+    and JPEG — baseline AND progressive (SOF2), any 4:4:4/4:2:2/4:2:0
+    sampling — decode via the vendored pure-Python codecs; remaining
+    formats (WebP, arithmetic-coded JPEG, …) need codec libs (absent
+    in this container) and raise honestly."""
     from nowdb_spark.operators.imagecodec import CODEC
 
     img = CODEC.decode(payload)
@@ -63,8 +64,9 @@ def decode_image(payload: bytes):
         return img
     if not _HAVE_CODECS:
         raise NotImplementedError(
-            "BMP/PPM/PNG/GIF/baseline-JPEG decode without codec libs; "
-            "metadata plumbing for other formats uses _fake_decode")
+            "BMP/PPM/PNG/GIF/JPEG (baseline+progressive) decode "
+            "without codec libs; metadata plumbing for other formats "
+            "uses _fake_decode")
     raise NotImplementedError("wire to PIL.Image.open(io.BytesIO(payload))")
 
 
@@ -352,13 +354,17 @@ def resize_image_real(df: DataFrame, width: int, height: int,
 
 
 def synth_jpegs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Synthesize UNIFORM-gray baseline JPEGs from an id column: for
-    doc d, w = d % 12 + 2, h = d % 7 + 2, every pixel = d % 256, unit
+    """Synthesize UNIFORM-gray JPEGs from an id column — BASELINE for
+    even ids, PROGRESSIVE (SOF2 multi-scan) for odd ids, so both
+    entropy architectures sit under the same oracle. For doc d,
+    w = d % 12 + 2, h = d % 7 + 2, every pixel = d % 256, unit
     quantization tables. Uniform 8x8 blocks carry only a DC
     coefficient — the integer 8*(v-128) — which unit tables store
-    exactly, so the decode is bit-exact and a SQL oracle can replay
-    the pixels (see jpegcodec.py exactness note). Gradient/noisy
-    content is exercised by tests with tolerances instead."""
+    exactly in either architecture (progressive reassembles the DC
+    from its Al=1 first scan + refinement bit), so the decode is
+    bit-exact and a SQL oracle can replay the pixels (see
+    jpegcodec.py exactness note). Gradient/noisy content is
+    exercised by tests with tolerances instead."""
     from nowdb_spark.operators.jpegcodec import make_jpeg_codec
 
     codec = make_jpeg_codec()
@@ -371,8 +377,9 @@ def synth_jpegs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             did = int(did)
             w, h = did % 12 + 2, did % 7 + 2
             v = did % 256
-            return codec.encode_gray(w, h, [[v] * w] * h,
-                                     unit_quant=True)
+            enc = (codec.encode_gray if did % 2 == 0
+                   else codec.encode_progressive_gray)
+            return enc(w, h, [[v] * w] * h, unit_quant=True)
 
         for pdf in batches:
             yield _pd.DataFrame({

@@ -915,18 +915,42 @@ def semdedup(corpus: DataFrame, n_centroids: int = 16, iters: int = 3,
 
 
 def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
-                codebooks: list[list[list[float]]], k: int = 5,
+                codebooks: list[list[list[float]]] | None = None,
+                k: int = 5,
                 n_centroids: int = 8, n_probe: int = 3, iters: int = 3,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 qid_col: str = "qid", qvec_col: str = "qvec",
                 centroids: list[list[float]] | None = None,
-                kernel: str = "column") -> DataFrame:
+                kernel: str = "column", residual: bool = False,
+                pq_m: int = 8, pq_k: int = 16,
+                pq_train_limit: int = 50_000,
+                rerank: int = 0) -> DataFrame:
     """IVF-PQ: the standard billion-scale ANN architecture (Jégou et
     al. 2011) — IVF coarse quantizer prunes the corpus to ``n_probe``
     inverted lists per query, PQ asymmetric-distance scoring ranks the
     candidates from their 32×-compressed codes. The full-precision
     vectors are read ONCE (at encode time); the query path touches
     only (cid, code) — m bytes per corpus row.
+
+    ``residual=True`` is the paper's IVFADC form: PQ encodes
+    ``v − centroid[cid]`` instead of the raw vector, and the query is
+    re-centered per probed list before ADC. On clustered corpora this
+    is the difference between working and not: raw-vector PQ maps a
+    whole cluster to one code (every member is nearest the same
+    codewords), so ADC cannot rank WITHIN the cluster — exactly where
+    the true neighbors live. Residuals are noise-scale, so the same
+    m×k codebook resolves intra-cluster order. (Measured on the bench
+    mixture: recall@10 0.09 raw → see BENCH ann07 residual.)
+
+    ``codebooks=None`` trains them with pq_train_codebooks on a
+    bounded sample of what is actually encoded (residuals when
+    ``residual=True``) — the production path; passing explicit
+    codebooks keeps the bit-exact oracle form.
+
+    ``rerank=N`` (N > k) adds the exact refine stage: ADC keeps the
+    top-N per query, an id-join fetches just those N full-precision
+    vectors, and exact L2 picks the final k — recall recovers the
+    ADC quantization loss for the price of N·n_queries vector reads.
 
     Composition of ivf_topk's candidate generation and pq_adc_topk's
     scoring; returns (qid, vec_id, dist, rnk), rnk ≤ k, ascending
@@ -935,13 +959,30 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
     Shape at scale: codes table persisted partitionBy('cid') makes
     every query's probe a partition-pruned scan of n_probe/n_centroids
     of a 32×-smaller table; probes broadcast; one window for top-k.
+    The residual re-centering is a zip_with over the broadcast probe
+    rows and a C×D centroid literal — no extra shuffle or scan.
     """
     if centroids is None:
         centroids = kmeans_centroids(corpus, n_centroids, iters,
                                      vec_col, id_col, kernel=kernel)
     indexed = ivf_index(corpus.select(id_col, vec_col), centroids,
                         vec_col, kernel=kernel)
-    codes = pq_encode(indexed, codebooks, vec_col, id_col,
+    centl = F.array(*[F.array(*[F.lit(float(w)) for w in c])
+                      for c in centroids])
+    enc_col = vec_col
+    if residual:
+        enc_col = "__rvec"
+        indexed = indexed.withColumn(
+            enc_col,
+            F.zip_with(F.col(vec_col),
+                       F.element_at(centl, F.col("cid") + 1),
+                       lambda a, b: a.cast("double") - b))
+    if codebooks is None:
+        codebooks = pq_train_codebooks(
+            indexed, dim=len(centroids[0]), m=pq_m, k=pq_k,
+            train_limit=pq_train_limit, vec_col=enc_col,
+            id_col=id_col)
+    codes = pq_encode(indexed, codebooks, enc_col, id_col,
                       kernel=kernel if kernel == "pandas" else "column",
                       keep=("cid",))
 
@@ -956,9 +997,40 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
               .select(qid_col, qvec_col, F.col("p.c").alias("cid")))
 
     cands = codes.join(F.broadcast(probed), "cid")
-    dist = F.round(_adc_dist(codebooks, "code", qvec_col), 6)
+    qcol = qvec_col
+    if residual:
+        qcol = "__qres"
+        cands = cands.withColumn(
+            qcol,
+            F.zip_with(F.col(qvec_col),
+                       F.element_at(centl, F.col("cid") + 1),
+                       lambda a, b: a.cast("double") - b))
+    dist = F.round(_adc_dist(codebooks, "code", qcol), 6)
     w = W.partitionBy(qid_col).orderBy(F.col("dist").asc(), F.col(id_col))
-    return (cands.select(F.col(qid_col), F.col(id_col),
-                         dist.alias("dist"))
-            .withColumn("rnk", F.row_number().over(w))
+    adc = (cands.select(F.col(qid_col), F.col(id_col),
+                        dist.alias("dist"))
+           .withColumn("rnk", F.row_number().over(w))
+           .filter(F.col("rnk") <= max(k, rerank)))
+    if rerank <= k:
+        return adc
+    # Exact refine stage (FAISS IndexRefineFlat / IVFPQR pattern):
+    # ADC's top-`rerank` candidate ids join back to the full-precision
+    # vectors and exact L2 re-ranks the final k. Only rerank·n_queries
+    # vectors are ever fetched — the candidate id join is a sliver of
+    # the corpus — so the 32× compressed scan still does the heavy
+    # pruning while recall recovers the ADC quantization loss.
+    exact = (adc.select(qid_col, id_col)
+             .join(corpus.select(id_col, vec_col), id_col)
+             .join(F.broadcast(queries.select(qid_col, qvec_col)),
+                   qid_col))
+    d2 = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col(qvec_col),
+                   lambda a, b: (a.cast("double") - b.cast("double"))
+                   * (a.cast("double") - b.cast("double"))),
+        F.lit(0.0), lambda acc, x: acc + x)
+    w2 = W.partitionBy(qid_col).orderBy(F.col("dist").asc(),
+                                        F.col(id_col))
+    return (exact.select(F.col(qid_col), F.col(id_col),
+                         F.round(d2, 6).alias("dist"))
+            .withColumn("rnk", F.row_number().over(w2))
             .filter(F.col("rnk") <= k))

@@ -1163,9 +1163,10 @@ FROM pf GROUP BY doc_id
            CAST(3 * v * (w*h) * (w*h + 1) AS BIGINT) AS px_check
     FROM d
     """,
-    doc="REAL baseline-JPEG decode (marker walk, DHT-driven Huffman, "
+    doc="REAL JPEG decode — baseline for even ids, progressive SOF2 "
+        "multi-scan for odd ids (marker walk, DHT-driven Huffman, "
         "dequant + IDCT): uniform-gray unit-quant payloads round-trip "
-        "bit-exactly (DC-only blocks), so the oracle replays the "
+        "bit-exactly in both architectures, so the oracle replays the "
         "pixels; px_check = sum (i+1)*(6*v) = 3*v*wh*(wh+1)",
 )
 def mm07(spark, sf):

@@ -1,5 +1,5 @@
-"""Baseline JPEG codec tests: exactness guarantees, lossy tolerances,
-Huffman/marker edge cases, honest rejections."""
+"""JPEG codec tests (baseline + progressive): exactness guarantees,
+lossy tolerances, Huffman/marker edge cases, honest rejections."""
 
 from __future__ import annotations
 
@@ -73,11 +73,51 @@ def test_meta_without_full_decode():
     assert (m["width"], m["height"], m["n_components"]) == (10, 4, 1)
 
 
-def test_progressive_rejected():
+def test_arithmetic_coded_rejected():
     b = bytearray(C.encode_gray(8, 8, [[1] * 8] * 8))
     i = b.index(b"\xFF\xC0")
-    b[i + 1] = 0xC2                               # pretend SOF2
+    b[i + 1] = 0xC9                               # pretend SOF9
     assert C.decode(bytes(b)) is None
+
+
+def test_progressive_gray_matches_baseline():
+    """SOF2 multi-scan decode (DC first/refine, AC spectral bands,
+    successive-approximation refinements) reconstructs the identical
+    coefficients, so pixels match the baseline decode exactly."""
+    w, h = 24, 17
+    rows = [[(3 * x + 7 * y) % 256 for x in range(w)] for y in range(h)]
+    dp = C.decode(C.encode_progressive_gray(w, h, rows,
+                                            unit_quant=True))
+    db = C.decode(C.encode_gray(w, h, rows, unit_quant=True))
+    assert dp["rows"] == db["rows"]
+    assert _maxerr_gray(dp, rows) <= 1
+
+
+@pytest.mark.parametrize("sampling", ["444", "422", "420"])
+def test_progressive_color_matches_baseline(sampling):
+    """Pad-block geometry differs between interleaved DC scans (full
+    MCU grid) and non-interleaved AC scans (component's own ceil/8
+    grid) — odd dims across all samplings cover both."""
+    w, h = 20, 15
+    rows = [[((x * 11) % 256, (y * 13) % 256, ((x + y) * 7) % 256)
+             for x in range(w)] for y in range(h)]
+    for uq in (True, False):
+        dp = C.decode(C.encode_progressive_rgb(
+            w, h, rows, unit_quant=uq, sampling=sampling))
+        db = C.decode(C.encode_rgb(
+            w, h, rows, unit_quant=uq, sampling=sampling))
+        assert dp is not None and dp["rows"] == db["rows"]
+
+
+def test_progressive_meta_and_dispatch():
+    from nowdb_spark.operators.imagecodec import make_image_codec
+
+    ic = make_image_codec()
+    b = C.encode_progressive_gray(6, 5, [[200] * 6] * 5,
+                                  unit_quant=True)
+    assert ic.sniff(b) == "jpeg"
+    assert ic.decode_meta(b)["width"] == 6
+    assert ic.decode(b)["rows"][0][0] == (200, 200, 200)
 
 
 @pytest.mark.parametrize("sampling,tol", [("444", 2), ("422", 40),

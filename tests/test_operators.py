@@ -597,6 +597,57 @@ def test_ivf_pq_full_probe_equals_adc(spark):
     assert a == b
 
 
+def test_ivf_pq_residual_beats_raw_on_clustered(spark):
+    """IVFADC's residual encoding (Jégou et al. §III): on a clustered
+    corpus, raw-vector PQ maps every member of a cluster to the same
+    code (ADC cannot rank within the cluster — where the true
+    neighbors are), while PQ over v − centroid[cid] resolves the
+    noise-scale intra-cluster structure with the same m×k budget."""
+    import numpy as np
+    rng = np.random.default_rng(11)
+    # the regime where residuals matter: clusters ≫ codewords (raw
+    # codebooks can only resolve BETWEEN clusters) and members ≫ 10
+    # (so random-within-cluster scores near zero). Clusters are
+    # interleaved by id so the deterministic first-k k-means init
+    # sees distinct clusters; unit-normalized so L2 (ADC) and cosine
+    # rank identically.
+    dim, n_cl, n = 16, 32, 4800
+    centers = rng.uniform(-1, 1, size=(n_cl, dim))
+    pts = np.array([centers[i % n_cl]
+                    + 0.35 * rng.uniform(-1, 1, size=dim)
+                    for i in range(n)])
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>")
+    queries = (emb.filter(F.col("vec_id").isin([0, 5, 130, 263, 777]))
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec")))
+
+    def recall(residual, **kw):
+        got = {}
+        res = S.ivf_pq_topk(emb, queries, None, k=10, n_centroids=32,
+                            n_probe=4, iters=4, kernel="pandas",
+                            residual=residual, pq_m=4, pq_k=8,
+                            pq_train_limit=2000, **kw)
+        for r in res.collect():
+            got.setdefault(r.qid, set()).add(r.vec_id)
+        hits = tot = 0
+        for qid in got:
+            d = sorted(range(len(pts)), key=lambda i: (
+                float(np.linalg.norm(pts[i] - pts[qid])), i))
+            hits += len(got[qid] & set(d[:10]))
+            tot += 10
+        return hits / tot
+
+    raw, res = recall(False), recall(True)   # measured: 0.18 vs 0.48
+    assert res >= 0.4
+    assert res >= raw + 0.2
+    # the exact refine stage over ADC's top-100 recovers the
+    # quantization loss entirely at this scale (measured: 1.0)
+    assert recall(True, rerank=100) >= 0.9
+
+
 def test_lsh_hub_cap_linear_and_cluster_exact(spark):
     """A 200-doc clone group: hub_cap switches its buckets to star
     emission — pair count collapses from C(200,2)+extras to linear —
