@@ -79,7 +79,7 @@ def main() -> None:
                 continue
             factor = vb / va
             bound = ta * factor * SLACK + FLOOR
-            row[f"x{factor:g}"] = round(tb / ta, 2)
+            row[f"ratio:{a}->{b}"] = round(tb / ta, 2)
             if tb > bound:
                 viol.append(f"{q}: {a}={ta}s -> {b}={tb}s "
                             f"(bound {bound:.2f}s at x{factor:g})")
@@ -87,14 +87,15 @@ def main() -> None:
 
     # markdown table for README
     hdr = ["query"] + [n for n, _, _ in ran] + [
-        f"×{vb // va}" for (_, _, va), (_, _, vb) in zip(ran, ran[1:])]
+        f"{a}→{b} (×{vb // va} data)"
+        for (a, _, va), (b, _, vb) in zip(ran, ran[1:])]
     print("| " + " | ".join(hdr) + " |")
     print("|" + "---|" * len(hdr))
     for row in rows:
         cells = [row["query"]] + [
             f"{row.get(n, float('nan')):.2f}" for n, _, _ in ran] + [
-            str(row.get(f"x{vb / va:g}", ""))
-            for (_, _, va), (_, _, vb) in zip(ran, ran[1:])]
+            str(row.get(f"ratio:{a}->{b}", ""))
+            for (a, _, _), (b, _, _) in zip(ran, ran[1:])]
         print("| " + " | ".join(cells) + " |")
     for (a, _, _), (b, _, _) in zip(ran, ran[1:]):
         print(f"| total | " + " | ".join(
