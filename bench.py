@@ -460,26 +460,39 @@ def main() -> None:
             # books exist for the bit-exact oracle, not for quality).
             # Raw-vector PQ on this corpus measures ~0.09 — every
             # cluster member maps to one code; see
-            # similarity.ivf_pq_topk docstring.
-            recall("ann07_recall_at_10",
-                   lambda: S.ivf_pq_topk(
-                       csrc, cqueries, None, k=10, n_centroids=256,
-                       n_probe=16, iters=2, kernel="pandas",
-                       residual=True, pq_m=8, pq_k=64,
-                       pq_train_limit=50_000),
-                   {"ann07_n_centroids": 256, "ann07_n_probe": 16,
-                    "ann07_pq_m": 8, "ann07_pq_k": 64,
-                    "ann07_codebooks": "trained-residual"})
-            # + exact refine of ADC's top-100 (IndexRefineFlat): the
-            # production recipe when recall matters more than the
-            # last 2× of scan cost
-            recall("ann07r_recall_at_10",
-                   lambda: S.ivf_pq_topk(
-                       csrc, cqueries, None, k=10, n_centroids=256,
-                       n_probe=16, iters=2, kernel="pandas",
-                       residual=True, pq_m=8, pq_k=64,
-                       pq_train_limit=50_000, rerank=100),
-                   {"ann07r_rerank": 100})
+            # similarity.ivf_pq_topk docstring. Centroids + codebooks
+            # are built ONCE (the index-build/query split a real
+            # deployment has) and shared by the ADC-only and
+            # reranked measurements.
+            try:
+                cents = S.kmeans_centroids(csrc, 256, 2,
+                                           kernel="pandas")
+                cbs = S.pq_train_codebooks(
+                    S.ivf_residuals(csrc, cents, kernel="pandas"),
+                    dim, m=8, k=64, train_limit=50_000,
+                    vec_col="rvec", id_col="vec_id")
+            except Exception as e:  # noqa: BLE001
+                cents = cbs = None
+                errors["ann07_build"] = str(e).split("\n")[0][:200]
+            if cbs is not None:
+                recall("ann07_recall_at_10",
+                       lambda: S.ivf_pq_topk(
+                           csrc, cqueries, cbs, k=10, n_probe=16,
+                           kernel="pandas", residual=True,
+                           centroids=cents),
+                       {"ann07_n_centroids": 256, "ann07_n_probe": 16,
+                        "ann07_pq_m": 8, "ann07_pq_k": 64,
+                        "ann07_codebooks": "trained-residual"})
+                # + exact refine of ADC's top-1000 (IndexRefineFlat):
+                # the production recipe when recall matters — still
+                # only rerank·n_queries = 100k full-vector reads of a
+                # 1M corpus
+                recall("ann07r_recall_at_10",
+                       lambda: S.ivf_pq_topk(
+                           csrc, cqueries, cbs, k=10, n_probe=16,
+                           kernel="pandas", residual=True,
+                           centroids=cents, rerank=1000),
+                       {"ann07r_rerank": 1000})
         except Exception as e:  # noqa: BLE001
             errors["vectors_setup"] = str(e).split("\n")[0][:200]
 

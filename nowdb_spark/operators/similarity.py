@@ -914,6 +914,25 @@ def semdedup(corpus: DataFrame, n_centroids: int = 16, iters: int = 3,
                     F.col("dup_of").isNotNull().alias("is_dup")))
 
 
+def ivf_residuals(corpus: DataFrame, centroids: list[list[float]],
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  kernel: str = "column",
+                  out_col: str = "rvec") -> DataFrame:
+    """(id, cid, out_col = v − centroid[cid]): the IVFADC encode
+    input. Exposed so callers can train residual codebooks ONCE and
+    hand them (with the same centroids) to repeated ivf_pq_topk
+    calls instead of re-running k-means + training per query batch."""
+    indexed = ivf_index(corpus.select(id_col, vec_col), centroids,
+                        vec_col, kernel=kernel)
+    centl = F.array(*[F.array(*[F.lit(float(w)) for w in c])
+                      for c in centroids])
+    return indexed.select(
+        id_col, "cid",
+        F.zip_with(F.col(vec_col),
+                   F.element_at(centl, F.col("cid") + 1),
+                   lambda a, b: a.cast("double") - b).alias(out_col))
+
+
 def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
                 codebooks: list[list[list[float]]] | None = None,
                 k: int = 5,

@@ -646,6 +646,14 @@ def test_ivf_pq_residual_beats_raw_on_clustered(spark):
     # the exact refine stage over ADC's top-100 recovers the
     # quantization loss entirely at this scale (measured: 1.0)
     assert recall(True, rerank=100) >= 0.9
+    # ivf_residuals (the shared index-build helper): residual +
+    # assigned centroid reconstructs the vector
+    cents = S.kmeans_centroids(emb, 8, 2, kernel="pandas")
+    C = np.array(cents)
+    for r in (S.ivf_residuals(emb, cents, kernel="pandas")
+              .filter(F.col("vec_id") < 20).collect()):
+        assert np.allclose(np.array(r["rvec"]) + C[r["cid"]],
+                           pts[r["vec_id"]], atol=1e-4)
 
 
 def test_lsh_hub_cap_linear_and_cluster_exact(spark):
