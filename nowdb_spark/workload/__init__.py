@@ -146,12 +146,15 @@ _PRIORITY_ORDER = [
     # relegated past-window, still oracle-verified by pytest; the two
     # scale-path variants LSH + IVF take the driver rows)
     "ann03_lsh_topk", "ann04_ivf_topk",
-    # multimodal: mm04 is the four-format decode gate (bmp/ppm/png/gif
-    # — png is a REAL zlib/DEFLATE entropy-coded path with all five
-    # scanline filters, gif a from-scratch variable-width LZW
-    # decoder); mm05 decodes RIFF/PCM16 WAV audio. mm01/mm02/mm03 and
-    # the y4m video round trip mm06 relegated, still oracle-verified.
-    "mm04_entropy_decode", "mm05_wav_features",
+    # multimodal: mm07 is the Huffman-DCT JPEG gate — round 6 made it
+    # decode BASELINE (even ids) and PROGRESSIVE SOF2 multi-scan (odd
+    # ids) under one bit-exact oracle, the hardest entropy path in the
+    # codec set, so it takes the image row; mm05 decodes RIFF/PCM16
+    # WAV audio. mm04's four-format decode (bmp/ppm + the REAL
+    # zlib/DEFLATE png and variable-width-LZW gif paths), mm01/mm02/
+    # mm03 and the y4m video round trip mm06 relegated, still
+    # oracle-verified by pytest.
+    "mm07_jpeg_decode", "mm05_wav_features",
     # time-series (ts02's row-frame moving aggregates are covered
     # in-window by nq08's window-function row; its slot carries the
     # streaming extension gate — a REAL readStream→memory-sink run
