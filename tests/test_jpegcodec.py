@@ -201,3 +201,30 @@ def test_decodes_through_image_codec_dispatch():
     assert ic.sniff(b) == "jpeg"
     assert ic.decode_meta(b)["width"] == 6
     assert ic.decode(b)["rows"][0][0] == (200, 200, 200)
+
+
+def test_progressive_random_content_property():
+    """Randomized content/geometry sweep: progressive and baseline
+    encode different entropy streams of the SAME quantized
+    coefficients, so their decodes must agree pixel-for-pixel. Random
+    pixels drive the refinement paths (correction bits, ZRL-in-refine,
+    EOB runs) through states gradient fixtures never reach."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.integers(1, 3000), st.integers(6, 26), st.integers(6, 22),
+           st.sampled_from(["444", "422", "420"]))
+    def prop(seed, w, h, sampling):
+        rows = [[(((x * 31 + y * 17 + seed * 53) % 256),
+                  ((x * 7 + y * 29 + seed * 11) % 256),
+                  ((x * 13 + y * 3 + seed * 97) % 256))
+                 for x in range(w)] for y in range(h)]
+        dp = C.decode(C.encode_progressive_rgb(w, h, rows,
+                                               unit_quant=True,
+                                               sampling=sampling))
+        db = C.decode(C.encode_rgb(w, h, rows, unit_quant=True,
+                                   sampling=sampling))
+        assert dp is not None and db is not None
+        assert dp["rows"] == db["rows"]
+
+    prop()

@@ -597,6 +597,23 @@ def test_ivf_pq_full_probe_equals_adc(spark):
     assert a == b
 
 
+def test_brute_force_batch_equals_full_probe_ivf(spark):
+    """The partition-local top-k + merge formulation returns the
+    identical exact result as probing every IVF list (both are exact
+    cosine; same rounding, same id tie-break)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = (emb.filter(F.col("vec_id") < 4)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec")))
+    a = {(r["qid"], r["vec_id"], r["rnk"])
+         for r in S.brute_force_topk_batch(
+             emb.repartition(7), queries, k=8).collect()}
+    b = {(r["qid"], r["vec_id"], r["rnk"])
+         for r in S.ivf_topk(emb, queries, k=8, n_centroids=4,
+                             n_probe=4, iters=2).collect()}
+    assert a == b
+
+
 def test_ivf_pq_residual_beats_raw_on_clustered(spark):
     """IVFADC's residual encoding (Jégou et al. §III): on a clustered
     corpus, raw-vector PQ maps every member of a cluster to the same
