@@ -712,7 +712,10 @@ def make_jpeg_codec() -> SimpleNamespace:
             return None
         try:
             return _decode_inner(b)
-        except (EOFError, ValueError, IndexError, struct.error):
+        except (EOFError, ValueError, IndexError, KeyError,
+                TypeError, struct.error):
+            # TypeError covers a scan referencing an undeclared
+            # Huffman table (comp["dc"/"ac"] is None)
             return None
 
     # The decoder is coefficient-domain and multi-scan: every SOS

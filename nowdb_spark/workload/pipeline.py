@@ -540,6 +540,50 @@ def ann02(spark, sf):
 
 
 # ------------------------------------------------------------------
+@register(
+    "ann08_bruteforce_batch",
+    """
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id < 4
+    ),
+    ex AS (
+      SELECT q.qid, e.vec_id,
+             unnest(e.embedding)::DOUBLE AS x,
+             unnest(q.qv)::DOUBLE AS y
+      FROM embeddings e CROSS JOIN q
+    ),
+    d AS (
+      SELECT qid, vec_id, sum(x * y) AS dp,
+             sum(x * x) AS na2, sum(y * y) AS nb2
+      FROM ex GROUP BY qid, vec_id
+    ),
+    r AS (
+      SELECT qid, vec_id,
+             round(dp / (sqrt(na2) * sqrt(nb2)), 6) AS sim,
+             row_number() OVER (
+               PARTITION BY qid
+               ORDER BY round(dp / (sqrt(na2) * sqrt(nb2)), 6) DESC,
+                        vec_id) AS rnk
+      FROM d
+    )
+    SELECT qid, vec_id, sim, CAST(rnk AS INT) AS rnk
+    FROM r WHERE rnk <= 10
+    """,
+    doc="EXACT multi-query cosine top-10 via the partition-local "
+        "BLAS top-k + merge primitive (the ground-truth shape the "
+        "bench recall section uses: no corpus × queries shuffle — "
+        "only partitions × |Q| × k candidate rows reach the merge)",
+)
+def ann08(spark, sf):
+    e = table(spark, sf, "embeddings")
+    queries = (e.filter(F.col("vec_id") < 4)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec")))
+    return S.brute_force_topk_batch(e, queries, k=10)
+
+
+# ------------------------------------------------------------------
 def _lsh_oracle_sql(k: int = 5, n_planes: int = 4, n_tables: int = 8,
                     dim: int = 64, seed: int = 42) -> str:
     """Generated DuckDB oracle for ann03: the hyperplanes are

@@ -75,7 +75,11 @@ def test_partial_aggregation_q08(spark):
 # documented Arrow-batch escape hatch (real BMP/PPM codec for mm02/03)
 _PY_ALLOWED = {"mm01_extract_meta", "mm02_real_decode", "mm03_real_resize",
                "mm04_entropy_decode", "mm05_wav_features",
-               "mm06_video_frame_sample", "mm07_jpeg_decode"}
+               "mm06_video_frame_sample", "mm07_jpeg_decode",
+               # ann08's partition-local BLAS top-k IS the Arrow
+               # kernel (one matmul per batch) — the alternative is
+               # the corpus × queries shuffle it exists to avoid
+               "ann08_bruteforce_batch"}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
