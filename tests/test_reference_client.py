@@ -187,3 +187,64 @@ def test_json_clients_still_work(binsrv):
     with jconnect(host, port) as c:
         assert c.execute("use wiredb").ok()
         assert c.oneValue("select count(*) from lineitem") > 0
+
+
+@pytest.fixture(scope="module")
+def nowapi_mod(now_mod):
+    """The reference's PEP 249 layer (pynow/nowapi.py) imported
+    verbatim on top of the shimmed `now` module — the full reference
+    client STACK (nowapi → now.py → libnowdbclient ABI → binary wire)
+    with zero edits."""
+    spec = importlib.util.spec_from_file_location(
+        "ref_nowapi", REF_NOW.parent / "nowapi.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["now"] = sys.modules["ref_now"]    # its `import now`
+    sys.modules["ref_nowapi"] = mod
+    try:
+        spec.loader.exec_module(mod)
+        yield mod
+    finally:
+        sys.modules.pop("now", None)
+        sys.modules.pop("ref_nowapi", None)
+
+
+def test_reference_nowapi_pep249_stack(nowapi_mod, binsrv):
+    """connect(db=...), %s paramstyle, description from the
+    reference's own SELECT-list parser, dictrow/tuplerow formats,
+    fetchone/fetchmany/fetchall batching over the 7-row cursor
+    frames, and TIME→datetime conversion — all through nowapi.py
+    unmodified."""
+    from datetime import datetime as _dt
+    (host, port), _ = binsrv
+    with nowapi_mod.connect(host, str(port), None, None,
+                            "wiredb") as c:
+        cur = c.cursor()
+        cur.execute("select l_orderkey, l_quantity from lineitem "
+                    "where l_orderkey = %s", (1,))
+        assert [d[0] for d in cur.description] == ["l_orderkey",
+                                                  "l_quantity"]
+        rows = cur.fetchall()
+        assert rows and all(r["l_orderkey"] == 1 for r in rows)
+        assert cur.rowcount == len(rows)
+        cur.close()
+
+        # tuplerow + iteration across multiple 7-row frames
+        cur2 = c.execute("select l_orderkey from lineitem "
+                         "order by l_orderkey limit 20",
+                         rowformat=nowapi_mod.tuplerow)
+        got = [r[0] for r in iter(cur2.fetchone, None)]
+        assert len(got) == 20 and got == sorted(got)
+        cur2.close()
+
+        # TIME fields arrive as datetime via the reference's convert()
+        cur3 = c.execute("select ts from events limit 2",
+                         rowformat=nowapi_mod.listrow)
+        two = cur3.fetchmany(2)
+        assert len(two) == 2
+        assert all(isinstance(r[0], _dt) for r in two)
+        cur3.close()
+
+        # DatabaseError surfaces server-side failures
+        cur4 = c.cursor()
+        with pytest.raises(nowapi_mod.DatabaseError):
+            cur4.execute("select zz from no_such_ctx")
