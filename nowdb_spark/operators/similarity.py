@@ -598,6 +598,12 @@ def brute_force_topk_batch(corpus: DataFrame, queries: DataFrame,
     globals().setdefault("pd", pd)
 
     qrows = queries.select(qid_col, qvec_col).collect()
+    schema_empty = f"{qid_col} long, {id_col} long, sim double"
+    if not qrows:
+        spark = corpus.sparkSession
+        return (spark.createDataFrame([], schema_empty)
+                .withColumn("rnk", F.lit(1).cast("int"))
+                .filter(F.lit(False)))
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     qn = np.linalg.norm(Q, axis=1)
