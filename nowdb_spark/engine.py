@@ -754,10 +754,21 @@ class Engine:
             else:
                 path, overrides, fmt, opts = m, {}, "parquet", {}
                 refresh = False
-            key = (sc.name, name, repr(m))
-            hit = None if refresh else self._mount_df_cache.get(key)
-            if hit is not None:
-                df, types = hit
+            # cache identity = mount definition + data mtime: a
+            # cached DataFrame snapshots the file listing, so a
+            # re-mount or an external rewrite of the same path must
+            # miss (the dir mtime changes when files are added or
+            # replaced). One entry per (scope, context) — a changed
+            # stamp REPLACES the stale entry rather than leaking it.
+            try:
+                stamp = os.stat(path).st_mtime_ns
+            except OSError:
+                stamp = 0
+            ck = (sc.name, name)
+            ident = (repr(m), stamp)
+            hit = None if refresh else self._mount_df_cache.get(ck)
+            if hit is not None and hit[0] == ident:
+                _, df, types = hit
                 return df, dict(types), None
             reader = self.spark.read.format(fmt)
             for k, v in opts.items():
@@ -774,7 +785,7 @@ class Engine:
                 types[c] = "time"
             types.update(overrides)
             if not refresh:
-                self._mount_df_cache[key] = (df, dict(types))
+                self._mount_df_cache[ck] = (ident, df, dict(types))
             return df, types, None
         if name in sc.meta.views:
             if name in self._view_stack:
@@ -821,7 +832,8 @@ class Engine:
         df = df.select(*[p.name for p in tdef.props])
         return df, tdef.prop_types(), tdef
 
-    def _bind_select(self, n: A.Select) -> DataFrame:
+    def _bind_select(self, n: A.Select,
+                     type_sink: dict | None = None) -> DataFrame:
         # Period-prune ONLY the select target: the WHERE clause's stamp
         # conjuncts constrain the target's stamp, not a joined vertex's
         # same-named stamp prop — pruning a joined context with them
@@ -833,7 +845,13 @@ class Engine:
             # a lost optimization, never lost rows)
             where = n.where if (isinstance(n, A.Select)
                                 and name == n.target) else None
-            return self._load_context_pruned(name, where)
+            res = self._load_context_pruned(name, where)
+            if type_sink is not None:
+                # record the DECLARED nowdb type of every source
+                # column so the wire layer can label stamps TIME by
+                # metadata instead of guessing from column names
+                type_sink.update(res[1])
+            return res
         return SelectBinder(self.spark, loader, None,
                             strict=self.strict).bind(n)
 
@@ -875,7 +893,9 @@ class Engine:
     def _select(self, n: A.Select) -> Result:
         if self.strict and isinstance(n, A.Select):
             self._validate_strict_indexes(n)
-        cur = CursorResult(self._bind_select(n))
+        stmt_types: dict = {}
+        cur = CursorResult(self._bind_select(n, stmt_types))
+        cur.source_types = stmt_types
         # register for FETCH/CLOSE paging (server-side cursor ids,
         # ifc/nowdb.c:1206 openCursor)
         cid = str(self._next_cursor)

@@ -408,12 +408,15 @@ class FakeNowClientLib:
 
     # --- time helpers (nowclient.h tail) ---------------------------
     def _impl_nowdb_time_parse(self, buf, frm, tref):
-        from datetime import datetime, timezone
+        from datetime import datetime, timedelta, timezone
         try:
             s = _cstr(buf).decode()
             f = _cstr(frm).decode()
             dt = datetime.strptime(s, f).replace(tzinfo=timezone.utc)
-            ns = int(dt.timestamp() * 1_000_000) * 1000
+            # integer µs — float timestamp() loses 1 µs on 2^50-scale
+            # counts (same fix as wire.encode_value)
+            epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
+            ns = ((dt - epoch) // timedelta(microseconds=1)) * 1000
             tref._obj.value = ns
             return OK
         except (ValueError, AttributeError):
@@ -428,7 +431,17 @@ class FakeNowClientLib:
                                         tz=timezone.utc)
             dt = dt.replace(microsecond=(ns % 1_000_000_000) // 1000)
             s = dt.strftime(f).encode()[: _cint(mx) - 1] + b"\x00"
-            ctypes.memmove(_handle(buf), s, len(s))
+            # a real ctypes char buffer unwraps via addressof, NOT
+            # _handle (whose .value for a fresh buffer is b'' -> 0,
+            # and memmove(0, ...) is an uncatchable SIGSEGV)
+            obj = getattr(buf, "_obj", buf)
+            if isinstance(obj, ctypes.Array):
+                dst = ctypes.addressof(obj)
+            else:
+                dst = _handle(buf)
+            if not dst:
+                return ERR_INVALID
+            ctypes.memmove(dst, s, len(s))
             return OK
         except (ValueError, AttributeError, OSError):
             return ERR_INVALID

@@ -800,11 +800,19 @@ def make_jpeg_codec() -> SimpleNamespace:
             elif m == 0xDD:                        # DRI
                 dri = struct.unpack_from(">H", seg, 0)[0]
             elif m == 0xDA:                        # SOS (one of many)
+                if comps is None:
+                    raise ValueError("SOS before SOF")
                 nc = seg[0]
+                if nc < 1:
+                    raise ValueError("empty scan")
                 order = []
                 for c in range(nc):
                     cid, tids = seg[1 + 2 * c], seg[2 + 2 * c]
-                    comp = next(x for x in comps if x["id"] == cid)
+                    match = [x for x in comps if x["id"] == cid]
+                    if not match:
+                        raise ValueError("scan references unknown "
+                                         "component")
+                    comp = match[0]
                     comp["dc"] = huff.get((0, tids >> 4))
                     comp["ac"] = huff.get((1, tids & 0x0F))
                     order.append(comp)

@@ -989,6 +989,19 @@ def semdedup(corpus: DataFrame, n_centroids: int = 16, iters: int = 3,
                     F.col("dup_of").isNotNull().alias("is_dup")))
 
 
+def _residual_expr(centroids: list[list[float]],
+                   vec_col: str) -> Column:
+    """v − centroid[cid] as one zip_with over the C×D centroid
+    literal (cid selects the row) — THE residual formula; every
+    IVFADC site (ivf_residuals, ivf_pq_topk's encode and query
+    re-centering) uses this single definition."""
+    centl = F.array(*[F.array(*[F.lit(float(w)) for w in c])
+                      for c in centroids])
+    return F.zip_with(F.col(vec_col),
+                      F.element_at(centl, F.col("cid") + 1),
+                      lambda a, b: a.cast("double") - b)
+
+
 def ivf_residuals(corpus: DataFrame, centroids: list[list[float]],
                   id_col: str = "vec_id", vec_col: str = "embedding",
                   kernel: str = "column",
@@ -999,13 +1012,9 @@ def ivf_residuals(corpus: DataFrame, centroids: list[list[float]],
     calls instead of re-running k-means + training per query batch."""
     indexed = ivf_index(corpus.select(id_col, vec_col), centroids,
                         vec_col, kernel=kernel)
-    centl = F.array(*[F.array(*[F.lit(float(w)) for w in c])
-                      for c in centroids])
     return indexed.select(
         id_col, "cid",
-        F.zip_with(F.col(vec_col),
-                   F.element_at(centl, F.col("cid") + 1),
-                   lambda a, b: a.cast("double") - b).alias(out_col))
+        _residual_expr(centroids, vec_col).alias(out_col))
 
 
 def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
@@ -1061,16 +1070,11 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
                                      vec_col, id_col, kernel=kernel)
     indexed = ivf_index(corpus.select(id_col, vec_col), centroids,
                         vec_col, kernel=kernel)
-    centl = F.array(*[F.array(*[F.lit(float(w)) for w in c])
-                      for c in centroids])
     enc_col = vec_col
     if residual:
         enc_col = "__rvec"
         indexed = indexed.withColumn(
-            enc_col,
-            F.zip_with(F.col(vec_col),
-                       F.element_at(centl, F.col("cid") + 1),
-                       lambda a, b: a.cast("double") - b))
+            enc_col, _residual_expr(centroids, vec_col))
     if codebooks is None:
         codebooks = pq_train_codebooks(
             indexed, dim=len(centroids[0]), m=pq_m, k=pq_k,
@@ -1095,10 +1099,7 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
     if residual:
         qcol = "__qres"
         cands = cands.withColumn(
-            qcol,
-            F.zip_with(F.col(qvec_col),
-                       F.element_at(centl, F.col("cid") + 1),
-                       lambda a, b: a.cast("double") - b))
+            qcol, _residual_expr(centroids, qvec_col))
     dist = F.round(_adc_dist(codebooks, "code", qcol), 6)
     w = W.partitionBy(qid_col).orderBy(F.col("dist").asc(), F.col(id_col))
     adc = (cands.select(F.col(qid_col), F.col(id_col),

@@ -71,14 +71,26 @@ def _serialize(res: Result) -> dict:
     return {"kind": "status", **base}
 
 
+class _RowTooBig(RuntimeError):
+    """A single encoded row exceeds the client's fixed frame buffer."""
+
+
 class _Session(socketserver.StreamRequestHandler):
     def handle(self):  # one thread per session (reference parity)
         eng: Engine = self.server.engine
         lock: threading.Lock = self.server.exec_lock
-        head = self.rfile.read(3)
-        if head == b"SQL":
-            self._handle_binary(eng, lock)
+        # sniff ONE byte: only a binary session can start with 'S'
+        # (JSON requests are '{'-led lines); reading 3 up front
+        # deadlocked any JSON client whose first line was < 3 bytes
+        head = self.rfile.read(1)
+        if not head:
             return
+        if head == b"S":
+            rest = self.rfile.read(2)
+            if rest == b"QL":
+                self._handle_binary(eng, lock)
+                return
+            head += rest
         self._pushback = head
         self._handle_json(eng, lock)
 
@@ -121,7 +133,12 @@ class _Session(socketserver.StreamRequestHandler):
                     # openCursor semantics (ifc/nowdb.c:1206): first
                     # batch rides with the cursor frame; an empty
                     # cursor is a bare EOF and is closed server-side
-                    payload = self._encode_batch(res, batch)
+                    try:
+                        payload = self._encode_batch(res, batch)
+                    except _RowTooBig as e:
+                        eng._cursors.pop(res.cursor_id, None)
+                        self._send_raw(wire.frame_err(1, str(e)))
+                        continue
                     if payload is None:
                         eng._cursors.pop(res.cursor_id, None)
                         self._send_raw(wire.frame_eof())
@@ -146,7 +163,13 @@ class _Session(socketserver.StreamRequestHandler):
         if cur is None:
             self._send_raw(wire.frame_err(1, "not an open cursor"))
             return
-        payload = self._encode_batch(cur, self.server.cursor_batch_rows)
+        try:
+            payload = self._encode_batch(
+                cur, self.server.cursor_batch_rows)
+        except _RowTooBig as e:
+            eng._cursors.pop(cid, None)
+            self._send_raw(wire.frame_err(1, str(e)))
+            return
         if payload is None:
             self._send_raw(wire.frame_eof())
             return
@@ -171,6 +194,13 @@ class _Session(socketserver.StreamRequestHandler):
             for i, v in enumerate(r):
                 wire.encode_value(v, out, hints[i])
             out.append(wire.EOR)
+            if len(out) - n0 > wire.MAX_FRAME - 16:
+                # a SINGLE row the client's fixed 1 MB buffer cannot
+                # hold: surface an error frame instead of emitting an
+                # oversized frame that aborts the connection
+                raise _RowTooBig(
+                    f"row exceeds wire frame limit "
+                    f"({len(out) - n0} bytes)")
             if len(out) > 0x80000 and sent > 0:
                 del out[n0:]  # push this row back
                 break
@@ -180,12 +210,17 @@ class _Session(socketserver.StreamRequestHandler):
 
     @staticmethod
     def _hints(cur: CursorResult) -> list:
-        """Wire type hints per column: int64 stamp columns go out as
-        TIME so typedField sees the reference's type byte."""
+        """Wire type hints per column: columns the engine DECLARED
+        as time (mount overrides, stamp props — threaded through
+        CursorResult.source_types at bind time) go out with the TIME
+        type byte when they are physically int64 ns stamps. Computed
+        aliases fall back to physical inference."""
         try:
             from nowdb_spark.engine import _infer_nowdb_types
             t = _infer_nowdb_types(cur.df)
-            return [("time" if c == "ts" and t.get(c) == "int"
+            src = getattr(cur, "source_types", None) or {}
+            return [("time" if src.get(c) == "time"
+                     and t.get(c) == "int"
                      else t.get(c)) for c in cur.columns]
         except Exception:  # noqa: BLE001
             return [None] * len(cur.columns)
@@ -196,12 +231,13 @@ class _Session(socketserver.StreamRequestHandler):
 
     # --- JSON session ----------------------------------------------
     def _handle_json(self, eng: Engine, lock: threading.Lock) -> None:
-        first = True
+        left = getattr(self, "_pushback", b"")
         while True:
-            line = self.rfile.readline()
-            if first:
-                line = self._pushback + line
-                first = False
+            if b"\n" in left:
+                nl = left.index(b"\n") + 1
+                line, left = left[:nl], left[nl:]
+            else:
+                line, left = left + self.rfile.readline(), b""
             if not line:
                 break
             try:

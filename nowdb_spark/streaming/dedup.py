@@ -132,6 +132,82 @@ def stream_lsh_candidates(df: DataFrame, content_col: str = "text",
                                     "update", GroupStateTimeout.NoTimeout))
 
 
+def maintain_index_batch(batch_df: DataFrame, batch_id: int,
+                         index_dir: str, content_col: str = "text",
+                         id_col: str = "doc_id", k: int = 8,
+                         bands: int = 4, threshold: float = 0.5,
+                         shingle_n: int = 3, hash_fn: str = "md5",
+                         compact: bool = False,
+                         exact_dir: str | None = None,
+                         pairs_dir: str | None = None) -> None:
+    """ONE micro-batch of index maintenance (the foreachBatch body of
+    stream_index_maintenance, module-level so replay idempotency is
+    directly testable): probe pairs against the index-so-far, extend
+    the band index under batch=<id>, record first-seen content hashes.
+    All writes overwrite the batch's own partition, and all READS
+    exclude it — a replayed batch therefore sees exactly the state of
+    its first attempt and rewrites identical files."""
+    from nowdb_spark.operators import dedup as D
+
+    spark = batch_df.sparkSession
+    batch_df = batch_df.persist()
+    try:
+        try:
+            # exclude this batch's OWN partition: a replayed
+            # micro-batch (failure before checkpoint commit) must
+            # see exactly the state its first attempt saw, or the
+            # probe matches the half-written previous attempt
+            # string compare: seed partitions ('batch=seed') would
+            # null out under an int comparison and vanish
+            idx = (spark.read.option("basePath", index_dir)
+                   .parquet(index_dir)
+                   .filter(F.col("batch").cast("string")
+                           != str(batch_id)))
+            have_idx = True
+        except Exception:  # noqa: BLE001  (first batch, empty dir)
+            have_idx = False
+        if pairs_dir is not None:
+            if have_idx:
+                pairs = D.lsh_increment_pairs(
+                    idx.select(id_col, "sig", "band_id", "band_key"),
+                    batch_df, content_col, id_col, k, bands,
+                    threshold, shingle_n, hash_fn, compact)
+            else:
+                pairs = D.minhash_lsh_pairs(
+                    batch_df, content_col, id_col, k, bands,
+                    threshold, shingle_n, hash_fn, compact)
+            pairs.write.mode("overwrite").parquet(
+                f"{pairs_dir}/batch={batch_id}")
+        D.lsh_index(batch_df, content_col, id_col, k, bands,
+                    shingle_n, hash_fn, compact) \
+            .write.mode("overwrite") \
+            .parquet(f"{index_dir}/batch={batch_id}")
+        if exact_dir is not None:
+            batch_hashed = batch_df.select(
+                F.col(id_col),
+                F.md5(F.col(content_col)).alias("content_hash"))
+            fresh = (batch_hashed.groupBy("content_hash")
+                     .agg(F.min(id_col).alias("canonical_id")))
+            try:
+                # same self-exclusion: replaying batch N must not
+                # anti-join against batch N's own previous write,
+                # which would overwrite the partition with an
+                # EMPTY frame and lose its first-seen hashes
+                known = (spark.read.option("basePath", exact_dir)
+                         .parquet(exact_dir)
+                         .filter(F.col("batch").cast("string")
+                                 != str(batch_id))
+                         .select("content_hash"))
+                fresh = fresh.join(known, "content_hash",
+                                   "left_anti")
+            except Exception:  # noqa: BLE001
+                pass
+            fresh.write.mode("overwrite").parquet(
+                f"{exact_dir}/batch={batch_id}")
+    finally:
+        batch_df.unpersist()
+
+
 def stream_index_maintenance(stream_df: DataFrame, index_dir: str,
                              checkpoint_dir: str,
                              content_col: str = "text",
@@ -172,51 +248,11 @@ def stream_index_maintenance(stream_df: DataFrame, index_dir: str,
     arrival order (corpus ids < batch ids), so min-id canonicals are
     stable as the stream grows.
     """
-    from nowdb_spark.operators import dedup as D
-
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        batch_df = batch_df.persist()
-        try:
-            try:
-                idx = spark.read.option("basePath", index_dir) \
-                    .parquet(index_dir)
-                have_idx = True
-            except Exception:  # noqa: BLE001  (first batch, empty dir)
-                have_idx = False
-            if pairs_dir is not None:
-                if have_idx:
-                    pairs = D.lsh_increment_pairs(
-                        idx.select(id_col, "sig", "band_id", "band_key"),
-                        batch_df, content_col, id_col, k, bands,
-                        threshold, shingle_n, hash_fn, compact)
-                else:
-                    pairs = D.minhash_lsh_pairs(
-                        batch_df, content_col, id_col, k, bands,
-                        threshold, shingle_n, hash_fn, compact)
-                pairs.write.mode("overwrite").parquet(
-                    f"{pairs_dir}/batch={batch_id}")
-            D.lsh_index(batch_df, content_col, id_col, k, bands,
-                        shingle_n, hash_fn, compact) \
-                .write.mode("overwrite") \
-                .parquet(f"{index_dir}/batch={batch_id}")
-            if exact_dir is not None:
-                batch_hashed = batch_df.select(
-                    F.col(id_col),
-                    F.md5(F.col(content_col)).alias("content_hash"))
-                fresh = (batch_hashed.groupBy("content_hash")
-                         .agg(F.min(id_col).alias("canonical_id")))
-                try:
-                    known = spark.read.option("basePath", exact_dir) \
-                        .parquet(exact_dir).select("content_hash")
-                    fresh = fresh.join(known, "content_hash",
-                                       "left_anti")
-                except Exception:  # noqa: BLE001
-                    pass
-                fresh.write.mode("overwrite").parquet(
-                    f"{exact_dir}/batch={batch_id}")
-        finally:
-            batch_df.unpersist()
+        maintain_index_batch(batch_df, batch_id, index_dir,
+                             content_col, id_col, k, bands, threshold,
+                             shingle_n, hash_fn, compact,
+                             exact_dir, pairs_dir)
 
     return (stream_df.writeStream
             .foreachBatch(per_batch)

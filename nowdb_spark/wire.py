@@ -36,7 +36,7 @@ all three, always emit LE.
 from __future__ import annotations
 
 import struct
-from datetime import date, datetime, timezone
+from datetime import date, datetime, timedelta, timezone
 
 EOR = 0x0A
 STATUS, REPORT, ROW, CURSOR = 0x21, 0x22, 0x23, 0x24
@@ -56,6 +56,7 @@ _I64 = struct.Struct("<q")
 _F64 = struct.Struct("<d")
 
 _EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
+_US = timedelta(microseconds=1)
 
 
 # --- value encoding ----------------------------------------------------
@@ -94,7 +95,9 @@ def encode_value(v, out: bytearray, hint: str | None = None) -> None:
     elif isinstance(v, datetime):
         # engine timestamps that stayed native (TPC-H dates) -> TIME ns
         dt = v if v.tzinfo else v.replace(tzinfo=timezone.utc)
-        ns = int((dt - _EPOCH).total_seconds() * 1_000_000) * 1000
+        # integer µs — total_seconds() is a float and silently loses
+        # 1 µs on ~1% of post-2004 stamps (2^50-scale µs counts)
+        ns = ((dt - _EPOCH) // _US) * 1000
         out.append(T_TIME)
         out += _I64.pack(ns)
     elif isinstance(v, date):

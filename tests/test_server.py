@@ -70,3 +70,40 @@ def test_pynow_style_connect(server):
         con.rexecute("create type t (k uint pk, v float)")
         con.rexecute("insert into t values (1, 2.5)")
         assert con.oneValue("select sum(v) from t") == 2.5
+
+
+def test_wire_datetime_ns_exact():
+    """encode_value must convert datetimes to ns with INTEGER µs
+    arithmetic — float total_seconds() loses 1 µs on ~1% of
+    post-2004 stamps (2^50-scale µs counts)."""
+    import struct as _struct
+    from datetime import datetime, timedelta, timezone
+
+    from nowdb_spark import wire
+
+    epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
+    for us in range(2147778872552100, 2147778872552200):
+        out = bytearray()
+        wire.encode_value(epoch + timedelta(microseconds=us), out)
+        ns = _struct.unpack("<q", bytes(out[1:9]))[0]
+        assert ns == us * 1000, us
+
+
+def test_json_short_first_line(server):
+    """A sub-3-byte first line must get a reply, not deadlock the
+    sniffer (it previously blocked reading 3 bytes up front)."""
+    import json as _json
+    import socket
+
+    host, port = server
+    with socket.create_connection((host, port), timeout=10) as s:
+        s.sendall(b"x\n")
+        s.settimeout(10)
+        buf = b""
+        while not buf.endswith(b"\n"):
+            chunk = s.recv(4096)
+            if not chunk:
+                break
+            buf += chunk
+        rsp = _json.loads(buf)
+        assert rsp["ok"] is False

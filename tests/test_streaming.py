@@ -463,3 +463,50 @@ def test_streaming_index_maintenance_matches_batch(spark, tmp_path):
             for r in D.minhash_lsh_pairs(docs).collect()}
     want_pairs = {p for p in full if p[0] >= cut or p[1] >= cut}
     assert got_pairs == want_pairs
+
+
+def test_index_maintenance_replay_idempotent(spark, tmp_path):
+    """A replayed micro-batch (failure before the checkpoint commit)
+    must leave the SAME state as running it once: every read inside
+    maintain_index_batch excludes the batch's own partition, so the
+    replay cannot anti-join against its first attempt's write — the
+    bug that silently emptied exact_dir/batch=N on replay."""
+    from nowdb_spark.operators import dedup as D
+    from nowdb_spark.streaming.dedup import maintain_index_batch
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 300)
+    batch = docs.filter((F.col("doc_id") >= 300)
+                        & (F.col("doc_id") < 360))
+
+    index_dir = str(tmp_path / "lshidx")
+    exact_dir = str(tmp_path / "exidx")
+    pairs_dir = str(tmp_path / "pairs")
+    D.lsh_index(corpus).write.parquet(f"{index_dir}/batch=seed")
+    (D.exact_dedup(corpus).groupBy("content_hash")
+     .agg(F.min("canonical_id").alias("canonical_id"))
+     .write.parquet(f"{exact_dir}/batch=seed"))
+
+    def state():
+        ex = {(r["content_hash"], r["canonical_id"])
+              for r in spark.read.option("basePath", exact_dir)
+              .parquet(exact_dir)
+              .select("content_hash", "canonical_id").collect()}
+        ix = spark.read.option("basePath", index_dir) \
+            .parquet(index_dir).count()
+        pr = {(r["doc_a"], r["doc_b"])
+              for r in spark.read.option("basePath", pairs_dir)
+              .parquet(pairs_dir).select("doc_a", "doc_b").collect()}
+        return ex, ix, pr
+
+    maintain_index_batch(batch, 0, index_dir,
+                         exact_dir=exact_dir, pairs_dir=pairs_dir)
+    first = state()
+    assert any(c >= 300 for _, c in first[0]), \
+        "batch must contribute first-seen hashes"
+    # replay the SAME batch id — state must be unchanged
+    maintain_index_batch(batch, 0, index_dir,
+                         exact_dir=exact_dir, pairs_dir=pairs_dir)
+    assert state() == first

@@ -66,6 +66,11 @@ def main() -> None:
               file=sys.stderr)
 
     ran = [(n, p, v) for n, p, v in SCALES if n in results]
+    if not ran:
+        print(json.dumps({"metric": "scale_check", "scales": {},
+                          "violations": ["no scale dirs found — run "
+                                         "tools/scale_data.py first"]}))
+        sys.exit(1)
     queries = sorted(results[ran[0][0]]["queries"])
     viol: list[str] = []
     rows = []
