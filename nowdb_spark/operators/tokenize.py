@@ -265,3 +265,203 @@ def bpe_encode(df: DataFrame, merges: list, vocab: list,
     return (df.select(F.col(id_col),
                       enc(F.col(text_col)).alias("token_ids"))
             .withColumn("n_tokens", F.size("token_ids").cast("long")))
+
+
+# ================================================================ unigram LM
+# SentencePiece-style unigram tokenizer (Kudo 2018, arXiv:1804.10959)
+# with an INTEGER Viterbi objective so the whole training loop —
+# substring seeding, EM re-estimation, final segmentation — replays
+# value-exact in the gate's DuckDB oracle. The float log-likelihood
+# objective would hinge on libm ln() ulps that differ across engines
+# (the same reason ts07 pins alpha off dyadic values); the integer
+# stand-in ranks segmentations by (fewest pieces, then highest total
+# piece frequency), which is the longest-match bias every production
+# unigram/WordPiece tokenizer converges toward. `objective="loglik"`
+# in viterbi_word gives the real -log p DP for in-Python use.
+#
+# Division of labor at 100 TB (same split as BPE above):
+#   * word counting — the only full-corpus pass (word_freq).
+#   * seeding + EM — on the word-frequency table, capped at
+#     `top_words` (vocabulary-scale, ≪ corpus). Driver mode loops in
+#     Python over that bounded table, exactly what SentencePiece does
+#     after its own counting pass.
+#   * segmentation — embarrassingly parallel Arrow-batched map; the
+#     final vocab broadcasts as a plain dict in the UDF closure.
+
+_UNI_K = 10 ** 12    # piece-count dominator: counts stay far below
+#                      this, so K·n_pieces − Σcount orders first by
+#                      piece count, then by total frequency; 8-piece
+#                      paths stay far inside int64
+
+
+def viterbi_word(word: str, scores: dict, max_piece_len: int = 4,
+                 objective: str = "count") -> list:
+    """Min-cost segmentation of one word over `scores` (piece→count).
+
+    objective="count": integer cost K − count(piece) per piece —
+    smallest-i tie-break (iterate i ascending, strict <), mirrored
+    exactly by the oracle's row_number ORDER BY cost, pos.
+    objective="loglik": classic −ln(count/total) Viterbi (floats; not
+    used by the gate).
+    A word with no path (a character absent from scores) comes back
+    whole, as a single unknown token.
+    """
+    import math
+    n = len(word)
+    if objective == "loglik":
+        tot = sum(scores.values()) or 1
+
+        def cost_of(c):
+            return -math.log(c / tot)
+    else:
+        def cost_of(c):
+            return _UNI_K - c
+    best: list = [None] * (n + 1)
+    back: list = [None] * (n + 1)
+    best[0] = 0
+    for j in range(1, n + 1):
+        for i in range(max(0, j - max_piece_len), j):
+            if best[i] is None:
+                continue
+            c = scores.get(word[i:j])
+            if c is None:
+                continue
+            cand = best[i] + cost_of(c)
+            if best[j] is None or cand < best[j]:
+                best[j], back[j] = cand, i
+    if best[n] is None:
+        return [word]
+    out, j = [], n
+    while j > 0:
+        i = back[j]
+        out.append(word[i:j])
+        j = i
+    return out[::-1]
+
+
+def _substring_counts_py(freqs: dict, max_piece_len: int) -> dict:
+    """Every substring occurrence (overlaps counted) weighted by word
+    frequency — the unigram seed statistics."""
+    counts: dict = {}
+    for w, f in freqs.items():
+        n = len(w)
+        for i in range(n):
+            for k in range(1, min(max_piece_len, n - i) + 1):
+                p = w[i:i + k]
+                counts[p] = counts.get(p, 0) + f
+    return counts
+
+
+def _prune_vocab_py(counts: dict, chars: dict, vocab_size: int,
+                    min_count: int) -> dict:
+    """Model update shared by seeding and every EM round: ALL single
+    characters survive (coverage guarantee — a char never in any best
+    path carries count 0), multi-char pieces need count ≥ min_count
+    and a slot in the top `vocab_size` by (count desc, piece asc)."""
+    vocab = {c: counts.get(c, 0) for c in chars}
+    multi = sorted(((p, c) for p, c in counts.items()
+                    if len(p) >= 2 and c >= min_count),
+                   key=lambda pc: (-pc[1], pc[0]))[:vocab_size]
+    vocab.update(dict(multi))
+    return vocab
+
+
+def unigram_train_py(freqs: dict, max_piece_len: int = 4,
+                     vocab_size: int = 64, min_count: int = 2,
+                     iters: int = 1) -> dict:
+    """Reference/driver unigram trainer over a {word: freq} dict.
+
+    Seed = substring counts; each EM round Viterbi-segments every
+    word under the current model (E) and re-estimates piece counts
+    from usage, weighted by word frequency (M). Deterministic —
+    integer scores, total tie-breaks — so the DuckDB oracle replays
+    it CTE-for-CTE."""
+    seed = _substring_counts_py(freqs, max_piece_len)
+    chars = {p: c for p, c in seed.items() if len(p) == 1}
+    vocab = _prune_vocab_py(seed, chars, vocab_size, min_count)
+    for _ in range(iters):
+        usage: dict = {}
+        for w, f in freqs.items():
+            for p in viterbi_word(w, vocab, max_piece_len):
+                usage[p] = usage.get(p, 0) + f
+        vocab = _prune_vocab_py(usage, chars, vocab_size, min_count)
+    return vocab
+
+
+def unigram_train(df: DataFrame, max_piece_len: int = 4,
+                  vocab_size: int = 64, min_count: int = 2,
+                  iters: int = 1, text_col: str = "text",
+                  top_words: int = 1_000_000) -> dict:
+    """Learn a unigram vocabulary (piece → count) from the corpus:
+    one word_freq pass, then the bounded-table Python EM loop (cap
+    deterministic: freq desc, word asc — same policy as bpe_train)."""
+    rows = (word_freq(df, text_col)
+            .orderBy(F.col("freq").desc(), F.col("word"))
+            .limit(top_words).collect())
+    return unigram_train_py({r["word"]: r["freq"] for r in rows},
+                            max_piece_len, vocab_size, min_count,
+                            iters)
+
+
+def unigram_vocab_ids(vocab: dict) -> dict:
+    """piece → id, ids dense in (count desc, piece asc) order — the
+    layout the oracle's row_number reproduces."""
+    ranked = sorted(vocab.items(), key=lambda pc: (-pc[1], pc[0]))
+    return {p: i for i, (p, _) in enumerate(ranked)}
+
+
+def unigram_segment(df: DataFrame, vocab: dict,
+                    max_piece_len: int = 4, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    ids: dict | None = None) -> DataFrame:
+    """Tokenize each document with a trained unigram vocab.
+
+    Returns (id, tokens array<string>, n_tokens) — or token_ids when
+    `ids` (from unigram_vocab_ids; unknowns → -1) is given. Map-side
+    only: the vocab rides the UDF closure, per-word DP results are
+    memoized per batch."""
+    import pandas as pd
+    globals().setdefault("pd", pd)
+
+    if ids is not None:
+        @F.pandas_udf("array<int>")
+        def seg(texts: pd.Series) -> pd.Series:
+            cache: dict = {}
+
+            def run(text):
+                out = []
+                for w in text.split(" "):
+                    if not w:
+                        continue
+                    toks = cache.get(w)
+                    if toks is None:
+                        toks = [ids.get(p, -1) for p in
+                                viterbi_word(w, vocab, max_piece_len)]
+                        cache[w] = toks
+                    out.extend(toks)
+                return out
+            return texts.map(run)
+
+        out_col = "token_ids"
+    else:
+        @F.pandas_udf("array<string>")
+        def seg(texts: pd.Series) -> pd.Series:
+            cache: dict = {}
+
+            def run(text):
+                out = []
+                for w in text.split(" "):
+                    if not w:
+                        continue
+                    toks = cache.get(w)
+                    if toks is None:
+                        toks = viterbi_word(w, vocab, max_piece_len)
+                        cache[w] = toks
+                    out.extend(toks)
+                return out
+            return texts.map(run)
+
+        out_col = "tokens"
+
+    return (df.select(F.col(id_col), seg(F.col(text_col)).alias(out_col))
+            .withColumn("n_tokens", F.size(out_col).cast("long")))

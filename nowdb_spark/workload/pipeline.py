@@ -1465,6 +1465,131 @@ def tx07(spark, sf):
 
 
 # ------------------------------------------------------------------
+_UNI_L, _UNI_VS, _UNI_MC, _UNI_P = 4, 48, 2, 12   # piece len cap,
+#   multi-piece vocab cap, min count, DP unroll depth (max word len
+#   in the corpus is 8; 12 leaves regeneration margin — a pass past
+#   every word's length is an empty CTE, not an error)
+
+
+def _unigram_dp_ctes(rnd: int, voc: str) -> str:
+    """One unrolled Viterbi round over the distinct-word table under
+    model CTE `voc`: a{rnd}_{j} accumulates the single best
+    (cost, path) per (word, position ≤ j); seg{rnd} reads off each
+    word's full-length cell. Tie-break = ORDER BY cost, pos — the
+    exact mirror of viterbi_word's ascending-i strict-< loop."""
+    k = TK._UNI_K
+    parts = [f""",
+a{rnd}_0 AS MATERIALIZED (
+  SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost, '' AS path
+  FROM wf)"""]
+    for j in range(1, _UNI_P + 1):
+        parts.append(f""",
+b{rnd}_{j} AS MATERIALIZED (
+  SELECT word, pos, cost, path FROM (
+    SELECT a.word, {j} AS pos,
+           a.cost + {k} - v.cnt AS cost,
+           a.path || ' ' || v.piece AS path,
+           row_number() OVER (PARTITION BY a.word
+                              ORDER BY a.cost + {k} - v.cnt, a.pos)
+             AS rn
+    FROM a{rnd}_{j - 1} a
+    JOIN {voc} v
+      ON v.piece = substr(a.word, a.pos + 1, {j} - a.pos)
+    WHERE a.pos >= {j - _UNI_L} AND a.pos <= {j - 1}
+      AND len(a.word) >= {j})
+  WHERE rn = 1),
+a{rnd}_{j} AS MATERIALIZED (
+  SELECT * FROM a{rnd}_{j - 1}
+  UNION ALL SELECT * FROM b{rnd}_{j})""")
+    parts.append(f""",
+seg{rnd} AS MATERIALIZED (
+  SELECT a.word, trim(a.path) AS path
+  FROM a{rnd}_{_UNI_P} a WHERE a.pos = len(a.word))""")
+    return "".join(parts)
+
+
+def _unigram_oracle_sql() -> str:
+    """tx09: the unigram trainer replayed end-to-end — substring
+    seeding, one Viterbi-EM round (E = unrolled integer DP, M = usage
+    counts), pruning, and the final segmentation of every document.
+    Same MATERIALIZED discipline as the BPE chain (each a{r}_{j} is
+    read twice)."""
+    return f"""
+WITH wf AS MATERIALIZED (
+  SELECT word, count(*)::BIGINT AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+pc AS MATERIALIZED (
+  SELECT substr(word, i, kk) AS piece, sum(freq)::BIGINT AS cnt
+  FROM wf,
+       LATERAL unnest(generate_series(1, len(word))) AS s(i),
+       LATERAL unnest(generate_series(
+                        1, least({_UNI_L}, len(word) - i + 1))) AS t(kk)
+  GROUP BY 1
+),
+chars AS MATERIALIZED (SELECT piece FROM pc WHERE len(piece) = 1),
+voc0 AS MATERIALIZED (
+  SELECT piece, cnt FROM pc WHERE len(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt FROM pc
+    WHERE len(piece) >= 2 AND cnt >= {_UNI_MC}
+    ORDER BY cnt DESC, piece LIMIT {_UNI_VS})
+){_unigram_dp_ctes(0, "voc0")},
+usage AS MATERIALIZED (
+  SELECT t.piece, sum(wf.freq)::BIGINT AS cnt
+  FROM (SELECT word, unnest(string_split(path, ' ')) AS piece
+        FROM seg0) t
+  JOIN wf ON wf.word = t.word
+  GROUP BY 1
+),
+voc1 AS MATERIALIZED (
+  SELECT c.piece, coalesce(u.cnt, 0)::BIGINT AS cnt
+  FROM chars c LEFT JOIN usage u ON u.piece = c.piece
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt FROM usage
+    WHERE len(piece) >= 2 AND cnt >= {_UNI_MC}
+    ORDER BY cnt DESC, piece LIMIT {_UNI_VS})
+){_unigram_dp_ctes(1, "voc1")},
+toksq AS (
+  SELECT d.doc_id, t.i, g.path
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        FROM documents) d,
+       LATERAL unnest(generate_series(1, len(d.ws))) AS t(i)
+  JOIN seg1 g ON g.word = d.ws[i]
+)
+SELECT doc_id,
+       CAST(sum(len(string_split(path, ' '))) AS BIGINT) AS n_tokens,
+       string_agg(path, ' ' ORDER BY i) AS toks
+FROM toksq GROUP BY doc_id
+"""
+
+
+@register(
+    "tx09_unigram_tokenize",
+    _unigram_oracle_sql(),
+    doc="unigram-LM tokenizer (Kudo 2018, SentencePiece) trained ON "
+        "the corpus — substring seeding, one Viterbi-EM round, "
+        "pruning — then applied to every document. Integer Viterbi "
+        "objective (fewest pieces, then highest total frequency) so "
+        "the full training loop replays value-exact as unrolled "
+        "DP/usage/prune CTEs; the float log-likelihood DP would hinge "
+        "on cross-engine libm ln() ulps (viterbi_word objective="
+        "'loglik' provides it outside the gate).",
+)
+def tx09(spark, sf):
+    d = table(spark, sf, "documents")
+    vocab = TK.unigram_train(
+        d, max_piece_len=_UNI_L, vocab_size=_UNI_VS,
+        min_count=_UNI_MC, iters=1)
+    seg = TK.unigram_segment(spread(d), vocab, max_piece_len=_UNI_L)
+    return seg.select("doc_id", "n_tokens",
+                      F.array_join("tokens", " ").alias("toks"))
+
+
+# ------------------------------------------------------------------
 @register(
     "pr01_profile",
     """

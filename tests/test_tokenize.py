@@ -103,3 +103,70 @@ def test_encode_unknown_token_is_minus_one(spark):
                                   "doc_id long, text string")
     ids = TK.bpe_encode(other, merges, vocab).first()["token_ids"]
     assert -1 in ids                      # '0' never seen in training
+
+
+# ---------------------------------------------------------------- unigram LM
+def test_viterbi_word_objective_and_ties():
+    # 'abab': {ab:5} available -> 2 pieces beat 4 chars
+    scores = {"a": 9, "b": 7, "ab": 5, "ba": 5}
+    assert TK.viterbi_word("abab", scores) == ["ab", "ab"]
+    # tie on piece count (ab+a vs a+ba, both 2 pieces, both sum 14):
+    # ascending-i strict-< keeps the SMALLEST split point -> a + ba
+    assert TK.viterbi_word("aba", scores) == ["a", "ba"]
+    # count tiebreak within equal piece count: higher total frequency
+    assert TK.viterbi_word("ab", {"a": 9, "b": 9, "ab": 1}) == ["ab"]
+    # unknown character -> whole word as single unknown token
+    assert TK.viterbi_word("axb", scores) == ["axb"]
+    # loglik mode prefers the same 2-piece split here
+    assert TK.viterbi_word("abab", scores,
+                           objective="loglik") == ["ab", "ab"]
+
+
+def test_unigram_train_py_hand_example():
+    freqs = {"abab": 10, "ab": 5, "cd": 3}
+    vocab = TK.unigram_train_py(freqs, max_piece_len=2,
+                                vocab_size=4, min_count=2, iters=1)
+    # chars always covered
+    for c in "abcd":
+        assert c in vocab
+    # 'ab' occurs 2*10+5 = 25 times in the seed; after EM every word
+    # segments through it, so usage keeps it on top
+    assert vocab["ab"] == 25
+    assert TK.viterbi_word("abab", vocab, 2) == ["ab", "ab"]
+    # 'ba' seeded at 10 but never used by a best path -> pruned
+    assert "ba" not in vocab
+
+
+def test_unigram_spark_matches_python(spark):
+    docs = _toy(spark)
+    vocab = TK.unigram_train(docs, max_piece_len=3, vocab_size=16,
+                             min_count=2, iters=2)
+    wf = {r["word"]: r["freq"] for r in TK.word_freq(docs).collect()}
+    assert vocab == TK.unigram_train_py(wf, 3, 16, 2, iters=2)
+    got = {r["doc_id"]: (r["tokens"], r["n_tokens"])
+           for r in TK.unigram_segment(docs, vocab, 3).collect()}
+    for row in docs.collect():
+        want = []
+        for w in row["text"].split(" "):
+            if w:
+                want.extend(TK.viterbi_word(w, vocab, 3))
+        assert got[row["doc_id"]] == (want, len(want))
+
+
+def test_unigram_ids_dense_and_unknown(spark):
+    docs = _toy(spark)
+    vocab = TK.unigram_train(docs, max_piece_len=3, vocab_size=16,
+                             min_count=2)
+    ids = TK.unigram_vocab_ids(vocab)
+    assert sorted(ids.values()) == list(range(len(vocab)))
+    # ranked by count desc then piece asc
+    ranked = sorted(vocab.items(), key=lambda pc: (-pc[1], pc[0]))
+    assert [ids[p] for p, _ in ranked] == list(range(len(vocab)))
+    out = TK.unigram_segment(
+        spark.createDataFrame([(0, "low xyzzy")],
+                              "doc_id long, text string"),
+        vocab, 3, ids=ids).collect()[0]
+    assert -1 in out["token_ids"]           # unknown char word
+    assert out["n_tokens"] == len(out["token_ids"])
+    known = [i for i in out["token_ids"] if i >= 0]
+    assert known and all(0 <= i < len(vocab) for i in known)
