@@ -1,0 +1,418 @@
+"""Mergeable sketch aggregates: HyperLogLog, Count-Min, KLL quantiles,
+Bloom membership.
+
+The reference engine computes exact aggregates only (fun/fun.c:
+count/sum/min/max/avg/median/...); at 100 TB several of those stop
+being affordable (exact COUNT DISTINCT shuffles every key; exact
+median shuffles every value). This module adds the standard mergeable
+sketches as first-class operators, built so that
+
+  * every register update is a deterministic md5-derived integer —
+    the SAME bucket/rank arithmetic is expressible in ANSI SQL, so
+    DuckDB replays the whole sketch and the gate compares value-exact
+    (no "approximately equal" escape hatch);
+  * all register sums are INTEGER-scaled (e.g. ``sum(2^(21-rank))``
+    with 4096 registers is < 2^33), so floating-point summation order
+    — the classic cross-engine hash-breaker — cannot appear;
+  * the per-row work is pure Column expressions (JVM-side, inside
+    WholeStageCodegen); the only shuffle is the tiny
+    ``groupBy(register)`` whose key domain is the sketch width.
+
+Shape at 100 TB: each sketch is algebraic — partial registers combine
+by max (HLL), sum (CMS), bit-or (Bloom), or compaction (KLL) — so a
+full-table sketch is one map-side-combined aggregation over a few
+thousand keys.  Compare ``profile.profile(approx=True)`` which uses
+Spark's built-in HLL++; this module exists for when the sketch itself
+must be a queryable, mergeable, persistable artifact (union of daily
+sketches, heavy-hitter monitors, quantile registries).
+
+No counterpart in the reference (beyond exact median at fun/fun.c);
+this is part of the LLM-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet/Fusy/Gandouet/Meunier 2007)
+# ---------------------------------------------------------------------------
+
+HLL_P = 12                     # 2^12 = 4096 registers
+HLL_M = 1 << HLL_P
+HLL_RANK_BITS = 20             # rank in 1..21; see note below
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)   # standard alpha_m, m >= 128
+
+# Register geometry: md5 hex chars [0:3] -> 12-bit register id, hex
+# chars [3:8] -> 20-bit rank field w; rank = (leading zeros of w) + 1,
+# capped at 21.  A 32-bit hash caps reliable cardinality around ~10^8
+# per sketch — the register max() merge is what matters at 100 TB
+# (sketch-per-day, union across days).  The integer-scaled register
+# sum  S* = sum over registers of 2^(21 - rank)  (empty register ->
+# 2^21) is <= 4096 * 2^21 = 2^33: exact in int64 AND exact in any
+# summation order, which is what makes the DuckDB oracle hash-match.
+
+
+def _hex_to_int(hexpr: str, dialect: str) -> str:
+    """hex-string -> BIGINT, per engine: Spark has conv(s,16,10) but
+    will not cast '0x..' strings; DuckDB has no conv but casts
+    '0x..' literals-as-strings.  Same VALUE either way."""
+    if dialect == "spark":
+        return f"CAST(conv({hexpr}, 16, 10) AS BIGINT)"
+    return f"CAST(('0x' || {hexpr}) AS BIGINT)"
+
+
+def _hll_rank_case_sql(w: str) -> str:
+    """rank = clz(w over 20 bits) + 1 as a pure integer CASE chain —
+    identical text runs on Spark SQL and DuckDB (no log2 float risk)."""
+    branches = " ".join(
+        f"WHEN {w} >= {1 << (HLL_RANK_BITS - r)} THEN {r}"
+        for r in range(1, HLL_RANK_BITS + 1))
+    return f"(CASE {branches} ELSE {HLL_RANK_BITS + 1} END)"
+
+
+def _hll_register_exprs(key_sql: str, dialect: str) -> tuple[str, str]:
+    """(register_sql, rank_sql) over a string-typed key expression.
+    Same arithmetic on the Spark side and in the DuckDB oracle; only
+    the hex->int spelling differs per engine."""
+    h = f"md5(CAST({key_sql} AS STRING))"
+    # DuckDB and Spark both expose substring(s, start, len) 1-based.
+    reg = _hex_to_int(f"substring({h}, 1, 3)", dialect)
+    w = _hex_to_int(f"substring({h}, 4, 5)", dialect)
+    return reg, _hll_rank_case_sql(w)
+
+
+def hll_sketch(df: DataFrame, col: str) -> DataFrame:
+    """Build the HLL register table: (register, max_rank), one row per
+    non-empty register.  Mergeable: union two sketches and re-take
+    ``max(max_rank)`` per register.  NULLs are skipped (SQL COUNT
+    DISTINCT semantics)."""
+    reg_sql, rank_sql = _hll_register_exprs(col, "spark")
+    return (df.where(F.col(col).isNotNull())
+              .select(F.expr(reg_sql).alias("register"),
+                      F.expr(rank_sql).alias("rank"))
+              .groupBy("register")
+              .agg(F.max("rank").alias("max_rank")))
+
+
+def hll_estimate(sketch: DataFrame) -> DataFrame:
+    """One-row estimate frame from a register table:
+    (n_registers_set, s_scaled, estimate).  ``s_scaled`` is the exact
+    integer  sum 2^(21-max_rank) + (m - set) * 2^21 ; the estimate is
+    the standard bias-corrected harmonic mean with the small-range
+    linear-counting correction, rounded to 4 decimals."""
+    top = HLL_RANK_BITS + 1     # 21
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("n_registers_set"),
+        F.sum(F.expr(f"CAST(pow(2, {top} - max_rank) AS BIGINT)"))
+         .alias("s_set"))
+    scale = float(1 << top)
+    est_raw = (F.lit(HLL_ALPHA * HLL_M * HLL_M * scale)
+               / F.col("s_scaled").cast("double"))
+    zeros = F.lit(HLL_M) - F.col("n_registers_set")
+    linear = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros.cast("double"))
+    est = F.when((est_raw <= F.lit(2.5 * HLL_M)) & (zeros > 0), linear) \
+           .otherwise(est_raw)
+    return (agg
+            .withColumn("s_scaled",
+                        F.col("s_set")
+                        + (F.lit(HLL_M) - F.col("n_registers_set"))
+                        * F.lit(1 << top))
+            .select("n_registers_set", "s_scaled",
+                    F.round(est, 4).alias("estimate")))
+
+
+def hll_distinct(df: DataFrame, col: str) -> DataFrame:
+    """Convenience: sketch + estimate in one call."""
+    return hll_estimate(hll_sketch(df, col))
+
+
+def hll_oracle_sql(table: str, col: str,
+                   where: str = "1=1") -> str:
+    """The unrolled DuckDB replay of hll_distinct — same md5 register
+    arithmetic, same integer-scaled sum, same correction branch."""
+    reg_sql, rank_sql = _hll_register_exprs(col, "duckdb")
+    top = HLL_RANK_BITS + 1
+    m = HLL_M
+    # one pre-multiplied double literal: DuckDB would otherwise parse
+    # the alpha constant as DECIMAL and overflow the multiplication
+    num = repr(HLL_ALPHA * HLL_M * HLL_M * float(1 << top))
+    return f"""
+WITH regs AS (
+  SELECT {reg_sql} AS register, MAX({rank_sql}) AS max_rank
+  FROM {table}
+  WHERE {col} IS NOT NULL AND ({where})
+  GROUP BY 1
+), agg AS (
+  SELECT COUNT(*) AS n_registers_set,
+         CAST(SUM(CAST(pow(2, {top} - max_rank) AS BIGINT))
+              + ({m} - COUNT(*)) * {1 << top} AS BIGINT) AS s_scaled
+  FROM regs
+)
+SELECT n_registers_set, s_scaled,
+       ROUND(CASE WHEN ({num} / CAST(s_scaled AS DOUBLE)) <= {2.5 * m}
+                   AND ({m} - n_registers_set) > 0
+             THEN {float(m)} * ln({float(m)}
+                                  / CAST({m} - n_registers_set AS DOUBLE))
+             ELSE {num} / CAST(s_scaled AS DOUBLE) END, 4) AS estimate
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode/Muthukrishnan 2005) + heavy hitters
+# ---------------------------------------------------------------------------
+
+CMS_WIDTH = 1024
+CMS_DEPTH = 4
+
+
+def _cms_cell_sql(key_sql: str, j: int, dialect: str) -> str:
+    """Row-j cell index for a key: 28 md5 bits mod width — exact
+    integer arithmetic on both engines."""
+    h = f"md5(concat(CAST({key_sql} AS STRING), '#cms{j}'))"
+    return f"({_hex_to_int(f'substring({h}, 1, 7)', dialect)} % {CMS_WIDTH})"
+
+
+def cms_sketch(df: DataFrame, col: str) -> DataFrame:
+    """Build the (depth x width) counter table as rows
+    (row_id, cell, cnt).  d register updates per input row are emitted
+    via an inline array (no join, no d-fold scan); one groupBy over at
+    most depth*width = 4096 keys.  Mergeable by summing cnt."""
+    pairs = ", ".join(
+        f"named_struct('row_id', {j}, 'cell', {_cms_cell_sql(col, j, 'spark')})"
+        for j in range(CMS_DEPTH))
+    return (df.where(F.col(col).isNotNull())
+              .select(F.explode(F.expr(f"array({pairs})")).alias("u"))
+              .select("u.row_id", "u.cell")
+              .groupBy("row_id", "cell")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_heavy_hitters(df: DataFrame, col: str,
+                      min_count: int) -> DataFrame:
+    """Keys whose CMS estimate (min over depth rows of the addressed
+    cell) reaches ``min_count``: (key, est).
+
+    CMS guarantees est >= true count, so no true heavy hitter is
+    missed; collisions can only over-count.  Candidate keys here are
+    the distinct keys of ``df`` itself — at 100 TB the candidate set
+    comes from a sample or a prior pass, and the probe is a broadcast
+    join against the 4096-cell sketch either way."""
+    sketch = cms_sketch(df, col)
+    cells = ", ".join(
+        f"named_struct('row_id', {j}, 'cell', {_cms_cell_sql('key', j, 'spark')})"
+        for j in range(CMS_DEPTH))
+    cand = (df.where(F.col(col).isNotNull())
+              .select(F.col(col).cast("string").alias("key")).distinct()
+              .select("key", F.explode(F.expr(f"array({cells})")).alias("u"))
+              .select("key", "u.row_id", "u.cell"))
+    probed = (cand.join(F.broadcast(sketch), ["row_id", "cell"], "left")
+                  .groupBy("key")
+                  .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                        .alias("est")))
+    return probed.where(F.col("est") >= min_count).select("key", "est")
+
+
+def cms_oracle_sql(table: str, col: str, min_count: int,
+                   where: str = "1=1") -> str:
+    """DuckDB replay of cms_heavy_hitters (same seeds, same cells)."""
+    updates = " UNION ALL ".join(
+        f"SELECT {j} AS row_id, {_cms_cell_sql(col, j, 'duckdb')} AS cell "
+        f"FROM {table} WHERE {col} IS NOT NULL AND ({where})"
+        for j in range(CMS_DEPTH))
+    probes = " UNION ALL ".join(
+        f"SELECT key, {j} AS row_id, {_cms_cell_sql('key', j, 'duckdb')} AS cell "
+        f"FROM cand" for j in range(CMS_DEPTH))
+    return f"""
+WITH sketch AS (
+  SELECT row_id, cell, COUNT(*) AS cnt FROM ({updates}) GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT CAST({col} AS STRING) AS key
+  FROM {table} WHERE {col} IS NOT NULL AND ({where})
+), probe AS ({probes})
+SELECT key, MIN(COALESCE(s.cnt, 0)) AS est
+FROM probe p LEFT JOIN sketch s USING (row_id, cell)
+GROUP BY key
+HAVING MIN(COALESCE(s.cnt, 0)) >= {min_count}
+"""
+
+
+# ---------------------------------------------------------------------------
+# KLL-style quantile sketch (Karnin/Lang/Liberty 2016, deterministic coin)
+# ---------------------------------------------------------------------------
+
+def _kll_coin(level: int, epoch: int) -> bool:
+    """Deterministic replacement for KLL's random compaction coin:
+    md5 parity of (level, epoch).  Keeps the sketch reproducible run
+    to run (same input partitioning -> same sketch), which the tests
+    rely on; the KLL error analysis only needs the coin to be
+    unbiased across compactions, which a hash parity is."""
+    import hashlib
+    d = hashlib.md5(f"kll:{level}:{epoch}".encode()).digest()
+    return bool(d[0] & 1)
+
+
+class _KLL:
+    """Single-machine KLL state: one sorted-ish buffer per level;
+    weight of an item at level l is 2^l.  Capacity ``k`` bounds every
+    level's buffer; total memory O(k log(n/k))."""
+
+    def __init__(self, k: int):
+        self.k = k
+        self.levels: list[list[float]] = [[]]
+        self.epochs = 0
+
+    def add(self, v: float) -> None:
+        self.levels[0].append(v)
+        if len(self.levels[0]) >= self.k:
+            self._compact(0)
+
+    def _compact(self, lvl: int) -> None:
+        buf = sorted(self.levels[lvl])
+        if len(self.levels) == lvl + 1:
+            self.levels.append([])
+        self.epochs += 1
+        keep = buf[1::2] if _kll_coin(lvl, self.epochs) else buf[0::2]
+        self.levels[lvl + 1].extend(keep)
+        self.levels[lvl] = []
+        if len(self.levels[lvl + 1]) >= self.k:
+            self._compact(lvl + 1)
+
+    def merge(self, other: "_KLL") -> None:
+        for lvl, buf in enumerate(other.levels):
+            while len(self.levels) <= lvl:
+                self.levels.append([])
+            self.levels[lvl].extend(buf)
+            if len(self.levels[lvl]) >= self.k:
+                self._compact(lvl)
+
+    def items(self) -> list[tuple[float, int]]:
+        out = []
+        for lvl, buf in enumerate(self.levels):
+            out.extend((v, 1 << lvl) for v in buf)
+        return out
+
+    def quantile(self, q: float) -> float:
+        it = sorted(self.items())
+        total = sum(w for _, w in it)
+        # type-1 (lower) order statistic at rank ceil(q * n)
+        target = max(1, math.ceil(q * total))
+        acc = 0
+        for v, w in it:
+            acc += w
+            if acc >= target:
+                return v
+        return it[-1][0]
+
+
+def kll_quantiles(df: DataFrame, col: str, qs: Sequence[float],
+                  k: int = 4096) -> DataFrame:
+    """Distributed KLL: per-partition sketches built in Arrow batches
+    (mapInPandas, narrow), merged on the driver-side single task.
+
+    The merge input is O(partitions * k * log) sketch items — a few MB
+    even at thousands of tasks, the same bounded-state pattern as the
+    engine's k-means/BPE drivers.  With k >= n the sketch degenerates
+    to exact order statistics, which is what the oracle-exact gate row
+    uses; the compacting regime is property-tested against a rank
+    error bound.
+    """
+    import pandas as pd  # noqa: F401  (executor-side)
+
+    kk = int(k)
+
+    def build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+        sk = _KLL(kk)
+        for b in batches:
+            for v in b["v"].dropna().to_numpy():
+                sk.add(float(v))
+        items = sk.items()
+        if items:
+            yield pd.DataFrame({"v": [v for v, _ in items],
+                                "w": [w for _, w in items]})
+
+    parts = (df.select(F.col(col).cast("double").alias("v"))
+               .mapInPandas(build, "v double, w long"))
+
+    def final(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+        sk = _KLL(kk)
+        for b in batches:
+            m = _KLL(kk)
+            # re-inject weighted items at their level (w = 2^l)
+            for v, w in zip(b["v"].to_numpy(), b["w"].to_numpy()):
+                lvl = int(w).bit_length() - 1
+                while len(m.levels) <= lvl:
+                    m.levels.append([])
+                m.levels[lvl].append(float(v))
+            sk.merge(m)
+        yield pd.DataFrame({"q": list(qs),
+                            "value": [sk.quantile(q) for q in qs]})
+
+    return (parts.coalesce(1)
+                 .mapInPandas(final, "q double, value double")
+                 .orderBy("q"))
+
+
+def kll_oracle_sql(table: str, col: str, qs: Sequence[float],
+                   where: str = "1=1") -> str:
+    """Exact type-1 order statistics — valid oracle whenever the gate
+    row runs with k >= n (exact regime)."""
+    q_rows = ", ".join(f"({q})" for q in qs)
+    return f"""
+WITH ranked AS (
+  SELECT CAST({col} AS DOUBLE) AS v,
+         ROW_NUMBER() OVER (ORDER BY CAST({col} AS DOUBLE)) AS r,
+         COUNT(*) OVER () AS n
+  FROM {table} WHERE {col} IS NOT NULL AND ({where})
+)
+SELECT CAST(q AS DOUBLE) AS q, v AS value
+FROM (VALUES {q_rows}) AS qs(q)
+JOIN ranked ON r = GREATEST(1, CAST(ceil(CAST(q AS DOUBLE) * n) AS BIGINT))
+ORDER BY q
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter membership (Bloom 1970)
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 16      # 65536-bit filter
+BLOOM_HASHES = 5
+
+
+def _bloom_pos_sql(key_sql: str, j: int, dialect: str = "spark") -> str:
+    h = f"md5(concat(CAST({key_sql} AS STRING), '#bf{j}'))"
+    return f"({_hex_to_int(f'substring({h}, 1, 7)', dialect)} % {BLOOM_BITS})"
+
+
+def bloom_build(df: DataFrame, col: str) -> DataFrame:
+    """Set-bit table (pos) of a Bloom filter over ``col`` — the
+    relational representation (distinct positions) merges by UNION
+    and broadcasts at ~a few thousand rows."""
+    poss = ", ".join(_bloom_pos_sql(col, j) for j in range(BLOOM_HASHES))
+    return (df.where(F.col(col).isNotNull())
+              .select(F.explode(F.expr(f"array({poss})")).alias("pos"))
+              .distinct())
+
+
+def bloom_probe(df: DataFrame, col: str, bloom: DataFrame) -> DataFrame:
+    """Rows of ``df`` whose key passes the filter (all k positions
+    set).  Guarantees no false negatives; FP rate ~ (1-e^{-kn/m})^k.
+    The filter side is broadcast — this is the cheap pre-join that
+    spares the big side a shuffle at 100 TB."""
+    poss = ", ".join(_bloom_pos_sql(col, j) for j in range(BLOOM_HASHES))
+    probe = df.withColumn("__pos", F.expr(f"array({poss})"))
+    hits = (probe.select("*", F.explode("__pos").alias("pos"))
+                 .join(F.broadcast(bloom), "pos", "inner")
+                 .groupBy(*[F.col(c) for c in df.columns])
+                 .agg(F.count(F.lit(1)).alias("__hits"))
+                 .where(F.col("__hits") == BLOOM_HASHES)
+                 .drop("__hits"))
+    return hits

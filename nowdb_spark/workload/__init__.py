@@ -83,6 +83,7 @@ from nowdb_spark.workload import pipeline  # noqa: E402,F401
 from nowdb_spark.workload import timeseries  # noqa: E402,F401
 from nowdb_spark.workload import cleaning  # noqa: E402,F401
 from nowdb_spark.workload import streams  # noqa: E402,F401
+from nowdb_spark.workload import sketch  # noqa: E402,F401
 
 
 # ------------------------------------------------------------------
@@ -121,9 +122,12 @@ _PRIORITY_ORDER = [
     # graph operators
     "g01_cosupply_pairs", "g02_triangles", "g03_components",
     "g04_pagerank",
-    # dedup family (dd02 signatures are subsumed by dd03's LSH path)
+    # dedup family (dd02 signatures are subsumed by dd03's LSH path;
+    # dd05 simhash is a third signature flavor — relegated round 7,
+    # still oracle-verified by pytest; its slot carries the KLL
+    # quantile sketch, a capability class no other row demonstrates)
     "dd01_exact_dedup", "dd03_minhash_lsh_pairs",
-    "dd04_ngram_jaccard_pairs", "dd05_simhash",
+    "dd04_ngram_jaccard_pairs", "sk03_kll_quantiles",
     # dd06's bounded crossJoin is subsumed by its own documented scale
     # path: dd09 SemDeDup (cluster-bounded pairwise cosine).
     # dd07 containment is dd04 jaccard's cousin (same inverted-index
@@ -164,8 +168,12 @@ _PRIORITY_ORDER = [
     # relegated (still oracle-verified by pytest); its slot carries the
     # stream-stream interval join st03, a streaming capability st01's
     # windowed agg doesn't demonstrate.
+    # ts04 gap-fill is another bucketed-domain flavor — relegated
+    # round 7 (pytest-verified); its slot carries the HLL sketch gate
+    # whose oracle replays the registers, collisions and correction
+    # branch value-exact (operators/sketches.py)
     "ts01_downsample", "st01_stream_window_agg", "ts03_integral",
-    "ts04_gap_fill", "st03_stream_interval_join",
+    "sk01_hll_distinct", "st03_stream_interval_join",
     # corpus curation (cleaning.py; tx05/pii01/sp01/sm01 are the
     # relegated, pytest-verified spellings of the same family)
     # cc02 runs cc01's cleaning AND the DSIR selection stage under

@@ -1,0 +1,106 @@
+"""Sketch-aggregate gate rows (sk01-sk04).
+
+Every row is value-exact against DuckDB because the sketches are
+deterministic md5 arithmetic (see operators/sketches.py): the oracle
+REPLAYS the sketch — registers, collisions, corrections and all —
+rather than comparing against the exact answer with a tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nowdb_spark.operators import sketches as sk
+from nowdb_spark.workload import register, table
+
+
+# --- sk01: HyperLogLog distinct --------------------------------------------
+
+@register(
+    "sk01_hll_distinct",
+    sk.hll_oracle_sql("orders", "o_custkey"),
+    doc="HLL(p=12) distinct o_custkey: md5 registers, integer-scaled "
+        "harmonic sum, linear-counting correction — oracle replays "
+        "the sketch exactly",
+)
+def sk01_hll_distinct(spark, sf_dir):
+    return sk.hll_distinct(table(spark, sf_dir, "orders"), "o_custkey")
+
+
+# --- sk02: Count-Min heavy hitters ------------------------------------------
+
+_CMS_MIN = 620  # avg l_suppkey freq is ~600 at every SF ratio; CMS
+                # over-counts only, so the qualifying set is stable
+                # and identical on both engines (collisions included)
+
+
+@register(
+    "sk02_cms_heavy_hitters",
+    sk.cms_oracle_sql("lineitem", "l_suppkey", _CMS_MIN),
+    doc="Count-Min (d=4, w=1024) heavy hitters over l_suppkey — "
+        "oracle replays every cell update and min-probe",
+)
+def sk02_cms_heavy_hitters(spark, sf_dir):
+    return sk.cms_heavy_hitters(
+        table(spark, sf_dir, "lineitem"), "l_suppkey", _CMS_MIN)
+
+
+# --- sk03: KLL quantile sketch ----------------------------------------------
+
+_QS = (0.1, 0.25, 0.5, 0.75, 0.9)
+# k >= n at gate/bench scales -> the sketch is provably exact (no
+# compaction fires), so exact order statistics are a true oracle.
+# The compacting regime (k=200 over 50k rows) is property-tested for
+# the KLL rank-error bound in tests/test_sketches.py.
+_KLL_K = 1_000_000
+
+
+@register(
+    "sk03_kll_quantiles",
+    sk.kll_oracle_sql("lineitem", "l_extendedprice", _QS),
+    doc="KLL quantile sketch (deterministic compaction coin) over "
+        "l_extendedprice; exact regime at gate scale",
+)
+def sk03_kll_quantiles(spark, sf_dir):
+    return sk.kll_quantiles(
+        table(spark, sf_dir, "lineitem"), "l_extendedprice", _QS,
+        k=_KLL_K)
+
+
+# --- sk04: Bloom-filter membership ------------------------------------------
+
+def _bloom_oracle() -> str:
+    build = " UNION ALL ".join(
+        f"SELECT {sk._bloom_pos_sql('p_partkey', j, 'duckdb')} AS pos "
+        f"FROM part WHERE p_size <= 5"
+        for j in range(sk.BLOOM_HASHES))
+    probe = " UNION ALL ".join(
+        f"SELECT l_partkey, {j} AS j, "
+        f"{sk._bloom_pos_sql('l_partkey', j, 'duckdb')} AS pos FROM keys"
+        for j in range(sk.BLOOM_HASHES))
+    return f"""
+WITH bits AS (SELECT DISTINCT pos FROM ({build})),
+keys AS (SELECT DISTINCT l_partkey FROM lineitem),
+probe AS ({probe})
+SELECT p.l_partkey AS partkey
+FROM probe p JOIN bits b USING (pos)
+GROUP BY p.l_partkey
+HAVING COUNT(*) = {sk.BLOOM_HASHES}
+ORDER BY partkey
+"""
+
+
+@register(
+    "sk04_bloom_membership",
+    _bloom_oracle(),
+    doc="Bloom filter (m=65536, k=5) built on small-size parts, "
+        "probed by distinct lineitem partkeys — false positives are "
+        "part of the contract and replayed by the oracle",
+)
+def sk04_bloom_membership(spark, sf_dir):
+    part = table(spark, sf_dir, "part").where(F.col("p_size") <= 5)
+    bloom = sk.bloom_build(part, "p_partkey")
+    keys = (table(spark, sf_dir, "lineitem")
+            .select(F.col("l_partkey").alias("partkey")).distinct())
+    return (sk.bloom_probe(keys, "partkey", bloom)
+            .select("partkey").orderBy("partkey"))

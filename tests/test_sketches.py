@@ -1,0 +1,127 @@
+"""Sketch aggregates: exact-replay oracles are covered by the
+test_workload sweep (sk01-sk04); here are the sketch-theoretic
+properties the gate rows cannot see — error bounds in the compacting
+/ colliding regimes, mergeability, and the no-false-negative
+guarantees."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from nowdb_spark.operators import sketches as sk
+from tests.conftest import SF_DIR
+
+
+def test_hll_estimate_within_bound(spark):
+    """HLL standard error is 1.04/sqrt(m) ~ 1.6% at m=4096; assert a
+    generous 5% on a 20k-distinct column (well past the
+    linear-counting regime)."""
+    n = 20_000
+    df = spark.range(n).select(
+        F.concat(F.lit("user-"), F.col("id")).alias("k"))
+    est = sk.hll_distinct(df, "k").collect()[0]["estimate"]
+    assert abs(est - n) / n < 0.05, est
+
+
+def test_hll_merge_equals_union(spark):
+    """max-merge of two register tables == sketch of the union."""
+    a = spark.range(0, 5000).select(F.col("id").cast("string").alias("k"))
+    b = spark.range(3000, 9000).select(F.col("id").cast("string").alias("k"))
+    merged = (sk.hll_sketch(a, "k").unionAll(sk.hll_sketch(b, "k"))
+                .groupBy("register").agg(F.max("max_rank").alias("max_rank")))
+    direct = sk.hll_sketch(a.unionAll(b), "k")
+    assert sorted(map(tuple, merged.collect())) == \
+           sorted(map(tuple, direct.collect()))
+    est = sk.hll_estimate(merged).collect()[0]["estimate"]
+    assert abs(est - 9000) / 9000 < 0.05
+
+
+def test_cms_never_undercounts(spark):
+    """CMS estimate >= true count for every key (the defining
+    guarantee); with d=4/w=1024 and 500 keys, over-count stays small."""
+    rows = [(f"k{i % 500}",) for i in range(20_000)]
+    df = spark.createDataFrame(rows, ["k"])
+    true = {r["k"]: r["c"] for r in
+            df.groupBy("k").agg(F.count(F.lit(1)).alias("c")).collect()}
+    est = {r["key"]: r["est"] for r in
+           sk.cms_heavy_hitters(df, "k", 1).collect()}
+    assert set(est) == set(true)
+    for k, t in true.items():
+        assert est[k] >= t, (k, est[k], t)
+        assert est[k] <= t + 200, "collision overflow beyond plausible"
+
+
+def test_cms_mergeable(spark):
+    a = spark.createDataFrame([(f"k{i % 50}",) for i in range(1000)], ["k"])
+    b = spark.createDataFrame([(f"k{i % 80}",) for i in range(1000)], ["k"])
+    merged = (sk.cms_sketch(a, "k").unionAll(sk.cms_sketch(b, "k"))
+                .groupBy("row_id", "cell").agg(F.sum("cnt").alias("cnt")))
+    direct = sk.cms_sketch(a.unionAll(b), "k")
+    assert sorted(map(tuple, merged.collect())) == \
+           sorted(map(tuple, direct.collect()))
+
+
+def test_kll_exact_when_k_ge_n(spark):
+    vals = [float(v) for v in random.Random(7).sample(range(100_000), 5000)]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    got = {r["q"]: r["value"] for r in
+           sk.kll_quantiles(df, "x", (0.25, 0.5, 0.9), k=10_000).collect()}
+    s = sorted(vals)
+    for q, v in got.items():
+        assert v == s[max(1, math.ceil(q * len(s))) - 1]
+
+
+def test_kll_rank_error_bound_compacting(spark):
+    """Compacting regime: k=200 over 50k values. KLL rank error is
+    O(1/k) with small constants; assert a loose 5% of n."""
+    n = 50_000
+    rng = random.Random(13)
+    vals = [rng.random() for _ in range(n)]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"]).repartition(8)
+    got = {r["q"]: r["value"] for r in
+           sk.kll_quantiles(df, "x", (0.1, 0.5, 0.9), k=200).collect()}
+    s = sorted(vals)
+    for q, v in got.items():
+        # rank of the returned value vs the target rank
+        import bisect
+        r = bisect.bisect_left(s, v)
+        assert abs(r - q * n) < 0.05 * n, (q, r, q * n)
+
+
+def test_kll_deterministic(spark):
+    df = spark.createDataFrame(
+        [(float(i % 997),) for i in range(20_000)], ["x"]).coalesce(4)
+    a = sk.kll_quantiles(df, "x", (0.5,), k=128).collect()
+    b = sk.kll_quantiles(df, "x", (0.5,), k=128).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_bloom_no_false_negatives(spark):
+    members = spark.range(1000).select(
+        F.col("id").cast("string").alias("k"))
+    bloom = sk.bloom_build(members, "k")
+    probe = spark.range(5000).select(
+        F.col("id").cast("string").alias("k"))
+    passed = {r["k"] for r in sk.bloom_probe(probe, "k", bloom).collect()}
+    assert {str(i) for i in range(1000)} <= passed
+    # FP rate with n=1000, m=65536, k=5: (1-e^{-5000/65536})^5 ~ 2e-6;
+    # allow a handful out of 4000 non-members
+    fps = len(passed) - 1000
+    assert fps <= 10, fps
+
+
+def test_sketch_plans_stay_jvm_side(spark):
+    """HLL/CMS are pure Column pipelines: no BatchEvalPython, and HLL
+    is exactly one Exchange (the 4096-key register groupBy)."""
+    from nowdb_spark.workload import table
+    df = table(spark, SF_DIR, "orders")
+    plan = sk.hll_distinct(df, "o_custkey") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    cms = sk.cms_sketch(df, "o_custkey") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in cms
