@@ -163,6 +163,11 @@ class Select:
     # by DEPTH, cycle-safe
     while_cond: Optional[object] = None
     while_depth: int = 10
+    # multi-dimensional grouping (extension): 'rollup' | 'cube' |
+    # 'sets'; for 'sets', grouping_sets holds the explicit set lists
+    # and group_by the union of their keys in first-appearance order
+    group_mode: Optional[str] = None
+    grouping_sets: list = field(default_factory=list)
 
 
 # --- DDL -----------------------------------------------------------

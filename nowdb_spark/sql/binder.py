@@ -879,8 +879,9 @@ class SelectBinder:
             alias = next((it.alias for it in sel.items
                           if it.alias and _expr_eq(it.expr, g)), None)
             group_names.append(alias or f"__g_{k}")
-        group_cols = [eb.bind(g).alias(nm)
-                      for g, nm in zip(sel.group_by, group_names)]
+        raw_group_cols = [eb.bind(g) for g in sel.group_by]
+        group_cols = [c.alias(nm)
+                      for c, nm in zip(raw_group_cols, group_names)]
 
         # collect every Agg node across items (and HAVING, which may
         # filter on aggregates absent from the select list); bind each
@@ -900,6 +901,29 @@ class SelectBinder:
         agg_cols: dict[int, Column] = {}
         agg_names: dict[int, str] = {}
         for k, node in enumerate(agg_nodes):
+            if node.name in ("grouping", "grouping_id"):
+                # super-aggregate indicators (only meaningful with
+                # ROLLUP/CUBE/GROUPING SETS): computed inside .agg()
+                # like any aggregate
+                if sel.group_mode is None:
+                    raise BindError(f"{node.name}() requires ROLLUP/"
+                                    "CUBE/GROUPING SETS")
+                if node.name == "grouping":
+                    # must reference the EXACT Column object passed to
+                    # rollup/cube (alias wrappers shift exprIds and
+                    # Spark raises GROUPING_COLUMN_MISMATCH)
+                    idx = next((i for i, g in enumerate(sel.group_by)
+                                if _expr_eq(g, node.arg)), None)
+                    if idx is None:
+                        raise BindError(
+                            "grouping() argument must be a grouping key")
+                    c = F.grouping(raw_group_cols[idx])
+                else:
+                    c = F.grouping_id()
+                nm = f"__agg_{k}"
+                agg_cols[id(node)] = c.cast("long")
+                agg_names[id(node)] = nm
+                continue
             builder = AGGREGATES[node.name]
             inner = eb.bind(node.arg) if node.arg is not None else None
             if node.distinct:
@@ -920,13 +944,37 @@ class SelectBinder:
             agg_names[id(node)] = nm
 
         if not agg_nodes:
+            if sel.group_mode:
+                raise BindError("ROLLUP/CUBE/GROUPING SETS require at "
+                                "least one aggregate in the select list")
             # GROUP BY without aggregates = keys-only distinct scan
             # (the reference's KRANGE reader, qplan/plan.c:1620-1628)
             agged = df.select(*group_cols).distinct()
         else:
-            gdf = (df.groupBy(*group_cols) if sel.group_by else df.groupBy())
+            if sel.group_mode == "rollup":
+                gdf = df.rollup(*raw_group_cols)
+            elif sel.group_mode == "cube":
+                gdf = df.cube(*raw_group_cols)
+            elif sel.group_mode == "sets":
+                # map each explicit set to its bound key columns (the
+                # union list group_by/raw cols is position-aligned)
+                sets_cols = [[raw_group_cols[next(
+                    i for i, g in enumerate(sel.group_by)
+                    if _expr_eq(g, e))] for e in s]
+                    for s in sel.grouping_sets]
+                gdf = df.groupingSets(sets_cols, *raw_group_cols)
+            elif sel.group_by:
+                gdf = df.groupBy(*group_cols)
+            else:
+                gdf = df.groupBy()
             agged = gdf.agg(*[agg_cols[id(n)].alias(agg_names[id(n)])
                               for n in agg_nodes])
+            if sel.group_mode:
+                # keys were passed UNALIASED (grouping() must see the
+                # identical Column); the agg output is grouping keys
+                # in order then agg columns — rename positionally
+                agged = agged.toDF(*group_names,
+                                   *[agg_names[id(n)] for n in agg_nodes])
 
         # scalar subqueries outside aggregates (select items / HAVING)
         # are constant per query — attach them to the aggregated frame
@@ -997,6 +1045,11 @@ class SelectBinder:
     def _validate_strict(sel: A.Select) -> None:
         """Reference rule: select list must be the group keys in order,
         then only aggregates (doc/manual/sql.tex:2659-2697)."""
+        if sel.group_mode is not None:
+            raise BindError(
+                "strict mode: ROLLUP/CUBE/GROUPING SETS are an "
+                "extension (the reference grammar has flat GROUP BY "
+                "only, sql/nowdbsql.y)")
         if any(not isinstance(g, A.Field) for g in sel.group_by):
             raise BindError(
                 "strict mode: GROUP BY accepts field names only "

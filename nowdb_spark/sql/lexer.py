@@ -47,6 +47,9 @@ KEYWORDS = {
     # nowdbsql.y; Spark's Window frames back the semantics)
     "over", "partition", "rows", "between", "preceding", "following",
     "unbounded", "current",
+    # multi-dimensional grouping (extension — the reference grammar
+    # has flat GROUP BY only, nowdbsql.y)
+    "rollup", "cube", "grouping", "sets",
     # predicate extensions (the reference grammar stubs LIKE/BETWEEN
     # out — nowdbsql.y:846 '%left MATCH LIKE_KW BETWEEN' is commented)
     "like",

@@ -26,7 +26,10 @@ _SIZING_KWS = {"tiny", "small", "medium", "big", "large", "huge"}
 _IDENTISH_KWS = _TYPE_KWS | _SIZING_KWS | {
     "origin", "destin", "stamp", "key", "values",
     "language", "errors", "header", "storage",
-    "vertex", "type", "edge", "index", "depth"}
+    "vertex", "type", "edge", "index", "depth",
+    # grouping(x)/grouping_id() remain callable, and all four stay
+    # legal as plain column names
+    "rollup", "cube", "grouping", "sets"}
 
 
 class Parser:
@@ -571,15 +574,57 @@ class Parser:
             if self.try_kw("depth"):
                 while_depth = int(self.next().value)
         having = None
+        group_mode = None
+        grouping_sets: list = []
         if self.at_kw("group"):
             self.next()
             self.eat_kw("by")
-            # expressions allowed (extension; the reference grammar
-            # only accepts field lists — strict mode re-imposes that)
-            group_by = [self.expr()]
-            while self.at_sym(","):
+            if (self.at_kw("rollup", "cube")
+                    and self.peek(1).kind == "SYM"
+                    and self.peek(1).value == "("):
+                group_mode = self.next().value
+                self.eat_sym("(")
+                group_by = [self.expr()]
+                while self.at_sym(","):
+                    self.next()
+                    group_by.append(self.expr())
+                self.eat_sym(")")
+            elif (self.at_kw("grouping")
+                    and self.peek(1).kind == "KW"
+                    and self.peek(1).value == "sets"):
                 self.next()
-                group_by.append(self.expr())
+                self.next()
+                group_mode = "sets"
+                self.eat_sym("(")
+                while True:
+                    self.eat_sym("(")
+                    s: list = []
+                    if not self.at_sym(")"):
+                        s = [self.expr()]
+                        while self.at_sym(","):
+                            self.next()
+                            s.append(self.expr())
+                    self.eat_sym(")")
+                    grouping_sets.append(s)
+                    if self.at_sym(","):
+                        self.next()
+                        continue
+                    break
+                self.eat_sym(")")
+                # union of set keys, first-appearance order (dataclass
+                # equality deduplicates structurally identical exprs)
+                for s in grouping_sets:
+                    for e in s:
+                        if e not in group_by:
+                            group_by.append(e)
+            else:
+                # expressions allowed (extension; the reference
+                # grammar only accepts field lists — strict mode
+                # re-imposes that)
+                group_by = [self.expr()]
+                while self.at_sym(","):
+                    self.next()
+                    group_by.append(self.expr())
             if self.try_kw("having"):
                 having = self.expr()
         qualify = None
@@ -590,7 +635,9 @@ class Parser:
         return A.Select(items, target, joins, where, group_by,
                         having, order_by, limit, distinct,
                         target_alias=target_alias, qualify=qualify,
-                        while_cond=while_cond, while_depth=while_depth)
+                        while_cond=while_cond, while_depth=while_depth,
+                        group_mode=group_mode,
+                        grouping_sets=grouping_sets)
 
     def table_ref(self):
         """Context name or `(SELECT ...)` derived table (extension),
@@ -859,7 +906,8 @@ class Parser:
                 lname = name.lower()
                 if self.at_kw("over"):
                     return self.window_spec(lname, args)
-                if lname in AGGREGATES:
+                if lname in AGGREGATES or lname in ("grouping",
+                                                    "grouping_id"):
                     return A.Agg(lname, args[0] if args else None)
                 return A.Op(lname, args)
             if self.at_sym("."):

@@ -482,3 +482,48 @@ _dialect(
         "functional customer graph from node 1 until an edge reaches "
         "10; oracle replays the walk as a recursive CTE",
 )
+
+_dialect(
+    "nq21_dialect_rollup",
+    """
+    select l_returnflag, l_linestatus,
+           round(sum(l_quantity), 3) as sum_qty,
+           count(*) as n,
+           grouping(l_returnflag) as g_rf,
+           grouping_id() as gid
+    from lineitem
+    group by rollup (l_returnflag, l_linestatus)
+    """,
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 3) AS sum_qty,
+           COUNT(*) AS n,
+           GROUPING(l_returnflag) AS g_rf,
+           GROUPING(l_returnflag, l_linestatus) AS gid
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="dialect: GROUP BY ROLLUP with grouping()/grouping_id() "
+        "super-aggregate indicators (extension; strict mode rejects "
+        "— the reference grammar has flat GROUP BY only)",
+)
+
+_dialect(
+    "nq22_dialect_grouping_sets",
+    """
+    select l_returnflag, l_linestatus, count(*) as n,
+           round(sum(l_extendedprice), 2) as rev
+    from lineitem
+    group by grouping sets ((l_returnflag, l_linestatus),
+                            (l_returnflag), (l_linestatus), ())
+    """,
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS rev
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), (l_linestatus), ())
+    """,
+    doc="dialect: GROUPING SETS incl. the grand-total set — "
+        "equivalent to CUBE here, one Expand + one shuffle in Spark",
+)

@@ -1071,3 +1071,74 @@ def test_order_by_expression(eng, data):
     r = strict.execute(
         "select prod_key from product order by prod_key % 2")
     assert not r.ok()
+
+
+# --- multi-dimensional grouping (ROLLUP/CUBE/GROUPING SETS ext.) -----
+
+def test_rollup_totals(eng, data):
+    # other module tests may have appended rows (module-scoped eng
+    # fixture) — take the live count as truth
+    total = eng.sql("select count(*) as n from product").collect()[0]["n"]
+    cats = {r["prod_cat"] for r in
+            eng.sql("select prod_cat from product group by prod_cat")
+            .collect()}
+    rows = eng.sql(
+        "select prod_cat, prod_packing, count(*) as n, grouping_id() "
+        "as gid from product group by rollup (prod_cat, prod_packing)"
+    ).collect()
+    grand = [r for r in rows if r["gid"] == 3]
+    assert len(grand) == 1 and grand[0]["n"] == total
+    # per-cat subtotal rows: one per category, gid=1
+    assert sorted(r["prod_cat"] for r in rows if r["gid"] == 1) == \
+        sorted(cats)
+    # detail rows sum to grand total
+    assert sum(r["n"] for r in rows if r["gid"] == 0) == total
+
+
+def _live_combos(eng):
+    det = eng.sql("select prod_cat, prod_packing from product "
+                  "group by prod_cat, prod_packing").collect()
+    combos = {(r["prod_cat"], r["prod_packing"]) for r in det}
+    return combos, {c for c, _ in combos}, {p for _, p in combos}
+
+
+def test_cube_row_count(eng, data):
+    combos, cats, packs = _live_combos(eng)
+    rows = eng.sql(
+        "select prod_cat, prod_packing, count(*) as n "
+        "from product group by cube (prod_cat, prod_packing)").collect()
+    assert len(rows) == len(combos) + len(cats) + len(packs) + 1
+
+
+def test_grouping_sets_explicit(eng, data):
+    _, cats, packs = _live_combos(eng)
+    rows = eng.sql(
+        "select prod_cat, prod_packing, count(*) as n from product "
+        "group by grouping sets ((prod_cat), (prod_packing))").collect()
+    assert len(rows) == len(cats) + len(packs)
+    # each side's NULL column marks the other set
+    assert all((r["prod_cat"] is None) != (r["prod_packing"] is None)
+               for r in rows)
+
+
+def test_grouping_fn_requires_mode(eng):
+    from nowdb_spark.sql.binder import BindError
+    with pytest.raises(Exception):
+        eng.sql("select prod_cat, grouping(prod_cat) as g, count(*) "
+                "as n from product group by prod_cat")
+
+
+def test_rollup_keywords_stay_identish(eng):
+    # 'rollup'/'cube'/'grouping'/'sets' remain usable as column names
+    r = eng.sql("select prod_cat as rollup, count(*) as sets "
+                "from product group by prod_cat")
+    assert set(r.columns) == {"rollup", "sets"}
+
+
+def test_strict_rejects_rollup(spark, eng):
+    strict = Engine(spark, eng.base, strict=True)
+    assert strict.execute("use retail").ok()
+    r = strict.execute(
+        "select prod_cat, count(*) as n from product "
+        "group by rollup (prod_cat)")
+    assert not r.ok()
