@@ -1,0 +1,112 @@
+"""Z-order layout: the clustering must preserve content exactly and
+must make row-group statistics prune on EVERY curve column — the
+property a 1-D sort cannot deliver."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nowdb_spark.operators import layout
+from nowdb_spark.workload import table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def li(spark):
+    return table(spark, SF_DIR, "lineitem")
+
+
+def test_zkey_deterministic_and_bounded(spark, li):
+    z = layout.zorder_key(li, ["l_partkey", "l_suppkey"], bits=16)
+    row = z.agg(F.min("__zkey"), F.max("__zkey")).first()
+    assert row[0] >= 0 and row[1] < (1 << 32)
+    a = sorted(r["__zkey"] for r in z.select("__zkey").collect())
+    b = sorted(r["__zkey"] for r in
+               layout.zorder_key(li, ["l_partkey", "l_suppkey"],
+                                 bits=16).select("__zkey").collect())
+    assert a == b
+
+
+def test_zkey_locality(spark):
+    """Points adjacent in (x, y) land near each other on the curve:
+    the max key gap inside any 2x2 cell block is far below the key
+    span of a random pairing."""
+    pts = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    z = layout.zorder_key(df, ["x", "y"], bits=5,
+                          ranges={"x": (0, 31), "y": (0, 31)})
+    keys = {(r["x"], r["y"]): r["__zkey"] for r in z.collect()}
+    # canonical Morton property: key(x,y) == interleave bits exactly
+    def morton(x, y):
+        k = 0
+        for i in range(5):
+            k |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return k
+    assert all(keys[(x, y)] == morton(x, y) for x, y in pts)
+
+
+def test_roundtrip_preserves_content(spark, li, tmp_path):
+    out = str(tmp_path / "zli")
+    layout.write_zordered(li, out, ["l_partkey", "l_suppkey"],
+                          n_files=8)
+    back = spark.read.parquet(out)
+    assert "__zkey" not in back.columns
+    assert back.count() == li.count()
+    a = li.select("l_orderkey", "l_linenumber").orderBy(
+        "l_orderkey", "l_linenumber").collect()
+    b = back.select("l_orderkey", "l_linenumber").orderBy(
+        "l_orderkey", "l_linenumber").collect()
+    assert a == b
+
+
+def test_zorder_prunes_both_dims(spark, li, tmp_path):
+    """The scale claim: a partkey-sorted layout prunes partkey
+    predicates perfectly but leaves suppkey predicates unprunable;
+    the Z-ordered layout prunes BOTH."""
+    zdir, ldir = str(tmp_path / "z"), str(tmp_path / "l")
+    layout.write_zordered(li, zdir, ["l_partkey", "l_suppkey"],
+                          n_files=16)
+    (li.repartitionByRange(16, "l_partkey")
+       .sortWithinPartitions("l_partkey")
+       .write.mode("overwrite").parquet(ldir))
+
+    smin, smax = li.agg(F.min("l_suppkey"),
+                        F.max("l_suppkey")).first()
+    pmin, pmax = li.agg(F.min("l_partkey"),
+                        F.max("l_partkey")).first()
+    # narrow box on each dimension (~10% of the range)
+    sbox = (smin, smin + max(1, (smax - smin) // 10))
+    pbox = (pmin, pmin + max(1, (pmax - pmin) // 10))
+
+    z_supp = layout.pruning_fraction(zdir, {"l_suppkey": sbox})
+    l_supp = layout.pruning_fraction(ldir, {"l_suppkey": sbox})
+    z_part = layout.pruning_fraction(zdir, {"l_partkey": pbox})
+    l_part = layout.pruning_fraction(ldir, {"l_partkey": pbox})
+
+    # linear layout: suppkey predicates prune (almost) nothing
+    assert l_supp <= 0.10, l_supp
+    # z-order: both dimensions prune substantially
+    assert z_supp >= 0.40, z_supp
+    assert z_part >= 0.40, z_part
+    # the 1-D layout stays the optimum for ITS column — z-order trades
+    # a bit of that for pruning on every curve column
+    assert l_part >= z_part
+
+
+def test_zorder_scan_correctness(spark, li, tmp_path):
+    """Pruned scans return exactly the unclustered answer."""
+    out = str(tmp_path / "zq")
+    layout.write_zordered(li, out, ["l_partkey", "l_suppkey"],
+                          n_files=8)
+    back = spark.read.parquet(out)
+    pred = (F.col("l_partkey") <= 20) & (F.col("l_suppkey") <= 3)
+    want = li.where(pred).count()
+    got = back.where(pred).count()
+    assert got == want
+
+
+def test_too_many_bits_rejected(spark, li):
+    with pytest.raises(ValueError):
+        layout.zorder_key(li, ["l_partkey", "l_suppkey", "l_orderkey",
+                               "l_linenumber"], bits=16)
