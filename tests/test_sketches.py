@@ -125,3 +125,73 @@ def test_sketch_plans_stay_jvm_side(spark):
     cms = sk.cms_sketch(df, "o_custkey") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in cms
+
+
+# --- streaming maintenance (streaming/sketches.py) -------------------
+
+def test_streaming_sketch_matches_batch(spark, tmp_path):
+    """After the stream drains, the merged persisted sketches equal
+    the batch sketches of corpus ∪ stream bit-for-bit (HLL registers
+    and CMS cells are algebraic — streaming adds no approximation)."""
+    import glob
+    import shutil
+
+    from nowdb_spark.streaming import sketches as SS
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 300)
+    s1 = docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400))
+    s2 = docs.filter(F.col("doc_id") >= 400)
+
+    hll_dir, cms_dir = str(tmp_path / "hll"), str(tmp_path / "cms")
+    sk.hll_sketch(corpus, "text").write.parquet(f"{hll_dir}/batch=seed")
+    sk.cms_sketch(corpus, "text").write.parquet(f"{cms_dir}/batch=seed")
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for name, part in (("f1", s1), ("f2", s2)):
+        part.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "stage" / name))
+        f = glob.glob(str(tmp_path / "stage" / name / "*.parquet"))[0]
+        shutil.copy(f, src / f"{name}.parquet")
+
+    sdf = (spark.readStream.schema(docs.schema)
+           .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = SS.stream_sketch_maintenance(
+        sdf, "text", str(tmp_path / "ckpt"),
+        hll_dir=hll_dir, cms_dir=cms_dir).start()
+    q.awaitTermination(timeout=120)
+
+    got_hll = sorted(map(tuple, SS.read_hll(spark, hll_dir).collect()))
+    want_hll = sorted(map(tuple, sk.hll_sketch(docs, "text").collect()))
+    assert got_hll == want_hll and len(got_hll) > 0
+
+    got_cms = sorted(map(tuple, SS.read_cms(spark, cms_dir).collect()))
+    want_cms = sorted(map(tuple, sk.cms_sketch(docs, "text").collect()))
+    assert got_cms == want_cms
+
+    est = sk.hll_estimate(SS.read_hll(spark, hll_dir)) \
+        .collect()[0]["estimate"]
+    true = docs.select("text").distinct().count()
+    assert abs(est - true) / true < 0.1
+
+
+def test_streaming_sketch_replay_idempotent(spark, tmp_path):
+    """Replaying a micro-batch (same batch_id) leaves the merged
+    state unchanged — the overwrite-own-partition discipline."""
+    from nowdb_spark.streaming import sketches as SS
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text").limit(200)
+    hll_dir, cms_dir = str(tmp_path / "h2"), str(tmp_path / "c2")
+    SS.maintain_sketch_batch(docs, 0, "text", hll_dir, cms_dir)
+    before = sorted(map(tuple, SS.read_hll(spark, hll_dir).collect()))
+    SS.maintain_sketch_batch(docs, 0, "text", hll_dir, cms_dir)  # replay
+    after = sorted(map(tuple, SS.read_hll(spark, hll_dir).collect()))
+    assert before == after
+    cms_after = sorted(map(tuple, SS.read_cms(spark, cms_dir).collect()))
+    assert cms_after == sorted(map(tuple,
+                                   sk.cms_sketch(docs, "text").collect()))
