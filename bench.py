@@ -291,6 +291,16 @@ def main() -> None:
              .agg(F.count(F.lit(1))).collect(),
              extra={"docs": n_docs})
 
+        # mergeable sketches: HLL distinct and Count-Min build rates
+        # over the full volume (one map pass + a 4096-key groupBy —
+        # the monitors a 100 TB ingest runs continuously)
+        from nowdb_spark.operators import sketches as SK
+        rate("sk01_hll_docs_per_sec", n_docs,
+             lambda: SK.hll_distinct(dsrc, "text").collect())
+        rate("sk02_cms_docs_per_sec", n_docs,
+             lambda: SK.cms_sketch(dsrc, "text")
+             .agg(F.sum("cnt")).collect())
+
         # DSIR importance weights, Arrow backend. sum(score), not
         # count(*): a count would let Catalyst prune the scoring
         # expression and time an empty plan. Rated on a bounded
