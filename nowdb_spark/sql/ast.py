@@ -168,6 +168,12 @@ class Select:
     # and group_by the union of their keys in first-appearance order
     group_mode: Optional[str] = None
     grouping_sets: list = field(default_factory=list)
+    # relational pivot (extension):
+    #   pivot   = (agg_name, value_field, pivot_field, [consts])
+    #   unpivot = (value_col, var_col, [field names])
+    # applied to the FROM relation before WHERE/GROUP/SELECT
+    pivot: Optional[tuple] = None
+    unpivot: Optional[tuple] = None
 
 
 # --- DDL -----------------------------------------------------------

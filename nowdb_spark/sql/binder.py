@@ -462,6 +462,17 @@ class SelectBinder:
         else:
             df, col_types, tdef = self.load_context(sel.target)
 
+        if sel.pivot is not None or sel.unpivot is not None:
+            if self.strict:
+                raise BindError(
+                    "strict mode: PIVOT/UNPIVOT are extensions the "
+                    "reference grammar does not accept (SURVEY §2.1)")
+            df = self._apply_pivot(df, sel)
+            # pivot/unpivot rewrite the column set — stale per-column
+            # type annotations must not leak (same policy as derived
+            # tables)
+            col_types, tdef = {}, None
+
         # qualifier → physical column prefix (None = base columns are
         # unprefixed); the base context resolves by its own name or its
         # FROM alias
@@ -862,6 +873,35 @@ class SelectBinder:
         out: list = []
         _collect_aggs(expr, out)
         return out
+
+    @staticmethod
+    def _apply_pivot(df: DataFrame, sel: A.Select) -> DataFrame:
+        """PIVOT/UNPIVOT over the FROM relation (standard semantics:
+        part of the FROM clause, applied before WHERE/GROUP/SELECT).
+
+        PIVOT groups by every column that is neither the pivoted key
+        nor the aggregated value (ANSI behavior — project the relation
+        first, `FROM (SELECT ...) PIVOT ...`, to control the keys);
+        Spark's GroupedData.pivot with an EXPLICIT value list keeps
+        the plan a single hash aggregation (no distinct-values
+        pre-scan) and one shuffle.  UNPIVOT is Spark's melt: ids stay,
+        listed columns become (var, value) rows — no shuffle at all.
+        """
+        if sel.pivot is not None:
+            agg_name, value_field, pivot_field, consts = sel.pivot
+            builder = AGGREGATES[agg_name]
+            keys = [c for c in df.columns
+                    if c.lower() not in (value_field.lower(),
+                                         pivot_field.lower())]
+            return (df.groupBy(*[F.col(c) for c in keys])
+                      .pivot(pivot_field, consts)
+                      .agg(builder(F.col(value_field))))
+        value_col, var_col, fields = sel.unpivot
+        ids = [c for c in df.columns
+               if c.lower() not in {f.lower() for f in fields}]
+        return df.unpivot([F.col(c) for c in ids],
+                          [F.col(c) for c in fields],
+                          var_col, value_col)
 
     def _bind_aggregation(self, df: DataFrame, sel: A.Select,
                           eb: ExprBinder) -> DataFrame:

@@ -50,6 +50,8 @@ KEYWORDS = {
     # multi-dimensional grouping (extension — the reference grammar
     # has flat GROUP BY only, nowdbsql.y)
     "rollup", "cube", "grouping", "sets",
+    # relational pivot (extension)
+    "pivot", "unpivot",
     # predicate extensions (the reference grammar stubs LIKE/BETWEEN
     # out — nowdbsql.y:846 '%left MATCH LIKE_KW BETWEEN' is commented)
     "like",

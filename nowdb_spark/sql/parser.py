@@ -29,7 +29,7 @@ _IDENTISH_KWS = _TYPE_KWS | _SIZING_KWS | {
     "vertex", "type", "edge", "index", "depth",
     # grouping(x)/grouping_id() remain callable, and all four stay
     # legal as plain column names
-    "rollup", "cube", "grouping", "sets"}
+    "rollup", "cube", "grouping", "sets", "pivot", "unpivot"}
 
 
 class Parser:
@@ -79,6 +79,19 @@ class Parser:
             self.next()
             return t.value
         raise ParseError(f"expected identifier, got {t}")
+
+    def const_value(self):
+        """One literal: string/int/float/true/false (PIVOT IN lists)."""
+        t = self.next()
+        if t.kind == "STRING":
+            return t.value
+        if t.kind == "INT":
+            return int(t.value)
+        if t.kind == "FLOAT":
+            return float(t.value)
+        if t.kind == "KW" and t.value in ("true", "false"):
+            return t.value == "true"
+        raise ParseError(f"expected literal, got {t}")
 
     # --- entry -----------------------------------------------------
     def parse(self):
@@ -560,8 +573,45 @@ class Parser:
         order_by: list = []
         limit = None
         target_alias = None
+        pivot = unpivot = None
         if self.try_kw("from"):
             target, target_alias = self.table_ref()
+            if self.try_kw("pivot"):
+                # PIVOT ( agg(value_col) FOR key_col IN (c1, c2, ...) )
+                self.eat_sym("(")
+                agg_name = self.ident().lower()
+                if agg_name not in AGGREGATES:
+                    raise ParseError(f"PIVOT aggregate {agg_name!r} "
+                                     "unknown")
+                self.eat_sym("(")
+                value_field = self.ident()
+                self.eat_sym(")")
+                self.eat_kw("for")
+                pivot_field = self.ident()
+                self.eat_kw("in")
+                self.eat_sym("(")
+                consts = [self.const_value()]
+                while self.at_sym(","):
+                    self.next()
+                    consts.append(self.const_value())
+                self.eat_sym(")")
+                self.eat_sym(")")
+                pivot = (agg_name, value_field, pivot_field, consts)
+            elif self.try_kw("unpivot"):
+                # UNPIVOT ( value_col FOR var_col IN (f1, f2, ...) )
+                self.eat_sym("(")
+                value_col = self.ident()
+                self.eat_kw("for")
+                var_col = self.ident()
+                self.eat_kw("in")
+                self.eat_sym("(")
+                fields = [self.ident()]
+                while self.at_sym(","):
+                    self.next()
+                    fields.append(self.ident())
+                self.eat_sym(")")
+                self.eat_sym(")")
+                unpivot = (value_col, var_col, fields)
             while self.at_kw("join", "inner", "left", "right", "full",
                              "semi", "anti"):
                 joins.append(self.join_clause())
@@ -637,7 +687,8 @@ class Parser:
                         target_alias=target_alias, qualify=qualify,
                         while_cond=while_cond, while_depth=while_depth,
                         group_mode=group_mode,
-                        grouping_sets=grouping_sets)
+                        grouping_sets=grouping_sets,
+                        pivot=pivot, unpivot=unpivot)
 
     def table_ref(self):
         """Context name or `(SELECT ...)` derived table (extension),

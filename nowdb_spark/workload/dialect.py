@@ -527,3 +527,41 @@ _dialect(
     doc="dialect: GROUPING SETS incl. the grand-total set — "
         "equivalent to CUBE here, one Expand + one shuffle in Spark",
 )
+
+_dialect(
+    "nq23_dialect_pivot",
+    """
+    select l_returnflag, round(F, 3) as f_qty, round(O, 3) as o_qty
+    from (select l_returnflag, l_linestatus, l_quantity from lineitem)
+    pivot (sum(l_quantity) for l_linestatus in ('F', 'O'))
+    """,
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F'
+                          THEN l_quantity END), 3) AS f_qty,
+           ROUND(SUM(CASE WHEN l_linestatus = 'O'
+                          THEN l_quantity END), 3) AS o_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="dialect: FROM ... PIVOT (explicit value list -> single hash "
+        "agg, one shuffle, no distinct pre-scan); oracle is the "
+        "portable conditional-aggregation rewrite",
+)
+
+_dialect(
+    "nq24_dialect_unpivot",
+    """
+    select p_partkey, attr, val
+    from (select p_partkey, p_size, p_retailprice from part)
+    unpivot (val for attr in (p_size, p_retailprice))
+    """,
+    """
+    SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+    """,
+    doc="dialect: FROM ... UNPIVOT (Spark melt — zero shuffle); "
+        "oracle is the UNION ALL rewrite",
+)

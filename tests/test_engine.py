@@ -1142,3 +1142,44 @@ def test_strict_rejects_rollup(spark, eng):
         "select prod_cat, count(*) as n from product "
         "group by rollup (prod_cat)")
     assert not r.ok()
+
+
+# --- PIVOT / UNPIVOT (extension) -------------------------------------
+
+def test_pivot_round_trip(eng, data):
+    """pivot then unpivot recovers the grouped totals."""
+    piv = eng.sql(
+        "select prod_cat, round(c0, 2) as pack0, round(c1, 2) as pack1 "
+        "from (select prod_cat, case when prod_packing = 0 then 'c0' "
+        "else 'c1' end as pcode, prod_price from product "
+        "where prod_packing in (0, 1)) "
+        "pivot (sum(prod_price) for pcode in ('c0', 'c1'))")
+    rows = {r["prod_cat"]: (r["pack0"], r["pack1"])
+            for r in piv.collect()}
+    want = eng.sql(
+        "select prod_cat, prod_packing, round(sum(prod_price), 2) as s "
+        "from product where prod_packing in (0, 1) "
+        "group by prod_cat, prod_packing").collect()
+    for r in want:
+        assert rows[r["prod_cat"]][r["prod_packing"]] == r["s"]
+
+
+def test_unpivot_counts(eng, data):
+    up = eng.sql(
+        "select prod_key, attr, val from "
+        "(select prod_key, prod_cat, prod_packing from product) "
+        "unpivot (val for attr in (prod_cat, prod_packing))")
+    n = eng.sql("select count(*) as n from product").collect()[0]["n"]
+    assert up.count() == 2 * n
+    assert set(up.select("attr").distinct().toPandas()["attr"]) == \
+        {"prod_cat", "prod_packing"}
+
+
+def test_strict_rejects_pivot(spark, eng):
+    strict = Engine(spark, eng.base, strict=True)
+    assert strict.execute("use retail").ok()
+    r = strict.execute(
+        "select prod_cat, c0 from (select prod_cat, prod_packing, "
+        "prod_price from product) "
+        "pivot (sum(prod_price) for prod_packing in (0, 1))")
+    assert not r.ok()
