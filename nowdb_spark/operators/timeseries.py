@@ -178,3 +178,78 @@ def gap_fill(df: DataFrame, stamp_col: str, width_ns: int,
     return (domain.join(bucketed, [key_col, "bucket_ns"], "left")
             .select(key_col, "bucket_ns",
                     F.coalesce(F.col("__v"), F.lit(fill_value)).alias("v")))
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: list[str],
+              left_ts: str, right_ts: str | None = None,
+              direction: str = "backward",
+              tolerance_ns: int | None = None,
+              suffix: str = "_r") -> DataFrame:
+    """Generic two-frame as-of join: for every left row, the right row
+    with the greatest right_ts <= left_ts (backward) or the smallest
+    right_ts >= left_ts (forward) per key — left-join semantics
+    (unmatched rows keep NULL right payload).
+
+    Implementation is the union-window merge, NOT a range join: both
+    frames are tagged and unioned, one window per key ordered by
+    (ts, tag) carries the right payload forward (last ignorenulls),
+    and left rows are kept.  Cost = ONE shuffle on the key (the same
+    sort the reference's merge reader does over sorted runs,
+    reader/reader.c k-way merge) with none of the row-explosion a
+    between-range join risks at 100 TB.  Ties: a right row stamped
+    exactly at left_ts matches (inclusive), right-before-left at equal
+    stamps.
+
+    ``tolerance_ns`` voids matches farther than the given gap (the
+    payload nulls out, the left row survives) — pandas.merge_asof's
+    tolerance semantics.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    right_ts = right_ts or left_ts
+    payload = [c for c in right.columns
+               if c not in set(on) | {right_ts}]
+    out_names = {c: (f"{c}{suffix}" if c in left.columns else c)
+                 for c in payload}
+    matched_ts = f"{right_ts}{suffix}" if right_ts in left.columns \
+        else right_ts
+
+    l2 = left.select(
+        *[F.col(c) for c in left.columns],
+        F.col(left_ts).alias("__ts"), F.lit(1).alias("__tag"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__p_{c}")
+          for c in payload],
+        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("__rts"))
+    r2 = right.select(
+        *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes
+          if c not in on],
+        *[F.col(k) for k in on],
+        F.col(right_ts).alias("__ts"), F.lit(0).alias("__tag"),
+        *[F.col(c).alias(f"__p_{c}") for c in payload],
+        F.col(right_ts).alias("__rts"))
+    u = l2.unionByName(r2.select(*l2.columns))
+
+    order = [F.col("__ts").asc(), F.col("__tag").asc()] \
+        if direction == "backward" \
+        else [F.col("__ts").desc(), F.col("__tag").asc()]
+    w = (W.partitionBy(*on).orderBy(*order)
+         .rowsBetween(W.unboundedPreceding, 0))
+    carried = {c: F.last(F.col(f"__p_{c}"), ignorenulls=True).over(w)
+               for c in payload}
+    rts = F.last(F.col("__rts"), ignorenulls=True).over(w)
+
+    if tolerance_ns is not None:
+        gap = (F.col("__ts") - rts) if direction == "backward" \
+            else (rts - F.col("__ts"))
+        ok = rts.isNotNull() & (gap <= F.lit(tolerance_ns))
+        carried = {c: F.when(ok, e) for c, e in carried.items()}
+        rts = F.when(ok, rts)
+
+    # window FIRST, filter AFTER — filtering the union to left rows
+    # before the window would hide every right row from the carry
+    annotated = u.select(
+        F.col("__tag"),
+        *[F.col(c) for c in left.columns],
+        rts.alias(matched_ts),
+        *[carried[c].alias(out_names[c]) for c in payload])
+    return annotated.where(F.col("__tag") == 1).drop("__tag")

@@ -734,6 +734,9 @@ class SelectBinder:
             rdf, rtypes, _ = self.load_context(j.target)
         else:
             rdf, rtypes = self._bind_sub_select(j.target), {}
+        if j.kind == "asof":
+            return self._bind_asof_join(df, col_types, qualmap, j,
+                                        rdf, rtypes, prefix)
         lcols, rcols = set(df.columns), set(rdf.columns)
         renamed = rdf.select(
             *[F.col(c).alias(f"{prefix}__{c}") for c in rdf.columns])
@@ -765,6 +768,95 @@ class SelectBinder:
         if j.kind in ("semi", "anti"):
             # right columns do not survive a semi/anti join
             return out, col_types
+        qualmap[prefix] = prefix
+        if isinstance(j.target, str):
+            qualmap.setdefault(j.target, prefix)
+        return out, merged
+
+    def _bind_asof_join(self, df: DataFrame, col_types: dict,
+                        qualmap: dict, j: A.GeneralJoin,
+                        rdf: DataFrame, rtypes: dict, prefix: str):
+        """ASOF JOIN <ref> ON l.k = r.k [AND ...] AND l.ts >= r.ts —
+        per left row, the right row with the greatest right-ts at or
+        before the left-ts (>=; <= gives the forward variant).
+        Left-join semantics: unmatched left rows keep NULL right
+        columns.  Bound onto operators.timeseries.asof_join, the
+        union-window merge: one key shuffle, no range explosion."""
+        from nowdb_spark.operators.timeseries import asof_join
+
+        lcols, rcols = set(df.columns), set(rdf.columns)
+
+        def side(f) -> str:
+            if not isinstance(f, A.Field):
+                raise BindError("ASOF JOIN ON accepts plain column "
+                                "references only")
+            if f.qualifier is not None:
+                if f.qualifier == prefix or f.qualifier == j.target:
+                    return "r"
+                if f.qualifier in qualmap:
+                    return "l"
+                raise BindError(f"unknown alias {f.qualifier!r} in "
+                                "ASOF JOIN ON")
+            if f.name in lcols:
+                return "l"
+            if f.name in rcols:
+                return "r"
+            raise BindError(f"unknown column {f.name!r} in ASOF JOIN ON")
+
+        keys: list[tuple[str, str]] = []      # (left name, right name)
+        ineq = None                           # (lts, rts, direction)
+        for conj in _split_conjuncts(j.on):
+            if not (isinstance(conj, A.Op) and len(conj.args) == 2):
+                raise BindError("ASOF JOIN ON must be a conjunction of "
+                                "equalities plus one ts inequality")
+            a, b = conj.args
+            if conj.name == "=":
+                pair = {side(a): a.name, side(b): b.name}
+                if set(pair) != {"l", "r"}:
+                    raise BindError("ASOF JOIN equality must pair one "
+                                    "column from each side")
+                keys.append((pair["l"], pair["r"]))
+            elif conj.name in (">=", "<="):
+                if ineq is not None:
+                    raise BindError("ASOF JOIN takes exactly one ts "
+                                    "inequality")
+                # normalize to left-op-right
+                if side(a) == "l" and side(b) == "r":
+                    op = conj.name
+                    lts, rts = a.name, b.name
+                elif side(a) == "r" and side(b) == "l":
+                    op = {">=": "<=", "<=": ">="}[conj.name]
+                    lts, rts = b.name, a.name
+                else:
+                    raise BindError("ASOF JOIN inequality must compare "
+                                    "the two sides' stamps")
+                ineq = (lts, rts, "backward" if op == ">=" else "forward")
+            else:
+                raise BindError(f"ASOF JOIN ON does not accept "
+                                f"{conj.name!r}")
+        if ineq is None:
+            raise BindError("ASOF JOIN needs a ts inequality "
+                            "(l.ts >= r.ts or l.ts <= r.ts)")
+        lts, rts, direction = ineq
+
+        payload = [c for c in rdf.columns
+                   if c not in {rk for _, rk in keys} | {rts}]
+        r2 = rdf.select(
+            *[F.col(rk).alias(lk) for lk, rk in keys],
+            F.col(rts).alias(f"{prefix}__{rts}"),
+            *[F.col(c).alias(f"{prefix}__{c}") for c in payload])
+        out = asof_join(df, r2, [lk for lk, _ in keys],
+                        left_ts=lts, right_ts=f"{prefix}__{rts}",
+                        direction=direction)
+        # right-side key columns re-expose under the alias (NULL when
+        # unmatched, like a true left join)
+        matched = F.col(f"{prefix}__{rts}").isNotNull()
+        for lk, rk in keys:
+            out = out.withColumn(f"{prefix}__{rk}",
+                                 F.when(matched, F.col(lk)))
+        merged = dict(col_types)
+        for c, t in rtypes.items():
+            merged.setdefault(f"{prefix}__{c}", t)
         qualmap[prefix] = prefix
         if isinstance(j.target, str):
             qualmap.setdefault(j.target, prefix)

@@ -52,6 +52,8 @@ KEYWORDS = {
     "rollup", "cube", "grouping", "sets",
     # relational pivot (extension)
     "pivot", "unpivot",
+    # as-of join (extension)
+    "asof",
     # predicate extensions (the reference grammar stubs LIKE/BETWEEN
     # out — nowdbsql.y:846 '%left MATCH LIKE_KW BETWEEN' is commented)
     "like",

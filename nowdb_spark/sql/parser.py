@@ -29,7 +29,7 @@ _IDENTISH_KWS = _TYPE_KWS | _SIZING_KWS | {
     "vertex", "type", "edge", "index", "depth",
     # grouping(x)/grouping_id() remain callable, and all four stay
     # legal as plain column names
-    "rollup", "cube", "grouping", "sets", "pivot", "unpivot"}
+    "rollup", "cube", "grouping", "sets", "pivot", "unpivot", "asof"}
 
 
 class Parser:
@@ -613,7 +613,7 @@ class Parser:
                 self.eat_sym(")")
                 unpivot = (value_col, var_col, fields)
             while self.at_kw("join", "inner", "left", "right", "full",
-                             "semi", "anti"):
+                             "semi", "anti", "asof"):
                 joins.append(self.join_clause())
         if self.try_kw("where"):
             where = self.expr()
@@ -717,6 +717,11 @@ class Parser:
                 self.try_kw("outer")
             kind = kw
         self.eat_kw("join")
+        if kind == "asof":
+            # ASOF JOIN <ref> [AS a] ON eq-keys AND ts-inequality
+            jtarget, jalias = self.table_ref()
+            self.eat_kw("on")
+            return A.GeneralJoin(jtarget, "asof", self.expr(), jalias)
         jtarget, jalias = self.table_ref()
         self.eat_kw("on")
         _ops = {"=", "<", ">", "<=", ">=", "!=", "<>", "+", "-", "*",

@@ -565,3 +565,26 @@ _dialect(
     doc="dialect: FROM ... UNPIVOT (Spark melt — zero shuffle); "
         "oracle is the UNION ALL rewrite",
 )
+
+_dialect(
+    "nq25_dialect_asof_join",
+    """
+    select p.event_id, p.user_id, round(v.value, 4) as view_value
+    from (select event_id, user_id, ts from events
+          where event_type = 'purchase') as p
+    asof join (select user_id, ts, value from events
+               where event_type = 'view') as v
+      on p.user_id = v.user_id and p.ts >= v.ts
+    """,
+    """
+    SELECT p.event_id, p.user_id, ROUND(v.value, 4) AS view_value
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                    WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    doc="dialect: ASOF JOIN syntax bound onto the union-window merge "
+        "(one key shuffle, no range explosion) — oracle is DuckDB's "
+        "NATIVE ASOF LEFT JOIN, matched rows identified by value",
+)

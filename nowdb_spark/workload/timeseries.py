@@ -262,3 +262,35 @@ def ts04(spark, sf):
     out = TS.gap_fill(ev, "ts", _DAY_NS, "user_id",
                       F.count(F.lit(1)))
     return out.select("user_id", "bucket_ns", F.col("v").cast("long").alias("v"))
+
+
+@register(
+    "ts09_asof_join",
+    """
+    SELECT p.event_id, p.user_id,
+           epoch_us(p.ts) AS purchase_us,
+           epoch_us(v.ts) AS view_us,
+           round(v.value, 4) AS view_value
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                    WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    doc="generic two-frame as-of join (union-window merge, one "
+        "shuffle, no range explosion) — oracle is DuckDB's NATIVE "
+        "ASOF LEFT JOIN, a true cross-engine semantics check",
+)
+def ts09(spark, sf):
+    from nowdb_spark import timeutil as TU
+    ev = table(spark, sf, "events")
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                   .select("event_id", "user_id", "ts"))
+    views = (ev.where(F.col("event_type") == "view")
+               .select("user_id", "ts", "value"))
+    j = TS.asof_join(purchases, views, ["user_id"], "ts")
+    return j.select(
+        "event_id", "user_id",
+        TU.ns_to_us(F.col("ts")).alias("purchase_us"),
+        TU.ns_to_us(F.col("ts_r")).alias("view_us"),
+        F.round(F.col("value"), 4).alias("view_value"))

@@ -1183,3 +1183,30 @@ def test_strict_rejects_pivot(spark, eng):
         "prod_price from product) "
         "pivot (sum(prod_price) for prod_packing in (0, 1))")
     assert not r.ok()
+
+
+# --- ASOF JOIN (extension) -------------------------------------------
+
+def test_asof_join_dialect(eng, data):
+    """Self as-of through two derived frames: with the right side's
+    stamps shifted back by 1ns, every row's greatest qualifying match
+    is ITSELF (r.pstamp = l.stamp - 1) — a fixed point that pins both
+    the inequality direction and the greatest-stamp-wins rule."""
+    got = {r["rn"]: r["prev_q"] for r in eng.sql(
+        "select l.rn as rn, r.quantity as prev_q "
+        "from (select origin, stamp, quantity, "
+        "row_number() over (order by stamp, quantity) as rn from buys) as l "
+        "asof join (select origin, stamp - 1 as pstamp, quantity "
+        "from buys) as r "
+        "on l.origin = r.origin and l.stamp >= r.pstamp"
+    ).collect()}
+    buys = sorted(data["buys"], key=lambda b: (b[2], b[3]))
+    assert got == {i: b[3] for i, b in enumerate(buys, start=1)}
+
+
+def test_asof_join_requires_inequality(eng):
+    r = eng.execute(
+        "select l.prod_key from (select prod_key from product) as l "
+        "asof join (select prod_key from product) as r "
+        "on l.prod_key = r.prod_key")
+    assert not r.ok()

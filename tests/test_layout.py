@@ -110,3 +110,64 @@ def test_too_many_bits_rejected(spark, li):
     with pytest.raises(ValueError):
         layout.zorder_key(li, ["l_partkey", "l_suppkey", "l_orderkey",
                                "l_linenumber"], bits=16)
+
+
+# --- asof_join (operators/timeseries.py) -----------------------------
+# housed here to avoid a new module for two small operator batteries
+
+def _aj():
+    from nowdb_spark.operators.timeseries import asof_join
+    return asof_join
+
+
+def test_asof_backward_and_ties(spark):
+    asof_join = _aj()
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 50, "b"), (2, 10, "c")],
+        ["k", "ts", "lbl"])
+    right = spark.createDataFrame(
+        [(1, 100, 9.0), (1, 40, 7.0), (2, 11, 5.0)],
+        ["k", "ts", "v"])
+    out = {r["lbl"]: (r["ts_r"], r["v"]) for r in
+           asof_join(left, right, ["k"], "ts").collect()}
+    assert out["a"] == (100, 9.0)       # equal stamp matches (inclusive)
+    assert out["b"] == (40, 7.0)
+    assert out["c"] == (None, None)     # nothing at or before 10
+
+
+def test_asof_forward(spark):
+    asof_join = _aj()
+    left = spark.createDataFrame([(1, 50, "b")], ["k", "ts", "lbl"])
+    right = spark.createDataFrame(
+        [(1, 40, 7.0), (1, 60, 8.0), (1, 90, 9.0)], ["k", "ts", "v"])
+    r = asof_join(left, right, ["k"], "ts",
+                  direction="forward").collect()[0]
+    assert (r["ts_r"], r["v"]) == (60, 8.0)
+
+
+def test_asof_tolerance(spark):
+    asof_join = _aj()
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 500, "far")], ["k", "ts", "lbl"])
+    right = spark.createDataFrame([(1, 90, 7.0)], ["k", "ts", "v"])
+    out = {r["lbl"]: r["v"] for r in
+           asof_join(left, right, ["k"], "ts",
+                     tolerance_ns=50).collect()}
+    assert out["a"] == 7.0
+    assert out["far"] is None           # 410 > 50: match voided
+
+
+def test_asof_single_shuffle_plan(spark):
+    """The merge is ONE Exchange (key partition for the window) plus
+    the union — never a range join / nested loop."""
+    asof_join = _aj()
+    left = spark.range(1000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("ts"))
+    right = spark.range(500).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") * 2).alias("ts"),
+        F.col("id").cast("double").alias("v"))
+    plan = asof_join(left, right, ["k"], "ts") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 2  # union sides coalesce into one
+                                        # hashpartitioning on k
