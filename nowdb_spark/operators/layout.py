@@ -39,13 +39,17 @@ def _scaled(col: Column, lo: float, hi: float, bits: int) -> Column:
     value inside its observed [lo, hi] range. Degenerate ranges map
     to 0."""
     top = (1 << bits) - 1
-    if hi <= lo:
+    # degenerate range: constant column, all-NULL column (agg min/max
+    # come back None) or an empty frame — everything maps to cell 0
+    if lo is None or hi is None or hi <= lo:
         return F.lit(0).cast("long")
     span = float(hi - lo)
     c = ((col.cast("double") - F.lit(float(lo))) / F.lit(span)
          * F.lit(float(top)))
-    return F.least(F.greatest(F.floor(c).cast("long"), F.lit(0)),
+    cell = F.least(F.greatest(F.floor(c).cast("long"), F.lit(0)),
                    F.lit(top))
+    # NULL values sort to cell 0 rather than poisoning the whole key
+    return F.coalesce(cell, F.lit(0))
 
 
 def _interleave(scaled: list[Column], bits: int) -> Column:

@@ -108,8 +108,12 @@ def hll_estimate(sketch: DataFrame) -> DataFrame:
     top = HLL_RANK_BITS + 1     # 21
     agg = sketch.agg(
         F.count(F.lit(1)).alias("n_registers_set"),
-        F.sum(F.expr(f"CAST(pow(2, {top} - max_rank) AS BIGINT)"))
-         .alias("s_set"))
+        # empty sketch: SUM over zero rows is NULL — coalesce keeps
+        # s_scaled at its well-defined all-empty value m*2^top and the
+        # estimate at 0.0 (linear branch, ln(m/m))
+        F.coalesce(
+            F.sum(F.expr(f"CAST(pow(2, {top} - max_rank) AS BIGINT)")),
+            F.lit(0)).alias("s_set"))
     scale = float(1 << top)
     est_raw = (F.lit(HLL_ALPHA * HLL_M * HLL_M * scale)
                / F.col("s_scaled").cast("double"))
@@ -149,7 +153,7 @@ WITH regs AS (
   GROUP BY 1
 ), agg AS (
   SELECT COUNT(*) AS n_registers_set,
-         CAST(SUM(CAST(pow(2, {top} - max_rank) AS BIGINT))
+         CAST(COALESCE(SUM(CAST(pow(2, {top} - max_rank) AS BIGINT)), 0)
               + ({m} - COUNT(*)) * {1 << top} AS BIGINT) AS s_scaled
   FROM regs
 )
@@ -297,8 +301,10 @@ class _KLL:
             out.extend((v, 1 << lvl) for v in buf)
         return out
 
-    def quantile(self, q: float) -> float:
+    def quantile(self, q: float):
         it = sorted(self.items())
+        if not it:               # empty / all-NULL input -> NULL
+            return None
         total = sum(w for _, w in it)
         # type-1 (lower) order statistic at rank ceil(q * n)
         target = max(1, math.ceil(q * total))
@@ -405,14 +411,21 @@ def bloom_build(df: DataFrame, col: str) -> DataFrame:
 def bloom_probe(df: DataFrame, col: str, bloom: DataFrame) -> DataFrame:
     """Rows of ``df`` whose key passes the filter (all k positions
     set).  Guarantees no false negatives; FP rate ~ (1-e^{-kn/m})^k.
-    The filter side is broadcast — this is the cheap pre-join that
-    spares the big side a shuffle at 100 TB."""
-    poss = ", ".join(_bloom_pos_sql(col, j) for j in range(BLOOM_HASHES))
-    probe = df.withColumn("__pos", F.expr(f"array({poss})"))
-    hits = (probe.select("*", F.explode("__pos").alias("pos"))
-                 .join(F.broadcast(bloom), "pos", "inner")
-                 .groupBy(*[F.col(c) for c in df.columns])
-                 .agg(F.count(F.lit(1)).alias("__hits"))
-                 .where(F.col("__hits") == BLOOM_HASHES)
-                 .drop("__hits"))
-    return hits
+
+    Membership is a function of the KEY, so the probe runs over the
+    distinct keys (groupBy on the raw rows would merge duplicate rows
+    and miscount their position hits — a false negative) and the
+    verdict rejoins the big side as a semi join; the bloom bit table
+    itself is broadcast, and AQE is free to broadcast the passing-key
+    set too when it is small."""
+    poss = ", ".join(_bloom_pos_sql("__key", j)
+                     for j in range(BLOOM_HASHES))
+    keys = (df.select(F.col(col).alias("__key")).distinct()
+              .withColumn("__pos", F.expr(f"array({poss})")))
+    passing = (keys.select("__key", F.explode("__pos").alias("pos"))
+                   .join(F.broadcast(bloom), "pos", "inner")
+                   .groupBy("__key")
+                   .agg(F.count(F.lit(1)).alias("__hits"))
+                   .where(F.col("__hits") == BLOOM_HASHES)
+                   .select("__key"))
+    return df.join(passing, df[col] == passing["__key"], "left_semi")

@@ -203,6 +203,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     ``tolerance_ns`` voids matches farther than the given gap (the
     payload nulls out, the left row survives) — pandas.merge_asof's
     tolerance semantics.
+
+    NULL semantics match SQL equality (and DuckDB's native ASOF): a
+    NULL join key never matches on either side, and the whole matched
+    right ROW travels as one struct — a NULL inside a payload column
+    stays NULL instead of resurrecting a staler row's value.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
@@ -214,19 +219,36 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     matched_ts = f"{right_ts}{suffix}" if right_ts in left.columns \
         else right_ts
 
+    # the matched right row travels as ONE struct: last(ignorenulls)
+    # over per-column carries would mix columns from different rows
+    # whenever a payload value is NULL
+    row_struct = F.struct(
+        F.col(right_ts).alias("__m_ts"),
+        *[F.col(c).alias(f"__m_{c}") for c in payload])
+    null_keys = None
+    for k in on:
+        cond = F.col(k).isNull()
+        null_keys = cond if null_keys is None else (null_keys | cond)
+
     l2 = left.select(
         *[F.col(c) for c in left.columns],
         F.col(left_ts).alias("__ts"), F.lit(1).alias("__tag"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__p_{c}")
-          for c in payload],
-        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("__rts"))
-    r2 = right.select(
+        F.lit(None).cast(
+            f"struct<__m_ts:{dict(right.dtypes)[right_ts]}," +
+            ",".join(f"__m_{c}:{dict(right.dtypes)[c]}"
+                     for c in payload) + ">"
+            if payload else
+            f"struct<__m_ts:{dict(right.dtypes)[right_ts]}>")
+        .alias("__match"))
+    # right rows with a NULL key can never match (SQL equality) —
+    # drop them before the union
+    r_src = right if null_keys is None else right.where(~null_keys)
+    r2 = r_src.select(
         *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes
           if c not in on],
         *[F.col(k) for k in on],
         F.col(right_ts).alias("__ts"), F.lit(0).alias("__tag"),
-        *[F.col(c).alias(f"__p_{c}") for c in payload],
-        F.col(right_ts).alias("__rts"))
+        row_struct.alias("__match"))
     u = l2.unionByName(r2.select(*l2.columns))
 
     order = [F.col("__ts").asc(), F.col("__tag").asc()] \
@@ -234,16 +256,18 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
         else [F.col("__ts").desc(), F.col("__tag").asc()]
     w = (W.partitionBy(*on).orderBy(*order)
          .rowsBetween(W.unboundedPreceding, 0))
-    carried = {c: F.last(F.col(f"__p_{c}"), ignorenulls=True).over(w)
-               for c in payload}
-    rts = F.last(F.col("__rts"), ignorenulls=True).over(w)
+    match = F.last(F.col("__match"), ignorenulls=True).over(w)
+    # a left row with a NULL key matches nothing
+    if null_keys is not None:
+        match = F.when(~null_keys, match)
+    rts = match["__m_ts"]
 
     if tolerance_ns is not None:
         gap = (F.col("__ts") - rts) if direction == "backward" \
             else (rts - F.col("__ts"))
-        ok = rts.isNotNull() & (gap <= F.lit(tolerance_ns))
-        carried = {c: F.when(ok, e) for c, e in carried.items()}
-        rts = F.when(ok, rts)
+        match = F.when(rts.isNotNull() & (gap <= F.lit(tolerance_ns)),
+                       match)
+        rts = match["__m_ts"]
 
     # window FIRST, filter AFTER — filtering the union to left rows
     # before the window would hide every right row from the carry
@@ -251,5 +275,5 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
         F.col("__tag"),
         *[F.col(c) for c in left.columns],
         rts.alias(matched_ts),
-        *[carried[c].alias(out_names[c]) for c in payload])
+        *[match[f"__m_{c}"].alias(out_names[c]) for c in payload])
     return annotated.where(F.col("__tag") == 1).drop("__tag")

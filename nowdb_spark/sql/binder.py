@@ -786,21 +786,25 @@ class SelectBinder:
 
         lcols, rcols = set(df.columns), set(rdf.columns)
 
-        def side(f) -> str:
+        def resolve(f) -> tuple[str, str]:
+            """(side, PHYSICAL column name) — left names route through
+            qualmap (an earlier join may have prefixed them)."""
             if not isinstance(f, A.Field):
                 raise BindError("ASOF JOIN ON accepts plain column "
                                 "references only")
             if f.qualifier is not None:
                 if f.qualifier == prefix or f.qualifier == j.target:
-                    return "r"
+                    return "r", f.name
                 if f.qualifier in qualmap:
-                    return "l"
+                    p = qualmap[f.qualifier]
+                    return "l", (f.name if p is None
+                                 else f"{p}__{f.name}")
                 raise BindError(f"unknown alias {f.qualifier!r} in "
                                 "ASOF JOIN ON")
             if f.name in lcols:
-                return "l"
+                return "l", f.name
             if f.name in rcols:
-                return "r"
+                return "r", f.name
             raise BindError(f"unknown column {f.name!r} in ASOF JOIN ON")
 
         keys: list[tuple[str, str]] = []      # (left name, right name)
@@ -811,7 +815,7 @@ class SelectBinder:
                                 "equalities plus one ts inequality")
             a, b = conj.args
             if conj.name == "=":
-                pair = {side(a): a.name, side(b): b.name}
+                pair = dict([resolve(a), resolve(b)])
                 if set(pair) != {"l", "r"}:
                     raise BindError("ASOF JOIN equality must pair one "
                                     "column from each side")
@@ -820,13 +824,14 @@ class SelectBinder:
                 if ineq is not None:
                     raise BindError("ASOF JOIN takes exactly one ts "
                                     "inequality")
+                (sa, na), (sb, nb) = resolve(a), resolve(b)
                 # normalize to left-op-right
-                if side(a) == "l" and side(b) == "r":
+                if sa == "l" and sb == "r":
                     op = conj.name
-                    lts, rts = a.name, b.name
-                elif side(a) == "r" and side(b) == "l":
+                    lts, rts = na, nb
+                elif sa == "r" and sb == "l":
                     op = {">=": "<=", "<=": ">="}[conj.name]
-                    lts, rts = b.name, a.name
+                    lts, rts = nb, na
                 else:
                     raise BindError("ASOF JOIN inequality must compare "
                                     "the two sides' stamps")

@@ -962,6 +962,13 @@ class Parser:
                 lname = name.lower()
                 if self.at_kw("over"):
                     return self.window_spec(lname, args)
+                if lname == "grouping" and len(args) != 1:
+                    # multi-column GROUPING(a, b) would silently keep
+                    # only `a` (A.Agg stores one arg) — reject it; the
+                    # bit vector over all keys is grouping_id()
+                    raise ParseError(
+                        "grouping() takes exactly one key; use "
+                        "grouping_id() for the multi-key bit vector")
                 if lname in AGGREGATES or lname in ("grouping",
                                                     "grouping_id"):
                     return A.Agg(lname, args[0] if args else None)

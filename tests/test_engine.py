@@ -1210,3 +1210,29 @@ def test_asof_join_requires_inequality(eng):
         "asof join (select prod_key from product) as r "
         "on l.prod_key = r.prod_key")
     assert not r.ok()
+
+
+def test_asof_after_general_join(eng, data):
+    """ASOF JOIN following a general join: left ON columns resolve
+    through the earlier join's prefix (qualmap), not bare names."""
+    got = eng.sql(
+        "select l.rn as rn, r.quantity as prev_q "
+        "from (select origin, stamp, quantity, "
+        "row_number() over (order by stamp, quantity) as rn "
+        "from buys) as l "
+        "inner join (select client_key, client_name from client) as c "
+        "on l.origin = c.client_key "
+        "asof join (select origin, stamp - 1 as pstamp, quantity "
+        "from buys) as r "
+        "on l.origin = r.origin and l.stamp >= r.pstamp")
+    rows_ = {r["rn"]: r["prev_q"] for r in got.collect()}
+    buys = sorted(data["buys"], key=lambda b: (b[2], b[3]))
+    assert rows_ == {i: b[3] for i, b in enumerate(buys, start=1)}
+
+
+def test_grouping_multi_arg_rejected(eng):
+    r = eng.execute(
+        "select prod_cat, grouping(prod_cat, prod_packing) as g, "
+        "count(*) as n from product "
+        "group by rollup (prod_cat, prod_packing)")
+    assert not r.ok()

@@ -171,3 +171,38 @@ def test_asof_single_shuffle_plan(spark):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert plan.count("Exchange") <= 2  # union sides coalesce into one
                                         # hashpartitioning on k
+
+
+def test_zorder_all_null_and_empty(spark):
+    """Degenerate inputs: all-NULL curve column and empty frames get
+    key 0 instead of crashing on None ranges."""
+    df = spark.createDataFrame([(None, 1), (None, 2)], "a int, b int")
+    z = layout.zorder_key(df, ["a", "b"])
+    assert z.count() == 2 and all(r["__zkey"] is not None
+                                  for r in z.collect())
+    empty = spark.createDataFrame([], "a int, b int")
+    assert layout.zorder_key(empty, ["a", "b"]).count() == 0
+
+
+def test_asof_null_payload_keeps_row_integrity(spark):
+    """The matched right ROW travels as one struct: a NULL payload
+    value must stay NULL, not resurrect a staler row's value."""
+    asof_join = _aj()
+    left = spark.createDataFrame([(1, 3)], ["k", "ts"])
+    right = spark.createDataFrame(
+        [(1, 1, 5.0, 7.0), (1, 2, None, 9.0)],
+        "k long, ts long, x double, y double")
+    r = asof_join(left, right, ["k"], "ts").collect()[0]
+    assert (r["ts_r"], r["x"], r["y"]) == (2, None, 9.0)
+
+
+def test_asof_null_keys_never_match(spark):
+    """SQL equality: NULL keys match nothing on either side."""
+    asof_join = _aj()
+    left = spark.createDataFrame([(None, 5), (1, 5)], "k int, ts long")
+    right = spark.createDataFrame([(None, 4, 1.0), (1, 4, 2.0)],
+                                  "k int, ts long, v double")
+    out = {r["k"]: r["v"] for r in
+           asof_join(left, right, ["k"], "ts").collect()}
+    assert out[1] == 2.0
+    assert out[None] is None

@@ -79,7 +79,11 @@ _PY_ALLOWED = {"mm01_extract_meta", "mm02_real_decode", "mm03_real_resize",
                # ann08's partition-local BLAS top-k IS the Arrow
                # kernel (one matmul per batch) — the alternative is
                # the corpus × queries shuffle it exists to avoid
-               "ann08_bruteforce_batch"}
+               "ann08_bruteforce_batch",
+               # KLL builds per-partition sketches in an Arrow kernel
+               # (compaction is inherently imperative); the merge is a
+               # single bounded-state task, same pattern as k-means/BPE
+               "sk03_kll_quantiles"}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

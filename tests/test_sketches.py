@@ -195,3 +195,29 @@ def test_streaming_sketch_replay_idempotent(spark, tmp_path):
     cms_after = sorted(map(tuple, SS.read_cms(spark, cms_dir).collect()))
     assert cms_after == sorted(map(tuple,
                                    sk.cms_sketch(docs, "text").collect()))
+
+
+# --- review-pass regressions ------------------------------------------
+
+def test_bloom_probe_keeps_duplicate_rows(spark):
+    """Duplicate probe rows must ALL pass (membership is a key
+    property; collapsing rows was a false negative)."""
+    members = spark.createDataFrame([("a",), ("b",)], ["k"])
+    bloom = sk.bloom_build(members, "k")
+    probe = spark.createDataFrame([("a",), ("a",), ("b",)], ["k"])
+    got = sorted(r["k"] for r in sk.bloom_probe(probe, "k", bloom).collect())
+    assert got == ["a", "a", "b"]
+
+
+def test_kll_empty_input_returns_null(spark):
+    df = spark.createDataFrame([], "x double")
+    rows = sk.kll_quantiles(df, "x", (0.5,), k=100).collect()
+    assert len(rows) == 1 and rows[0]["value"] is None
+
+
+def test_hll_empty_input_estimates_zero(spark):
+    df = spark.createDataFrame([], "k string")
+    r = sk.hll_distinct(df, "k").collect()[0]
+    assert r["n_registers_set"] == 0
+    assert r["s_scaled"] == sk.HLL_M * (1 << (sk.HLL_RANK_BITS + 1))
+    assert r["estimate"] == 0.0
