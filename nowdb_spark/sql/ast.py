@@ -84,10 +84,13 @@ class WindowExpr:
     args: list                      # bound per-function
     partition_by: list              # [Field]
     order_by: list                  # [Field] (desc honored)
-    # frame: (start, end) where each bound is an int row offset
+    # frame: (start, end) where each bound is an int offset
     # (negative = preceding), or None for UNBOUNDED in that direction;
-    # the whole attribute is None when no ROWS clause was given
+    # the whole attribute is None when no frame clause was given
     frame: Optional[tuple] = None
+    # 'rows' (physical offsets) or 'range' (value offsets over ONE
+    # numeric order key — the time-window frame for ns stamps)
+    frame_mode: str = "rows"
 
 
 # --- projections / select ------------------------------------------

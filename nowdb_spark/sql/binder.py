@@ -168,9 +168,19 @@ class ExprBinder:
             w = w.orderBy(*[ocol(f) for f in node.order_by])
         if node.frame is not None:
             lo, hi = node.frame
-            w = w.rowsBetween(
-                Window.unboundedPreceding if lo is None else lo,
-                Window.unboundedFollowing if hi is None else hi)
+            lo = Window.unboundedPreceding if lo is None else lo
+            hi = Window.unboundedFollowing if hi is None else hi
+            if getattr(node, "frame_mode", "rows") == "range":
+                # value-offset frame over ONE numeric order key — the
+                # time-window frame for ns stamps (`RANGE BETWEEN
+                # 3600000000000 PRECEDING AND CURRENT ROW` = trailing
+                # hour); Spark enforces the single-numeric-key rule
+                if len(node.order_by) != 1:
+                    raise BindError(
+                        "RANGE frames need exactly one ORDER BY key")
+                w = w.rangeBetween(lo, hi)
+            else:
+                w = w.rowsBetween(lo, hi)
         name = node.name
         if name in _WINDOW_RANKING:
             if not node.order_by:

@@ -45,8 +45,8 @@ KEYWORDS = {
     "inner", "left", "right", "full", "outer", "semi", "anti",
     # window functions (extension — the reference grammar has no OVER,
     # nowdbsql.y; Spark's Window frames back the semantics)
-    "over", "partition", "rows", "between", "preceding", "following",
-    "unbounded", "current",
+    "over", "partition", "rows", "range", "between", "preceding",
+    "following", "unbounded", "current",
     # multi-dimensional grouping (extension — the reference grammar
     # has flat GROUP BY only, nowdbsql.y)
     "rollup", "cube", "grouping", "sets",

@@ -29,7 +29,8 @@ _IDENTISH_KWS = _TYPE_KWS | _SIZING_KWS | {
     "vertex", "type", "edge", "index", "depth",
     # grouping(x)/grouping_id() remain callable, and all four stay
     # legal as plain column names
-    "rollup", "cube", "grouping", "sets", "pivot", "unpivot", "asof"}
+    "rollup", "cube", "grouping", "sets", "pivot", "unpivot", "asof",
+    "range"}
 
 
 class Parser:
@@ -1000,12 +1001,15 @@ class Parser:
             while self.at_sym(","):
                 self.next()
                 order.append(self.order_ref())
-        if self.try_kw("rows"):
+        frame_mode = "rows"
+        if self.at_kw("rows", "range"):
+            frame_mode = self.next().value
             self.eat_kw("between")
             frame = (self._frame_bound(start=True),
                      self._frame_bound(start=False))
         self.eat_sym(")")
-        return A.WindowExpr(fname, args, part, order, frame)
+        return A.WindowExpr(fname, args, part, order, frame,
+                            frame_mode=frame_mode)
 
     def _frame_bound(self, start: bool):
         """UNBOUNDED PRECEDING|FOLLOWING / CURRENT ROW / n PRECEDING /

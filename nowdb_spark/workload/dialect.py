@@ -588,3 +588,25 @@ _dialect(
         "(one key shuffle, no range explosion) — oracle is DuckDB's "
         "NATIVE ASOF LEFT JOIN, matched rows identified by value",
 )
+
+_dialect(
+    "nq26_dialect_range_frame",
+    """
+    select event_id, user_id,
+           round(sum(value) over (partition by user_id order by ts
+                 range between 3600000000000 preceding and current row),
+                 4) as hr_sum
+    from events
+    """,
+    """
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (
+                 PARTITION BY user_id ORDER BY epoch_ns(ts)
+                 RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW),
+                 4) AS hr_sum
+    FROM events
+    """,
+    doc="dialect: RANGE (value-offset) window frame over the ns stamp "
+        "— trailing-hour moving sum; peers at equal stamps share the "
+        "frame per the SQL standard on both engines",
+)

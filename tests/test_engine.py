@@ -1236,3 +1236,28 @@ def test_grouping_multi_arg_rejected(eng):
         "count(*) as n from product "
         "group by rollup (prod_cat, prod_packing)")
     assert not r.ok()
+
+
+def test_range_frame_trailing_window(eng, data):
+    """RANGE (value-offset) frame: trailing 10-day sum over the buys
+    stream per client, recomputed in python."""
+    horizon = 10 * 86400 * NS
+    got = {(r["origin"], r["stamp"]): r["s"] for r in eng.sql(
+        f"select origin, stamp, sum(quantity) over (partition by origin "
+        f"order by stamp range between {horizon} preceding "
+        f"and current row) as s from buys").collect()}
+    per = {}
+    for o, d, stamp, q, p in data["buys"]:
+        per.setdefault(o, []).append((stamp, q))
+    for o, rows_ in per.items():
+        for stamp, _ in rows_:
+            want = sum(q for s, q in rows_
+                       if stamp - horizon <= s <= stamp)
+            assert got[(o, stamp)] == want, (o, stamp)
+
+
+def test_range_frame_needs_single_order_key(eng):
+    r = eng.execute(
+        "select origin, sum(quantity) over (order by origin, stamp "
+        "range between 5 preceding and current row) as s from buys")
+    assert not r.ok()
