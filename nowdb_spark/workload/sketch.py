@@ -104,3 +104,25 @@ def sk04_bloom_membership(spark, sf_dir):
             .select(F.col("l_partkey").alias("partkey")).distinct())
     return (sk.bloom_probe(keys, "partkey", bloom)
             .select("partkey").orderBy("partkey"))
+
+
+# --- fz01: fuzzy (edit-distance) pairs --------------------------------
+
+@register(
+    "fz01_fuzzy_name_pairs",
+    """
+    WITH n AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL)
+    SELECT a.p_name AS v1, b.p_name AS v2,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM n a, n b
+    WHERE a.p_name < b.p_name
+      AND levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    doc="edit-distance pairs over distinct part names — Spark runs "
+        "the length-banded equality join (operators/fuzzy.py), the "
+        "oracle brute-forces; both engines' levenshtein are unit-cost",
+)
+def fz01_fuzzy_name_pairs(spark, sf_dir):
+    from nowdb_spark.operators.fuzzy import fuzzy_pairs
+    return fuzzy_pairs(table(spark, sf_dir, "part"), "p_name",
+                       max_dist=2)

@@ -1,0 +1,61 @@
+"""Fuzzy matching: the banded plan must be LOSSLESS vs brute force,
+never a crossJoin, and the two-frame join must carry payload through."""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from nowdb_spark.operators.fuzzy import fuzzy_join, fuzzy_pairs
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+WORDS = ["kitten", "sitting", "kitchen", "mitten", "bitten", "written",
+         "flaw", "lawn", "flan", "plan", "plant", "sit", "fit", "fits",
+         "a", "ab", "abc", ""]
+
+
+def test_pairs_match_bruteforce(spark):
+    df = spark.createDataFrame([(w,) for w in WORDS], ["w"])
+    got = {(r["v1"], r["v2"], r["dist"])
+           for r in fuzzy_pairs(df, "w", max_dist=2).collect()}
+    want = {(a, b, _lev(a, b)) if a < b else (b, a, _lev(a, b))
+            for a, b in itertools.combinations(sorted(set(WORDS)), 2)
+            if _lev(a, b) <= 2}
+    assert got == want
+
+
+def test_pairs_emit_each_pair_once(spark):
+    df = spark.createDataFrame([("aa",), ("ab",), ("aa",)], ["w"])
+    rows = fuzzy_pairs(df, "w", max_dist=1).collect()
+    assert [tuple(r) for r in rows] == [("aa", "ab", 1)]
+
+
+def test_pairs_no_crossjoin_plan(spark):
+    df = spark.createDataFrame([(w,) for w in WORDS], ["w"])
+    plan = fuzzy_pairs(df, "w", max_dist=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+
+
+def test_fuzzy_join_carries_payload(spark):
+    left = spark.createDataFrame(
+        [(1, "kitten"), (2, "zzz")], ["id", "name"])
+    right = spark.createDataFrame(
+        [(10, "mitten"), (11, "kitten"), (12, "unrelated")],
+        ["id", "name"])
+    out = fuzzy_join(left, right, "name", "name", max_dist=1)
+    got = {(r["id"], r["id_r"], r["dist"]) for r in out.collect()}
+    assert got == {(1, 10, 1), (1, 11, 0)}
