@@ -18,6 +18,10 @@ without leaving the session:
     exec pipe.line_dedup('docs')
     exec pipe.domain_mix('docs', 'source', 200, 0.5, 13)
     exec pipe.dedup_increment('lsh_idx', 'batch', 8, 4, 0.5)
+    exec pipe.hll_distinct('orders', 'o_custkey')
+    exec pipe.heavy_hitters('lineitem', 'l_suppkey', 620)
+    exec pipe.quantiles('lineitem', 'l_extendedprice')
+    exec pipe.fuzzy_pairs('part', 'p_name', 2)
 
 Every procedure takes a context/mount/view NAME plus constant
 parameters (the reference's EXEC restriction) and returns a cursor —
@@ -107,7 +111,30 @@ def register_builtin_procs(engine) -> None:
                                      k=int(k), bands=int(bands),
                                      threshold=float(threshold))
 
+    from nowdb_spark.operators import fuzzy as FZ
+    from nowdb_spark.operators import sketches as SK
+
+    def hll_distinct(session, ctx, col):
+        return SK.hll_distinct(session.dataframe(ctx), str(col))
+
+    def heavy_hitters(session, ctx, col, min_count):
+        return SK.cms_heavy_hitters(session.dataframe(ctx), str(col),
+                                    int(min_count))
+
+    def quantiles(session, ctx, col, k=4096):
+        return SK.kll_quantiles(session.dataframe(ctx), str(col),
+                                (0.01, 0.05, 0.1, 0.25, 0.5,
+                                 0.75, 0.9, 0.95, 0.99), k=int(k))
+
+    def fuzzy_pairs(session, ctx, col, max_dist=2):
+        return FZ.fuzzy_pairs(session.dataframe(ctx), str(col),
+                              max_dist=int(max_dist))
+
     for name, fn in [("exact_dedup", exact_dedup),
+                     ("hll_distinct", hll_distinct),
+                     ("heavy_hitters", heavy_hitters),
+                     ("quantiles", quantiles),
+                     ("fuzzy_pairs", fuzzy_pairs),
                      ("minhash_pairs", minhash_pairs),
                      ("semdedup", semdedup),
                      ("dsir_weights", dsir_weights),

@@ -240,6 +240,22 @@ def test_builtin_pipeline_procs(spark, tmp_path):
     # weights sqrt(3):sqrt(1) -> quotas floor(3*.634)=1, floor(3*.366)=1
     assert by_lang == {"en": 1, "fr": 1}
 
+    # sketch / fuzzy procedures (round 7)
+    r = e.rexecute("exec pipe.hll_distinct('docs', 'text')")
+    est = r.fetch(10)[0]
+    assert abs(est[2] - 3) < 0.5                   # 3 distinct texts
+    r = e.rexecute("exec pipe.heavy_hitters('docs', 'lang', 3)")
+    hh = {t[0]: t[1] for t in r.fetch(10)}
+    assert hh == {"en": 3}
+    r = e.rexecute("exec pipe.quantiles('docs', 'doc_id', 100)")
+    qs = {t[0]: t[1] for t in r.fetch(20)}
+    assert qs[0.5] == 1.0                          # median of 0..3
+    r = e.rexecute("exec pipe.fuzzy_pairs('docs', 'text', 2)")
+    fz = {(t[0], t[1]) for t in r.fetch(10)}
+    # 'alpha beta gamma' vs 'alpha beta delta': distance 4 — excluded;
+    # no pair of the three distinct texts is within 2 edits
+    assert fz == set()
+
 
 def test_like_between_predicates(eng, spark):
     """LIKE / NOT LIKE / BETWEEN / NOT BETWEEN (dialect extensions —
