@@ -291,3 +291,30 @@ def test_domain_mix_broadcasts_quota(spark):
     plan = plan_of(spark, "dm01_domain_mix")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# --- round-7 operator plan bounds ------------------------------------
+
+def test_sk01_hll_single_exchange(spark):
+    """HLL = one map pass + ONE register-domain shuffle (4096 keys);
+    anything more means the sketch stopped being map-side-combined."""
+    plan = plan_of(spark, "sk01_hll_distinct")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2500]
+
+
+def test_fz01_banded_not_cross(spark):
+    """Fuzzy pairs: the length band must compile to an equality join
+    (hash or broadcast), never a cartesian/nested-loop plan."""
+    plan = plan_of(spark, "fz01_fuzzy_name_pairs")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, \
+        plan[:2500]
+
+
+def test_ts09_asof_bounded_exchanges(spark):
+    """The as-of union-window merge: key partition for the window (one
+    hashpartitioning per union side pre-AQE-coalesce, at most 3 with
+    the filter reshuffle) and no join node at all — the merge IS the
+    window."""
+    plan = plan_of(spark, "ts09_asof_join")
+    assert "Join" not in plan, plan[:2500]
+    assert plan.count("Exchange hashpartitioning") <= 3, plan[:2500]
