@@ -429,3 +429,98 @@ def bloom_probe(df: DataFrame, col: str, bloom: DataFrame) -> DataFrame:
                    .where(F.col("__hits") == BLOOM_HASHES)
                    .select("__key"))
     return df.join(passing, df[col] == passing["__key"], "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch (Bar-Yossef et al. 2002) — distinct counts WITH
+# set operations (union / intersection), which HLL registers cannot do
+# ---------------------------------------------------------------------------
+
+KMV_K = 256
+KMV_DOMAIN = float(1 << 52)     # 13 md5 hex chars -> [0, 2^52)
+
+
+def _kmv_hash_sql(key_sql: str, dialect: str) -> str:
+    h = f"md5(CAST({key_sql} AS STRING))"
+    return _hex_to_int(f"substring({h}, 1, 13)", dialect)
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = KMV_K) -> DataFrame:
+    """The k smallest 52-bit hashes of the column's distinct values —
+    one column ``h``.  Mergeable: union two sketches, keep the k
+    smallest again.  The heavy lifting is a distinct + top-k
+    (TakeOrderedAndProject — no global sort); everything downstream
+    operates on <= k rows."""
+    return (df.where(F.col(col).isNotNull())
+              .select(F.expr(_kmv_hash_sql(col, "spark")).alias("h"))
+              .distinct()
+              .orderBy("h").limit(int(k)))
+
+
+def kmv_estimate_expr(k: int):
+    """Distinct-count estimator over a sketch aggregated to
+    (n = rows, hmax = kth smallest): exact when the sketch is not
+    full, else (k-1) * domain / h_k."""
+    n, hmax = F.col("n"), F.col("hmax")
+    return (F.when(n < k, n.cast("double"))
+             .otherwise(F.lit(float(k - 1)) * F.lit(KMV_DOMAIN)
+                        / hmax.cast("double")))
+
+
+def kmv_set_overlap(df_a: DataFrame, col_a: str,
+                    df_b: DataFrame, col_b: str,
+                    k: int = KMV_K) -> DataFrame:
+    """One-row estimate frame for two key sets:
+    (n_x, n_shared, jaccard, d_union, d_inter) — the
+    theta-sketch intersection: X = k smallest hashes of the hash
+    UNION, J = |X ∩ A ∩ B| / |X|, D_inter = J * D_union.
+
+    Every input is deterministic integer arithmetic, so the DuckDB
+    oracle (kmv_overlap_oracle_sql) replays it value-exact.  All joins
+    happen on <= k-row frames (broadcast)."""
+    sa, sb = kmv_sketch(df_a, col_a, k), kmv_sketch(df_b, col_b, k)
+    x = (sa.unionAll(sb).distinct().orderBy("h").limit(int(k))
+           .persist())
+    shared = (x.join(F.broadcast(sa), "h", "left_semi")
+                .join(F.broadcast(sb), "h", "left_semi"))
+    agg = (x.agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("hmax"))
+             .crossJoin(shared.agg(F.count(F.lit(1)).alias("n_shared"))))
+    d_union = kmv_estimate_expr(k)
+    jac = F.col("n_shared").cast("double") / F.col("n").cast("double")
+    return agg.select(
+        F.col("n").alias("n_x"), "n_shared",
+        F.round(jac, 6).alias("jaccard"),
+        F.round(d_union, 4).alias("d_union"),
+        F.round(jac * d_union, 4).alias("d_inter"))
+
+
+def kmv_overlap_oracle_sql(table_a: str, col_a: str,
+                           table_b: str, col_b: str,
+                           k: int = KMV_K) -> str:
+    """DuckDB replay of kmv_set_overlap (same hashes, same k-smallest
+    sets, same estimator branch)."""
+    ha = _kmv_hash_sql(col_a, "duckdb")
+    hb = _kmv_hash_sql(col_b, "duckdb")
+    return f"""
+WITH sa AS (SELECT DISTINCT {ha} AS h FROM {table_a}
+            WHERE {col_a} IS NOT NULL ORDER BY 1 LIMIT {k}),
+sb AS (SELECT DISTINCT {hb} AS h FROM {table_b}
+       WHERE {col_b} IS NOT NULL ORDER BY 1 LIMIT {k}),
+x AS (SELECT DISTINCT h FROM (SELECT h FROM sa UNION ALL
+                              SELECT h FROM sb) ORDER BY 1 LIMIT {k}),
+agg AS (SELECT COUNT(*) AS n, MAX(h) AS hmax,
+               (SELECT COUNT(*) FROM x
+                WHERE h IN (SELECT h FROM sa)
+                  AND h IN (SELECT h FROM sb)) AS n_shared
+        FROM x)
+SELECT n AS n_x, n_shared,
+       ROUND(CAST(n_shared AS DOUBLE) / CAST(n AS DOUBLE), 6) AS jaccard,
+       ROUND(CASE WHEN n < {k} THEN CAST(n AS DOUBLE)
+             ELSE {float(k - 1)} * {KMV_DOMAIN} / CAST(hmax AS DOUBLE)
+             END, 4) AS d_union,
+       ROUND((CAST(n_shared AS DOUBLE) / CAST(n AS DOUBLE))
+             * CASE WHEN n < {k} THEN CAST(n AS DOUBLE)
+               ELSE {float(k - 1)} * {KMV_DOMAIN} / CAST(hmax AS DOUBLE)
+               END, 4) AS d_inter
+FROM agg
+"""

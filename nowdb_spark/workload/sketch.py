@@ -126,3 +126,33 @@ def fz01_fuzzy_name_pairs(spark, sf_dir):
     from nowdb_spark.operators.fuzzy import fuzzy_pairs
     return fuzzy_pairs(table(spark, sf_dir, "part"), "p_name",
                        max_dist=2)
+
+
+# --- sk05: KMV/theta set-overlap sketch -------------------------------
+
+_KMV_K = 64  # below the ~150 distinct users per side, so the gate
+             # exercises the (k-1)*domain/h_k estimator branch
+
+
+def _sk05_oracle() -> str:
+    return sk.kmv_overlap_oracle_sql(
+        "(SELECT user_id FROM events WHERE event_type = 'view')",
+        "user_id",
+        "(SELECT user_id FROM events WHERE event_type = 'purchase')",
+        "user_id", k=_KMV_K)
+
+
+@register(
+    "sk05_kmv_overlap",
+    _sk05_oracle(),
+    doc="KMV/theta sketch set overlap: distinct viewers vs purchasers "
+        "— union/intersection estimates HLL registers cannot express; "
+        "oracle replays the k-smallest-hash sets value-exact",
+)
+def sk05_kmv_overlap(spark, sf_dir):
+    from pyspark.sql import functions as F
+    ev = table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select("user_id")
+    buys = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return sk.kmv_set_overlap(views, "user_id", buys, "user_id",
+                              k=_KMV_K)

@@ -221,3 +221,36 @@ def test_hll_empty_input_estimates_zero(spark):
     assert r["n_registers_set"] == 0
     assert r["s_scaled"] == sk.HLL_M * (1 << (sk.HLL_RANK_BITS + 1))
     assert r["estimate"] == 0.0
+
+
+# --- KMV / theta sketch ------------------------------------------------
+
+def test_kmv_overlap_accuracy(spark):
+    """Known overlap: A = 0..999, B = 500..1499 (J = 1/3,
+    |A∪B| = 1500, |A∩B| = 500); k=256 keeps relative error modest."""
+    a = spark.range(0, 1000).select(F.col("id").cast("string").alias("k"))
+    b = spark.range(500, 1500).select(F.col("id").cast("string").alias("k"))
+    r = sk.kmv_set_overlap(a, "k", b, "k", k=256).collect()[0]
+    assert abs(r["d_union"] - 1500) / 1500 < 0.25, r
+    assert abs(r["jaccard"] - 1 / 3) < 0.15, r
+    assert abs(r["d_inter"] - 500) / 500 < 0.45, r
+
+
+def test_kmv_exact_when_small(spark):
+    """Sets smaller than k: everything is exact."""
+    a = spark.range(0, 30).select(F.col("id").cast("string").alias("k"))
+    b = spark.range(20, 50).select(F.col("id").cast("string").alias("k"))
+    r = sk.kmv_set_overlap(a, "k", b, "k", k=256).collect()[0]
+    assert r["d_union"] == 50.0
+    assert r["n_shared"] == 10 and r["n_x"] == 50
+    assert r["d_inter"] == 10.0
+
+
+def test_kmv_sketch_mergeable(spark):
+    a = spark.range(0, 400).select(F.col("id").cast("string").alias("k"))
+    b = spark.range(200, 600).select(F.col("id").cast("string").alias("k"))
+    merged = (sk.kmv_sketch(a, "k", 64).unionAll(sk.kmv_sketch(b, "k", 64))
+                .distinct().orderBy("h").limit(64))
+    direct = sk.kmv_sketch(a.unionAll(b), "k", 64)
+    assert [r["h"] for r in merged.collect()] == \
+           [r["h"] for r in direct.collect()]
