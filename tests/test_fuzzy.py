@@ -59,3 +59,24 @@ def test_fuzzy_join_carries_payload(spark):
     out = fuzzy_join(left, right, "name", "name", max_dist=1)
     got = {(r["id"], r["id_r"], r["dist"]) for r in out.collect()}
     assert got == {(1, 10, 1), (1, 11, 0)}
+
+
+def test_pairs_lossless_on_random_corpora(spark):
+    """Property check: the length band must lose NOTHING vs brute
+    force on adversarial-ish random corpora (clustered lengths, empty
+    strings, repeats, unicode)."""
+    import random
+    rng = random.Random(99)
+    alpha = "abcx "
+    for trial in range(3):
+        words = list({"".join(rng.choice(alpha)
+                               for _ in range(rng.randrange(0, 9)))
+                      for _ in range(60)})
+        df = spark.createDataFrame([(w,) for w in words], ["w"])
+        d = trial + 1
+        got = {(r["v1"], r["v2"], r["dist"])
+               for r in fuzzy_pairs(df, "w", max_dist=d).collect()}
+        want = {(a, b, _lev(a, b))
+                for a, b in itertools.combinations(sorted(words), 2)
+                if _lev(a, b) <= d}
+        assert got == want, (trial, got ^ want)
