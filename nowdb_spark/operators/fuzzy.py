@@ -56,20 +56,46 @@ def fuzzy_join(left: DataFrame, right: DataFrame, left_col: str,
     """All (left row, right row) combinations whose strings are within
     ``max_dist`` edits, plus a ``dist`` column — the length-banded
     equality join, with every non-key column of both sides carried
-    through (right-side name collisions suffixed ``_r``)."""
-    lcols = left.columns
-    rename = {c: (f"{c}_r" if c in lcols else c) for c in right.columns}
+    through (right-side name collisions suffixed ``_r``, escalating to
+    ``_r2``, ``_r3``, … when the suffixed name is itself taken)."""
+    lcols = set(left.columns)
+    taken = set(lcols)
+
+    def free(name):
+        # guaranteed-unique rename: never collide with a left column,
+        # an already-assigned right column, or the dist/band temps
+        cand, i = f"{name}_r", 2
+        while cand in taken:
+            cand, i = f"{name}_r{i}", i + 1
+        return cand
+
+    # two passes: non-colliding right names keep their name and are
+    # reserved FIRST, so a later rename can't steal a name the right
+    # side already owns (e.g. right has both c and c_r)
+    rename = {c: c for c in right.columns if c not in lcols}
+    taken |= set(rename.values())
+    for c in right.columns:
+        if c in lcols:
+            rename[c] = free(c)
+            taken.add(rename[c])
+    band = "__n2"
+    while band in taken or band in {"dist"}:
+        band += "_"
+    if "dist" in taken or "dist" in rename.values():
+        raise ValueError(
+            "fuzzy_join emits a 'dist' column; rename the existing "
+            "'dist' column on either input first")
     r2 = right.select(*[F.col(c).alias(rename[c]) for c in right.columns])
     rkey = rename[right_col]
     probe = left.withColumn(
-        "__n2", F.explode(F.sequence(
+        band, F.explode(F.sequence(
             F.length(F.col(left_col).cast("string")) - max_dist,
             F.length(F.col(left_col).cast("string")) + max_dist)))
-    build = r2.withColumn("__n2",
+    build = r2.withColumn(band,
                           F.length(F.col(rkey).cast("string")))
-    return (probe.join(build, "__n2")
+    return (probe.join(build, band)
                  .withColumn("dist", F.levenshtein(
                      F.col(left_col).cast("string"),
                      F.col(rkey).cast("string")))
                  .where(F.col("dist") <= max_dist)
-                 .drop("__n2"))
+                 .drop(band))

@@ -479,8 +479,15 @@ def kmv_set_overlap(df_a: DataFrame, col_a: str,
     oracle (kmv_overlap_oracle_sql) replays it value-exact.  All joins
     happen on <= k-row frames (broadcast)."""
     sa, sb = kmv_sketch(df_a, col_a, k), kmv_sketch(df_b, col_b, k)
-    x = (sa.unionAll(sb).distinct().orderBy("h").limit(int(k))
-           .persist())
+    # the union sketch is reused three times below; it is <= k rows by
+    # construction, so materialize it once to the driver instead of
+    # .persist() (which would leak cached blocks in long-lived
+    # sessions — there is no post-return hook to unpersist on)
+    spark = df_a.sparkSession
+    x_rows = (sa.unionAll(sb).distinct().orderBy("h").limit(int(k))
+                .collect())
+    x = spark.createDataFrame(x_rows, schema="h long") if x_rows \
+        else spark.createDataFrame([], schema="h long")
     shared = (x.join(F.broadcast(sa), "h", "left_semi")
                 .join(F.broadcast(sb), "h", "left_semi"))
     agg = (x.agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("hmax"))

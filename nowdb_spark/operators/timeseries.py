@@ -123,40 +123,78 @@ def zscore(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
 
 
 def ewma(df: DataFrame, stamp_col: str, key_col: str, value_col: str,
-         alpha: float, tiebreak: str | None = None) -> DataFrame:
+         alpha: float, tiebreak: str | None = None,
+         num_buckets: int | None = None) -> DataFrame:
     """Exponentially weighted moving average per key in stamp order:
     y_0 = v_0, y_i = (1-α)·y_{i-1} + α·v_i  (pandas ewm adjust=False).
 
-    The recurrence is inherently sequential — it is NOT expressible as
-    a window aggregate without (1-α)^(n-i) rescaling terms that under/
-    overflow at realistic series lengths — so this is the documented
-    Pandas-UDF escape hatch: one shuffle on the key, then an
-    Arrow-batched applyInPandas per key group. Each key's series must
-    fit one executor (true of any per-entity series; segment by coarse
-    time range upstream if a single key exceeds memory).
+    The recurrence is inherently sequential per key — it is NOT
+    expressible as a window aggregate without (1-α)^(n-i) rescaling
+    terms that under/overflow at realistic series lengths — so this is
+    the documented Pandas-UDF escape hatch. But it IS parallel ACROSS
+    keys, and that's where the vectorization lives: keys are hashed
+    into ``num_buckets`` groups (one shuffle, bounded fan-in per
+    task), each bucket's series are pivoted into a (keys × position)
+    matrix, and the recurrence runs COLUMN-wise — one numpy op per
+    time-position over all keys in the bucket at once. Python-loop
+    iterations drop from O(total rows) to O(max series length per
+    bucket), ~100× here, while every element still receives exactly
+    fl((1-α)·y) + fl(α·v) in IEEE order — bit-identical to the scalar
+    loop and to the oracle's recursive-CTE replay (column-wise numpy
+    multiply/add are the same scalar IEEE ops, just batched).
+
+    Memory per task = keys_in_bucket × max_len doubles; pick
+    ``num_buckets`` (default 4× shuffle partitions) so that fits the
+    executor. Not pandas .ewm, whose normalized-weight update
+    (old_wt·y + new_wt·v)/(old_wt+new_wt) differs by an ulp.
     """
     cols = [key_col, stamp_col] + ([tiebreak] if tiebreak else []) \
         + [value_col]
     src = df.select(*cols)
     out_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                            for f in src.schema.fields)
-    order = [stamp_col] + ([tiebreak] if tiebreak else [])
+    order = [key_col, stamp_col] + ([tiebreak] if tiebreak else [])
+    if num_buckets is None:
+        num_buckets = 4 * int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                     "200"))
+    beta = 1.0 - alpha
 
     def fn(pdf):
-        pdf = pdf.sort_values(order)
-        # explicit recurrence (not pandas .ewm, whose internal
-        # normalized-weight update differs by an ulp): exactly
-        # y = (1-α)·y + α·v per step, in input order
-        vals = pdf[value_col].to_numpy()
-        out = vals.copy().astype("float64")
-        y = 0.0
-        for i, v in enumerate(vals):
-            y = v if i == 0 else (1 - alpha) * y + alpha * v
-            out[i] = y
-        pdf["ewma"] = out
-        return pdf
+        import numpy as np
+        pdf = pdf.sort_values(order).reset_index(drop=True)
+        vals = pdf[value_col].to_numpy(dtype="float64", na_value=np.nan)
+        n = len(vals)
+        if n == 0:
+            pdf["ewma"] = vals
+            return pdf.drop(columns=["__bkt"])
+        # run-length the sorted keys → per-series start/length.
+        # NULL keys are ONE group (Spark groupBy semantics), so a
+        # NaN-vs-NaN comparison must not split the run.
+        keys = pdf[key_col].to_numpy()
+        kn = pdf[key_col].isna().to_numpy()
+        with np.errstate(invalid="ignore"):
+            changed = keys[1:] != keys[:-1]
+        changed = np.asarray(changed, dtype=bool) & ~(kn[1:] & kn[:-1])
+        starts = np.flatnonzero(np.r_[True, changed])
+        lens = np.diff(np.r_[starts, n])
+        max_len = int(lens.max())
+        row = np.repeat(np.arange(len(starts)), lens)
+        pos = np.arange(n) - np.repeat(starts, lens)
+        M = np.full((len(starts), max_len), np.nan)
+        M[row, pos] = vals
+        # column-wise recurrence: identical IEEE ops to the scalar
+        # loop (NaN padding propagates but padded cells are discarded)
+        Y = np.empty_like(M)
+        Y[:, 0] = M[:, 0]
+        for j in range(1, max_len):
+            Y[:, j] = beta * Y[:, j - 1] + alpha * M[:, j]
+        pdf["ewma"] = Y[row, pos]
+        return pdf.drop(columns=["__bkt"])
 
-    return src.groupBy(key_col).applyInPandas(
+    bucketed = src.withColumn(
+        "__bkt", F.pmod(F.xxhash64(key_col), F.lit(num_buckets)))
+    return bucketed.groupBy("__bkt").applyInPandas(
         fn, schema=f"{out_fields}, ewma double")
 
 
@@ -240,9 +278,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
             if payload else
             f"struct<__m_ts:{dict(right.dtypes)[right_ts]}>")
         .alias("__match"))
-    # right rows with a NULL key can never match (SQL equality) —
-    # drop them before the union
-    r_src = right if null_keys is None else right.where(~null_keys)
+    # right rows with a NULL key OR a NULL timestamp can never match
+    # (SQL equality / DuckDB native ASOF: ts >= NULL is never true) —
+    # drop them before the union so they don't sort NULLS FIRST into
+    # the carry window and leak payload into unmatched left rows
+    r_ok = F.col(right_ts).isNotNull() if null_keys is None \
+        else (~null_keys & F.col(right_ts).isNotNull())
+    r_src = right.where(r_ok)
     r2 = r_src.select(
         *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes
           if c not in on],
@@ -257,9 +299,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     w = (W.partitionBy(*on).orderBy(*order)
          .rowsBetween(W.unboundedPreceding, 0))
     match = F.last(F.col("__match"), ignorenulls=True).over(w)
-    # a left row with a NULL key matches nothing
-    if null_keys is not None:
-        match = F.when(~null_keys, match)
+    # a left row with a NULL key or a NULL timestamp matches nothing
+    l_ok = F.col("__ts").isNotNull() if null_keys is None \
+        else (~null_keys & F.col("__ts").isNotNull())
+    match = F.when(l_ok, match)
     rts = match["__m_ts"]
 
     if tolerance_ns is not None:

@@ -80,3 +80,28 @@ def test_pairs_lossless_on_random_corpora(spark):
                 for a, b in itertools.combinations(sorted(words), 2)
                 if _lev(a, b) <= d}
         assert got == want, (trial, got ^ want)
+
+
+def test_fuzzy_join_suffix_collision_safe(spark):
+    """Right side carrying both c and c_r (with c also on the left)
+    must produce unique output names, not an ambiguous duplicate."""
+    from nowdb_spark.operators import fuzzy as FZ
+    left = spark.createDataFrame([("abc", 1)], ["name", "c"])
+    right = spark.createDataFrame([("abd", 2, 3)], ["name", "c", "c_r"])
+    out = FZ.fuzzy_join(left, right, "name", "name", max_dist=1)
+    assert len(out.columns) == len(set(out.columns))
+    r = out.collect()[0]
+    assert r["c"] == 1 and r["c_r"] == 3 and r["dist"] == 1
+    # the renamed right-side c landed on a fresh name
+    fresh = [c for c in out.columns
+             if c not in {"name", "name_r", "c", "c_r", "dist"}]
+    assert fresh and r[fresh[0]] == 2
+
+
+def test_fuzzy_join_dist_collision_raises(spark):
+    from nowdb_spark.operators import fuzzy as FZ
+    import pytest
+    left = spark.createDataFrame([("abc", 1)], ["name", "dist"])
+    right = spark.createDataFrame([("abd",)], ["name"])
+    with pytest.raises(ValueError):
+        FZ.fuzzy_join(left, right, "name", "name")

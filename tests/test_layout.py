@@ -206,3 +206,28 @@ def test_asof_null_keys_never_match(spark):
            asof_join(left, right, ["k"], "ts").collect()}
     assert out[1] == 2.0
     assert out[None] is None
+
+
+def test_asof_null_timestamps_never_match(spark):
+    """DuckDB-native-ASOF semantics: ts >= NULL is never true. A right
+    row with a NULL timestamp must not leak payload (it would sort
+    NULLS FIRST into the carry window), and a left row with a NULL
+    timestamp matches nothing — in BOTH directions."""
+    asof_join = _aj()
+    left = spark.createDataFrame(
+        [(1, 5, "a"), (1, None, "null_ts")], "k int, ts long, lbl string")
+    right = spark.createDataFrame(
+        [(1, None, 42.0), (1, 3, 7.0)], "k int, ts long, v double")
+    for direction, want_a in (("backward", (3, 7.0)),
+                              ("forward", (None, None))):
+        out = {r["lbl"]: (r["ts_r"], r["v"]) for r in
+               asof_join(left, right, ["k"], "ts",
+                         direction=direction).collect()}
+        assert out["a"] == want_a, direction
+        assert out["null_ts"] == (None, None), direction
+    # NULL-ts right rows alone → every left row unmatched
+    right2 = spark.createDataFrame([(1, None, 42.0)],
+                                   "k int, ts long, v double")
+    r = asof_join(left.where("ts is not null"), right2,
+                  ["k"], "ts").collect()[0]
+    assert (r["ts_r"], r["v"]) == (None, None)

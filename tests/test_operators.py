@@ -761,3 +761,47 @@ def test_exact_dedup_increment_matches_full(spark):
            D.exact_dedup_increment(sidx, sbatch).collect()}
     assert out[100] == (1, True)            # index hit wins
     assert out[101] == (101, False) and out[102] == (101, True)
+
+
+def test_ewma_columnwise_kernel_bit_exact(spark):
+    """The bucketed column-wise EWMA kernel must be bit-identical to
+    the scalar recurrence y=(1-a)y+av on a ragged corpus with NULL
+    keys, NULL values, and series both longer and shorter than each
+    other (NaN padding must never leak across series)."""
+    import math
+    import random
+
+    from nowdb_spark.operators import timeseries as TS
+
+    rng = random.Random(80)
+    rows = []
+    for k in range(37):
+        key = None if k == 36 else k
+        for i in range(rng.randint(1, 50)):
+            v = None if rng.random() < 0.05 else \
+                round(rng.uniform(-100, 100), 3)
+            rows.append((key, i * 10, i, v))
+    df = spark.createDataFrame(
+        rows, "user_id int, ts long, event_id int, value double")
+    got = {(r["user_id"], r["event_id"]): r["ewma"] for r in
+           TS.ewma(df, "ts", "user_id", "value", alpha=0.3,
+                   tiebreak="event_id", num_buckets=7).collect()}
+    # scalar reference, grouped exactly as Spark groups (NULLs = one
+    # group), ordered by (ts, event_id)
+    series = {}
+    for key, ts, eid, v in rows:
+        series.setdefault(key, []).append((ts, eid, v))
+    want = {}
+    for key, items in series.items():
+        y = 0.0
+        for i, (ts, eid, v) in enumerate(sorted(items)):
+            fv = float("nan") if v is None else v
+            y = fv if i == 0 else 0.7 * y + 0.3 * fv
+            want[(key, eid)] = y
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        if math.isnan(w):
+            assert g is None or math.isnan(g), k
+        else:
+            assert g == w, (k, g, w)   # bitwise, not approx
