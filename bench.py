@@ -107,16 +107,32 @@ def main() -> None:
     # recorded per-key and the run carries on, rc stays 0.
     cold: dict[str, float] = dict(timings)
     cold["bulk_write"] = cold_write
+    # WARM timing = MEDIAN of n_warm (default 3) fresh-plan runs: two
+    # rounds of phantom ±50% swings on unchanged code traced to
+    # single-sample host noise. `queries` carries the median,
+    # `queries_min` the floor, and the machine line a max spread so a
+    # noisy host is visible in the artifact itself.
+    n_warm = int(os.environ.get("SPARK_GRAFT_WARM_RUNS", "3"))
+    qmin: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in HEADLINE:
         spec = QUERIES[name]
         try:
             t0 = time.perf_counter()
             n = spec.spark(spark, sf_dir).count()
             cold[name] = round(time.perf_counter() - t0, 4)
-            t0 = time.perf_counter()
-            n2 = spec.spark(spark, sf_dir).count()
-            timings[name] = round(time.perf_counter() - t0, 4)
-            assert n >= 0 and n2 == n
+            warm = []
+            for _ in range(n_warm):
+                t0 = time.perf_counter()
+                n2 = spec.spark(spark, sf_dir).count()
+                warm.append(time.perf_counter() - t0)
+                assert n >= 0 and n2 == n
+            warm.sort()
+            med = warm[len(warm) // 2]
+            timings[name] = round(med, 4)
+            qmin[name] = round(warm[0], 4)
+            spread[name] = round((warm[-1] - warm[0]) / med, 3) \
+                if med > 0 else 0.0
         except Exception as e:  # noqa: BLE001
             errors[name] = str(e).split("\n")[0][:200]
     total = round(sum(timings.values()), 4)
@@ -132,7 +148,7 @@ def main() -> None:
     # pipeline sections generate their own fixed-volume inputs, so a
     # scale-factor sweep over the query battery skips them
     if os.environ.get("SPARK_GRAFT_QUERIES_ONLY"):
-        _emit(total, timings, cold, tput, pipe, sf, errors)
+        _emit(total, timings, cold, tput, pipe, sf, errors, qmin, spread)
         spark.stop()
         return
     n_rows = int(os.environ.get("SPARK_GRAFT_TPUT_ROWS", "10000000"))
@@ -179,6 +195,19 @@ def main() -> None:
                   for f in Path(f"{tmp}/outz").rglob("*.parquet"))
         tput["disk_zstd_bytes_per_row"] = round(z_b / n_rows, 2)
         tput["disk_zstd_ratio_vs_raw"] = round(raw_bytes / z_b, 2)
+        # Z-order pruning, quantified: rewrite the same 10M-row table
+        # clustered on (key2, v) and record the fraction of row groups
+        # a 2-D box predicate skips via footer stats, vs the
+        # unclustered write above. Both columns cycle with id, so the
+        # unclustered table prunes ~0 — the delta is pure layout.
+        from nowdb_spark.operators import layout as LA
+        LA.write_zordered(src, f"{tmp}/zout", ["key2", "v"],
+                          n_files=32)
+        box = {"key2": (0, 50), "v": (0.0, 5000.0)}
+        tput["zorder_prune_fraction"] = round(
+            LA.pruning_fraction(f"{tmp}/zout", box), 4)
+        tput["zorder_prune_fraction_unclustered"] = round(
+            LA.pruning_fraction(f"{tmp}/out", box), 4)
     except Exception as e:  # noqa: BLE001
         errors["throughput"] = str(e).split("\n")[0][:200]
 
@@ -509,17 +538,20 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             errors["vectors_setup"] = str(e).split("\n")[0][:200]
 
-    _emit(total, timings, cold, tput, pipe, sf, errors)
+    _emit(total, timings, cold, tput, pipe, sf, errors, qmin, spread)
     spark.stop()
 
 
-def _emit(total, timings, cold, tput, pipe, sf, errors) -> None:
+def _emit(total, timings, cold, tput, pipe, sf, errors,
+          qmin=None, spread=None) -> None:
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "queries_cold": cold,
+        "queries_min": qmin or {},
+        "queries_warm_spread": spread or {},
         "throughput": tput,
         "pipeline_10M": pipe,
         "sf": sf,
@@ -545,9 +577,13 @@ def _emit(total, timings, cold, tput, pipe, sf, errors) -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_errors": len(errors),
+        "warm_runs_per_query": int(
+            os.environ.get("SPARK_GRAFT_WARM_RUNS", "3")),
+        "warm_spread_max": max(spread.values()) if spread else None,
         "scan_rows_per_sec": tput.get("scan_rows_per_sec"),
         "write_rows_per_sec": tput.get("write_rows_per_sec"),
         "disk_zstd_bytes_per_row": tput.get("disk_zstd_bytes_per_row"),
+        "zorder_prune_fraction": tput.get("zorder_prune_fraction"),
         "queries": timings,
     }
     line = json.dumps(summary)

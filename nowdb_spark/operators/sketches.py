@@ -197,24 +197,60 @@ def cms_sketch(df: DataFrame, col: str) -> DataFrame:
               .agg(F.count(F.lit(1)).alias("cnt")))
 
 
-def cms_heavy_hitters(df: DataFrame, col: str,
-                      min_count: int) -> DataFrame:
+CMS_HH_BUCKETS = 1 << 16
+
+
+def _hh_bucket_sql(key_sql: str, dialect: str,
+                   n_buckets: int = CMS_HH_BUCKETS) -> str:
+    """Candidate-pruning bucket for a key: 28 md5 bits (a seed
+    disjoint from the CMS rows) mod n_buckets — exact integer
+    arithmetic on both engines."""
+    h = f"md5(concat(CAST({key_sql} AS STRING), '#hhb'))"
+    return f"({_hex_to_int(f'substring({h}, 1, 7)', dialect)} % {n_buckets})"
+
+
+def cms_heavy_hitters(df: DataFrame, col: str, min_count: int,
+                      candidates: DataFrame | None = None,
+                      n_buckets: int = CMS_HH_BUCKETS) -> DataFrame:
     """Keys whose CMS estimate (min over depth rows of the addressed
     cell) reaches ``min_count``: (key, est).
 
     CMS guarantees est >= true count, so no true heavy hitter is
-    missed; collisions can only over-count.  Candidate keys here are
-    the distinct keys of ``df`` itself — at 100 TB the candidate set
-    comes from a sample or a prior pass, and the probe is a broadcast
-    join against the 4096-cell sketch either way."""
+    missed; collisions can only over-count.
+
+    The candidate set is BOUNDED: it never shuffles the full distinct
+    key domain.  Either the caller passes ``candidates`` (a one-column
+    frame from a prior pass), or a deterministic bucket pre-pass runs:
+    keys hash into ``n_buckets`` groups, only groups whose TOTAL row
+    count reaches ``min_count`` can contain a heavy hitter (a key's
+    count <= its bucket's count — no false negatives), and only keys
+    in those groups are probed.  Heavy buckets number at most
+    N/min_count, and the probed key set shrinks by ~(heavy buckets /
+    n_buckets) — the distinct() runs over that residue, not the
+    domain.  Fully deterministic (md5 bucket hash), so the DuckDB
+    oracle replays the identical pre-pass."""
     sketch = cms_sketch(df, col)
+    keys = (df.where(F.col(col).isNotNull())
+              .select(F.col(col).cast("string").alias("key")))
+    if candidates is not None:
+        cand_keys = (candidates
+                     .select(F.col(candidates.columns[0])
+                             .cast("string").alias("key"))
+                     .where(F.col("key").isNotNull()).distinct())
+    else:
+        b = _hh_bucket_sql("key", "spark", n_buckets)
+        with_b = keys.select("key", F.expr(b).alias("__b"))
+        heavy = (with_b.groupBy("__b")
+                 .agg(F.count(F.lit(1)).alias("__n"))
+                 .where(F.col("__n") >= min_count).select("__b"))
+        cand_keys = (with_b.join(F.broadcast(heavy), "__b", "left_semi")
+                     .select("key").distinct())
     cells = ", ".join(
         f"named_struct('row_id', {j}, 'cell', {_cms_cell_sql('key', j, 'spark')})"
         for j in range(CMS_DEPTH))
-    cand = (df.where(F.col(col).isNotNull())
-              .select(F.col(col).cast("string").alias("key")).distinct()
-              .select("key", F.explode(F.expr(f"array({cells})")).alias("u"))
-              .select("key", "u.row_id", "u.cell"))
+    cand = (cand_keys
+            .select("key", F.explode(F.expr(f"array({cells})")).alias("u"))
+            .select("key", "u.row_id", "u.cell"))
     probed = (cand.join(F.broadcast(sketch), ["row_id", "cell"], "left")
                   .groupBy("key")
                   .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
@@ -223,8 +259,12 @@ def cms_heavy_hitters(df: DataFrame, col: str,
 
 
 def cms_oracle_sql(table: str, col: str, min_count: int,
-                   where: str = "1=1") -> str:
-    """DuckDB replay of cms_heavy_hitters (same seeds, same cells)."""
+                   where: str = "1=1",
+                   n_buckets: int = CMS_HH_BUCKETS,
+                   candidates_sql: str | None = None) -> str:
+    """DuckDB replay of cms_heavy_hitters (same seeds, same cells,
+    same heavy-bucket candidate pre-pass — or, when ``candidates_sql``
+    is given, the same explicit candidate set)."""
     updates = " UNION ALL ".join(
         f"SELECT {j} AS row_id, {_cms_cell_sql(col, j, 'duckdb')} AS cell "
         f"FROM {table} WHERE {col} IS NOT NULL AND ({where})"
@@ -232,13 +272,22 @@ def cms_oracle_sql(table: str, col: str, min_count: int,
     probes = " UNION ALL ".join(
         f"SELECT key, {j} AS row_id, {_cms_cell_sql('key', j, 'duckdb')} AS cell "
         f"FROM cand" for j in range(CMS_DEPTH))
+    bsql = _hh_bucket_sql("key", "duckdb", n_buckets)
+    if candidates_sql is not None:
+        cand_ctes = f"cand AS ({candidates_sql})"
+    else:
+        cand_ctes = f"""keys AS (
+  SELECT CAST({col} AS STRING) AS key, {bsql} AS b
+  FROM {table} WHERE {col} IS NOT NULL AND ({where})
+), heavy AS (
+  SELECT b FROM keys GROUP BY b HAVING COUNT(*) >= {min_count}
+), cand AS (
+  SELECT DISTINCT key FROM keys WHERE b IN (SELECT b FROM heavy)
+)"""
     return f"""
 WITH sketch AS (
   SELECT row_id, cell, COUNT(*) AS cnt FROM ({updates}) GROUP BY 1, 2
-), cand AS (
-  SELECT DISTINCT CAST({col} AS STRING) AS key
-  FROM {table} WHERE {col} IS NOT NULL AND ({where})
-), probe AS ({probes})
+), {cand_ctes}, probe AS ({probes})
 SELECT key, MIN(COALESCE(s.cnt, 0)) AS est
 FROM probe p LEFT JOIN sketch s USING (row_id, cell)
 GROUP BY key

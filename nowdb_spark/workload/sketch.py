@@ -38,11 +38,33 @@ _CMS_MIN = 620  # avg l_suppkey freq is ~600 at every SF ratio; CMS
     "sk02_cms_heavy_hitters",
     sk.cms_oracle_sql("lineitem", "l_suppkey", _CMS_MIN),
     doc="Count-Min (d=4, w=1024) heavy hitters over l_suppkey — "
-        "oracle replays every cell update and min-probe",
+        "oracle replays every cell update, the deterministic "
+        "heavy-bucket candidate pre-pass, and the min-probe",
 )
 def sk02_cms_heavy_hitters(spark, sf_dir):
     return sk.cms_heavy_hitters(
         table(spark, sf_dir, "lineitem"), "l_suppkey", _CMS_MIN)
+
+
+_SK02B_CAND = ("SELECT DISTINCT CAST(s_suppkey AS STRING) AS key "
+               "FROM supplier WHERE s_nationkey < 5")
+
+
+@register(
+    "sk02b_cms_targeted_probe",
+    sk.cms_oracle_sql("lineitem", "l_suppkey", _CMS_MIN,
+                      candidates_sql=_SK02B_CAND),
+    doc="CMS probe with an EXPLICIT candidate frame (suppliers from "
+        "five nations) — the bounded-candidates path a 100 TB monitor "
+        "uses when the watchlist comes from a prior pass; oracle "
+        "replays the identical candidate SQL",
+)
+def sk02b_cms_targeted_probe(spark, sf_dir):
+    sup = table(spark, sf_dir, "supplier")
+    cand = sup.where(F.col("s_nationkey") < 5).select("s_suppkey")
+    return sk.cms_heavy_hitters(
+        table(spark, sf_dir, "lineitem"), "l_suppkey", _CMS_MIN,
+        candidates=cand)
 
 
 # --- sk03: KLL quantile sketch ----------------------------------------------

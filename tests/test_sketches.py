@@ -254,3 +254,63 @@ def test_kmv_sketch_mergeable(spark):
     direct = sk.kmv_sketch(a.unionAll(b), "k", 64)
     assert [r["h"] for r in merged.collect()] == \
            [r["h"] for r in direct.collect()]
+
+
+# --- bounded heavy-hitter candidates ----------------------------------
+
+def test_cms_heavy_bucket_prepass_bounds_candidates(spark):
+    """5000 singleton keys + one 60x key, min_count=50: only the heavy
+    key's bucket clears the pre-pass, so the probed candidate set (and
+    the result) stays tiny instead of shuffling the whole domain —
+    while the no-false-negative guarantee holds."""
+    rows = [(f"u{i}",) for i in range(5000)] + [("hot",)] * 60
+    df = spark.createDataFrame(rows, ["k"]).repartition(8)
+    got = {r["key"]: r["est"] for r in
+           sk.cms_heavy_hitters(df, "k", 50).collect()}
+    assert "hot" in got and got["hot"] >= 60
+    assert len(got) <= 5, got  # bucket-mates of 'hot' at most
+
+
+def test_cms_prepass_no_false_negatives_vs_full_domain(spark):
+    """n_buckets=1 puts every key in one (heavy) bucket == the old
+    full-domain probe; the default pre-pass must contain every key the
+    full probe finds whose TRUE count >= min_count."""
+    rows = [(f"k{i % 40}",) for i in range(2000)] + \
+           [(f"solo{i}",) for i in range(500)]
+    df = spark.createDataFrame(rows, ["k"])
+    full = {r["key"]: r["est"] for r in
+            sk.cms_heavy_hitters(df, "k", 30, n_buckets=1).collect()}
+    pre = {r["key"]: r["est"] for r in
+           sk.cms_heavy_hitters(df, "k", 30).collect()}
+    true = {r["k"]: r["c"] for r in
+            df.groupBy("k").agg(F.count(F.lit(1)).alias("c")).collect()}
+    for k, c in true.items():
+        if c >= 30:
+            assert k in pre and pre[k] == full[k], k
+    assert set(pre) <= set(full)
+
+
+def test_cms_explicit_candidates_restrict_probe(spark):
+    rows = [(f"k{i % 10}",) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["k"])
+    cand = spark.createDataFrame([("k1",), ("k2",), ("nope",)], ["key"])
+    got = {r["key"] for r in
+           sk.cms_heavy_hitters(df, "k", 50, candidates=cand).collect()}
+    assert got == {"k1", "k2"}
+
+
+def test_cms_oracle_replays_prepass(spark, tmp_path):
+    """DuckDB replay of the bucket pre-pass + probe is value-exact."""
+    import duckdb
+    rows = [(f"v{i % 25}",) for i in range(3000)] + \
+           [(f"one{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, ["k"])
+    df.toPandas().to_parquet(tmp_path / "t.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/t.parquet')")
+    want = sorted(map(tuple, con.execute(
+        sk.cms_oracle_sql("t", "k", 100)).fetchall()))
+    got = sorted((r["key"], r["est"]) for r in
+                 sk.cms_heavy_hitters(df, "k", 100).collect())
+    assert got == want and len(got) > 0
