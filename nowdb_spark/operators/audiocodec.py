@@ -1,10 +1,14 @@
-"""Pure-Python WAV (RIFF PCM) audio codec — the real decode path for
-the audio half of the multimodal operators.
+"""Pure-Python WAV (RIFF PCM) + MP3 frame-header audio codecs — the
+real decode paths for the audio half of the multimodal operators.
 
 Scope mirrors imagecodec.py: what the stdlib can express is decoded
 for real — RIFF container walk, 'fmt ' parse, PCM 8-bit (unsigned)
-and 16-bit (signed LE) samples, mono or interleaved stereo. Entropy-
-coded audio (MP3/AAC/FLAC) stays honestly stubbed in multimodal.py.
+and 16-bit (signed LE) samples, mono or interleaved stereo; and the
+MP3 FRAME-HEADER layer (ISO/IEC 11172-3): ID3v2 tag skip, sync walk,
+per-frame version/layer/bitrate/samplerate/channel-mode parse, VBR-
+aware duration and average bitrate. MP3 SAMPLE decode (the MDCT +
+Huffman entropy layer) stays honestly stubbed in multimodal.py along
+with AAC/FLAC.
 
 Built by `make_audio_codec()` as nested closures so cloudpickle ships
 the code by value to executors (same self-containment rule as the
@@ -126,9 +130,110 @@ def make_audio_codec() -> SimpleNamespace:
             "sq_sum": sum(x * x for x in s),
         }
 
+    # --- MP3 frame-header layer (ISO/IEC 11172-3 / 13818-3) ---------
+    # Layer III tables: bitrate kbps by (version group, index) and
+    # sample rate by (version, index). Index 0 = "free", 15 = invalid.
+    MP3_BITRATES = {
+        "1": (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+              224, 256, 320),
+        "2": (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+              144, 160),
+    }
+    MP3_RATES = {"1": (44100, 48000, 32000),
+                 "2": (22050, 24000, 16000),
+                 "2.5": (11025, 12000, 8000)}
+    MP3_VERSIONS = {0b00: "2.5", 0b10: "2", 0b11: "1"}
+
+    def _mp3_header(b: bytes, i: int):
+        """Parse one Layer III frame header at offset i; returns
+        (frame_len, kbps, rate, channels, version) or None."""
+        if i + 4 > len(b) or b[i] != 0xFF or (b[i + 1] & 0xE0) != 0xE0:
+            return None
+        ver = MP3_VERSIONS.get((b[i + 1] >> 3) & 0b11)
+        layer = (b[i + 1] >> 1) & 0b11
+        if ver is None or layer != 0b01:        # Layer III only
+            return None
+        br_idx = (b[i + 2] >> 4) & 0xF
+        sr_idx = (b[i + 2] >> 2) & 0b11
+        pad = (b[i + 2] >> 1) & 1
+        mode = (b[i + 3] >> 6) & 0b11
+        if br_idx in (0, 15) or sr_idx == 3:    # free/bad not handled
+            return None
+        kbps = MP3_BITRATES["1" if ver == "1" else "2"][br_idx]
+        rate = MP3_RATES[ver][sr_idx]
+        factor = 144 if ver == "1" else 72      # L3 slots per frame
+        flen = factor * kbps * 1000 // rate + pad
+        channels = 1 if mode == 0b11 else 2
+        return flen, kbps, rate, channels, ver
+
+    def mp3_sniff(b: bytes):
+        if len(b) >= 3 and b[:3] == b"ID3":
+            return "mp3"
+        return "mp3" if _mp3_header(b, 0) else None
+
+    def mp3_meta(b: bytes):
+        """Walk every frame header: returns {fmt, version, channels,
+        sample_rate, n_frames, duration_ms, bitrate_kbps (average of
+        per-frame nominal rates — VBR-aware), n_bytes} or None.
+        Stops at the first non-frame byte (trailing tags)."""
+        i = 0
+        if len(b) >= 10 and b[:3] == b"ID3":
+            size = ((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14) \
+                | ((b[8] & 0x7F) << 7) | (b[9] & 0x7F)   # syncsafe
+            i = 10 + size
+        n_frames, kbps_sum = 0, 0
+        rate = channels = ver = None
+        while True:
+            h = _mp3_header(b, i)
+            if h is None or i + h[0] > len(b):
+                break
+            flen, kbps, rate, channels, ver = h
+            n_frames += 1
+            kbps_sum += kbps
+            i += flen
+        if n_frames == 0:
+            return None
+        spf = 1152 if ver == "1" else 576       # samples per L3 frame
+        return {"fmt": "mp3", "version": ver, "channels": channels,
+                "sample_rate": rate, "n_frames": n_frames,
+                "duration_ms": n_frames * spf * 1000 // rate,
+                "bitrate_kbps": kbps_sum // n_frames,
+                "n_bytes": len(b)}
+
+    def encode_mp3_frames(frames, version: str = "1",
+                          sr_idx: int = 0, channels: int = 2,
+                          id3_pad: int = 0) -> bytes:
+        """Fixture builder: a valid MP3 frame-header stream (headers
+        real, audio payload zero slots — the metadata layer is what
+        this codec decodes). ``frames`` = [(bitrate_idx, pad_bit),
+        ...]; optional zero-filled ID3v2 tag of ``id3_pad`` bytes."""
+        vbits = {"1": 0b11, "2": 0b10, "2.5": 0b00}[version]
+        out = bytearray()
+        if id3_pad:
+            out += b"ID3\x04\x00\x00" + bytes(
+                [(id3_pad >> 21) & 0x7F, (id3_pad >> 14) & 0x7F,
+                 (id3_pad >> 7) & 0x7F, id3_pad & 0x7F])
+            out += bytes(id3_pad)
+        grp = "1" if version == "1" else "2"
+        for br_idx, pad in frames:
+            kbps = MP3_BITRATES[grp][br_idx]
+            rate = MP3_RATES[version][sr_idx]
+            factor = 144 if version == "1" else 72
+            flen = factor * kbps * 1000 // rate + pad
+            mode = 0b11 if channels == 1 else 0b00
+            hdr = bytes([
+                0xFF,
+                0xE0 | (vbits << 3) | (0b01 << 1) | 1,  # L3, no CRC
+                (br_idx << 4) | (sr_idx << 2) | (pad << 1),
+                mode << 6])
+            out += hdr + bytes(flen - 4)
+        return bytes(out)
+
     return SimpleNamespace(sniff=sniff, decode_meta=decode_meta,
                            decode=decode, encode_wav=encode_wav,
-                           features=features)
+                           features=features, mp3_sniff=mp3_sniff,
+                           mp3_meta=mp3_meta,
+                           encode_mp3_frames=encode_mp3_frames)
 
 
 # driver-side convenience instance (kernels build their own)

@@ -8,15 +8,18 @@ built-in on BOTH engines (Spark `levenshtein`, DuckDB `levenshtein`,
 identical unit-cost semantics), so the gate row is value-exact against
 a brute-force oracle while the Spark side runs the banded plan.
 
-Banding: |len(a) - len(b)| <= d is NECESSARY for edit distance <= d,
-so each value joins only the 2d+1 length buckets around its own — an
-equality join on length, never a crossJoin.  Each candidate pair is
-generated exactly once (the probe side explodes its own length ±d and
-the build side keys by exact length).  At 100 TB the next tightening
-is PassJoin-style segment banding (split into d+1 segments; two
-strings within distance d must share one exact segment — pigeonhole);
-the length band already removes the quadratic blowup for corpora with
-spread-out lengths, and skew.salt_join handles a hot length bucket.
+Candidate generation is PassJoin segment banding (Li/Deng/Feng 2011,
+"PASS-JOIN: a partition-based method for similarity joins"): each
+indexed string splits into d+1 segments; by pigeonhole, two strings
+within edit distance d share at least one segment VERBATIM, at a
+position that can shift by at most d — so candidates join on
+(build length, segment index, segment text) equality, never a
+crossJoin, and a fixed-length corpus no longer collapses to all-pairs
+the way pure length banding does (the length band |l1-l2| <= d is
+still implied: probes only enumerate build lengths in [l1-d, l1]).
+Candidates per probe string are bounded by (d+1)^2 (2d+1) regardless
+of corpus shape; a hot segment bucket (adversarial low-entropy text)
+is a skew.salt_join candidate like any other equality join.
 """
 
 from __future__ import annotations
@@ -25,30 +28,85 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _seg_len(l2: str, i: str, k: int) -> str:
+    """SQL: length of segment ``i`` when a length-``l2`` string splits
+    into ``k`` segments — first (l2 % k) segments get the extra char."""
+    return f"(({l2} div {k}) + if({i} < {l2} % {k}, 1, 0))"
+
+
+def _seg_start(l2: str, i: str, k: int) -> str:
+    """SQL: 0-based start of segment ``i`` in the k-way partition."""
+    return f"({i} * ({l2} div {k}) + least({i}, {l2} % {k}))"
+
+
 def fuzzy_pairs(df: DataFrame, col: str, max_dist: int = 2) -> DataFrame:
     """Unordered pairs of DISTINCT non-null values of ``col`` within
     ``max_dist`` edits: (v1, v2, dist) with v1 < v2.
 
-    One equality-join on string length (candidates = 2d+1 buckets per
-    value), one levenshtein filter — no crossJoin, no O(n²) candidate
-    set unless every string has the same length.
+    PassJoin: the build side indexes each string's d+1 segments keyed
+    (length, segment index, segment text); the probe side (the longer
+    string of any candidate pair) enumerates, for every build length
+    l2 in [l1-d, l1] and every segment, the substrings of itself with
+    that segment's length whose start lies within ±d of the segment's
+    position — the pigeonhole windows.  An equality join on the
+    triple, a distinct on the (bounded) candidate pairs, one
+    levenshtein filter.  No crossJoin, no O(n²) candidate set even
+    when every string has the same length.
     """
     names = (df.select(F.col(col).cast("string").alias("v"))
                .where(F.col("v").isNotNull()).distinct())
-    build = names.select(F.col("v").alias("v2"),
-                         F.length("v").alias("__n2"))
-    probe = names.select(
-        F.col("v").alias("v1"),
-        F.explode(F.sequence(F.length("v") - max_dist,
-                             F.length("v") + max_dist)).alias("__n2"))
-    # each unordered pair joins exactly once: (v1, v2) meets only in
-    # the bucket len(v2), and the v1 < v2 filter keeps one of the two
-    # orders — no distinct (and its shuffle) needed
-    return (probe.join(build, "__n2")
-                 .where(F.col("v1") < F.col("v2"))
-                 .withColumn("dist", F.levenshtein("v1", "v2"))
-                 .where(F.col("dist") <= max_dist)
-                 .select("v1", "v2", "dist"))
+    cand = _passjoin_candidates(names, int(max_dist))
+    return (cand.withColumn("dist", F.levenshtein("v1", "v2"))
+                .where(F.col("dist") <= int(max_dist))
+                .select(F.least("v1", "v2").alias("v1"),
+                        F.greatest("v1", "v2").alias("v2"), "dist"))
+
+
+def _passjoin_candidates(names: DataFrame, d: int) -> DataFrame:
+    """Distinct candidate pairs (v1, v2) from the PassJoin segment
+    index over the one-column frame ``names`` (column ``v``)."""
+    k = d + 1
+
+    seg_expr = f"""
+      transform(sequence(0, {d}), i -> named_struct(
+        'i', i,
+        'seg', substring(v2, {_seg_start('l2', 'i', k)} + 1,
+                         {_seg_len('l2', 'i', k)})))"""
+    build = (names.select(F.col("v").alias("v2"),
+                          F.length("v").alias("l2"))
+             .select("v2", "l2", F.explode(F.expr(seg_expr)).alias("u"))
+             .select("v2", "l2", F.col("u.i").alias("i"),
+                     F.col("u.seg").alias("seg")))
+
+    # probe windows: an untouched segment's position shifts by at most
+    # the net indels before it, |shift| <= d.  start stays inside
+    # [0, l1 - seg_len] by construction (seg_start <= l2 - seg_len <=
+    # l1 - seg_len when l2 <= l1), so the sequence is never reversed.
+    ln, st = _seg_len("l2", "i", k), _seg_start("l2", "i", k)
+    probe_expr = f"""
+      flatten(transform(sequence(greatest(0, l1 - {d}), l1), l2 ->
+        flatten(transform(sequence(0, {d}), i ->
+          transform(
+            sequence(greatest(0, {st} - {d}),
+                     least(l1 - {ln}, {st} + {d})),
+            p -> named_struct('l2', l2, 'i', i,
+                              'seg', substring(v1, p + 1, {ln})))))))"""
+    probe = (names.select(F.col("v").alias("v1"),
+                          F.length("v").alias("l1"))
+             .select("v1", "l1",
+                     F.explode(F.expr(probe_expr)).alias("u"))
+             .select("v1", "l1", F.col("u.l2").alias("l2"),
+                     F.col("u.i").alias("i"),
+                     F.col("u.seg").alias("seg")))
+
+    # orientation: the longer string always probes; equal lengths keep
+    # one order. A pair can match on several segments/windows — the
+    # distinct() is over candidate PAIRS (bounded), before levenshtein.
+    return (probe.join(build, ["l2", "i", "seg"])
+                 .where((F.col("l2") < F.col("l1"))
+                        | ((F.col("l2") == F.col("l1"))
+                           & (F.col("v2") < F.col("v1"))))
+                 .select("v1", "v2").distinct())
 
 
 def fuzzy_join(left: DataFrame, right: DataFrame, left_col: str,

@@ -250,6 +250,75 @@ def synth_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(kernel, schema)
 
 
+def synth_mp3(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize deterministic MP3 frame-header streams from an id
+    column: MPEG1 Layer III, sample-rate index id % 3, mono when
+    id % 2 = 1, id % 20 + 5 frames whose bitrate index cycles
+    (id + j) % 14 + 1 with padding bit (id + j) % 2; every fifth id
+    gets an ID3v2 tag of id % 32 zero bytes to exercise the syncsafe
+    skip. Headers are real MP3 structure; audio slots are zeros (the
+    metadata layer is the decoded surface — see audiocodec.py)."""
+    from nowdb_spark.operators.audiocodec import make_audio_codec
+
+    codec = make_audio_codec()
+    schema = f"{id_col} long, payload binary"
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        def synth(did: int) -> bytes:
+            did = int(did)
+            frames = [((did + j) % 14 + 1, (did + j) % 2)
+                      for j in range(did % 20 + 5)]
+            return codec.encode_mp3_frames(
+                frames, version="1", sr_idx=did % 3,
+                channels=1 if did % 2 else 2,
+                id3_pad=(did % 32) if did % 5 == 0 else 0)
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "payload": [synth(d) for d in pdf[id_col]],
+            })
+
+    return df.select(id_col).mapInPandas(kernel, schema)
+
+
+def mp3_meta_real(df: DataFrame, id_col: str = "doc_id",
+                  payload_col: str = "payload") -> DataFrame:
+    """REAL MP3 frame-header metadata: ID3v2 skip, sync walk, per-
+    frame header parse — VBR-aware average bitrate, duration from the
+    frame count, channel mode. Bytes that are not an MP3 stream yield
+    NULLs. Narrow, zero-shuffle (audiocodec.py mp3_meta)."""
+    from nowdb_spark.operators.audiocodec import make_audio_codec
+
+    codec = make_audio_codec()
+    schema = (f"{id_col} long, fmt string, version string, "
+              "channels long, sample_rate long, n_frames long, "
+              "duration_ms long, bitrate_kbps long")
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                m = codec.mp3_meta(bytes(payload))
+                if m is None:
+                    out.append((int(did), None, None, None, None,
+                                None, None, None))
+                else:
+                    out.append((int(did), m["fmt"], m["version"],
+                                m["channels"], m["sample_rate"],
+                                m["n_frames"], m["duration_ms"],
+                                m["bitrate_kbps"]))
+            yield _pd.DataFrame(out, columns=[
+                id_col, "fmt", "version", "channels", "sample_rate",
+                "n_frames", "duration_ms", "bitrate_kbps"])
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
 def audio_features_real(df: DataFrame, id_col: str = "doc_id",
                         payload_col: str = "payload") -> DataFrame:
     """REAL WAV decode + integer features: the RIFF container and PCM

@@ -368,14 +368,17 @@ class _KLL:
 def kll_quantiles(df: DataFrame, col: str, qs: Sequence[float],
                   k: int = 4096) -> DataFrame:
     """Distributed KLL: per-partition sketches built in Arrow batches
-    (mapInPandas, narrow), merged on the driver-side single task.
+    (mapInPandas, narrow), then TREE-merged: with P input partitions,
+    an intermediate level of ~sqrt(P) merge tasks combines partial
+    sketches before the single final task, so no task ever holds more
+    than ~sqrt(P) * k * log items — at ~10k tasks the flat
+    coalesce(1) merge would concentrate all P partials in one task.
+    Small inputs (P <= 4) skip the intermediate shuffle.
 
-    The merge input is O(partitions * k * log) sketch items — a few MB
-    even at thousands of tasks, the same bounded-state pattern as the
-    engine's k-means/BPE drivers.  With k >= n the sketch degenerates
-    to exact order statistics, which is what the oracle-exact gate row
-    uses; the compacting regime is property-tested against a rank
-    error bound.
+    With k >= n the sketch degenerates to exact order statistics,
+    which is what the oracle-exact gate row uses (exact under ANY
+    merge tree); the compacting regime is property-tested against a
+    rank error bound.
     """
     import pandas as pd  # noqa: F401  (executor-side)
 
@@ -392,11 +395,10 @@ def kll_quantiles(df: DataFrame, col: str, qs: Sequence[float],
             yield pd.DataFrame({"v": [v for v, _ in items],
                                 "w": [w for _, w in items]})
 
-    parts = (df.select(F.col(col).cast("double").alias("v"))
-               .mapInPandas(build, "v double, w long"))
+    src = df.select(F.col(col).cast("double").alias("v"))
+    parts = src.mapInPandas(build, "v double, w long")
 
-    def final(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import pandas as pd
+    def merge_batches(batches) -> _KLL:
         sk = _KLL(kk)
         for b in batches:
             m = _KLL(kk)
@@ -407,9 +409,26 @@ def kll_quantiles(df: DataFrame, col: str, qs: Sequence[float],
                     m.levels.append([])
                 m.levels[lvl].append(float(v))
             sk.merge(m)
+        return sk
+
+    def mid(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+        items = merge_batches(batches).items()
+        if items:
+            yield pd.DataFrame({"v": [v for v, _ in items],
+                                "w": [w for _, w in items]})
+
+    def final(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+        sk = merge_batches(batches)
         yield pd.DataFrame({"q": list(qs),
                             "value": [sk.quantile(q) for q in qs]})
 
+    nparts = src.rdd.getNumPartitions()
+    if nparts > 4:
+        fanin = max(2, math.isqrt(nparts))
+        parts = parts.repartition(fanin).mapInPandas(mid,
+                                                     "v double, w long")
     return (parts.coalesce(1)
                  .mapInPandas(final, "q double, value double")
                  .orderBy("q"))

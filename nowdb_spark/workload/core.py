@@ -991,21 +991,47 @@ def q35(spark, sf):
 # q26 — approximate aggregates: the 100 TB scale path for distinct
 # counts and quantiles (HLL / t-digest; mergeable map-side, bounded
 # memory — vs the reference's collect-everything MANY-class buffers).
-# Approx values are engine-specific → rows-only driver check; the
-# pytest asserts error bounds against exact values.
+# Raw approx values are engine-specific, so the gate contract is a
+# BOUNDS oracle: the Spark side computes approx AND exact together
+# and emits booleans asserting the approximation sits inside the
+# algorithms' published error (HLL++ default rsd 5% -> 3 sigma = 15%;
+# percentile_approx accuracy=1000 -> rank error 0.1%, checked against
+# exact percentiles at 0.5 +/- 0.3% rank). The oracle recomputes the
+# exact columns and pins the booleans TRUE — an out-of-bounds sketch
+# flips a flag and breaks the hash match.
 @register(
     "q26_approx_aggs",
-    None,
-    doc="approx_count_distinct (HLL) + percentile_approx (t-digest)",
+    """
+    SELECT l_returnflag,
+           count(*) AS cnt,
+           count(DISTINCT l_orderkey) AS orders_exact,
+           TRUE AS approx_orders_ok,
+           TRUE AS approx_med_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="approx_count_distinct (HLL++) + percentile_approx (quantile "
+        "summary) pinned by a bounds oracle: exact columns compared "
+        "value-exact, approx columns asserted within published error",
 )
 def q26(spark, sf):
     li = table(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5, 1000)
-        .alias("approx_med_price"),
+    g = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("l_orderkey").alias("orders_exact"),
+        F.approx_count_distinct("l_orderkey").alias("__approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000)
+        .alias("__approx_med"),
+        F.expr("percentile(l_extendedprice, 0.497)").alias("__lo"),
+        F.expr("percentile(l_extendedprice, 0.503)").alias("__hi"),
     )
+    rel_err = (F.abs(F.col("__approx_orders").cast("double")
+                     / F.col("orders_exact").cast("double") - 1.0))
+    return g.select(
+        "l_returnflag", "cnt", "orders_exact",
+        (rel_err <= F.lit(0.15)).alias("approx_orders_ok"),
+        ((F.col("__approx_med") >= F.col("__lo"))
+         & (F.col("__approx_med") <= F.col("__hi")))
+        .alias("approx_med_ok"))
 
 
 # ------------------------------------------------------------------

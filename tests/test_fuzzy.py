@@ -105,3 +105,41 @@ def test_fuzzy_join_dist_collision_raises(spark):
     right = spark.createDataFrame([("abd",)], ["name"])
     with pytest.raises(ValueError):
         FZ.fuzzy_join(left, right, "name", "name")
+
+
+def test_passjoin_fixed_length_candidates_subquadratic(spark):
+    """A fixed-length corpus is exactly where pure length banding
+    collapses to all n^2/2 pairs; the PassJoin segment index must keep
+    candidates a small fraction of that while staying lossless."""
+    import random
+
+    from nowdb_spark.operators.fuzzy import (_passjoin_candidates,
+                                             fuzzy_pairs)
+
+    rng = random.Random(81)
+    n = 600
+    words = {"".join(rng.choice("abcdefgh") for _ in range(12))
+             for _ in range(n)}
+    df = spark.createDataFrame([(w,) for w in words], ["v"])
+    n = len(words)
+    cand = _passjoin_candidates(df, 2).count()
+    assert cand < 0.10 * (n * (n - 1) / 2), (cand, n)
+    # lossless vs brute force on the same corpus
+    got = {(r["v1"], r["v2"]) for r in
+           fuzzy_pairs(df, "v", max_dist=2).collect()}
+    want = {(min(a, b), max(a, b))
+            for a in words for b in words
+            if a < b and _lev(a, b) <= 2}
+    assert got == want
+
+
+def test_passjoin_plan_is_equality_join(spark):
+    """The candidate join must stay a hash/sort-merge equality join —
+    never a nested-loop or cartesian product."""
+    from nowdb_spark.operators.fuzzy import fuzzy_pairs
+    df = spark.createDataFrame([(f"word{i:04d}",) for i in range(500)],
+                               ["v"])
+    plan = fuzzy_pairs(df, "v", max_dist=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

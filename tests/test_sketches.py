@@ -314,3 +314,18 @@ def test_cms_oracle_replays_prepass(spark, tmp_path):
     got = sorted((r["key"], r["est"]) for r in
                  sk.cms_heavy_hitters(df, "k", 100).collect())
     assert got == want and len(got) > 0
+
+
+def test_kll_tree_merge_exact_regime_many_partitions(spark):
+    """k >= n is exact under ANY merge tree: 64 input partitions force
+    the intermediate sqrt(P) merge level and the result must still be
+    the exact order statistics."""
+    import math as _m
+    vals = [float((i * 37) % 5000) for i in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"]) \
+              .repartition(64)
+    got = {r["q"]: r["value"] for r in
+           sk.kll_quantiles(df, "x", (0.1, 0.5, 0.99), k=10_000).collect()}
+    s = sorted(vals)
+    for q, v in got.items():
+        assert v == s[max(1, _m.ceil(q * len(s))) - 1], (q, v)
