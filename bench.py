@@ -208,6 +208,15 @@ def main() -> None:
             LA.pruning_fraction(f"{tmp}/zout", box), 4)
         tput["zorder_prune_fraction_unclustered"] = round(
             LA.pruning_fraction(f"{tmp}/out", box), 4)
+        # Bloom file index (the point-lookup analogue): fraction of
+        # files a 3-key equality probe skips via the per-file sidecar
+        LA.write_bloom_index(spark, f"{tmp}/out", "k", f"{tmp}/bidx")
+        probe_keys = [n_rows // 7, n_rows // 2, n_rows - 3]
+        kept = LA.bloom_prune_files(spark, f"{tmp}/bidx", "k",
+                                    probe_keys)
+        n_files = len(list(Path(f"{tmp}/out").glob("*.parquet")))
+        tput["bloom_index_prune_fraction"] = round(
+            1.0 - len(kept) / max(n_files, 1), 4)
     except Exception as e:  # noqa: BLE001
         errors["throughput"] = str(e).split("\n")[0][:200]
 

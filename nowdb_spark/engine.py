@@ -716,11 +716,11 @@ class Engine:
         type_name = n.as_type or n.target
         tdef = sc.get_type(type_name)
         ext = Path(n.path).suffix.lower()
-        if ext == ".parquet" or ext in (".json", ".jsonl", ".ndjson"):
+        if ext in (".parquet", ".orc", ".json", ".jsonl", ".ndjson"):
             # LOAD format extension (reference loader is csv-only,
             # scope/loader.c); format picked by file extension
             from nowdb_spark.sources.csv_loader import load_structured
-            fmt = "parquet" if ext == ".parquet" else "json"
+            fmt = {".parquet": "parquet", ".orc": "orc"}.get(ext, "json")
             good, n_bad = load_structured(self.spark, n.path, tdef,
                                           fmt, n.errors)
         else:

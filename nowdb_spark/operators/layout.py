@@ -124,6 +124,100 @@ def rowgroup_bounds(path: str, cols: list[str]) -> list[dict]:
     return out
 
 
+def write_bloom_index(spark, data_path: str, col: str,
+                      index_path: str, bits: int | None = None) -> None:
+    """Per-FILE Bloom filter over ``col``, packed as 64-bit words —
+    the point-lookup analogue of the Z-order clustering above, and
+    with it the full scale-true image of the reference's CREATE INDEX
+    (engine.py:252 keeps index DDL as metadata; the reference's btree
+    serves range scans, which parquet stats + clustering already
+    cover — what stats CANNOT serve is "which of 100k files might
+    contain key X" on a non-clustered column, which is exactly a
+    per-file Bloom).
+
+    ``bits`` auto-sizes to ~10 bits per key per file (FP ~1% at 5
+    hashes) from one column-pruned approx-distinct pass, so the
+    filter never saturates as files grow — a fixed width would hit
+    FP=1 at ~10k keys/file. The chosen width is stored IN the sidecar
+    (``bits`` column), making probes self-describing. Build is one
+    scan + one partial-aggregated groupBy(file, word) whose output is
+    bounded by files x bits/64 rows; the sidecar is parquet like any
+    sketch. Same md5 arithmetic as operators/sketches.py bloom_build,
+    so false positives are deterministic and membership never false-
+    negative: pruning is LOSSLESS for equality lookups."""
+    from nowdb_spark.operators.sketches import (BLOOM_HASHES,
+                                                _bloom_pos_sql)
+
+    src = (spark.read.parquet(data_path)
+           .select(F.col(col), F.input_file_name().alias("file"))
+           .where(F.col(col).isNotNull()))
+    if bits is None:
+        est = src.agg(
+            F.approx_count_distinct(col).alias("d"),
+            F.countDistinct("file").alias("nf")).collect()[0]
+        per_file = max(int(est["d"]) // max(int(est["nf"]), 1), 1)
+        bits = 1 << max(16, (10 * per_file - 1).bit_length())
+    # 28 uniform hash bits (see _bloom_pos_sql) bound the width
+    bits = min(bits, 1 << 28)
+    poss = ", ".join(_bloom_pos_sql(col, j, bits=bits)
+                     for j in range(BLOOM_HASHES))
+    (src.select("file",
+                F.explode(F.expr(f"array({poss})")).alias("pos"))
+        .groupBy("file", F.expr("pos div 64").alias("word"))
+        .agg(F.expr("bit_or(shiftleft(1L, int(pos % 64)))")
+             .alias("mask"))
+        .withColumn("bits", F.lit(bits))
+        .write.mode("overwrite").parquet(index_path))
+
+
+def bloom_prune_files(spark, index_path: str, col: str,
+                      values: list) -> list[str]:
+    """Files that MAY contain any of ``values`` in ``col`` per the
+    sidecar index — every file actually containing a probed value is
+    returned (no false negatives); false positives only add files.
+    The probe broadcasts len(values) x k (word, bit) probes against
+    the packed index (bounded by files x bits/64 rows)."""
+    from nowdb_spark.operators.sketches import (BLOOM_HASHES,
+                                                _bloom_pos_sql)
+
+    idx = spark.read.parquet(index_path)
+    bits = idx.select("bits").first()
+    if bits is None:          # empty index: no file can match
+        return []
+    bits = bits["bits"]
+    probe = spark.createDataFrame([(v,) for v in values], [col])
+    poss = ", ".join(
+        f"named_struct('j', {j}, 'pos', "
+        f"{_bloom_pos_sql(col, j, bits=bits)})"
+        for j in range(BLOOM_HASHES))
+    pv = (probe.select(F.col(col),
+                       F.explode(F.expr(f"array({poss})")).alias("u"))
+               .select(col, F.col("u.j").alias("j"),
+                       F.expr("u.pos div 64").alias("word"),
+                       F.expr("shiftleft(1L, int(u.pos % 64))")
+                       .alias("bit")))
+    hits = (idx.join(F.broadcast(pv), "word")
+               .where(F.expr("(mask & bit) != 0"))
+               .groupBy("file", col)
+               .agg(F.countDistinct("j").alias("__hits"))
+               .where(F.col("__hits") == BLOOM_HASHES)
+               .select("file").distinct())
+    return [r["file"] for r in hits.collect()]
+
+
+def indexed_point_lookup(spark, data_path: str, index_path: str,
+                         col: str, values: list):
+    """Point lookup through the Bloom file index: prune the file list
+    first, scan only surviving files. Result is identical to the full
+    scan-and-filter; at 100k files a hot-key lookup touches the
+    handful of files the index admits."""
+    files = bloom_prune_files(spark, index_path, col, values)
+    if not files:
+        return (spark.read.parquet(data_path).limit(0)
+                .where(F.col(col).isin(values)))
+    return spark.read.parquet(*files).where(F.col(col).isin(values))
+
+
 def pruning_fraction(path: str, predicates: dict[str, tuple]) -> float:
     """Fraction of row groups a stats-pruning scan SKIPS for the
     conjunctive box ``{col: (lo, hi)}`` — 0.0 means every row group

@@ -1,0 +1,483 @@
+"""Pure-Python MP4 (ISO BMFF) container walk + H.264 SPS parse — the
+real metadata-decode path for compressed video, closing most of what
+was the repo's last honest codec gate (multimodal.py kept H.264 fully
+gated; SAMPLE decode — CABAC/CAVLC entropy + inter prediction — still
+is, and stays a NotImplementedError).
+
+What is REAL here, per the public specs:
+  - ISO/IEC 14496-12 box walk: ftyp / moov / mvhd / trak / tkhd /
+    mdia / mdhd / hdlr / minf / stbl / stsd, 32- and 64-bit box
+    sizes, version-0/1 full boxes;
+  - ISO/IEC 14496-15 sample entries: avc1 visual sample entry and
+    its avcC decoder-configuration record (SPS/PPS sets), mp4a audio
+    sample entry (channels, 16.16 sample rate);
+  - ISO/IEC 14496-10 §7.3.2.1.1: full SPS parse — Exp-Golomb bit
+    reader, emulation-prevention-byte strip, high-profile chroma /
+    bit-depth / scaling-list fields, frame cropping → exact coded
+    width/height, profile_idc / level_idc;
+  - Annex-B byte streams: 3/4-byte start-code walk, NAL type census
+    (IDR + non-IDR slice count = frame estimate), SPS extraction.
+
+Encoders exist for the synth fixtures only: a bit-exact SPS writer
+(the parser's inverse, emulation bytes inserted) and a minimal
+ftyp+moov+mdat muxer, so oracles can replay every decoded field
+arithmetically.
+
+Built by `make_mp4_codec()` as nested closures so cloudpickle ships
+the code by value to executors (same self-containment rule as the
+image/audio codecs).
+
+Reference parity note: the reference engine has no media handling;
+this module belongs to the training-data-pipeline extension surface
+(SURVEY.md §2 pipeline family), not reference parity.
+"""
+
+from __future__ import annotations
+
+from types import SimpleNamespace
+
+
+def make_mp4_codec() -> SimpleNamespace:
+    """Returns a namespace with:
+      sniff(b)            -> 'mp4' | 'h264' | None
+      parse_sps(rbsp)     -> {profile_idc, level_idc, width, height,
+                              chroma_format_idc} (raises on junk)
+      encode_sps(...)     -> NAL bytes (header + EPB-protected rbsp)
+      h264_meta(b)        -> {fmt, n_nals, n_frames, n_idr, width,
+                              height, profile_idc, level_idc} | None
+      encode_annexb(...)  -> deterministic Annex-B stream
+      mp4_meta(b)         -> {fmt, brand, duration_ms, n_tracks,
+                              vcodec, width, height, profile_idc,
+                              level_idc, acodec, channels,
+                              sample_rate} | None
+      encode_mp4(...)     -> deterministic minimal .mp4
+    """
+    import struct
+
+    # -- Exp-Golomb bit I/O (14496-10 §9.1) ---------------------------
+
+    class _Bits:
+        __slots__ = ("d", "p")
+
+        def __init__(self, d: bytes):
+            self.d, self.p = d, 0
+
+        def u(self, n: int) -> int:
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | ((self.d[self.p >> 3]
+                                 >> (7 - (self.p & 7))) & 1)
+                self.p += 1
+            return v
+
+        def ue(self) -> int:
+            z = 0
+            while self.u(1) == 0:
+                z += 1
+                if z > 31:
+                    raise ValueError("bad exp-golomb")
+            return (1 << z) - 1 + self.u(z)
+
+        def se(self) -> int:
+            k = self.ue()
+            return (k + 1) // 2 if k & 1 else -(k // 2)
+
+    class _BitW:
+        def __init__(self):
+            self.bits: list[int] = []
+
+        def u(self, v: int, n: int):
+            self.bits += [(v >> (n - 1 - i)) & 1 for i in range(n)]
+
+        def ue(self, v: int):
+            k = v + 1
+            n = k.bit_length()
+            self.u(0, n - 1)
+            self.u(k, n)
+
+        def rbsp(self) -> bytes:
+            bs = self.bits + [1]          # rbsp_stop_one_bit
+            while len(bs) % 8:
+                bs.append(0)
+            return bytes(
+                int("".join(map(str, bs[i:i + 8])), 2)
+                for i in range(0, len(bs), 8))
+
+    def _strip_epb(b: bytes) -> bytes:
+        # 00 00 03 xx -> 00 00 xx (emulation prevention, §7.4.1.1)
+        out, i, n = bytearray(), 0, len(b)
+        while i < n:
+            if i + 2 < n and b[i] == 0 and b[i + 1] == 0 and b[i + 2] == 3:
+                out += b[i:i + 2]
+                i += 3
+            else:
+                out.append(b[i])
+                i += 1
+        return bytes(out)
+
+    def _add_epb(b: bytes) -> bytes:
+        out, zeros = bytearray(), 0
+        for x in b:
+            if zeros >= 2 and x <= 3:
+                out.append(3)
+                zeros = 0
+            out.append(x)
+            zeros = zeros + 1 if x == 0 else 0
+        return bytes(out)
+
+    _HIGH = {100, 110, 122, 244, 44, 83, 86, 118, 128,
+             138, 139, 134, 135}
+
+    # -- SPS (14496-10 §7.3.2.1.1) ------------------------------------
+
+    def parse_sps(nal: bytes) -> dict:
+        """``nal`` = SPS NAL unit including its 1-byte header."""
+        if (nal[0] & 0x1F) != 7:
+            raise ValueError("not an SPS NAL")
+        r = _Bits(_strip_epb(nal[1:]))
+        profile = r.u(8)
+        r.u(8)                              # constraint flags + reserved
+        level = r.u(8)
+        r.ue()                              # sps_id
+        chroma = 1                          # implied 4:2:0 pre-high
+        if profile in _HIGH:
+            chroma = r.ue()
+            if chroma == 3:
+                r.u(1)                      # separate_colour_plane
+            r.ue()                          # bit_depth_luma_minus8
+            r.ue()                          # bit_depth_chroma_minus8
+            r.u(1)                          # qpprime_y_zero
+            if r.u(1):                      # seq_scaling_matrix_present
+                for i in range(8 if chroma != 3 else 12):
+                    if r.u(1):              # list present: skip deltas
+                        size = 16 if i < 6 else 64
+                        last = 8
+                        nxt = 8
+                        for _ in range(size):
+                            if nxt:
+                                nxt = (last + r.se() + 256) % 256
+                            last = nxt or last
+        r.ue()                              # log2_max_frame_num_minus4
+        poc = r.ue()
+        if poc == 0:
+            r.ue()                          # log2_max_poc_lsb_minus4
+        elif poc == 1:
+            r.u(1)
+            r.se()
+            r.se()
+            for _ in range(r.ue()):
+                r.se()
+        r.ue()                              # max_num_ref_frames
+        r.u(1)                              # gaps_in_frame_num
+        pw = r.ue() + 1                     # pic_width_in_mbs
+        ph = r.ue() + 1                     # pic_height_in_map_units
+        frame_only = r.u(1)
+        if not frame_only:
+            r.u(1)                          # mb_adaptive
+        r.u(1)                              # direct_8x8
+        cl = cr = ct = cb = 0
+        if r.u(1):                          # frame_cropping
+            cl, cr, ct, cb = r.ue(), r.ue(), r.ue(), r.ue()
+        subw = 2 if chroma in (1, 2) else 1
+        subh = 2 if chroma == 1 else 1
+        unit_y = subh * (2 - frame_only) if chroma else (2 - frame_only)
+        unit_x = subw if chroma else 1
+        return {
+            "profile_idc": profile,
+            "level_idc": level,
+            "chroma_format_idc": chroma,
+            "width": pw * 16 - (cl + cr) * unit_x,
+            "height": (2 - frame_only) * ph * 16 - (ct + cb) * unit_y,
+        }
+
+    def encode_sps(width: int, height: int, profile: int = 66,
+                   level: int = 30) -> bytes:
+        """SPS for a progressive 4:2:0 stream of the given display
+        size; width/height may be any even values (cropped from the
+        enclosing macroblock grid, CropUnit 2 at 4:2:0)."""
+        if width % 2 or height % 2:
+            raise ValueError("4:2:0 dims must be even")
+        pw = (width + 15) // 16
+        ph = (height + 15) // 16
+        w = _BitW()
+        w.u(profile, 8)
+        w.u(0, 8)
+        w.u(level, 8)
+        w.ue(0)                             # sps_id
+        if profile in _HIGH:
+            w.ue(1)                         # chroma_format_idc 4:2:0
+            w.ue(0)                         # bit_depth_luma_minus8
+            w.ue(0)                         # bit_depth_chroma_minus8
+            w.u(0, 1)                       # qpprime
+            w.u(0, 1)                       # no scaling matrix
+        w.ue(0)                             # log2_max_frame_num_minus4
+        w.ue(0)                             # pic_order_cnt_type
+        w.ue(0)                             # log2_max_poc_lsb_minus4
+        w.ue(1)                             # max_num_ref_frames
+        w.u(0, 1)                           # gaps
+        w.ue(pw - 1)
+        w.ue(ph - 1)
+        w.u(1, 1)                           # frame_mbs_only
+        w.u(1, 1)                           # direct_8x8
+        cr = (pw * 16 - width) // 2         # CropUnitX=2
+        cb = (ph * 16 - height) // 2        # CropUnitY=2 (frame_only)
+        if cr or cb:
+            w.u(1, 1)
+            w.ue(0)
+            w.ue(cr)
+            w.ue(0)
+            w.ue(cb)
+        else:
+            w.u(0, 1)
+        w.u(0, 1)                           # no VUI
+        return bytes([0x67]) + _add_epb(w.rbsp())
+
+    def _pps() -> bytes:
+        w = _BitW()
+        w.ue(0)                             # pps_id
+        w.ue(0)                             # sps_id
+        w.u(0, 1)                           # entropy: CAVLC
+        w.u(0, 1)                           # bottom_field_pic_order
+        w.ue(0)                             # num_slice_groups_minus1
+        w.ue(0)                             # num_ref_idx_l0
+        w.ue(0)                             # num_ref_idx_l1
+        w.u(0, 1)                           # weighted_pred
+        w.u(0, 2)                           # weighted_bipred
+        w.u(0b111, 3)                       # pic_init_qp/qs/chroma qp
+        # deltas are se(v); se(0) is the single '1' bit, three times
+        w.u(0, 1)                           # deblocking_filter_control
+        w.u(0, 1)                           # constrained_intra
+        w.u(0, 1)                           # redundant_pic_cnt
+        return bytes([0x68]) + _add_epb(w.rbsp())
+
+    # -- Annex-B byte streams ------------------------------------------
+
+    def _nal_walk(b: bytes):
+        i, n = 0, len(b)
+        starts = []
+        while i + 3 <= n:
+            if b[i] == 0 and b[i + 1] == 0:
+                if b[i + 2] == 1:
+                    starts.append(i + 3)
+                    i += 3
+                    continue
+                if i + 4 <= n and b[i + 2] == 0 and b[i + 3] == 1:
+                    starts.append(i + 4)
+                    i += 4
+                    continue
+            i += 1
+        for k, s in enumerate(starts):
+            e = (starts[k + 1] - 3) if k + 1 < len(starts) else n
+            while e > s and b[e - 1] == 0:  # trailing start-code zeros
+                e -= 1
+            yield b[s:e]
+
+    def sniff(b: bytes):
+        if len(b) >= 12 and b[4:8] == b"ftyp":
+            return "mp4"
+        if b[:4] == b"\x00\x00\x00\x01" or b[:3] == b"\x00\x00\x01":
+            return "h264"
+        return None
+
+    def h264_meta(b: bytes):
+        if sniff(b) != "h264":
+            return None
+        n_nals = n_idr = n_slice = 0
+        sps = None
+        for nal in _nal_walk(b):
+            if not nal:
+                continue
+            n_nals += 1
+            t = nal[0] & 0x1F
+            if t == 7 and sps is None:
+                sps = parse_sps(nal)
+            elif t == 5:
+                n_idr += 1
+            elif t == 1:
+                n_slice += 1
+        out = {"fmt": "h264", "n_nals": n_nals,
+               "n_frames": n_idr + n_slice, "n_idr": n_idr,
+               "width": None, "height": None,
+               "profile_idc": None, "level_idc": None}
+        if sps:
+            out.update({k: sps[k] for k in
+                        ("width", "height", "profile_idc", "level_idc")})
+        return out
+
+    def encode_annexb(width: int, height: int, n_frames: int,
+                      gop: int = 4, profile: int = 66,
+                      level: int = 30) -> bytes:
+        """SPS+PPS then ``n_frames`` one-byte-payload slice NALs
+        (IDR every ``gop``) — real stream structure, no entropy
+        payload (sample decode is the honestly gated layer)."""
+        sc = b"\x00\x00\x00\x01"
+        out = sc + encode_sps(width, height, profile, level)
+        out += sc + _pps()
+        for f in range(n_frames):
+            if f % gop == 0:
+                out += sc + bytes([0x65, 0x88, 0x80])   # IDR slice
+            else:
+                out += sc + bytes([0x41, 0x9A, 0x80])   # non-IDR
+        return out
+
+    # -- ISO BMFF (14496-12) -------------------------------------------
+
+    def _boxes(b: bytes, start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            size = struct.unpack_from(">I", b, i)[0]
+            typ = b[i + 4:i + 8]
+            body = i + 8
+            if size == 1:
+                size = struct.unpack_from(">Q", b, i + 8)[0]
+                body = i + 16
+            elif size == 0:
+                size = end - i
+            if size < 8 or i + size > end:
+                return
+            yield typ, body, i + size
+            i += size
+
+    def _find(b, s, e, typ):
+        for t, body, nxt in _boxes(b, s, e):
+            if t == typ:
+                return body, nxt
+        return None
+
+    def mp4_meta(b: bytes):
+        if sniff(b) != "mp4":
+            return None
+        out = {"fmt": "mp4", "brand": None, "duration_ms": None,
+               "n_tracks": 0, "vcodec": None, "width": None,
+               "height": None, "profile_idc": None, "level_idc": None,
+               "acodec": None, "channels": None, "sample_rate": None}
+        n = len(b)
+        f = _find(b, 0, n, b"ftyp")
+        if f:
+            out["brand"] = b[f[0]:f[0] + 4].decode("latin1")
+        m = _find(b, 0, n, b"moov")
+        if not m:
+            return out
+        ms, me = m
+        h = _find(b, ms, me, b"mvhd")
+        if h:
+            s = h[0]
+            ver = b[s]
+            if ver == 1:
+                ts, dur = struct.unpack_from(">IQ", b, s + 4 + 16)
+            else:
+                ts, dur = struct.unpack_from(">II", b, s + 4 + 8)
+            out["duration_ms"] = dur * 1000 // ts if ts else None
+        for t, body, nxt in _boxes(b, ms, me):
+            if t != b"trak":
+                continue
+            out["n_tracks"] += 1
+            md = _find(b, body, nxt, b"mdia")
+            if not md:
+                continue
+            hd = _find(b, md[0], md[1], b"hdlr")
+            handler = b[hd[0] + 8:hd[0] + 12] if hd else b""
+            mi = _find(b, md[0], md[1], b"minf")
+            st = _find(b, mi[0], mi[1], b"stbl") if mi else None
+            sd = _find(b, st[0], st[1], b"stsd") if st else None
+            if not sd:
+                continue
+            s = sd[0] + 8                   # ver/flags + entry_count
+            for et, ebody, enxt in _boxes(b, s, sd[1]):
+                four = et.decode("latin1")
+                if handler == b"vide":
+                    out["vcodec"] = four
+                    w, hgt = struct.unpack_from(">HH", b, ebody + 24)
+                    out["width"], out["height"] = w, hgt
+                    cfg = _find(b, ebody + 78, enxt, b"avcC")
+                    if cfg:
+                        c = cfg[0]
+                        out["profile_idc"] = b[c + 1]
+                        out["level_idc"] = b[c + 3]
+                        n_sps = b[c + 5] & 0x1F
+                        p = c + 6
+                        if n_sps:
+                            ln = struct.unpack_from(">H", b, p)[0]
+                            sps = parse_sps(b[p + 2:p + 2 + ln])
+                            out["width"] = sps["width"]
+                            out["height"] = sps["height"]
+                elif handler == b"soun":
+                    out["acodec"] = four
+                    ch = struct.unpack_from(">H", b, ebody + 16)[0]
+                    sr = struct.unpack_from(">I", b, ebody + 24)[0]
+                    out["channels"], out["sample_rate"] = ch, sr >> 16
+                break
+        return out
+
+    # -- minimal muxer (synth fixtures) --------------------------------
+
+    def _box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    def _full(typ: bytes, ver: int, payload: bytes) -> bytes:
+        return _box(typ, bytes([ver, 0, 0, 0]) + payload)
+
+    def encode_mp4(width: int, height: int, duration_ms: int,
+                   profile: int = 66, level: int = 30,
+                   channels: int = 2, sample_rate: int = 44100) -> bytes:
+        ts = 1000
+        dur = duration_ms
+        mvhd = _full(b"mvhd", 0, struct.pack(
+            ">IIII", 0, 0, ts, dur) + struct.pack(
+            ">IHH", 0x00010000, 0x0100, 0) + b"\x00" * 8
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                          0x40000000) + b"\x00" * 24
+            + struct.pack(">I", 3))
+
+        def trak(track_id, handler, sample_entry, w=0, h=0):
+            tkhd = _full(b"tkhd", 0, struct.pack(
+                ">IIIII", 0, 0, track_id, 0, dur) + b"\x00" * 8
+                + struct.pack(">HHHH", 0, 0,
+                              0x0100 if handler == b"soun" else 0, 0)
+                + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0,
+                              0, 0x40000000)
+                + struct.pack(">II", w << 16, h << 16))
+            mdhd = _full(b"mdhd", 0, struct.pack(
+                ">IIII", 0, 0, ts, dur) + struct.pack(">HH", 0x55C4, 0))
+            hdlr = _full(b"hdlr", 0, b"\x00" * 4 + handler
+                         + b"\x00" * 12 + b"\x00")
+            stsd = _full(b"stsd", 0, struct.pack(">I", 1) + sample_entry)
+            stbl = _box(b"stbl", stsd
+                        + _full(b"stts", 0, struct.pack(">I", 0))
+                        + _full(b"stsc", 0, struct.pack(">I", 0))
+                        + _full(b"stsz", 0, struct.pack(">II", 0, 0))
+                        + _full(b"stco", 0, struct.pack(">I", 0)))
+            minf = _box(b"minf", stbl)
+            mdia = _box(b"mdia", mdhd + hdlr + minf)
+            return _box(b"trak", tkhd + mdia)
+
+        sps = encode_sps(width, height, profile, level)
+        pps = _pps()
+        avcc = _box(b"avcC", bytes([1, profile, 0, level, 0xFF, 0xE1])
+                    + struct.pack(">H", len(sps)) + sps
+                    + bytes([1]) + struct.pack(">H", len(pps)) + pps)
+        # container-level dims are the mb grid; SPS carries the crop
+        gw, gh = ((width + 15) // 16) * 16, ((height + 15) // 16) * 16
+        avc1 = _box(b"avc1", b"\x00" * 6 + struct.pack(">H", 1)
+                    + b"\x00" * 16 + struct.pack(">HH", gw, gh)
+                    + struct.pack(">II", 0x480000, 0x480000)
+                    + b"\x00" * 4 + struct.pack(">H", 1) + b"\x00" * 32
+                    + struct.pack(">Hh", 24, -1) + avcc)
+        mp4a = _box(b"mp4a", b"\x00" * 6 + struct.pack(">H", 1)
+                    + b"\x00" * 8
+                    + struct.pack(">HHHH", channels, 16, 0, 0)
+                    + struct.pack(">I", sample_rate << 16))
+        moov = _box(b"moov", mvhd
+                    + trak(1, b"vide", avc1, w=width, h=height)
+                    + trak(2, b"soun", mp4a))
+        ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512)
+                    + b"isomavc1")
+        return ftyp + moov + _box(b"mdat", b"")
+
+    return SimpleNamespace(
+        sniff=sniff, parse_sps=parse_sps, encode_sps=encode_sps,
+        h264_meta=h264_meta, encode_annexb=encode_annexb,
+        mp4_meta=mp4_meta, encode_mp4=encode_mp4)
+
+
+CODEC = make_mp4_codec()

@@ -6,11 +6,15 @@ BMP/PPM/PNG/GIF/JPEG (`imagecodec.py` + `jpegcodec.py`; PNG is a
 zlib/DEFLATE entropy path, GIF a from-scratch variable-width LZW
 decoder, JPEG a baseline+progressive Huffman-DCT decoder), audio RIFF/PCM WAV
 (`audiocodec.py`), video Y4M planar YUV with temporal frame sampling
-(`videocodec.py`). Formats needing codec LIBS (H.264/VP9/MP3/AAC,
-WebP, arithmetic-coded JPEG) stay honestly stubbed behind
-`_HAVE_CODECS`: the Spark-side plumbing (binary schema, Arrow batch
-shape, mapInPandas signature, partitioning) is real and tested; swap
-`_fake_decode` for a PIL/libav call and nothing else changes.
+(`videocodec.py`), MP3 frame headers (`audiocodec.py`), and the MP4
+container + H.264 SPS layer (`mp4codec.py`: ISO BMFF box walk, avcC,
+Exp-Golomb SPS parse — coded dims/profile/level, Annex-B NAL census).
+What still needs codec LIBS (H.264/VP9 SAMPLE decode — the
+CABAC/CAVLC entropy + prediction layer — AAC, WebP, arithmetic-coded
+JPEG) stays honestly stubbed behind `_HAVE_CODECS`: the Spark-side
+plumbing (binary schema, Arrow batch shape, mapInPandas signature,
+partitioning) is real and tested; swap `_fake_decode` for a
+PIL/libav call and nothing else changes.
 
 Design for 100 TB of media: binary payloads stay in their partition
 (mapInPandas = narrow, zero shuffle); metadata extraction emits small
@@ -315,6 +319,108 @@ def mp3_meta_real(df: DataFrame, id_col: str = "doc_id",
             yield _pd.DataFrame(out, columns=[
                 id_col, "fmt", "version", "channels", "sample_rate",
                 "n_frames", "duration_ms", "bitrate_kbps"])
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
+def synth_mp4(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize deterministic MP4 containers from an id column:
+    avc1 video track whose SPS encodes width 16*(id%20+2)-2*(id%4),
+    height 16*(id%12+2)-2*(id%3) (cropped from the macroblock grid),
+    profile cycling 66/77/100 with level 30+id%3, mvhd duration
+    (id%50+1)*200 ms, and an mp4a track with 1+id%2 channels at
+    44100/48000/32000 Hz by id%3. Container + SPS structure is real
+    (mp4codec.py); media samples are empty (sample decode is the
+    honestly gated layer)."""
+    from nowdb_spark.operators.mp4codec import make_mp4_codec
+
+    codec = make_mp4_codec()
+    schema = f"{id_col} long, payload binary"
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        def synth(did: int) -> bytes:
+            did = int(did)
+            return codec.encode_mp4(
+                width=16 * (did % 20 + 2) - 2 * (did % 4),
+                height=16 * (did % 12 + 2) - 2 * (did % 3),
+                duration_ms=(did % 50 + 1) * 200,
+                profile=(66, 77, 100)[did % 3],
+                level=30 + did % 3,
+                channels=1 + did % 2,
+                sample_rate=(44100, 48000, 32000)[did % 3])
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "payload": [synth(d) for d in pdf[id_col]],
+            })
+
+    return df.select(id_col).mapInPandas(kernel, schema)
+
+
+def mp4_meta_real(df: DataFrame, id_col: str = "doc_id",
+                  payload_col: str = "payload") -> DataFrame:
+    """REAL MP4 container metadata: ISO BMFF box walk (ftyp brand,
+    mvhd duration, per-trak hdlr/stsd), avcC decoder config, and a
+    full Exp-Golomb H.264 SPS parse for exact coded width/height/
+    profile/level (mp4codec.py). Bytes that are not an MP4 yield
+    NULLs. Narrow, zero-shuffle."""
+    from nowdb_spark.operators.mp4codec import make_mp4_codec
+
+    codec = make_mp4_codec()
+    cols = ["fmt", "brand", "duration_ms", "n_tracks", "vcodec",
+            "width", "height", "profile_idc", "level_idc", "acodec",
+            "channels", "sample_rate"]
+    schema = (f"{id_col} long, fmt string, brand string, "
+              "duration_ms long, n_tracks long, vcodec string, "
+              "width long, height long, profile_idc long, "
+              "level_idc long, acodec string, channels long, "
+              "sample_rate long")
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                m = codec.mp4_meta(bytes(payload))
+                if m is None:
+                    out.append((int(did),) + (None,) * len(cols))
+                else:
+                    out.append((int(did),) + tuple(m[c] for c in cols))
+            yield _pd.DataFrame(out, columns=[id_col] + cols)
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
+def h264_meta_real(df: DataFrame, id_col: str = "doc_id",
+                   payload_col: str = "payload") -> DataFrame:
+    """REAL Annex-B H.264 elementary-stream metadata: start-code NAL
+    walk, IDR/slice census, SPS parse for dims/profile/level
+    (mp4codec.py). Non-H.264 bytes yield NULLs. Narrow, zero-shuffle."""
+    from nowdb_spark.operators.mp4codec import make_mp4_codec
+
+    codec = make_mp4_codec()
+    cols = ["fmt", "n_nals", "n_frames", "n_idr", "width", "height",
+            "profile_idc", "level_idc"]
+    schema = (f"{id_col} long, fmt string, n_nals long, "
+              "n_frames long, n_idr long, width long, height long, "
+              "profile_idc long, level_idc long")
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                m = codec.h264_meta(bytes(payload))
+                if m is None:
+                    out.append((int(did),) + (None,) * len(cols))
+                else:
+                    out.append((int(did),) + tuple(m[c] for c in cols))
+            yield _pd.DataFrame(out, columns=[id_col] + cols)
 
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)
 

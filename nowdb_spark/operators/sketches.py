@@ -461,9 +461,12 @@ BLOOM_BITS = 1 << 16      # 65536-bit filter
 BLOOM_HASHES = 5
 
 
-def _bloom_pos_sql(key_sql: str, j: int, dialect: str = "spark") -> str:
+def _bloom_pos_sql(key_sql: str, j: int, dialect: str = "spark",
+                   bits: int = BLOOM_BITS) -> str:
+    # 7 hex chars = 28 uniform bits; % by a power of two <= 1<<28
+    # keeps the position exactly uniform (callers must respect that)
     h = f"md5(concat(CAST({key_sql} AS STRING), '#bf{j}'))"
-    return f"({_hex_to_int(f'substring({h}, 1, 7)', dialect)} % {BLOOM_BITS})"
+    return f"({_hex_to_int(f'substring({h}, 1, 7)', dialect)} % {bits})"
 
 
 def bloom_build(df: DataFrame, col: str) -> DataFrame:

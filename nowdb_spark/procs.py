@@ -130,6 +130,34 @@ def register_builtin_procs(engine) -> None:
         return FZ.fuzzy_pairs(session.dataframe(ctx), str(col),
                               max_dist=int(max_dist))
 
+    from nowdb_spark.operators import layout as LA
+
+    def _bloom_paths(session, ctx, col):
+        sc = session.engine._need_scope()
+        data = sc.context_dir(str(ctx))
+        return data, data.parent / f"{ctx}__bloomidx__{col}"
+
+    def bloom_index(session, ctx, col):
+        """Build the per-file Bloom sidecar over a stored context
+        column — the executable form of CREATE INDEX for point
+        lookups (engine.py:252 keeps the DDL as metadata; this is
+        the artifact)."""
+        data, idx = _bloom_paths(session, ctx, col)
+        LA.write_bloom_index(session.spark, str(data), str(col),
+                             str(idx))
+        sidx = session.spark.read.parquet(str(idx))
+        from pyspark.sql import functions as F
+        return sidx.agg(
+            F.countDistinct("file").alias("files_indexed"),
+            F.expr("sum(bit_count(mask))").alias("bits_set"))
+
+    def bloom_lookup(session, ctx, col, value):
+        """Point lookup through the sidecar: prunes the file list
+        before scanning; identical rows to a full filter."""
+        data, idx = _bloom_paths(session, ctx, col)
+        return LA.indexed_point_lookup(session.spark, str(data),
+                                       str(idx), str(col), [value])
+
     for name, fn in [("exact_dedup", exact_dedup),
                      ("hll_distinct", hll_distinct),
                      ("heavy_hitters", heavy_hitters),
@@ -145,5 +173,7 @@ def register_builtin_procs(engine) -> None:
                      ("profile", profile),
                      ("line_dedup", line_dedup),
                      ("domain_mix", domain_mix),
-                     ("dedup_increment", dedup_increment)]:
+                     ("dedup_increment", dedup_increment),
+                     ("bloom_index", bloom_index),
+                     ("bloom_lookup", bloom_lookup)]:
         engine.register_procedure(f"pipe.{name}", fn)

@@ -85,19 +85,21 @@ def load_structured(spark: SparkSession, path: str, tdef: TypeDef,
                     fmt: str,
                     errors_path: str | None = None) -> tuple[DataFrame, int]:
     """LOAD extension beyond the reference's csv-only loader: ingest
-    parquet or JSON-lines into a context with the same
+    parquet, ORC or JSON-lines into a context with the same
     malformed-row-diversion contract.
 
-    parquet is self-describing — columns are matched by name and cast
-    to the model's types (a missing model column loads as NULL, like a
-    short CSV row would); there is no corrupt-record concept.
+    parquet/ORC are self-describing — columns are matched by name and
+    cast to the model's types (a missing model column loads as NULL,
+    like a short CSV row would); there is no corrupt-record concept.
     JSON uses the same PERMISSIVE + corrupt-record plan as CSV.
     """
-    if fmt == "parquet":
+    if fmt in ("parquet", "orc"):
         from nowdb_spark.timeutil import normalize_stamps
-        # timestamp-typed parquet columns become Long ns stamps first;
+        # timestamp-typed columns become Long ns stamps first;
         # a direct timestamp→long cast would yield epoch SECONDS.
-        df = normalize_stamps(spark.read.parquet(path))
+        raw = (spark.read.parquet(path) if fmt == "parquet"
+               else spark.read.orc(path))
+        df = normalize_stamps(raw)
         schema = tdef.spark_schema()
         cols = [
             (F.col(p.name).cast(schema[p.name].dataType)

@@ -1,0 +1,279 @@
+"""WARC (ISO 28500 Web ARChive) source + HTML text extraction — the
+web-crawl ingestion front of a training-data pipeline (Common-Crawl-
+shaped corpora arrive as tens of thousands of ~1 GB .warc.gz files).
+
+Scale design: WARC's production framing is CONCATENATED per-record
+gzip members, which is unsplittable mid-file — so parallelism is
+per FILE, exactly how Common Crawl shards (64k files per crawl).
+`read_warc` uses Spark's binaryFile source (one row per file, path +
+content) and decodes records in a mapInPandas kernel: narrow, zero
+shuffle, each task owns whole files. Record parsing is pure stdlib
+(gzip member walk + WARC/1.0 header block + HTTP response split);
+the HTML-to-text step strips script/style/comments and tags and
+normalizes entities/whitespace — a deterministic, oracle-replayable
+boilerplate pass (the CCNet-style quality/dedup stages downstream
+live in operators/).
+
+Reference parity note: the reference's loader is csv-only
+(scope/loader.c); WARC belongs to the pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WARC_SCHEMA = ("path string, record_id string, warc_type string, "
+               "target_uri string, warc_date string, "
+               "content_type string, http_status int, payload binary")
+
+
+def _warc_tools():
+    """Closure-self-contained parser kit (cloudpickle ships it by
+    value to executors, same rule as the media codecs)."""
+    import zlib
+
+    def split_members(b: bytes):
+        """Yield decompressed gzip members of a concatenated .gz, or
+        the bytes themselves when not gzip. Member-by-member (zlib
+        decompressobj, NOT GzipFile.read — that devours every member
+        in one call), so a corrupt/truncated tail member only drops
+        itself, never the valid records before it."""
+        if b[:2] != b"\x1f\x8b":
+            yield b
+            return
+        rest = b
+        while rest[:2] == b"\x1f\x8b":
+            d = zlib.decompressobj(31)
+            try:
+                out = d.decompress(rest)
+            except zlib.error:           # corrupt member: keep prior
+                return
+            if not d.eof:                # truncated final member
+                return
+            yield out
+            rest = d.unused_data
+
+    def parse_records(data: bytes):
+        """Yield dicts for each WARC record in a decompressed block
+        (a block may hold one record — per-member gzip — or many)."""
+        i, n = 0, len(data)
+        while i < n:
+            j = data.find(b"WARC/", i)
+            if j < 0:
+                return
+            he = data.find(b"\r\n\r\n", j)
+            if he < 0:
+                return
+            headers: dict[str, str] = {}
+            for line in data[j:he].split(b"\r\n")[1:]:
+                k, _, v = line.partition(b":")
+                headers[k.strip().lower().decode("latin1")] = \
+                    v.strip().decode("latin1", "replace")
+            try:
+                length = int(headers.get("content-length", "0"))
+            except ValueError:
+                length = 0
+            body = data[he + 4:he + 4 + length]
+            yield headers, body
+            i = he + 4 + length
+
+    def http_payload(body: bytes):
+        """Split an application/http response block into (status,
+        payload); non-HTTP blocks pass through with NULL status."""
+        if not body.startswith(b"HTTP/"):
+            return None, body
+        he = body.find(b"\r\n\r\n")
+        if he < 0:
+            return None, body
+        status_line = body[:body.find(b"\r\n")].split(b" ")
+        try:
+            status = int(status_line[1])
+        except (IndexError, ValueError):
+            status = None
+        return status, body[he + 4:]
+
+    return split_members, parse_records, http_payload
+
+
+def encode_warc(records: list[dict], gzip_members: bool = True) -> bytes:
+    """Fixture/synth encoder — the parser's inverse. Each record dict:
+    {uri, date, html, [status=200], [rid]}. Emits response records
+    framed exactly like production WARCs (HTTP headers + CRLF body,
+    one gzip member per record when ``gzip_members``)."""
+    import gzip
+    import hashlib
+
+    out = bytearray()
+    for r in records:
+        html = r["html"].encode("utf-8")
+        http = (f"HTTP/1.1 {r.get('status', 200)} OK\r\n"
+                f"Content-Type: text/html\r\n"
+                f"Content-Length: {len(html)}\r\n\r\n"
+                ).encode("latin1") + html
+        rid = r.get("rid", "<urn:md5:%s>"
+                    % hashlib.md5(r["uri"].encode()).hexdigest())
+        rec = (f"WARC/1.0\r\n"
+               f"WARC-Type: response\r\n"
+               f"WARC-Record-ID: {rid}\r\n"
+               f"WARC-Target-URI: {r['uri']}\r\n"
+               f"WARC-Date: {r['date']}\r\n"
+               f"Content-Type: application/http; msgtype=response\r\n"
+               f"Content-Length: {len(http)}\r\n\r\n"
+               ).encode("latin1") + http + b"\r\n\r\n"
+        if gzip_members:
+            out += gzip.compress(rec, mtime=0)
+        else:
+            out += rec
+    return bytes(out)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """One row per WARC record across every file under ``path``
+    (plain .warc or member-gzipped .warc.gz), schema WARC_SCHEMA.
+    File-parallel: binaryFile rows fan out to tasks, record decode
+    never crosses a file boundary."""
+    tools = _warc_tools()
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        split_members, parse_records, http_payload = tools
+        cols = ["path", "record_id", "warc_type", "target_uri",
+                "warc_date", "content_type", "http_status", "payload"]
+        for pdf in batches:
+            out = []
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                for member in split_members(bytes(content)):
+                    for h, body in parse_records(member):
+                        status, payload = http_payload(body)
+                        out.append((
+                            path_, h.get("warc-record-id"),
+                            h.get("warc-type"),
+                            h.get("warc-target-uri"),
+                            h.get("warc-date"),
+                            h.get("content-type"), status, payload))
+            yield _pd.DataFrame(out, columns=cols)
+
+    return (spark.read.format("binaryFile").load(path)
+            .select("path", "content")
+            .mapInPandas(kernel, WARC_SCHEMA))
+
+
+def synth_warc(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Wrap each document in deterministic HTML (title, script junk,
+    an entity-bearing tail, a comment) and frame it as a one-record
+    gzip-member WARC — the fixture generator for the crawl-ingest
+    round trip, distributed (mapInPandas, zero shuffle)."""
+    tools = (encode_warc,)
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        enc = tools[0]
+        for pdf in batches:
+            out = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                did = int(did)
+                html = (f"<html><head><title>d{did}</title>"
+                        f"<script>var x = {did};</script></head>"
+                        f"<body><p>{text}</p>"
+                        f"<p>tail &amp; {did}</p>"
+                        f"<!-- boilerplate --></body></html>")
+                out.append((did, enc([{
+                    "uri": f"http://corpus.example/{did}",
+                    "date": "2026-01-01T00:00:00Z",
+                    "html": html}])))
+            yield _pd.DataFrame(out, columns=[id_col, "payload"])
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, f"{id_col} long, payload binary")
+
+
+def parse_warc_bytes(df: DataFrame, id_col: str = "doc_id",
+                     payload_col: str = "payload") -> DataFrame:
+    """Record-level WARC parse over a BYTES COLUMN (vs read_warc's
+    whole-file rows): same parser kit, id passthrough — lets the
+    encode->parse->extract round trip run fully distributed with no
+    driver or filesystem involvement."""
+    tools = _warc_tools()
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        split_members, parse_records, http_payload = tools
+        cols = [id_col, "record_id", "warc_type", "target_uri",
+                "warc_date", "content_type", "http_status", "payload"]
+        for pdf in batches:
+            out = []
+            for did, content in zip(pdf[id_col], pdf[payload_col]):
+                for member in split_members(bytes(content)):
+                    for h, body in parse_records(member):
+                        status, payload = http_payload(body)
+                        out.append((
+                            int(did), h.get("warc-record-id"),
+                            h.get("warc-type"),
+                            h.get("warc-target-uri"),
+                            h.get("warc-date"),
+                            h.get("content-type"), status, payload))
+            yield _pd.DataFrame(out, columns=cols)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, f"{id_col} long, record_id string, warc_type string, "
+                "target_uri string, warc_date string, "
+                "content_type string, http_status int, payload binary")
+
+
+# -- HTML -> text (deterministic boilerplate strip) ---------------------
+
+_ENTITIES = {"amp": "&", "lt": "<", "gt": ">", "quot": '"',
+             "apos": "'", "nbsp": " "}
+
+
+def html_to_text_py(html: str) -> str:
+    """Pure-Python twin of `html_to_text` (same regex pipeline) so
+    kernels and tests share one definition of the transform."""
+    s = re.sub(r"(?is)<(script|style)\b.*?</\1\s*>", " ", html)
+    s = re.sub(r"(?s)<!--.*?-->", " ", s)
+    s = re.sub(r"(?s)<[^>]*>", " ", s)
+    s = re.sub(r"&(amp|lt|gt|quot|apos|nbsp);",
+               lambda m: _ENTITIES[m.group(1)], s)
+    s = re.sub(r"&#(\d+);", lambda m: chr(int(m.group(1))), s)
+    return re.sub(r"\s+", " ", s).strip()
+
+
+def html_to_text(col):
+    """Column expression: strip script/style blocks, comments and
+    tags, decode the common entities, collapse whitespace — all
+    JVM-side regexp_replace (no Python in the hot path)."""
+    s = F.regexp_replace(col, r"(?is)<(script|style)\b.*?</\1\s*>", " ")
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
+    s = F.regexp_replace(s, r"(?s)<[^>]*>", " ")
+    for ent, ch in _ENTITIES.items():
+        s = F.regexp_replace(s, f"&{ent};", ch)
+    # numeric entities need a computed replacement -> expr with lambda
+    # is unavailable JVM-side; the common web corpus cases are the
+    # named ones above, numeric stays literal (documented lossy edge)
+    return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
+def warc_text_documents(records: DataFrame,
+                        min_status: int = 200,
+                        max_status: int = 299) -> DataFrame:
+    """response-record HTML -> (target_uri, warc_date, text): the
+    crawl-to-corpus step. Narrow ops end-to-end; downstream dedup /
+    quality / tokenize stages consume the result as a documents
+    table."""
+    return (records
+            .where(F.col("warc_type") == "response")
+            .where(F.col("http_status").between(min_status, max_status))
+            .select(
+                F.col("target_uri"),
+                F.col("warc_date"),
+                html_to_text(
+                    F.decode(F.col("payload"), "utf-8")).alias("text"))
+            .where(F.length("text") > 0))

@@ -1197,6 +1197,87 @@ def mm08(spark, sf):
 
 
 # ------------------------------------------------------------------
+# Synth parameters (synth_mp4): avc1+mp4a MP4 whose SPS codes
+# width 16*(id%20+2)-2*(id%4) / height 16*(id%12+2)-2*(id%3) via
+# macroblock-grid cropping, profile 66/77/100 by id%3 with level
+# 30+id%3, mvhd duration (id%50+1)*200 ms, audio 1+id%2 channels at
+# 44100/48000/32000 Hz. The Spark side DECODES the container (ISO
+# BMFF box walk, avcC, Exp-Golomb SPS parse with crop arithmetic);
+# the oracle replays the parameters arithmetically.
+_MM09_ORACLE = """
+SELECT doc_id,
+       'mp4' AS fmt,
+       'isom' AS brand,
+       CAST((doc_id % 50 + 1) * 200 AS BIGINT) AS duration_ms,
+       CAST(2 AS BIGINT) AS n_tracks,
+       'avc1' AS vcodec,
+       CAST(16 * (doc_id % 20 + 2) - 2 * (doc_id % 4) AS BIGINT)
+         AS width,
+       CAST(16 * (doc_id % 12 + 2) - 2 * (doc_id % 3) AS BIGINT)
+         AS height,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 66 WHEN 1 THEN 77
+            ELSE 100 END AS BIGINT) AS profile_idc,
+       CAST(30 + doc_id % 3 AS BIGINT) AS level_idc,
+       'mp4a' AS acodec,
+       CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+            ELSE 32000 END AS BIGINT) AS sample_rate
+FROM documents
+"""
+
+
+@register(
+    "mm09_mp4_meta",
+    _MM09_ORACLE,
+    doc="REAL MP4 container + H.264 SPS metadata decode: ISO BMFF "
+        "box walk (ftyp/mvhd/trak/stsd), avcC decoder config, full "
+        "Exp-Golomb SPS parse with frame-crop arithmetic for exact "
+        "coded dims; oracle replays the synth parameters (H.264 "
+        "SAMPLE decode — CABAC/prediction — stays honestly gated)",
+)
+def mm09(spark, sf):
+    d = spread(table(spark, sf, "documents"))
+    return M.mp4_meta_real(M.synth_mp4(d))
+
+
+# ------------------------------------------------------------------
+# WARC crawl ingestion (sources/warc.py): each document is wrapped in
+# deterministic HTML (title d{id}, script junk, a '&amp;' tail, a
+# comment), framed as a one-record gzip-member WARC, then the Spark
+# side PARSES it back — gzip member walk, WARC/1.0 header block, HTTP
+# response split — and extracts text via the JVM-side regex
+# boilerplate pipeline. The oracle replays the wrapper arithmetic:
+# extraction recovers 'd{id} {text} tail & {id}' exactly.
+@register(
+    "wc01_warc_extract",
+    """
+    SELECT doc_id,
+           'http://corpus.example/' || doc_id AS target_uri,
+           CAST(200 AS INT) AS http_status,
+           concat('d', doc_id, ' ', text, ' tail & ', doc_id) AS text
+    FROM documents
+    """,
+    doc="REAL WARC (ISO 28500) ingest round trip: per-record gzip "
+        "members, WARC header block, HTTP response split, HTML "
+        "script/style/comment/tag strip + entity decode — the "
+        "Common-Crawl-shaped front door of the training pipeline, "
+        "fully distributed (no driver or filesystem involvement)",
+)
+def wc01(spark, sf):
+    from nowdb_spark.sources import warc as W
+
+    d = spread(table(spark, sf, "documents"))
+    recs = W.parse_warc_bytes(W.synth_warc(d))
+    return (recs
+            .where(F.col("warc_type") == "response")
+            .where(F.col("http_status").between(200, 299))
+            .select("doc_id", "target_uri", "http_status",
+                    W.html_to_text(
+                        F.decode(F.col("payload"), "utf-8"))
+                    .alias("text")))
+
+
+# ------------------------------------------------------------------
 # Synth parameters (synth_videos): doc d → w = 8 + (d%3)*4, h = 8,
 # n = d%5+2 frames of C420 YUV at 25:1. mm06 keeps every 2nd frame
 # via frame_sample_real (a REAL decode→subsample→re-encode round

@@ -1261,3 +1261,26 @@ def test_range_frame_needs_single_order_key(eng):
         "select origin, sum(quantity) over (order by origin, stamp "
         "range between 5 preceding and current row) as s from buys")
     assert not r.ok()
+
+
+def test_load_orc(spark, tmp_path_factory):
+    """ORC loads through the same self-describing path as parquet:
+    columns matched by name, model casts applied, extras ignored."""
+    base = tmp_path_factory.mktemp("load_orc")
+    e = Engine(spark, base)
+    assert e.execute("create scope loadorc").ok()
+    assert e.execute("use loadorc").ok()
+    assert e.execute(
+        "create type item (item_key uint pk, label text, price float)"
+    ).ok()
+    src = spark.createDataFrame(
+        [(7, "x", 2.5, "junk"), (8, "y", 0.5, "junk")],
+        "item_key long, label string, price double, extra string")
+    orc = str(base / "src.orc")
+    src.write.orc(orc)
+    r = e.execute(f"load '{orc}' into item as item")
+    assert isinstance(r, ReportResult), r.details()
+    assert r.affected == 2 and r.errors == 0
+    got = sorted(rows(e.execute(
+        "select item_key, label, price from item")))
+    assert got == [(7, "x", 2.5), (8, "y", 0.5)]

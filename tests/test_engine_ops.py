@@ -322,3 +322,30 @@ def test_storage_sizing_presets(eng):
     # ... and rejects other objects
     r = eng.execute("create big scope nope")
     assert not r.ok()
+
+
+def test_bloom_index_procs(spark, tmp_path):
+    """EXECUTE pipe.bloom_index builds the per-file sidecar for a
+    stored context; pipe.bloom_lookup answers a point lookup through
+    it with exactly the full-filter rows."""
+    from nowdb_spark.engine import Engine
+    from nowdb_spark.results import CursorResult
+
+    e = Engine(spark, tmp_path / "wh")
+    assert e.execute("create scope bidx").ok()
+    assert e.execute("use bidx").ok()
+    assert e.execute("create type kv (k uint pk, v float)").ok()
+    vals = ", ".join(f"({i}, {i * 1.5})" for i in range(200))
+    assert e.execute(f"insert into kv (k, v) values {vals}").ok()
+
+    r = e.rexecute("exec pipe.bloom_index('kv', 'k')")
+    assert isinstance(r, CursorResult)
+    files_indexed, bits_set = r.fetch(1)[0]
+    assert files_indexed >= 1 and bits_set > 0
+
+    r = e.rexecute("exec pipe.bloom_lookup('kv', 'k', 117)")
+    got = r.fetch(10)
+    assert len(got) == 1 and got[0][0] == 117 and got[0][1] == 175.5
+
+    r = e.rexecute("exec pipe.bloom_lookup('kv', 'k', 100000)")
+    assert r.fetch(10) == []

@@ -1,0 +1,138 @@
+"""MP4 container + H.264 SPS codec (operators/mp4codec.py): pure-
+Python round trips of the encoder/parser pair, spec-edge behavior
+(cropped dims, high-profile SPS fields, 64-bit boxes, emulation
+prevention bytes), and graceful rejection of non-video bytes."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from nowdb_spark.operators.mp4codec import make_mp4_codec
+
+C = make_mp4_codec()
+
+
+def test_sps_roundtrip_grid():
+    for prof in (66, 77, 100):
+        for w in (16, 320, 322, 1918, 640):
+            for h in (16, 238, 240, 1080):
+                m = C.parse_sps(C.encode_sps(w, h, prof, 31))
+                assert (m["width"], m["height"]) == (w, h)
+                assert (m["profile_idc"], m["level_idc"]) == (prof, 31)
+
+
+def test_sps_high_profile_chroma_fields():
+    m = C.parse_sps(C.encode_sps(48, 32, profile=100, level=51))
+    assert m["chroma_format_idc"] == 1      # explicit 4:2:0 at high
+    m = C.parse_sps(C.encode_sps(48, 32, profile=66, level=51))
+    assert m["chroma_format_idc"] == 1      # implied pre-high
+
+
+def test_sps_emulation_prevention_bytes():
+    # ue-heavy zero runs produce 00 00 0x patterns in the raw rbsp;
+    # a large mb grid exercises the 00 00 03 escape both ways
+    for w in (4096, 2048, 1024):
+        m = C.parse_sps(C.encode_sps(w, 2048, 66, 50))
+        assert (m["width"], m["height"]) == (w, 2048)
+
+
+def test_sps_rejects_odd_dims_and_junk():
+    with pytest.raises(ValueError):
+        C.encode_sps(17, 16)
+    with pytest.raises(ValueError):
+        C.parse_sps(b"\x41\x00\x00")        # not an SPS NAL type
+
+
+def test_annexb_census_and_sps():
+    b = C.encode_annexb(322, 238, 9, gop=4, profile=100, level=32)
+    assert C.sniff(b) == "h264"
+    m = C.h264_meta(b)
+    assert m["n_frames"] == 9 and m["n_idr"] == 3
+    assert (m["width"], m["height"]) == (322, 238)
+    assert (m["profile_idc"], m["level_idc"]) == (100, 32)
+    # 3-byte start codes parse identically
+    b3 = b.replace(b"\x00\x00\x00\x01", b"\x00\x00\x01")
+    assert C.h264_meta(b3)["n_frames"] == 9
+
+
+def test_mp4_full_meta():
+    v = C.encode_mp4(1918, 1080, 12345, profile=100, level=40,
+                     channels=1, sample_rate=48000)
+    assert C.sniff(v) == "mp4"
+    m = C.mp4_meta(v)
+    assert m["brand"] == "isom" and m["duration_ms"] == 12345
+    assert (m["width"], m["height"]) == (1918, 1080)
+    assert m["vcodec"] == "avc1" and m["acodec"] == "mp4a"
+    assert (m["profile_idc"], m["level_idc"]) == (100, 40)
+    assert (m["channels"], m["sample_rate"]) == (1, 48000)
+    assert m["n_tracks"] == 2
+
+
+def test_mp4_sps_dims_override_container_grid():
+    # container-level avc1 width/height carry the macroblock grid;
+    # the SPS crop must win (330 x 190 inside a 336 x 192 grid)
+    v = C.encode_mp4(330, 190, 1000)
+    m = C.mp4_meta(v)
+    assert (m["width"], m["height"]) == (330, 190)
+
+
+def test_mp4_64bit_box_size():
+    v = bytearray(C.encode_mp4(64, 48, 777))
+    # rewrite ftyp as a largesize box: size=1 marker + 64-bit size
+    size = struct.unpack_from(">I", v, 0)[0]
+    big = struct.pack(">I", 1) + v[4:8] + struct.pack(">Q", size + 8) \
+        + v[8:size]
+    m = C.mp4_meta(bytes(big) + bytes(v[size:]))
+    assert m["brand"] == "isom" and m["duration_ms"] == 777
+
+
+def test_rejects_non_video_bytes():
+    assert C.mp4_meta(b"not an mp4 at all") is None
+    assert C.h264_meta(b"plain text here") is None
+    assert C.sniff(b"") is None
+    # truncated mp4: ftyp present, moov missing -> metadata NULLs,
+    # no crash
+    v = C.encode_mp4(64, 48, 500)
+    m = C.mp4_meta(v[:24])
+    assert m is not None and m["duration_ms"] is None
+
+
+def test_spark_mp4_pipeline(spark):
+    """synth_mp4 -> mp4_meta_real matches the synth arithmetic for
+    every doc id (the mm09 gate contract, in miniature)."""
+    from nowdb_spark.operators import multimodal as M
+
+    df = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    got = {r["doc_id"]: r for r in
+           M.mp4_meta_real(M.synth_mp4(df)).collect()}
+    assert len(got) == 40
+    for d in range(40):
+        r = got[d]
+        assert r["fmt"] == "mp4" and r["brand"] == "isom"
+        assert r["width"] == 16 * (d % 20 + 2) - 2 * (d % 4)
+        assert r["height"] == 16 * (d % 12 + 2) - 2 * (d % 3)
+        assert r["duration_ms"] == (d % 50 + 1) * 200
+        assert r["profile_idc"] == (66, 77, 100)[d % 3]
+        assert r["level_idc"] == 30 + d % 3
+        assert r["channels"] == 1 + d % 2
+        assert r["sample_rate"] == (44100, 48000, 32000)[d % 3]
+
+
+def test_spark_h264_annexb(spark):
+    """Raw Annex-B payloads through h264_meta_real; junk rows yield
+    NULLs in the same frame."""
+    from pyspark.sql import functions as F
+
+    from nowdb_spark.operators import multimodal as M
+
+    rows = [(0, C.encode_annexb(64, 48, 5, gop=2)),
+            (1, C.encode_annexb(322, 238, 7, gop=3, profile=100)),
+            (2, b"junk bytes")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in M.h264_meta_real(df).collect()}
+    assert got[0]["n_frames"] == 5 and got[0]["n_idr"] == 3
+    assert got[1]["width"] == 322 and got[1]["profile_idc"] == 100
+    assert got[2]["fmt"] is None and got[2]["width"] is None
+    assert M.h264_meta_real(df).where(F.col("fmt").isNull()).count() == 1

@@ -1,0 +1,73 @@
+"""WARC source (sources/warc.py): file-level binaryFile ingestion of
+.warc / .warc.gz, record parsing, HTTP splitting, and the HTML-to-
+text extraction contract (Spark regex pipeline == pure-Python twin)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nowdb_spark.sources import warc as W
+
+
+def _fixture(tmp_path, gz: bool):
+    recs = [{"uri": f"http://ex.com/{i}",
+             "date": "2026-01-01T00:00:00Z",
+             "html": (f"<html><head><script>var x={i};</script>"
+                      f"<style>p{{color:red}}</style></head>"
+                      f"<body><h1>Doc {i}</h1><p>body &amp; {i}</p>"
+                      f"<!-- hidden --></body></html>"),
+             "status": 200 if i % 3 else 404}
+            for i in range(6)]
+    ext = "warc.gz" if gz else "warc"
+    (tmp_path / f"a.{ext}").write_bytes(W.encode_warc(recs[:3], gz))
+    (tmp_path / f"b.{ext}").write_bytes(W.encode_warc(recs[3:], gz))
+    return recs
+
+
+def test_read_warc_gzip_members(spark, tmp_path):
+    _fixture(tmp_path, gz=True)
+    df = W.read_warc(spark, str(tmp_path))
+    rows = df.collect()
+    assert len(rows) == 6
+    assert {r["warc_type"] for r in rows} == {"response"}
+    assert sorted(r["http_status"] for r in rows) == [200] * 4 + [404] * 2
+    assert all(r["target_uri"].startswith("http://ex.com/")
+               for r in rows)
+    assert all(r["path"].endswith(".warc.gz") for r in rows)
+
+
+def test_read_warc_plain_and_extract(spark, tmp_path):
+    _fixture(tmp_path, gz=False)
+    docs = W.warc_text_documents(W.read_warc(spark, str(tmp_path)))
+    got = {r["target_uri"]: r["text"] for r in docs.collect()}
+    # 404s are filtered; script/style/comment/tags stripped,
+    # entity decoded, whitespace collapsed
+    assert len(got) == 4
+    assert got["http://ex.com/1"] == "Doc 1 body & 1"
+    assert "http://ex.com/0" not in got        # 404
+    assert "http://ex.com/3" not in got        # 404
+
+
+def test_html_to_text_spark_matches_python(spark):
+    cases = [
+        "<p>plain</p>",
+        "<script>drop();</script>kept<style>x</style>",
+        "a &amp; b &lt;c&gt; &quot;d&quot; &nbsp;e",
+        "<!-- comment --><div attr='<x>'>text</div>",
+        "  lots   of \t whitespace  ",
+        "",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], ["html"])
+    got = [r["t"] for r in
+           df.select(W.html_to_text(F.col("html")).alias("t"))
+             .collect()]
+    assert got == [W.html_to_text_py(c) for c in cases]
+
+
+def test_warc_corrupt_tail_is_graceful(spark, tmp_path):
+    recs = [{"uri": "http://ex.com/ok",
+             "date": "2026-01-01T00:00:00Z", "html": "<p>fine</p>"}]
+    good = W.encode_warc(recs, gzip_members=True)
+    (tmp_path / "t.warc.gz").write_bytes(good + b"\x1f\x8btrunc")
+    rows = W.read_warc(spark, str(tmp_path)).collect()
+    assert len(rows) == 1 and rows[0]["target_uri"] == "http://ex.com/ok"
