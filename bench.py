@@ -112,7 +112,9 @@ def main() -> None:
     # single-sample host noise. `queries` carries the median,
     # `queries_min` the floor, and the machine line a max spread so a
     # noisy host is visible in the artifact itself.
-    n_warm = int(os.environ.get("SPARK_GRAFT_WARM_RUNS", "3"))
+    # clamp: SPARK_GRAFT_WARM_RUNS=0 would make the warm list empty
+    # and crash the median index — reject up front, never mid-run
+    n_warm = max(1, int(os.environ.get("SPARK_GRAFT_WARM_RUNS", "3")))
     qmin: dict[str, float] = {}
     spread: dict[str, float] = {}
     for name in HEADLINE:
@@ -144,6 +146,7 @@ def main() -> None:
     # the write is a single full parquet rewrite.
     tput: dict[str, float] = {}
     pipe: dict[str, float] = {}
+    pipe_spread: dict[str, float] = {}
     # queries-only mode (tools/scale_check.py): the throughput and
     # pipeline sections generate their own fixed-volume inputs, so a
     # scale-factor sweep over the query battery skips them
@@ -251,15 +254,29 @@ def main() -> None:
         docs.write.mode("overwrite").parquet(f"{tmp}/docs")
         dsrc = spark.read.parquet(f"{tmp}/docs")
 
+        # pipeline rates are MEDIANS like the headline queries (the
+        # ±50% doc/s swings of r6/r7 were single-sample host noise);
+        # run 1 of n_pipe is the cold pass and the median discards it
+        n_pipe = max(1, int(os.environ.get("SPARK_GRAFT_PIPE_RUNS",
+                                           "3")))
+
         def rate(key, volume, action, extra=None):
             """Time `action` (a thunk running one operator to an
-            action) and record volume/elapsed under `key`. A failure
+            action) n_pipe times and record volume/median-elapsed
+            under `key` (relative spread in pipe_spread). A failure
             records the error and the bench CARRIES ON — one broken
             operator must not cost the round its whole artifact."""
             try:
-                t0 = time.perf_counter()
-                action()
-                pipe[key] = round(volume / (time.perf_counter() - t0))
+                ts = []
+                for _ in range(n_pipe):
+                    t0 = time.perf_counter()
+                    action()
+                    ts.append(time.perf_counter() - t0)
+                ts.sort()
+                med = ts[len(ts) // 2]
+                pipe[key] = round(volume / med)
+                if len(ts) > 1 and med > 0:
+                    pipe_spread[key] = round((ts[-1] - ts[0]) / med, 3)
                 if extra:
                     pipe.update(extra)
             except Exception as e:  # noqa: BLE001
@@ -547,12 +564,13 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             errors["vectors_setup"] = str(e).split("\n")[0][:200]
 
-    _emit(total, timings, cold, tput, pipe, sf, errors, qmin, spread)
+    _emit(total, timings, cold, tput, pipe, sf, errors, qmin, spread,
+          pipe_spread)
     spark.stop()
 
 
 def _emit(total, timings, cold, tput, pipe, sf, errors,
-          qmin=None, spread=None) -> None:
+          qmin=None, spread=None, pipe_spread=None) -> None:
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -563,6 +581,7 @@ def _emit(total, timings, cold, tput, pipe, sf, errors,
         "queries_warm_spread": spread or {},
         "throughput": tput,
         "pipeline_10M": pipe,
+        "pipeline_spread": pipe_spread or {},
         "sf": sf,
     }
     if errors:
@@ -586,9 +605,13 @@ def _emit(total, timings, cold, tput, pipe, sf, errors,
         "sf": sf,
         "n_queries": len(timings),
         "n_errors": len(errors),
-        "warm_runs_per_query": int(
-            os.environ.get("SPARK_GRAFT_WARM_RUNS", "3")),
+        "warm_runs_per_query": max(1, int(
+            os.environ.get("SPARK_GRAFT_WARM_RUNS", "3"))),
         "warm_spread_max": max(spread.values()) if spread else None,
+        "pipe_runs": max(1, int(
+            os.environ.get("SPARK_GRAFT_PIPE_RUNS", "3"))),
+        "pipe_spread_max": (max(pipe_spread.values())
+                            if pipe_spread else None),
         "scan_rows_per_sec": tput.get("scan_rows_per_sec"),
         "write_rows_per_sec": tput.get("write_rows_per_sec"),
         "disk_zstd_bytes_per_row": tput.get("disk_zstd_bytes_per_row"),

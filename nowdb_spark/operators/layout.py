@@ -161,12 +161,18 @@ def write_bloom_index(spark, data_path: str, col: str,
     bits = min(bits, 1 << 28)
     poss = ", ".join(_bloom_pos_sql(col, j, bits=bits)
                      for j in range(BLOOM_HASHES))
+    # record the indexed column's Spark type: probes must be CAST to
+    # it before hashing, else the string rendering diverges (a double
+    # column renders 1.0 but an int probe renders 1 — every hash would
+    # miss, a silent false NEGATIVE breaking the lossless guarantee)
+    dtype = src.schema[col].dataType.simpleString()
     (src.select("file",
                 F.explode(F.expr(f"array({poss})")).alias("pos"))
         .groupBy("file", F.expr("pos div 64").alias("word"))
         .agg(F.expr("bit_or(shiftleft(1L, int(pos % 64)))")
              .alias("mask"))
         .withColumn("bits", F.lit(bits))
+        .withColumn("dtype", F.lit(dtype))
         .write.mode("overwrite").parquet(index_path))
 
 
@@ -181,11 +187,21 @@ def bloom_prune_files(spark, index_path: str, col: str,
                                                 _bloom_pos_sql)
 
     idx = spark.read.parquet(index_path)
-    bits = idx.select("bits").first()
-    if bits is None:          # empty index: no file can match
+    head = idx.select("bits", *(
+        ["dtype"] if "dtype" in idx.columns else [])).first()
+    if head is None:          # empty index: no file can match
         return []
-    bits = bits["bits"]
+    bits = head["bits"]
     probe = spark.createDataFrame([(v,) for v in values], [col])
+    # cast probes to the INDEXED column's type so CAST(... AS STRING)
+    # renders identically to the build side (int probe 1 vs double
+    # column '1.0' would otherwise miss every hash — false negative).
+    # A probe that casts to NULL cannot exist in a column of that
+    # type, so dropping it is lossless.
+    if "dtype" in idx.columns:
+        probe = (probe.select(
+                    F.col(col).try_cast(head["dtype"]).alias(col))
+                      .where(F.col(col).isNotNull()))
     poss = ", ".join(
         f"named_struct('j', {j}, 'pos', "
         f"{_bloom_pos_sql(col, j, bits=bits)})"
@@ -212,10 +228,17 @@ def indexed_point_lookup(spark, data_path: str, index_path: str,
     scan-and-filter; at 100k files a hot-key lookup touches the
     handful of files the index admits."""
     files = bloom_prune_files(spark, index_path, col, values)
+    base = spark.read.parquet(data_path)
+    # probes are compared after try_cast to the column's type (ANSI
+    # mode would otherwise abort the whole query on one malformed
+    # probe; a probe that casts to NULL simply matches nothing)
+    dt = base.schema[col].dataType.simpleString()
+    cond = reduce(
+        lambda a, b: a | b,
+        [F.col(col) == F.lit(v).try_cast(dt) for v in values])
     if not files:
-        return (spark.read.parquet(data_path).limit(0)
-                .where(F.col(col).isin(values)))
-    return spark.read.parquet(*files).where(F.col(col).isin(values))
+        return base.limit(0).where(cond)
+    return spark.read.parquet(*files).where(cond)
 
 
 def pruning_fraction(path: str, predicates: dict[str, tuple]) -> float:

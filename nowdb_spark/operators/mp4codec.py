@@ -290,7 +290,13 @@ def make_mp4_codec() -> SimpleNamespace:
             n_nals += 1
             t = nal[0] & 0x1F
             if t == 7 and sps is None:
-                sps = parse_sps(nal)
+                # a structurally valid stream can still carry a
+                # truncated/corrupt SPS — leave the SPS-derived fields
+                # NULL rather than failing the whole Spark task
+                try:
+                    sps = parse_sps(nal)
+                except (ValueError, IndexError):
+                    sps = None
             elif t == 5:
                 n_idr += 1
             elif t == 1:
@@ -361,13 +367,16 @@ def make_mp4_codec() -> SimpleNamespace:
         ms, me = m
         h = _find(b, ms, me, b"mvhd")
         if h:
-            s = h[0]
-            ver = b[s]
-            if ver == 1:
-                ts, dur = struct.unpack_from(">IQ", b, s + 4 + 16)
-            else:
-                ts, dur = struct.unpack_from(">II", b, s + 4 + 8)
-            out["duration_ms"] = dur * 1000 // ts if ts else None
+            try:
+                s = h[0]
+                ver = b[s]
+                if ver == 1:
+                    ts, dur = struct.unpack_from(">IQ", b, s + 4 + 16)
+                else:
+                    ts, dur = struct.unpack_from(">II", b, s + 4 + 8)
+                out["duration_ms"] = dur * 1000 // ts if ts else None
+            except (IndexError, struct.error):
+                pass
         for t, body, nxt in _boxes(b, ms, me):
             if t != b"trak":
                 continue
@@ -387,25 +396,37 @@ def make_mp4_codec() -> SimpleNamespace:
                 four = et.decode("latin1")
                 if handler == b"vide":
                     out["vcodec"] = four
-                    w, hgt = struct.unpack_from(">HH", b, ebody + 24)
-                    out["width"], out["height"] = w, hgt
+                    try:
+                        w, hgt = struct.unpack_from(">HH", b, ebody + 24)
+                        out["width"], out["height"] = w, hgt
+                    except struct.error:
+                        pass
                     cfg = _find(b, ebody + 78, enxt, b"avcC")
                     if cfg:
-                        c = cfg[0]
-                        out["profile_idc"] = b[c + 1]
-                        out["level_idc"] = b[c + 3]
-                        n_sps = b[c + 5] & 0x1F
-                        p = c + 6
-                        if n_sps:
-                            ln = struct.unpack_from(">H", b, p)[0]
-                            sps = parse_sps(b[p + 2:p + 2 + ln])
-                            out["width"] = sps["width"]
-                            out["height"] = sps["height"]
+                        # corrupt/truncated avcC or SPS: keep the
+                        # container-level fields, NULL the rest
+                        try:
+                            c = cfg[0]
+                            out["profile_idc"] = b[c + 1]
+                            out["level_idc"] = b[c + 3]
+                            n_sps = b[c + 5] & 0x1F
+                            p = c + 6
+                            if n_sps:
+                                ln = struct.unpack_from(">H", b, p)[0]
+                                sps = parse_sps(b[p + 2:p + 2 + ln])
+                                out["width"] = sps["width"]
+                                out["height"] = sps["height"]
+                        except (ValueError, IndexError, struct.error):
+                            pass
                 elif handler == b"soun":
                     out["acodec"] = four
-                    ch = struct.unpack_from(">H", b, ebody + 16)[0]
-                    sr = struct.unpack_from(">I", b, ebody + 24)[0]
-                    out["channels"], out["sample_rate"] = ch, sr >> 16
+                    try:
+                        ch = struct.unpack_from(">H", b, ebody + 16)[0]
+                        sr = struct.unpack_from(">I", b, ebody + 24)[0]
+                        out["channels"] = ch
+                        out["sample_rate"] = sr >> 16
+                    except struct.error:
+                        pass
                 break
         return out
 

@@ -178,18 +178,38 @@ def ewma(df: DataFrame, stamp_col: str, key_col: str, value_col: str,
         changed = np.asarray(changed, dtype=bool) & ~(kn[1:] & kn[:-1])
         starts = np.flatnonzero(np.r_[True, changed])
         lens = np.diff(np.r_[starts, n])
-        max_len = int(lens.max())
-        row = np.repeat(np.arange(len(starts)), lens)
-        pos = np.arange(n) - np.repeat(starts, lens)
-        M = np.full((len(starts), max_len), np.nan)
-        M[row, pos] = vals
-        # column-wise recurrence: identical IEEE ops to the scalar
-        # loop (NaN padding propagates but padded cells are discarded)
-        Y = np.empty_like(M)
-        Y[:, 0] = M[:, 0]
-        for j in range(1, max_len):
-            Y[:, j] = beta * Y[:, j - 1] + alpha * M[:, j]
-        pdf["ewma"] = Y[row, pos]
+        # LENGTH-BANDED matrices: series are grouped into power-of-two
+        # length classes and each class gets its own (keys × position)
+        # matrix. A single skewed key (one 100k-row series next to 10k
+        # short ones) would otherwise inflate ONE matrix to
+        # n_series × max_len; per band, every series is longer than
+        # half the band width, so matrix cells <= 2 × band rows and
+        # total peak memory is Σlen-bounded (< 2 × bucket rows),
+        # whatever the length distribution. The recurrence stays
+        # column-wise per band — identical IEEE ops to the scalar
+        # loop, so values are still bit-exact; Python-loop iterations
+        # are Σ band widths <= 2 × max_len.
+        out = np.empty(n)
+        bands = np.ceil(np.log2(np.maximum(lens, 1))).astype(np.int64)
+        for band in np.unique(bands):
+            sel = np.flatnonzero(bands == band)
+            bl = lens[sel]
+            bmax = int(bl.max())
+            nb = int(bl.sum())
+            brow = np.repeat(np.arange(len(sel)), bl)
+            bpos = (np.arange(nb)
+                    - np.repeat(np.cumsum(np.r_[0, bl[:-1]]), bl))
+            src = np.repeat(starts[sel], bl) + bpos
+            M = np.full((len(sel), bmax), np.nan)
+            M[brow, bpos] = vals[src]
+            # column-wise recurrence (NaN padding propagates but
+            # padded cells are discarded by the scatter below)
+            Y = np.empty_like(M)
+            Y[:, 0] = M[:, 0]
+            for j in range(1, bmax):
+                Y[:, j] = beta * Y[:, j - 1] + alpha * M[:, j]
+            out[src] = Y[brow, bpos]
+        pdf["ewma"] = out
         return pdf.drop(columns=["__bkt"])
 
     bucketed = src.withColumn(

@@ -236,28 +236,39 @@ _ENTITIES = {"amp": "&", "lt": "<", "gt": ">", "quot": '"',
 
 def html_to_text_py(html: str) -> str:
     """Pure-Python twin of `html_to_text` (same regex pipeline) so
-    kernels and tests share one definition of the transform."""
+    kernels and tests share one definition of the transform.
+
+    Entity decoding is single-pass over the NAMED entities only
+    (numeric &#NN; stays literal — a documented lossy edge shared by
+    both twins, since the JVM side cannot compute chr()). Single-pass
+    semantics match the JVM's sequential per-entity passes because
+    only amp's replacement introduces '&' and the JVM runs amp LAST:
+    '&amp;lt;' decodes to '&lt;' (once), never to '<'."""
     s = re.sub(r"(?is)<(script|style)\b.*?</\1\s*>", " ", html)
     s = re.sub(r"(?s)<!--.*?-->", " ", s)
     s = re.sub(r"(?s)<[^>]*>", " ", s)
     s = re.sub(r"&(amp|lt|gt|quot|apos|nbsp);",
                lambda m: _ENTITIES[m.group(1)], s)
-    s = re.sub(r"&#(\d+);", lambda m: chr(int(m.group(1))), s)
     return re.sub(r"\s+", " ", s).strip()
 
 
 def html_to_text(col):
     """Column expression: strip script/style blocks, comments and
     tags, decode the common entities, collapse whitespace — all
-    JVM-side regexp_replace (no Python in the hot path)."""
+    JVM-side regexp_replace (no Python in the hot path).
+
+    The amp pass runs LAST: every other entity's replacement contains
+    no '&', so no pass can create a match for a later pass, and the
+    '&' that amp emits is never rescanned — exactly the single-pass
+    left-to-right semantics of html_to_text_py ('&amp;lt;' → '&lt;',
+    not '<'). Numeric &#NN; entities stay literal in BOTH twins."""
     s = F.regexp_replace(col, r"(?is)<(script|style)\b.*?</\1\s*>", " ")
     s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
     s = F.regexp_replace(s, r"(?s)<[^>]*>", " ")
     for ent, ch in _ENTITIES.items():
-        s = F.regexp_replace(s, f"&{ent};", ch)
-    # numeric entities need a computed replacement -> expr with lambda
-    # is unavailable JVM-side; the common web corpus cases are the
-    # named ones above, numeric stays literal (documented lossy edge)
+        if ent != "amp":
+            s = F.regexp_replace(s, f"&{ent};", ch)
+    s = F.regexp_replace(s, "&amp;", "&")
     return F.trim(F.regexp_replace(s, r"\s+", " "))
 
 

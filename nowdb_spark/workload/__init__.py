@@ -112,26 +112,42 @@ _PRIORITY_ORDER = [
     # ASOF LEFT JOIN — a cross-engine semantics oracle, not a rewrite.
     # nq19 stays oracle-verified by the pytest sweep.
     "q21_prod", "nq18_dialect_sessionize", "nq25_dialect_asof_join",
-    # q28's CASE/priority semantics are covered in-window by q14/nq02;
-    # its slot carries the DSIR resample gate (cx05 subsumes cx04: the
-    # oracle checks scores AND the Gumbel-top-k selection)
-    "cx05_dsir_resample", "q31_mode",
+    # q28's CASE/priority semantics are covered in-window by q14/nq02.
+    # cx05's DSIR resample is subsumed by cc02 (whose oracle replays
+    # the same hashed-ngram scoring AND the Gumbel-top-k selection as
+    # one pipeline) — relegated round 9, pytest-verified; its slot
+    # carries q26's approx-agg error-bounds gate (approx_count_distinct
+    # within HLL++ 3σ, percentile_approx within published rank error —
+    # a capability class no exact-agg row demonstrates).
+    "q26_approx_aggs", "q31_mode",
     # dialect front-end (parser → binder → DataFrame) representatives
     # (q12's scalar-formula battery is covered in-window by nq02; its
     # slot goes to the window-function extension. g05's k-hop slot
-    # goes to subqueries — graph keeps four rows, k-hop stays
-    # pytest-verified.)
-    "nq02_dialect_formulas", "nq07_dialect_many_aggs",
+    # goes to subqueries — graph keeps three rows, k-hop stays
+    # pytest-verified. nq07's many-aggs spelling is covered by the
+    # in-window aggregate rows q08/q09/q10/q21/q31/ts03 plus the three
+    # remaining dialect rows — relegated round 9, pytest-verified.)
+    "nq02_dialect_formulas",
     "nq08_dialect_window", "nq10_dialect_subqueries",
-    # graph operators
-    "g01_cosupply_pairs", "g02_triangles", "g03_components",
-    "g04_pagerank",
+    # graph operators (g01's co-supply pair emission is the building
+    # block g02's triangle count already exercises — wedge generation
+    # IS hot-key-blocked pair emission — and plain self-joins are
+    # covered by q15/q16/q19/q20; relegated round 9, pytest-verified.
+    # Its slot carries the CMS targeted-probe gate sk02b.)
+    "g02_triangles", "g03_components",
+    "g04_pagerank", "sk02b_cms_targeted_probe",
     # dedup family (dd02 signatures are subsumed by dd03's LSH path;
     # dd05 simhash is a third signature flavor — relegated round 7,
     # still oracle-verified by pytest; its slot carries the KLL
-    # quantile sketch, a capability class no other row demonstrates)
+    # quantile sketch, a capability class no other row demonstrates.
+    # dd04's exact n-gram Jaccard shares dd03's exploded-token
+    # inverted-index machinery — same explode→join→group shape with an
+    # exact denominator instead of banded signatures — relegated
+    # round 9 like its containment cousin dd07, pytest-verified; its
+    # slot carries the WARC ingest + HTML→text gate wc01, a source
+    # format class no other row demonstrates.)
     "dd01_exact_dedup", "dd03_minhash_lsh_pairs",
-    "dd04_ngram_jaccard_pairs", "sk03_kll_quantiles",
+    "wc01_warc_extract", "sk03_kll_quantiles",
     # dd06's bounded crossJoin is subsumed by its own documented scale
     # path: dd09 SemDeDup (cluster-bounded pairwise cosine).
     # dd07 containment is dd04 jaccard's cousin (same inverted-index
@@ -157,12 +173,16 @@ _PRIORITY_ORDER = [
     # multimodal: mm07 is the Huffman-DCT JPEG gate — round 6 made it
     # decode BASELINE (even ids) and PROGRESSIVE SOF2 multi-scan (odd
     # ids) under one bit-exact oracle, the hardest entropy path in the
-    # codec set, so it takes the image row; mm05 decodes RIFF/PCM16
-    # WAV audio. mm04's four-format decode (bmp/ppm + the REAL
-    # zlib/DEFLATE png and variable-width-LZW gif paths), mm01/mm02/
-    # mm03 and the y4m video round trip mm06 relegated, still
-    # oracle-verified by pytest.
-    "mm07_jpeg_decode", "mm05_wav_features",
+    # codec set, so it takes the image row. The audio row carries the
+    # MP3 frame-header walk mm08 (ID3v2 syncsafe skip + per-frame
+    # sync/VBR parse — the harder container path; mm05's RIFF/PCM16
+    # sample decode relegated round 9, pytest-verified) and the video
+    # row carries the MP4/H.264 metadata gate mm09 (ISO BMFF box walk
+    # + Exp-Golomb SPS parse). mm04's four-format decode (bmp/ppm +
+    # the REAL zlib/DEFLATE png and variable-width-LZW gif paths),
+    # mm01/mm02/mm03 and the y4m video round trip mm06 relegated,
+    # still oracle-verified by pytest.
+    "mm07_jpeg_decode", "mm08_mp3_meta", "mm09_mp4_meta",
     # time-series (ts02's row-frame moving aggregates are covered
     # in-window by nq08's window-function row; its slot carries the
     # streaming extension gate — a REAL readStream→memory-sink run

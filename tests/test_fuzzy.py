@@ -133,6 +133,68 @@ def test_passjoin_fixed_length_candidates_subquadratic(spark):
     assert got == want
 
 
+def test_passjoin_two_frame_candidates_subquadratic(spark):
+    """Two-frame twin of the fixed-length degeneracy test: fuzzy_join
+    on two fixed-length corpora must keep candidates segment-bucketed
+    (a small fraction of n*m), not per-length all-pairs — and stay
+    lossless vs brute force."""
+    import random
+
+    from nowdb_spark.operators.fuzzy import _passjoin_value_pairs
+
+    rng = random.Random(82)
+    lw = {"".join(rng.choice("abcdefgh") for _ in range(12))
+          for _ in range(400)}
+    rw = {"".join(rng.choice("abcdefgh") for _ in range(12))
+          for _ in range(400)}
+    ldf = spark.createDataFrame([(w,) for w in lw], ["v"])
+    rdf = spark.createDataFrame([(w,) for w in rw], ["v"])
+    cand = _passjoin_value_pairs(ldf, rdf, 2).count()
+    assert cand < 0.10 * (len(lw) * len(rw)), (cand, len(lw), len(rw))
+
+    # lossless: the joined result equals brute force over the values
+    left = spark.createDataFrame([(w,) for w in lw], ["name"])
+    right = spark.createDataFrame([(w,) for w in rw], ["name"])
+    got = {(r["name"], r["name_r"], r["dist"]) for r in
+           fuzzy_join(left, right, "name", "name", max_dist=2)
+           .collect()}
+    want = {(a, b, _lev(a, b)) for a in lw for b in rw
+            if _lev(a, b) <= 2}
+    assert got == want
+
+
+def test_fuzzy_join_lossless_mixed_lengths(spark):
+    """Cross-frame pairs where either side is longer (and empty/short
+    strings) must all survive the two-pass orientation split."""
+    import random
+    rng = random.Random(7)
+    alpha = "abx "
+    lw = list({"".join(rng.choice(alpha) for _ in range(rng.randrange(0, 7)))
+               for _ in range(40)})
+    rw = list({"".join(rng.choice(alpha) for _ in range(rng.randrange(0, 7)))
+               for _ in range(40)})
+    left = spark.createDataFrame([(w,) for w in lw], ["name"])
+    right = spark.createDataFrame([(w,) for w in rw], ["name"])
+    for d in (1, 2):
+        got = {(r["name"], r["name_r"], r["dist"]) for r in
+               fuzzy_join(left, right, "name", "name", max_dist=d)
+               .collect()}
+        want = {(a, b, _lev(a, b)) for a in lw for b in rw
+                if _lev(a, b) <= d}
+        assert got == want, (d, got ^ want)
+
+
+def test_fuzzy_join_plan_is_equality_join(spark):
+    left = spark.createDataFrame([(f"word{i:04d}", i)
+                                  for i in range(300)], ["name", "id"])
+    right = spark.createDataFrame([(f"ward{i:04d}", i)
+                                   for i in range(300)], ["name", "id"])
+    plan = fuzzy_join(left, right, "name", "name", max_dist=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_passjoin_plan_is_equality_join(spark):
     """The candidate join must stay a hash/sort-merge equality join —
     never a nested-loop or cartesian product."""

@@ -264,6 +264,41 @@ def test_bloom_file_index_lossless_and_prunes(spark, tmp_path):
         spark, data, idx, "k", [999_999]).count() == 0
 
 
+def test_bloom_file_index_probe_type_coercion(spark, tmp_path):
+    """Probe values whose Python type renders differently from the
+    indexed column's (int 1 vs double '1.0', str vs int) must still
+    hit: the sidecar stores the column dtype and probes are cast to it
+    before hashing — otherwise every hash misses silently (a false
+    negative, contradicting the lossless guarantee)."""
+    data, idx = str(tmp_path / "data"), str(tmp_path / "idx")
+    df = spark.range(4_000).select(
+        (F.col("id").cast("double")).alias("k"),
+        (F.col("id") * 3).alias("v"))
+    df.repartitionByRange(8, "k").write.parquet(data)
+    layout.write_bloom_index(spark, data, "k", idx)
+    assert spark.read.parquet(idx).select("dtype").first()["dtype"] \
+        == "double"
+
+    # int probe against the double column: '123' vs '123.0'
+    got = layout.indexed_point_lookup(
+        spark, data, idx, "k", [123, 2000]).count()
+    assert got == 2
+    # string probe renders differently again
+    assert layout.indexed_point_lookup(
+        spark, data, idx, "k", ["123"]).count() == 1
+    # unrepresentable probe casts to NULL -> dropped, empty result
+    assert layout.indexed_point_lookup(
+        spark, data, idx, "k", ["not-a-number"]).count() == 0
+
+    # and the symmetric case: int column, string probe
+    data2, idx2 = str(tmp_path / "d2"), str(tmp_path / "i2")
+    (spark.range(2_000).select(F.col("id").alias("k"))
+     .repartitionByRange(4, "k").write.parquet(data2))
+    layout.write_bloom_index(spark, data2, "k", idx2)
+    assert layout.indexed_point_lookup(
+        spark, data2, idx2, "k", ["777"]).count() == 1
+
+
 def test_bloom_file_index_autosizes_past_saturation(spark, tmp_path):
     """50k distinct keys per file would saturate a fixed 65536-bit
     filter (FP -> 1, pruning 0 — exactly what the bench's 10M-row

@@ -91,6 +91,33 @@ def test_mp4_64bit_box_size():
 def test_rejects_non_video_bytes():
     assert C.mp4_meta(b"not an mp4 at all") is None
     assert C.h264_meta(b"plain text here") is None
+
+
+def test_corrupt_sps_yields_nulls_not_exceptions():
+    """A structurally valid stream with a truncated/corrupt SPS must
+    degrade to NULL SPS-derived fields, never raise (a raise inside
+    the mapInPandas kernel would fail the whole Spark task)."""
+    # annex-B: SPS NAL cut to 2 bytes (header survives, payload gone)
+    sc = b"\x00\x00\x00\x01"
+    good = C.encode_annexb(322, 238, 5)
+    sps_nal = good.split(sc)[1]
+    b = sc + sps_nal[:2] + sc.join([b""] + good.split(sc)[2:])
+    m = C.h264_meta(b)
+    assert m is not None and m["n_frames"] == 5
+    assert m["width"] is None and m["height"] is None
+
+    # mp4: corrupt the avcC SPS payload bytes in-place
+    v = bytearray(C.encode_mp4(330, 190, 1000))
+    i = bytes(v).find(b"avcC")
+    assert i > 0
+    # overwrite the embedded SPS length with an absurd value so the
+    # slice truncates and parse_sps sees garbage
+    ln_at = i + 4 + 6
+    v[ln_at:ln_at + 2] = struct.pack(">H", 0xFFFF)
+    m = C.mp4_meta(bytes(v))
+    assert m is not None and m["fmt"] == "mp4"
+    # container fields survive; SPS-derived dims fall back or NULL
+    assert m["n_tracks"] >= 1
     assert C.sniff(b"") is None
     # truncated mp4: ftyp present, moov missing -> metadata NULLs,
     # no crash

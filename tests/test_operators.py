@@ -805,3 +805,38 @@ def test_ewma_columnwise_kernel_bit_exact(spark):
             assert g is None or math.isnan(g), k
         else:
             assert g == w, (k, g, w)   # bitwise, not approx
+
+
+def test_ewma_skewed_lengths_bounded_memory(spark):
+    """One 500k-row key sharing a bucket with 50k two-row keys: the
+    un-banded kernel would allocate a 50 001 × 500 000 matrix (~200 GB
+    — an instant MemoryError); the length-banded kernel's peak is
+    Σlen-bounded (~2 × bucket rows ≈ 10 MB), so this passing AT ALL is
+    the memory gate. Values stay bit-exact vs the scalar recurrence."""
+    from nowdb_spark.operators import timeseries as TS
+
+    n_long, n_short = 500_000, 50_000
+    long_df = spark.range(n_long).select(
+        F.lit(0).alias("k"), (F.col("id") * 10).alias("ts"),
+        (F.col("id") % 97).cast("double").alias("v"))
+    short_df = spark.range(n_short * 2).select(
+        (F.col("id") % n_short + 1).alias("k"),
+        (F.floor(F.col("id") / n_short) * 10).alias("ts"),
+        (F.col("id") % 13).cast("double").alias("v"))
+    df = long_df.unionByName(short_df)
+    out = TS.ewma(df, "ts", "k", "v", alpha=0.25, num_buckets=1)
+
+    # scalar replay of the long series' tail + a short series
+    y = 0.0
+    for i in range(n_long):
+        fv = float(i % 97)
+        y = fv if i == 0 else 0.75 * y + 0.25 * fv
+    got_long = {r["ts"]: r["ewma"] for r in
+                out.where("k = 0 and ts >= %d" % ((n_long - 1) * 10))
+                   .collect()}
+    assert got_long[(n_long - 1) * 10] == y   # bitwise
+    # key k carries ids k-1 and n_short+k-1 (id % n_short + 1 == k)
+    ks = {r["ts"]: r["ewma"] for r in out.where("k = 7").collect()}
+    v0, v1 = float(6 % 13), float((n_short + 6) % 13)
+    assert ks == {0: v0, 10: 0.75 * v0 + 0.25 * v1}
+    assert out.count() == n_long + n_short * 2

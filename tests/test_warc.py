@@ -56,12 +56,24 @@ def test_html_to_text_spark_matches_python(spark):
         "<!-- comment --><div attr='<x>'>text</div>",
         "  lots   of \t whitespace  ",
         "",
+        # double-encoded: '&amp;lt;' must decode ONCE to '&lt;', not
+        # cascade to '<' (the amp pass runs last on the JVM side)
+        "&amp;lt;b&amp;gt; and &amp;amp; x",
+        # numeric entities stay literal in BOTH twins
+        "&#65;&#x41; &#160; &amp;#38;",
+        # amp adjacent to other entities, mixed order
+        "&lt;&amp; &amp;&lt; &amp;nbsp; &nbsp;amp;",
     ]
     df = spark.createDataFrame([(c,) for c in cases], ["html"])
     got = [r["t"] for r in
            df.select(W.html_to_text(F.col("html")).alias("t"))
              .collect()]
     assert got == [W.html_to_text_py(c) for c in cases]
+    # absolute expectations (guards against both twins drifting the
+    # same wrong way): single decode, numeric left literal
+    assert (W.html_to_text_py("&amp;lt;b&amp;gt; and &amp;amp; x")
+            == "&lt;b&gt; and &amp; x")
+    assert W.html_to_text_py("&#65; and &amp;") == "&#65; and &"
 
 
 def test_warc_corrupt_tail_is_graceful(spark, tmp_path):
