@@ -1,14 +1,18 @@
-"""Pure-Python WAV (RIFF PCM) + MP3 frame-header audio codecs — the
-real decode paths for the audio half of the multimodal operators.
+"""Pure-Python WAV (RIFF PCM) + MP3/AAC/FLAC metadata audio codecs —
+the real decode paths for the audio half of the multimodal operators.
 
 Scope mirrors imagecodec.py: what the stdlib can express is decoded
 for real — RIFF container walk, 'fmt ' parse, PCM 8-bit (unsigned)
-and 16-bit (signed LE) samples, mono or interleaved stereo; and the
+and 16-bit (signed LE) samples, mono or interleaved stereo; the
 MP3 FRAME-HEADER layer (ISO/IEC 11172-3): ID3v2 tag skip, sync walk,
 per-frame version/layer/bitrate/samplerate/channel-mode parse, VBR-
-aware duration and average bitrate. MP3 SAMPLE decode (the MDCT +
-Huffman entropy layer) stays honestly stubbed in multimodal.py along
-with AAC/FLAC.
+aware duration and average bitrate; the AAC ADTS header walk
+(ISO/IEC 13818-7 §6.2: profile/rate-index/channel-config/frame-length
+/raw-data-blocks, 1024 samples per block); and FLAC's STREAMINFO
+metadata block (flac format spec: 20-bit rate, 3-bit channels-1,
+5-bit bits-1, 36-bit total samples). SAMPLE decode for the entropy-
+coded formats (MP3 MDCT+Huffman, AAC spectral, FLAC rice/LPC) stays
+honestly stubbed in multimodal.py.
 
 Built by `make_audio_codec()` as nested closures so cloudpickle ships
 the code by value to executors (same self-containment rule as the
@@ -229,11 +233,149 @@ def make_audio_codec() -> SimpleNamespace:
             out += hdr + bytes(flen - 4)
         return bytes(out)
 
+    # --- AAC ADTS frame-header layer (ISO/IEC 13818-7 §6.2 /
+    # 14496-3 §1.A.3: adts_fixed_header + adts_variable_header) ------
+    AAC_RATES = (96000, 88200, 64000, 48000, 44100, 32000, 24000,
+                 22050, 16000, 12000, 11025, 8000, 7350)
+
+    def _adts_header(b: bytes, i: int):
+        """Parse one ADTS header at offset i; returns (frame_len,
+        profile, rate, channels, raw_data_blocks) or None."""
+        if i + 7 > len(b) or b[i] != 0xFF or (b[i + 1] & 0xF0) != 0xF0:
+            return None
+        if (b[i + 1] >> 1) & 0b11:              # layer must be 00
+            return None
+        prot_absent = b[i + 1] & 1
+        profile = b[i + 2] >> 6
+        sr_idx = (b[i + 2] >> 2) & 0xF
+        if sr_idx >= len(AAC_RATES):
+            return None
+        channels = ((b[i + 2] & 1) << 2) | (b[i + 3] >> 6)
+        flen = (((b[i + 3] & 0x03) << 11) | (b[i + 4] << 3)
+                | (b[i + 5] >> 5))              # incl. header
+        rdb = b[i + 6] & 0b11
+        if flen < (7 if prot_absent else 9) or channels == 0:
+            return None
+        return flen, profile, AAC_RATES[sr_idx], channels, rdb
+
+    def aac_sniff(b: bytes):
+        return "aac" if _adts_header(b, 0) else None
+
+    def aac_meta(b: bytes):
+        """Walk every ADTS frame: {fmt, object_type (profile+1),
+        channels, sample_rate, n_frames, n_samples (1024 per raw data
+        block), duration_ms, n_bytes} or None. Stops at the first
+        non-frame byte."""
+        i, n_frames, n_samples = 0, 0, 0
+        profile = rate = channels = None
+        while True:
+            h = _adts_header(b, i)
+            if h is None or i + h[0] > len(b):
+                break
+            flen, profile, rate, channels, rdb = h
+            n_frames += 1
+            n_samples += (rdb + 1) * 1024
+            i += flen
+        if n_frames == 0:
+            return None
+        return {"fmt": "aac", "object_type": profile + 1,
+                "channels": channels, "sample_rate": rate,
+                "n_frames": n_frames, "n_samples": n_samples,
+                "duration_ms": n_samples * 1000 // rate,
+                "n_bytes": len(b)}
+
+    def encode_adts(payload_lens, sr_idx: int, channels: int,
+                    profile: int = 1, rdb: int = 0) -> bytes:
+        """Fixture builder: valid ADTS headers over zero payloads
+        (the metadata layer is the decoded surface). ``payload_lens``
+        = per-frame payload byte counts; ``profile`` is the 2-bit
+        field (object type − 1); ``rdb`` raw-data-blocks-in-frame−1
+        extra blocks of 1024 samples."""
+        out = bytearray()
+        for pl in payload_lens:
+            flen = 7 + int(pl)
+            out += bytes([
+                0xFF,
+                0xF0 | 0x01,                     # MPEG-4, layer 00, no CRC
+                (profile << 6) | (sr_idx << 2) | ((channels >> 2) & 1),
+                ((channels & 0b11) << 6) | ((flen >> 11) & 0b11),
+                (flen >> 3) & 0xFF,
+                ((flen & 0b111) << 5) | 0x1F,    # fullness high bits
+                0xFC | (rdb & 0b11)])            # fullness low + rdb
+            out += bytes(int(pl))
+        return bytes(out)
+
+    # --- FLAC STREAMINFO (flac format spec: 'fLaC' magic, metadata
+    # block walk, block type 0 = 34-byte STREAMINFO) -----------------
+
+    def flac_sniff(b: bytes):
+        return "flac" if b[:4] == b"fLaC" else None
+
+    def flac_meta(b: bytes):
+        """Walk the metadata blocks to STREAMINFO: {fmt, channels,
+        sample_rate, bits, n_samples (total), duration_ms, n_bytes}
+        or None (no magic / no intact STREAMINFO)."""
+        if b[:4] != b"fLaC":
+            return None
+        i, info = 4, None
+        while i + 4 <= len(b):
+            last, typ = b[i] >> 7, b[i] & 0x7F
+            ln = int.from_bytes(b[i + 1:i + 4], "big")
+            if i + 4 + ln > len(b):
+                break
+            if typ == 0 and ln >= 34:
+                blk = b[i + 4:i + 4 + ln]
+                # after 10 bytes of block/frame sizes: 20-bit rate,
+                # 3-bit channels-1, 5-bit bits-1, 36-bit total samples
+                v = int.from_bytes(blk[10:18], "big")
+                rate = v >> 44
+                if rate == 0:
+                    return None
+                info = {"fmt": "flac",
+                        "channels": ((v >> 41) & 0x7) + 1,
+                        "sample_rate": rate,
+                        "bits": ((v >> 36) & 0x1F) + 1,
+                        "n_samples": v & ((1 << 36) - 1),
+                        "n_bytes": len(b)}
+                info["duration_ms"] = \
+                    info["n_samples"] * 1000 // rate
+            i += 4 + ln
+            if last:
+                break
+        return info
+
+    def encode_flac(rate: int, channels: int, bits: int,
+                    total_samples: int, pad: int = 0) -> bytes:
+        """Fixture builder: magic + STREAMINFO (+ optional PADDING
+        block of ``pad`` bytes to exercise the block walk)."""
+        v = ((rate << 44) | ((channels - 1) << 41)
+             | ((bits - 1) << 36) | total_samples)
+        si = ((4096).to_bytes(2, "big") * 2
+              + bytes(3) + bytes(3)            # min/max frame size
+              + v.to_bytes(8, "big") + bytes(16))   # md5 zeroed
+        out = bytearray(b"fLaC")
+        out += bytes([((0 if pad else 1) << 7) | 0]) \
+            + (34).to_bytes(3, "big") + si
+        if pad:
+            out += bytes([0x80 | 1]) + int(pad).to_bytes(3, "big") \
+                + bytes(int(pad))
+        return bytes(out)
+
+    def audio_sniff(b: bytes):
+        """Unified sniff across the four audio containers."""
+        return (sniff(b) or flac_sniff(b) or aac_sniff(b)
+                or mp3_sniff(b))
+
     return SimpleNamespace(sniff=sniff, decode_meta=decode_meta,
                            decode=decode, encode_wav=encode_wav,
                            features=features, mp3_sniff=mp3_sniff,
                            mp3_meta=mp3_meta,
-                           encode_mp3_frames=encode_mp3_frames)
+                           encode_mp3_frames=encode_mp3_frames,
+                           aac_sniff=aac_sniff, aac_meta=aac_meta,
+                           encode_adts=encode_adts,
+                           flac_sniff=flac_sniff, flac_meta=flac_meta,
+                           encode_flac=encode_flac,
+                           audio_sniff=audio_sniff)
 
 
 # driver-side convenience instance (kernels build their own)

@@ -323,6 +323,104 @@ def mp3_meta_real(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)
 
 
+def synth_adts_flac(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a MIXED audio corpus from an id column: even ids
+    get AAC-ADTS streams (rate index 3+(id%5) → 48000/44100/32000/
+    24000/22050 Hz, 1+(id%3) channels, profile (id%12)//4 so object
+    type 1..3, id%15+3 frames of (id//2)%2 extra raw-data-blocks,
+    payload id%50+10 bytes/frame), odd ids get FLAC files
+    (rate [8000,16000,22050,24000,32000,44100,48000][id%7],
+    1+(id%5) channels, 8*((id%6)//2+1) bits, (id%997+1)*64 total
+    samples, a PADDING block of id%17 bytes when id%3 = 0). Pure
+    integer arithmetic a SQL oracle replays exactly."""
+    from nowdb_spark.operators.audiocodec import make_audio_codec
+
+    codec = make_audio_codec()
+    schema = f"{id_col} long, payload binary"
+    flac_rates = (8000, 16000, 22050, 24000, 32000, 44100, 48000)
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        def synth(did: int) -> bytes:
+            did = int(did)
+            if did % 2 == 0:
+                return codec.encode_adts(
+                    [did % 50 + 10] * (did % 15 + 3),
+                    sr_idx=3 + did % 5, channels=1 + did % 3,
+                    profile=(did % 12) // 4, rdb=(did // 2) % 2)
+            return codec.encode_flac(
+                rate=flac_rates[did % 7], channels=1 + did % 5,
+                bits=8 * ((did % 6) // 2 + 1),
+                total_samples=(did % 997 + 1) * 64,
+                pad=(did % 17) if did % 3 == 0 else 0)
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "payload": [synth(d) for d in pdf[id_col]],
+            })
+
+    return df.select(id_col).mapInPandas(kernel, schema)
+
+
+def audio_meta_real(df: DataFrame, id_col: str = "doc_id",
+                    payload_col: str = "payload") -> DataFrame:
+    """Unified REAL audio metadata: sniff each payload (WAV / FLAC /
+    AAC-ADTS / MP3) and dispatch to its parser, emitting one typed
+    schema — fields a format does not carry stay NULL (bits is
+    WAV/FLAC-only, object_type is AAC-only, n_frames is MP3/AAC-only).
+    Undecodable bytes yield an all-NULL row, never a task failure.
+    Narrow, zero-shuffle (audiocodec.py)."""
+    from nowdb_spark.operators.audiocodec import make_audio_codec
+
+    codec = make_audio_codec()
+    schema = (f"{id_col} long, fmt string, channels long, "
+              "sample_rate long, bits long, object_type long, "
+              "n_frames long, n_samples long, duration_ms long")
+    cols = [id_col, "fmt", "channels", "sample_rate", "bits",
+            "object_type", "n_frames", "n_samples", "duration_ms"]
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        def meta(b: bytes):
+            kind = codec.audio_sniff(b)
+            if kind == "wav":
+                m = codec.decode_meta(b)
+                if m:
+                    return ("wav", m["channels"], m["sample_rate"],
+                            m["bits"], None, None, m["n_samples"],
+                            m["n_samples"] * 1000 // m["sample_rate"])
+            elif kind == "flac":
+                m = codec.flac_meta(b)
+                if m:
+                    return ("flac", m["channels"], m["sample_rate"],
+                            m["bits"], None, None, m["n_samples"],
+                            m["duration_ms"])
+            elif kind == "aac":
+                m = codec.aac_meta(b)
+                if m:
+                    return ("aac", m["channels"], m["sample_rate"],
+                            None, m["object_type"], m["n_frames"],
+                            m["n_samples"], m["duration_ms"])
+            elif kind == "mp3":
+                m = codec.mp3_meta(b)
+                if m:
+                    spf = 1152 if m["version"] == "1" else 576
+                    return ("mp3", m["channels"], m["sample_rate"],
+                            None, None, m["n_frames"],
+                            m["n_frames"] * spf, m["duration_ms"])
+            return (None,) * 8
+
+        for pdf in batches:
+            out = [(int(did),) + meta(bytes(p))
+                   for did, p in zip(pdf[id_col], pdf[payload_col])]
+            yield _pd.DataFrame(out, columns=cols)
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
 def synth_mp4(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize deterministic MP4 containers from an id column:
     avc1 video track whose SPS encodes width 16*(id%20+2)-2*(id%4),

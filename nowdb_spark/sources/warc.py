@@ -131,12 +131,40 @@ def encode_warc(records: list[dict], gzip_members: bool = True) -> bytes:
     return bytes(out)
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+# binaryFile materializes each file as ONE row; Spark's byte-array and
+# Arrow limits sit just under 2 GiB, and a file over the line fails as
+# an opaque Arrow/negative-length error deep in a task. Real crawl
+# shards flirt with 1 GiB+, so the reader PRE-CHECKS sizes (a
+# metadata-only listing, content never read) and raises a clear,
+# actionable error instead.
+WARC_MAX_FILE_BYTES = 1_800_000_000
+
+
+def read_warc(spark: SparkSession, path: str,
+              max_file_bytes: int = WARC_MAX_FILE_BYTES) -> DataFrame:
     """One row per WARC record across every file under ``path``
     (plain .warc or member-gzipped .warc.gz), schema WARC_SCHEMA.
     File-parallel: binaryFile rows fan out to tasks, record decode
-    never crosses a file boundary."""
+    never crosses a file boundary.
+
+    Files larger than ``max_file_bytes`` raise ValueError up front
+    (see WARC_MAX_FILE_BYTES) — re-shard them (gzip members
+    concatenate, so `split` at member boundaries is lossless) rather
+    than raising the cap past the 2 GiB row limit."""
     tools = _warc_tools()
+
+    listing = spark.read.format("binaryFile").load(path)
+    over = (listing.select("path", "length")
+            .where(F.col("length") > int(max_file_bytes))
+            .limit(5).collect())
+    if over:
+        names = ", ".join(f"{r['path']} ({r['length']:,} B)"
+                          for r in over)
+        raise ValueError(
+            f"WARC file(s) exceed max_file_bytes="
+            f"{int(max_file_bytes):,} and would overflow the ~2 GiB "
+            f"binaryFile row limit: {names}. Split them at gzip "
+            f"member boundaries and retry.")
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as _pd
@@ -158,7 +186,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                             h.get("content-type"), status, payload))
             yield _pd.DataFrame(out, columns=cols)
 
-    return (spark.read.format("binaryFile").load(path)
+    return (listing
             .select("path", "content")
             .mapInPandas(kernel, WARC_SCHEMA))
 

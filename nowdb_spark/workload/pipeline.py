@@ -1197,6 +1197,68 @@ def mm08(spark, sf):
 
 
 # ------------------------------------------------------------------
+# Synth parameters (synth_adts_flac): even ids are AAC-ADTS (rate
+# index 3+(id%5), 1+(id%3) channels, object type (id%12)//4+1,
+# id%15+3 frames carrying ((id//2)%2+1)*1024 samples each), odd ids
+# are FLAC STREAMINFO (rate table id%7, 1+(id%5) channels,
+# 8*((id%6)//2+1) bits, (id%997+1)*64 total samples, a PADDING block
+# when id%3=0 exercising the metadata walk). audio_meta_real SNIFFS
+# each payload and dispatches — the oracle replays the arithmetic by
+# parity.
+_MM10_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         doc_id % 2 = 0 AS is_aac,
+         CASE doc_id % 5 WHEN 0 THEN 48000 WHEN 1 THEN 44100
+              WHEN 2 THEN 32000 WHEN 3 THEN 24000
+              ELSE 22050 END AS arate,
+         list_extract([8000,16000,22050,24000,32000,44100,48000],
+                      CAST(doc_id % 7 + 1 AS INT)) AS frate,
+         doc_id % 15 + 3 AS nf,
+         ((doc_id // 2) % 2 + 1) * 1024 AS spf,
+         (doc_id % 997 + 1) * 64 AS fsamp
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN is_aac THEN 'aac' ELSE 'flac' END AS fmt,
+       CAST(CASE WHEN is_aac THEN 1 + doc_id % 3
+                 ELSE 1 + doc_id % 5 END AS BIGINT) AS channels,
+       CAST(CASE WHEN is_aac THEN arate ELSE frate END AS BIGINT)
+         AS sample_rate,
+       CAST(CASE WHEN is_aac THEN NULL
+                 ELSE 8 * ((doc_id % 6) // 2 + 1) END AS BIGINT)
+         AS bits,
+       CAST(CASE WHEN is_aac THEN (doc_id % 12) // 4 + 1
+                 ELSE NULL END AS BIGINT) AS object_type,
+       CAST(CASE WHEN is_aac THEN nf ELSE NULL END AS BIGINT)
+         AS n_frames,
+       CAST(CASE WHEN is_aac THEN nf * spf ELSE fsamp END AS BIGINT)
+         AS n_samples,
+       CAST(CASE WHEN is_aac THEN nf * spf * 1000 // arate
+                 ELSE fsamp * 1000 // frate END AS BIGINT)
+         AS duration_ms
+FROM d
+"""
+
+
+@register(
+    "mm10_audio_meta",
+    _MM10_ORACLE,
+    doc="REAL AAC-ADTS + FLAC-STREAMINFO metadata decode behind a "
+        "unified audio sniff (WAV/FLAC/AAC/MP3 dispatch): ADTS "
+        "header walk (13818-7 §6.2 — profile, rate index, channel "
+        "config, 13-bit frame length, raw-data-blocks) and FLAC "
+        "metadata-block walk to the packed STREAMINFO bitfields; "
+        "oracle replays the synth parameters by doc parity (sample "
+        "decode — AAC spectral / FLAC rice-LPC — stays honestly "
+        "gated)",
+)
+def mm10(spark, sf):
+    d = spread(table(spark, sf, "documents"))
+    return M.audio_meta_real(M.synth_adts_flac(d))
+
+
+# ------------------------------------------------------------------
 # Synth parameters (synth_mp4): avc1+mp4a MP4 whose SPS codes
 # width 16*(id%20+2)-2*(id%4) / height 16*(id%12+2)-2*(id%3) via
 # macroblock-grid cropping, profile 66/77/100 by id%3 with level

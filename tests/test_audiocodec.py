@@ -100,3 +100,85 @@ def test_mp3_rejects_garbage_and_truncation():
     # WAV sniff and MP3 sniff stay disjoint
     wav = c.encode_wav([0, 1, 2], rate=8000, bits=16)
     assert c.mp3_sniff(wav) is None and c.sniff(b) is None
+
+
+# --- AAC ADTS (13818-7 §6.2) -------------------------------------------
+
+def test_aac_adts_meta_exact():
+    c = make_audio_codec()
+    b = c.encode_adts([25, 30, 40], sr_idx=4, channels=2,
+                      profile=1, rdb=0)
+    m = c.aac_meta(b)
+    assert m == {"fmt": "aac", "object_type": 2, "channels": 2,
+                 "sample_rate": 44100, "n_frames": 3,
+                 "n_samples": 3 * 1024,
+                 "duration_ms": 3 * 1024 * 1000 // 44100,
+                 "n_bytes": len(b)}
+
+
+def test_aac_raw_data_blocks_and_channels():
+    c = make_audio_codec()
+    # rdb=1 → two 1024-sample blocks per ADTS frame; channel config
+    # 6 exercises the split bit across header bytes 2/3
+    b = c.encode_adts([10] * 5, sr_idx=7, channels=6, profile=3,
+                      rdb=1)
+    m = c.aac_meta(b)
+    assert (m["channels"], m["object_type"]) == (6, 4)
+    assert m["sample_rate"] == 22050
+    assert m["n_samples"] == 5 * 2 * 1024
+
+
+def test_aac_rejects_garbage_and_truncation():
+    c = make_audio_codec()
+    assert c.aac_meta(b"nonsense bytes here") is None
+    assert c.aac_sniff(b"\xff\xf0") is None          # too short
+    b = c.encode_adts([20] * 3, sr_idx=3, channels=1)
+    m = c.aac_meta(b[:-5])      # truncated tail frame dropped
+    assert m["n_frames"] == 2
+    # an MP3 frame must not sniff as AAC and vice versa (layer bits)
+    mp3 = c.encode_mp3_frames([(9, 0)], version="1")
+    assert c.aac_sniff(mp3) is None
+    assert c.mp3_sniff(b) is None
+
+
+# --- FLAC STREAMINFO ---------------------------------------------------
+
+def test_flac_streaminfo_exact():
+    c = make_audio_codec()
+    b = c.encode_flac(rate=44100, channels=2, bits=16,
+                      total_samples=441_000)
+    m = c.flac_meta(b)
+    assert m == {"fmt": "flac", "channels": 2, "sample_rate": 44100,
+                 "bits": 16, "n_samples": 441_000,
+                 "duration_ms": 10_000, "n_bytes": len(b)}
+
+
+def test_flac_padding_block_and_extremes():
+    c = make_audio_codec()
+    # 20-bit rate ceiling, 8 channels, 32 bits, 36-bit sample count,
+    # plus a PADDING block after STREAMINFO (block walk exercised)
+    b = c.encode_flac(rate=655350, channels=8, bits=32,
+                      total_samples=(1 << 36) - 1, pad=13)
+    m = c.flac_meta(b)
+    assert (m["sample_rate"], m["channels"], m["bits"]) \
+        == (655350, 8, 32)
+    assert m["n_samples"] == (1 << 36) - 1
+
+
+def test_flac_rejects_garbage():
+    c = make_audio_codec()
+    assert c.flac_meta(b"fLaX not flac") is None
+    assert c.flac_meta(b"fLaC\x00\x00") is None      # truncated
+    b = bytearray(c.encode_flac(44100, 2, 16, 1000))
+    assert c.flac_meta(bytes(b)[:20]) is None        # cut STREAMINFO
+
+
+def test_audio_sniff_dispatch():
+    c = make_audio_codec()
+    wav = c.encode_wav([0, 5, -5], rate=8000, bits=16)
+    mp3 = c.encode_mp3_frames([(9, 0)] * 2, version="1")
+    aac = c.encode_adts([15] * 2, sr_idx=4, channels=2)
+    flac = c.encode_flac(48000, 2, 24, 4800)
+    assert [c.audio_sniff(x) for x in (wav, mp3, aac, flac)] \
+        == ["wav", "mp3", "aac", "flac"]
+    assert c.audio_sniff(b"plain text") is None

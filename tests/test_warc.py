@@ -76,6 +76,21 @@ def test_html_to_text_spark_matches_python(spark):
     assert W.html_to_text_py("&#65; and &amp;") == "&#65; and &"
 
 
+def test_warc_oversized_file_clear_error(spark, tmp_path):
+    """A file past the binaryFile row cap must fail UP FRONT with an
+    actionable message (metadata-only check), not an opaque Arrow
+    error deep in a task."""
+    import pytest
+    recs = [{"uri": "http://ex.com/big",
+             "date": "2026-01-01T00:00:00Z",
+             "html": "<p>" + "x" * 4096 + "</p>"}]
+    (tmp_path / "big.warc.gz").write_bytes(W.encode_warc(recs))
+    with pytest.raises(ValueError, match="max_file_bytes"):
+        W.read_warc(spark, str(tmp_path), max_file_bytes=64)
+    # under the cap the same file parses fine
+    assert W.read_warc(spark, str(tmp_path)).count() == 1
+
+
 def test_warc_corrupt_tail_is_graceful(spark, tmp_path):
     recs = [{"uri": "http://ex.com/ok",
              "date": "2026-01-01T00:00:00Z", "html": "<p>fine</p>"}]
