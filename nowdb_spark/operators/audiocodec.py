@@ -361,10 +361,128 @@ def make_audio_codec() -> SimpleNamespace:
                 + bytes(int(pad))
         return bytes(out)
 
+    # --- Ogg/Opus metadata (RFC 3533 page framing + RFC 7845
+    # OpusHead identification header) --------------------------------
+    _OGG_CRC = []
+    for _i in range(256):
+        _c = _i << 24
+        for _ in range(8):
+            _c = ((_c << 1) ^ 0x04C11DB7) & 0xFFFFFFFF \
+                if _c & 0x80000000 else (_c << 1) & 0xFFFFFFFF
+        _OGG_CRC.append(_c)
+
+    def _ogg_crc(data: bytes) -> int:
+        c = 0
+        for x in data:
+            c = ((c << 8) & 0xFFFFFFFF) ^ _OGG_CRC[((c >> 24) ^ x)
+                                                   & 0xFF]
+        return c
+
+    def ogg_sniff(b: bytes):
+        return "ogg" if b[:4] == b"OggS" else None
+
+    def _ogg_pages(b: bytes):
+        """Yield (header_type, granule, page_seq, first_packet_bytes)
+        per CRC-VERIFIED page; stops at the first corrupt page."""
+        import struct as _s
+        i = 0
+        while i + 27 <= len(b) and b[i:i + 4] == b"OggS":
+            if b[i + 4] != 0:               # version must be 0
+                return
+            htype = b[i + 5]
+            granule = _s.unpack_from("<q", b, i + 6)[0]
+            seq = _s.unpack_from("<I", b, i + 18)[0]
+            crc = _s.unpack_from("<I", b, i + 22)[0]
+            nseg = b[i + 26]
+            seg_end = i + 27 + nseg
+            if seg_end > len(b):
+                return
+            lacing = b[i + 27:seg_end]
+            body_len = sum(lacing)
+            if seg_end + body_len > len(b):
+                return
+            page = bytearray(b[i:seg_end + body_len])
+            page[22:26] = b"\x00" * 4       # CRC computed with field 0
+            if _ogg_crc(bytes(page)) != crc:
+                return
+            # first packet = segments up to the first lacing < 255
+            first_len = 0
+            for lv in lacing:
+                first_len += lv
+                if lv < 255:
+                    break
+            yield (htype, granule, seq,
+                   b[seg_end:seg_end + first_len])
+            i = seg_end + body_len
+
+    def ogg_opus_meta(b: bytes):
+        """Page walk + OpusHead parse: {fmt, channels, pre_skip,
+        input_sample_rate, n_pages, duration_ms} or None. Duration is
+        (last granule − pre-skip) at the 48 kHz Opus clock (RFC 7845
+        §4/§5.1); every page CRC is verified."""
+        import struct as _s
+        if ogg_sniff(b) != "ogg":
+            return None
+        head = None
+        n_pages, last_granule = 0, 0
+        for htype, granule, _seq, pkt in _ogg_pages(b):
+            n_pages += 1
+            if htype & 0x02 and pkt[:8] == b"OpusHead" and len(pkt) >= 19:
+                head = {"channels": pkt[9],
+                        "pre_skip": _s.unpack_from("<H", pkt, 10)[0],
+                        "input_sample_rate":
+                            _s.unpack_from("<I", pkt, 12)[0]}
+            if granule > 0:
+                last_granule = granule
+        if head is None or n_pages == 0:
+            return None
+        dur48 = max(last_granule - head["pre_skip"], 0)
+        return {"fmt": "opus", "channels": head["channels"],
+                "pre_skip": head["pre_skip"],
+                "input_sample_rate": head["input_sample_rate"],
+                "n_pages": n_pages,
+                "duration_ms": dur48 * 1000 // 48000,
+                "n_bytes": len(b)}
+
+    def _ogg_page(serial: int, seq: int, granule: int, htype: int,
+                  packet: bytes) -> bytes:
+        import struct as _s
+        lacing = bytes([255] * (len(packet) // 255)
+                       + [len(packet) % 255])
+        hdr = (b"OggS" + bytes([0, htype])
+               + _s.pack("<q", granule) + _s.pack("<I", serial)
+               + _s.pack("<I", seq) + b"\x00" * 4
+               + bytes([len(lacing)]) + lacing)
+        page = bytearray(hdr + packet)
+        page[22:26] = _s.pack("<I", _ogg_crc(bytes(page)))
+        return bytes(page)
+
+    def encode_ogg_opus(channels: int, pre_skip: int,
+                        input_rate: int, n_audio_pages: int,
+                        samples_per_page: int = 960,
+                        serial: int = 0x1234) -> bytes:
+        """Fixture builder: BOS OpusHead page + OpusTags page +
+        ``n_audio_pages`` one-packet audio pages with cumulative
+        48 kHz granules (EOS on the last), all CRC-stamped."""
+        import struct as _s
+        head = (b"OpusHead" + bytes([1, channels])
+                + _s.pack("<H", pre_skip) + _s.pack("<I", input_rate)
+                + _s.pack("<h", 0) + bytes([0]))
+        tags = b"OpusTags" + _s.pack("<I", 4) + b"spkg" \
+            + _s.pack("<I", 0)
+        out = bytearray(_ogg_page(serial, 0, 0, 0x02, head))
+        out += _ogg_page(serial, 1, 0, 0x00, tags)
+        for p in range(n_audio_pages):
+            granule = pre_skip + (p + 1) * samples_per_page
+            htype = 0x04 if p == n_audio_pages - 1 else 0x00
+            out += _ogg_page(serial, 2 + p, granule, htype,
+                             bytes([0xF8, p & 0xFF]))  # dummy packet
+        return bytes(out)
+
     def audio_sniff(b: bytes):
-        """Unified sniff across the four audio containers."""
-        return (sniff(b) or flac_sniff(b) or aac_sniff(b)
-                or mp3_sniff(b))
+        """Unified sniff across the five audio containers."""
+        return (sniff(b) or flac_sniff(b) or ogg_sniff(b)
+                or aac_sniff(b) or mp3_sniff(b))
 
     return SimpleNamespace(sniff=sniff, decode_meta=decode_meta,
                            decode=decode, encode_wav=encode_wav,
@@ -375,6 +493,9 @@ def make_audio_codec() -> SimpleNamespace:
                            encode_adts=encode_adts,
                            flac_sniff=flac_sniff, flac_meta=flac_meta,
                            encode_flac=encode_flac,
+                           ogg_sniff=ogg_sniff,
+                           ogg_opus_meta=ogg_opus_meta,
+                           encode_ogg_opus=encode_ogg_opus,
                            audio_sniff=audio_sniff)
 
 

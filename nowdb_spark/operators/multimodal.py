@@ -6,12 +6,16 @@ BMP/PPM/PNG/GIF/JPEG (`imagecodec.py` + `jpegcodec.py`; PNG is a
 zlib/DEFLATE entropy path, GIF a from-scratch variable-width LZW
 decoder, JPEG a baseline+progressive Huffman-DCT decoder), audio RIFF/PCM WAV
 (`audiocodec.py`), video Y4M planar YUV with temporal frame sampling
-(`videocodec.py`), MP3 frame headers (`audiocodec.py`), and the MP4
-container + H.264 SPS layer (`mp4codec.py`: ISO BMFF box walk, avcC,
-Exp-Golomb SPS parse — coded dims/profile/level, Annex-B NAL census).
+(`videocodec.py`), MP3 frame headers + AAC-ADTS + FLAC STREAMINFO
+behind a unified audio sniff (`audiocodec.py`), FULL FLAC sample
+decode (`flaccodec.py`: Rice residuals, fixed/LPC prediction, stereo
+decorrelation, CRC-verified frames), and the MP4 container + H.264
+SPS layer (`mp4codec.py`: ISO BMFF box walk, avcC, Exp-Golomb SPS
+parse — coded dims/profile/level, Annex-B NAL census).
 What still needs codec LIBS (H.264/VP9 SAMPLE decode — the
-CABAC/CAVLC entropy + prediction layer — AAC, WebP, arithmetic-coded
-JPEG) stays honestly stubbed behind `_HAVE_CODECS`: the Spark-side
+CABAC/CAVLC entropy + prediction layer — MP3/AAC spectral synthesis,
+WebP, arithmetic-coded JPEG) stays honestly stubbed behind
+`_HAVE_CODECS`: the Spark-side
 plumbing (binary schema, Arrow batch shape, mapInPandas signature,
 partitioning) is real and tested; swap `_fake_decode` for a
 PIL/libav call and nothing else changes.
@@ -417,6 +421,152 @@ def audio_meta_real(df: DataFrame, id_col: str = "doc_id",
             out = [(int(did),) + meta(bytes(p))
                    for did, p in zip(pdf[id_col], pdf[payload_col])]
             yield _pd.DataFrame(out, columns=cols)
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
+def synth_opus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize REAL Ogg/Opus streams from an id column (CRC-
+    stamped pages: BOS OpusHead + OpusTags + id%10+2 audio pages of
+    (id%5+1)*960 48 kHz samples): 1+id%2 channels, pre-skip
+    id%400+100, informational input rate [8000,16000,24000,48000]
+    [id%4]."""
+    from nowdb_spark.operators.audiocodec import make_audio_codec
+
+    codec = make_audio_codec()
+    schema = f"{id_col} long, payload binary"
+    rates = (8000, 16000, 24000, 48000)
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        def synth(did: int) -> bytes:
+            did = int(did)
+            return codec.encode_ogg_opus(
+                channels=1 + did % 2, pre_skip=did % 400 + 100,
+                input_rate=rates[did % 4],
+                n_audio_pages=did % 10 + 2,
+                samples_per_page=(did % 5 + 1) * 960)
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "payload": [synth(d) for d in pdf[id_col]],
+            })
+
+    return df.select(id_col).mapInPandas(kernel, schema)
+
+
+def opus_meta_real(df: DataFrame, id_col: str = "doc_id",
+                   payload_col: str = "payload") -> DataFrame:
+    """REAL Ogg/Opus metadata: page walk with per-page CRC-32
+    verification + OpusHead parse (audiocodec.py ogg_opus_meta).
+    Non-Ogg bytes yield NULLs. Narrow, zero-shuffle."""
+    from nowdb_spark.operators.audiocodec import make_audio_codec
+
+    codec = make_audio_codec()
+    schema = (f"{id_col} long, fmt string, channels long, "
+              "pre_skip long, input_sample_rate long, n_pages long, "
+              "duration_ms long")
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                m = codec.ogg_opus_meta(bytes(payload))
+                if m is None:
+                    out.append((int(did),) + (None,) * 6)
+                else:
+                    out.append((int(did), m["fmt"], m["channels"],
+                                m["pre_skip"],
+                                m["input_sample_rate"], m["n_pages"],
+                                m["duration_ms"]))
+            yield _pd.DataFrame(out, columns=[
+                id_col, "fmt", "channels", "pre_skip",
+                "input_sample_rate", "n_pages", "duration_ms"])
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
+def synth_flac_files(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize REAL FLAC files from an id column: n = id%50+10
+    samples per channel, channel 1 s_i = ((id*7+i*13)%4001)-2000 (the
+    synth_audio arithmetic), channel 2 (when 1+id%2 = 2)
+    t_i = ((id*11+i*17)%4001)-2000; rate [8000,16000,44100][id%3];
+    subframe kind cycles verbatim/fixed1/fixed2/lpc by id%4, stereo
+    decorrelation cycles independent/left-side/right-side/mid-side by
+    (id//2)%4, rice partition order id%3, block size 16 (multi-frame
+    streams) — every decoder path exercised across the corpus."""
+    from nowdb_spark.operators.flaccodec import make_flac_codec
+
+    codec = make_flac_codec()
+    schema = f"{id_col} long, payload binary"
+    rates = (8000, 16000, 44100)
+    kinds = ("verbatim", "fixed1", "fixed2", "lpc")
+    modes = ("independent", "left_side", "right_side", "mid_side")
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        def synth(did: int) -> bytes:
+            did = int(did)
+            n = did % 50 + 10
+            chans = [[((did * 7 + i * 13) % 4001) - 2000
+                      for i in range(n)]]
+            if did % 2:
+                chans.append([((did * 11 + i * 17) % 4001) - 2000
+                              for i in range(n)])
+            return codec.encode(
+                chans, rate=rates[did % 3], bits=16, block_size=16,
+                subframe=kinds[did % 4],
+                stereo_mode=modes[(did // 2) % 4],
+                rice_partition_order=did % 3)
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "payload": [synth(d) for d in pdf[id_col]],
+            })
+
+    return df.select(id_col).mapInPandas(kernel, schema)
+
+
+def flac_features_real(df: DataFrame, id_col: str = "doc_id",
+                       payload_col: str = "payload") -> DataFrame:
+    """REAL FLAC SAMPLE decode (flaccodec.py: frame sync + CRCs,
+    Rice-coded residuals, fixed + LPC prediction, stereo
+    decorrelation) to exact integer features over the interleaved
+    samples. Non-FLAC or corrupt bytes yield NULLs, never a task
+    failure. Narrow, zero-shuffle."""
+    from nowdb_spark.operators.flaccodec import make_flac_codec
+
+    codec = make_flac_codec()
+    schema = (f"{id_col} long, fmt string, channels long, "
+              "n_samples long, sample_rate long, duration_ms long, "
+              "peak long, sq_sum long")
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    m = codec.features(bytes(payload))
+                except ValueError:
+                    m = None
+                if m is None:
+                    out.append((int(did),) + (None,) * 7)
+                else:
+                    out.append((int(did), "flac", m["channels"],
+                                m["n_samples"], m["sample_rate"],
+                                m["duration_ms"], m["peak"],
+                                m["sq_sum"]))
+            yield _pd.DataFrame(out, columns=[
+                id_col, "fmt", "channels", "n_samples", "sample_rate",
+                "duration_ms", "peak", "sq_sum"])
 
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)
 

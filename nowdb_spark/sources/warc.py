@@ -300,6 +300,18 @@ def html_to_text(col):
     return F.trim(F.regexp_replace(s, r"\s+", " "))
 
 
+def extract_links(col):
+    """Column expression: every href target in an HTML string, in
+    document order — JVM regexp_extract_all, no Python. Feeds the
+    crawl link graph (explode → (page, url) edges → graph ops)."""
+    return F.regexp_extract_all(col, F.lit('href="([^"]*)"'), 1)
+
+
+def link_host(url_col):
+    """Column expression: the host of an http(s) URL (JVM regex)."""
+    return F.regexp_extract(url_col, r"^https?://([^/]+)", 1)
+
+
 def warc_text_documents(records: DataFrame,
                         min_status: int = 200,
                         max_status: int = 299) -> DataFrame:

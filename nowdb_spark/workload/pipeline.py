@@ -1259,6 +1259,110 @@ def mm10(spark, sf):
 
 
 # ------------------------------------------------------------------
+# Synth parameters (multimodal.synth_opus): 1+id%2 channels,
+# pre-skip id%400+100, informational input rate
+# [8000,16000,24000,48000][id%4], id%10+2 audio pages of
+# (id%5+1)*960 48kHz samples each (EOS granule on the last). The
+# Spark side walks the REAL Ogg framing — per-page CRC-32
+# (poly 0x04C11DB7) verification, lacing-table packet reassembly,
+# BOS OpusHead parse — and derives duration from the terminal
+# granule minus pre-skip per RFC 7845; the oracle replays the
+# parameters arithmetically.
+_MM12_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         doc_id % 10 + 2 AS np,
+         (doc_id % 5 + 1) * 960 AS spp
+  FROM documents
+)
+SELECT doc_id,
+       'opus' AS fmt,
+       CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+       CAST(doc_id % 400 + 100 AS BIGINT) AS pre_skip,
+       CAST(list_extract([8000,16000,24000,48000],
+                         CAST(doc_id % 4 + 1 AS INT)) AS BIGINT)
+         AS input_sample_rate,
+       CAST(np + 2 AS BIGINT) AS n_pages,
+       CAST(np * spp * 1000 // 48000 AS BIGINT) AS duration_ms
+FROM d
+"""
+
+
+@register(
+    "mm12_opus_meta",
+    _MM12_ORACLE,
+    doc="REAL Ogg/Opus metadata decode: RFC 3533 page walk with "
+        "per-page CRC-32 verification and lacing-table packet "
+        "reassembly + RFC 7845 OpusHead parse, duration from the "
+        "terminal granule at the 48 kHz Opus clock minus pre-skip; "
+        "oracle replays the synth parameters (Opus SAMPLE decode — "
+        "SILK/CELT — stays honestly gated)",
+)
+def mm12(spark, sf):
+    d = spread(table(spark, sf, "documents"))
+    return M.opus_meta_real(M.synth_opus(d))
+
+
+# ------------------------------------------------------------------
+# Synth parameters (synth_flac_files): n = id%50+10 samples/channel,
+# channel 1 uses the synth_audio arithmetic, channel 2 (stereo when
+# id odd) ((id*11+i*17)%4001)-2000; rate table id%3. The Spark side
+# decodes the FULL FLAC frame layer — sync + CRC-8/16, Rice
+# residuals, fixed/LPC prediction, stereo decorrelation — through a
+# corpus that cycles every subframe kind, stereo mode and partition
+# order; the oracle replays the sample arithmetic (decode must be
+# exact for peak/sq_sum to match).
+_MM11_ORACLE = """
+WITH d AS (
+  SELECT doc_id, doc_id % 50 + 10 AS n,
+         list_extract([8000,16000,44100],
+                      CAST(doc_id % 3 + 1 AS INT)) AS rate,
+         1 + doc_id % 2 AS ch
+  FROM documents
+)
+SELECT doc_id,
+       'flac' AS fmt,
+       CAST(ch AS BIGINT) AS channels,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(rate AS BIGINT) AS sample_rate,
+       CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+       CAST(greatest(
+         list_aggregate(list_transform(range(0, n), i ->
+           abs((doc_id*7 + i*13) % 4001 - 2000)), 'max'),
+         CASE WHEN ch = 2 THEN
+           list_aggregate(list_transform(range(0, n), i ->
+             abs((doc_id*11 + i*17) % 4001 - 2000)), 'max')
+         ELSE 0 END) AS BIGINT) AS peak,
+       CAST(list_aggregate(list_transform(range(0, n), i ->
+              ((doc_id*7 + i*13) % 4001 - 2000)
+              * ((doc_id*7 + i*13) % 4001 - 2000)), 'sum')
+            + CASE WHEN ch = 2 THEN
+                list_aggregate(list_transform(range(0, n), i ->
+                  ((doc_id*11 + i*17) % 4001 - 2000)
+                  * ((doc_id*11 + i*17) % 4001 - 2000)), 'sum')
+              ELSE 0 END AS BIGINT) AS sq_sum
+FROM d
+"""
+
+
+@register(
+    "mm11_flac_decode",
+    _MM11_ORACLE,
+    doc="REAL FLAC SAMPLE decode (flaccodec.py, from the public "
+        "format spec): frame sync + header CRC-8 + frame CRC-16, "
+        "partitioned Rice residuals (escapes included), CONSTANT/"
+        "VERBATIM/FIXED/LPC subframes, wasted bits, left/right/mid-"
+        "side stereo decorrelation — the entropy-coded audio layer "
+        "that was previously honestly gated; the corpus cycles every "
+        "decoder path and the oracle replays the sample arithmetic "
+        "exactly",
+)
+def mm11(spark, sf):
+    d = spread(table(spark, sf, "documents"))
+    return M.flac_features_real(M.synth_flac_files(d))
+
+
+# ------------------------------------------------------------------
 # Synth parameters (synth_mp4): avc1+mp4a MP4 whose SPS codes
 # width 16*(id%20+2)-2*(id%4) / height 16*(id%12+2)-2*(id%3) via
 # macroblock-grid cropping, profile 66/77/100 by id%3 with level
@@ -1337,6 +1441,59 @@ def wc01(spark, sf):
                     W.html_to_text(
                         F.decode(F.col("payload"), "utf-8"))
                     .alias("text")))
+
+
+# ------------------------------------------------------------------
+# Link-graph extraction: each document gets doc_id%4 deterministic
+# anchors ('http://site{(doc_id+k)%50}.example/p{doc_id%7}') woven
+# into its HTML; the Spark side runs the REAL regex pipeline —
+# regexp_extract_all href capture + posexplode + host regex, all
+# JVM-side (zero Python) — while the oracle replays the anchor
+# construction arithmetically. Crawl → link edges is the front door
+# of PageRank/domain-mixing over web corpora (g04/cc03 consume the
+# same edge shape).
+@register(
+    "wc02_link_extract",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 4 AS nl FROM documents),
+    l AS (SELECT doc_id, unnest(range(1, nl + 1)) AS k FROM d)
+    SELECT doc_id,
+           CAST(k - 1 AS BIGINT) AS link_pos,
+           'http://site' || ((doc_id + k) % 50) || '.example/p'
+             || (doc_id % 7) AS url,
+           'site' || ((doc_id + k) % 50) || '.example' AS host
+    FROM l
+    """,
+    doc="HTML link-graph extraction: href capture via JVM "
+        "regexp_extract_all + posexplode + host regex (no Python in "
+        "the path); zero-anchor docs vanish, anchors keep document "
+        "order — the crawl-to-link-edges step feeding PageRank and "
+        "domain mixing",
+)
+def wc02(spark, sf):
+    from nowdb_spark.sources import warc as W
+
+    d = table(spark, sf, "documents")
+    # sequence(1, 0) is DESCENDING in Spark — guard the 0-anchor case
+    html = F.expr("""
+      concat('<html><body><p>', text, '</p>',
+        aggregate(
+          if(doc_id % 4 = 0, array(),
+             transform(sequence(1, int(doc_id % 4)), k ->
+               concat('<a href="http://site',
+                      CAST((doc_id + k) % 50 AS STRING),
+                      '.example/p', CAST(doc_id % 7 AS STRING),
+                      '">l</a>'))),
+          '', (acc, x) -> concat(acc, x)),
+        '</body></html>')""")
+    pages = d.select("doc_id", html.alias("html"))
+    links = pages.select(
+        "doc_id",
+        F.posexplode(W.extract_links(F.col("html")))
+        .alias("link_pos", "url"))
+    return links.select(
+        "doc_id", F.col("link_pos").cast("long").alias("link_pos"),
+        "url", W.link_host(F.col("url")).alias("host"))
 
 
 # ------------------------------------------------------------------

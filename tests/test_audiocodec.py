@@ -182,3 +182,41 @@ def test_audio_sniff_dispatch():
     assert [c.audio_sniff(x) for x in (wav, mp3, aac, flac)] \
         == ["wav", "mp3", "aac", "flac"]
     assert c.audio_sniff(b"plain text") is None
+
+
+# --- Ogg/Opus (RFC 3533 + RFC 7845) --------------------------------------
+
+def test_ogg_opus_meta_exact():
+    c = make_audio_codec()
+    b = c.encode_ogg_opus(channels=2, pre_skip=312, input_rate=48000,
+                          n_audio_pages=4, samples_per_page=960)
+    m = c.ogg_opus_meta(b)
+    assert m == {"fmt": "opus", "channels": 2, "pre_skip": 312,
+                 "input_sample_rate": 48000, "n_pages": 6,
+                 "duration_ms": 4 * 960 * 1000 // 48000,
+                 "n_bytes": len(b)}
+
+
+def test_ogg_crc_rejects_corruption():
+    c = make_audio_codec()
+    b = bytearray(c.encode_ogg_opus(1, 0, 8000, 3))
+    # flip a bit inside the LAST page body: the walk keeps the good
+    # prefix (CRC verified page-by-page) and drops the corrupt tail
+    b[-1] ^= 0x10
+    assert c.ogg_opus_meta(bytes(b))["n_pages"] == 4
+    # corrupting the FIRST page (OpusHead) kills the whole parse
+    b2 = bytearray(c.encode_ogg_opus(1, 0, 8000, 3))
+    b2[30] ^= 0x01
+    assert c.ogg_opus_meta(bytes(b2)) is None
+
+
+def test_ogg_rejects_non_ogg():
+    c = make_audio_codec()
+    assert c.ogg_opus_meta(b"OggSjunk") is None
+    assert c.ogg_opus_meta(b"not ogg") is None
+    assert c.ogg_sniff(b"RIFF") is None
+
+
+def test_audio_sniff_includes_ogg():
+    c = make_audio_codec()
+    assert c.audio_sniff(c.encode_ogg_opus(1, 0, 8000, 1)) == "ogg"
