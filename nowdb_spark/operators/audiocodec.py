@@ -65,11 +65,16 @@ def make_audio_codec() -> SimpleNamespace:
             if cc == b"fmt " and len(data) >= 16:
                 (audio_fmt, channels, rate, _brate, _align,
                  bits) = struct.unpack_from("<HHIIHH", data, 0)
-                if audio_fmt != 1:          # PCM only
+                # 1 = PCM, 6 = A-law, 7 = µ-law (G.711)
+                if audio_fmt not in (1, 6, 7):
                     return None
-                if bits not in (8, 16) or channels not in (1, 2):
+                if audio_fmt == 1 and bits not in (8, 16):
                     return None
-                return channels, rate, bits
+                if audio_fmt in (6, 7) and bits != 8:
+                    return None
+                if channels not in (1, 2):
+                    return None
+                return channels, rate, bits, audio_fmt
         return None
 
     def _data(b: bytes):
@@ -78,6 +83,29 @@ def make_audio_codec() -> SimpleNamespace:
                 return data
         return None
 
+    _WAV_FMT_NAMES = {1: "wav", 6: "wav-alaw", 7: "wav-ulaw"}
+
+    def ulaw_to_linear(b: int) -> int:
+        """G.711 µ-law expansion (the classic CCITT reference
+        arithmetic): closed-form per byte, no state."""
+        u = ~b & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+        return (0x84 - t) if u & 0x80 else (t - 0x84)
+
+    def alaw_to_linear(b: int) -> int:
+        """G.711 A-law expansion (even-bit inversion + segmented
+        linear): closed-form per byte, no state."""
+        a = b ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a >> 4) & 0x07
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        return t if a & 0x80 else -t
+
     def decode_meta(b: bytes):
         if sniff(b) != "wav":
             return None
@@ -85,9 +113,10 @@ def make_audio_codec() -> SimpleNamespace:
         d = _data(b)
         if f is None or d is None:
             return None
-        channels, rate, bits = f
+        channels, rate, bits, audio_fmt = f
         frame = channels * bits // 8
-        return {"fmt": "wav", "channels": channels, "sample_rate": rate,
+        return {"fmt": _WAV_FMT_NAMES[audio_fmt],
+                "channels": channels, "sample_rate": rate,
                 "bits": bits, "n_samples": len(d) // frame,
                 "n_bytes": len(b)}
 
@@ -96,7 +125,11 @@ def make_audio_codec() -> SimpleNamespace:
         if meta is None:
             return None
         d = _data(b)
-        if meta["bits"] == 16:
+        if meta["fmt"] == "wav-ulaw":
+            samples = [ulaw_to_linear(x) for x in d]
+        elif meta["fmt"] == "wav-alaw":
+            samples = [alaw_to_linear(x) for x in d]
+        elif meta["bits"] == 16:
             n = len(d) // 2
             samples = list(struct.unpack("<%dh" % n, d[:2 * n]))
         else:
@@ -105,13 +138,19 @@ def make_audio_codec() -> SimpleNamespace:
         return meta
 
     def encode_wav(samples, rate: int = 8000, bits: int = 16,
-                   channels: int = 1) -> bytes:
-        if bits == 16:
+                   channels: int = 1, audio_fmt: int = 1) -> bytes:
+        """PCM (audio_fmt 1: mono=list[int], stereo interleaved) or
+        G.711 (audio_fmt 6/7: ``samples`` are the raw companded
+        BYTES, bits must be 8)."""
+        if audio_fmt in (6, 7):
+            payload = bytes(samples)
+            bits = 8
+        elif bits == 16:
             payload = struct.pack("<%dh" % len(samples), *samples)
         else:
             payload = bytes((s + 128) & 0xFF for s in samples)
         frame = channels * bits // 8
-        fmt = struct.pack("<HHIIHH", 1, channels, rate,
+        fmt = struct.pack("<HHIIHH", audio_fmt, channels, rate,
                           rate * frame, frame, bits)
         body = (b"WAVE"
                 + b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -127,6 +166,7 @@ def make_audio_codec() -> SimpleNamespace:
             return None
         s = a["samples"]
         return {
+            "fmt": a["fmt"],
             "n_samples": a["n_samples"],
             "sample_rate": a["sample_rate"],
             "duration_ms": a["n_samples"] * 1000 // a["sample_rate"],
@@ -486,6 +526,8 @@ def make_audio_codec() -> SimpleNamespace:
 
     return SimpleNamespace(sniff=sniff, decode_meta=decode_meta,
                            decode=decode, encode_wav=encode_wav,
+                           ulaw_to_linear=ulaw_to_linear,
+                           alaw_to_linear=alaw_to_linear,
                            features=features, mp3_sniff=mp3_sniff,
                            mp3_meta=mp3_meta,
                            encode_mp3_frames=encode_mp3_frames,

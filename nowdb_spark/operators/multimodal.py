@@ -393,7 +393,7 @@ def audio_meta_real(df: DataFrame, id_col: str = "doc_id",
             if kind == "wav":
                 m = codec.decode_meta(b)
                 if m:
-                    return ("wav", m["channels"], m["sample_rate"],
+                    return (m["fmt"], m["channels"], m["sample_rate"],
                             m["bits"], None, None, m["n_samples"],
                             m["n_samples"] * 1000 // m["sample_rate"])
             elif kind == "flac":
@@ -423,6 +423,37 @@ def audio_meta_real(df: DataFrame, id_col: str = "doc_id",
             yield _pd.DataFrame(out, columns=cols)
 
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
+def synth_g711(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize G.711 companded WAV payloads from an id column:
+    n = id%50+20 encoded bytes b_i = (id*13 + i*7) % 256, µ-law
+    (fmt tag 7) for even ids, A-law (fmt tag 6) for odd, mono 8 kHz.
+    The companded byte stream is pure arithmetic, and the expansion
+    formulas are closed-form per byte — so the oracle replays decode
+    END-TO-END in SQL."""
+    from nowdb_spark.operators.audiocodec import make_audio_codec
+
+    codec = make_audio_codec()
+    schema = f"{id_col} long, payload binary"
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        def synth(did: int) -> bytes:
+            did = int(did)
+            enc = bytes((did * 13 + i * 7) % 256
+                        for i in range(did % 50 + 20))
+            return codec.encode_wav(enc, rate=8000,
+                                    audio_fmt=7 if did % 2 == 0 else 6)
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "payload": [synth(d) for d in pdf[id_col]],
+            })
+
+    return df.select(id_col).mapInPandas(kernel, schema)
 
 
 def synth_opus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -698,7 +729,7 @@ def audio_features_real(df: DataFrame, id_col: str = "doc_id",
                     out.append((int(did), None, None, None, None,
                                 None, None))
                 else:
-                    out.append((int(did), "wav", f["n_samples"],
+                    out.append((int(did), f["fmt"], f["n_samples"],
                                 f["sample_rate"], f["duration_ms"],
                                 f["peak"], f["sq_sum"]))
             yield _pd.DataFrame(out, columns=[

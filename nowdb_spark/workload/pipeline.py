@@ -1259,6 +1259,74 @@ def mm10(spark, sf):
 
 
 # ------------------------------------------------------------------
+# Synth parameters (synth_g711): n = id%50+20 companded bytes
+# b_i = (id*13+i*7)%256, µ-law (WAV fmt tag 7) even ids / A-law (tag
+# 6) odd ids, mono 8 kHz. G.711 expansion is CLOSED-FORM per byte, so
+# the oracle replays the Spark side's real decode end-to-end in SQL:
+# µ-law  u = 255-b; t = ((u%16)*8+132) << ((u//16)%8);
+#        sample = 132-t if u>=128 else t-132
+# A-law  a = xor(b,85); t0 = (a%16)*16; seg = a//16 % 8;
+#        t = t0+8 | t0+264 | (t0+264)<<(seg-1);
+#        sample = t if a>=128 else -t
+_MM13_ORACLE = """
+WITH d AS (
+  SELECT doc_id, doc_id % 50 + 20 AS n, doc_id % 2 = 0 AS is_u
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n, is_u,
+         list_transform(range(0, n), i -> (doc_id*13 + i*7) % 256)
+           AS bs
+  FROM d
+),
+e AS (
+  SELECT doc_id, n, is_u,
+         CASE WHEN is_u THEN
+           list_transform(bs, b ->
+             CASE WHEN (255-b) >= 128
+                  THEN 132 - ((((255-b) % 16) * 8 + 132)
+                              << (((255-b) // 16) % 8))
+                  ELSE ((((255-b) % 16) * 8 + 132)
+                        << (((255-b) // 16) % 8)) - 132 END)
+         ELSE
+           list_transform(bs, b ->
+             CASE WHEN xor(b, 85) >= 128 THEN 1 ELSE -1 END *
+             CASE (xor(b, 85) // 16) % 8
+               WHEN 0 THEN (xor(b, 85) % 16) * 16 + 8
+               WHEN 1 THEN (xor(b, 85) % 16) * 16 + 264
+               ELSE ((xor(b, 85) % 16) * 16 + 264)
+                    << ((xor(b, 85) // 16) % 8 - 1) END)
+         END AS samples
+  FROM s
+)
+SELECT doc_id,
+       CASE WHEN is_u THEN 'wav-ulaw' ELSE 'wav-alaw' END AS fmt,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(list_aggregate(list_transform(samples, x -> abs(x)),
+                           'max') AS BIGINT) AS peak,
+       CAST(list_aggregate(list_transform(samples, x -> x*x),
+                           'sum') AS BIGINT) AS sq_sum
+FROM e
+"""
+
+
+@register(
+    "mm13_g711_decode",
+    _MM13_ORACLE,
+    doc="REAL G.711 companded-audio decode (µ-law + A-law WAV, fmt "
+        "tags 7/6): the RIFF walk hands the companded bytes to the "
+        "closed-form CCITT expansion and the oracle replays the SAME "
+        "expansion in SQL — sample-exact end-to-end, no fixture "
+        "shortcut",
+)
+def mm13(spark, sf):
+    d = spread(table(spark, sf, "documents"))
+    return M.audio_features_real(M.synth_g711(d))
+
+
+# ------------------------------------------------------------------
 # Synth parameters (multimodal.synth_opus): 1+id%2 channels,
 # pre-skip id%400+100, informational input rate
 # [8000,16000,24000,48000][id%4], id%10+2 audio pages of

@@ -27,7 +27,7 @@ def test_wav_features_exact():
     c = make_audio_codec()
     s = [5, -7, 3, 0]
     f = c.features(c.encode_wav(s, rate=1000, bits=16))
-    assert f == {"n_samples": 4, "sample_rate": 1000,
+    assert f == {"fmt": "wav", "n_samples": 4, "sample_rate": 1000,
                  "duration_ms": 4, "peak": 7, "sq_sum": 83}
 
 
@@ -220,3 +220,43 @@ def test_ogg_rejects_non_ogg():
 def test_audio_sniff_includes_ogg():
     c = make_audio_codec()
     assert c.audio_sniff(c.encode_ogg_opus(1, 0, 8000, 1)) == "ogg"
+
+
+# --- G.711 µ-law / A-law (closed-form CCITT expansion) -------------------
+
+def test_g711_known_values():
+    c = make_audio_codec()
+    # canonical table anchors
+    assert c.ulaw_to_linear(0xFF) == 0
+    assert c.ulaw_to_linear(0x7F) == 0
+    assert c.ulaw_to_linear(0x00) == -32124
+    assert c.ulaw_to_linear(0x80) == 32124
+    assert c.alaw_to_linear(0x55) == -8
+    assert c.alaw_to_linear(0xD5) == 8
+    assert c.alaw_to_linear(0x2A) == -32256
+    assert c.alaw_to_linear(0xAA) == 32256
+
+
+def test_g711_wav_decode_roundtrip():
+    c = make_audio_codec()
+    enc = bytes((i * 13 + 7) % 256 for i in range(50))
+    for tag, law in ((7, c.ulaw_to_linear), (6, c.alaw_to_linear)):
+        w = c.encode_wav(enc, rate=8000, audio_fmt=tag)
+        d = c.decode(w)
+        assert d["samples"] == [law(x) for x in enc]
+        assert d["n_samples"] == 50 and d["bits"] == 8
+        assert d["fmt"] == ("wav-ulaw" if tag == 7 else "wav-alaw")
+    # PCM path unchanged
+    w = c.encode_wav([1, -2, 3], rate=8000, bits=16)
+    assert c.decode(w)["fmt"] == "wav"
+
+
+def test_g711_monotone_per_segment():
+    """Expansion must be monotone within each sign (companding is an
+    order-preserving quantizer)."""
+    c = make_audio_codec()
+    # µ-law positive codes run 0xFF (0) down to 0x80 (max)
+    pos = [c.ulaw_to_linear(b) for b in range(0xFF, 0x7F, -1)]
+    assert pos == sorted(pos) and pos[0] == 0
+    neg = [c.ulaw_to_linear(b) for b in range(0x7F, -1, -1)]
+    assert neg == sorted(neg, reverse=True)
