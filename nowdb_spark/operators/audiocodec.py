@@ -484,6 +484,37 @@ def make_audio_codec() -> SimpleNamespace:
                 "duration_ms": dur48 * 1000 // 48000,
                 "n_bytes": len(b)}
 
+    def ogg_opus_tags(b: bytes):
+        """OpusTags (RFC 7845 §5.2, Vorbis-comment layout) from the
+        stream's second packet: {vendor, comments: [(key, value),
+        ...]} or None. Keys are upcased per the spec's
+        case-insensitive field names; pages are CRC-verified by the
+        same walk as ogg_opus_meta."""
+        import struct as _s
+        if ogg_sniff(b) != "ogg":
+            return None
+        for _htype, _granule, _seq, pkt in _ogg_pages(b):
+            if pkt[:8] != b"OpusTags":
+                continue
+            try:
+                i = 8
+                (vlen,) = _s.unpack_from("<I", pkt, i)
+                vendor = pkt[i + 4:i + 4 + vlen].decode("utf-8")
+                i += 4 + vlen
+                (n,) = _s.unpack_from("<I", pkt, i)
+                i += 4
+                comments = []
+                for _ in range(n):
+                    (clen,) = _s.unpack_from("<I", pkt, i)
+                    c = pkt[i + 4:i + 4 + clen].decode("utf-8")
+                    i += 4 + clen
+                    k, _, v = c.partition("=")
+                    comments.append((k.upper(), v))
+                return {"vendor": vendor, "comments": comments}
+            except (struct.error, UnicodeDecodeError):
+                return None
+        return None
+
     def _ogg_page(serial: int, seq: int, granule: int, htype: int,
                   packet: bytes) -> bytes:
         import struct as _s
@@ -500,16 +531,21 @@ def make_audio_codec() -> SimpleNamespace:
     def encode_ogg_opus(channels: int, pre_skip: int,
                         input_rate: int, n_audio_pages: int,
                         samples_per_page: int = 960,
-                        serial: int = 0x1234) -> bytes:
-        """Fixture builder: BOS OpusHead page + OpusTags page +
-        ``n_audio_pages`` one-packet audio pages with cumulative
-        48 kHz granules (EOS on the last), all CRC-stamped."""
+                        serial: int = 0x1234,
+                        comments: list | None = None) -> bytes:
+        """Fixture builder: BOS OpusHead page + OpusTags page (with
+        optional 'KEY=value' ``comments``) + ``n_audio_pages``
+        one-packet audio pages with cumulative 48 kHz granules (EOS
+        on the last), all CRC-stamped."""
         import struct as _s
         head = (b"OpusHead" + bytes([1, channels])
                 + _s.pack("<H", pre_skip) + _s.pack("<I", input_rate)
                 + _s.pack("<h", 0) + bytes([0]))
         tags = b"OpusTags" + _s.pack("<I", 4) + b"spkg" \
-            + _s.pack("<I", 0)
+            + _s.pack("<I", len(comments or []))
+        for c in comments or []:
+            enc = c.encode("utf-8")
+            tags += _s.pack("<I", len(enc)) + enc
         out = bytearray(_ogg_page(serial, 0, 0, 0x02, head))
         out += _ogg_page(serial, 1, 0, 0x00, tags)
         for p in range(n_audio_pages):
@@ -537,6 +573,7 @@ def make_audio_codec() -> SimpleNamespace:
                            encode_flac=encode_flac,
                            ogg_sniff=ogg_sniff,
                            ogg_opus_meta=ogg_opus_meta,
+                           ogg_opus_tags=ogg_opus_tags,
                            encode_ogg_opus=encode_ogg_opus,
                            audio_sniff=audio_sniff)
 

@@ -473,11 +473,14 @@ def synth_opus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         def synth(did: int) -> bytes:
             did = int(did)
+            tags = [f"TITLE=t{did}", f"ARTIST=a{did % 7}",
+                    f"TRACKNUMBER={did % 20}"][:did % 3 + 1]
             return codec.encode_ogg_opus(
                 channels=1 + did % 2, pre_skip=did % 400 + 100,
                 input_rate=rates[did % 4],
                 n_audio_pages=did % 10 + 2,
-                samples_per_page=(did % 5 + 1) * 960)
+                samples_per_page=(did % 5 + 1) * 960,
+                comments=tags)
 
         for pdf in batches:
             yield _pd.DataFrame({
@@ -486,6 +489,35 @@ def synth_opus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             })
 
     return df.select(id_col).mapInPandas(kernel, schema)
+
+
+def opus_tags_real(df: DataFrame, id_col: str = "doc_id",
+                   payload_col: str = "payload") -> DataFrame:
+    """REAL OpusTags (Vorbis-comment) extraction: CRC-verified page
+    walk to the second packet, vendor + length-prefixed KEY=value
+    list, keys upcased per RFC 7845 §5.2. One row per comment
+    (doc_id, tag_pos, key, value); non-Ogg bytes yield nothing."""
+    from nowdb_spark.operators.audiocodec import make_audio_codec
+
+    codec = make_audio_codec()
+    schema = (f"{id_col} long, tag_pos long, key string, "
+              "value string")
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                t = codec.ogg_opus_tags(bytes(payload))
+                if t is None:
+                    continue
+                for pos, (k, v) in enumerate(t["comments"]):
+                    out.append((int(did), pos, k, v))
+            yield _pd.DataFrame(out, columns=[
+                id_col, "tag_pos", "key", "value"])
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
 
 
 def opus_meta_real(df: DataFrame, id_col: str = "doc_id",

@@ -312,6 +312,62 @@ def link_host(url_col):
     return F.regexp_extract(url_col, r"^https?://([^/]+)", 1)
 
 
+def parse_robots(df: DataFrame, host_col: str = "host",
+                 text_col: str = "robots_txt",
+                 user_agent: str = "*") -> DataFrame:
+    """robots.txt → (host, prefix) disallow rules for ``user_agent``.
+
+    Entirely JVM-side: lines are posexploded, each line is assigned
+    to its governing User-agent section by a running `last(...)
+    ignorenulls` window over line order (the stateful part of the
+    format), then Disallow values are filtered to the requested
+    agent's sections. Empty Disallow (allow-all) lines drop out.
+    Comments (#) and surrounding whitespace are stripped per the
+    original 1994 robots.txt convention."""
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("pos", "line"))
+    clean = lines.withColumn(
+        "line", F.trim(F.regexp_replace("line", "#.*$", "")))
+    w = Window.partitionBy("host").orderBy("pos")
+    sec = clean.withColumn(
+        "ua", F.last(
+            F.when(F.lower("line").startswith("user-agent:"),
+                   F.trim(F.expr("substring(line, 12)"))),
+            ignorenulls=True).over(w))
+    return (sec
+            .where(F.col("ua") == user_agent)
+            .where(F.lower("line").startswith("disallow:"))
+            .select("host",
+                    F.trim(F.expr("substring(line, 10)"))
+                    .alias("prefix"))
+            .where(F.length("prefix") > 0)
+            .distinct())
+
+
+def robots_filter(urls: DataFrame, rules: DataFrame,
+                  url_col: str = "url") -> DataFrame:
+    """Rows of ``urls`` whose URL is NOT disallowed by ``rules``
+    (host, prefix): extract host+path, inner-join rules on host with
+    a startswith prefix test to find blocked URLs, then anti-join
+    them away. Rules are a per-host handful — Spark broadcasts the
+    blocked set; the anti-join is the only shuffle."""
+    with_path = urls.withColumn(
+        "__host", link_host(F.col(url_col))).withColumn(
+        "__path", F.regexp_extract(F.col(url_col),
+                                   r"^https?://[^/]+(/.*)?$", 1))
+    blocked = (with_path
+               .join(rules.withColumnRenamed("host", "__host"),
+                     "__host")
+               .where(F.expr("startswith(__path, prefix)"))
+               .select(url_col).distinct())
+    return (with_path.join(blocked, url_col, "left_anti")
+            .drop("__host", "__path"))
+
+
 def warc_text_documents(records: DataFrame,
                         min_status: int = 200,
                         max_status: int = 299) -> DataFrame:

@@ -1259,6 +1259,53 @@ def mm10(spark, sf):
 
 
 # ------------------------------------------------------------------
+# robots.txt compliance filter: hosts site{h}.example (h = 0..9)
+# publish "User-agent: bot / Disallow: /" (a section that must be
+# IGNORED for agent '*') then "User-agent: * / Disallow: /d /p{h%3}";
+# URLs 'http://site{id%10}.example/p{id%7}/x{id}' are blocked exactly
+# when id%7 = (id%10)%3. The Spark side runs the REAL parser —
+# posexplode lines, running-section window, comment strip — and the
+# startswith-prefix anti-join; the oracle replays the block
+# condition arithmetically.
+@register(
+    "wc03_robots_filter",
+    """
+    SELECT doc_id,
+           'http://site' || (doc_id % 10) || '.example/p'
+             || (doc_id % 7) || '/x' || doc_id AS url
+    FROM documents
+    WHERE doc_id % 7 <> (doc_id % 10) % 3
+    """,
+    doc="robots.txt compliance filtering: real robots parser (line "
+        "explode + running User-agent section window + comment "
+        "strip, all JVM) and host-join + startswith-prefix anti-join "
+        "over the URL list — the crawl-politeness step of a web "
+        "pipeline; oracle replays the block condition",
+)
+def wc03(spark, sf):
+    from nowdb_spark.sources import warc as W
+
+    robots = spark.range(10).select(
+        F.concat(F.lit("site"), F.col("id"), F.lit(".example"))
+        .alias("host"),
+        F.concat(
+            F.lit("# crawl policy\nUser-agent: bot\nDisallow: /\n"
+                  "\nUser-agent: *\nDisallow: /d  # staging\n"
+                  "Disallow:\nDisallow: /p"),
+            F.pmod(F.col("id"), F.lit(3)),
+            F.lit("\n")).alias("robots_txt"))
+    urls = table(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(F.lit("http://site"),
+                 F.pmod(F.col("doc_id"), F.lit(10)),
+                 F.lit(".example/p"),
+                 F.pmod(F.col("doc_id"), F.lit(7)),
+                 F.lit("/x"), F.col("doc_id")).alias("url"))
+    rules = W.parse_robots(robots)
+    return W.robots_filter(urls, rules)
+
+
+# ------------------------------------------------------------------
 # Synth parameters (synth_g711): n = id%50+20 companded bytes
 # b_i = (id*13+i*7)%256, µ-law (WAV fmt tag 7) even ids / A-law (tag
 # 6) odd ids, mono 8 kHz. G.711 expansion is CLOSED-FORM per byte, so
@@ -1369,6 +1416,35 @@ FROM d
 def mm12(spark, sf):
     d = spread(table(spark, sf, "documents"))
     return M.opus_meta_real(M.synth_opus(d))
+
+
+# Synth tags: the first id%3+1 of [TITLE=t{id}, ARTIST=a{id%7},
+# TRACKNUMBER={id%20}] ride the OpusTags packet of the same streams
+# mm12 decodes; extraction must CRC-verify pages, locate the second
+# packet, and parse the length-prefixed Vorbis-comment list.
+@register(
+    "mm14_opus_tags",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS nt FROM documents),
+    t AS (SELECT doc_id, unnest(range(0, nt)) AS p FROM d)
+    SELECT doc_id,
+           CAST(p AS BIGINT) AS tag_pos,
+           CASE p WHEN 0 THEN 'TITLE' WHEN 1 THEN 'ARTIST'
+                  ELSE 'TRACKNUMBER' END AS key,
+           CASE p WHEN 0 THEN 't' || doc_id
+                  WHEN 1 THEN 'a' || (doc_id % 7)
+                  ELSE CAST(doc_id % 20 AS VARCHAR) END AS value
+    FROM t
+    """,
+    doc="REAL OpusTags extraction (RFC 7845 §5.2 Vorbis-comment "
+        "layout): CRC-verified page walk to the second packet, "
+        "vendor skip, length-prefixed KEY=value parse with upcased "
+        "keys — media tag metadata for corpus curation; oracle "
+        "replays the synth tags arithmetically",
+)
+def mm14(spark, sf):
+    d = spread(table(spark, sf, "documents"))
+    return M.opus_tags_real(M.synth_opus(d))
 
 
 # ------------------------------------------------------------------

@@ -260,3 +260,18 @@ def test_g711_monotone_per_segment():
     assert pos == sorted(pos) and pos[0] == 0
     neg = [c.ulaw_to_linear(b) for b in range(0x7F, -1, -1)]
     assert neg == sorted(neg, reverse=True)
+
+
+def test_opus_tags_parse():
+    c = make_audio_codec()
+    b = c.encode_ogg_opus(2, 100, 48000, 2,
+                          comments=["TITLE=hello", "artist=A & B",
+                                    "X=a=b", "NOVALUE"])
+    t = c.ogg_opus_tags(b)
+    assert t["vendor"] == "spkg"
+    # keys upcased; '=' splits on FIRST occurrence; no '=' -> empty val
+    assert t["comments"] == [("TITLE", "hello"), ("ARTIST", "A & B"),
+                             ("X", "a=b"), ("NOVALUE", "")]
+    assert c.ogg_opus_tags(c.encode_ogg_opus(1, 0, 8000, 1)) \
+        == {"vendor": "spkg", "comments": []}
+    assert c.ogg_opus_tags(b"not ogg") is None

@@ -98,3 +98,31 @@ def test_warc_corrupt_tail_is_graceful(spark, tmp_path):
     (tmp_path / "t.warc.gz").write_bytes(good + b"\x1f\x8btrunc")
     rows = W.read_warc(spark, str(tmp_path)).collect()
     assert len(rows) == 1 and rows[0]["target_uri"] == "http://ex.com/ok"
+
+
+def test_parse_robots_sections_and_comments(spark):
+    """Section tracking (rules bind to the PRECEDING User-agent),
+    comment stripping, empty-Disallow (allow-all) dropping, and
+    startswith path semantics in the filter."""
+    robots = spark.createDataFrame(
+        [("h1", "User-agent: bot\nDisallow: /\n\n"
+                "User-agent: *\n# note\nDisallow: /a  # inline\n"
+                "Disallow:\nDisallow: /b/c\n"),
+         ("h2", "User-agent: *\nDisallow: /x\n"),
+         ("h3", "User-agent: bot\nDisallow: /\n")],
+        ["host", "robots_txt"])
+    rules = {(r["host"], r["prefix"])
+             for r in W.parse_robots(robots).collect()}
+    assert rules == {("h1", "/a"), ("h1", "/b/c"), ("h2", "/x")}
+
+    urls = spark.createDataFrame(
+        [(1, "http://h1/a/page"), (2, "http://h1/ab"),
+         (3, "http://h1/b/c"), (4, "http://h1/b/x"),
+         (5, "http://h2/x"), (6, "http://h2/y"),
+         (7, "http://h3/anything"), (8, "http://h9/else")],
+        ["id", "url"])
+    kept = {r["id"] for r in
+            W.robots_filter(urls, W.parse_robots(robots)).collect()}
+    # /ab IS blocked by prefix /a (startswith semantics, per the
+    # original convention); h3 blocks only 'bot'; unknown hosts pass
+    assert kept == {4, 6, 7, 8}
