@@ -63,18 +63,22 @@ def make_audio_codec() -> SimpleNamespace:
     def _fmt(b: bytes):
         for cc, data in _chunks(b):
             if cc == b"fmt " and len(data) >= 16:
-                (audio_fmt, channels, rate, _brate, _align,
+                (audio_fmt, channels, rate, _brate, align,
                  bits) = struct.unpack_from("<HHIIHH", data, 0)
-                # 1 = PCM, 6 = A-law, 7 = µ-law (G.711)
-                if audio_fmt not in (1, 6, 7):
+                # 1 = PCM, 6 = A-law, 7 = µ-law (G.711),
+                # 0x11 = IMA/DVI ADPCM (mono)
+                if audio_fmt not in (1, 6, 7, 0x11):
                     return None
                 if audio_fmt == 1 and bits not in (8, 16):
                     return None
                 if audio_fmt in (6, 7) and bits != 8:
                     return None
+                if audio_fmt == 0x11 and (bits != 4 or channels != 1
+                                          or align < 5):
+                    return None
                 if channels not in (1, 2):
                     return None
-                return channels, rate, bits, audio_fmt
+                return channels, rate, bits, audio_fmt, align
         return None
 
     def _data(b: bytes):
@@ -83,7 +87,37 @@ def make_audio_codec() -> SimpleNamespace:
                 return data
         return None
 
-    _WAV_FMT_NAMES = {1: "wav", 6: "wav-alaw", 7: "wav-ulaw"}
+    _WAV_FMT_NAMES = {1: "wav", 6: "wav-alaw", 7: "wav-ulaw",
+                      0x11: "wav-adpcm"}
+
+    # IMA/DVI ADPCM tables (IMA ADPCM reference algorithm / RFC 3551
+    # §4.5.1 DVI4): 89-entry step-size table + 3-bit index adjust
+    IMA_STEPS = (
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+        34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+        130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371,
+        408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166,
+        1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024,
+        3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845,
+        8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500,
+        20350, 22385, 24623, 27086, 29794, 32767)
+    IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+    def ima_step(pred: int, idx: int, nib: int):
+        """One IMA ADPCM decode step: (predictor, index) × 4-bit
+        nibble → next (predictor, index). Pure table arithmetic."""
+        st = IMA_STEPS[idx]
+        diff = st >> 3
+        if nib & 1:
+            diff += st >> 2
+        if nib & 2:
+            diff += st >> 1
+        if nib & 4:
+            diff += st
+        pred = pred - diff if nib & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + IMA_INDEX[nib & 7]))
+        return pred, idx
 
     def ulaw_to_linear(b: int) -> int:
         """G.711 µ-law expansion (the classic CCITT reference
@@ -113,19 +147,47 @@ def make_audio_codec() -> SimpleNamespace:
         d = _data(b)
         if f is None or d is None:
             return None
-        channels, rate, bits, audio_fmt = f
-        frame = channels * bits // 8
+        channels, rate, bits, audio_fmt, align = f
+        if audio_fmt == 0x11:
+            # mono IMA blocks: 4-byte header (sample 0) + 2 samples
+            # per payload byte; a short tail block contributes its
+            # actual payload
+            n_samples = 0
+            for off in range(0, len(d), align):
+                blk = min(align, len(d) - off)
+                if blk >= 5:
+                    n_samples += 1 + (blk - 4) * 2
+        else:
+            frame = channels * bits // 8
+            n_samples = len(d) // frame
         return {"fmt": _WAV_FMT_NAMES[audio_fmt],
                 "channels": channels, "sample_rate": rate,
-                "bits": bits, "n_samples": len(d) // frame,
+                "bits": bits, "n_samples": n_samples,
                 "n_bytes": len(b)}
+
+    def _decode_adpcm(d: bytes, align: int) -> list:
+        out = []
+        for off in range(0, len(d), align):
+            blk = d[off:off + align]
+            if len(blk) < 5:
+                break
+            pred = struct.unpack_from("<h", blk, 0)[0]
+            idx = min(blk[2], 88)
+            out.append(pred)
+            for byte in blk[4:]:
+                for nib in (byte & 0x0F, byte >> 4):  # LOW nibble first
+                    pred, idx = ima_step(pred, idx, nib)
+                    out.append(pred)
+        return out
 
     def decode(b: bytes):
         meta = decode_meta(b)
         if meta is None:
             return None
         d = _data(b)
-        if meta["fmt"] == "wav-ulaw":
+        if meta["fmt"] == "wav-adpcm":
+            samples = _decode_adpcm(d, _fmt(b)[4])
+        elif meta["fmt"] == "wav-ulaw":
             samples = [ulaw_to_linear(x) for x in d]
         elif meta["fmt"] == "wav-alaw":
             samples = [alaw_to_linear(x) for x in d]
@@ -156,6 +218,30 @@ def make_audio_codec() -> SimpleNamespace:
                 + b"fmt " + struct.pack("<I", len(fmt)) + fmt
                 + b"data" + struct.pack("<I", len(payload)) + payload
                 + (b"\x00" if len(payload) & 1 else b""))
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def encode_wav_adpcm(nibbles, predictor: int, index: int,
+                         rate: int = 8000) -> bytes:
+        """Fixture builder: one mono IMA ADPCM block — 4-byte header
+        (initial predictor int16 + step index) + the given 4-bit
+        nibble stream (LOW nibble first, so len must be even). The
+        nibbles are synthetic; the decode walk over them is the real
+        stateful IMA algorithm."""
+        assert len(nibbles) % 2 == 0, "pad to an even nibble count"
+        payload = bytes((nibbles[i] & 0x0F)
+                        | ((nibbles[i + 1] & 0x0F) << 4)
+                        for i in range(0, len(nibbles), 2))
+        align = 4 + len(payload)
+        # fmt ext: cbSize=2 + wSamplesPerBlock per the IMA WAV spec
+        fmt = struct.pack("<HHIIHHHH", 0x11, 1, rate,
+                          rate * align // (1 + len(nibbles)) or 1,
+                          align, 4, 2, 1 + len(nibbles))
+        block = (struct.pack("<h", predictor)
+                 + bytes([min(index, 88), 0]) + payload)
+        body = (b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(block)) + block
+                + (b"\x00" if len(block) & 1 else b""))
         return b"RIFF" + struct.pack("<I", len(body)) + body
 
     def features(b: bytes):
@@ -564,6 +650,8 @@ def make_audio_codec() -> SimpleNamespace:
                            decode=decode, encode_wav=encode_wav,
                            ulaw_to_linear=ulaw_to_linear,
                            alaw_to_linear=alaw_to_linear,
+                           ima_step=ima_step, IMA_STEPS=IMA_STEPS,
+                           encode_wav_adpcm=encode_wav_adpcm,
                            features=features, mp3_sniff=mp3_sniff,
                            mp3_meta=mp3_meta,
                            encode_mp3_frames=encode_mp3_frames,

@@ -425,6 +425,38 @@ def audio_meta_real(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)
 
 
+def synth_adpcm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize mono IMA-ADPCM WAV payloads from an id column:
+    (id%30+10)*2 nibbles nib_j = (id*7 + j*3) % 16, initial predictor
+    ((id*31)%4001)-2000, initial step index id%89, 8 kHz. The nibble
+    stream is synthetic; the decode walk over it is the REAL stateful
+    IMA algorithm — and because each step is table arithmetic, a SQL
+    list_reduce replays the whole state machine."""
+    from nowdb_spark.operators.audiocodec import make_audio_codec
+
+    codec = make_audio_codec()
+    schema = f"{id_col} long, payload binary"
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        def synth(did: int) -> bytes:
+            did = int(did)
+            nibs = [(did * 7 + j * 3) % 16
+                    for j in range((did % 30 + 10) * 2)]
+            return codec.encode_wav_adpcm(
+                nibs, predictor=((did * 31) % 4001) - 2000,
+                index=did % 89, rate=8000)
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "payload": [synth(d) for d in pdf[id_col]],
+            })
+
+    return df.select(id_col).mapInPandas(kernel, schema)
+
+
 def synth_g711(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize G.711 companded WAV payloads from an id column:
     n = id%50+20 encoded bytes b_i = (id*13 + i*7) % 256, µ-law

@@ -1259,6 +1259,86 @@ def mm10(spark, sf):
 
 
 # ------------------------------------------------------------------
+# IMA ADPCM (mm15): the decoder is a per-sample STATE MACHINE
+# (predictor, step index), normally the kind of thing a SQL oracle
+# cannot replay — but every step is pure table arithmetic, so the
+# oracle folds the whole walk with DuckDB list_reduce over a struct
+# state {p, i, pk, ss}, step table in one single-row CTE. The Spark
+# side decodes the REAL block layout (4-byte header + low-nibble-
+# first stream). The pred' expression repeats inside the lambda
+# (SQL lambdas cannot bind locals) — generated here to stay exact.
+def _mm15_oracle() -> str:
+    # The fold state carries ONLY (p, i) and the predictor expression
+    # occurs exactly once per lambda: DuckDB 1.0's list_reduce
+    # mis-evaluates REPEATED subexpressions that reference acc fields
+    # (verified: a {p,i,pk,ss} state whose pk/ss re-evaluate the
+    # predictor drifts from the scalar walk on transform-built
+    # lists). The sample list is built from prefix folds (O(n²) steps
+    # ≈ 3k per doc — trivial for DuckDB) and peak/sq_sum aggregate
+    # outside the lambda.
+    from nowdb_spark.operators.audiocodec import make_audio_codec
+    steps = ", ".join(str(x) for x in
+                      make_audio_codec().IMA_STEPS)
+    st = "list_extract(steps, acc.i + 1)"
+    diff = (f"({st} // 8"
+            f" + CASE WHEN x.p % 2 = 1 THEN {st} // 4 ELSE 0 END"
+            f" + CASE WHEN (x.p // 2) % 2 = 1 THEN {st} // 2"
+            f"   ELSE 0 END"
+            f" + CASE WHEN (x.p // 4) % 2 = 1 THEN {st} ELSE 0 END)")
+    pred = (f"greatest(-32768, least(32767, acc.p + CASE WHEN "
+            f"x.p >= 8 THEN (0 - {diff}) ELSE {diff} END))")
+    idx = ("greatest(0, least(88, acc.i + CASE x.p % 8 "
+           "WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6 WHEN 7 THEN 8 "
+           "ELSE -1 END))")
+    return f"""
+    WITH s AS (SELECT [{steps}] AS steps),
+    d AS (
+      SELECT doc_id,
+             (doc_id % 30 + 10) * 2 AS n,
+             ((doc_id * 31) % 4001) - 2000 AS p0,
+             doc_id % 89 AS i0
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, n,
+             list_prepend(p0, list_transform(range(1, n + 1), k ->
+               list_reduce(
+                 list_prepend({{'p': p0, 'i': i0}},
+                   list_transform(range(0, k), j ->
+                     {{'p': (doc_id*7 + j*3) % 16, 'i': 0}})),
+                 (acc, x) -> {{'p': {pred}, 'i': {idx}}}).p))
+               AS samples
+      FROM d CROSS JOIN s
+    )
+    SELECT doc_id,
+           'wav-adpcm' AS fmt,
+           CAST(n + 1 AS BIGINT) AS n_samples,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST((n + 1) * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(list_aggregate(list_transform(samples, v -> abs(v)),
+                               'max') AS BIGINT) AS peak,
+           CAST(list_aggregate(list_transform(samples, v -> v*v),
+                               'sum') AS BIGINT) AS sq_sum
+    FROM f
+    """
+
+
+@register(
+    "mm15_adpcm_decode",
+    _mm15_oracle(),
+    doc="REAL IMA/DVI ADPCM decode (WAV fmt tag 0x11): block header "
+        "(initial predictor + step index) then the stateful "
+        "nibble-by-nibble table walk with predictor/index clamping — "
+        "the oracle replays the ENTIRE state machine via a SQL "
+        "list_reduce struct fold, so decode is verified "
+        "sample-path-exact, not just on aggregate shape",
+)
+def mm15(spark, sf):
+    d = spread(table(spark, sf, "documents"))
+    return M.audio_features_real(M.synth_adpcm(d))
+
+
+# ------------------------------------------------------------------
 # robots.txt compliance filter: hosts site{h}.example (h = 0..9)
 # publish "User-agent: bot / Disallow: /" (a section that must be
 # IGNORED for agent '*') then "User-agent: * / Disallow: /d /p{h%3}";

@@ -275,3 +275,47 @@ def test_opus_tags_parse():
     assert c.ogg_opus_tags(c.encode_ogg_opus(1, 0, 8000, 1)) \
         == {"vendor": "spkg", "comments": []}
     assert c.ogg_opus_tags(b"not ogg") is None
+
+
+# --- IMA/DVI ADPCM (WAV fmt tag 0x11) ------------------------------------
+
+def test_adpcm_decode_matches_scalar_walk():
+    c = make_audio_codec()
+    nibs = [(7 * i + 3) % 16 for i in range(60)]
+    b = c.encode_wav_adpcm(nibs, predictor=-1234, index=30, rate=8000)
+    d = c.decode(b)
+    pred, idx = -1234, 30
+    want = [pred]
+    for n in nibs:
+        pred, idx = c.ima_step(pred, idx, n)
+        want.append(pred)
+    assert d["samples"] == want
+    assert d["fmt"] == "wav-adpcm" and d["n_samples"] == 61
+    assert d["bits"] == 4
+
+
+def test_adpcm_clamping():
+    c = make_audio_codec()
+    # all-add nibbles from near the positive rail: predictor clamps
+    # at 32767, index at 88
+    pred, idx = 32000, 88
+    for _ in range(10):
+        pred, idx = c.ima_step(pred, idx, 7)   # big positive step
+    assert pred == 32767 and idx == 88
+    pred, idx = -32000, 88
+    for _ in range(10):
+        pred, idx = c.ima_step(pred, idx, 15)  # big negative step
+    assert pred == -32768
+    # index floor
+    _, idx = c.ima_step(0, 0, 0)
+    assert idx == 0
+
+
+def test_adpcm_rejects_stereo_and_bad_align():
+    import struct
+    c = make_audio_codec()
+    fmt = struct.pack("<HHIIHH", 0x11, 2, 8000, 4000, 256, 4)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 0))
+    b = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert c.decode_meta(b) is None            # stereo unsupported
