@@ -425,6 +425,64 @@ def audio_meta_real(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)
 
 
+def synth_pdfs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize REAL PDFs from an id column: id%2+1 pages, page p
+    carrying (id+p)%3+1 lines 'd{id} p{p} l{k} (x)\\y' (parens +
+    backslash exercise literal-string escaping), odd lines rendered
+    as kerned TJ arrays split mid-line, streams Flate-compressed for
+    odd ids — correct xref/page tree throughout."""
+    from nowdb_spark.operators.pdfcodec import make_pdf_codec
+
+    codec = make_pdf_codec()
+    schema = f"{id_col} long, payload binary"
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        def synth(did: int) -> bytes:
+            did = int(did)
+            pages = [[f"d{did} p{p} l{k} (x)\\y"
+                      for k in range((did + p) % 3 + 1)]
+                     for p in range(did % 2 + 1)]
+            return codec.encode_pdf(pages, flate=bool(did % 2),
+                                    tj_split=True)
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "payload": [synth(d) for d in pdf[id_col]],
+            })
+
+    return df.select(id_col).mapInPandas(kernel, schema)
+
+
+def pdf_text_real(df: DataFrame, id_col: str = "doc_id",
+                  payload_col: str = "payload") -> DataFrame:
+    """REAL PDF text extraction (pdfcodec.py: object scan, Flate
+    streams, page-tree walk, Tj/TJ/' tokenization with full literal-
+    string unescaping). One row per page (doc_id, page, text);
+    non-PDF bytes yield nothing. Narrow, zero-shuffle."""
+    from nowdb_spark.operators.pdfcodec import make_pdf_codec
+
+    codec = make_pdf_codec()
+    schema = f"{id_col} long, page long, text string"
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                texts = codec.extract_text(bytes(payload))
+                if texts is None:
+                    continue
+                for p, t in enumerate(texts):
+                    out.append((int(did), p, t))
+            yield _pd.DataFrame(out, columns=[id_col, "page", "text"])
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
 def synth_adpcm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize mono IMA-ADPCM WAV payloads from an id column:
     (id%30+10)*2 nibbles nib_j = (id*7 + j*3) % 16, initial predictor

@@ -1259,6 +1259,82 @@ def mm10(spark, sf):
 
 
 # ------------------------------------------------------------------
+# PDF text extraction (dc01): REAL PDFs (correct xref + page tree;
+# Flate streams for odd ids; odd lines as kerned TJ arrays split
+# mid-line; '(x)\\y' exercises literal-string escaping) through the
+# object-scan + page-tree + Tj/TJ tokenizer; the oracle replays the
+# page/line construction arithmetically.
+@register(
+    "dc01_pdf_extract",
+    r"""
+    WITH d AS (SELECT doc_id, doc_id % 2 + 1 AS np FROM documents),
+    p AS (SELECT doc_id, unnest(range(0, np)) AS pg FROM d),
+    l AS (SELECT doc_id, pg, (doc_id + pg) % 3 + 1 AS nl FROM p)
+    SELECT doc_id,
+           CAST(pg AS BIGINT) AS page,
+           array_to_string(list_transform(range(0, nl), k ->
+             'd' || doc_id || ' p' || pg || ' l' || k || ' (x)\y'),
+             chr(10)) AS text
+    FROM l
+    """,
+    doc="REAL PDF text extraction (ISO 32000-1): object scan, "
+        "FlateDecode streams, /Root->/Pages->/Kids page-tree walk, "
+        "Tj/TJ/' text operators with full literal-string unescaping "
+        "and kerned-TJ reassembly — the document-corpus front door; "
+        "oracle replays the synth pages arithmetically",
+)
+def dc01(spark, sf):
+    d = spread(table(spark, sf, "documents"))
+    return M.pdf_text_real(M.synth_pdfs(d))
+
+
+# ------------------------------------------------------------------
+# Subtitle parsing (vt01): each doc renders id%4+1 cues as REAL
+# subtitle text — even ids as SRT (index lines, ',' millis), odd ids
+# as WebVTT (header, '.' millis, no index lines) — then parse_subtitles
+# recovers (cue_idx, start_ms, end_ms, text) through the JVM regex
+# pipeline (construct AND parse both codegen; zero Python). Cue k:
+# start id*100 + k*2000 ms, end +1500 ms, text 't{id} c{k}'.
+@register(
+    "vt01_subtitles",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 4 + 1 AS nc FROM documents),
+    c AS (SELECT doc_id, unnest(range(0, nc)) AS k FROM d)
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS cue_idx,
+           CAST(doc_id * 100 + k * 2000 AS BIGINT) AS start_ms,
+           CAST(doc_id * 100 + k * 2000 + 1500 AS BIGINT) AS end_ms,
+           't' || doc_id || ' c' || k AS text
+    FROM c
+    """,
+    doc="SRT + WebVTT subtitle parsing (the video-text modality): "
+        "blank-line block split, timestamp regex with optional "
+        "hours and ','/'.' millis, cue-text line joining — all "
+        "JVM-side; the oracle replays the cue arithmetic",
+)
+def vt01(spark, sf):
+    from nowdb_spark.operators.subtitles import parse_subtitles
+
+    def ts(ms, sep):
+        return (f"concat(lpad(CAST({ms} div 3600000 AS STRING), 2, '0'),"
+                f" ':', lpad(CAST(({ms} div 60000) % 60 AS STRING), 2, '0'),"
+                f" ':', lpad(CAST(({ms} div 1000) % 60 AS STRING), 2, '0'),"
+                f" '{sep}', lpad(CAST({ms} % 1000 AS STRING), 3, '0'))")
+    start, end = "(doc_id*100 + k*2000)", "(doc_id*100 + k*2000 + 1500)"
+    srt_cue = (f"concat(CAST(k + 1 AS STRING), '\\n', {ts(start, ',')}, "
+               f"' --> ', {ts(end, ',')}, '\\n', 't', doc_id, ' c', k)")
+    vtt_cue = (f"concat({ts(start, '.')}, ' --> ', {ts(end, '.')}, "
+               f"'\\n', 't', doc_id, ' c', k)")
+    subs = F.expr(f"""
+      concat(if(doc_id % 2 = 1, 'WEBVTT\\n\\n', ''),
+        array_join(transform(sequence(0, int(doc_id % 4)), k ->
+          if(doc_id % 2 = 0, {srt_cue}, {vtt_cue})), '\\n\\n'))""")
+    pages = (table(spark, sf, "documents")
+             .select("doc_id", subs.alias("subs")))
+    return parse_subtitles(pages)
+
+
+# ------------------------------------------------------------------
 # IMA ADPCM (mm15): the decoder is a per-sample STATE MACHINE
 # (predictor, step index), normally the kind of thing a SQL oracle
 # cannot replay — but every step is pure table arithmetic, so the
