@@ -483,6 +483,62 @@ def pdf_text_real(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)
 
 
+def synth_epubs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize REAL EPUBs from an id column: id%3+1 chapters,
+    chapter c = '<p>d{id} ch{c} &amp; body</p>' (entity exercises the
+    shared HTML transform); zip member order is reversed vs the spine
+    so extraction must follow the OPF."""
+    from nowdb_spark.operators.epubcodec import make_epub_codec
+
+    codec = make_epub_codec()
+    schema = f"{id_col} long, payload binary"
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        def synth(did: int) -> bytes:
+            did = int(did)
+            return codec.encode_epub(
+                [f"<p>d{did} ch{c} &amp; body</p>"
+                 for c in range(did % 3 + 1)])
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "payload": [synth(d) for d in pdf[id_col]],
+            })
+
+    return df.select(id_col).mapInPandas(kernel, schema)
+
+
+def epub_text_real(df: DataFrame, id_col: str = "doc_id",
+                   payload_col: str = "payload") -> DataFrame:
+    """REAL EPUB text extraction (epubcodec.py: zip container →
+    container.xml → OPF manifest/spine → XHTML chapters through the
+    shared html_to_text transform). One row per chapter
+    (doc_id, chapter, text); non-EPUB bytes yield nothing."""
+    from nowdb_spark.operators.epubcodec import make_epub_codec
+
+    codec = make_epub_codec()
+    schema = f"{id_col} long, chapter long, text string"
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                texts = codec.extract_text(bytes(payload))
+                if texts is None:
+                    continue
+                for ch, t in enumerate(texts):
+                    out.append((int(did), ch, t))
+            yield _pd.DataFrame(out, columns=[id_col, "chapter",
+                                              "text"])
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
 def synth_adpcm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize mono IMA-ADPCM WAV payloads from an id column:
     (id%30+10)*2 nibbles nib_j = (id*7 + j*3) % 16, initial predictor

@@ -1289,6 +1289,34 @@ def dc01(spark, sf):
 
 
 # ------------------------------------------------------------------
+# EPUB extraction (dc02): real zip containers whose member order is
+# REVERSED vs the OPF spine — extraction must follow container.xml →
+# OPF manifest/spine → XHTML chapters through the shared html_to_text
+# transform (title text 'chN' survives by that transform's contract,
+# same as wc01). Oracle replays the chapter construction.
+@register(
+    "dc02_epub_extract",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS nc FROM documents),
+    c AS (SELECT doc_id, unnest(range(0, nc)) AS ch FROM d)
+    SELECT doc_id,
+           CAST(ch AS BIGINT) AS chapter,
+           'ch' || ch || ' d' || doc_id || ' ch' || ch || ' & body'
+             AS text
+    FROM c
+    """,
+    doc="REAL EPUB text extraction: zip container walk, "
+        "container.xml rootfile, OPF manifest/spine resolution "
+        "(spine order, not zip order), XHTML chapters through the "
+        "SAME html_to_text transform as the WARC pipeline; oracle "
+        "replays the chapter arithmetic",
+)
+def dc02(spark, sf):
+    d = spread(table(spark, sf, "documents"))
+    return M.epub_text_real(M.synth_epubs(d))
+
+
+# ------------------------------------------------------------------
 # Subtitle parsing (vt01): each doc renders id%4+1 cues as REAL
 # subtitle text — even ids as SRT (index lines, ',' millis), odd ids
 # as WebVTT (header, '.' millis, no index lines) — then parse_subtitles
