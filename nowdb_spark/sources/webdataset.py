@@ -1,0 +1,134 @@
+"""WebDataset-style tar shard ingestion — the training-data container.
+
+Large multimodal training corpora ship as tar shards whose members
+pair by basename: `000123.jpg` + `000123.txt` + `000123.json` form
+one SAMPLE (the WebDataset convention). This module reads tar bytes
+with stdlib tarfile (ustar/pax/gnu all handled), explodes members,
+and regroups them into one row per sample with a map of
+extension → payload — fully distributed (binaryFile rows fan out,
+member decode never crosses a file boundary; the sample regroup is
+the only shuffle and it keys on (shard, basename)).
+
+Reference parity note: the reference engine has no archive handling;
+this belongs to the training-data-pipeline extension surface
+(SURVEY.md §2 pipeline family).
+"""
+
+from __future__ import annotations
+
+import io
+import tarfile
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MEMBER_SCHEMA = ("shard string, basename string, ext string, "
+                 "payload binary")
+
+
+def _split_name(name: str):
+    """WebDataset split: basename = up to the FIRST dot of the final
+    path component, ext = the rest ('a/b/000123.seg.png' →
+    ('000123', 'seg.png'))."""
+    leaf = name.rsplit("/", 1)[-1]
+    base, _, ext = leaf.partition(".")
+    return base, ext
+
+
+def tar_members(df: DataFrame, path_col: str = "path",
+                content_col: str = "content") -> DataFrame:
+    """(shard path, tar bytes) rows → one row per regular member:
+    (shard, basename, ext, payload). Narrow mapInPandas."""
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io as _io
+        import tarfile as _tar
+
+        import pandas as _pd
+
+        cols = ["shard", "basename", "ext", "payload"]
+        for pdf in batches:
+            out = []
+            for shard, content in zip(pdf[path_col], pdf[content_col]):
+                try:
+                    tf = _tar.open(fileobj=_io.BytesIO(bytes(content)),
+                                   mode="r:*")
+                except _tar.TarError:
+                    continue
+                with tf:
+                    for m in tf:
+                        if not m.isreg():
+                            continue
+                        leaf = m.name.rsplit("/", 1)[-1]
+                        base, _, ext = leaf.partition(".")
+                        out.append((shard, base, ext,
+                                    tf.extractfile(m).read()))
+            yield _pd.DataFrame(out, columns=cols)
+
+    return df.select(F.col(path_col).alias(path_col),
+                     F.col(content_col).alias(content_col)) \
+             .mapInPandas(kernel, MEMBER_SCHEMA)
+
+
+def parse_tar_bytes(df: DataFrame, id_col: str = "doc_id",
+                    payload_col: str = "payload") -> DataFrame:
+    """Member-level tar parse over a BYTES COLUMN (vs tar_members'
+    whole-file rows): same tarfile walk, id passthrough — lets the
+    encode→parse→regroup round trip run fully distributed with no
+    filesystem involvement."""
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io as _io
+        import tarfile as _tar
+
+        import pandas as _pd
+
+        cols = [id_col, "basename", "ext", "payload"]
+        for pdf in batches:
+            out = []
+            for did, content in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    tf = _tar.open(fileobj=_io.BytesIO(bytes(content)),
+                                   mode="r:*")
+                except _tar.TarError:
+                    continue
+                with tf:
+                    for m in tf:
+                        if not m.isreg():
+                            continue
+                        leaf = m.name.rsplit("/", 1)[-1]
+                        base, _, ext = leaf.partition(".")
+                        out.append((int(did), base, ext,
+                                    tf.extractfile(m).read()))
+            yield _pd.DataFrame(out, columns=cols)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, f"{id_col} long, basename string, ext string, "
+                "payload binary")
+
+
+def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
+    """Tar shards under ``path`` → one row per SAMPLE:
+    (shard, basename, parts: map<ext, binary>). The regroup shuffles
+    on (shard, basename) — the only wide step; at production scale
+    pre-sorted shards keep each sample's members adjacent so the
+    map-side combine does nearly all the work."""
+    files = spark.read.format("binaryFile").load(path)
+    members = tar_members(files.select("path", "content"))
+    return (members
+            .groupBy("shard", "basename")
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("ext", "payload")))
+                .alias("parts")))
+
+
+def encode_tar(members: list) -> bytes:
+    """Fixture builder: real ustar bytes from [(name, payload), …]
+    (deterministic mtime so shards are byte-stable)."""
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, payload in members:
+            info = tarfile.TarInfo(name)
+            info.size = len(payload)
+            info.mtime = 0
+            tf.addfile(info, io.BytesIO(payload))
+    return buf.getvalue()

@@ -1289,6 +1289,69 @@ def dc01(spark, sf):
 
 
 # ------------------------------------------------------------------
+# WebDataset tar shards (wd01): each doc becomes a REAL ustar shard
+# holding id%3+1 samples; sample s pairs '{id}_{s}.txt' = 'd{id} s{s}'
+# with '{id}_{s}.cls' = (id+s)%10 (the jpg+txt+cls convention of
+# training corpora). The Spark side walks the tar (stdlib tarfile,
+# member split at the first dot), regroups members into samples on
+# (doc, basename) — the only shuffle — and types the parts; the
+# oracle replays the construction.
+@register(
+    "wd01_webdataset",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS ns FROM documents),
+    s AS (SELECT doc_id, unnest(range(0, ns)) AS smp FROM d)
+    SELECT doc_id,
+           doc_id || '_' || smp AS basename,
+           'd' || doc_id || ' s' || smp AS txt,
+           CAST((doc_id + smp) % 10 AS BIGINT) AS cls
+    FROM s
+    """,
+    doc="WebDataset-style tar-shard ingestion: stdlib tar walk "
+        "(ustar), first-dot basename/ext split, member→sample "
+        "regroup keyed (shard, basename) with map_from_entries — "
+        "the standard container format of multimodal training "
+        "corpora; oracle replays the shard construction",
+)
+def wd01(spark, sf):
+    from nowdb_spark.sources import webdataset as WD
+
+    d = spread(table(spark, sf, "documents"))
+
+    def kernel(batches):
+        import pandas as _pd
+
+        def synth(did: int) -> bytes:
+            did = int(did)
+            members = []
+            for s in range(did % 3 + 1):
+                members.append((f"{did}_{s}.txt",
+                                f"d{did} s{s}".encode()))
+                members.append((f"{did}_{s}.cls",
+                                str((did + s) % 10).encode()))
+            return WD.encode_tar(members)
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"].values,
+                "payload": [synth(x) for x in pdf["doc_id"]],
+            })
+
+    shards = (d.select("doc_id")
+              .mapInPandas(kernel, "doc_id long, payload binary"))
+    samples = (WD.parse_tar_bytes(shards)
+               .groupBy("doc_id", "basename")
+               .agg(F.map_from_entries(
+                   F.collect_list(F.struct("ext", "payload")))
+                   .alias("parts")))
+    return samples.select(
+        "doc_id", "basename",
+        F.decode(F.element_at("parts", "txt"), "utf-8").alias("txt"),
+        F.decode(F.element_at("parts", "cls"), "utf-8")
+        .cast("long").alias("cls"))
+
+
+# ------------------------------------------------------------------
 # EPUB extraction (dc02): real zip containers whose member order is
 # REVERSED vs the OPF spine — extraction must follow container.xml →
 # OPF manifest/spine → XHTML chapters through the shared html_to_text

@@ -1,0 +1,50 @@
+"""WebDataset tar-shard source: member walk, sample regroup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nowdb_spark.sources import webdataset as WD
+
+
+def test_read_webdataset_samples(spark, tmp_path):
+    shard_a = WD.encode_tar([
+        ("000001.txt", b"caption one"),
+        ("000001.cls", b"7"),
+        ("000002.txt", b"caption two"),
+        ("000002.cls", b"3"),
+    ])
+    shard_b = WD.encode_tar([
+        # nested path + multi-dot ext: basename cuts at FIRST dot of
+        # the leaf (WebDataset convention)
+        ("imgs/000003.seg.png", b"\x89fakepng"),
+        ("imgs/000003.txt", b"caption three"),
+    ])
+    (tmp_path / "a.tar").write_bytes(shard_a)
+    (tmp_path / "b.tar").write_bytes(shard_b)
+    df = WD.read_webdataset(spark, str(tmp_path))
+    rows = {r["basename"]: dict(r["parts"]) for r in df.collect()}
+    assert set(rows) == {"000001", "000002", "000003"}
+    assert bytes(rows["000001"]["txt"]) == b"caption one"
+    assert bytes(rows["000002"]["cls"]) == b"3"
+    assert set(rows["000003"]) == {"seg.png", "txt"}
+
+
+def test_tar_members_skips_non_regular_and_bad(spark):
+    import io
+    import tarfile
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        d = tarfile.TarInfo("dir/")
+        d.type = tarfile.DIRTYPE
+        tf.addfile(d)
+        info = tarfile.TarInfo("dir/x.txt")
+        payload = b"inside"
+        info.size = len(payload)
+        tf.addfile(info, io.BytesIO(payload))
+    df = spark.createDataFrame(
+        [("s1", bytearray(buf.getvalue())), ("s2", bytearray(b"not a tar"))],
+        "path string, content binary")
+    rows = WD.tar_members(df).collect()
+    assert [(r["basename"], r["ext"]) for r in rows] == [("x", "txt")]
+    assert bytes(rows[0]["payload"]) == b"inside"
