@@ -330,6 +330,69 @@ def make_audio_codec() -> SimpleNamespace:
                 "bitrate_kbps": kbps_sum // n_frames,
                 "n_bytes": len(b)}
 
+    def id3_tags(b: bytes):
+        """ID3v2.3/2.4 TEXT frames from the leading tag: [(frame id,
+        text), …] or None if no ID3v2 header. v2.4 frame sizes are
+        syncsafe, v2.3 plain 32-bit (both handled via the header's
+        major version); text encodings 0 (latin-1), 1 (UTF-16 w/BOM)
+        and 3 (UTF-8) decoded; non-text frames skipped."""
+        if len(b) < 10 or b[:3] != b"ID3":
+            return None
+        major = b[3]
+        size = ((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14) \
+            | ((b[8] & 0x7F) << 7) | (b[9] & 0x7F)
+        end = min(10 + size, len(b))
+        i, out = 10, []
+        while i + 10 <= end:
+            fid = b[i:i + 4]
+            if fid == b"\x00\x00\x00\x00":
+                break                        # padding
+            if major >= 4:                   # syncsafe frame size
+                flen = ((b[i + 4] & 0x7F) << 21) \
+                    | ((b[i + 5] & 0x7F) << 14) \
+                    | ((b[i + 6] & 0x7F) << 7) | (b[i + 7] & 0x7F)
+            else:
+                flen = int.from_bytes(b[i + 4:i + 8], "big")
+            body = b[i + 10:i + 10 + flen]
+            i += 10 + flen
+            if len(body) != flen or not fid.startswith(b"T"):
+                continue
+            enc, text = body[:1], body[1:]
+            try:
+                if enc == b"\x00":
+                    s = text.decode("latin1")
+                elif enc == b"\x01":
+                    s = text.decode("utf-16")
+                elif enc == b"\x03":
+                    s = text.decode("utf-8")
+                else:
+                    continue
+            except UnicodeDecodeError:
+                continue
+            out.append((fid.decode("latin1"),
+                        s.rstrip("\x00")))
+        return out
+
+    def encode_id3(tags, major: int = 4) -> bytes:
+        """Fixture builder: ID3v2.{3,4} tag block with text frames —
+        [(frame id, text), …], UTF-8 encoding byte, syncsafe sizes
+        for v2.4 / plain for v2.3."""
+        body = bytearray()
+        for fid, text in tags:
+            payload = b"\x03" + text.encode("utf-8")
+            n = len(payload)
+            if major >= 4:
+                sz = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                            (n >> 7) & 0x7F, n & 0x7F])
+            else:
+                sz = n.to_bytes(4, "big")
+            body += fid.encode("latin1") + sz + b"\x00\x00" + payload
+        n = len(body)
+        return (b"ID3" + bytes([major, 0, 0,
+                                (n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                                (n >> 7) & 0x7F, n & 0x7F])
+                + bytes(body))
+
     def encode_mp3_frames(frames, version: str = "1",
                           sr_idx: int = 0, channels: int = 2,
                           id3_pad: int = 0) -> bytes:
@@ -655,6 +718,7 @@ def make_audio_codec() -> SimpleNamespace:
                            features=features, mp3_sniff=mp3_sniff,
                            mp3_meta=mp3_meta,
                            encode_mp3_frames=encode_mp3_frames,
+                           id3_tags=id3_tags, encode_id3=encode_id3,
                            aac_sniff=aac_sniff, aac_meta=aac_meta,
                            encode_adts=encode_adts,
                            flac_sniff=flac_sniff, flac_meta=flac_meta,

@@ -602,6 +602,68 @@ def synth_g711(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(kernel, schema)
 
 
+def synth_mp3_tagged(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize MP3 streams with REAL ID3v2 tags: the first id%3+1
+    of [TIT2=t{id}, TPE1=a{id%7}, TRCK={id%20}] (mirroring the
+    OpusTags synth so tag metadata is comparable across container
+    families), ID3v2.4 for even ids / v2.3 for odd (syncsafe vs plain
+    frame sizes), followed by id%5+2 real frame headers."""
+    from nowdb_spark.operators.audiocodec import make_audio_codec
+
+    codec = make_audio_codec()
+    schema = f"{id_col} long, payload binary"
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        def synth(did: int) -> bytes:
+            did = int(did)
+            tags = [("TIT2", f"t{did}"), ("TPE1", f"a{did % 7}"),
+                    ("TRCK", str(did % 20))][:did % 3 + 1]
+            return (codec.encode_id3(tags,
+                                     major=4 if did % 2 == 0 else 3)
+                    + codec.encode_mp3_frames(
+                        [((did + j) % 14 + 1, 0)
+                         for j in range(did % 5 + 2)], version="1"))
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "payload": [synth(d) for d in pdf[id_col]],
+            })
+
+    return df.select(id_col).mapInPandas(kernel, schema)
+
+
+def id3_tags_real(df: DataFrame, id_col: str = "doc_id",
+                  payload_col: str = "payload") -> DataFrame:
+    """REAL ID3v2 text-frame extraction (audiocodec.py id3_tags:
+    v2.3/v2.4 frame walk, syncsafe vs plain sizes, latin-1/UTF-16/
+    UTF-8 text encodings). One row per frame (doc_id, tag_pos, key,
+    value); untagged bytes yield nothing."""
+    from nowdb_spark.operators.audiocodec import make_audio_codec
+
+    codec = make_audio_codec()
+    schema = (f"{id_col} long, tag_pos long, key string, "
+              "value string")
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                t = codec.id3_tags(bytes(payload))
+                if t is None:
+                    continue
+                for pos, (k, v) in enumerate(t):
+                    out.append((int(did), pos, k, v))
+            yield _pd.DataFrame(out, columns=[
+                id_col, "tag_pos", "key", "value"])
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
 def synth_opus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize REAL Ogg/Opus streams from an id column (CRC-
     stamped pages: BOS OpusHead + OpusTags + id%10+2 audio pages of

@@ -1694,6 +1694,36 @@ def mm14(spark, sf):
     return M.opus_tags_real(M.synth_opus(d))
 
 
+# ID3v2 twin of mm14: same tag arithmetic (TIT2/TPE1/TRCK mirror
+# TITLE/ARTIST/TRACKNUMBER) carried by REAL ID3v2.4 (even ids,
+# syncsafe frame sizes) / v2.3 (odd ids, plain sizes) tags ahead of
+# real MP3 frame headers — tag metadata proven across both container
+# families with one oracle shape.
+@register(
+    "mm16_id3_tags",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS nt FROM documents),
+    t AS (SELECT doc_id, unnest(range(0, nt)) AS p FROM d)
+    SELECT doc_id,
+           CAST(p AS BIGINT) AS tag_pos,
+           CASE p WHEN 0 THEN 'TIT2' WHEN 1 THEN 'TPE1'
+                  ELSE 'TRCK' END AS key,
+           CASE p WHEN 0 THEN 't' || doc_id
+                  WHEN 1 THEN 'a' || (doc_id % 7)
+                  ELSE CAST(doc_id % 20 AS VARCHAR) END AS value
+    FROM t
+    """,
+    doc="REAL ID3v2 text-frame extraction (v2.3 plain + v2.4 "
+        "syncsafe frame sizes, UTF-8/UTF-16/latin-1 text encodings, "
+        "non-text frames skipped) from tagged MP3 streams; oracle "
+        "replays the tag arithmetic — the ID3 twin of mm14's "
+        "OpusTags row",
+)
+def mm16(spark, sf):
+    d = spread(table(spark, sf, "documents"))
+    return M.id3_tags_real(M.synth_mp3_tagged(d))
+
+
 # ------------------------------------------------------------------
 # Synth parameters (synth_flac_files): n = id%50+10 samples/channel,
 # channel 1 uses the synth_audio arithmetic, channel 2 (stereo when

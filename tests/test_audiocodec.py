@@ -319,3 +319,40 @@ def test_adpcm_rejects_stereo_and_bad_align():
             + b"data" + struct.pack("<I", 0))
     b = b"RIFF" + struct.pack("<I", len(body)) + body
     assert c.decode_meta(b) is None            # stereo unsupported
+
+
+# --- ID3v2 text frames ---------------------------------------------------
+
+def test_id3_v3_v4_roundtrip():
+    c = make_audio_codec()
+    tags = [("TIT2", "hello"), ("TPE1", "A & B"), ("TRCK", "7")]
+    for major in (3, 4):
+        mp3 = (c.encode_id3(tags, major=major)
+               + c.encode_mp3_frames([(9, 0)] * 3, version="1"))
+        assert c.id3_tags(mp3) == tags
+        # the frame-header walk skips the real tag correctly
+        assert c.mp3_meta(mp3)["n_frames"] == 3
+
+
+def test_id3_encodings_and_nontext_frames():
+    c = make_audio_codec()
+    t = c.encode_id3([("TIT2", "x")])
+    # splice in a latin-1 text frame and a binary APIC frame
+    extra = (b"TALB" + bytes([0, 0, 0, 3]) + b"\x00\x00" + b"\x00ab"
+             + b"APIC" + bytes([0, 0, 0, 2]) + b"\x00\x00"
+             + b"\xff\xfe")
+    n = len(t) - 10 + len(extra)
+    full = (b"ID3\x04\x00\x00"
+            + bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                     (n >> 7) & 0x7F, n & 0x7F]) + t[10:] + extra)
+    assert c.id3_tags(full) == [("TIT2", "x"), ("TALB", "ab")]
+    # UTF-16 with BOM
+    u16 = "héllo".encode("utf-16")
+    frame = b"TIT2" + bytes([0, 0, 0, len(u16) + 1]) + b"\x00\x00" \
+        + b"\x01" + u16
+    m = len(frame)
+    tag = (b"ID3\x04\x00\x00"
+           + bytes([(m >> 21) & 0x7F, (m >> 14) & 0x7F,
+                    (m >> 7) & 0x7F, m & 0x7F]) + frame)
+    assert c.id3_tags(tag) == [("TIT2", "héllo")]
+    assert c.id3_tags(b"no tag here") is None
