@@ -415,6 +415,14 @@ def audio_meta_real(df: DataFrame, id_col: str = "doc_id",
                     return ("mp3", m["channels"], m["sample_rate"],
                             None, None, m["n_frames"],
                             m["n_frames"] * spf, m["duration_ms"])
+            elif kind == "ogg":
+                m = codec.ogg_opus_meta(b)
+                if m:
+                    # n_frames carries the page count; sample count
+                    # is not knowable from metadata (packet TOCs)
+                    return ("opus", m["channels"],
+                            m["input_sample_rate"], None, None,
+                            m["n_pages"], None, m["duration_ms"])
             return (None,) * 8
 
         for pdf in batches:

@@ -840,3 +840,35 @@ def test_ewma_skewed_lengths_bounded_memory(spark):
     v0, v1 = float(6 % 13), float((n_short + 6) % 13)
     assert ks == {0: v0, 10: 0.75 * v0 + 0.25 * v1}
     assert out.count() == n_long + n_short * 2
+
+
+def test_audio_meta_real_dispatches_five_formats(spark):
+    """The unified sniff-dispatch must type every audio container —
+    WAV (plus its G.711/ADPCM subformats), FLAC, Ogg/Opus, AAC-ADTS,
+    MP3 — and NULL-fill undecodable bytes, never fail a task."""
+    from nowdb_spark.operators import multimodal as M
+    from nowdb_spark.operators.audiocodec import make_audio_codec
+
+    c = make_audio_codec()
+    payloads = {
+        1: c.encode_wav([3, -4, 5], rate=8000, bits=16),
+        2: c.encode_flac(44100, 2, 16, 4410),
+        3: c.encode_ogg_opus(2, 100, 48000, 3),
+        4: c.encode_adts([20] * 4, sr_idx=3, channels=2),
+        5: c.encode_id3([("TIT2", "x")])
+           + c.encode_mp3_frames([(9, 0)] * 2, version="1"),
+        6: c.encode_wav(bytes(range(10)), rate=8000, audio_fmt=7),
+        7: b"not audio at all",
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()],
+        "doc_id long, payload binary")
+    got = {r["doc_id"]: (r["fmt"], r["channels"], r["sample_rate"])
+           for r in M.audio_meta_real(df).collect()}
+    assert got[1] == ("wav", 1, 8000)
+    assert got[2] == ("flac", 2, 44100)
+    assert got[3] == ("opus", 2, 48000)
+    assert got[4] == ("aac", 2, 48000)   # ADTS rate index 3
+    assert got[5] == ("mp3", 2, 44100)
+    assert got[6] == ("wav-ulaw", 1, 8000)
+    assert got[7] == (None, None, None)
