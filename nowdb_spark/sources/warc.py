@@ -368,6 +368,35 @@ def robots_filter(urls: DataFrame, rules: DataFrame,
             .drop("__host", "__path"))
 
 
+def parse_sitemap(df: DataFrame, xml_col: str = "sitemap_xml",
+                  id_col: str = "doc_id") -> DataFrame:
+    """XML sitemap (sitemaps.org) → one row per <url> entry:
+    (id, url_pos, loc, lastmod, priority). Entirely JVM: split on
+    </url> blocks, posexplode, per-field regexp_extract — lastmod /
+    priority are optional and NULL when absent. Feeds crawl
+    scheduling (what to fetch, how fresh) next to robots_filter
+    (what is allowed)."""
+    blocks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(xml_col), "</url>"))
+        .alias("pos", "blk"))
+    loc = F.regexp_extract("blk", r"(?s)<loc>\s*(.*?)\s*</loc>", 1)
+    lastmod = F.regexp_extract(
+        "blk", r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", 1)
+    prio = F.regexp_extract(
+        "blk", r"(?s)<priority>\s*(.*?)\s*</priority>", 1)
+    entries = (blocks.select(
+        id_col, "pos", loc.alias("loc"),
+        F.when(lastmod != "", lastmod).alias("lastmod"),
+        F.when(prio != "", prio).try_cast("double").alias("priority"))
+        .where(F.col("loc") != ""))
+    from pyspark.sql import Window
+    w = Window.partitionBy(id_col).orderBy("pos")
+    return (entries.withColumn(
+                "url_pos", (F.row_number().over(w) - 1).cast("long"))
+            .select(id_col, "url_pos", "loc", "lastmod", "priority"))
+
+
 def warc_text_documents(records: DataFrame,
                         min_status: int = 200,
                         max_status: int = 299) -> DataFrame:

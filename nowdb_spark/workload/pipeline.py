@@ -1289,6 +1289,57 @@ def dc01(spark, sf):
 
 
 # ------------------------------------------------------------------
+# XML sitemap parsing (wc04): each doc renders a sitemaps.org urlset
+# with id%5+1 entries — loc always, lastmod only when u%2=0,
+# priority only when u%3=0 (optionality is the parsing hazard) — and
+# parse_sitemap recovers (url_pos, loc, lastmod, priority) via the
+# JVM block-split + regex pipeline; the oracle replays the entry
+# arithmetic. Completes the crawl front door: robots (allowed),
+# sitemap (scheduled), links (discovered).
+@register(
+    "wc04_sitemap",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 5 + 1 AS nu FROM documents),
+    u AS (SELECT doc_id, unnest(range(0, nu)) AS k FROM d)
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS url_pos,
+           'http://site' || (doc_id % 10) || '.example/p' || k AS loc,
+           CASE WHEN k % 2 = 0
+                THEN '2026-0' || (k % 9 + 1) || '-15' END AS lastmod,
+           CASE WHEN k % 3 = 0
+                THEN CAST('0.' || ((doc_id + k) % 10) AS DOUBLE) END
+             AS priority
+    FROM u
+    """,
+    doc="XML sitemap parsing (sitemaps.org): </url> block split + "
+        "per-field regex with OPTIONAL lastmod/priority (NULL when "
+        "absent), all JVM-side; oracle replays the entry arithmetic",
+)
+def wc04(spark, sf):
+    from nowdb_spark.sources import warc as W
+
+    xml = F.expr("""
+      concat('<?xml version="1.0"?><urlset>',
+        aggregate(transform(sequence(0, int(doc_id % 5)), k ->
+          concat('<url><loc>http://site',
+                 CAST(doc_id % 10 AS STRING), '.example/p',
+                 CAST(k AS STRING), '</loc>',
+                 if(k % 2 = 0,
+                    concat('<lastmod>2026-0',
+                           CAST(k % 9 + 1 AS STRING),
+                           '-15</lastmod>'), ''),
+                 if(k % 3 = 0,
+                    concat('<priority>0.',
+                           CAST((doc_id + k) % 10 AS STRING),
+                           '</priority>'), ''),
+                 '</url>')), '', (acc, x) -> concat(acc, x)),
+        '</urlset>')""")
+    pages = (table(spark, sf, "documents")
+             .select("doc_id", xml.alias("sitemap_xml")))
+    return W.parse_sitemap(pages)
+
+
+# ------------------------------------------------------------------
 # WebDataset tar shards (wd01): each doc becomes a REAL ustar shard
 # holding id%3+1 samples; sample s pairs '{id}_{s}.txt' = 'd{id} s{s}'
 # with '{id}_{s}.cls' = (id+s)%10 (the jpg+txt+cls convention of

@@ -126,3 +126,19 @@ def test_parse_robots_sections_and_comments(spark):
     # /ab IS blocked by prefix /a (startswith semantics, per the
     # original convention); h3 blocks only 'bot'; unknown hosts pass
     assert kept == {4, 6, 7, 8}
+
+
+def test_parse_sitemap_optional_fields(spark):
+    xml = ("<?xml version=\"1.0\"?><urlset>"
+           "<url><loc> http://a/1 </loc>"
+           "<lastmod>2026-01-02</lastmod>"
+           "<priority>0.8</priority></url>"
+           "<url><loc>http://a/2</loc></url>"
+           "<url><lastmod>2026-01-03</lastmod></url>"  # no loc: drop
+           "</urlset>")
+    df = spark.createDataFrame([(1, xml)], ["doc_id", "sitemap_xml"])
+    got = [(r["url_pos"], r["loc"], r["lastmod"], r["priority"])
+           for r in W.parse_sitemap(df)
+           .orderBy("url_pos").collect()]
+    assert got == [(0, "http://a/1", "2026-01-02", 0.8),
+                   (1, "http://a/2", None, None)]
