@@ -122,3 +122,31 @@ def fingerprint(text: Column) -> Column:
     distinct word set (bag-of-words identity; robust to shuffling)."""
     ws = words(text)
     return F.md5(F.array_join(F.array_sort(F.array_distinct(ws)), " "))
+
+
+def markdown_to_text(col: Column) -> Column:
+    """Strip Markdown to plain text — the markdown twin of
+    warc.html_to_text, all JVM regexp_replace (CommonMark-ish subset:
+    fenced/inline code, images, links, ATX headers, emphasis,
+    blockquotes, thematic breaks). Link/image syntax keeps the
+    visible text (alt/label); fenced code BODIES are dropped (they
+    are not prose), inline code keeps its content.
+
+    Order matters and is fixed: fences before inline backticks (a
+    fence contains backticks), images before links (an image is '!'
+    + link syntax), emphasis after links (labels may be emphasized).
+    """
+    s = F.regexp_replace(col, r"(?s)```.*?```", " ")
+    s = F.regexp_replace(s, r"`([^`]*)`", r"$1")
+    s = F.regexp_replace(s, r"!\[([^\]]*)\]\([^)]*\)", r"$1")
+    s = F.regexp_replace(s, r"\[([^\]]*)\]\([^)]*\)", r"$1")
+    s = F.regexp_replace(s, r"(?m)^#{1,6}[ \t]+", "")
+    s = F.regexp_replace(s, r"(?m)^[ \t]{0,3}(?:-{3,}|\*{3,})[ \t]*$",
+                         " ")
+    s = F.regexp_replace(s, r"(?m)^[ \t]*>[ \t]?", "")
+    s = F.regexp_replace(s, r"\*\*(.*?)\*\*", r"$1")
+    s = F.regexp_replace(s, r"(?<!\w)__(.*?)__(?!\w)", r"$1")
+    s = F.regexp_replace(s, r"\*([^*]+)\*", r"$1")
+    # intraword underscores are NOT emphasis (CommonMark §6.2)
+    s = F.regexp_replace(s, r"(?<!\w)_([^_]+)_(?!\w)", r"$1")
+    return F.trim(F.regexp_replace(s, r"\s+", " "))

@@ -1289,6 +1289,93 @@ def dc01(spark, sf):
 
 
 # ------------------------------------------------------------------
+# Composed crawl pipeline (wc05): robots permission (wc03's rules +
+# REAL parser/anti-join) gates which documents proceed; survivors run
+# the REAL WARC round trip (gzip members → header block → HTTP split
+# → html_to_text) and the JVM token counter — four stages, one
+# oracle. The crawl-side sibling of cc02's cleaning+DSIR composition.
+@register(
+    "wc05_crawl_pipeline",
+    r"""
+    SELECT doc_id,
+           'http://site' || (doc_id % 10) || '.example/p'
+             || (doc_id % 7) || '/x' || doc_id AS url,
+           concat('d', doc_id, ' ', text, ' tail & ', doc_id) AS text,
+           CAST(len(regexp_extract_all(
+             concat('d', doc_id, ' ', text, ' tail & ', doc_id),
+             '\w+|[^\w\s]')) AS INT) AS n_tokens
+    FROM documents
+    WHERE doc_id % 7 <> (doc_id % 10) % 3
+    """,
+    doc="Composed crawl pipeline: robots.txt filtering gates the URL "
+        "list, surviving docs run the real WARC ingest + HTML "
+        "extraction and JVM token counting — crawl-side end-to-end "
+        "integration under one oracle (the sibling of cc02's "
+        "cleaning+DSIR row)",
+)
+def wc05(spark, sf):
+    from nowdb_spark.operators.textops import token_count
+    from nowdb_spark.sources import warc as W
+
+    robots = spark.range(10).select(
+        F.concat(F.lit("site"), F.col("id"), F.lit(".example"))
+        .alias("host"),
+        F.concat(
+            F.lit("User-agent: bot\nDisallow: /\n"
+                  "\nUser-agent: *\nDisallow: /p"),
+            F.pmod(F.col("id"), F.lit(3)),
+            F.lit("\n")).alias("robots_txt"))
+    d = spread(table(spark, sf, "documents"))
+    urls = d.select(
+        "doc_id",
+        F.concat(F.lit("http://site"),
+                 F.pmod(F.col("doc_id"), F.lit(10)),
+                 F.lit(".example/p"),
+                 F.pmod(F.col("doc_id"), F.lit(7)),
+                 F.lit("/x"), F.col("doc_id")).alias("url"))
+    allowed = W.robots_filter(urls, W.parse_robots(robots))
+    recs = W.parse_warc_bytes(W.synth_warc(d))
+    extracted = (recs
+                 .where(F.col("warc_type") == "response")
+                 .where(F.col("http_status").between(200, 299))
+                 .select("doc_id",
+                         W.html_to_text(
+                             F.decode(F.col("payload"), "utf-8"))
+                         .alias("text")))
+    return (allowed.join(extracted, "doc_id")
+            .select("doc_id", "url", "text",
+                    token_count(F.col("text")).alias("n_tokens")))
+# strong body, link, fenced code block, inline code — then stripped
+# back to prose by the JVM regexp cascade (markdown corpora are a
+# large slice of pretraining text); oracle replays the construction.
+@register(
+    "tx07_markdown_strip",
+    """
+    SELECT doc_id,
+           'd' || doc_id || ' ' || text || ' see l' || doc_id
+             || ' and c' || doc_id AS text
+    FROM documents
+    """,
+    doc="Markdown-to-text (CommonMark-ish subset: fenced/inline "
+        "code, images, links keep labels, ATX headers, emphasis "
+        "with intraword-underscore fidelity, blockquotes, thematic "
+        "breaks) — all JVM regexp_replace; oracle replays the synth "
+        "construction",
+)
+def tx07(spark, sf):
+    from nowdb_spark.operators.textops import markdown_to_text
+
+    md = F.expr("""
+      concat('# d', doc_id, '\n\n**', text, '** see ',
+             '[l', doc_id, '](http://x/', doc_id, ')',
+             '\n\n```\ndropped code body\n```\n',
+             ' and `c', doc_id, '`')""")
+    return (table(spark, sf, "documents")
+            .select("doc_id",
+                    markdown_to_text(md).alias("text")))
+
+
+# ------------------------------------------------------------------
 # XML sitemap parsing (wc04): each doc renders a sitemaps.org urlset
 # with id%5+1 entries — loc always, lastmod only when u%2=0,
 # priority only when u%3=0 (optionality is the parsing hazard) — and

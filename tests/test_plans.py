@@ -84,7 +84,7 @@ _PY_ALLOWED = {"mm01_extract_meta", "mm02_real_decode", "mm03_real_resize",
                # WARC framing/parsing is bytes-imperative by nature
                # (gzip members, header blocks); extraction itself is
                # JVM regex
-               "wc01_warc_extract",
+               "wc01_warc_extract", "wc05_crawl_pipeline",
                # ann08's partition-local BLAS top-k IS the Arrow
                # kernel (one matmul per batch) — the alternative is
                # the corpus × queries shuffle it exists to avoid
