@@ -433,6 +433,74 @@ def audio_meta_real(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)
 
 
+def synth_tiffs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize REAL TIFFs from an id column: id%2+1 pages (IFD
+    chain), big-endian for odd ids, page p = width 16*(id%40+1)+p,
+    height 8*(id%30+1), bits 8/16 by (id+p)%2, compression
+    [1,5,7][id%3], photometric (id+p)%4, samples 1+id%4 (3-4 samples
+    push BitsPerSample behind an offset)."""
+    from nowdb_spark.operators.tiffcodec import make_tiff_codec
+
+    codec = make_tiff_codec()
+    schema = f"{id_col} long, payload binary"
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        def synth(did: int) -> bytes:
+            did = int(did)
+            pages = [{
+                "width": 16 * (did % 40 + 1) + p,
+                "height": 8 * (did % 30 + 1),
+                "bits": 8 if (did + p) % 2 == 0 else 16,
+                "compression": (1, 5, 7)[did % 3],
+                "photometric": (did + p) % 4,
+                "samples": 1 + did % 4,
+            } for p in range(did % 2 + 1)]
+            return codec.encode_tiff(pages, big_endian=bool(did % 2))
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "payload": [synth(d) for d in pdf[id_col]],
+            })
+
+    return df.select(id_col).mapInPandas(kernel, schema)
+
+
+def tiff_meta_real(df: DataFrame, id_col: str = "doc_id",
+                   payload_col: str = "payload") -> DataFrame:
+    """REAL TIFF metadata (tiffcodec.py: header/byte-order, IFD
+    chain, inline vs offset values). One row per page; non-TIFF
+    bytes yield nothing. Narrow, zero-shuffle."""
+    from nowdb_spark.operators.tiffcodec import make_tiff_codec
+
+    codec = make_tiff_codec()
+    schema = (f"{id_col} long, page long, width long, height long, "
+              "bits long, compression long, photometric long, "
+              "samples long")
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                m = codec.tiff_meta(bytes(payload))
+                if m is None:
+                    continue
+                for rec in m:
+                    out.append((int(did), rec["page"], rec["width"],
+                                rec["height"], rec["bits"],
+                                rec["compression"],
+                                rec["photometric"], rec["samples"]))
+            yield _pd.DataFrame(out, columns=[
+                id_col, "page", "width", "height", "bits",
+                "compression", "photometric", "samples"])
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
 def synth_pdfs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize REAL PDFs from an id column: id%2+1 pages, page p
     carrying (id+p)%3+1 lines 'd{id} p{p} l{k} (x)\\y' (parens +

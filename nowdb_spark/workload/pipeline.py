@@ -1345,6 +1345,44 @@ def wc05(spark, sf):
     return (allowed.join(extracted, "doc_id")
             .select("doc_id", "url", "text",
                     token_count(F.col("text")).alias("n_tokens")))
+
+
+# ------------------------------------------------------------------
+# TIFF metadata (mm17): real IFD chains in BOTH byte orders (odd ids
+# big-endian), multi-page via next-IFD links, BitsPerSample behind an
+# offset when samples > 2 — the scan-archive image format; oracle
+# replays the page arithmetic.
+@register(
+    "mm17_tiff_meta",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 2 + 1 AS np FROM documents),
+    p AS (SELECT doc_id, unnest(range(0, np)) AS pg FROM d)
+    SELECT doc_id,
+           CAST(pg AS BIGINT) AS page,
+           CAST(16 * (doc_id % 40 + 1) + pg AS BIGINT) AS width,
+           CAST(8 * (doc_id % 30 + 1) AS BIGINT) AS height,
+           CAST(CASE WHEN (doc_id + pg) % 2 = 0 THEN 8 ELSE 16 END
+                AS BIGINT) AS bits,
+           CAST(list_extract([1, 5, 7],
+                             CAST(doc_id % 3 + 1 AS INT)) AS BIGINT)
+             AS compression,
+           CAST((doc_id + pg) % 4 AS BIGINT) AS photometric,
+           CAST(1 + doc_id % 4 AS BIGINT) AS samples
+    FROM p
+    """,
+    doc="REAL TIFF metadata decode (TIFF 6.0): II/MM byte orders, "
+        "IFD entry walk with inline-vs-offset value resolution, "
+        "multi-page next-IFD chaining; oracle replays the synth "
+        "arithmetic (strip decode — PackBits/LZW — out of scope "
+        "like the other metadata rows)",
+)
+def mm17(spark, sf):
+    d = spread(table(spark, sf, "documents"))
+    return M.tiff_meta_real(M.synth_tiffs(d))
+
+
+# ------------------------------------------------------------------
+# Markdown strip (tx07): each doc rendered as markdown — ATX header,
 # strong body, link, fenced code block, inline code — then stripped
 # back to prose by the JVM regexp cascade (markdown corpora are a
 # large slice of pretraining text); oracle replays the construction.
