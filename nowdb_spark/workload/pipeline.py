@@ -1382,12 +1382,12 @@ def mm17(spark, sf):
 
 
 # ------------------------------------------------------------------
-# Markdown strip (tx07): each doc rendered as markdown — ATX header,
+# Markdown strip (tx08): each doc rendered as markdown — ATX header,
 # strong body, link, fenced code block, inline code — then stripped
 # back to prose by the JVM regexp cascade (markdown corpora are a
 # large slice of pretraining text); oracle replays the construction.
 @register(
-    "tx07_markdown_strip",
+    "tx08_markdown_strip",
     """
     SELECT doc_id,
            'd' || doc_id || ' ' || text || ' see l' || doc_id
