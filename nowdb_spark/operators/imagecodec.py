@@ -560,10 +560,61 @@ def make_image_codec() -> SimpleNamespace:
                    for r in range(th)]
         return encode_bmp(tw, th, resized)
 
+    def png_text(b: bytes):
+        """PNG textual metadata (PNG spec §11.3.4): [(keyword, text),
+        …] from tEXt (latin-1), zTXt (deflated latin-1) and the
+        uncompressed-utf8 iTXt form, in chunk order; CRC-invalid
+        chunks stop the walk (same contract as decode). None for
+        non-PNG bytes."""
+        if b[:8] != b"\x89PNG\r\n\x1a\n":
+            return None
+        out = []
+        for typ, data in _png_chunks(b):
+            if typ == b"tEXt":
+                k, _, v = data.partition(b"\x00")
+                out.append((k.decode("latin1"), v.decode("latin1")))
+            elif typ == b"zTXt":
+                k, _, rest = data.partition(b"\x00")
+                if rest[:1] == b"\x00":      # method 0 = deflate
+                    try:
+                        out.append((k.decode("latin1"),
+                                    zlib.decompress(rest[1:])
+                                    .decode("latin1")))
+                    except zlib.error:
+                        continue
+            elif typ == b"iTXt":
+                k, _, rest = data.partition(b"\x00")
+                # comp flag, comp method, then lang\0translated\0text
+                if rest[:2] == b"\x00\x00":
+                    r2 = rest[2:].split(b"\x00", 2)
+                    if len(r2) == 3:
+                        out.append((k.decode("latin1"),
+                                    r2[2].decode("utf-8", "replace")))
+        return out
+
+    def png_add_text(png: bytes, pairs, compressed: bool = False) -> bytes:
+        """Inject tEXt/zTXt chunks (CRC-stamped) before IEND of an
+        encoded PNG — the fixture builder for png_text."""
+        chunks = bytearray()
+        for k, v in pairs:
+            if compressed:
+                data = (k.encode("latin1") + b"\x00\x00"
+                        + zlib.compress(v.encode("latin1")))
+                typ = b"zTXt"
+            else:
+                data = k.encode("latin1") + b"\x00" + v.encode("latin1")
+                typ = b"tEXt"
+            chunks += struct.pack(">I", len(data)) + typ + data
+            chunks += struct.pack(
+                ">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        at = png.rfind(b"IEND") - 4
+        return png[:at] + bytes(chunks) + png[at:]
+
     return SimpleNamespace(sniff=sniff, decode_meta=decode_meta,
                            decode=decode, encode_bmp=encode_bmp,
                            encode_ppm=encode_ppm, encode_png=encode_png,
-                           encode_gif=encode_gif, resize_nn=resize_nn)
+                           encode_gif=encode_gif, resize_nn=resize_nn,
+                           png_text=png_text, png_add_text=png_add_text)
 
 
 # Driver-side convenience instance (kernels must call

@@ -433,6 +433,67 @@ def audio_meta_real(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)
 
 
+def synth_png_tagged(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize real PNGs carrying textual metadata: a 2×1 image
+    plus the first id%3+1 of [Title=t{id}, Author=a{id%7},
+    Page={id%20}] as tEXt (even ids) or deflated zTXt (odd ids) —
+    the PNG member of the tag-metadata trio (mm14 OpusTags / mm16
+    ID3v2 / mm18 PNG)."""
+    from nowdb_spark.operators.imagecodec import make_image_codec
+
+    codec = make_image_codec()
+    schema = f"{id_col} long, payload binary"
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        def synth(did: int) -> bytes:
+            did = int(did)
+            rows = [[(did % 256, (did * 3) % 256, (did * 7) % 256),
+                     ((did * 5) % 256, 0, 255)]]
+            png = codec.encode_png(2, 1, rows)
+            tags = [("Title", f"t{did}"), ("Author", f"a{did % 7}"),
+                    ("Page", str(did % 20))][:did % 3 + 1]
+            return codec.png_add_text(png, tags,
+                                      compressed=bool(did % 2))
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "payload": [synth(d) for d in pdf[id_col]],
+            })
+
+    return df.select(id_col).mapInPandas(kernel, schema)
+
+
+def png_text_real(df: DataFrame, id_col: str = "doc_id",
+                  payload_col: str = "payload") -> DataFrame:
+    """REAL PNG textual-metadata extraction (imagecodec.py png_text:
+    CRC-verified chunk walk, tEXt/zTXt/iTXt). One row per entry
+    (doc_id, tag_pos, key, value); non-PNG bytes yield nothing."""
+    from nowdb_spark.operators.imagecodec import make_image_codec
+
+    codec = make_image_codec()
+    schema = (f"{id_col} long, tag_pos long, key string, "
+              "value string")
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                t = codec.png_text(bytes(payload))
+                if t is None:
+                    continue
+                for pos, (k, v) in enumerate(t):
+                    out.append((int(did), pos, k, v))
+            yield _pd.DataFrame(out, columns=[
+                id_col, "tag_pos", "key", "value"])
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
 def synth_tiffs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize REAL TIFFs from an id column: id%2+1 pages (IFD
     chain), big-endian for odd ids, page p = width 16*(id%40+1)+p,

@@ -1347,6 +1347,33 @@ def wc05(spark, sf):
                     token_count(F.col("text")).alias("n_tokens")))
 
 
+# PNG textual metadata (mm18): the PNG member of the tag trio (mm14
+# OpusTags / mm16 ID3v2) — same tag arithmetic carried as tEXt (even
+# ids) or DEFLATED zTXt (odd ids) chunks, CRC-verified walk.
+@register(
+    "mm18_png_text",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS nt FROM documents),
+    t AS (SELECT doc_id, unnest(range(0, nt)) AS p FROM d)
+    SELECT doc_id,
+           CAST(p AS BIGINT) AS tag_pos,
+           CASE p WHEN 0 THEN 'Title' WHEN 1 THEN 'Author'
+                  ELSE 'Page' END AS key,
+           CASE p WHEN 0 THEN 't' || doc_id
+                  WHEN 1 THEN 'a' || (doc_id % 7)
+                  ELSE CAST(doc_id % 20 AS VARCHAR) END AS value
+    FROM t
+    """,
+    doc="REAL PNG textual-metadata extraction (tEXt latin-1, zTXt "
+        "deflate, iTXt utf-8) from CRC-verified chunks of real PNGs "
+        "— completing the tag-metadata trio across image and audio "
+        "containers; oracle replays the tag arithmetic",
+)
+def mm18(spark, sf):
+    d = spread(table(spark, sf, "documents"))
+    return M.png_text_real(M.synth_png_tagged(d))
+
+
 # ------------------------------------------------------------------
 # TIFF metadata (mm17): real IFD chains in BOTH byte orders (odd ids
 # big-endian), multi-page via next-IFD links, BitsPerSample behind an

@@ -290,3 +290,28 @@ def test_gif_malformed():
     with pytest.raises(ValueError):
         codec.encode_gif(1, 300, [[(i, 0, 0)] for i in range(256)]
                          + [[(0, 1, 0)] for _ in range(44)])
+
+
+# --- PNG textual metadata (tEXt / zTXt / iTXt) ---------------------------
+
+def test_png_text_chunks_roundtrip():
+    from nowdb_spark.operators.imagecodec import make_image_codec
+    c = make_image_codec()
+    png = c.encode_png(2, 1, [[(1, 2, 3), (4, 5, 6)]])
+    t = c.png_add_text(png, [("Title", "hello"), ("Author", "A B")])
+    t = c.png_add_text(t, [("Z", "zipped text")], compressed=True)
+    assert c.png_text(t) == [("Title", "hello"), ("Author", "A B"),
+                             ("Z", "zipped text")]
+    # pixel decode unaffected by the extra chunks
+    assert c.decode(t)["width"] == 2
+    # iTXt uncompressed-utf8 form
+    import struct
+    import zlib as _z
+    data = b"K\x00\x00\x00lang\x00tr\x00caf\xc3\xa9"
+    chunk = (struct.pack(">I", len(data)) + b"iTXt" + data
+             + struct.pack(">I", _z.crc32(b"iTXt" + data) & 0xFFFFFFFF))
+    at = t.rfind(b"IEND") - 4
+    t2 = t[:at] + chunk + t[at:]
+    assert c.png_text(t2)[-1] == ("K", "café")
+    assert c.png_text(b"not png") is None
+    assert c.png_text(png) == []
