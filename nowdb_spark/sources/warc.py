@@ -26,6 +26,9 @@ from typing import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nowdb_spark.sources.binlimits import (
+    MAX_BINARYFILE_BYTES, check_file_sizes)
+
 WARC_SCHEMA = ("path string, record_id string, warc_type string, "
                "target_uri string, warc_date string, "
                "content_type string, http_status int, payload binary")
@@ -131,13 +134,8 @@ def encode_warc(records: list[dict], gzip_members: bool = True) -> bytes:
     return bytes(out)
 
 
-# binaryFile materializes each file as ONE row; Spark's byte-array and
-# Arrow limits sit just under 2 GiB, and a file over the line fails as
-# an opaque Arrow/negative-length error deep in a task. Real crawl
-# shards flirt with 1 GiB+, so the reader PRE-CHECKS sizes (a
-# metadata-only listing, content never read) and raises a clear,
-# actionable error instead.
-WARC_MAX_FILE_BYTES = 1_800_000_000
+# size guard shared with WebDataset (see sources/binlimits.py)
+WARC_MAX_FILE_BYTES = MAX_BINARYFILE_BYTES
 
 
 def read_warc(spark: SparkSession, path: str,
@@ -153,18 +151,8 @@ def read_warc(spark: SparkSession, path: str,
     than raising the cap past the 2 GiB row limit."""
     tools = _warc_tools()
 
-    listing = spark.read.format("binaryFile").load(path)
-    over = (listing.select("path", "length")
-            .where(F.col("length") > int(max_file_bytes))
-            .limit(5).collect())
-    if over:
-        names = ", ".join(f"{r['path']} ({r['length']:,} B)"
-                          for r in over)
-        raise ValueError(
-            f"WARC file(s) exceed max_file_bytes="
-            f"{int(max_file_bytes):,} and would overflow the ~2 GiB "
-            f"binaryFile row limit: {names}. Split them at gzip "
-            f"member boundaries and retry.")
+    check_file_sizes(spark, path, max_file_bytes, "WARC",
+                     "Split them at gzip member boundaries and retry.")
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as _pd
@@ -186,7 +174,7 @@ def read_warc(spark: SparkSession, path: str,
                             h.get("content-type"), status, payload))
             yield _pd.DataFrame(out, columns=cols)
 
-    return (listing
+    return (spark.read.format("binaryFile").load(path)
             .select("path", "content")
             .mapInPandas(kernel, WARC_SCHEMA))
 
@@ -302,9 +290,15 @@ def html_to_text(col):
 
 def extract_links(col):
     """Column expression: every href target in an HTML string, in
-    document order — JVM regexp_extract_all, no Python. Feeds the
-    crawl link graph (explode → (page, url) edges → graph ops)."""
-    return F.regexp_extract_all(col, F.lit('href="([^"]*)"'), 1)
+    document order — JVM regexp_extract_all + per-element quote
+    strip, no Python. Matches double-quoted, single-quoted AND
+    unquoted attribute values (all three occur in real HTML; HTML5
+    allows unquoted values without spaces). Feeds the crawl link
+    graph (explode → (page, url) edges → graph ops)."""
+    raw = F.regexp_extract_all(
+        col, F.lit("(?i)href\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)"), 1)
+    return F.transform(
+        raw, lambda v: F.regexp_replace(v, "^[\"']|[\"']$", ""))
 
 
 def link_host(url_col):
@@ -315,15 +309,21 @@ def link_host(url_col):
 def parse_robots(df: DataFrame, host_col: str = "host",
                  text_col: str = "robots_txt",
                  user_agent: str = "*") -> DataFrame:
-    """robots.txt → (host, prefix) disallow rules for ``user_agent``.
+    """robots.txt → (host, rule, prefix) for ``user_agent`` under
+    RFC 9309 semantics, entirely JVM-side:
 
-    Entirely JVM-side: lines are posexploded, each line is assigned
-    to its governing User-agent section by a running `last(...)
-    ignorenulls` window over line order (the stateful part of the
-    format), then Disallow values are filtered to the requested
-    agent's sections. Empty Disallow (allow-all) lines drop out.
-    Comments (#) and surrounding whitespace are stripped per the
-    original 1994 robots.txt convention."""
+    * grouping: ADJACENT User-agent lines share one group (a group
+      starts at a UA line not directly preceded by another UA line);
+      rules bind to their whole group, not just the nearest UA line.
+    * group selection: the groups whose UA token equals
+      ``user_agent`` case-insensitively; only if a host has none, its
+      ``*`` groups. Multiple matching groups merge (RFC 9309 §2.2.1).
+    * BOTH Allow and Disallow rules are returned (``rule`` column);
+      empty-valued lines drop (an empty Disallow restricts nothing).
+    * comments (#) and surrounding whitespace stripped.
+
+    Longest-match precedence and the ``*``/``$`` pattern characters
+    are applied by :func:`robots_filter` (RFC 9309 §2.2.2–2.2.3)."""
     from pyspark.sql import Window
 
     lines = df.select(
@@ -333,37 +333,104 @@ def parse_robots(df: DataFrame, host_col: str = "host",
     clean = lines.withColumn(
         "line", F.trim(F.regexp_replace("line", "#.*$", "")))
     w = Window.partitionBy("host").orderBy("pos")
-    sec = clean.withColumn(
-        "ua", F.last(
-            F.when(F.lower("line").startswith("user-agent:"),
-                   F.trim(F.expr("substring(line, 12)"))),
-            ignorenulls=True).over(w))
-    return (sec
-            .where(F.col("ua") == user_agent)
-            .where(F.lower("line").startswith("disallow:"))
-            .select("host",
-                    F.trim(F.expr("substring(line, 10)"))
-                    .alias("prefix"))
-            .where(F.length("prefix") > 0)
-            .distinct())
+    marked = (clean
+              .withColumn("is_ua",
+                          F.lower("line").startswith("user-agent:"))
+              .withColumn(
+                  "gid",
+                  F.sum(F.when(
+                      F.col("is_ua") &
+                      ~F.coalesce(F.lag("is_ua").over(w), F.lit(False)),
+                      1).otherwise(0)).over(w)))
+    uas = (marked.where("is_ua")
+           .select("host", "gid",
+                   F.lower(F.trim(F.expr("substring(line, 12)")))
+                   .alias("token")))
+    rule = (F.when(F.lower("line").startswith("disallow:"),
+                   F.struct(F.lit("disallow").alias("rule"),
+                            F.trim(F.expr("substring(line, 10)"))
+                            .alias("prefix")))
+             .when(F.lower("line").startswith("allow:"),
+                   F.struct(F.lit("allow").alias("rule"),
+                            F.trim(F.expr("substring(line, 7)"))
+                            .alias("prefix"))))
+    rules = (marked.select("host", "gid", rule.alias("r"))
+             .where(F.col("r").isNotNull())
+             .select("host", "gid", "r.rule", "r.prefix")
+             .where(F.length("prefix") > 0))
+    exact = (uas.where(F.col("token") == F.lit(user_agent.lower()))
+             .select("host", "gid"))
+    if user_agent == "*":
+        chosen = exact
+    else:
+        star = uas.where(F.col("token") == "*").select("host", "gid")
+        chosen = exact.unionByName(
+            star.join(exact.select("host").distinct(),
+                      "host", "left_anti"))
+    return (rules.join(chosen.distinct(), ["host", "gid"])
+            .select("host", "rule", "prefix").distinct())
+
+
+# Java-regex metacharacters a robots path rule must have escaped when
+# translated to a pattern — everything except '*', which RFC 9309
+# §2.2.3 defines as "any sequence of characters" ('.*' after escape).
+_ROBOTS_REGEX_SPECIALS = r"([\\.\[\]{}()+?^$|])"
+
+
+def _robots_rule_pattern():
+    """Column expression: the Java-regex translation of a robots path
+    rule — '*' → '.*', a trailing '$' anchors the end of the path,
+    every other character literal (RFC 9309 §2.2.3)."""
+    anchored = F.col("prefix").endswith("$")
+    body = F.when(anchored,
+                  F.expr("substring(prefix, 1, length(prefix) - 1)")
+                  ).otherwise(F.col("prefix"))
+    esc = F.regexp_replace(body, _ROBOTS_REGEX_SPECIALS, "\\\\$1")
+    return F.concat(F.lit("^"),
+                    F.replace(esc, F.lit("*"), F.lit(".*")),
+                    F.when(anchored, F.lit("$")).otherwise(F.lit("")))
 
 
 def robots_filter(urls: DataFrame, rules: DataFrame,
                   url_col: str = "url") -> DataFrame:
-    """Rows of ``urls`` whose URL is NOT disallowed by ``rules``
-    (host, prefix): extract host+path, inner-join rules on host with
-    a startswith prefix test to find blocked URLs, then anti-join
-    them away. Rules are a per-host handful — Spark broadcasts the
-    blocked set; the anti-join is the only shuffle."""
-    with_path = urls.withColumn(
-        "__host", link_host(F.col(url_col))).withColumn(
-        "__path", F.regexp_extract(F.col(url_col),
-                                   r"^https?://[^/]+(/.*)?$", 1))
-    blocked = (with_path
-               .join(rules.withColumnRenamed("host", "__host"),
-                     "__host")
-               .where(F.expr("startswith(__path, prefix)"))
-               .select(url_col).distinct())
+    """Rows of ``urls`` whose URL survives the RFC 9309 decision
+    against ``rules`` (host, rule, prefix): among the rules whose
+    path pattern matches the URL's path, the LONGEST rule wins
+    (§2.2.2 most-specific match); an Allow/Disallow tie goes to
+    Allow; no matching rule means allowed.
+
+    Plain prefixes (no '*' anywhere, no trailing '$') take the
+    codegen ``startswith`` fast path; pattern rules match by their
+    regex translation. Rules are a per-host handful — the rule join
+    broadcasts; the verdict groupBy and final anti-join key on the
+    URL string."""
+    raw_path = F.regexp_extract(F.col(url_col),
+                                r"^https?://[^/]+(/.*)?$", 1)
+    with_path = (urls
+                 .withColumn("__host", link_host(F.col(url_col)))
+                 .withColumn("__path",
+                             F.when(raw_path == "", "/")
+                             .otherwise(raw_path)))
+    r = (rules
+         .withColumn("__plain", ~F.col("prefix").rlike(r"[*]|[$]$"))
+         .withColumn("__pat", _robots_rule_pattern())
+         .withColumnRenamed("host", "__host"))
+    matched = (with_path.select(url_col, "__host", "__path").distinct()
+               .join(F.broadcast(r), "__host")
+               .where(F.when(F.col("__plain"),
+                             F.expr("startswith(__path, prefix)"))
+                       .otherwise(
+                           F.expr("regexp_like(__path, __pat)"))))
+    verdict = matched.groupBy(url_col).agg(
+        F.max(F.when(F.col("rule") == "allow",
+                     F.length("prefix"))).alias("__a"),
+        F.max(F.when(F.col("rule") == "disallow",
+                     F.length("prefix"))).alias("__d"))
+    blocked = (verdict
+               .where(F.col("__d").isNotNull() &
+                      (F.col("__d") >
+                       F.coalesce(F.col("__a"), F.lit(-1))))
+               .select(url_col))
     return (with_path.join(blocked, url_col, "left_anti")
             .drop("__host", "__path"))
 

@@ -23,8 +23,14 @@ from typing import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nowdb_spark.sources.binlimits import (
+    MAX_BINARYFILE_BYTES, check_file_sizes)
+
 MEMBER_SCHEMA = ("shard string, basename string, ext string, "
                  "payload binary")
+
+# size guard shared with the WARC reader (see sources/binlimits.py)
+WDS_MAX_FILE_BYTES = MAX_BINARYFILE_BYTES
 
 
 def _split_name(name: str):
@@ -59,8 +65,7 @@ def tar_members(df: DataFrame, path_col: str = "path",
                     for m in tf:
                         if not m.isreg():
                             continue
-                        leaf = m.name.rsplit("/", 1)[-1]
-                        base, _, ext = leaf.partition(".")
+                        base, ext = _split_name(m.name)
                         out.append((shard, base, ext,
                                     tf.extractfile(m).read()))
             yield _pd.DataFrame(out, columns=cols)
@@ -95,8 +100,7 @@ def parse_tar_bytes(df: DataFrame, id_col: str = "doc_id",
                     for m in tf:
                         if not m.isreg():
                             continue
-                        leaf = m.name.rsplit("/", 1)[-1]
-                        base, _, ext = leaf.partition(".")
+                        base, ext = _split_name(m.name)
                         out.append((int(did), base, ext,
                                     tf.extractfile(m).read()))
             yield _pd.DataFrame(out, columns=cols)
@@ -106,12 +110,20 @@ def parse_tar_bytes(df: DataFrame, id_col: str = "doc_id",
                 "payload binary")
 
 
-def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
+def read_webdataset(spark: SparkSession, path: str,
+                    max_file_bytes: int = WDS_MAX_FILE_BYTES) -> DataFrame:
     """Tar shards under ``path`` → one row per SAMPLE:
     (shard, basename, parts: map<ext, binary>). The regroup shuffles
     on (shard, basename) — the only wide step; at production scale
     pre-sorted shards keep each sample's members adjacent so the
-    map-side combine does nearly all the work."""
+    map-side combine does nearly all the work.
+
+    Shards larger than ``max_file_bytes`` raise ValueError up front
+    (metadata-only listing; see binlimits.py) — re-shard them (the
+    WebDataset convention is ~1 GB shards anyway) rather than raising
+    the cap past the ~2 GiB binaryFile row limit."""
+    check_file_sizes(spark, path, max_file_bytes, "WebDataset shard",
+                     "Re-shard at sample boundaries and retry.")
     files = spark.read.format("binaryFile").load(path)
     members = tar_members(files.select("path", "content"))
     return (members

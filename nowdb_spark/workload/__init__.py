@@ -115,11 +115,12 @@ _PRIORITY_ORDER = [
     # q28's CASE/priority semantics are covered in-window by q14/nq02.
     # cx05's DSIR resample is subsumed by cc02 (whose oracle replays
     # the same hashed-ngram scoring AND the Gumbel-top-k selection as
-    # one pipeline) — relegated round 9, pytest-verified; its slot
-    # carries q26's approx-agg error-bounds gate (approx_count_distinct
-    # within HLL++ 3σ, percentile_approx within published rank error —
-    # a capability class no exact-agg row demonstrates).
-    "q26_approx_aggs", "q31_mode",
+    # one pipeline) — relegated round 9, pytest-verified.
+    # q26's approx-agg bounds gate proved green in-window round 9;
+    # relegated round 10 (pytest-verified, test_approx) — its slot
+    # carries the WebDataset tar-shard ingest wd01, the training-data
+    # container format no other row demonstrates.
+    "wd01_webdataset", "q31_mode",
     # dialect front-end (parser → binder → DataFrame) representatives
     # (q12's scalar-formula battery is covered in-window by nq02; its
     # slot goes to the window-function extension. g05's k-hop slot
@@ -127,15 +128,26 @@ _PRIORITY_ORDER = [
     # pytest-verified. nq07's many-aggs spelling is covered by the
     # in-window aggregate rows q08/q09/q10/q21/q31/ts03 plus the three
     # remaining dialect rows — relegated round 9, pytest-verified.)
+    # nq10's subquery spelling proved green in-window rounds 5–9;
+    # relegated round 10 (pytest-verified — the binder's subquery
+    # machinery also underlies in-window nq02/nq08/nq18/nq25). Its
+    # slot carries the PDF text-extraction gate dc01: ISO 32000-1
+    # object scan + FlateDecode + page-tree walk + Tj/TJ tokenizer,
+    # a document-format class no other row demonstrates.
     "nq02_dialect_formulas",
-    "nq08_dialect_window", "nq10_dialect_subqueries",
+    "nq08_dialect_window", "dc01_pdf_extract",
     # graph operators (g01's co-supply pair emission is the building
     # block g02's triangle count already exercises — wedge generation
     # IS hot-key-blocked pair emission — and plain self-joins are
     # covered by q15/q16/q19/q20; relegated round 9, pytest-verified.
-    # Its slot carries the CMS targeted-probe gate sk02b.)
+    # sk02b's CMS targeted probe proved green in-window round 9;
+    # relegated round 10 (pytest-verified; the sketch family keeps
+    # sk01 HLL + sk03 KLL in-window). Its slot carries the IMA ADPCM
+    # sample-decode gate mm15, whose oracle replays the entire
+    # predictor/step-index state machine as a SQL list_reduce fold —
+    # the hardest oracle construction of round 9.)
     "g02_triangles", "g03_components",
-    "g04_pagerank", "sk02b_cms_targeted_probe",
+    "g04_pagerank", "mm15_adpcm_decode",
     # dedup family (dd02 signatures are subsumed by dd03's LSH path;
     # dd05 simhash is a third signature flavor — relegated round 7,
     # still oracle-verified by pytest; its slot carries the KLL
@@ -143,11 +155,14 @@ _PRIORITY_ORDER = [
     # dd04's exact n-gram Jaccard shares dd03's exploded-token
     # inverted-index machinery — same explode→join→group shape with an
     # exact denominator instead of banded signatures — relegated
-    # round 9 like its containment cousin dd07, pytest-verified; its
-    # slot carries the WARC ingest + HTML→text gate wc01, a source
-    # format class no other row demonstrates.)
+    # round 9 like its containment cousin dd07, pytest-verified.
+    # wc01's WARC ingest proved green in-window round 9; relegated
+    # round 10 in favor of wc05, the composed crawl pipeline that
+    # SUBSUMES it (robots gate → the same WARC round trip → the same
+    # HTML→text extraction → token count, all under one oracle) and
+    # now also exercises the RFC 9309 parser.)
     "dd01_exact_dedup", "dd03_minhash_lsh_pairs",
-    "wc01_warc_extract", "sk03_kll_quantiles",
+    "wc05_crawl_pipeline", "sk03_kll_quantiles",
     # dd06's bounded crossJoin is subsumed by its own documented scale
     # path: dd09 SemDeDup (cluster-bounded pairwise cosine).
     # dd07 containment is dd04 jaccard's cousin (same inverted-index
@@ -182,7 +197,12 @@ _PRIORITY_ORDER = [
     # the REAL zlib/DEFLATE png and variable-width-LZW gif paths),
     # mm01/mm02/mm03 and the y4m video round trip mm06 relegated,
     # still oracle-verified by pytest.
-    "mm07_jpeg_decode", "mm08_mp3_meta", "mm09_mp4_meta",
+    # mm08's MP3 frame-header walk proved green in-window round 9;
+    # relegated round 10 (pytest-verified) — the audio row upgrades
+    # to mm11, the REAL FLAC sample decode (Rice partitions +
+    # escapes, CONSTANT/VERBATIM/FIXED/LPC subframes, stereo
+    # decorrelation, CRC-8/16), the hardest entropy path of round 9.
+    "mm07_jpeg_decode", "mm11_flac_decode", "mm09_mp4_meta",
     # time-series (ts02's row-frame moving aggregates are covered
     # in-window by nq08's window-function row; its slot carries the
     # streaming extension gate — a REAL readStream→memory-sink run

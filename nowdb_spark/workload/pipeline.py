@@ -1409,12 +1409,12 @@ def mm17(spark, sf):
 
 
 # ------------------------------------------------------------------
-# Markdown strip (tx08): each doc rendered as markdown — ATX header,
+# Markdown strip (tx10): each doc rendered as markdown — ATX header,
 # strong body, link, fenced code block, inline code — then stripped
 # back to prose by the JVM regexp cascade (markdown corpora are a
 # large slice of pretraining text); oracle replays the construction.
 @register(
-    "tx08_markdown_strip",
+    "tx10_markdown_strip",
     """
     SELECT doc_id,
            'd' || doc_id || ' ' || text || ' see l' || doc_id
@@ -1709,14 +1709,23 @@ def mm15(spark, sf):
 
 
 # ------------------------------------------------------------------
-# robots.txt compliance filter: hosts site{h}.example (h = 0..9)
-# publish "User-agent: bot / Disallow: /" (a section that must be
-# IGNORED for agent '*') then "User-agent: * / Disallow: /d /p{h%3}";
-# URLs 'http://site{id%10}.example/p{id%7}/x{id}' are blocked exactly
-# when id%7 = (id%10)%3. The Spark side runs the REAL parser —
-# posexplode lines, running-section window, comment strip — and the
-# startswith-prefix anti-join; the oracle replays the block
-# condition arithmetically.
+# robots.txt compliance filter (RFC 9309): hosts site{h}.example
+# (h = 0..9) publish "User-agent: bot / Disallow: /" (a group that
+# must be IGNORED for agent '*'), then a MULTI-UA group
+# "User-agent: * / User-agent: other" with:
+#   Disallow: /d          (never matches /p... paths)
+#   Disallow:             (empty -> dropped)
+#   Disallow: /p{h%3}     (len 3)
+#   Allow:    /p{h%3}/x1  (len 6 -- rescues ids whose decimal string
+#                          starts with '1' when id%7 = (id%10)%3)
+#   Disallow: /p*/x*9$    (len 9 -- wildcard+anchor, beats the Allow;
+#                          matches exactly the ids ending in 9)
+# URLs 'http://site{id%10}.example/p{id%7}/x{id}'. RFC longest-match:
+# blocked iff id%10 = 9 OR (id%7 = (id%10)%3 AND NOT id-string
+# starts with '1'). Spark runs the REAL parser (group windows, UA
+# selection) and matcher (startswith fast path + regex-translated
+# wildcard rules, longest-rule precedence); the oracle replays the
+# decision arithmetically.
 @register(
     "wc03_robots_filter",
     """
@@ -1724,13 +1733,16 @@ def mm15(spark, sf):
            'http://site' || (doc_id % 10) || '.example/p'
              || (doc_id % 7) || '/x' || doc_id AS url
     FROM documents
-    WHERE doc_id % 7 <> (doc_id % 10) % 3
+    WHERE NOT (doc_id % 10 = 9
+               OR (doc_id % 7 = (doc_id % 10) % 3
+                   AND NOT starts_with(CAST(doc_id AS VARCHAR), '1')))
     """,
-    doc="robots.txt compliance filtering: real robots parser (line "
-        "explode + running User-agent section window + comment "
-        "strip, all JVM) and host-join + startswith-prefix anti-join "
-        "over the URL list — the crawl-politeness step of a web "
-        "pipeline; oracle replays the block condition",
+    doc="robots.txt compliance filtering under RFC 9309 semantics: "
+        "real parser (line explode + adjacent-UA group windows + "
+        "exact-beats-'*' group selection + comment strip, all JVM) "
+        "and the longest-match Allow/Disallow decision with '*'/'$' "
+        "pattern rules over the URL list — the crawl-politeness step "
+        "of a web pipeline; oracle replays the decision",
 )
 def wc03(spark, sf):
     from nowdb_spark.sources import warc as W
@@ -1740,10 +1752,13 @@ def wc03(spark, sf):
         .alias("host"),
         F.concat(
             F.lit("# crawl policy\nUser-agent: bot\nDisallow: /\n"
-                  "\nUser-agent: *\nDisallow: /d  # staging\n"
+                  "\nUser-agent: *\nUser-agent: other\n"
+                  "Disallow: /d  # staging\n"
                   "Disallow:\nDisallow: /p"),
             F.pmod(F.col("id"), F.lit(3)),
-            F.lit("\n")).alias("robots_txt"))
+            F.lit("\nAllow: /p"),
+            F.pmod(F.col("id"), F.lit(3)),
+            F.lit("/x1\nDisallow: /p*/x*9$\n")).alias("robots_txt"))
     urls = table(spark, sf, "documents").select(
         "doc_id",
         F.concat(F.lit("http://site"),
@@ -2090,24 +2105,32 @@ def wc01(spark, sf):
     """,
     doc="HTML link-graph extraction: href capture via JVM "
         "regexp_extract_all + posexplode + host regex (no Python in "
-        "the path); zero-anchor docs vanish, anchors keep document "
-        "order — the crawl-to-link-edges step feeding PageRank and "
-        "domain mixing",
+        "the path); anchors cycle double-quoted / single-quoted / "
+        "unquoted attribute syntax (all three occur in real HTML); "
+        "zero-anchor docs vanish, anchors keep document order — the "
+        "crawl-to-link-edges step feeding PageRank and domain mixing",
 )
 def wc02(spark, sf):
     from nowdb_spark.sources import warc as W
 
     d = table(spark, sf, "documents")
-    # sequence(1, 0) is DESCENDING in Spark — guard the 0-anchor case
+    # sequence(1, 0) is DESCENDING in Spark — guard the 0-anchor case.
+    # Quote style cycles with (doc_id + k) % 3 so every extraction
+    # branch (double / single / unquoted) is oracle-exercised.
     html = F.expr("""
       concat('<html><body><p>', text, '</p>',
         aggregate(
           if(doc_id % 4 = 0, array(),
              transform(sequence(1, int(doc_id % 4)), k ->
-               concat('<a href="http://site',
+               concat('<a href=',
+                      element_at(array('"', "'", ''),
+                                 int((doc_id + k) % 3) + 1),
+                      'http://site',
                       CAST((doc_id + k) % 50 AS STRING),
                       '.example/p', CAST(doc_id % 7 AS STRING),
-                      '">l</a>'))),
+                      element_at(array('"', "'", ''),
+                                 int((doc_id + k) % 3) + 1),
+                      '>l</a>'))),
           '', (acc, x) -> concat(acc, x)),
         '</body></html>')""")
     pages = d.select("doc_id", html.alias("html"))

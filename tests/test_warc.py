@@ -101,9 +101,9 @@ def test_warc_corrupt_tail_is_graceful(spark, tmp_path):
 
 
 def test_parse_robots_sections_and_comments(spark):
-    """Section tracking (rules bind to the PRECEDING User-agent),
-    comment stripping, empty-Disallow (allow-all) dropping, and
-    startswith path semantics in the filter."""
+    """Section tracking (rules bind to the governing User-agent
+    group), comment stripping, empty-Disallow (allow-all) dropping,
+    and prefix path semantics in the filter."""
     robots = spark.createDataFrame(
         [("h1", "User-agent: bot\nDisallow: /\n\n"
                 "User-agent: *\n# note\nDisallow: /a  # inline\n"
@@ -111,9 +111,11 @@ def test_parse_robots_sections_and_comments(spark):
          ("h2", "User-agent: *\nDisallow: /x\n"),
          ("h3", "User-agent: bot\nDisallow: /\n")],
         ["host", "robots_txt"])
-    rules = {(r["host"], r["prefix"])
+    rules = {(r["host"], r["rule"], r["prefix"])
              for r in W.parse_robots(robots).collect()}
-    assert rules == {("h1", "/a"), ("h1", "/b/c"), ("h2", "/x")}
+    assert rules == {("h1", "disallow", "/a"),
+                     ("h1", "disallow", "/b/c"),
+                     ("h2", "disallow", "/x")}
 
     urls = spark.createDataFrame(
         [(1, "http://h1/a/page"), (2, "http://h1/ab"),
@@ -123,9 +125,150 @@ def test_parse_robots_sections_and_comments(spark):
         ["id", "url"])
     kept = {r["id"] for r in
             W.robots_filter(urls, W.parse_robots(robots)).collect()}
-    # /ab IS blocked by prefix /a (startswith semantics, per the
-    # original convention); h3 blocks only 'bot'; unknown hosts pass
+    # /ab IS blocked by prefix /a (startswith semantics); h3 blocks
+    # only 'bot' (for '*' no group matches); unknown hosts pass
     assert kept == {4, 6, 7, 8}
+
+
+def test_robots_rfc9309_allow_longest_match(spark):
+    """RFC 9309 §2.2.2: the most specific (longest) matching rule
+    wins; an Allow/Disallow tie goes to Allow."""
+    robots = spark.createDataFrame(
+        [("h1", "User-agent: *\nDisallow: /a\nAllow: /a/ok\n"
+                "Disallow: /a/ok/sub\n"
+                # tie: equal-length allow+disallow -> allow
+                "Allow: /t/1\nDisallow: /t/1\n")],
+        ["host", "robots_txt"])
+    urls = spark.createDataFrame(
+        [(1, "http://h1/a/x"),        # blocked by /a
+         (2, "http://h1/a/ok"),       # allow /a/ok (5) > /a (2)
+         (3, "http://h1/a/ok/deep"),  # still allowed
+         (4, "http://h1/a/ok/sub/x"), # disallow (9) > allow (5)
+         (5, "http://h1/t/1"),        # tie -> allow
+         (6, "http://h1/zzz")],       # no rule matches -> allowed
+        ["id", "url"])
+    kept = {r["id"] for r in
+            W.robots_filter(urls, W.parse_robots(robots)).collect()}
+    assert kept == {2, 3, 5, 6}
+
+
+def test_robots_rfc9309_group_selection_and_merge(spark):
+    """Exact product-token match beats '*' (case-insensitive); '*'
+    is only a fallback; adjacent User-agent lines share one group;
+    same-token groups merge."""
+    txt = ("User-agent: GoodBot\nUser-agent: other\nDisallow: /g\n\n"
+           "User-agent: *\nDisallow: /s\n\n"
+           "User-agent: goodbot\nDisallow: /g2\n")
+    robots = spark.createDataFrame([("h1", txt)],
+                                   ["host", "robots_txt"])
+    got = {(r["rule"], r["prefix"]) for r in
+           W.parse_robots(robots, user_agent="goodbot").collect()}
+    # both goodbot groups merge; the '*' group is IGNORED (exact
+    # match exists); the multi-UA group binds /g to goodbot too
+    assert got == {("disallow", "/g"), ("disallow", "/g2")}
+    other = {(r["rule"], r["prefix"]) for r in
+             W.parse_robots(robots, user_agent="OTHER").collect()}
+    assert other == {("disallow", "/g")}
+    star = {(r["rule"], r["prefix"]) for r in
+            W.parse_robots(robots).collect()}
+    assert star == {("disallow", "/s")}
+    none = {(r["rule"], r["prefix"]) for r in
+            W.parse_robots(robots, user_agent="strangerbot").collect()}
+    assert none == {("disallow", "/s")}  # falls back to '*'
+
+
+def test_robots_rfc9309_wildcards_and_anchor(spark):
+    """RFC 9309 §2.2.3: '*' matches any character sequence, a
+    trailing '$' anchors the end of the path; regex metacharacters
+    in rules stay literal."""
+    robots = spark.createDataFrame(
+        [("h1", "User-agent: *\nDisallow: /img*.png$\n"
+                "Disallow: /tmp*\nDisallow: /lit+x\n")],
+        ["host", "robots_txt"])
+    urls = spark.createDataFrame(
+        [(1, "http://h1/img123.png"),    # wildcard + anchor hit
+         (2, "http://h1/img123.png/x"),  # anchor fails -> allowed
+         (3, "http://h1/img.png"),       # '*' matches empty
+         (4, "http://h1/tmp/a/b"),       # trailing '*' = prefix
+         (5, "http://h1/lit+x/y"),       # '+' literal
+         (6, "http://h1/litttx")],       # would match if '+' regex
+        ["id", "url"])
+    kept = {r["id"] for r in
+            W.robots_filter(urls, W.parse_robots(robots)).collect()}
+    assert kept == {2, 6}
+
+
+def _robots_model(groups, agent, path):
+    """Pure-Python RFC 9309 reference: groups = [(tokens, rules)]
+    with rules = [(kind, value)]; returns True if path is allowed."""
+    import re as _re
+    agent = agent.lower()
+    sel = [r for toks, r in groups if agent in toks]
+    if not sel:
+        sel = [r for toks, r in groups if "*" in toks]
+    best_a = best_d = -1
+    for rules in sel:
+        for kind, val in rules:
+            if not val:
+                continue
+            anchored = val.endswith("$")
+            body = val[:-1] if anchored else val
+            pat = "^" + ".*".join(_re.escape(p)
+                                  for p in body.split("*"))
+            if anchored:
+                pat += "$"
+            if _re.match(pat, path):
+                if kind == "allow":
+                    best_a = max(best_a, len(val))
+                else:
+                    best_d = max(best_d, len(val))
+    return not (best_d > best_a)
+
+
+def test_robots_rfc9309_property(spark):
+    """Deterministic pseudo-random rule files vs the pure-Python
+    RFC 9309 model: group selection, merge, longest-match, ties,
+    wildcards and anchors all at once."""
+    import random
+    rng = random.Random(9309)
+    segs = ["/a", "/b", "/a/b", "/ab", "/img", "/x*", "/a*/c",
+            "/a/b$", "/*.png$", "/"]
+    agents = ["*", "bot", "crawler"]
+    hosts, model_groups = [], {}
+    for h in range(12):
+        host = f"h{h}"
+        lines, groups = [], []
+        for _ in range(rng.randint(1, 3)):
+            toks = rng.sample(agents, rng.randint(1, 2))
+            rules = [(rng.choice(["allow", "disallow"]),
+                      rng.choice(segs))
+                     for _ in range(rng.randint(1, 4))]
+            for t in toks:
+                lines.append(f"User-agent: {t}")
+            for kind, val in rules:
+                lines.append(f"{kind.capitalize()}: {val}")
+            lines.append("")
+            groups.append(([t.lower() for t in toks], rules))
+        hosts.append((host, "\n".join(lines)))
+        model_groups[host] = groups
+    robots = spark.createDataFrame(hosts, ["host", "robots_txt"])
+
+    paths = ["/a", "/a/b", "/a/bb", "/ab", "/abc", "/img9.png",
+             "/x7/c", "/axx/c", "/", "/zz"]
+    urls = [(i, f"http://h{i % 12}{p}")
+            for i, p in enumerate(paths * 12)]
+    urls_df = spark.createDataFrame(urls, ["id", "url"])
+
+    for agent in ["*", "bot"]:
+        kept = {r["id"] for r in W.robots_filter(
+            urls_df, W.parse_robots(robots, user_agent=agent))
+            .collect()}
+        expect = {i for i, u in urls
+                  if _robots_model(
+                      model_groups[u.split("/")[2]], agent,
+                      "/" + u.split("/", 3)[3] if u.count("/") > 2
+                      else "/")}
+        assert kept == expect, (agent, kept ^ expect)
 
 
 def test_parse_sitemap_optional_fields(spark):

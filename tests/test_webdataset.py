@@ -30,6 +30,19 @@ def test_read_webdataset_samples(spark, tmp_path):
     assert set(rows["000003"]) == {"seg.png", "txt"}
 
 
+def test_webdataset_oversized_shard_clear_error(spark, tmp_path):
+    """A shard past the binaryFile row cap must fail UP FRONT with an
+    actionable message (metadata-only check, shared with the WARC
+    reader via binlimits.py), not an opaque Arrow error in a task."""
+    import pytest
+    shard = WD.encode_tar([("000001.txt", b"x" * 4096)])
+    (tmp_path / "big.tar").write_bytes(shard)
+    with pytest.raises(ValueError, match="max_file_bytes"):
+        WD.read_webdataset(spark, str(tmp_path), max_file_bytes=64)
+    # under the cap the same shard parses fine
+    assert WD.read_webdataset(spark, str(tmp_path)).count() == 1
+
+
 def test_tar_members_skips_non_regular_and_bad(spark):
     import io
     import tarfile
