@@ -402,6 +402,95 @@ def main() -> None:
                                             every_n=2)
              .agg(F.count(F.lit(1))).collect())
 
+        # round-10 ingestion/codec rates, same median-of-3 rate()
+        # convention (bounded volumes recorded alongside). Two FLAC
+        # numbers: the tiny-fixture clips/s (per-clip overhead bound,
+        # comparable to mm04-06) and the long-clip per-SAMPLE rate
+        # from a parquet scan — the number that predicts real-audio
+        # corpus throughput.
+        n_flac = min(n_imgs, 25_000)
+        flac_ids = ids.filter(F.col("doc_id") < n_flac)
+        rate("mm11_clips_per_sec", n_flac,
+             lambda: MM.flac_features_real(MM.synth_flac_files(flac_ids))
+             .agg(F.count(F.lit(1))).collect(),
+             extra={"mm11_clips": n_flac})
+        n_long, n_samp = 640, 25_000
+        try:
+            # odd ids: stereo, alternating fixed1/lpc subframes —
+            # both the vectorized and the sequential predictor path
+            long_ids = (spark.range(n_long)
+                        .select((F.col("id") * 2 + 1).alias("doc_id"))
+                        .repartition(cores))
+            MM.synth_flac_files(long_ids, n_samples=n_samp) \
+                .write.mode("overwrite").parquet(f"{tmp}/flacs")
+            flsrc = spark.read.parquet(f"{tmp}/flacs")
+            rate("mm11_samples_per_sec", n_long * n_samp * 2,
+                 lambda: MM.flac_features_real(flsrc)
+                 .agg(F.sum("n_samples")).collect(),
+                 extra={"mm11_long_clips": n_long,
+                        "mm11_samples_per_clip": n_samp * 2})
+        except Exception as e:  # noqa: BLE001
+            errors["mm11_samples_per_sec"] = str(e).split("\n")[0][:200]
+        n_half = min(n_imgs, 50_000)
+        half_ids = ids.filter(F.col("doc_id") < n_half)
+        rate("mm15_clips_per_sec", n_half,
+             lambda: MM.audio_features_real(MM.synth_adpcm(half_ids))
+             .agg(F.count(F.lit(1))).collect(),
+             extra={"mm15_clips": n_half})
+        rate("dc01_docs_per_sec", n_half,
+             lambda: MM.pdf_text_real(MM.synth_pdfs(half_ids))
+             .agg(F.count(F.lit(1))).collect(),
+             extra={"dc01_docs": n_half})
+        # WebDataset: shards synthesized ONCE to parquet; timed =
+        # member parse + (id, basename) sample regroup (the only
+        # shuffle of the reader)
+        from nowdb_spark.sources import webdataset as WD
+        try:
+            WD.synth_tar_shards(ids).write.mode("overwrite") \
+                .parquet(f"{tmp}/shards")
+            wsrc = spark.read.parquet(f"{tmp}/shards")
+            rate("wd01_shards_per_sec", n_imgs,
+                 lambda: WD.sample_regroup(wsrc).count(),
+                 extra={"wd01_shards": n_imgs})
+        except Exception as e:  # noqa: BLE001
+            errors["wd01_shards_per_sec"] = str(e).split("\n")[0][:200]
+        # composed crawl pipeline on a bounded docs slice: robots
+        # gate → WARC round trip (gzip members) → HTML extract →
+        # token count — the wc05 gate row's shape at bench volume
+        from nowdb_spark.operators.textops import token_count
+        from nowdb_spark.sources import warc as WC
+        n_crawl = min(n_docs, 200_000)
+        csl = dsrc.filter(F.col("doc_id") < n_crawl).repartition(cores)
+        robots = spark.range(10).select(
+            F.concat(F.lit("site"), F.col("id"), F.lit(".example"))
+            .alias("host"),
+            F.concat(F.lit("User-agent: *\nDisallow: /p"),
+                     F.pmod(F.col("id"), F.lit(3)),
+                     F.lit("\n")).alias("robots_txt"))
+
+        def crawl():
+            urls = csl.select(
+                "doc_id",
+                F.concat(F.lit("http://site"),
+                         F.pmod(F.col("doc_id"), F.lit(10)),
+                         F.lit(".example/p"),
+                         F.pmod(F.col("doc_id"), F.lit(7)),
+                         F.lit("/x"), F.col("doc_id")).alias("url"))
+            allowed = WC.robots_filter(urls, WC.parse_robots(robots))
+            recs = WC.parse_warc_bytes(WC.synth_warc(csl))
+            extracted = (recs
+                         .where(F.col("warc_type") == "response")
+                         .select("doc_id",
+                                 WC.html_to_text(
+                                     F.decode(F.col("payload"),
+                                              "utf-8")).alias("text")))
+            return (allowed.join(extracted, "doc_id")
+                    .select(token_count(F.col("text")).alias("n"))
+                    .agg(F.sum("n")).collect())
+
+        rate("wc05_docs_per_sec", n_crawl, crawl,
+             extra={"wc05_docs": n_crawl})
+
         dim = 64
         vec = F.transform(
             F.sequence(F.lit(0), F.lit(dim - 1)),

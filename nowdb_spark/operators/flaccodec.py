@@ -32,6 +32,7 @@ from types import SimpleNamespace
 
 
 def make_flac_codec() -> SimpleNamespace:
+    import numpy as np
     """Returns a namespace with:
       decode(b)       -> {fmt, sample_rate, channels, bits, n_samples,
                           samples (interleaved list[int])} | None
@@ -67,20 +68,41 @@ def make_flac_codec() -> SimpleNamespace:
             c = _CRC8[c ^ x]
         return c
 
+    # slice-by-2: one 64K table of "push 16 zero bits from state v".
+    # CRC is GF(2)-linear, so pushing bytes (x1,x2) from state c equals
+    # pushing zeros from state c ^ (x1<<8|x2) — one lookup per word.
+    # Built lazily (first frame) so make_flac_codec stays cheap.
+    _CRC16_W = []
+
     def crc16(data: bytes) -> int:
+        if not _CRC16_W:
+            t = _CRC16
+            for v in range(65536):
+                c1 = t[v >> 8] ^ ((v << 8) & 0xFFFF)
+                _CRC16_W.append(t[c1 >> 8] ^ ((c1 << 8) & 0xFFFF))
         c = 0
-        for x in data:
-            c = _CRC16[((c >> 8) ^ x) & 0xFF] ^ ((c << 8) & 0xFFFF)
+        n2 = len(data) & ~1
+        t2 = _CRC16_W
+        for w in np.frombuffer(data[:n2], dtype=">u2").tolist():
+            c = t2[c ^ w]
+        if len(data) & 1:
+            c = _CRC16[(c >> 8) ^ data[-1]] ^ ((c << 8) & 0xFFFF)
         return c
 
     # --- bit IO ------------------------------------------------------
 
     class _Reader:
-        __slots__ = ("b", "pos")
+        __slots__ = ("b", "pos", "bits_np", "nbits")
 
-        def __init__(self, b: bytes, pos_bits: int = 0):
+        def __init__(self, b: bytes, pos_bits: int = 0,
+                     bits_np=None):
             self.b = b
             self.pos = pos_bits
+            # vectorized field/residual reads index this 0/1 array
+            # (one unpackbits per decode, shared across frames)
+            self.bits_np = bits_np if bits_np is not None else \
+                np.unpackbits(np.frombuffer(b, dtype=np.uint8))
+            self.nbits = len(b) * 8
 
         def read(self, n: int) -> int:
             v, p = 0, self.pos
@@ -193,8 +215,94 @@ def make_flac_codec() -> SimpleNamespace:
         return v
 
     # --- subframe decode ----------------------------------------------
+    # The residual/field layer is numpy-vectorized: one unpackbits per
+    # file, fixed-width fields via contiguous reshape + dot, Rice
+    # unary runs via a windowed ones-position walk (bisect skips the
+    # 1-bits inside remainders), FIXED prediction via iterated exact
+    # integer cumsum. The encoder and the header layer stay pure
+    # Python; round-trip tests pin bit-exactness.
 
-    def _decode_residuals(r: _Reader, bs: int, order: int) -> list:
+    def _read_fields(r: _Reader, n: int, width: int, signed: bool):
+        """n consecutive width-bit fields → int64 array (vectorized
+        contiguous gather). Advances the reader."""
+        if n == 0 or width == 0:
+            r.pos += n * width
+            return np.zeros(n, np.int64)
+        end = r.pos + n * width
+        if end > r.nbits:
+            raise ValueError("flac: bitstream truncated")
+        w2 = (np.int64(1) << np.arange(width - 1, -1, -1,
+                                       dtype=np.int64))
+        vals = (r.bits_np[r.pos:end].reshape(n, width)
+                .astype(np.int64) @ w2)
+        if signed:
+            vals = vals - ((vals >> (width - 1)) << width)
+        r.pos = end
+        return vals
+
+    def _rice_partition(r: _Reader, n: int, param: int):
+        """n Rice(param) codes starting at r.pos → int64 residuals,
+        fully vectorized.
+
+        The i-th code's unary run ends at the first 1-bit at/after
+        the previous code's end, so over the window's ones-position
+        array the walk is the functional iteration
+        j_{i+1} = searchsorted(ones, ones[j_i] + 1 + param) — which
+        skips any 1-bits inside the k-bit remainders by construction.
+        `nxt` is computed for EVERY ones position in one vectorized
+        searchsorted, and the n-step path is extracted by pointer
+        doubling (log2(n) table squarings), so no per-residual Python
+        work remains. Remainders are gathered in one fancy-index
+        pass. The window is sized to the expected partition length
+        and doubled (rare) if the walk escapes it."""
+        if n == 0:
+            return np.zeros(0, np.int64)
+        bits, total = r.bits_np, r.nbits
+        step = 1 + param
+        base = r.pos
+        wlen = n * (step + 4) + 64
+        while True:
+            wend = min(base + wlen, total)
+            ones = np.flatnonzero(bits[base:wend]).astype(np.int64)
+            m = len(ones)
+            if m:
+                nxt = np.empty(m + 1, np.int64)
+                nxt[:m] = np.searchsorted(ones, ones + step)
+                nxt[m] = m                  # out-of-window sentinel
+                seq = np.empty(n, np.int64)
+                seq[0] = 0                  # first stop = first one
+                filled, table = 1, nxt
+                while filled < n:
+                    take = min(filled, n - filled)
+                    seq[filled:filled + take] = table[seq[:take]]
+                    filled += take
+                    if filled < n:
+                        table = table[table]
+                if int(seq[-1]) < m:
+                    break                   # walk stayed in-window
+            if wend >= total:
+                raise ValueError("flac: bitstream truncated")
+            wlen *= 4
+        stops = ones[seq] + base
+        prev = np.empty(n, np.int64)
+        prev[0] = base
+        prev[1:] = stops[:-1] + step
+        q = stops - prev                    # zeros between codes
+        cur = int(stops[-1]) + step
+        if cur > total:
+            raise ValueError("flac: bitstream truncated")
+        r.pos = cur
+        if param:
+            idx = (stops[:, None] + 1
+                   + np.arange(param, dtype=np.int64))
+            w2 = (np.int64(1) << np.arange(param - 1, -1, -1,
+                                           dtype=np.int64))
+            v = (q << param) | (bits[idx].astype(np.int64) @ w2)
+        else:
+            v = q
+        return (v >> 1) ^ -(v & 1)          # un-zigzag
+
+    def _decode_residuals(r: _Reader, bs: int, order: int):
         method = r.read(2)
         if method > 1:
             raise ValueError("flac: reserved residual method")
@@ -202,22 +310,28 @@ def make_flac_codec() -> SimpleNamespace:
         po = r.read(4)
         if bs % (1 << po):
             raise ValueError("flac: partition order mismatch")
-        res = []
+        parts = []
         for part in range(1 << po):
             n = (bs >> po) - (order if part == 0 else 0)
             param = r.read(plen)
             if param == (1 << plen) - 1:    # escape: raw residuals
                 nbits = r.read(5)
-                res.extend(r.read_signed(nbits) if nbits else 0
-                           for _ in range(n))
+                parts.append(_read_fields(r, n, nbits, signed=True))
             else:
-                for _ in range(n):
-                    q = r.read_unary()
-                    v = (q << param) | (r.read(param) if param else 0)
-                    res.append((v >> 1) ^ -(v & 1))   # un-zigzag
-        return res
+                parts.append(_rice_partition(r, n, param))
+        return np.concatenate(parts) if len(parts) > 1 else parts[0]
 
-    def _decode_subframe(r: _Reader, bs: int, bps: int) -> list:
+    def _fixed_reconstruct(warm, res, order: int):
+        """FIXED-order inverse: residuals are exactly the order-th
+        finite differences, so reconstruction is `order` iterated
+        integer cumsums seeded from the warm-up differences."""
+        cur = res
+        for j in range(order, 0, -1):
+            init = int(np.diff(warm, j - 1)[-1]) if order else 0
+            cur = init + np.cumsum(cur)
+        return np.concatenate([warm, cur])
+
+    def _decode_subframe(r: _Reader, bs: int, bps: int):
         if r.read(1):
             raise ValueError("flac: bad subframe padding bit")
         typ = r.read(6)
@@ -226,21 +340,18 @@ def make_flac_codec() -> SimpleNamespace:
             wasted = r.read_unary() + 1
         eff = bps - wasted
         if typ == 0:                        # CONSTANT
-            s = [r.read_signed(eff)] * bs
+            s = np.full(bs, r.read_signed(eff), np.int64)
         elif typ == 1:                      # VERBATIM
-            s = [r.read_signed(eff) for _ in range(bs)]
+            s = _read_fields(r, bs, eff, signed=True)
         elif 8 <= typ <= 12:                # FIXED order 0..4
             order = typ - 8
-            s = [r.read_signed(eff) for _ in range(order)]
+            warm = _read_fields(r, order, eff, signed=True)
             res = _decode_residuals(r, bs, order)
-            coef = _FIXED_COEF[order]
-            for i, e in enumerate(res):
-                pred = sum(c * s[order + i - 1 - j]
-                           for j, c in enumerate(coef))
-                s.append(pred + e)
+            s = _fixed_reconstruct(warm, res, order) if order \
+                else res
         elif typ >= 32:                     # LPC order 1..32
             order = typ - 31
-            s = [r.read_signed(eff) for _ in range(order)]
+            warm = _read_fields(r, order, eff, signed=True)
             prec = r.read(4) + 1
             if prec == 16:
                 raise ValueError("flac: invalid LPC precision")
@@ -249,23 +360,29 @@ def make_flac_codec() -> SimpleNamespace:
                 raise ValueError("flac: negative LPC shift")
             coef = [r.read_signed(prec) for _ in range(order)]
             res = _decode_residuals(r, bs, order)
-            for i, e in enumerate(res):
-                pred = sum(c * s[order + i - 1 - j]
+            # quantized-coefficient prediction with the spec's
+            # arithmetic right shift is inherently sequential —
+            # stays a Python-int loop (exact, no overflow)
+            sl = warm.tolist()
+            for e in res.tolist():
+                pred = sum(c * sl[-1 - j]
                            for j, c in enumerate(coef)) >> shift
-                s.append(pred + e)
+                sl.append(pred + e)
+            s = np.asarray(sl, np.int64)
         else:
             raise ValueError(f"flac: reserved subframe type {typ}")
         if wasted:
-            s = [x << wasted for x in s]
+            s = s << wasted
         return s
 
     # --- frame decode ---------------------------------------------------
 
-    def _decode_frame(b: bytes, byte_pos: int, info: dict):
+    def _decode_frame(b: bytes, byte_pos: int, info: dict,
+                      bits_np=None):
         """Decode one frame at byte_pos; returns (per-channel sample
-        lists, next byte_pos)."""
+        arrays, next byte_pos)."""
         start = byte_pos
-        r = _Reader(b, byte_pos * 8)
+        r = _Reader(b, byte_pos * 8, bits_np=bits_np)
         if r.read(14) != 0b11111111111110:
             raise ValueError("flac: lost frame sync")
         r.read(1)                           # reserved
@@ -306,20 +423,16 @@ def make_flac_codec() -> SimpleNamespace:
         elif ch_code == 8:                  # left/side
             left = _decode_subframe(r, bs, bps)
             side = _decode_subframe(r, bs, bps + 1)
-            chans = [left, [l - s for l, s in zip(left, side)]]
+            chans = [left, left - side]
         elif ch_code == 9:                  # right/side
             side = _decode_subframe(r, bs, bps + 1)
             right = _decode_subframe(r, bs, bps)
-            chans = [[s + rr for s, rr in zip(side, right)], right]
+            chans = [side + right, right]
         elif ch_code == 10:                 # mid/side
             mid = _decode_subframe(r, bs, bps)
             side = _decode_subframe(r, bs, bps + 1)
-            left, right = [], []
-            for m, s in zip(mid, side):
-                m2 = (m << 1) | (s & 1)
-                left.append((m2 + s) >> 1)
-                right.append((m2 - s) >> 1)
-            chans = [left, right]
+            m2 = (mid << 1) | (side & 1)
+            chans = [(m2 + side) >> 1, (m2 - side) >> 1]
         else:
             raise ValueError("flac: reserved channel assignment")
         r.align()
@@ -328,11 +441,10 @@ def make_flac_codec() -> SimpleNamespace:
             raise ValueError("flac: frame CRC-16 mismatch")
         return chans, body_end + 2
 
-    def decode(b: bytes):
-        """Full-file decode: magic + metadata walk (via STREAMINFO)
-        then every frame until the STREAMINFO sample total is
-        reached. Returns None for non-FLAC bytes; raises ValueError
-        for corrupt FLAC (CRC/structure)."""
+    def _decode_channels(b: bytes):
+        """Full-file decode to per-channel int64 numpy arrays (the
+        features() fast path; decode() interleaves to a list on top).
+        Returns (info, [channel arrays]) or None for non-FLAC."""
         from nowdb_spark.operators.audiocodec import make_audio_codec
         info = make_audio_codec().flac_meta(b)
         if info is None:
@@ -345,21 +457,38 @@ def make_flac_codec() -> SimpleNamespace:
             if last:
                 break
         total = info["n_samples"]
-        chans = [[] for _ in range(info["channels"])]
-        while len(chans[0]) < total and i < len(b):
-            fr, i = _decode_frame(b, i, info)
+        bits_np = np.unpackbits(np.frombuffer(b, dtype=np.uint8))
+        parts = [[] for _ in range(info["channels"])]
+        got = 0
+        while got < total and i < len(b):
+            fr, i = _decode_frame(b, i, info, bits_np=bits_np)
             if len(fr) != info["channels"]:
                 raise ValueError("flac: channel count changed mid-stream")
-            for c, s in zip(chans, fr):
-                c.extend(s)
-        if len(chans[0]) != total:
+            for c, s in zip(parts, fr):
+                c.append(s)
+            got += len(fr[0])
+        if got != total:
             raise ValueError("flac: stream ended before sample total")
-        inter = [0] * (total * len(chans))
+        chans = [np.concatenate(p) if p else np.zeros(0, np.int64)
+                 for p in parts]
+        return info, chans
+
+    def decode(b: bytes):
+        """Full-file decode: magic + metadata walk (via STREAMINFO)
+        then every frame until the STREAMINFO sample total is
+        reached. Returns None for non-FLAC bytes; raises ValueError
+        for corrupt FLAC (CRC/structure)."""
+        dec = _decode_channels(b)
+        if dec is None:
+            return None
+        info, chans = dec
+        total = info["n_samples"]
+        inter = np.empty(total * len(chans), np.int64)
         for c, s in enumerate(chans):
             inter[c::len(chans)] = s
         return {"fmt": "flac", "sample_rate": info["sample_rate"],
                 "channels": info["channels"], "bits": info["bits"],
-                "n_samples": total, "samples": inter}
+                "n_samples": total, "samples": inter.tolist()}
 
     # --- encode -----------------------------------------------------------
 
@@ -527,17 +656,32 @@ def make_flac_codec() -> SimpleNamespace:
         """Deterministic integer features over the DECODED interleaved
         samples (oracle-replayable): count, rate, floor-ms duration,
         |peak|, sum of squares — the FLAC twin of audiocodec
-        features()."""
-        a = decode(b)
-        if a is None:
+        features(). Vectorized; sq_sum accumulates in exact Python
+        ints over chunks sized so each int64 partial cannot overflow
+        (needed once samples exceed ~21 bits)."""
+        dec = _decode_channels(b)
+        if dec is None:
             return None
-        s = a["samples"]
-        return {"n_samples": a["n_samples"],
-                "channels": a["channels"],
-                "sample_rate": a["sample_rate"],
-                "duration_ms": a["n_samples"] * 1000 // a["sample_rate"],
-                "peak": max((abs(x) for x in s), default=0),
-                "sq_sum": sum(x * x for x in s)}
+        info, chans = dec
+        peak = 0
+        sq_sum = 0
+        for s in chans:
+            if len(s):
+                a = np.abs(s)
+                peak = max(peak, int(a.max()))
+        if peak:
+            chunk = max(1, 2 ** 62 // (peak * peak))
+            for s in chans:
+                for off in range(0, len(s), chunk):
+                    c = s[off:off + chunk]
+                    sq_sum += int(c @ c)
+        return {"n_samples": info["n_samples"],
+                "channels": info["channels"],
+                "sample_rate": info["sample_rate"],
+                "duration_ms": (info["n_samples"] * 1000
+                                // info["sample_rate"]),
+                "peak": peak,
+                "sq_sum": sq_sum}
 
     return SimpleNamespace(decode=decode, encode=encode,
                            features=features, crc8=crc8, crc16=crc16)

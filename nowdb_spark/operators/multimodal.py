@@ -898,7 +898,8 @@ def opus_meta_real(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)
 
 
-def synth_flac_files(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synth_flac_files(df: DataFrame, id_col: str = "doc_id",
+                     n_samples: int | None = None) -> DataFrame:
     """Synthesize REAL FLAC files from an id column: n = id%50+10
     samples per channel, channel 1 s_i = ((id*7+i*13)%4001)-2000 (the
     synth_audio arithmetic), channel 2 (when 1+id%2 = 2)
@@ -906,7 +907,11 @@ def synth_flac_files(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     subframe kind cycles verbatim/fixed1/fixed2/lpc by id%4, stereo
     decorrelation cycles independent/left-side/right-side/mid-side by
     (id//2)%4, rice partition order id%3, block size 16 (multi-frame
-    streams) — every decoder path exercised across the corpus."""
+    streams) — every decoder path exercised across the corpus.
+
+    ``n_samples`` overrides the per-id length (bench long-clip shape,
+    block size 4096 like real encoders); the oracle row uses the
+    default id-derived lengths."""
     from nowdb_spark.operators.flaccodec import make_flac_codec
 
     codec = make_flac_codec()
@@ -920,14 +925,15 @@ def synth_flac_files(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         def synth(did: int) -> bytes:
             did = int(did)
-            n = did % 50 + 10
+            n = n_samples or (did % 50 + 10)
             chans = [[((did * 7 + i * 13) % 4001) - 2000
                       for i in range(n)]]
             if did % 2:
                 chans.append([((did * 11 + i * 17) % 4001) - 2000
                               for i in range(n)])
             return codec.encode(
-                chans, rate=rates[did % 3], bits=16, block_size=16,
+                chans, rate=rates[did % 3], bits=16,
+                block_size=16 if n_samples is None else 4096,
                 subframe=kinds[did % 4],
                 stereo_mode=modes[(did // 2) % 4],
                 rice_partition_order=did % 3)

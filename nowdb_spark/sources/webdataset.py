@@ -133,6 +133,44 @@ def read_webdataset(spark: SparkSession, path: str,
                 .alias("parts")))
 
 
+def synth_tar_shards(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic one-shard-per-id tar bytes (the wd01 gate / bench
+    fixture): id%3+1 samples, each a .txt ('d{id} s{k}') + .cls
+    ('{(id+k)%10}') member pair. Narrow mapInPandas."""
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        def synth(did: int) -> bytes:
+            did = int(did)
+            members = []
+            for s in range(did % 3 + 1):
+                members.append((f"{did}_{s}.txt",
+                                f"d{did} s{s}".encode()))
+                members.append((f"{did}_{s}.cls",
+                                str((did + s) % 10).encode()))
+            return encode_tar(members)
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "payload": [synth(x) for x in pdf[id_col]],
+            })
+
+    return df.select(id_col).mapInPandas(
+        kernel, f"{id_col} long, payload binary")
+
+
+def sample_regroup(shards: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Member parse + (id, basename) sample regroup over a tar-bytes
+    column — the distributed WebDataset core shared by the wd01 gate
+    row and the bench rate."""
+    return (parse_tar_bytes(shards, id_col=id_col)
+            .groupBy(id_col, "basename")
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("ext", "payload")))
+                .alias("parts")))
+
+
 def encode_tar(members: list) -> bytes:
     """Fixture builder: real ustar bytes from [(name, payload), …]
     (deterministic mtime so shards are byte-stable)."""

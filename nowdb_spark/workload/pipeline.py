@@ -1520,33 +1520,7 @@ def wd01(spark, sf):
     from nowdb_spark.sources import webdataset as WD
 
     d = spread(table(spark, sf, "documents"))
-
-    def kernel(batches):
-        import pandas as _pd
-
-        def synth(did: int) -> bytes:
-            did = int(did)
-            members = []
-            for s in range(did % 3 + 1):
-                members.append((f"{did}_{s}.txt",
-                                f"d{did} s{s}".encode()))
-                members.append((f"{did}_{s}.cls",
-                                str((did + s) % 10).encode()))
-            return WD.encode_tar(members)
-
-        for pdf in batches:
-            yield _pd.DataFrame({
-                "doc_id": pdf["doc_id"].values,
-                "payload": [synth(x) for x in pdf["doc_id"]],
-            })
-
-    shards = (d.select("doc_id")
-              .mapInPandas(kernel, "doc_id long, payload binary"))
-    samples = (WD.parse_tar_bytes(shards)
-               .groupBy("doc_id", "basename")
-               .agg(F.map_from_entries(
-                   F.collect_list(F.struct("ext", "payload")))
-                   .alias("parts")))
+    samples = WD.sample_regroup(WD.synth_tar_shards(d))
     return samples.select(
         "doc_id", "basename",
         F.decode(F.element_at("parts", "txt"), "utf-8").alias("txt"),
