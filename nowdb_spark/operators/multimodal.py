@@ -60,19 +60,24 @@ def _fake_decode(payload: bytes) -> dict:
 
 
 def decode_image(payload: bytes):
-    """Real decode entry point. BMP/PPM/PNG (zlib/DEFLATE)/GIF (LZW)
-    and JPEG — baseline AND progressive (SOF2), any 4:4:4/4:2:2/4:2:0
-    sampling — decode via the vendored pure-Python codecs; remaining
-    formats (WebP, arithmetic-coded JPEG, …) need codec libs (absent
-    in this container) and raise honestly."""
+    """Real decode entry point. BMP/PPM/PNG (zlib/DEFLATE)/GIF (LZW),
+    JPEG — baseline AND progressive (SOF2), any 4:4:4/4:2:2/4:2:0
+    sampling — and WebP-LOSSLESS (VP8L: Huffman+LZ77, color cache,
+    all four transforms) decode via the vendored pure-Python codecs;
+    remaining formats (lossy VP8 WebP, arithmetic-coded JPEG, …) need
+    codec libs (absent in this container) and raise honestly."""
     from nowdb_spark.operators.imagecodec import CODEC
+    from nowdb_spark.operators.webpcodec import WEBP_CODEC
 
     img = CODEC.decode(payload)
     if img is not None:
         return img
+    img = WEBP_CODEC.decode(payload)
+    if img is not None:
+        return img
     if not _HAVE_CODECS:
         raise NotImplementedError(
-            "BMP/PPM/PNG/GIF/JPEG (baseline+progressive) decode "
+            "BMP/PPM/PNG/GIF/JPEG (baseline+progressive)/VP8L decode "
             "without codec libs; metadata plumbing for other formats "
             "uses _fake_decode")
     raise NotImplementedError("wire to PIL.Image.open(io.BytesIO(payload))")
@@ -981,6 +986,117 @@ def flac_features_real(df: DataFrame, id_col: str = "doc_id",
             yield _pd.DataFrame(out, columns=[
                 id_col, "fmt", "channels", "n_samples", "sample_rate",
                 "duration_ms", "peak", "sq_sum"])
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
+def synth_webps(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize REAL WebP-lossless (VP8L) files from an id column:
+    w = 8+id%9, h = 8+id%7. Encoding variant cycles by id%6 —
+    0: plain literals + back-references, 1: subtract-green + color
+    cache, 2: predictor transform (mode id%14), 3: subtract-green +
+    predictor (mode (id//2)%14), 4: color transform (id-derived
+    element), 5: color-indexing palette ([2,4,9,16,40][(id//6)%5]
+    colors — every bundling width plus unbundled). Non-palette
+    pixels (xx = x//3 so runs exist for LZ77):
+      r=(id*3+xx*7+y*11)%256, g=(id*5+xx*13+y*3)%256,
+      b=(id*7+xx*3+y*5)%256, a=255-((id+x+y)%2)
+    palette entry i: r=(id*3+i*17)%256, g=(id*5+i*29)%256,
+    b=(id*7+i*43)%256, a=255; index (x//2 + y + id) % n_colors."""
+    from nowdb_spark.operators.webpcodec import make_webp_codec
+
+    codec = make_webp_codec()
+    schema = f"{id_col} long, payload binary"
+    pal_sizes = (2, 4, 9, 16, 40)
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        def synth(did: int) -> bytes:
+            did = int(did)
+            w, h = 8 + did % 9, 8 + did % 7
+            v = did % 6
+            px = []
+            if v == 5:
+                nc = pal_sizes[(did // 6) % 5]
+                pal = [0xFF000000
+                       | (((did * 3 + i * 17) % 256) << 16)
+                       | (((did * 5 + i * 29) % 256) << 8)
+                       | ((did * 7 + i * 43) % 256)
+                       for i in range(nc)]
+                for y in range(h):
+                    for x in range(w):
+                        px.append(pal[(x // 2 + y + did) % nc])
+                return codec.encode(px, w, h, transform="palette")
+            for y in range(h):
+                for x in range(w):
+                    xx = x // 3
+                    r = (did * 3 + xx * 7 + y * 11) % 256
+                    g = (did * 5 + xx * 13 + y * 3) % 256
+                    b = (did * 7 + xx * 3 + y * 5) % 256
+                    a = 255 - ((did + x + y) % 2)
+                    px.append((a << 24) | (r << 16) | (g << 8) | b)
+            if v == 0:
+                return codec.encode(px, w, h)
+            if v == 1:
+                return codec.encode(px, w, h,
+                                    transform="subtract_green",
+                                    cache_bits=4)
+            if v == 2:
+                return codec.encode(px, w, h, transform="predictor",
+                                    predictor_mode=did % 14,
+                                    cache_bits=3)
+            if v == 3:
+                return codec.encode(px, w, h,
+                                    transform="green_predictor",
+                                    predictor_mode=(did // 2) % 14)
+            return codec.encode(px, w, h, transform="color",
+                                color_elem=((did * 37) % 256,
+                                            (did * 59) % 256,
+                                            (did * 83) % 256))
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "payload": [synth(d) for d in pdf[id_col]],
+            })
+
+    return df.select(id_col).mapInPandas(kernel, schema)
+
+
+def webp_features_real(df: DataFrame, id_col: str = "doc_id",
+                       payload_col: str = "payload") -> DataFrame:
+    """REAL VP8L SAMPLE decode (webpcodec.py: prefix codes, LZ77 +
+    2D distance map, color cache, all four inverse transforms) to
+    exact integer features: dims, the position/channel-weighted
+    px_check of decode_meta_real, and the alpha-plane sum. Non-WebP
+    or corrupt bytes yield NULLs, never a task failure. Narrow,
+    zero-shuffle."""
+    from nowdb_spark.operators.webpcodec import make_webp_codec
+
+    codec = make_webp_codec()
+    schema = (f"{id_col} long, fmt string, width long, height long, "
+              "n_px long, px_check long, a_sum long")
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    m = codec.features(bytes(payload))
+                except ValueError:
+                    m = None
+                if m is None:
+                    out.append((int(did),) + (None,) * 6)
+                else:
+                    out.append((int(did), m["fmt"], m["width"],
+                                m["height"], m["n_px"],
+                                m["px_check"], m["a_sum"]))
+            yield _pd.DataFrame(out, columns=[
+                id_col, "fmt", "width", "height", "n_px",
+                "px_check", "a_sum"])
 
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)
 

@@ -1347,6 +1347,73 @@ def wc05(spark, sf):
                     token_count(F.col("text")).alias("n_tokens")))
 
 
+# WebP-lossless sample decode (mm19): REAL VP8L files — prefix codes
+# (simple + normal with 16/17/18 repeats), LZ77 back-references over
+# the 120-entry 2D distance map, color cache, and all four inverse
+# transforms (14 predictor modes, color, subtract-green, delta-coded
+# palette with every bundling width) — cycled across the corpus by
+# id%6 (synth_webps docstring has the exact pixel arithmetic the
+# oracle replays).
+_MM19_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         8 + doc_id % 9 AS w,
+         8 + doc_id % 7 AS h,
+         doc_id % 6 AS v,
+         list_extract([2, 4, 9, 16, 40],
+                      CAST((doc_id // 6) % 5 + 1 AS INT)) AS nc
+  FROM documents
+)
+SELECT doc_id,
+       'webp-lossless' AS fmt,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(w * h AS BIGINT) AS n_px,
+       CAST(CASE WHEN v = 5 THEN
+         list_aggregate(list_transform(range(0, w*h), p ->
+           (p + 1) * (
+             ((doc_id*3
+               + (((p % w) // 2 + p // w + doc_id) % nc) * 17) % 256)
+             + 2 * ((doc_id*5
+               + (((p % w) // 2 + p // w + doc_id) % nc) * 29) % 256)
+             + 3 * ((doc_id*7
+               + (((p % w) // 2 + p // w + doc_id) % nc) * 43) % 256))),
+           'sum')
+       ELSE
+         list_aggregate(list_transform(range(0, w*h), p ->
+           (p + 1) * (
+             ((doc_id*3 + ((p % w) // 3) * 7 + (p // w) * 11) % 256)
+             + 2 * ((doc_id*5 + ((p % w) // 3) * 13 + (p // w) * 3) % 256)
+             + 3 * ((doc_id*7 + ((p % w) // 3) * 3 + (p // w) * 5) % 256))),
+           'sum')
+       END AS BIGINT) AS px_check,
+       CAST(CASE WHEN v = 5 THEN 255 * w * h
+       ELSE
+         list_aggregate(list_transform(range(0, w*h), p ->
+           255 - (doc_id + p % w + p // w) % 2), 'sum')
+       END AS BIGINT) AS a_sum
+FROM d
+"""
+
+
+@register(
+    "mm19_webp_decode",
+    _MM19_ORACLE,
+    doc="REAL WebP-lossless (VP8L) SAMPLE decode (webpcodec.py, from "
+        "the public lossless bitstream spec): RIFF walk, LSB-first "
+        "reader, simple+normal prefix codes with repeat ops, LZ77 + "
+        "2D distance map, color cache, and the full inverse "
+        "transform stack — 14 predictor modes, color transform, "
+        "subtract-green, delta-coded palettes at every bundling "
+        "width; the corpus cycles every decoder path and the oracle "
+        "replays the pixel arithmetic exactly",
+)
+def mm19(spark, sf):
+    d = spread(table(spark, sf, "documents"))
+    return M.webp_features_real(M.synth_webps(d))
+
+
+# ------------------------------------------------------------------
 # PNG textual metadata (mm18): the PNG member of the tag trio (mm14
 # OpusTags / mm16 ID3v2) — same tag arithmetic carried as tEXt (even
 # ids) or DEFLATED zTXt (odd ids) chunks, CRC-verified walk.
