@@ -306,6 +306,93 @@ def link_host(url_col):
     return F.regexp_extract(url_col, r"^https?://([^/]+)", 1)
 
 
+# RFC 3986 §2.3 unreserved characters: percent-escapes of these are
+# equivalent to the bare character and MUST be decoded by a
+# normalizer; every other escape is preserved (case-normalized).
+_URL_UNRESERVED = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+    "0123456789-._~")
+
+
+def canonicalize_url(col):
+    """Column expression: RFC 3986 §6 URL normalization, entirely
+    JVM-side — the canonical form crawl dedup/frontier keying needs
+    (the same raw page is fetched under dozens of spellings):
+
+    * fragment stripped (never sent to the server)
+    * scheme and host lowercased (path/query case preserved)
+    * default ports removed (http:80, https:443)
+    * percent-escapes of UNRESERVED chars decoded (%41 → A), all
+      remaining escapes uppercased (%2f → %2F)
+    * path dot-segments resolved (/a/./b/../c → /a/c, a trailing
+      /. or /.. keeps its directory slash per the RFC algorithm)
+    * empty path → "/"
+
+    Query parameter reordering is deliberately NOT applied (it is not
+    part of RFC 3986 and changes semantics for some endpoints)."""
+    u = F.regexp_replace(col, "#.*$", "")           # fragment
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*:", "")
+    hostport = F.regexp_extract(rest, r"^//([^/?]*)", 1)
+    tail = F.regexp_replace(rest, r"^//[^/?]*", "")  # path?query
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    port = (F.when((port == "") |
+                   ((scheme == "http") & (port == "80")) |
+                   ((scheme == "https") & (port == "443")), F.lit(""))
+            .otherwise(F.concat(F.lit(":"), port)))
+
+    # percent-decode unreserved escapes (one JVM regexp each, chained;
+    # none of the unreserved chars is special in a Java replacement)
+    tail2 = tail
+    for ch in _URL_UNRESERVED:
+        tail2 = F.regexp_replace(
+            tail2, "(?i)%{:02X}".format(ord(ch)), ch)
+    # uppercase the remaining escapes: split on '%', re-join with the
+    # two hex digits uppercased (non-hex after '%' is malformed input
+    # and passes through untouched)
+    parts = F.split(tail2, "%", -1)
+    fixed = F.concat(
+        F.element_at(parts, 1),
+        F.array_join(
+            F.transform(
+                F.slice(parts, 2, F.greatest(F.size(parts) - 1,
+                                             F.lit(0))),
+                lambda p: F.when(
+                    p.rlike("^[0-9a-fA-F]{2}"),
+                    F.concat(F.lit("%"),
+                             F.upper(F.substring(p, 1, 2)),
+                             p.substr(F.lit(3), F.length(p))))
+                .otherwise(F.concat(F.lit("%"), p))),
+            ""))
+    path = F.regexp_extract(fixed, r"^([^?]*)", 1)
+    query = F.regexp_replace(fixed, r"^[^?]*", "")
+    # dot-segment resolution: fold the segments through an array
+    # stack ('.' skipped, '..' pops); the RFC algorithm keeps a
+    # directory slash when the path ENDS in /. or /..
+    # NB: slice length must be size-derived — a literal Int.MaxValue
+    # length makes the aggregate below evaluate over an empty array
+    # (Spark higher-order-function + giant-literal-slice interaction)
+    parr = F.split(path, "/", -1)
+    segs = F.slice(parr, 2, F.greatest(F.size(parr) - 1, F.lit(0)))
+    stack = F.aggregate(
+        segs, F.expr("array()").cast("array<string>"),
+        lambda acc, s: (
+            F.when(s == ".", acc)
+            .when(s == "..",
+                  F.slice(acc, F.lit(1),
+                          F.greatest(F.size(acc) - 1, F.lit(0))))
+            .otherwise(F.concat(acc, F.array(s)))))
+    resolved = F.concat(F.lit("/"), F.array_join(stack, "/"))
+    resolved = F.when(
+        path.rlike(r"/\.\.?$") & ~resolved.endswith("/"),
+        F.concat(resolved, F.lit("/"))).otherwise(resolved)
+    norm_path = (F.when(path == "", F.lit("/"))
+                 .when(~path.startswith("/"), path)  # opaque path
+                 .otherwise(resolved))
+    return F.concat(scheme, F.lit("://"), host, port, norm_path, query)
+
+
 def parse_robots(df: DataFrame, host_col: str = "host",
                  text_col: str = "robots_txt",
                  user_agent: str = "*") -> DataFrame:

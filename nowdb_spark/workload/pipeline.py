@@ -1750,6 +1750,57 @@ def mm15(spark, sf):
 
 
 # ------------------------------------------------------------------
+# URL canonicalization (wc06): the crawl-frontier keying step — the
+# same page is fetched under dozens of spellings, and dedup/politeness
+# both key on the RFC 3986 §6 normal form. The synth fires every
+# rule: mixed-case scheme/host, a default port (removed) or :8080
+# (kept), unreserved escape %6f → o, non-unreserved %2f → %2F,
+# ./.. dot segments, a fragment (stripped), and the empty-path case;
+# the oracle constructs the expected canonical form arithmetically.
+@register(
+    "wc06_url_canonicalize",
+    """
+    SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
+           || '://www.site' || (doc_id % 50) || '.example'
+           || (CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END)
+           || (CASE WHEN doc_id % 11 = 0 THEN '/'
+               ELSE '/A' || (doc_id % 5) || '/Code/x%2Fy?q=A'
+                    || (doc_id % 9) END) AS url
+    FROM documents
+    """,
+    doc="RFC 3986 §6 URL canonicalization, entirely JVM-side: "
+        "fragment strip, scheme/host lowercase, default-port "
+        "removal, unreserved percent-escape decode + escape-hex "
+        "uppercase (split/transform, no Python), dot-segment "
+        "resolution via an array-stack fold, empty path → '/'; "
+        "oracle replays the expected canonical form",
+)
+def wc06(spark, sf):
+    from nowdb_spark.sources import warc as W
+
+    did = F.col("doc_id")
+    messy = F.concat(
+        F.when(did % 2 == 0, F.lit("HtTpS")).otherwise(F.lit("HTTP")),
+        F.lit("://WwW.SiTe"), (did % 50).cast("string"),
+        F.lit(".ExAmPle"),
+        F.when(did % 3 == 0,
+               F.when(did % 2 == 0, F.lit(":443"))
+               .otherwise(F.lit(":80")))
+        .when(did % 3 == 1, F.lit(":8080")).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("/A"), (did % 5).cast("string"),
+                     F.lit("/./b/../C%6fde/x%2fy?q=%41"),
+                     (did % 9).cast("string"))),
+        F.when(did % 4 == 0,
+               F.concat(F.lit("#s"), did.cast("string")))
+        .otherwise(F.lit("")))
+    return (table(spark, sf, "documents")
+            .select("doc_id",
+                    W.canonicalize_url(messy).alias("url")))
+
+
+# ------------------------------------------------------------------
 # robots.txt compliance filter (RFC 9309): hosts site{h}.example
 # (h = 0..9) publish "User-agent: bot / Disallow: /" (a group that
 # must be IGNORED for agent '*'), then a MULTI-UA group

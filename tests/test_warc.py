@@ -198,6 +198,33 @@ def test_robots_rfc9309_wildcards_and_anchor(spark):
     assert kept == {2, 6}
 
 
+def test_canonicalize_url_rfc3986(spark):
+    """RFC 3986 §6 normalization: case, default ports, unreserved
+    percent-escapes, escape-hex uppercasing, dot segments (incl. the
+    trailing directory slash), empty path, opaque malformed escapes
+    left alone."""
+    cases = [
+        ("HtTp://WwW.ExAmple.COM:80/a/./b/../C%6fde/x%2fy?q=%41#f",
+         "http://www.example.com/a/Code/x%2Fy?q=A"),
+        ("https://Host.Example:443/", "https://host.example/"),
+        ("https://Host.Example:8443/p", "https://host.example:8443/p"),
+        ("http://h", "http://h/"),
+        ("http://h?x=1", "http://h/?x=1"),
+        ("http://h/a/b/.", "http://h/a/b/"),
+        ("http://h/a/b/..", "http://h/a/"),
+        ("http://h/../x", "http://h/x"),
+        ("http://h/%7Euser/%2d/%2F", "http://h/~user/-/%2F"),
+        ("HTTP://h:80/a%3f b", "http://h/a%3F b"),
+        ("http://h/a//b", "http://h/a//b"),   # empty segments kept
+        ("http://h/%zz/x", "http://h/%zz/x"),  # malformed escape
+    ]
+    df = spark.createDataFrame([(c,) for c, _ in cases], ["u"])
+    got = [r["c"] for r in
+           df.select(W.canonicalize_url(F.col("u")).alias("c"))
+           .collect()]
+    assert got == [e for _, e in cases]
+
+
 def _robots_model(groups, agent, path):
     """Pure-Python RFC 9309 reference: groups = [(tokens, rules)]
     with rules = [(kind, value)]; returns True if path is allowed."""
