@@ -992,12 +992,13 @@ def flac_features_real(df: DataFrame, id_col: str = "doc_id",
 
 def synth_webps(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize REAL WebP-lossless (VP8L) files from an id column:
-    w = 8+id%9, h = 8+id%7. Encoding variant cycles by id%6 —
+    w = 8+id%9, h = 8+id%7. Encoding variant cycles by id%7 —
     0: plain literals + back-references, 1: subtract-green + color
     cache, 2: predictor transform (mode id%14), 3: subtract-green +
     predictor (mode (id//2)%14), 4: color transform (id-derived
-    element), 5: color-indexing palette ([2,4,9,16,40][(id//6)%5]
-    colors — every bundling width plus unbundled). Non-palette
+    element), 5: color-indexing palette ([2,4,9,16,40][(id//7)%5]
+    colors — every bundling width plus unbundled), 6: META PREFIX
+    CODES (2 tile-assigned code groups) + cache. Non-palette
     pixels (xx = x//3 so runs exist for LZ77):
       r=(id*3+xx*7+y*11)%256, g=(id*5+xx*13+y*3)%256,
       b=(id*7+xx*3+y*5)%256, a=255-((id+x+y)%2)
@@ -1015,10 +1016,10 @@ def synth_webps(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         def synth(did: int) -> bytes:
             did = int(did)
             w, h = 8 + did % 9, 8 + did % 7
-            v = did % 6
+            v = did % 7
             px = []
             if v == 5:
-                nc = pal_sizes[(did // 6) % 5]
+                nc = pal_sizes[(did // 7) % 5]
                 pal = [0xFF000000
                        | (((did * 3 + i * 17) % 256) << 16)
                        | (((did * 5 + i * 29) % 256) << 8)
@@ -1050,10 +1051,13 @@ def synth_webps(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 return codec.encode(px, w, h,
                                     transform="green_predictor",
                                     predictor_mode=(did // 2) % 14)
-            return codec.encode(px, w, h, transform="color",
-                                color_elem=((did * 37) % 256,
-                                            (did * 59) % 256,
-                                            (did * 83) % 256))
+            if v == 4:
+                return codec.encode(px, w, h, transform="color",
+                                    color_elem=((did * 37) % 256,
+                                                (did * 59) % 256,
+                                                (did * 83) % 256))
+            return codec.encode(px, w, h, cache_bits=4,
+                                meta_bits=2 + did % 3, n_groups=2)
 
         for pdf in batches:
             yield _pd.DataFrame({

@@ -11,7 +11,8 @@ Huffman+LZ77 image member of the previously-gated sample-decode set:
 * spatially-coded image: green/red/blue/alpha/distance code groups,
   LZ77 back-references (length/distance prefix coding with extra
   bits, the 120-entry 2D distance neighborhood map), color cache
-  (0x1e35a7bd multiplicative hashing)
+  (0x1e35a7bd multiplicative hashing), and META PREFIX CODES (the
+  subresolution entropy image assigning a code group per tile)
 * all four transforms, inverted in reverse bitstream order:
   PREDICTOR (14 modes incl. Select and the ClampAddSubtract pair,
   subresolution predictor image), COLOR (per-block ColorTransform
@@ -25,9 +26,8 @@ back-references, cache hits, each transform, bundled and unbundled
 palettes, all 14 predictor modes across a corpus).
 
 Out of honest scope (documented, sniffed, rejected with a clear
-error): lossy VP8 members, meta prefix codes (the optional entropy
-image of the main plane — our encoder never emits one), and the
-optional ALPH/EXIF/XMP extended-format chunks.
+error): lossy VP8 members and the optional ALPH/EXIF/XMP
+extended-format (VP8X) chunks.
 
 Reference parity note: the reference engine has no media handling;
 this module belongs to the training-data-pipeline extension surface
@@ -260,18 +260,25 @@ def make_webp_codec() -> SimpleNamespace:
 
     def _decode_entropy_image_main(br: _BR, w: int, h: int):
         """Main-plane variant (libwebp DecodeImageStream order):
-        cache flag, then the meta-prefix flag (must be 0 — honest
-        scope cut), then the single code group + pixels."""
+        cache flag, then the META PREFIX flag — when set, a
+        subresolution entropy image assigns one of several prefix-code
+        GROUPS to each (1<<bits)-pixel tile ((red<<8)|green of the
+        meta pixel is the group index) — then the group(s) +
+        pixels."""
         cache_bits = 0
         if br.read(1):
             cache_bits = br.read(4)
             if not 1 <= cache_bits <= 11:
                 raise ValueError("vp8l: bad color cache size")
-        if br.read(1):
-            raise ValueError(
-                "vp8l: meta prefix codes (entropy image) are out of "
-                "scope — re-encode with a single code group")
-        return _decode_pixels(br, w, h, cache_bits)
+        meta = None
+        if br.read(1):                      # meta prefix codes
+            bits = br.read(3) + 2
+            ew = _subsample(w, bits)
+            mimg = _decode_entropy_image(br, ew, _subsample(h, bits))
+            midx = ((mimg >> 8) & 0xFFFF).astype(np.int64)
+            n_groups = int(midx.max()) + 1
+            meta = (midx, bits, ew, n_groups)
+        return _decode_pixels(br, w, h, cache_bits, meta)
 
     # --- transforms -----------------------------------------------------
 
@@ -419,7 +426,7 @@ def make_webp_codec() -> SimpleNamespace:
         """RIFF → VP8L → {fmt, width, height, rows (r,g,b tuples,
         top-down), alpha_rows}. None for non-WebP bytes; ValueError
         for corrupt streams and for honest scope cuts (lossy VP8,
-        meta prefix codes, extended VP8X)."""
+        extended VP8X)."""
         kind = sniff(b)
         if kind is None:
             return None
@@ -503,18 +510,31 @@ def make_webp_codec() -> SimpleNamespace:
         return {"fmt": "webp-lossless", "width": w, "height": h,
                 "rows": rows, "alpha_rows": aa.tolist()}
 
-    def _decode_pixels(br: _BR, w: int, h: int, cache_bits: int):
-        green = _read_prefix_code(br, _GREEN_BASE +
-                                  (1 << cache_bits if cache_bits else 0))
-        red = _read_prefix_code(br, 256)
-        blue = _read_prefix_code(br, 256)
-        alpha = _read_prefix_code(br, 256)
-        dist = _read_prefix_code(br, 40)
+    def _decode_pixels(br: _BR, w: int, h: int, cache_bits: int,
+                       meta=None):
+        green_alpha = _GREEN_BASE + (1 << cache_bits if cache_bits
+                                     else 0)
+        n_groups = meta[3] if meta else 1
+        groups = []
+        for _ in range(n_groups):
+            groups.append((_read_prefix_code(br, green_alpha),
+                           _read_prefix_code(br, 256),
+                           _read_prefix_code(br, 256),
+                           _read_prefix_code(br, 256),
+                           _read_prefix_code(br, 40)))
+        green, red, blue, alpha, dist = groups[0]
+        if meta:
+            midx, mbits, mew, _ = meta
+            midx_l = midx.tolist()
         n = w * h
         pix = np.zeros(n, np.uint32)
         cache = [0] * (1 << cache_bits) if cache_bits else None
         pos = 0
         while pos < n:
+            if meta:
+                g = midx_l[((pos // w) >> mbits) * mew
+                           + ((pos % w) >> mbits)]
+                green, red, blue, alpha, dist = groups[g]
             s = _read_sym(br, green)
             if s < 256:
                 r_ = _read_sym(br, red)
@@ -680,8 +700,9 @@ def make_webp_codec() -> SimpleNamespace:
 
     def _tokenize(pix, w, cache_bits, use_backrefs):
         """Greedy horizontal-run LZ77 + color cache over ARGB ints →
-        token list [('lit', px) | ('ref', length, dist_code) |
-        ('cache', idx)]."""
+        token list [('lit', px, pos) | ('ref', length, dist_code,
+        pos) | ('cache', idx, pos)] — pos is the pixel position the
+        symbol is read at (the meta-group lookup point)."""
         n = len(pix)
         cache = [None] * (1 << cache_bits) if cache_bits else None
         toks = []
@@ -694,7 +715,7 @@ def make_webp_codec() -> SimpleNamespace:
                        and pix[pos + run] == pix[pos]):
                     run += 1
                 if run >= 3:
-                    toks.append(("ref", run, 2))   # (1,0) → code 2
+                    toks.append(("ref", run, 2, pos))  # (1,0) → code 2
                     if cache is not None:
                         for k in range(run):
                             px = pix[pos + k]
@@ -705,19 +726,44 @@ def make_webp_codec() -> SimpleNamespace:
             if cache is not None:
                 key = _cache_key(px, cache_bits)
                 if cache[key] == px:
-                    toks.append(("cache", key))
+                    toks.append(("cache", key, pos))
                     pos += 1
                     continue
                 cache[key] = px
-            toks.append(("lit", px))
+            toks.append(("lit", px, pos))
             pos += 1
         return toks
 
     def _write_entropy_image(bw: _BW, pix, w, cache_bits=0,
-                             use_backrefs=False, main=False):
+                             use_backrefs=False, main=False,
+                             meta_bits=None, n_groups=1):
+        """meta_bits/n_groups > 1 (main plane only) split the image
+        into (1<<meta_bits)-pixel tiles assigned round-robin by tile
+        index to n_groups prefix-code groups, transmitted via the
+        meta entropy image."""
+        h = len(pix) // w
         toks = _tokenize(pix, w, cache_bits, use_backrefs)
-        gf, rf, bf, af, df = {}, {}, {}, {}, {}
+        if meta_bits is None:
+            n_groups = 1
+        else:
+            # the decoder sizes the group list from the meta image's
+            # MAX index — with fewer tiles than requested groups the
+            # tail groups would be unreferenced and desync the stream
+            n_tiles = (_subsample(w, meta_bits)
+                       * _subsample(h, meta_bits))
+            n_groups = max(1, min(n_groups, n_tiles))
+
+        def group_of(pos):
+            if meta_bits is None:
+                return 0
+            ew = _subsample(w, meta_bits)
+            return (((pos // w) >> meta_bits) * ew
+                    + ((pos % w) >> meta_bits)) % n_groups
+
+        freqs = [(dict(), dict(), dict(), dict(), dict())
+                 for _ in range(n_groups)]
         for t in toks:
+            gf, rf, bf, af, df = freqs[group_of(t[-1])]
             if t[0] == "lit":
                 px = t[1]
                 gf[(px >> 8) & 0xFF] = gf.get((px >> 8) & 0xFF, 0) + 1
@@ -738,14 +784,30 @@ def make_webp_codec() -> SimpleNamespace:
         else:
             bw.write(0, 1)
         if main:
-            bw.write(0, 1)                  # no meta prefix codes
-        gc = _write_prefix_code(bw, gf, _GREEN_BASE +
-                                (1 << cache_bits if cache_bits else 0))
-        rc = _write_prefix_code(bw, rf, 256)
-        bc = _write_prefix_code(bw, bf, 256)
-        ac = _write_prefix_code(bw, af, 256)
-        dc_ = _write_prefix_code(bw, df, 40)
+            if meta_bits is None:
+                bw.write(0, 1)              # no meta prefix codes
+            else:
+                bw.write(1, 1)
+                bw.write(meta_bits - 2, 3)
+                ew = _subsample(w, meta_bits)
+                eh = _subsample(h, meta_bits)
+                mimg = [0xFF000000
+                        | (((t_ % n_groups) >> 8) << 16)
+                        | (((t_ % n_groups) & 0xFF) << 8)
+                        for t_ in range(ew * eh)]
+                _write_entropy_image(bw, mimg, ew)
+        green_alpha = _GREEN_BASE + (1 << cache_bits if cache_bits
+                                     else 0)
+        codes = []
+        for g in range(n_groups):
+            gf, rf, bf, af, df = freqs[g]
+            codes.append((_write_prefix_code(bw, gf, green_alpha),
+                          _write_prefix_code(bw, rf, 256),
+                          _write_prefix_code(bw, bf, 256),
+                          _write_prefix_code(bw, af, 256),
+                          _write_prefix_code(bw, df, 40)))
         for t in toks:
+            gc, rc, bc, ac, dc_ = codes[group_of(t[-1])]
             if t[0] == "lit":
                 px = t[1]
                 _emit(bw, gc, (px >> 8) & 0xFF)
@@ -774,11 +836,14 @@ def make_webp_codec() -> SimpleNamespace:
     def encode(pixels, w: int, h: int, transform: str = "none",
                predictor_mode: int = 2, predictor_bits: int = 4,
                color_elem=(0, 0, 0), cache_bits: int = 0,
-               use_backrefs: bool = True) -> bytes:
+               use_backrefs: bool = True, meta_bits=None,
+               n_groups: int = 1) -> bytes:
         """Real VP8L file from a row-major ARGB int list. transform ∈
         none | subtract_green | predictor | green_predictor (both,
         spec inverse order) | color | palette (auto-bundled by
-        palette size). Every stream round-trips through decode()."""
+        palette size). meta_bits + n_groups > 1 emit META PREFIX
+        CODES (tile-assigned code groups via the entropy image).
+        Every stream round-trips through decode()."""
         pixels = [int(p) & 0xFFFFFFFF for p in pixels]
         assert len(pixels) == w * h
         bw = _BW()
@@ -902,7 +967,8 @@ def make_webp_codec() -> SimpleNamespace:
 
         bw.write(0, 1)                      # no more transforms
         _write_entropy_image(bw, cur, xsize, cache_bits=cache_bits,
-                             use_backrefs=use_backrefs, main=True)
+                             use_backrefs=use_backrefs, main=True,
+                             meta_bits=meta_bits, n_groups=n_groups)
         payload = bw.bytes()
         size = len(payload)                 # RIFF sizes exclude pads
         if size & 1:

@@ -1351,17 +1351,18 @@ def wc05(spark, sf):
 # (simple + normal with 16/17/18 repeats), LZ77 back-references over
 # the 120-entry 2D distance map, color cache, and all four inverse
 # transforms (14 predictor modes, color, subtract-green, delta-coded
-# palette with every bundling width) — cycled across the corpus by
-# id%6 (synth_webps docstring has the exact pixel arithmetic the
-# oracle replays).
+# palette with every bundling width) plus META PREFIX CODES (tile-
+# assigned code groups) — cycled across the corpus by id%7
+# (synth_webps docstring has the exact pixel arithmetic the oracle
+# replays).
 _MM19_ORACLE = """
 WITH d AS (
   SELECT doc_id,
          8 + doc_id % 9 AS w,
          8 + doc_id % 7 AS h,
-         doc_id % 6 AS v,
+         doc_id % 7 AS v,
          list_extract([2, 4, 9, 16, 40],
-                      CAST((doc_id // 6) % 5 + 1 AS INT)) AS nc
+                      CAST((doc_id // 7) % 5 + 1 AS INT)) AS nc
   FROM documents
 )
 SELECT doc_id,

@@ -86,6 +86,25 @@ def test_long_run_backrefs():
     assert _flat(img) == px
 
 
+@pytest.mark.parametrize("n_groups,bits", [(2, 2), (4, 3), (3, 4)])
+def test_roundtrip_meta_prefix_groups(n_groups, bits):
+    """Meta prefix codes: the subresolution entropy image assigns a
+    code GROUP per (1<<bits)-pixel tile; groups carry independent
+    Huffman codes."""
+    px = _grid()
+    b = C.encode(px, W, H, cache_bits=3, meta_bits=bits,
+                 n_groups=n_groups)
+    img = C.decode(b)
+    assert _flat(img) == px
+
+
+def test_meta_groups_with_transform():
+    px = _grid()
+    b = C.encode(px, W, H, transform="subtract_green",
+                 meta_bits=2, n_groups=2)
+    assert _flat(C.decode(b)) == px
+
+
 def test_non_webp_returns_none_and_scope_errors():
     assert C.decode(b"not even riff") is None
     assert C.decode(b"RIFF\x00\x00\x00\x00WAVEfmt \x00\x00\x00\x00") is None
