@@ -150,3 +150,23 @@ def markdown_to_text(col: Column) -> Column:
     # intraword underscores are NOT emphasis (CommonMark §6.2)
     s = F.regexp_replace(s, r"(?<!\w)_([^_]+)_(?!\w)", r"$1")
     return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
+_SENT_ABBREV = r"Dr|Mr|Mrs|Ms|Prof|Sr|Jr|St|vs|etc|e\.g|i\.e|cf|al"
+_SENT_SENTINEL = "\x1f"                  # unit separator
+
+
+def split_sentences(col: Column) -> Column:
+    """Rule-based sentence segmentation, entirely JVM: a sentence
+    ends at . ! ? followed by whitespace and an upper-case / digit /
+    quote sentence OPENER — except after common abbreviations
+    (Dr., Mr., e.g., et al. — the classic false boundaries) and
+    never inside numbers (3.14 has no following whitespace). The
+    boundary is marked with a sentinel (Spark's split drops the
+    delimiter; $1 re-keeps the terminator), one split yields the
+    array; posexplode for (pos, sentence) rows. Map-only."""
+    marked = F.regexp_replace(
+        col,
+        "(?<!\\b(?:" + _SENT_ABBREV + "))([.!?])\\s+(?=[A-Z0-9\"'])",
+        "$1" + _SENT_SENTINEL)
+    return F.split(marked, _SENT_SENTINEL)

@@ -1751,6 +1751,52 @@ def mm15(spark, sf):
 
 
 # ------------------------------------------------------------------
+# Sentence segmentation (tx11): the chunking step ahead of windowed
+# dedup / context packing / citation alignment. Each doc is rendered
+# as n = id%4+2 sentences, each carrying the classic abbreviation
+# trap ('Dr.' must NOT end a sentence) and a cycling .!? terminator;
+# the splitter is one JVM regexp (lookbehind abbreviation guard +
+# sentence-opener lookahead) + split; the oracle replays the
+# construction.
+@register(
+    "tx11_sentence_split",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 4 + 2 AS n FROM documents),
+    s AS (SELECT doc_id, unnest(range(0, n)) AS k FROM d)
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS sent_pos,
+           'Dr. Who w' || doc_id || ' k' || k
+             || list_extract(['.', '!', '?'],
+                             CAST((doc_id + k) % 3 + 1 AS INT))
+             AS sentence
+    FROM s
+    """,
+    doc="Rule-based sentence segmentation (JVM regexp: .!? + "
+        "whitespace + sentence-opener lookahead, abbreviation "
+        "lookbehind guard — Dr./Mr./e.g. never split), posexplode to "
+        "(doc_id, sent_pos, sentence); oracle replays the sentence "
+        "construction",
+)
+def tx11(spark, sf):
+    from nowdb_spark.operators.textops import split_sentences
+
+    did = F.col("doc_id")
+    text = F.expr("""
+      array_join(transform(sequence(0, int(doc_id % 4 + 1)), k ->
+        concat('Dr. Who w', doc_id, ' k', k,
+               element_at(array('.', '!', '?'),
+                          int((doc_id + k) % 3) + 1))), ' ')""")
+    d = table(spark, sf, "documents").select("doc_id",
+                                             text.alias("t"))
+    return (d.select("doc_id",
+                     F.posexplode(split_sentences(F.col("t")))
+                     .alias("sent_pos", "sentence"))
+            .select("doc_id",
+                    F.col("sent_pos").cast("long").alias("sent_pos"),
+                    "sentence"))
+
+
+# ------------------------------------------------------------------
 # URL canonicalization (wc06): the crawl-frontier keying step — the
 # same page is fetched under dozens of spellings, and dedup/politeness
 # both key on the RFC 3986 §6 normal form. The synth fires every
