@@ -1105,6 +1105,99 @@ def webp_features_real(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)
 
 
+def synth_webps_extended(df: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Extended-format (VP8X) WebP fixtures: canvas w = 8+id%9,
+    h = 8+id%7, embedded VP8L image with the mm19 non-palette pixel
+    arithmetic (subtract-green + cache encoding), an EXIF chunk
+    carrying a REAL TIFF stream (width 100+id%50, height 80+id%30,
+    bits 8, samples 1+id%3 — samples = 3 exercises the out-of-line
+    BitsPerSample path), and an XMP chunk on even ids."""
+    from nowdb_spark.operators.webpcodec import make_webp_codec
+
+    codec = make_webp_codec()
+    schema = f"{id_col} long, payload binary"
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        def synth(did: int) -> bytes:
+            did = int(did)
+            w, h = 8 + did % 9, 8 + did % 7
+            px = []
+            for y in range(h):
+                for x in range(w):
+                    xx = x // 3
+                    r = (did * 3 + xx * 7 + y * 11) % 256
+                    g = (did * 5 + xx * 13 + y * 3) % 256
+                    b = (did * 7 + xx * 3 + y * 5) % 256
+                    a = 255 - ((did + x + y) % 2)
+                    px.append((a << 24) | (r << 16) | (g << 8) | b)
+            return codec.encode_extended(
+                px, w, h,
+                exif_pages=[{"width": 100 + did % 50,
+                             "height": 80 + did % 30, "bits": 8,
+                             "compression": 1, "photometric": 2,
+                             "samples": 1 + did % 3}],
+                xmp=f"<x:xmpmeta>doc {did}</x:xmpmeta>"
+                    if did % 2 == 0 else None,
+                transform="subtract_green", cache_bits=4)
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "payload": [synth(d) for d in pdf[id_col]],
+            })
+
+    return df.select(id_col).mapInPandas(kernel, schema)
+
+
+def webp_ext_meta_real(df: DataFrame, id_col: str = "doc_id",
+                       payload_col: str = "payload") -> DataFrame:
+    """REAL extended-WebP metadata + sample decode: VP8X chunk walk
+    (flags, 24-bit canvas dims, chunk inventory), the EXIF chunk
+    through the TIFF IFD walker, XMP presence, and the embedded VP8L
+    image decoded to the px_check feature. Non-WebP or corrupt bytes
+    yield NULLs. Narrow, zero-shuffle."""
+    from nowdb_spark.operators.webpcodec import make_webp_codec
+
+    codec = make_webp_codec()
+    schema = (f"{id_col} long, canvas_w long, canvas_h long, "
+              "n_chunks long, exif_w long, exif_h long, "
+              "exif_samples long, has_xmp long, px_check long")
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    m = codec.parse_extended(bytes(payload))
+                except ValueError:
+                    m = None
+                if m is None or m["image"] is None:
+                    out.append((int(did),) + (None,) * 8)
+                    continue
+                img = m["image"]
+                w = img["width"]
+                chk = 0
+                for y, row in enumerate(img["rows"]):
+                    base = y * w + 1
+                    for x, (r, g, bl) in enumerate(row):
+                        chk += (base + x) * (r + 2 * g + 3 * bl)
+                e = (m["exif"] or [{}])[0]
+                out.append((int(did), m["canvas_w"], m["canvas_h"],
+                            len(m["chunks"]), e.get("width"),
+                            e.get("height"), e.get("samples"),
+                            int(m["xmp"] is not None), chk))
+            yield _pd.DataFrame(out, columns=[
+                id_col, "canvas_w", "canvas_h", "n_chunks", "exif_w",
+                "exif_h", "exif_samples", "has_xmp", "px_check"])
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
 def synth_mp4(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize deterministic MP4 containers from an id column:
     avc1 video track whose SPS encodes width 16*(id%20+2)-2*(id%4),

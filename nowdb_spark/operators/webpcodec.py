@@ -979,6 +979,90 @@ def make_webp_codec() -> SimpleNamespace:
                 + size.to_bytes(4, "little") + payload)
         return riff
 
+    def parse_extended(b: bytes):
+        """Extended-format (VP8X) WebP: RIFF chunk walk → feature
+        flags + 24-bit canvas dims (VP8X), the chunk inventory, the
+        embedded VP8L image decoded via decode() (re-framed as a
+        standalone member), the EXIF chunk parsed as the TIFF stream
+        it is (tiffcodec IFD walk — optional 'Exif\\0\\0' prefix
+        stripped), and the XMP chunk as text. Lossy VP8 frames and
+        ICC/ANIM payloads are inventoried but not decoded (honest
+        scope). None for non-WebP bytes."""
+        if sniff(b) is None:
+            return None
+        out = {"canvas_w": None, "canvas_h": None, "flags": {},
+               "chunks": [], "image": None, "exif": None, "xmp": None}
+        pos = 12
+        while pos + 8 <= len(b):
+            fourcc = b[pos:pos + 8][:4]
+            size = int.from_bytes(b[pos + 4:pos + 8], "little")
+            payload = b[pos + 8:pos + 8 + size]
+            if len(payload) < size:
+                raise ValueError("vp8x: truncated chunk")
+            out["chunks"].append(fourcc.decode("latin1").strip())
+            if fourcc == b"VP8X":
+                if size < 10:
+                    raise ValueError("vp8x: short VP8X chunk")
+                fl = payload[0]
+                out["flags"] = {"icc": bool(fl & 0x20),
+                                "alpha": bool(fl & 0x10),
+                                "exif": bool(fl & 0x08),
+                                "xmp": bool(fl & 0x04),
+                                "anim": bool(fl & 0x02)}
+                out["canvas_w"] = int.from_bytes(payload[4:7],
+                                                 "little") + 1
+                out["canvas_h"] = int.from_bytes(payload[7:10],
+                                                 "little") + 1
+            elif fourcc == b"VP8L":
+                pad = b"\x00" if size & 1 else b""
+                sub = (b"RIFF"
+                       + (4 + 8 + size + len(pad)).to_bytes(4, "little")
+                       + b"WEBP" + b"VP8L"
+                       + size.to_bytes(4, "little") + payload + pad)
+                out["image"] = decode(sub)
+            elif fourcc == b"EXIF":
+                from nowdb_spark.operators.tiffcodec import \
+                    make_tiff_codec
+                t = payload[6:] if payload[:6] == b"Exif\x00\x00" \
+                    else payload
+                out["exif"] = make_tiff_codec().tiff_meta(bytes(t))
+            elif fourcc == b"XMP ":
+                out["xmp"] = payload.decode("utf-8", "replace")
+            pos += 8 + size + (size & 1)
+        return out
+
+    def encode_extended(pixels, w: int, h: int, exif_pages=None,
+                        xmp=None, **encode_kw) -> bytes:
+        """Real extended-format WebP: VP8X header (flags + canvas) +
+        the VP8L image chunk + optional EXIF (a real TIFF stream via
+        tiffcodec, 'Exif\\0\\0'-prefixed) + optional 'XMP ' chunk."""
+        inner = encode(pixels, w, h, **encode_kw)
+        vp8l_chunk = inner[12:]             # VP8L header + payload
+
+        def chunk(cc: bytes, payload: bytes) -> bytes:
+            return (cc + len(payload).to_bytes(4, "little") + payload
+                    + (b"\x00" if len(payload) & 1 else b""))
+
+        flags = 0
+        if any((int(p) >> 24) != 0xFF for p in pixels):
+            flags |= 0x10
+        if exif_pages:
+            flags |= 0x08
+        if xmp is not None:
+            flags |= 0x04
+        vp8x = (bytes([flags, 0, 0, 0])
+                + (w - 1).to_bytes(3, "little")
+                + (h - 1).to_bytes(3, "little"))
+        body = chunk(b"VP8X", vp8x) + vp8l_chunk
+        if exif_pages:
+            from nowdb_spark.operators.tiffcodec import make_tiff_codec
+            body += chunk(b"EXIF", b"Exif\x00\x00"
+                          + make_tiff_codec().encode_tiff(exif_pages))
+        if xmp is not None:
+            body += chunk(b"XMP ", xmp.encode("utf-8"))
+        return (b"RIFF" + (4 + len(body)).to_bytes(4, "little")
+                + b"WEBP" + body)
+
     def features(b: bytes):
         """Deterministic integer features over the DECODED pixels
         (oracle-replayable): dims, the position/channel-weighted
@@ -998,6 +1082,8 @@ def make_webp_codec() -> SimpleNamespace:
                 "n_px": w * h, "px_check": chk, "a_sum": a_sum}
 
     return SimpleNamespace(decode=decode, encode=encode,
+                           parse_extended=parse_extended,
+                           encode_extended=encode_extended,
                            features=features, sniff=sniff)
 
 

@@ -102,6 +102,24 @@ def session_window_agg(df: DataFrame, stamp_col: str, keys: list[str],
     )
 
 
+def stream_dedup(df: DataFrame, stamp_col: str, keys: list[str],
+                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming EXACT DEDUPLICATION on an identity key — the
+    dedup-at-ingest front door. Streaming path: watermarked
+    ``dropDuplicatesWithinWatermark`` (state is one entry per live
+    key, evicted once the watermark passes it — bounded state at
+    100 TB/day ingest). Batch path: plain dropDuplicates — the batch
+    run is the differential oracle for the streaming run. Output =
+    the distinct key tuples."""
+    et = _with_event_time(df, stamp_col)
+    if et.isStreaming:
+        et = (et.withWatermark("__et", watermark)
+              .dropDuplicatesWithinWatermark(keys))
+    else:
+        et = et.dropDuplicates(keys)
+    return et.select(*keys)
+
+
 def run_stream_to_memory(sdf: DataFrame, query_name: str,
                          output_mode: str = "complete"):
     """Drive a streaming frame to completion against the memory sink

@@ -1414,6 +1414,50 @@ def mm19(spark, sf):
     return M.webp_features_real(M.synth_webps(d))
 
 
+# Extended-format WebP (mm20): VP8X container walk (feature flags,
+# 24-bit canvas dims, chunk inventory), the EXIF chunk decoded as
+# the real TIFF stream it carries (tiffcodec IFD walk — cross-codec
+# reuse), XMP presence, and the embedded VP8L image decoded to the
+# px_check feature; oracle replays the construction arithmetic.
+@register(
+    "mm20_webp_extended",
+    """
+    WITH d AS (SELECT doc_id,
+                      8 + doc_id % 9 AS w,
+                      8 + doc_id % 7 AS h
+               FROM documents)
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS canvas_w,
+           CAST(h AS BIGINT) AS canvas_h,
+           CAST(3 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_chunks,
+           CAST(100 + doc_id % 50 AS BIGINT) AS exif_w,
+           CAST(80 + doc_id % 30 AS BIGINT) AS exif_h,
+           CAST(1 + doc_id % 3 AS BIGINT) AS exif_samples,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS has_xmp,
+           CAST(list_aggregate(list_transform(range(0, w*h), p ->
+             (p + 1) * (
+               ((doc_id*3 + ((p % w) // 3) * 7 + (p // w) * 11) % 256)
+               + 2 * ((doc_id*5 + ((p % w) // 3) * 13
+                       + (p // w) * 3) % 256)
+               + 3 * ((doc_id*7 + ((p % w) // 3) * 3
+                       + (p // w) * 5) % 256))),
+             'sum') AS BIGINT) AS px_check
+    FROM d
+    """,
+    doc="REAL extended-format WebP (VP8X): RIFF chunk walk with "
+        "feature flags + canvas dims, EXIF parsed through the TIFF "
+        "IFD walker (cross-codec composition), XMP chunk, and the "
+        "embedded VP8L image sample-decoded — the container layer "
+        "above mm19's bitstream layer; oracle replays the "
+        "construction",
+)
+def mm20(spark, sf):
+    d = spread(table(spark, sf, "documents"))
+    return M.webp_ext_meta_real(M.synth_webps_extended(d))
+
+
 # ------------------------------------------------------------------
 # PNG textual metadata (mm18): the PNG member of the tag trio (mm14
 # OpusTags / mm16 ID3v2) — same tag arithmetic carried as tEXt (even

@@ -172,3 +172,25 @@ def st03(spark, sf):
                      F.col("user_id"))
     _run_to_table(sel, "_st03_sink", mode="append")
     return spark.table("_st03_sink")
+
+
+@register(
+    "st04_stream_dedup",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    doc="streaming EXACT DEDUPLICATION at ingest: readStream → "
+        "watermarked dropDuplicatesWithinWatermark on the identity "
+        "key → append-mode memory sink. State is one entry per live "
+        "key, evicted past the watermark (bounded at continuous "
+        "ingest scale); the finite single-batch source makes the "
+        "final distinct set exact, so the oracle is plain DISTINCT. "
+        "Same one-file-one-microbatch caveat as st03.",
+)
+def st04(spark, sf):
+    from nowdb_spark.streaming.ingest import stream_dedup
+
+    sdf = _stream_events(spark, sf)
+    ded = stream_dedup(sdf, "ts", ["user_id", "event_type"])
+    _run_to_table(ded, "_st04_sink", mode="append")
+    return spark.table("_st04_sink")

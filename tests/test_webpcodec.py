@@ -139,6 +139,42 @@ def test_features_match_pixels():
                  "n_px": W * H, "px_check": chk, "a_sum": a_sum}
 
 
+def test_extended_vp8x_roundtrip():
+    """VP8X container: flags + canvas, embedded VP8L decode, EXIF as
+    a real TIFF stream (tiffcodec reuse), XMP text, RIFF padding."""
+    px = _grid()
+    b = C.encode_extended(
+        px, W, H,
+        exif_pages=[{"width": 123, "height": 88, "bits": 8,
+                     "compression": 1, "photometric": 2,
+                     "samples": 3}],
+        xmp="<x:xmpmeta>t</x:xmpmeta>",
+        transform="subtract_green", cache_bits=3)
+    m = C.parse_extended(b)
+    assert m["chunks"] == ["VP8X", "VP8L", "EXIF", "XMP"]
+    assert (m["canvas_w"], m["canvas_h"]) == (W, H)
+    assert m["flags"]["exif"] and m["flags"]["xmp"]
+    assert m["flags"]["alpha"]          # _grid alpha varies
+    assert not m["flags"]["anim"] and not m["flags"]["icc"]
+    assert m["exif"][0]["width"] == 123 and m["exif"][0]["samples"] == 3
+    assert m["xmp"] == "<x:xmpmeta>t</x:xmpmeta>"
+    assert _flat(m["image"]) == px
+
+
+def test_extended_plain_and_missing_parts():
+    px = [0xFF010203] * (W * H)
+    m = C.parse_extended(C.encode_extended(px, W, H))
+    assert m["chunks"] == ["VP8X", "VP8L"]
+    assert m["exif"] is None and m["xmp"] is None
+    assert not m["flags"]["alpha"]      # constant 0xFF alpha
+    assert _flat(m["image"]) == px
+    # a simple (non-extended) member still walks: one VP8L chunk
+    m2 = C.parse_extended(C.encode(px, W, H))
+    assert m2["chunks"] == ["VP8L"] and m2["canvas_w"] is None
+    assert _flat(m2["image"]) == px
+    assert C.parse_extended(b"junk") is None
+
+
 def test_single_pixel_and_one_row():
     for w, h in [(1, 1), (5, 1), (1, 6)]:
         px = [(0xFF000000 | (i * 37 % 256) << 8) for i in range(w * h)]
