@@ -1105,6 +1105,115 @@ def webp_features_real(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)
 
 
+def upsample2x_real(df: DataFrame, id_col: str = "doc_id",
+                    payload_col: str = "payload") -> DataFrame:
+    """REAL 2× audio upsampling over decoded WAV PCM — the
+    sample-rate-conversion step of audio preprocessing, kept in
+    EXACT integer arithmetic (floor midpoints inserted between
+    consecutive samples: u[2i]=s[i], u[2i+1]=⌊(s[i]+s[i+1])/2⌋,
+    n_out = 2n−1, rate doubles) so the oracle replays it value-for-
+    value. Mono only (the fixture shape); non-WAV or multichannel
+    payloads yield NULLs. Narrow, zero-shuffle."""
+    from nowdb_spark.operators.audiocodec import make_audio_codec
+
+    codec = make_audio_codec()
+    schema = (f"{id_col} long, n_in long, n_out long, rate_out long, "
+              "peak long, sq_sum long")
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                did = int(did)
+                try:
+                    a = codec.decode(bytes(payload))
+                except ValueError:
+                    a = None
+                if a is None or a.get("channels") != 1:
+                    out.append((did,) + (None,) * 5)
+                    continue
+                s = a["samples"]
+                u = []
+                for i, x in enumerate(s):
+                    u.append(x)
+                    if i + 1 < len(s):
+                        u.append((x + s[i + 1]) // 2)  # floor
+                out.append((did, len(s), len(u),
+                            a["sample_rate"] * 2,
+                            max((abs(x) for x in u), default=0),
+                            sum(x * x for x in u)))
+            yield _pd.DataFrame(out, columns=[
+                id_col, "n_in", "n_out", "rate_out", "peak",
+                "sq_sum"])
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
+AUGMENT_OPS = ("flip_h", "flip_v", "rot90", "rot180", "rot270")
+
+
+def augment_image_real(df: DataFrame, id_col: str = "doc_id",
+                       payload_col: str = "payload") -> DataFrame:
+    """REAL data-augmentation over decoded images (the training-set
+    expansion step): per-id op from AUGMENT_OPS — horizontal /
+    vertical flip, 90/180/270° rotation — applied to the decoded
+    pixel grid, verified by the transformed grid's px_check.
+    Conventions (top-down rows, CW rotation):
+      flip_h  out(x,y) = in(w-1-x, y)
+      flip_v  out(x,y) = in(x, h-1-y)
+      rot90   out[r][c] = in[h-1-c][r]   (dims swap)
+      rot180  out[r][c] = in[h-1-r][w-1-c]
+      rot270  out[r][c] = in[c][w-1-r]   (dims swap)
+    Non-decodable payloads yield NULLs. Narrow, zero-shuffle."""
+    from nowdb_spark.operators.imagecodec import make_image_codec
+
+    codec = make_image_codec()
+    schema = (f"{id_col} long, op string, out_w long, out_h long, "
+              "px_check long")
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        def transform(rows, w, h, op):
+            if op == "flip_h":
+                return [list(reversed(r)) for r in rows]
+            if op == "flip_v":
+                return rows[::-1]
+            if op == "rot90":
+                return [[rows[h - 1 - c][r] for c in range(h)]
+                        for r in range(w)]
+            if op == "rot180":
+                return [[rows[h - 1 - r][w - 1 - c]
+                         for c in range(w)] for r in range(h)]
+            return [[rows[c][w - 1 - r] for c in range(h)]
+                    for r in range(w)]
+
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                did = int(did)
+                img = codec.decode(bytes(payload))
+                if img is None:
+                    out.append((did,) + (None,) * 4)
+                    continue
+                w, h = img["width"], img["height"]
+                op = AUGMENT_OPS[did % 5]
+                t = transform(img["rows"], w, h, op)
+                ow = len(t[0])
+                chk = 0
+                for y, row in enumerate(t):
+                    base = y * ow + 1
+                    for x, (r, g, bl) in enumerate(row):
+                        chk += (base + x) * (r + 2 * g + 3 * bl)
+                out.append((did, op, ow, len(t), chk))
+            yield _pd.DataFrame(out, columns=[id_col, "op", "out_w",
+                                              "out_h", "px_check"])
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
 def synth_webps_extended(df: DataFrame,
                          id_col: str = "doc_id") -> DataFrame:
     """Extended-format (VP8X) WebP fixtures: canvas w = 8+id%9,

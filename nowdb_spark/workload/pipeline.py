@@ -1414,6 +1414,102 @@ def mm19(spark, sf):
     return M.webp_features_real(M.synth_webps(d))
 
 
+# Audio 2× upsample (mm22): exact floor-midpoint interpolation over
+# REAL decoded WAV PCM (u[2i]=s[i], u[2i+1]=⌊(s[i]+s[i+1])/2⌋) — the
+# sample-rate-conversion step, integer-exact so the oracle replays
+# the whole resampled signal's peak and energy.
+def _s_of(i: str) -> str:
+    return f"((doc_id*7 + ({i})*13) % 4001 - 2000)"
+
+
+_MID = ("CAST(floor((" + _s_of("i") + " + " + _s_of("i+1")
+        + ") / 2.0) AS BIGINT)")
+
+_MM22_ORACLE = f"""
+WITH d AS (SELECT doc_id, doc_id % 50 + 10 AS n FROM documents)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_in,
+       CAST(2*n - 1 AS BIGINT) AS n_out,
+       CAST(16000 AS BIGINT) AS rate_out,
+       CAST(list_aggregate(list_transform(range(0, n), i ->
+           abs({_s_of("i")})), 'max') AS BIGINT) AS peak,
+       CAST(list_aggregate(list_transform(range(0, n), i ->
+              {_s_of("i")} * {_s_of("i")}), 'sum')
+            + list_aggregate(list_transform(range(0, n - 1), i ->
+              {_MID} * {_MID}), 'sum') AS BIGINT) AS sq_sum
+FROM d
+"""
+
+
+@register(
+    "mm22_audio_upsample",
+    _MM22_ORACLE,
+    doc="REAL exact 2× audio upsampling (floor-midpoint linear "
+        "interpolation) over decoded WAV PCM16 — sample-rate "
+        "conversion with the resampled signal's peak/energy "
+        "oracle-replayed value-exact (upsampled peak equals input "
+        "peak since a floor midpoint is bounded by its neighbors)",
+)
+def mm22(spark, sf):
+    d = spread(table(spark, sf, "documents"))
+    return M.upsample2x_real(M.synth_audio(d))
+
+
+# ------------------------------------------------------------------
+# Image augmentation (mm21): flips + 90/180/270 rotations over REAL
+# decoded images (all four codec formats) — the training-set
+# expansion step; px_check of the TRANSFORMED grid proves the
+# coordinate mapping, not just the decode. Oracle replays the synth
+# arithmetic at the remapped coordinates (built by _aug_val to keep
+# the five variants consistent).
+def _aug_val(x: str, y: str) -> str:
+    return (f"((doc_id + 3*({x}) + 7*({y})) % 256)"
+            f" + 2*((2*doc_id + 5*({x}) + ({y})) % 256)"
+            f" + 3*((doc_id + ({x})*({y})) % 256)")
+
+
+def _aug_sum(n: str, val: str) -> str:
+    return (f"list_aggregate(list_transform(range(0, {n}), p -> "
+            f"(p+1) * ({val})), 'sum')")
+
+
+_MM21_ORACLE = f"""
+WITH d AS (SELECT doc_id, doc_id % 12 + 2 AS w, doc_id % 7 + 2 AS h,
+                  doc_id % 5 AS v FROM documents)
+SELECT doc_id,
+       list_extract(['flip_h', 'flip_v', 'rot90', 'rot180', 'rot270'],
+                    CAST(v + 1 AS INT)) AS op,
+       CAST(CASE WHEN v IN (2, 4) THEN h ELSE w END AS BIGINT) AS out_w,
+       CAST(CASE WHEN v IN (2, 4) THEN w ELSE h END AS BIGINT) AS out_h,
+       CAST(CASE v
+         WHEN 0 THEN {_aug_sum("w*h", _aug_val("w-1-(p % w)", "p // w"))}
+         WHEN 1 THEN {_aug_sum("w*h", _aug_val("p % w", "h-1-(p // w)"))}
+         WHEN 2 THEN {_aug_sum("w*h", _aug_val("p // h", "h-1-(p % h)"))}
+         WHEN 3 THEN {_aug_sum("w*h",
+                               _aug_val("w-1-(p % w)", "h-1-(p // w)"))}
+         ELSE {_aug_sum("w*h", _aug_val("w-1-(p // h)", "p % h"))}
+       END AS BIGINT) AS px_check
+FROM d
+"""
+
+
+@register(
+    "mm21_image_augment",
+    _MM21_ORACLE,
+    doc="REAL image augmentation (flip_h/flip_v/rot90/rot180/rot270 "
+        "cycling per id) over decoded BMP/PPM/PNG/GIF payloads — the "
+        "training-set expansion step; the transformed grid's "
+        "position-weighted px_check proves the coordinate mapping "
+        "exactly, and the oracle replays the synth arithmetic at the "
+        "remapped coordinates",
+)
+def mm21(spark, sf):
+    d = spread(table(spark, sf, "documents"))
+    return M.augment_image_real(
+        M.synth_images(d, formats=("bmp", "ppm", "png", "gif")))
+
+
+# ------------------------------------------------------------------
 # Extended-format WebP (mm20): VP8X container walk (feature flags,
 # 24-bit canvas dims, chunk inventory), the EXIF chunk decoded as
 # the real TIFF stream it carries (tiffcodec IFD walk — cross-codec
@@ -1633,6 +1729,67 @@ def wd01(spark, sf):
 
     d = spread(table(spark, sf, "documents"))
     samples = WD.sample_regroup(WD.synth_tar_shards(d))
+    return samples.select(
+        "doc_id", "basename",
+        F.decode(F.element_at("parts", "txt"), "utf-8").alias("txt"),
+        F.decode(F.element_at("parts", "cls"), "utf-8")
+        .cast("long").alias("cls"))
+
+
+# ------------------------------------------------------------------
+# ZIP shard ingestion (wd02): the zip twin of wd01 — same sample
+# structure carried in real zip archives, members DEFLATED on even
+# ids and STORED on odd ids (both decode paths); stdlib zipfile walk,
+# first-dot split, (id, basename) regroup. Oracle replays the shard
+# construction like wd01's.
+@register(
+    "wd02_zip_shards",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS ns FROM documents),
+    s AS (SELECT doc_id, unnest(range(0, ns)) AS smp FROM d)
+    SELECT doc_id,
+           doc_id || '_' || smp AS basename,
+           'd' || doc_id || ' s' || smp AS txt,
+           CAST((doc_id + smp) % 10 AS BIGINT) AS cls
+    FROM s
+    """,
+    doc="ZIP shard ingestion (stdlib zipfile: central-directory "
+        "walk, DEFLATE + STORED members, first-dot basename/ext "
+        "split, member→sample regroup) — the zip twin of the "
+        "WebDataset tar path, sharing its size guard; oracle "
+        "replays the construction",
+)
+def wd02(spark, sf):
+    from nowdb_spark.sources import ziparchive as ZA
+
+    d = spread(table(spark, sf, "documents"))
+
+    def kernel(batches):
+        import pandas as _pd
+
+        def synth(did: int) -> bytes:
+            did = int(did)
+            members = []
+            for s in range(did % 3 + 1):
+                members.append((f"{did}_{s}.txt",
+                                f"d{did} s{s}".encode()))
+                members.append((f"{did}_{s}.cls",
+                                str((did + s) % 10).encode()))
+            return ZA.encode_zip(members, compress=did % 2 == 0)
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"].values,
+                "payload": [synth(x) for x in pdf["doc_id"]],
+            })
+
+    shards = (d.select("doc_id")
+              .mapInPandas(kernel, "doc_id long, payload binary"))
+    samples = (ZA.parse_zip_bytes(shards)
+               .groupBy("doc_id", "basename")
+               .agg(F.map_from_entries(
+                   F.collect_list(F.struct("ext", "payload")))
+                   .alias("parts")))
     return samples.select(
         "doc_id", "basename",
         F.decode(F.element_at("parts", "txt"), "utf-8").alias("txt"),

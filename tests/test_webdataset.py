@@ -61,3 +61,31 @@ def test_tar_members_skips_non_regular_and_bad(spark):
     rows = WD.tar_members(df).collect()
     assert [(r["basename"], r["ext"]) for r in rows] == [("x", "txt")]
     assert bytes(rows[0]["payload"]) == b"inside"
+
+
+def test_read_zip_samples(spark, tmp_path):
+    """ZIP twin of read_webdataset: deflate + stored members, nested
+    paths, bad archives skipped, size guard shared."""
+    import pytest
+
+    from nowdb_spark.sources import ziparchive as ZA
+
+    za = ZA.encode_zip([("000001.txt", b"caption one"),
+                        ("000001.cls", b"7")], compress=True)
+    zb = ZA.encode_zip([("imgs/000002.seg.png", b"\x89fake"),
+                        ("imgs/000002.txt", b"caption two")],
+                       compress=False)
+    (tmp_path / "a.zip").write_bytes(za)
+    (tmp_path / "b.zip").write_bytes(zb)
+    rows = {r["basename"]: dict(r["parts"]) for r in
+            ZA.read_zip(spark, str(tmp_path)).collect()}
+    assert set(rows) == {"000001", "000002"}
+    assert bytes(rows["000001"]["txt"]) == b"caption one"
+    assert set(rows["000002"]) == {"seg.png", "txt"}
+    with pytest.raises(ValueError, match="max_file_bytes"):
+        ZA.read_zip(spark, str(tmp_path), max_file_bytes=16)
+    bad = spark.createDataFrame(
+        [(1, bytearray(za)), (2, bytearray(b"not a zip"))],
+        "doc_id long, payload binary")
+    got = ZA.parse_zip_bytes(bad).collect()
+    assert {r["doc_id"] for r in got} == {1}
