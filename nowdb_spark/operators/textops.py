@@ -152,6 +152,47 @@ def markdown_to_text(col: Column) -> Column:
     return F.trim(F.regexp_replace(s, r"\s+", " "))
 
 
+def tfidf_topk(df: DataFrame, k: int = 5, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-document TF-IDF top-k keyword extraction — the
+    keyword/topic-tagging step of corpus curation.
+
+    score = tf · (ln((N+1)/(df+1)) + 1)   (smoothed idf, sklearn's
+    formulation), rounded to 6 before ranking; ties break on the
+    term string, so the order is engine-exact and the DuckDB oracle
+    replays it bit-for-bit.
+
+    Plan shape at 100 TB: explode → per-(doc,term) count with
+    map-side combine; the document-frequency table is a
+    vocabulary-keyed aggregate joined back on term (hash join — the
+    vocabulary is corpus-sized, never broadcast); N is one scalar
+    broadcast; the per-doc top-k is a single window over the doc
+    partition."""
+    from pyspark.sql import Window
+
+    w = df.select(id_col,
+                  F.explode(words(F.col(text_col))).alias("term"))
+    tf = w.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = w.groupBy("term").agg(
+        F.count_distinct(id_col).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("n"))
+    scored = (tf.join(dfreq, "term")
+              .crossJoin(F.broadcast(n))
+              .select(id_col, "term",
+                      F.round(
+                          F.col("tf")
+                          * (F.log((F.col("n") + 1.0)
+                                   / (F.col("df") + 1.0)) + 1.0),
+                          6).alias("score")))
+    win = Window.partitionBy(id_col).orderBy(F.col("score").desc(),
+                                             F.col("term"))
+    return (scored.withColumn("rank", F.row_number().over(win))
+            .where(F.col("rank") <= k)
+            .select(id_col,
+                    F.col("rank").cast("long").alias("rank"),
+                    "term", "score"))
+
+
 _SENT_ABBREV = r"Dr|Mr|Mrs|Ms|Prof|Sr|Jr|St|vs|etc|e\.g|i\.e|cf|al"
 _SENT_SENTINEL = "\x1f"                  # unit separator
 

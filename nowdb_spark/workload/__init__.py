@@ -161,7 +161,12 @@ _PRIORITY_ORDER = [
     # SUBSUMES it (robots gate → the same WARC round trip → the same
     # HTML→text extraction → token count, all under one oracle) and
     # now also exercises the RFC 9309 parser.)
-    "dd01_exact_dedup", "dd03_minhash_lsh_pairs",
+    # dd01's exact-hash dedup proved green in-window rounds 1–9;
+    # relegated round 10 (pytest-verified — its groupBy-hash shape is
+    # also q05_distinct's). Its slot carries wc06, the RFC 3986 URL
+    # canonicalization gate (crawl-frontier keying), new this round —
+    # rotated in immediately rather than lagging a round.
+    "wc06_url_canonicalize", "dd03_minhash_lsh_pairs",
     "wc05_crawl_pipeline", "sk03_kll_quantiles",
     # dd06's bounded crossJoin is subsumed by its own documented scale
     # path: dd09 SemDeDup (cluster-bounded pairwise cosine).
@@ -202,7 +207,12 @@ _PRIORITY_ORDER = [
     # to mm11, the REAL FLAC sample decode (Rice partitions +
     # escapes, CONSTANT/VERBATIM/FIXED/LPC subframes, stereo
     # decorrelation, CRC-8/16), the hardest entropy path of round 9.
-    "mm07_jpeg_decode", "mm11_flac_decode", "mm09_mp4_meta",
+    # mm07's JPEG decode proved green in-window rounds 6–9; relegated
+    # round 10 (pytest-verified) — the image row upgrades to mm19,
+    # the REAL WebP-lossless (VP8L) sample decode new this round
+    # (prefix codes + LZ77 + color cache + meta groups + all four
+    # inverse transforms), rotated in immediately.
+    "mm19_webp_decode", "mm11_flac_decode", "mm09_mp4_meta",
     # time-series (ts02's row-frame moving aggregates are covered
     # in-window by nq08's window-function row; its slot carries the
     # streaming extension gate — a REAL readStream→memory-sink run

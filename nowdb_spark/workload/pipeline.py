@@ -1952,6 +1952,51 @@ def mm15(spark, sf):
 
 
 # ------------------------------------------------------------------
+# TF-IDF keyword extraction (tx12): per-doc top-5 terms by smoothed
+# tf-idf over the REAL documents text — unlike the synth rows, both
+# engines compute the whole model (term df table + N) from the same
+# corpus. Round-6 before ranking + term tiebreak makes the order
+# engine-exact.
+@register(
+    "tx12_tfidf_keywords",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df
+              FROM w GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0))
+                            + 1.0), 6) AS score
+      FROM tf, dfreq, n WHERE tf.term = dfreq.term
+    ),
+    ranked AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rk
+      FROM scored
+    )
+    SELECT doc_id, CAST(rk AS BIGINT) AS rank, term, score
+    FROM ranked WHERE rk <= 5
+    """,
+    doc="per-document TF-IDF top-5 keyword extraction (smoothed idf, "
+        "sklearn formulation) computed end-to-end from the corpus — "
+        "explode → map-side-combined tf, vocabulary-keyed df "
+        "aggregate joined back, scalar-N broadcast, per-doc window "
+        "top-k; round-6-then-rank + term tiebreak keeps the order "
+        "engine-exact",
+)
+def tx12(spark, sf):
+    from nowdb_spark.operators.textops import tfidf_topk
+
+    return tfidf_topk(table(spark, sf, "documents"), k=5)
+
+
+# ------------------------------------------------------------------
 # Sentence segmentation (tx11): the chunking step ahead of windowed
 # dedup / context packing / citation alignment. Each doc is rendered
 # as n = id%4+2 sentences, each carrying the classic abbreviation
