@@ -490,6 +490,50 @@ def main() -> None:
 
         rate("wc05_docs_per_sec", n_crawl, crawl,
              extra={"wc05_docs": n_crawl})
+        # round-10 operator rates: URL canonicalization (messy URL
+        # per doc, all rules firing), sentence segmentation, TF-IDF
+        # keywords (bounded slice — the explode is corpus×words),
+        # VP8L decode, augmentation, audio upsample.
+        n_url = min(n_docs, 2_000_000)
+        messy = (spark.range(n_url).select(
+            F.concat(F.lit("HtTp://WwW.Site"),
+                     (F.col("id") % 1000).cast("string"),
+                     F.lit(".ExAmPle:80/A"),
+                     (F.col("id") % 50).cast("string"),
+                     F.lit("/./b/../C%6fde/x%2fy?q=%41"),
+                     (F.col("id") % 9).cast("string"),
+                     F.lit("#frag")).alias("url")))
+        rate("wc06_urls_per_sec", n_url,
+             lambda: messy.select(
+                 WC.canonicalize_url(F.col("url")).alias("cu"))
+             .agg(F.count("cu")).collect(),
+             extra={"wc06_urls": n_url})
+        from nowdb_spark.operators.textops import (split_sentences,
+                                                   tfidf_topk)
+        rate("tx11_docs_per_sec", n_docs,
+             lambda: dsrc.select(
+                 F.size(split_sentences(F.col("text"))).alias("ns"))
+             .agg(F.sum("ns")).collect())
+        n_tfidf = min(n_docs, 1_000_000)
+        tsl = dsrc.filter(F.col("doc_id") < n_tfidf)
+        rate("tx12_docs_per_sec", n_tfidf,
+             lambda: tfidf_topk(tsl, k=5).count(),
+             extra={"tx12_docs": n_tfidf})
+        n_webp = min(n_imgs, 50_000)
+        webp_ids = ids.filter(F.col("doc_id") < n_webp)
+        rate("mm19_imgs_per_sec", n_webp,
+             lambda: MM.webp_features_real(MM.synth_webps(webp_ids))
+             .agg(F.count(F.lit(1))).collect(),
+             extra={"mm19_imgs": n_webp})
+        rate("mm21_imgs_per_sec", n_webp,
+             lambda: MM.augment_image_real(
+                 MM.synth_images(webp_ids,
+                                 formats=("bmp", "ppm", "png", "gif")))
+             .agg(F.count(F.lit(1))).collect(),
+             extra={"mm21_imgs": n_webp})
+        rate("mm22_clips_per_sec", n_imgs,
+             lambda: MM.upsample2x_real(MM.synth_audio(ids))
+             .agg(F.count(F.lit(1))).collect())
 
         dim = 64
         vec = F.transform(
