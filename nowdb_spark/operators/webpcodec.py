@@ -138,10 +138,15 @@ def make_webp_codec() -> SimpleNamespace:
                 next_code[ln] += 1
         return out
 
+    _ROOT_BITS = 8
+
     def _decode_table(lengths):
-        """lengths → prefix decoder: ('const', sym) when nothing need
-        be read, else ('tab', {(len, code): sym}). Over-subscribed
-        codes (Kraft > 1) are rejected."""
+        """lengths → prefix decoder ('tab', root256, slow_dict) or
+        ('const', sym). root256 is an 8-bit ROOT TABLE indexed by the
+        next 8 RAW stream bits (LSB-first, as _BR.read returns them):
+        entry = (symbol, code_len) for codes ≤ 8 bits, None for
+        longer codes (which fall back to the per-bit dict walk).
+        Over-subscribed codes (Kraft > 1) are rejected."""
         used = [(s, ln) for s, ln in enumerate(lengths) if ln]
         if not used:
             raise ValueError("vp8l: empty prefix code")
@@ -149,21 +154,43 @@ def make_webp_codec() -> SimpleNamespace:
         if kraft > (1 << 15):
             raise ValueError("vp8l: over-subscribed prefix code")
         codes = _canonical_codes(lengths)
-        return ("tab", {(ln, c): s for s, (c, ln) in codes.items()})
+        slow = {(ln, c): s for s, (c, ln) in codes.items()}
+        root = [None] * (1 << _ROOT_BITS)
+        for s, (c, ln) in codes.items():
+            if ln > _ROOT_BITS:
+                continue
+            # stream order: bit k of the raw 8-bit peek is the k-th
+            # bit read; the code consumes its bits MSB-first
+            base = 0
+            for k in range(ln):
+                if (c >> (ln - 1 - k)) & 1:
+                    base |= 1 << k
+            ent = (s, ln)
+            for fill in range(1 << (_ROOT_BITS - ln)):
+                root[base | (fill << ln)] = ent
+        return ("tab", (root, slow))
 
     def _read_sym(br: _BR, code) -> int:
         kind, payload = code
         if kind == "const":
             return payload
+        root, slow = payload
+        pos = br.pos
+        if pos + _ROOT_BITS <= br.nbits:
+            chunk = int.from_bytes(
+                br.b[pos >> 3:(pos + _ROOT_BITS + 7) >> 3], "little")
+            ent = root[(chunk >> (pos & 7)) & 0xFF]
+            if ent is not None:
+                br.pos = pos + ent[1]
+                return ent[0]
         length = 0
         c = 0
-        tab = payload
         while True:
             length += 1
             if length > 15:
                 raise ValueError("vp8l: bad prefix code stream")
             c = (c << 1) | br.read(1)
-            s = tab.get((length, c))
+            s = slow.get((length, c))
             if s is not None:
                 return s
 
@@ -176,7 +203,11 @@ def make_webp_codec() -> SimpleNamespace:
             sym1 = br.read(8)
             if sym0 == sym1 or max(sym0, sym1) >= alphabet_size:
                 raise ValueError("vp8l: bad simple code")
-            return ("tab", {(1, 0): sym0, (1, 1): sym1})
+            # code 0 → first TRANSMITTED symbol (spec order, not
+            # canonical-by-symbol); root entries keyed by raw bit 0
+            root = [(sym0, 1) if (v & 1) == 0 else (sym1, 1)
+                    for v in range(1 << _ROOT_BITS)]
+            return ("tab", (root, {(1, 0): sym0, (1, 1): sym1}))
         num_cl = 4 + br.read(4)
         cl_lengths = [0] * 19
         for i in range(num_cl):
