@@ -1151,6 +1151,95 @@ def upsample2x_real(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)
 
 
+def trim_silence_real(df: DataFrame, threshold: int = 200,
+                      id_col: str = "doc_id",
+                      payload_col: str = "payload") -> DataFrame:
+    """REAL silence trimming over decoded WAV PCM — the VAD-lite
+    preprocessing step: drop leading/trailing samples with
+    |s| < threshold, keep the interior untouched. Integer-exact
+    outputs (trimmed length, lead cut, trimmed-window energy) so the
+    oracle replays the trim decision sample-for-sample. Mono only;
+    an all-quiet clip trims to 0 with lead_cut = n. Narrow."""
+    from nowdb_spark.operators.audiocodec import make_audio_codec
+
+    codec = make_audio_codec()
+    schema = (f"{id_col} long, n_in long, n_out long, lead_cut long, "
+              "sq_sum long")
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                did = int(did)
+                try:
+                    a = codec.decode(bytes(payload))
+                except ValueError:
+                    a = None
+                if a is None or a.get("channels") != 1:
+                    out.append((did,) + (None,) * 4)
+                    continue
+                s = a["samples"]
+                loud = [i for i, x in enumerate(s)
+                        if abs(x) >= threshold]
+                if not loud:
+                    out.append((did, len(s), 0, len(s), 0))
+                    continue
+                lo, hi = loud[0], loud[-1]
+                win = s[lo:hi + 1]
+                out.append((did, len(s), len(win), lo,
+                            sum(x * x for x in win)))
+            yield _pd.DataFrame(out, columns=[
+                id_col, "n_in", "n_out", "lead_cut", "sq_sum"])
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
+def scene_cuts_real(df: DataFrame, threshold_per_px: int = 24,
+                    id_col: str = "doc_id",
+                    payload_col: str = "payload") -> DataFrame:
+    """REAL scene-change detection over decoded Y4M video — the
+    shot-segmentation step of video-corpus preprocessing: per
+    consecutive frame pair, the luma SAD (sum of absolute Y-plane
+    differences); a CUT where SAD > threshold_per_px · plane_size.
+    Integer-exact (n_cuts, total SAD) so the oracle replays every
+    comparison. Narrow, zero-shuffle."""
+    from nowdb_spark.operators.videocodec import make_video_codec
+
+    codec = make_video_codec()
+    schema = (f"{id_col} long, n_frames long, n_cuts long, "
+              "total_sad long")
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                did = int(did)
+                v = codec.decode(bytes(payload))
+                if v is None:
+                    out.append((did,) + (None,) * 3)
+                    continue
+                ys = [_np.frombuffer(f[0], dtype=_np.uint8)
+                      .astype(_np.int64) for f in v["frames"]]
+                thresh = threshold_per_px * (len(ys[0]) if ys else 0)
+                cuts = 0
+                total = 0
+                for a, b in zip(ys, ys[1:]):
+                    sad = int(_np.abs(a - b).sum())
+                    total += sad
+                    if sad > thresh:
+                        cuts += 1
+                out.append((did, len(ys), cuts, total))
+            yield _pd.DataFrame(out, columns=[
+                id_col, "n_frames", "n_cuts", "total_sad"])
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
 AUGMENT_OPS = ("flip_h", "flip_v", "rot90", "rot180", "rot270")
 
 

@@ -1414,6 +1414,83 @@ def mm19(spark, sf):
     return M.webp_features_real(M.synth_webps(d))
 
 
+# Silence trim (mm23): VAD-lite leading/trailing-quiet removal over
+# REAL decoded WAV PCM (|s| < 200 at the edges drops, interior kept);
+# the oracle replays the trim decision sample-for-sample.
+@register(
+    "mm23_silence_trim",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 50 + 10 AS n FROM documents),
+    k AS (SELECT doc_id, n,
+            list_filter(range(0, n), i ->
+              abs((doc_id*7 + i*13) % 4001 - 2000) >= 200) AS keep
+          FROM d)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_in,
+           CAST(CASE WHEN len(keep) = 0 THEN 0
+                ELSE list_aggregate(keep, 'max')
+                     - list_aggregate(keep, 'min') + 1 END
+                AS BIGINT) AS n_out,
+           CAST(CASE WHEN len(keep) = 0 THEN n
+                ELSE list_aggregate(keep, 'min') END
+                AS BIGINT) AS lead_cut,
+           CAST(CASE WHEN len(keep) = 0 THEN 0
+                ELSE list_aggregate(list_transform(
+                  range(list_aggregate(keep, 'min'),
+                        list_aggregate(keep, 'max') + 1), i ->
+                    ((doc_id*7 + i*13) % 4001 - 2000)
+                    * ((doc_id*7 + i*13) % 4001 - 2000)), 'sum') END
+                AS BIGINT) AS sq_sum
+    FROM k
+    """,
+    doc="REAL silence trimming (VAD-lite) over decoded WAV PCM: "
+        "leading/trailing samples under the |200| threshold drop, "
+        "interior kept; trimmed length, lead cut and trimmed-window "
+        "energy oracle-replayed sample-for-sample",
+)
+def mm23(spark, sf):
+    d = spread(table(spark, sf, "documents"))
+    return M.trim_silence_real(M.synth_audio(d))
+
+
+# ------------------------------------------------------------------
+# Scene-change detection (mm24): luma-SAD cuts over REAL decoded Y4M
+# frames (threshold 24/px sits near the synth's mean |Y-diff| ≈ 25,
+# so the cut decision varies across the corpus); oracle replays every
+# frame-pair comparison.
+@register(
+    "mm24_scene_cuts",
+    """
+    WITH d AS (SELECT doc_id,
+                      8 + (doc_id % 3) * 4 AS w,
+                      doc_id % 5 + 2 AS nf
+               FROM documents),
+    s AS (SELECT doc_id, w, nf, w * 8 AS ysz FROM d),
+    f AS (SELECT doc_id, ysz, nf,
+            list_transform(range(1, nf), fr ->
+              list_aggregate(list_transform(range(0, ysz), i ->
+                abs(((doc_id*7 + fr*13 + i*3) % 256)
+                    - ((doc_id*7 + (fr-1)*13 + i*3) % 256))),
+                'sum')) AS sads
+          FROM s)
+    SELECT doc_id,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(len(list_filter(sads, x -> x > 24 * ysz))
+                AS BIGINT) AS n_cuts,
+           CAST(list_aggregate(sads, 'sum') AS BIGINT) AS total_sad
+    FROM f
+    """,
+    doc="REAL scene-change detection over decoded Y4M video: per "
+        "frame-pair luma SAD with a per-pixel threshold — the "
+        "shot-segmentation step of video preprocessing; n_cuts and "
+        "total SAD oracle-replayed comparison-for-comparison",
+)
+def mm24(spark, sf):
+    d = spread(table(spark, sf, "documents"))
+    return M.scene_cuts_real(M.synth_videos(d))
+
+
+# ------------------------------------------------------------------
 # Audio 2× upsample (mm22): exact floor-midpoint interpolation over
 # REAL decoded WAV PCM (u[2i]=s[i], u[2i+1]=⌊(s[i]+s[i+1])/2⌋) — the
 # sample-rate-conversion step, integer-exact so the oracle replays

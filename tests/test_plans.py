@@ -82,6 +82,7 @@ _PY_ALLOWED = {"mm01_extract_meta", "mm02_real_decode", "mm03_real_resize",
                "mm16_id3_tags", "mm17_tiff_meta", "mm18_png_text",
                "mm19_webp_decode", "mm20_webp_extended",
                "mm21_image_augment", "mm22_audio_upsample",
+               "mm23_silence_trim", "mm24_scene_cuts",
                "wd02_zip_shards",
                "dc01_pdf_extract", "dc02_epub_extract", "wd01_webdataset",
                # WARC framing/parsing is bytes-imperative by nature
