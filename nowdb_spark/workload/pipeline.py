@@ -1814,6 +1814,92 @@ def wd01(spark, sf):
 
 
 # ------------------------------------------------------------------
+# Multimodal WebDataset pipeline (wd03): the composed row — tar
+# shards whose samples pair a REAL WebP-lossless image member with a
+# text caption (the image-text-pair corpus layout); the pipeline runs
+# shard walk → (id, basename) sample regroup → VP8L sample decode of
+# the .webp part → token count of the .txt part, all under ONE
+# oracle. The image uses mm19's non-palette pixel arithmetic
+# (subtract-green + cache encoding); caption = id%4+1 words.
+@register(
+    "wd03_multimodal_samples",
+    r"""
+    WITH d AS (SELECT doc_id,
+                      8 + doc_id % 9 AS w,
+                      8 + doc_id % 7 AS h
+               FROM documents)
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(list_aggregate(list_transform(range(0, w*h), p ->
+             (p + 1) * (
+               ((doc_id*3 + ((p % w) // 3) * 7 + (p // w) * 11) % 256)
+               + 2 * ((doc_id*5 + ((p % w) // 3) * 13
+                       + (p // w) * 3) % 256)
+               + 3 * ((doc_id*7 + ((p % w) // 3) * 3
+                       + (p // w) * 5) % 256))),
+             'sum') AS BIGINT) AS px_check,
+           CAST(doc_id % 4 + 1 AS INT) AS n_tokens
+    FROM d
+    """,
+    doc="Composed multimodal-corpus pipeline: WebDataset tar shards "
+        "of (real VP8L image, caption) samples → member walk → "
+        "sample regroup → WebP SAMPLE decode of the image part + "
+        "token count of the caption part under one oracle — the "
+        "image-text-pair ingestion path end-to-end",
+)
+def wd03(spark, sf):
+    from nowdb_spark.operators.textops import token_count
+    from nowdb_spark.operators.webpcodec import make_webp_codec
+    from nowdb_spark.sources import webdataset as WD
+
+    codec = make_webp_codec()
+    d = spread(table(spark, sf, "documents"))
+
+    def kernel(batches):
+        import pandas as _pd
+
+        def synth(did: int) -> bytes:
+            did = int(did)
+            w, h = 8 + did % 9, 8 + did % 7
+            px = []
+            for y in range(h):
+                for x in range(w):
+                    xx = x // 3
+                    r = (did * 3 + xx * 7 + y * 11) % 256
+                    g = (did * 5 + xx * 13 + y * 3) % 256
+                    b = (did * 7 + xx * 3 + y * 5) % 256
+                    a = 255 - ((did + x + y) % 2)
+                    px.append((a << 24) | (r << 16) | (g << 8) | b)
+            img = codec.encode(px, w, h, transform="subtract_green",
+                               cache_bits=4)
+            cap = " ".join(f"w{(did + j) % 9}"
+                           for j in range(did % 4 + 1))
+            return WD.encode_tar([(f"{did}.webp", img),
+                                  (f"{did}.txt", cap.encode())])
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"].values,
+                "payload": [synth(x) for x in pdf["doc_id"]],
+            })
+
+    shards = (d.select("doc_id")
+              .mapInPandas(kernel, "doc_id long, payload binary"))
+    samples = WD.sample_regroup(shards)
+    imgs = M.webp_features_real(
+        samples.select("doc_id",
+                       F.element_at("parts", "webp").alias("payload")))
+    return (imgs.join(
+        samples.select(
+            "doc_id",
+            token_count(F.decode(F.element_at("parts", "txt"),
+                                 "utf-8")).alias("n_tokens")),
+        "doc_id")
+        .select("doc_id", "width", "height", "px_check", "n_tokens"))
+
+
+# ------------------------------------------------------------------
 # ZIP shard ingestion (wd02): the zip twin of wd01 — same sample
 # structure carried in real zip archives, members DEFLATED on even
 # ids and STORED on odd ids (both decode paths); stdlib zipfile walk,
