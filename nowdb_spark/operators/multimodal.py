@@ -768,6 +768,62 @@ def epub_text_real(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)
 
 
+def synth_docx(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize REAL DOCX files from an id column: id%4+1
+    paragraphs, paragraph k = 'd{id} p{k} a&b <q> t\\tend{(id+k)%10}'
+    — the entities exercise XML escaping, the tab becomes a real
+    <w:tab/> element, and paragraph k is split into k%3+1 runs so
+    extraction must re-join <w:t> fragments."""
+    from nowdb_spark.operators.docxcodec import make_docx_codec
+
+    codec = make_docx_codec()
+    schema = f"{id_col} long, payload binary"
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        def synth(did: int) -> bytes:
+            did = int(did)
+            return codec.encode_docx(
+                [f"d{did} p{k} a&b <q> t\tend{(did + k) % 10}"
+                 for k in range(did % 4 + 1)])
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "payload": [synth(d) for d in pdf[id_col]],
+            })
+
+    return df.select(id_col).mapInPandas(kernel, schema)
+
+
+def docx_text_real(df: DataFrame, id_col: str = "doc_id",
+                   payload_col: str = "payload") -> DataFrame:
+    """REAL DOCX text extraction (docxcodec.py: zip container →
+    word/document.xml → paragraph walk joining split <w:t> runs,
+    mapping <w:tab/>/<w:br/>, unescaping entities). One row per
+    paragraph (doc_id, para, text); non-DOCX bytes yield nothing."""
+    from nowdb_spark.operators.docxcodec import make_docx_codec
+
+    codec = make_docx_codec()
+    schema = f"{id_col} long, para long, text string"
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                paras = codec.extract_paras(bytes(payload))
+                if paras is None:
+                    continue
+                for k, t in enumerate(paras):
+                    out.append((int(did), k, t))
+            yield _pd.DataFrame(out, columns=[id_col, "para", "text"])
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
 def synth_adpcm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize mono IMA-ADPCM WAV payloads from an id column:
     (id%30+10)*2 nibbles nib_j = (id*7 + j*3) % 16, initial predictor

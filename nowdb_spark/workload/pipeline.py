@@ -2036,6 +2036,34 @@ def dc02(spark, sf):
     return M.epub_text_real(M.synth_epubs(d))
 
 
+# DOCX extraction (dc03): real OOXML packages — zip container →
+# word/document.xml → paragraph walk. Paragraph k is split into
+# k%3+1 <w:r> runs mid-text (the revision-tracking fragmentation
+# real .docx files exhibit), its tab is a structural <w:tab/>
+# element, and '&'/'<'/'>' ride as XML entities — so extraction must
+# re-join runs, map control elements, and unescape. Oracle replays
+# the paragraph construction.
+@register(
+    "dc03_docx_extract",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 4 + 1 AS np FROM documents),
+    p AS (SELECT doc_id, unnest(range(0, np)) AS pg FROM d)
+    SELECT doc_id,
+           CAST(pg AS BIGINT) AS para,
+           'd' || doc_id || ' p' || pg || ' a&b <q> t' || chr(9)
+             || 'end' || ((doc_id + pg) % 10) AS text
+    FROM p
+    """,
+    doc="REAL DOCX text extraction (ECMA-376 WordprocessingML): zip "
+        "container, word/document.xml paragraph walk joining "
+        "mid-text <w:t> run splits, <w:tab/> mapping, XML entity "
+        "unescape; oracle replays the paragraph arithmetic",
+)
+def dc03(spark, sf):
+    d = spread(table(spark, sf, "documents"))
+    return M.docx_text_real(M.synth_docx(d))
+
+
 # ------------------------------------------------------------------
 # Subtitle parsing (vt01): each doc renders id%4+1 cues as REAL
 # subtitle text — even ids as SRT (index lines, ',' millis), odd ids
