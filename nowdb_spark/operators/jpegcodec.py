@@ -2,11 +2,19 @@
 other codecs could not cover.
 
 Scope (honest): BASELINE sequential DCT (SOF0/1) and PROGRESSIVE
-(SOF2) with Huffman entropy coding — grayscale and YCbCr color at any
-integer sampling-factor combination (4:4:4, 4:2:2, 4:2:0, ...),
-MCU-interleaved, with restart intervals. Arithmetic-coded and
-hierarchical/lossless streams raise cleanly; chroma upsampling is
-pixel replication (not bilinear).
+(SOF2) with Huffman entropy coding, plus SEQUENTIAL ARITHMETIC
+(SOF9) with the T.81 Annex D QM coder — grayscale and YCbCr color at
+any integer sampling-factor combination (4:4:4, 4:2:2, 4:2:0, ...),
+MCU-interleaved, with restart intervals in both entropy
+architectures. Progressive-arithmetic (SOF10) and hierarchical/
+lossless streams raise cleanly; chroma upsampling is pixel
+replication (not bilinear). The QM layer (state table D.3,
+conditional exchange, carry resolution over stacked 0xFF bytes, DAC
+conditioning, DC context classification, AC bin groups per F.1.4/
+F.2) is written from the published spec; with no codec library in
+this container its verified contract is encoder↔decoder round-trip
+across every path plus bit-level coder fuzzing — cross-validation
+against libjpeg-produced fixtures is noted future work.
 
 What is REAL here:
   * marker stream walk (SOI/APPn/COM/DQT/SOF0/2/DHT/DRI/SOS/EOI),
@@ -407,6 +415,548 @@ def make_jpeg_codec() -> SimpleNamespace:
             out.append(zz)
         return out, mcux, mcuy
 
+    # ---- arithmetic entropy layer (T.81 Annex D + F.1.4 / F.2) -----
+    # QM-coder probability estimation state machine, T.81 Table D.3:
+    # (Qe, Next_Index_LPS, Next_Index_MPS, Switch_MPS). Index 113 is
+    # the non-adapting 0.5 state used for AC signs (F.1.4.3.1).
+    # Written from the published spec tables; cross-codec fixtures
+    # (libjpeg-turbo) are unavailable in this container, so the
+    # verified contract is encoder↔decoder round-trip over every
+    # path: carries, stacked 0xFF resolution, restart intervals,
+    # conditioning-table variants.
+    _QM = (
+        (0x5A1D, 1, 1, 1), (0x2586, 14, 2, 0), (0x1114, 16, 3, 0),
+        (0x080B, 18, 4, 0), (0x03D8, 20, 5, 0), (0x01DA, 23, 6, 0),
+        (0x00E5, 25, 7, 0), (0x006F, 28, 8, 0), (0x0036, 30, 9, 0),
+        (0x001A, 33, 10, 0), (0x000D, 35, 11, 0), (0x0006, 9, 12, 0),
+        (0x0003, 10, 13, 0), (0x0001, 12, 13, 0), (0x5A7F, 15, 15, 1),
+        (0x3F25, 36, 16, 0), (0x2CF2, 38, 17, 0), (0x207C, 39, 18, 0),
+        (0x17B9, 40, 19, 0), (0x1182, 42, 20, 0), (0x0CEF, 43, 21, 0),
+        (0x09A1, 45, 22, 0), (0x072F, 46, 23, 0), (0x055C, 48, 24, 0),
+        (0x0406, 49, 25, 0), (0x0303, 51, 26, 0), (0x0240, 52, 27, 0),
+        (0x01B1, 54, 28, 0), (0x0144, 56, 29, 0), (0x00F5, 57, 30, 0),
+        (0x00B7, 59, 31, 0), (0x008A, 60, 32, 0), (0x0068, 62, 33, 0),
+        (0x004E, 63, 34, 0), (0x003B, 32, 35, 0), (0x002C, 33, 9, 0),
+        (0x5AE1, 37, 37, 1), (0x484C, 64, 38, 0), (0x3A0D, 65, 39, 0),
+        (0x2EF1, 67, 40, 0), (0x261F, 68, 41, 0), (0x1F33, 69, 42, 0),
+        (0x19A8, 70, 43, 0), (0x1518, 72, 44, 0), (0x1177, 73, 45, 0),
+        (0x0E74, 74, 46, 0), (0x0BFB, 75, 47, 0), (0x09F8, 77, 48, 0),
+        (0x0861, 78, 49, 0), (0x0706, 79, 50, 0), (0x05CD, 48, 51, 0),
+        (0x04DE, 50, 52, 0), (0x040F, 50, 53, 0), (0x0363, 51, 54, 0),
+        (0x02D4, 52, 55, 0), (0x025C, 53, 56, 0), (0x01F8, 54, 57, 0),
+        (0x01A4, 55, 58, 0), (0x0160, 56, 59, 0), (0x0125, 57, 60, 0),
+        (0x00F6, 58, 61, 0), (0x00CB, 59, 62, 0), (0x00AB, 61, 63, 0),
+        (0x008F, 61, 32, 0), (0x5B12, 65, 65, 1), (0x4D04, 80, 66, 0),
+        (0x412C, 81, 67, 0), (0x37D8, 82, 68, 0), (0x2FE8, 83, 69, 0),
+        (0x293C, 84, 70, 0), (0x2379, 86, 71, 0), (0x1EDF, 87, 72, 0),
+        (0x1AA9, 87, 73, 0), (0x174E, 72, 74, 0), (0x1424, 72, 75, 0),
+        (0x119C, 74, 76, 0), (0x0F6B, 74, 77, 0), (0x0D51, 75, 78, 0),
+        (0x0BB6, 77, 79, 0), (0x0A40, 77, 48, 0), (0x5832, 80, 81, 1),
+        (0x4D1C, 88, 82, 0), (0x438E, 89, 83, 0), (0x3BDD, 90, 84, 0),
+        (0x34EE, 91, 85, 0), (0x2EAE, 92, 86, 0), (0x299A, 93, 87, 0),
+        (0x2516, 86, 71, 0), (0x5570, 88, 89, 1), (0x4CA9, 95, 90, 0),
+        (0x44D9, 96, 91, 0), (0x3E22, 97, 92, 0), (0x3824, 99, 93, 0),
+        (0x32B4, 99, 94, 0), (0x2E17, 93, 86, 0), (0x56A8, 95, 96, 1),
+        (0x4F46, 101, 97, 0), (0x47E5, 102, 98, 0),
+        (0x41CF, 103, 99, 0), (0x3C3D, 104, 100, 0),
+        (0x375E, 99, 93, 0), (0x5231, 105, 102, 0),
+        (0x4C0F, 106, 103, 0), (0x4639, 107, 104, 0),
+        (0x415E, 103, 99, 0), (0x5627, 105, 106, 1),
+        (0x50E7, 108, 107, 0), (0x4B85, 109, 103, 0),
+        (0x5597, 110, 109, 0), (0x504F, 111, 107, 0),
+        (0x5A10, 110, 111, 1), (0x5522, 112, 109, 0),
+        (0x59EB, 112, 111, 1),
+        (0x5A1D, 113, 113, 0),            # fixed .5 (AC signs)
+    )
+    assert len(_QM) == 114
+
+    def _stats(n):
+        """A statistics area: per bin [state index, MPS sense]."""
+        return [bytearray(n), bytearray(n)]
+
+    _FIXED = _stats(1)
+    _FIXED[0][0] = 113
+
+    class _ArithEnc:
+        """T.81 Annex D QM encoder: conditional exchange, renorm-
+        driven estimation, byte output with carry resolution over
+        stacked 0xFF bytes and JPEG 0x00 stuffing."""
+
+        def __init__(self):
+            self.a = 0x10000
+            self.c = 0
+            self.ct = 11
+            self.stack = 0
+            self.buf = bytearray()
+
+        def _emit(self, byte):
+            self.buf.append(byte)
+            if byte == 0xFF:                 # D.1.6 byte stuffing
+                self.buf.append(0x00)
+
+        def _carry(self):
+            if not self.buf:
+                # carry into the conceptual byte before the stream:
+                # materialize it so the binary value is preserved
+                self.buf.append(0x01)
+                return
+            # the last data byte is never a 0xFF (those are stacked),
+            # but +1 may turn it INTO one — stuff behind it then
+            j = len(self.buf) - 1
+            self.buf[j] += 1
+            if self.buf[j] == 0xFF:
+                self.buf.append(0x00)
+
+        def _byteout(self):
+            t = self.c >> 19
+            if t > 0xFF:
+                self._carry()
+                # the carry washes stacked 0xFFs to 0x00
+                for _ in range(self.stack):
+                    self._emit(0x00)
+                self.stack = 0
+                self._emit(t & 0xFF)
+            elif t == 0xFF:
+                self.stack += 1              # defer: may still carry
+            else:
+                for _ in range(self.stack):
+                    self._emit(0xFF)
+                self.stack = 0
+                self._emit(t)
+            self.c &= 0x7FFFF
+
+        def _renorm(self):
+            while self.a < 0x8000:
+                self.a <<= 1
+                self.c <<= 1
+                self.ct -= 1
+                if self.ct == 0:
+                    self._byteout()
+                    self.ct = 8
+
+        def encode(self, stats, i, bit):
+            idx = stats[0][i]
+            mps = stats[1][i]
+            qe, nlps, nmps, sw = _QM[idx]
+            a = self.a - qe
+            if bit == mps:
+                if a & 0x8000:
+                    self.a = a
+                    self.c += qe
+                    return
+                if a < qe:                   # exchange: MPS @ bottom
+                    self.a = qe
+                else:
+                    self.a = a
+                    self.c += qe
+                stats[0][i] = nmps
+            else:
+                if a < qe:                   # exchange: LPS @ top
+                    self.a = a
+                    self.c += qe
+                else:
+                    self.a = qe
+                if sw:
+                    stats[1][i] = 1 - mps
+                stats[0][i] = nlps
+            self._renorm()
+
+        def finish(self):
+            """D.1.8/D.1.9: point C at a value inside the final
+            interval with maximal trailing zeros, push out the
+            remaining bits, resolve the 0xFF stack carry-free."""
+            t = (self.c + self.a - 1) & ~0xFFFF
+            self.c = t + 0x8000 if t < self.c else t
+            self.c <<= self.ct
+            self._byteout()
+            self.c <<= 8
+            self._byteout()
+            for _ in range(self.stack):
+                self._emit(0xFF)
+            self.stack = 0
+            out = bytes(self.buf)
+            self.buf = bytearray()
+            return out
+
+    class _ArithDec:
+        """T.81 F.2.2.5 QM decoder over the entropy segment: FF00
+        unstuffing, zero-fed past any marker (never consumed, so the
+        scan loop can resync)."""
+
+        def __init__(self, b, off):
+            self.b = b
+            self.i = off
+            self.ended = False
+            self.cur = 0
+            self.nbit = 0
+            self.cx = (self._byte() << 8) | self._byte()
+            self.a = 0x10000
+
+        def _byte(self):
+            if self.ended or self.i >= len(self.b):
+                self.ended = True
+                return 0
+            c = self.b[self.i]
+            if c == 0xFF:
+                nxt = (self.b[self.i + 1]
+                       if self.i + 1 < len(self.b) else 0xD9)
+                if nxt != 0x00:              # marker: stop, feed 0s
+                    self.ended = True
+                    return 0
+                self.i += 2
+            else:
+                self.i += 1
+            return c
+
+        def _bit(self):
+            if self.nbit == 0:
+                self.cur = self._byte()
+                self.nbit = 8
+            self.nbit -= 1
+            return (self.cur >> self.nbit) & 1
+
+        def decode(self, stats, i):
+            idx = stats[0][i]
+            mps = stats[1][i]
+            qe, nlps, nmps, sw = _QM[idx]
+            a = self.a - qe
+            if self.cx < qe:                 # bottom subinterval
+                if a < qe:                   # exchange: MPS
+                    d = mps
+                    stats[0][i] = nmps
+                else:
+                    d = mps ^ 1
+                    if sw:
+                        stats[1][i] = mps ^ 1
+                    stats[0][i] = nlps
+                self.a = qe
+            else:
+                self.cx -= qe
+                if a & 0x8000:
+                    self.a = a
+                    return mps
+                if a < qe:                   # exchange: LPS
+                    d = mps ^ 1
+                    if sw:
+                        stats[1][i] = mps ^ 1
+                    stats[0][i] = nlps
+                else:
+                    d = mps
+                    stats[0][i] = nmps
+                self.a = a
+            while self.a < 0x8000:
+                self.a <<= 1
+                self.cx = (self.cx << 1) | self._bit()
+            return d
+
+    def _arith_enc_dc(enc, dcst, ctx, ci, diff, lo, up):
+        """F.1.4.1: DC difference. Context (0/4/8/12/16 by previous
+        diff class) selects the 4-bin decision group; magnitude
+        category bins start at 20 (Table F.4), mantissa at +14."""
+        c0 = ctx[ci]
+        if diff == 0:
+            enc.encode(dcst, c0, 0)
+            ctx[ci] = 0
+            return
+        enc.encode(dcst, c0, 1)
+        sign = 1 if diff < 0 else 0
+        enc.encode(dcst, c0 + 1, sign)
+        st = c0 + 2 + sign
+        e = (diff if diff > 0 else -diff) - 1
+        m = 0
+        if e:
+            enc.encode(dcst, st, 1)
+            m = 1
+            st = 20
+            v2 = e
+            while True:
+                v2 >>= 1
+                if not v2:
+                    break
+                enc.encode(dcst, st, 1)
+                m <<= 1
+                st += 1
+        enc.encode(dcst, st, 0)
+        if m < (1 << lo) >> 1:
+            ctx[ci] = 0
+        elif m > (1 << up) >> 1:
+            ctx[ci] = 12 + 4 * sign
+        else:
+            ctx[ci] = 4 + 4 * sign
+        st += 14
+        mask = m
+        while mask > 1:
+            mask >>= 1
+            enc.encode(dcst, st, 1 if e & mask else 0)
+
+    def _arith_enc_ac(enc, acst, zz, kx):
+        """F.1.4.2: AC band. Per-position 3-bin groups (EOB decision,
+        zero/nonzero, magnitude head); sign via the fixed 0.5 state;
+        low/high magnitude category bins at 189/217 split by Kx."""
+        ke = 63
+        while ke and not zz[ke]:
+            ke -= 1
+        k = 1
+        while k <= 63:
+            st = 3 * (k - 1)
+            if k > ke:
+                enc.encode(acst, st, 1)      # EOB
+                return
+            enc.encode(acst, st, 0)
+            while not zz[k]:
+                enc.encode(acst, st + 1, 0)
+                st += 3
+                k += 1
+            enc.encode(acst, st + 1, 1)
+            v = int(zz[k])
+            sign = 1 if v < 0 else 0
+            enc.encode(_FIXED, 0, sign)
+            e = (v if v > 0 else -v) - 1
+            st += 2
+            m = 0
+            if e:
+                enc.encode(acst, st, 1)
+                m = 1
+                v2 = e >> 1
+                if v2:
+                    enc.encode(acst, st, 1)
+                    m = 2
+                    st = 189 if k <= kx else 217
+                    while True:
+                        v2 >>= 1
+                        if not v2:
+                            break
+                        enc.encode(acst, st, 1)
+                        m <<= 1
+                        st += 1
+            enc.encode(acst, st, 0)
+            st += 14
+            mask = m
+            while mask > 1:
+                mask >>= 1
+                enc.encode(acst, st, 1 if e & mask else 0)
+            k += 1
+
+    def _dac_seg(dc_ids, ac_ids, dc_cond, ac_cond):
+        data = bytearray()
+        for tid in sorted(dc_ids):
+            lo, up = dc_cond.get(tid, (0, 1))
+            data += bytes([tid, up << 4 | lo])
+        for tid in sorted(ac_ids):
+            data += bytes([0x10 | tid, ac_cond.get(tid, 5)])
+        return (b"\xFF\xCC" + struct.pack(">H", 2 + len(data))
+                + bytes(data))
+
+    def _encode_arith(w, h, planes, quants, samps=None, dri=0,
+                      dc_cond=None, ac_cond=None):
+        """Sequential arithmetic DCT (SOF9). planes/quants/samps as
+        in _encode; every component shares conditioning tables 0
+        (DAC segment written explicitly). dri > 0 flushes the coder,
+        emits RSTn, and resets coder+statistics+contexts every dri
+        MCUs (F.1.4.4.3)."""
+        nc = len(planes)
+        samps = samps or [(1, 1)] * nc
+        dc_cond = {0: (0, 1), **(dc_cond or {})}
+        ac_cond = {0: 5, **(ac_cond or {})}
+        lo, up = dc_cond[0]
+        kx = ac_cond[0]
+        out = [b"\xFF\xD8"]
+        out.append(b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00"
+                   + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1)
+                   + bytes([0, 0]))
+        seen_q = {}
+        for ci in range(nc):
+            qid = id(quants[ci])
+            if qid not in seen_q:
+                seen_q[qid] = len(seen_q)
+                out.append(_dqt_seg(seen_q[qid], quants[ci]))
+        sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+        for ci in range(nc):
+            sof += bytes([ci + 1, samps[ci][0] << 4 | samps[ci][1],
+                          seen_q[id(quants[ci])]])
+        out.append(b"\xFF\xC9" + struct.pack(">H", 2 + len(sof)) + sof)
+        out.append(_dac_seg({0}, {0}, dc_cond, ac_cond))
+        if dri:
+            out.append(b"\xFF\xDD" + struct.pack(">HH", 4, dri))
+        sos = bytes([nc])
+        for ci in range(nc):
+            sos += bytes([ci + 1, 0x00])     # cond tables 0/0
+        sos += bytes([0, 63, 0])
+        out.append(b"\xFF\xDA" + struct.pack(">H", 2 + len(sos)) + sos)
+
+        coefs, mcux, mcuy = _coef_blocks(w, h, planes, quants, samps)
+        entropy = bytearray()
+
+        def fresh():
+            return (_ArithEnc(), _stats(64), _stats(256),
+                    [0] * nc, [0] * nc)
+
+        enc, dcst, acst, preds, ctx = fresh()
+        rst = 0
+        for mi in range(mcux * mcuy):
+            if dri and mi and mi % dri == 0:
+                entropy += enc.finish()
+                entropy += bytes((0xFF, 0xD0 + rst))
+                rst = (rst + 1) % 8
+                enc, dcst, acst, preds, ctx = fresh()
+            my, mx = divmod(mi, mcux)
+            for ci in range(nc):
+                hi, vi = samps[ci]
+                for v in range(vi):
+                    for hh in range(hi):
+                        zz = coefs[ci][my * vi + v, mx * hi + hh]
+                        diff = int(zz[0]) - preds[ci]
+                        preds[ci] = int(zz[0])
+                        _arith_enc_dc(enc, dcst, ctx, ci, diff,
+                                      lo, up)
+                        _arith_enc_ac(enc, acst, zz, kx)
+        entropy += enc.finish()
+        out.append(bytes(entropy))
+        out.append(b"\xFF\xD9")
+        return b"".join(out)
+
+    def encode_gray_arith(w, h, rows, unit_quant=False, dri=0):
+        plane = np.asarray(rows, dtype=np.float64)
+        q = (np.ones(64, dtype=np.int64) if unit_quant else QL)
+        return _encode_arith(w, h, [plane], [q], dri=dri)
+
+    def encode_rgb_arith(w, h, rows, unit_quant=False,
+                         sampling="444", dri=0):
+        a = np.asarray(rows, dtype=np.float64)
+        r, g, b = a[..., 0], a[..., 1], a[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        fx, fy = {"444": (1, 1), "422": (2, 1),
+                  "420": (2, 2)}[sampling]
+        if fx > 1 or fy > 1:
+            cb, cr = _downsample(cb, fx, fy), _downsample(cr, fx, fy)
+        samps = [(fx, fy), (1, 1), (1, 1)]
+        ql = np.ones(64, dtype=np.int64) if unit_quant else QL
+        qc = np.ones(64, dtype=np.int64) if unit_quant else QC
+        return _encode_arith(w, h, [y, cb, cr], [ql, qc, qc],
+                             samps=samps, dri=dri)
+
+    def _arith_scan(b, off, scomps, ss, se, ah, al, dri, mcux, mcuy,
+                    dc_cond, ac_cond):
+        """Sequential arithmetic SOS (F.2.2): full-band MCU walk
+        mirroring _entropy_scan, QM-decoded. Progressive arithmetic
+        (SOF10 scan scripts) stays out of scope."""
+        if (ss, se, ah, al) != (0, 63, 0, 0):
+            raise ValueError("arithmetic scans must be full-band "
+                             "sequential (Ss=0 Se=63 Ah=Al=0)")
+        nc = len(scomps)
+
+        def fresh():
+            dec = _ArithDec(b, off)
+            return (dec, {}, {}, [0] * nc, [0] * nc)
+
+        def dc_area(tid):
+            return dcst.setdefault(tid, _stats(64))
+
+        def ac_area(tid):
+            return acst.setdefault(tid, _stats(256))
+
+        dec, dcst, acst, preds, ctx = fresh()
+        fixed = _stats(1)
+        fixed[0][0] = 113
+        rst = 0
+        interleaved = nc > 1
+        n_units = (mcux * mcuy if interleaved
+                   else scomps[0]["nbx"] * scomps[0]["nby"])
+        for ui in range(n_units):
+            if dri and ui and ui % dri == 0:
+                off = dec.i
+                if not (off + 1 < len(b) and b[off] == 0xFF
+                        and b[off + 1] == 0xD0 + rst):
+                    raise ValueError("expected restart marker")
+                off += 2
+                rst = (rst + 1) % 8
+                dec, dcst, acst, preds, ctx = fresh()
+            if interleaved:
+                my, mx = divmod(ui, mcux)
+                units = [(ci, comp, my * comp["v"] + v,
+                          mx * comp["h"] + hh)
+                         for ci, comp in enumerate(scomps)
+                         for v in range(comp["v"])
+                         for hh in range(comp["h"])]
+            else:
+                comp = scomps[0]
+                by, bx = divmod(ui, comp["nbx"])
+                units = [(0, comp, by, bx)]
+            for ci, comp, by, bx in units:
+                lo, up = dc_cond.get(comp["dc_tid"], (0, 1))
+                kx = ac_cond.get(comp["ac_tid"], 5)
+                dca = dc_area(comp["dc_tid"])
+                aca = ac_area(comp["ac_tid"])
+                blk = comp["coef"][by, bx]
+                # DC (F.2.2.1)
+                st = ctx[ci]
+                if dec.decode(dca, st):
+                    sign = dec.decode(dca, st + 1)
+                    st += 2 + sign
+                    m = 0
+                    if dec.decode(dca, st):
+                        m = 1
+                        st = 20
+                        while dec.decode(dca, st):
+                            m <<= 1
+                            st += 1
+                            if m == 0x8000:
+                                raise ValueError("corrupt DC magnitude")
+                    if m < (1 << lo) >> 1:
+                        ctx[ci] = 0
+                    elif m > (1 << up) >> 1:
+                        ctx[ci] = 12 + 4 * sign
+                    else:
+                        ctx[ci] = 4 + 4 * sign
+                    val = m
+                    st += 14
+                    while m > 1:
+                        m >>= 1
+                        if dec.decode(dca, st):
+                            val |= m
+                    val += 1
+                    preds[ci] += -val if sign else val
+                else:
+                    ctx[ci] = 0
+                blk[0] = preds[ci]
+                # AC (F.2.2.2)
+                k = 1
+                while k <= 63:
+                    st = 3 * (k - 1)
+                    if dec.decode(aca, st):
+                        break                # EOB
+                    while not dec.decode(aca, st + 1):
+                        st += 3
+                        k += 1
+                        if k > 63:
+                            raise ValueError("AC overflow")
+                    sign = dec.decode(fixed, 0)
+                    st += 2
+                    m = 0
+                    if dec.decode(aca, st):
+                        m = 1
+                        if dec.decode(aca, st):
+                            m = 2
+                            st = 189 if k <= kx else 217
+                            while dec.decode(aca, st):
+                                m <<= 1
+                                st += 1
+                                if m == 0x8000:
+                                    raise ValueError(
+                                        "corrupt AC magnitude")
+                    val = m
+                    st += 14
+                    while m > 1:
+                        m >>= 1
+                        if dec.decode(aca, st):
+                            val |= m
+                    val += 1
+                    blk[k] = -val if sign else val
+                    k += 1
+        return dec.i
+
     def _emit_eobrun(bw, ac_codes, eobrun):
         if eobrun:
             r = eobrun.bit_length() - 1
@@ -732,6 +1282,9 @@ def make_jpeg_codec() -> SimpleNamespace:
         w = h = 0
         dri = 0
         seen_scan = False
+        arith = False
+        dc_cond = {}
+        ac_cond = {}
         while i + 2 <= len(b):
             if b[i] != 0xFF:
                 return None
@@ -766,7 +1319,8 @@ def make_jpeg_codec() -> SimpleNamespace:
                     vals = list(seg[j + 17:j + 17 + n])
                     huff[(cls, tid)] = _lut_from_spec(bits, vals)
                     j += 17 + n
-            elif m in (0xC0, 0xC1, 0xC2):          # SOF0/1/2
+            elif m in (0xC0, 0xC1, 0xC2, 0xC9):    # SOF0/1/2/9
+                arith = m == 0xC9
                 h, w = struct.unpack_from(">HH", seg, 1)
                 nc = seg[5]
                 comps = []
@@ -793,10 +1347,21 @@ def make_jpeg_codec() -> SimpleNamespace:
                     c["coef"] = np.zeros(
                         (mcuy * c["v"], mcux * c["h"], 64),
                         dtype=np.int64)
-            elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
                        0xCD, 0xCE, 0xCF):
                 raise ValueError(
-                    "only baseline (SOF0/1) and progressive (SOF2)")
+                    "only baseline (SOF0/1), progressive (SOF2) and "
+                    "sequential arithmetic (SOF9)")
+            elif m == 0xCC:                        # DAC conditioning
+                j = 0
+                while j + 1 < len(seg):
+                    cls, tid = seg[j] >> 4, seg[j] & 0x0F
+                    val = seg[j + 1]
+                    if cls == 0:
+                        dc_cond[tid] = (val & 0x0F, val >> 4)
+                    else:
+                        ac_cond[tid] = val
+                    j += 2
             elif m == 0xDD:                        # DRI
                 dri = struct.unpack_from(">H", seg, 0)[0]
             elif m == 0xDA:                        # SOS (one of many)
@@ -813,13 +1378,22 @@ def make_jpeg_codec() -> SimpleNamespace:
                         raise ValueError("scan references unknown "
                                          "component")
                     comp = match[0]
-                    comp["dc"] = huff.get((0, tids >> 4))
-                    comp["ac"] = huff.get((1, tids & 0x0F))
+                    if arith:
+                        comp["dc_tid"] = tids >> 4
+                        comp["ac_tid"] = tids & 0x0F
+                    else:
+                        comp["dc"] = huff.get((0, tids >> 4))
+                        comp["ac"] = huff.get((1, tids & 0x0F))
                     order.append(comp)
                 ss, se, ahal = seg[1 + 2 * nc:4 + 2 * nc]
-                i = _entropy_scan(b, i + 2 + ln, order, ss, se,
-                                  ahal >> 4, ahal & 0x0F, dri,
-                                  mcux, mcuy)
+                if arith:
+                    i = _arith_scan(b, i + 2 + ln, order, ss, se,
+                                    ahal >> 4, ahal & 0x0F, dri,
+                                    mcux, mcuy, dc_cond, ac_cond)
+                else:
+                    i = _entropy_scan(b, i + 2 + ln, order, ss, se,
+                                      ahal >> 4, ahal & 0x0F, dri,
+                                      mcux, mcuy)
                 seen_scan = True
                 # resync to the next marker
                 while i < len(b) and b[i] != 0xFF:
@@ -999,7 +1573,7 @@ def make_jpeg_codec() -> SimpleNamespace:
             if b[i] != 0xFF:
                 return None
             m = b[i + 1]
-            if m in (0xC0, 0xC1, 0xC2):
+            if m in (0xC0, 0xC1, 0xC2, 0xC9):
                 h, w = struct.unpack_from(">HH", b, i + 5)
                 return {"fmt": "jpeg", "width": w, "height": h,
                         "n_components": b[i + 9], "n_bytes": len(b)}
@@ -1012,7 +1586,12 @@ def make_jpeg_codec() -> SimpleNamespace:
         sniff=sniff, decode=decode, decode_meta=decode_meta,
         encode_gray=encode_gray, encode_rgb=encode_rgb,
         encode_progressive_gray=encode_progressive_gray,
-        encode_progressive_rgb=encode_progressive_rgb)
+        encode_progressive_rgb=encode_progressive_rgb,
+        encode_gray_arith=encode_gray_arith,
+        encode_rgb_arith=encode_rgb_arith,
+        # test-only hooks: bit-level QM coder + block models
+        _ArithEnc=_ArithEnc, _ArithDec=_ArithDec, _stats=_stats,
+        _arith_enc_dc=_arith_enc_dc, _arith_enc_ac=_arith_enc_ac)
 
 
 CODEC = make_jpeg_codec()

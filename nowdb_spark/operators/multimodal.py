@@ -61,10 +61,11 @@ def _fake_decode(payload: bytes) -> dict:
 
 def decode_image(payload: bytes):
     """Real decode entry point. BMP/PPM/PNG (zlib/DEFLATE)/GIF (LZW),
-    JPEG — baseline AND progressive (SOF2), any 4:4:4/4:2:2/4:2:0
-    sampling — and WebP-LOSSLESS (VP8L: Huffman+LZ77, color cache,
-    all four transforms) decode via the vendored pure-Python codecs;
-    remaining formats (lossy VP8 WebP, arithmetic-coded JPEG, …) need
+    JPEG — baseline, progressive (SOF2) AND sequential arithmetic
+    (SOF9, T.81 QM coder), any 4:4:4/4:2:2/4:2:0 sampling — and
+    WebP-LOSSLESS (VP8L: Huffman+LZ77, color cache, all four
+    transforms) decode via the vendored pure-Python codecs; remaining
+    formats (lossy VP8 WebP, progressive-arithmetic JPEG, …) need
     codec libs (absent in this container) and raise honestly."""
     from nowdb_spark.operators.imagecodec import CODEC
     from nowdb_spark.operators.webpcodec import WEBP_CODEC
@@ -1771,6 +1772,41 @@ def synth_jpegs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             enc = (codec.encode_gray if did % 2 == 0
                    else codec.encode_progressive_gray)
             return enc(w, h, [[v] * w] * h, unit_quant=True)
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "payload": [synth(d) for d in pdf[id_col]],
+            })
+
+    return df.select(id_col).mapInPandas(kernel, schema)
+
+
+def synth_jpegs_arith(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize UNIFORM-gray ARITHMETIC-CODED JPEGs (SOF9 + DAC,
+    T.81 Annex D QM coder) from an id column: w = d%21+2, h = d%11+2
+    (multi-MCU streams), every pixel = d%256, unit quant; ids
+    divisible by 3 add a restart interval of 2 MCUs (coder +
+    statistics reset, RSTn resync). Uniform blocks are DC-only and
+    unit tables store the DC exactly, so decode is bit-exact and the
+    SQL oracle replays the pixels (same exactness argument as
+    synth_jpegs); gradient/noisy arithmetic content is exercised by
+    the codec tests against the progressive twin."""
+    from nowdb_spark.operators.jpegcodec import make_jpeg_codec
+
+    codec = make_jpeg_codec()
+    schema = f"{id_col} long, payload binary"
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        def synth(did: int) -> bytes:
+            did = int(did)
+            w, h = did % 21 + 2, did % 11 + 2
+            v = did % 256
+            return codec.encode_gray_arith(
+                w, h, [[v] * w] * h, unit_quant=True,
+                dri=2 if did % 3 == 0 else 0)
 
         for pdf in batches:
             yield _pd.DataFrame({

@@ -2833,6 +2833,41 @@ def mm07(spark, sf):
     return M.decode_meta_real(M.synth_jpegs(d)).drop("n_bytes")
 
 
+# Arithmetic-coded JPEG decode (mm26): REAL SOF9 files through the
+# T.81 Annex D QM coder — adaptive probability states (Table D.3),
+# conditional exchange, carry/stacked-FF byte output, DAC
+# conditioning parse, DC/AC statistical models (F.2), restart
+# intervals on every 3rd id. Uniform unit-quant payloads decode
+# bit-exactly (DC-only blocks), so the oracle replays the pixels;
+# px_check as in mm07.
+@register(
+    "mm26_jpeg_arith_decode",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 21 + 2 AS w, doc_id % 11 + 2 AS h,
+             doc_id % 256 AS v
+      FROM documents
+    )
+    SELECT doc_id, 'jpeg' AS fmt,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(3 * v * (w*h) * (w*h + 1) AS BIGINT) AS px_check
+    FROM d
+    """,
+    doc="REAL arithmetic-coded JPEG decode (T.81 Annex D + F.2, the "
+        "codec family Huffman-only decoders reject): SOF9 marker "
+        "walk, DAC conditioning tables, QM probability-estimation "
+        "state machine with conditional exchange, DC context "
+        "classification + AC per-position bin groups, restart-"
+        "interval coder/stats resets; uniform unit-quant payloads "
+        "are bit-exact so the oracle replays px_check = "
+        "3*v*wh*(wh+1)",
+)
+def mm26(spark, sf):
+    d = spread(table(spark, sf, "documents"))
+    return M.decode_meta_real(M.synth_jpegs_arith(d)).drop("n_bytes")
+
+
 # ------------------------------------------------------------------
 @register(
     "mm06_video_frame_sample",

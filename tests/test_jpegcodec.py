@@ -73,11 +73,124 @@ def test_meta_without_full_decode():
     assert (m["width"], m["height"], m["n_components"]) == (10, 4, 1)
 
 
-def test_arithmetic_coded_rejected():
+def test_lossless_and_hierarchical_rejected():
     b = bytearray(C.encode_gray(8, 8, [[1] * 8] * 8))
     i = b.index(b"\xFF\xC0")
-    b[i + 1] = 0xC9                               # pretend SOF9
-    assert C.decode(bytes(b)) is None
+    for sof in (0xC3, 0xC7, 0xCB, 0xCF):          # lossless/hier/etc
+        b[i + 1] = sof
+        assert C.decode(bytes(b)) is None
+
+
+# ------------------------------------------------------------------
+# Arithmetic coding (SOF9 + DAC, T.81 Annex D QM coder + F.2 models)
+
+
+def test_arith_gray_matches_progressive_twin():
+    """The arithmetic encoder shares _coef_blocks with the
+    progressive encoder, so their decodes must agree bit-for-bit —
+    this pins the whole QM layer (state table, conditional exchange,
+    carry/stacked-FF byteout, DC contexts, AC bin groups)."""
+    import random
+    rng = random.Random(42)
+    for w, h in [(8, 8), (17, 9), (33, 31), (64, 48)]:
+        rows = [[rng.randrange(256) for _ in range(w)]
+                for _ in range(h)]
+        ga = C.decode(C.encode_gray_arith(w, h, rows,
+                                          unit_quant=True))
+        gp = C.decode(C.encode_progressive_gray(w, h, rows,
+                                                unit_quant=True))
+        assert ga is not None and ga["rows"] == gp["rows"], (w, h)
+
+
+@pytest.mark.parametrize("sampling", ["444", "422", "420"])
+def test_arith_color_matches_progressive_twin(sampling):
+    w, h = 37, 26
+    rows = [[((3 * x + y) % 256, (x * x + 7 * y) % 256,
+              (255 - x * y) % 256) for x in range(w)]
+            for y in range(h)]
+    for uq in (True, False):
+        ga = C.decode(C.encode_rgb_arith(w, h, rows, unit_quant=uq,
+                                         sampling=sampling))
+        gp = C.decode(C.encode_progressive_rgb(
+            w, h, rows, unit_quant=uq, sampling=sampling))
+        assert ga is not None and ga["rows"] == gp["rows"], uq
+
+
+def test_arith_restart_intervals():
+    """RSTn in arithmetic scans resets the coder, the statistics
+    areas, DC predictions and contexts (F.1.4.4.3)."""
+    import random
+    rng = random.Random(9)
+    w, h = 48, 32
+    rows = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+    base = C.decode(C.encode_gray_arith(w, h, rows, unit_quant=True))
+    for dri in (1, 2, 5):
+        ga = C.decode(C.encode_gray_arith(w, h, rows,
+                                          unit_quant=True, dri=dri))
+        assert ga is not None and ga["rows"] == base["rows"], dri
+
+
+def test_arith_beats_huffman_on_smooth_content():
+    w, h = 64, 64
+    rows = [[(x + y) % 256 for x in range(w)] for y in range(h)]
+    assert len(C.encode_gray_arith(w, h, rows)) < len(
+        C.encode_gray(w, h, rows))
+
+
+def test_arith_corruption_and_truncation_safe():
+    b = C.encode_gray_arith(
+        16, 16, [[x * y % 256 for x in range(16)] for y in range(16)],
+        unit_quant=True)
+    for cut in (10, 50, len(b) // 2, len(b) - 3):
+        C.decode(b[:cut])                         # must not raise
+    bad = bytearray(b)
+    bad[len(b) // 2] ^= 0xFF
+    C.decode(bytes(bad))
+    assert C.decode_meta(b)["width"] == 16        # SOF9 meta
+
+
+def test_qm_coder_bit_level_fuzz():
+    """Raw QM coder over random adaptive contexts: every decoded bit
+    equals the encoded bit, across renorms, carries and stacked-FF
+    resolution. Uses biased streams to reach renorm-free MPS runs."""
+    import random
+    rng = random.Random(1)
+    for trial in range(40):
+        n = rng.randrange(1, 2000)
+        nbins = rng.randrange(1, 8)
+        bits = [(rng.randrange(nbins), rng.randrange(2))
+                for _ in range(n)]
+        if trial % 3 == 0:
+            bits = [(i, 0 if rng.random() < 0.95 else 1)
+                    for i, _ in bits]
+        enc = C._ArithEnc()
+        st_e = C._stats(nbins)
+        for i, bit in bits:
+            enc.encode(st_e, i, bit)
+        data = enc.finish() + b"\xff\xd9"
+        dec = C._ArithDec(data, 0)
+        st_d = C._stats(nbins)
+        for j, (i, bit) in enumerate(bits):
+            assert dec.decode(st_d, i) == bit, (trial, j)
+
+
+def test_arith_property_random_images():
+    """Hypothesis sweep: arithmetic and progressive decodes agree on
+    arbitrary gradient-noise content and geometry."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.integers(1, 3000), st.integers(6, 30), st.integers(6, 24))
+    def prop(seed, w, h):
+        rows = [[(x * 31 + y * 17 + seed * 53) % 256
+                 for x in range(w)] for y in range(h)]
+        ga = C.decode(C.encode_gray_arith(w, h, rows,
+                                          unit_quant=True))
+        gp = C.decode(C.encode_progressive_gray(w, h, rows,
+                                                unit_quant=True))
+        assert ga is not None and ga["rows"] == gp["rows"]
+
+    prop()
 
 
 def test_progressive_gray_matches_baseline():

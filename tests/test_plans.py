@@ -83,8 +83,10 @@ _PY_ALLOWED = {"mm01_extract_meta", "mm02_real_decode", "mm03_real_resize",
                "mm19_webp_decode", "mm20_webp_extended",
                "mm21_image_augment", "mm22_audio_upsample",
                "mm23_silence_trim", "mm24_scene_cuts",
+               "mm25_tiff_decode", "mm26_jpeg_arith_decode",
                "wd02_zip_shards", "wd03_multimodal_samples",
-               "dc01_pdf_extract", "dc02_epub_extract", "wd01_webdataset",
+               "dc01_pdf_extract", "dc02_epub_extract",
+               "dc03_docx_extract", "wd01_webdataset",
                # WARC framing/parsing is bytes-imperative by nature
                # (gzip members, header blocks); extraction itself is
                # JVM regex
