@@ -193,6 +193,42 @@ def tfidf_topk(df: DataFrame, k: int = 5, text_col: str = "text",
                     "term", "score"))
 
 
+def chunk_overlap(df: DataFrame, size: int = 24, overlap: int = 8,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Sliding-window document chunking — the long-document split
+    ahead of embedding/pretraining: token windows of ``size`` with
+    ``overlap`` tokens shared between consecutive chunks. One row per
+    chunk (doc_id, chunk_idx, n_tokens, chunk). Entirely JVM
+    (split → sequence → posexplode → slice/array_join): map-only,
+    zero shuffle, no Python in the plan — at 100 TB this is a single
+    narrow pass whose output partitioning follows the input's.
+    Empty documents yield no chunks; the final window may be shorter
+    than ``size``."""
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    step = size - overlap
+    toks = F.filter(F.split(F.col(text_col), r"\s+"),
+                    lambda x: x != "")
+    d = (df.select(id_col, toks.alias("_toks"))
+           .withColumn("_n", F.size("_toks"))
+           .select(
+               id_col, "_toks", "_n",
+               F.posexplode(F.filter(
+                   F.sequence(F.lit(0),
+                              F.greatest(F.col("_n") - 1, F.lit(0)),
+                              F.lit(step)),
+                   lambda s: s < F.col("_n")))
+               .alias("chunk_idx", "_start")))
+    return d.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.least(F.lit(size), F.col("_n") - F.col("_start"))
+         .cast("long").alias("n_tokens"),
+        F.array_join(F.slice("_toks", F.col("_start") + 1, size), " ")
+         .alias("chunk"))
+
+
 _SENT_ABBREV = r"Dr|Mr|Mrs|Ms|Prof|Sr|Jr|St|vs|etc|e\.g|i\.e|cf|al"
 _SENT_SENTINEL = "\x1f"                  # unit separator
 

@@ -561,3 +561,38 @@ def ld01(spark, sf):
 def dm01(spark, sf):
     return C.domain_mix_sample(table(spark, sf, "documents"),
                                total=200, alpha=0.5, seed=13)
+
+
+# ------------------------------------------------------------------
+@register(
+    "cx06_chunk_overlap",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             unnest(range(0, greatest(len(toks), 1), 16)) AS st
+      FROM t
+      WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(st // 16 AS BIGINT) AS chunk_idx,
+           CAST(least(24, n - st) AS BIGINT) AS n_tokens,
+           array_to_string(list_slice(toks, st + 1, st + 24), ' ')
+             AS chunk
+    FROM s
+    """,
+    doc="sliding-window document chunking (size 24, overlap 8): the "
+        "long-document split ahead of embedding / pretraining "
+        "pipelines, entirely JVM (split -> sequence -> posexplode "
+        "-> slice), map-only zero-shuffle; oracle replays every "
+        "window boundary and the joined chunk text",
+)
+def cx06(spark, sf):
+    from nowdb_spark.operators import textops as T
+    return T.chunk_overlap(table(spark, sf, "documents"),
+                           size=24, overlap=8)
