@@ -193,6 +193,66 @@ def tfidf_topk(df: DataFrame, k: int = 5, text_col: str = "text",
                     "term", "score"))
 
 
+_GOPHER_STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style hard quality rules (Rae et al. 2021 §A1.1, the
+    published heuristics C4/Gopher corpora ship with), entirely JVM
+    and exactly SQL-replayable:
+      * word count within [5, 100000],
+      * mean word length within [3, 10],
+      * symbol-to-word ratio ('#' and '...' occurrences) < 0.1,
+      * ≤ 90 % of lines starting with a bullet,
+      * ≤ 30 % of lines ending with an ellipsis,
+      * ≥ 2 of the required stopwords present.
+    Emits every signal plus the conjunction `keep`. Map-only,
+    zero-shuffle; fractions are single double divisions rounded to
+    6 so the DuckDB oracle compares bit-exactly."""
+    lines = F.split(F.col(text_col), "\n")
+    ws = F.filter(F.split(F.col(text_col), r"\s+"),
+                  lambda x: x != "")
+    n_words = F.size(ws)
+    n_lines = F.size(lines)
+    char_sum = F.aggregate(ws, F.lit(0),
+                           lambda acc, x: acc + F.length(x))
+    n_sym = (F.size(F.regexp_extract_all(F.col(text_col),
+                                         F.lit("#"), 0))
+             + F.size(F.regexp_extract_all(F.col(text_col),
+                                           F.lit(r"\.\.\."), 0)))
+    n_bullet = F.size(F.filter(
+        lines, lambda ln: ln.startswith("•") | ln.startswith("- ")))
+    n_ellipsis = F.size(F.filter(
+        lines, lambda ln: ln.rlike(r"\.\.\.$")))
+    stop_arr = F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(ws), stop_arr))
+    mean_wl = F.round(char_sum.cast("double")
+                      / n_words.cast("double"), 6)
+    sym_ratio = F.round(n_sym.cast("double")
+                        / n_words.cast("double"), 6)
+    bullet_frac = F.round(n_bullet.cast("double")
+                          / n_lines.cast("double"), 6)
+    ell_frac = F.round(n_ellipsis.cast("double")
+                       / n_lines.cast("double"), 6)
+    d = df.select(
+        id_col,
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ell_frac.alias("ellipsis_frac"),
+        n_stop.cast("long").alias("n_stopwords"))
+    return d.withColumn(
+        "keep",
+        F.col("n_words").between(5, 100000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("symbol_ratio") < 0.1)
+        & (F.col("bullet_frac") <= 0.9)
+        & (F.col("ellipsis_frac") <= 0.3)
+        & (F.col("n_stopwords") >= 2))
+
+
 def chunk_overlap(df: DataFrame, size: int = 24, overlap: int = 8,
                   text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:

@@ -596,3 +596,85 @@ def cx06(spark, sf):
     from nowdb_spark.operators import textops as T
     return T.chunk_overlap(table(spark, sf, "documents"),
                            size=24, overlap=8)
+
+
+# ------------------------------------------------------------------
+# Gopher rule battery (qc02): each doc is rendered as a "noisy web
+# page" — bullet lines for id%3, an ellipsis teaser for id%4, a
+# symbol-run line for id%5 — then the published hard rules run over
+# it. The fixture mix makes every rule fire on some slice (short
+# docs fail the symbol ratio, teaser-only pages fail the ellipsis
+# line fraction, 'a'-heavy docs fail mean word length).
+_QC02_PAGE_SQL = """
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 3 = 0
+         THEN chr(10) || '• item one' || chr(10) || '• item two'
+         ELSE '' END ||
+    CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'read more...'
+         ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0 THEN chr(10) || '### ### ###'
+         ELSE '' END AS page
+  FROM documents
+"""
+
+
+@register(
+    "qc02_gopher_rules",
+    r"""
+    WITH p AS (""" + _QC02_PAGE_SQL + r"""),
+    w AS (
+      SELECT doc_id, page,
+             list_filter(string_split_regex(page, '\s+'),
+                         x -> x <> '') AS ws,
+             string_split(page, chr(10)) AS lines
+      FROM p
+    ),
+    m AS (
+      SELECT doc_id,
+             len(ws) AS n_words,
+             round(CAST(list_aggregate(list_transform(ws,
+                     x -> length(x)), 'sum') AS DOUBLE)
+                   / len(ws), 6) AS mean_word_len,
+             round(CAST(len(regexp_extract_all(page, '#'))
+                        + len(regexp_extract_all(page, '\.\.\.'))
+                     AS DOUBLE) / len(ws), 6) AS symbol_ratio,
+             round(CAST(len(list_filter(lines, l ->
+                     starts_with(l, '•') OR starts_with(l, '- ')))
+                     AS DOUBLE) / len(lines), 6) AS bullet_frac,
+             round(CAST(len(list_filter(lines, l ->
+                     regexp_matches(l, '\.\.\.$'))) AS DOUBLE)
+                   / len(lines), 6) AS ellipsis_frac,
+             len(list_intersect(list_distinct(ws),
+                 ['the', 'a', 'of', 'and', 'to'])) AS n_stopwords
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           mean_word_len, symbol_ratio, bullet_frac, ellipsis_frac,
+           CAST(n_stopwords AS BIGINT) AS n_stopwords,
+           (n_words BETWEEN 5 AND 100000)
+             AND (mean_word_len BETWEEN 3.0 AND 10.0)
+             AND symbol_ratio < 0.1
+             AND bullet_frac <= 0.9
+             AND ellipsis_frac <= 0.3
+             AND n_stopwords >= 2 AS keep
+    FROM m
+    """,
+    doc="Gopher hard quality rules (word-count and mean-word-length "
+        "bounds, symbol-to-word ratio, bullet-line and ellipsis-line "
+        "fractions, required-stopword count) over deterministically "
+        "rendered noisy pages; entirely JVM, map-only; the oracle "
+        "replays the page construction and every rule bit-exactly",
+)
+def qc02(spark, sf):
+    from nowdb_spark.operators import textops as T
+    d = table(spark, sf, "documents")
+    page = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("\n• item one\n• item two")).otherwise(""),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit("\nread more...")).otherwise(""),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit("\n### ### ###")).otherwise(""))
+    return T.gopher_rules(d.select("doc_id", page.alias("text")))

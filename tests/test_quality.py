@@ -157,3 +157,30 @@ def test_bm25_semantics(spark):
     got = {r["doc_id"]: r["bm25"] for r in
            TX.bm25_scores(df, ["spark"]).collect()}
     assert got[1] > got[0] > got[3] > got[2] == 0.0
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    from nowdb_spark.operators.textops import gopher_rules
+
+    good = "the quick brown fox jumps over a lazy dog near the riverbank"
+    df = spark.createDataFrame(
+        [(1, good),                                    # passes all
+         (2, "a a a a a a"),                           # mean_wl < 3
+         (3, "one two"),                               # too few words
+         (4, good + "\n### ###"),                      # fails? ratio 2/13
+         (5, good + " " + "# " * 6),                   # symbol ratio >= 0.1
+         (6, good + "\nread more..."),                 # 1/2 lines ellipsis
+         (7, "quick brown fox jumps over lazy dog"),   # no stopwords
+         (8, good + "\n• x\n• y\n- z")],               # 3/4 bullets, passes
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_rules(df).collect()}
+    assert got[1].keep is True
+    assert got[2].keep is False and got[2].mean_word_len < 3
+    assert got[3].keep is False and got[3].n_words == 2
+    assert got[5].keep is False and got[5].symbol_ratio >= 0.1
+    assert got[6].keep is False and got[6].ellipsis_frac == 0.5
+    assert got[7].keep is False and got[7].n_stopwords < 2
+    assert got[8].keep is True and got[8].bullet_frac == 0.75
+    # plan stays JVM-side
+    plan = gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
