@@ -1491,6 +1491,65 @@ def mm24(spark, sf):
 
 
 # ------------------------------------------------------------------
+# Log-mel spectrogram (mm27): the speech-model front end — decoded
+# WAV PCM → 16-sample Hann frames (hop 8) → rfft power spectrum →
+# 4-band triangular mel filterbank → log10(1+x). The filterbank is a
+# data-independent constant matrix computed once (operators/dsp.py)
+# and inlined as IDENTICAL double literals into kernel and oracle;
+# the oracle replays the frame transform as the O(N²) DFT definition
+# (re_k = Σ w_i·s_i·cos(2πki/N)) entirely in SQL, leaving only
+# summation-order noise (~1e-12) under the 3-decimal round.
+def _mm27_oracle() -> str:
+    from nowdb_spark.operators.dsp import N_FFT, mel_filterbank
+
+    n_bins = N_FFT // 2 + 1
+    term = ("(0.5 - 0.5*cos(2*pi()*i/16.0)) * "
+            "((doc_id*7 + (f*8 + i)*13) % 4001 - 2000)")
+    pcols = []
+    for k in range(n_bins):
+        re = (f"list_aggregate(list_transform(range(0,16), i -> "
+              f"({term}) * cos(2*pi()*{k}*i/16.0)), 'sum')")
+        im = (f"list_aggregate(list_transform(range(0,16), i -> "
+              f"({term}) * sin(2*pi()*{k}*i/16.0)), 'sum')")
+        pcols.append(f"power({re}, 2) + power({im}, 2) AS p{k}")
+    cases = []
+    for b, row in enumerate(mel_filterbank()):
+        terms = " + ".join(f"{w!r}*p{k}"
+                           for k, w in enumerate(row) if w != 0.0)
+        cases.append(f"WHEN {b} THEN round(log10(1.0 + ({terms})), 3)")
+    return f"""
+    WITH d AS (SELECT doc_id, doc_id % 50 + 10 AS n FROM documents),
+    fr AS (SELECT doc_id,
+             unnest(range(0, CASE WHEN n >= 16
+                                  THEN (n - 16) // 8 + 1
+                                  ELSE 0 END)) AS f
+           FROM d),
+    spec AS (SELECT doc_id, f, {", ".join(pcols)} FROM fr)
+    SELECT doc_id,
+           CAST(f AS BIGINT) AS frame,
+           CAST(band AS BIGINT) AS band,
+           CASE band {" ".join(cases)} END AS logmel
+    FROM spec, LATERAL (VALUES (0), (1), (2), (3)) AS bands(band)
+    """
+
+
+@register(
+    "mm27_log_mel",
+    _mm27_oracle(),
+    doc="REAL log-mel spectrogram over decoded WAV PCM (the speech "
+        "front end): Hann-windowed rfft frames, power spectrum, "
+        "triangular mel filterbank (constants inlined bit-identically "
+        "into both engines), log10(1+x); the oracle replays the DFT "
+        "definition per frame/bin entirely in SQL",
+)
+def mm27(spark, sf):
+    from nowdb_spark.operators.dsp import log_mel_real
+
+    d = spread(table(spark, sf, "documents"))
+    return log_mel_real(M.synth_audio(d))
+
+
+# ------------------------------------------------------------------
 # Audio 2× upsample (mm22): exact floor-midpoint interpolation over
 # REAL decoded WAV PCM (u[2i]=s[i], u[2i+1]=⌊(s[i]+s[i+1])/2⌋) — the
 # sample-rate-conversion step, integer-exact so the oracle replays
@@ -2006,6 +2065,225 @@ def wd02(spark, sf):
         F.decode(F.element_at("parts", "txt"), "utf-8").alias("txt"),
         F.decode(F.element_at("parts", "cls"), "utf-8")
         .cast("long").alias("cls"))
+
+
+# ------------------------------------------------------------------
+# NPY tensor shards (wd05): each doc becomes a REAL .npy file built
+# by the spec-faithful writer — dtype f32/i64 by parity, header
+# version cycling 1/2/3, every fifth shard Fortran-ordered — and the
+# reader (manual NEP-1 header parse, sources/tensors.py) must hand
+# back canonical C-order values for the checksum to match. Stats are
+# JVM-side F.aggregate over the decoded array; the oracle replays
+# the value arithmetic.
+_NPY_V = "(doc_id*7 + (p // c)*13 + (p % c)*3) % 1001 - 500"
+
+@register(
+    "wd05_npy_shards",
+    f"""
+    WITH d AS (SELECT doc_id, doc_id % 4 + 1 AS r, doc_id % 3 + 2 AS c
+               FROM documents)
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN '<f4' ELSE '<i8' END AS descr,
+           CAST(doc_id % 5 = 0 AS BIGINT) AS fortran,
+           CAST(r AS BIGINT) AS n_rows,
+           CAST(c AS BIGINT) AS n_cols,
+           CAST(list_aggregate(list_transform(range(0, r*c), p ->
+             {_NPY_V}), 'sum') AS BIGINT) AS val_sum,
+           CAST(list_aggregate(list_transform(range(0, r*c), p ->
+             (p + 1) * ({_NPY_V})), 'sum') AS BIGINT) AS checksum
+    FROM d
+    """,
+    doc="NPY tensor-shard ingestion: spec-faithful NEP-1 header "
+        "parse (v1/v2/v3 lengths, Fortran-order canonicalization to "
+        "C) over real .npy bytes; position-weighted checksum proves "
+        "the element order, stats stay JVM-side (F.aggregate); "
+        "oracle replays the tensor arithmetic",
+)
+def wd05(spark, sf):
+    from nowdb_spark.sources import tensors as TS
+
+    d = spread(table(spark, sf, "documents"))
+
+    def kernel(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        def synth(did: int) -> bytes:
+            did = int(did)
+            r, c = did % 4 + 1, did % 3 + 2
+            vals = [[(did * 7 + i * 13 + j * 3) % 1001 - 500
+                     for j in range(c)] for i in range(r)]
+            arr = _np.array(
+                vals, dtype=_np.float32 if did % 2 == 0 else _np.int64)
+            return TS.encode_npy(arr, version=did % 3 + 1,
+                                 fortran=did % 5 == 0)
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"].values,
+                "payload": [synth(x) for x in pdf["doc_id"]],
+            })
+
+    shards = (d.select("doc_id")
+              .mapInPandas(kernel, "doc_id long, payload binary"))
+    out = TS.read_npy_shards(shards)
+    zero = F.lit(0.0)
+    return out.select(
+        "doc_id", "descr",
+        F.col("fortran_order").cast("long").alias("fortran"),
+        F.element_at("shape", 1).alias("n_rows"),
+        F.element_at("shape", 2).alias("n_cols"),
+        F.aggregate("values", zero, lambda a, v: a + v)
+        .cast("long").alias("val_sum"),
+        F.aggregate(
+            F.zip_with("values",
+                       F.sequence(F.lit(1), F.size("values")),
+                       lambda v, p: v * p),
+            zero, lambda a, v: a + v).cast("long").alias("checksum"))
+
+
+# ------------------------------------------------------------------
+# safetensors shards (wd06): each doc becomes a REAL safetensors
+# container (u64 header size + JSON header + packed LE buffers, per
+# the published format) holding an F32 'emb' matrix and an I64 'ids'
+# vector plus __metadata__; the reader validates offsets and emits
+# one row per tensor. Metadata round-trip and position-weighted
+# checksums are oracle-replayed.
+_ST_EMB_V = "(doc_id*11 + (p // 4)*5 + (p % 4)*7) % 997 - 498"
+_ST_IDS_V = "(doc_id*13 + p*17) % 100000"
+
+@register(
+    "wd06_safetensors",
+    f"""
+    WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS r, doc_id % 5 + 2 AS k
+               FROM documents)
+    SELECT doc_id, 'emb' AS name, 'F32' AS dtype,
+           CAST(r * 4 AS BIGINT) AS numel,
+           CAST(list_aggregate(list_transform(range(0, r*4), p ->
+             {_ST_EMB_V}), 'sum') AS BIGINT) AS val_sum,
+           CAST(list_aggregate(list_transform(range(0, r*4), p ->
+             (p + 1) * ({_ST_EMB_V})), 'sum') AS BIGINT) AS checksum,
+           CAST(doc_id AS VARCHAR) AS meta_doc
+    FROM d
+    UNION ALL
+    SELECT doc_id, 'ids' AS name, 'I64' AS dtype,
+           CAST(k AS BIGINT) AS numel,
+           CAST(list_aggregate(list_transform(range(0, k), p ->
+             {_ST_IDS_V}), 'sum') AS BIGINT) AS val_sum,
+           CAST(list_aggregate(list_transform(range(0, k), p ->
+             (p + 1) * ({_ST_IDS_V})), 'sum') AS BIGINT) AS checksum,
+           CAST(doc_id AS VARCHAR) AS meta_doc
+    FROM d
+    """,
+    doc="safetensors ingestion: real containers (8-byte LE header "
+        "size, JSON tensor map, packed little-endian buffers) with "
+        "offset/extent/overlap validation; one row per tensor with "
+        "metadata round-trip and order-proving checksums, all "
+        "oracle-replayed",
+)
+def wd06(spark, sf):
+    from nowdb_spark.sources import tensors as TS
+
+    d = spread(table(spark, sf, "documents"))
+
+    def kernel(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        def synth(did: int) -> bytes:
+            did = int(did)
+            r, k = did % 3 + 1, did % 5 + 2
+            emb = _np.array(
+                [[(did * 11 + i * 5 + j * 7) % 997 - 498
+                  for j in range(4)] for i in range(r)],
+                dtype=_np.float32)
+            ids = _np.array([(did * 13 + p * 17) % 100000
+                             for p in range(k)], dtype=_np.int64)
+            return TS.encode_safetensors(
+                {"emb": emb, "ids": ids}, metadata={"doc": str(did)})
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"].values,
+                "payload": [synth(x) for x in pdf["doc_id"]],
+            })
+
+    shards = (d.select("doc_id")
+              .mapInPandas(kernel, "doc_id long, payload binary"))
+    out = TS.read_safetensors(shards)
+    zero = F.lit(0.0)
+    return out.select(
+        "doc_id", "name", "dtype",
+        F.size("values").cast("long").alias("numel"),
+        F.aggregate("values", zero, lambda a, v: a + v)
+        .cast("long").alias("val_sum"),
+        F.aggregate(
+            F.zip_with("values",
+                       F.sequence(F.lit(1), F.size("values")),
+                       lambda v, p: v * p),
+            zero, lambda a, v: a + v).cast("long").alias("checksum"),
+        F.element_at("meta", "doc").alias("meta_doc"))
+
+
+# ------------------------------------------------------------------
+# Arrow IPC shards (wd04): each doc becomes a REAL Arrow IPC file
+# (= Feather v2) with 2-row record batches so the batch-at-a-time
+# reader path is exercised; the reader streams batches out through
+# mapInPandas without materializing a shard. Oracle replays the
+# row construction.
+@register(
+    "wd04_arrow_shards",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 4 + 2 AS n FROM documents),
+    s AS (SELECT doc_id, unnest(range(0, n)) AS i FROM d)
+    SELECT doc_id,
+           CAST(doc_id * 1000 + i AS BIGINT) AS sample_id,
+           ((doc_id + i * 3) % 100) / 4.0 AS score,
+           't' || ((doc_id + i) % 3) AS tag
+    FROM s
+    """,
+    doc="Arrow IPC (Feather v2) shard ingestion via pyarrow.ipc — "
+        "batch-at-a-time streaming decode of multi-batch files, one "
+        "shard per input row, no shuffle; oracle replays the row "
+        "arithmetic",
+)
+def wd04(spark, sf):
+    from nowdb_spark.sources import tensors as TS
+
+    d = spread(table(spark, sf, "documents"))
+
+    def kernel(batches):
+        import pandas as _pd
+        import pyarrow as _pa
+
+        def synth(did: int) -> bytes:
+            did = int(did)
+            n = did % 4 + 2
+            tbl = _pa.table({
+                "sample_id": _pa.array(
+                    [did * 1000 + i for i in range(n)], _pa.int64()),
+                "score": _pa.array(
+                    [((did + i * 3) % 100) / 4.0 for i in range(n)],
+                    _pa.float64()),
+                "tag": _pa.array([f"t{(did + i) % 3}"
+                                  for i in range(n)]),
+            })
+            sink = _pa.BufferOutputStream()
+            with _pa.ipc.new_file(sink, tbl.schema) as w:
+                for b in tbl.to_batches(max_chunksize=2):
+                    w.write_batch(b)
+            return sink.getvalue().to_pybytes()
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"].values,
+                "payload": [synth(x) for x in pdf["doc_id"]],
+            })
+
+    shards = (d.select("doc_id")
+              .mapInPandas(kernel, "doc_id long, payload binary"))
+    return TS.read_arrow_shards(
+        shards, "doc_id long, sample_id long, score double, tag string")
 
 
 # ------------------------------------------------------------------

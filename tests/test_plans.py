@@ -85,6 +85,14 @@ _PY_ALLOWED = {"mm01_extract_meta", "mm02_real_decode", "mm03_real_resize",
                "mm23_silence_trim", "mm24_scene_cuts",
                "mm25_tiff_decode", "mm26_jpeg_arith_decode",
                "wd02_zip_shards", "wd03_multimodal_samples",
+               # tensor-container framing is bytes-imperative (NPY
+               # header parse, safetensors offsets, Arrow IPC batch
+               # walk); per-tensor stats stay JVM-side (F.aggregate)
+               "wd04_arrow_shards", "wd05_npy_shards",
+               "wd06_safetensors",
+               # audio decode + vectorized rfft per frame is the
+               # Arrow-kernel DSP path (numpy batch transform)
+               "mm27_log_mel",
                "dc01_pdf_extract", "dc02_epub_extract",
                "dc03_docx_extract", "wd01_webdataset",
                # WARC framing/parsing is bytes-imperative by nature
