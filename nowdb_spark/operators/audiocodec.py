@@ -704,6 +704,109 @@ def make_audio_codec() -> SimpleNamespace:
                              bytes([0xF8, p & 0xFF]))  # dummy packet
         return bytes(out)
 
+    def ogg_vorbis_meta(b: bytes):
+        """Page walk + Vorbis identification-header parse (Vorbis I
+        spec §4.2.2): packet type 1 + 'vorbis' + version 0 +
+        channels + rate + bitrate triple + blocksize exponents +
+        framing bit. Granules are PCM sample positions, so duration
+        = last granule / rate. Returns {fmt, channels, sample_rate,
+        bitrate_nominal, blocksize_0, blocksize_1, n_pages,
+        duration_ms, n_bytes} or None; pages CRC-verified."""
+        import struct as _s
+        if ogg_sniff(b) != "ogg":
+            return None
+        head = None
+        n_pages, last_granule = 0, 0
+        for htype, granule, _seq, pkt in _ogg_pages(b):
+            n_pages += 1
+            if (htype & 0x02 and pkt[:7] == b"\x01vorbis"
+                    and len(pkt) >= 30):
+                if _s.unpack_from("<I", pkt, 7)[0] != 0:
+                    return None          # vorbis_version must be 0
+                bs = pkt[28]
+                if pkt[29] & 0x01 == 0:  # framing bit must be set
+                    return None
+                head = {"channels": pkt[11],
+                        "sample_rate": _s.unpack_from("<I", pkt, 12)[0],
+                        "bitrate_nominal":
+                            _s.unpack_from("<i", pkt, 20)[0],
+                        "blocksize_0": 1 << (bs & 0x0F),
+                        "blocksize_1": 1 << (bs >> 4)}
+            if granule > 0:
+                last_granule = granule
+        if head is None or n_pages == 0 or head["sample_rate"] == 0:
+            return None
+        return {"fmt": "vorbis", "n_pages": n_pages,
+                "duration_ms":
+                    last_granule * 1000 // head["sample_rate"],
+                "n_bytes": len(b), **head}
+
+    def ogg_vorbis_tags(b: bytes):
+        """Vorbis comment header (packet type 3, Vorbis I §5):
+        identical layout to OpusTags plus a trailing framing bit,
+        which must be set. {vendor, comments: [(KEY, value), ...]}
+        or None."""
+        import struct as _s
+        if ogg_sniff(b) != "ogg":
+            return None
+        for _htype, _granule, _seq, pkt in _ogg_pages(b):
+            if pkt[:7] != b"\x03vorbis":
+                continue
+            try:
+                i = 7
+                (vlen,) = _s.unpack_from("<I", pkt, i)
+                vendor = pkt[i + 4:i + 4 + vlen].decode("utf-8")
+                i += 4 + vlen
+                (n,) = _s.unpack_from("<I", pkt, i)
+                i += 4
+                comments = []
+                for _ in range(n):
+                    (clen,) = _s.unpack_from("<I", pkt, i)
+                    c = pkt[i + 4:i + 4 + clen].decode("utf-8")
+                    i += 4 + clen
+                    k, _, v = c.partition("=")
+                    comments.append((k.upper(), v))
+                if i >= len(pkt) or pkt[i] & 0x01 == 0:
+                    return None          # framing bit
+                return {"vendor": vendor, "comments": comments}
+            except (struct.error, UnicodeDecodeError):
+                return None
+        return None
+
+    def encode_ogg_vorbis(channels: int, rate: int,
+                          bitrate_nominal: int, n_audio_pages: int,
+                          samples_per_page: int = 1024,
+                          serial: int = 0x5678,
+                          comments: list | None = None) -> bytes:
+        """Fixture builder: the three mandated Vorbis headers (ident
+        BOS page, comment page with optional 'KEY=value' comments,
+        minimal setup page) + audio pages with cumulative PCM
+        granules (EOS last), all CRC-stamped."""
+        import struct as _s
+        ident = (b"\x01vorbis" + _s.pack("<I", 0)
+                 + bytes([channels]) + _s.pack("<I", rate)
+                 + _s.pack("<i", 0)
+                 + _s.pack("<i", bitrate_nominal)
+                 + _s.pack("<i", 0)
+                 + bytes([(11 << 4) | 8])     # blocksizes 2048/256
+                 + bytes([0x01]))
+        tags = b"\x03vorbis" + _s.pack("<I", 4) + b"spkg" \
+            + _s.pack("<I", len(comments or []))
+        for c in comments or []:
+            enc = c.encode("utf-8")
+            tags += _s.pack("<I", len(enc)) + enc
+        tags += bytes([0x01])                 # framing bit
+        setup = b"\x05vorbis" + bytes([0x01])  # structural minimum
+        out = bytearray(_ogg_page(serial, 0, 0, 0x02, ident))
+        out += _ogg_page(serial, 1, 0, 0x00, tags)
+        out += _ogg_page(serial, 2, 0, 0x00, setup)
+        for p in range(n_audio_pages):
+            granule = (p + 1) * samples_per_page
+            htype = 0x04 if p == n_audio_pages - 1 else 0x00
+            out += _ogg_page(serial, 3 + p, granule, htype,
+                             bytes([0x00, p & 0xFF]))
+        return bytes(out)
+
     def audio_sniff(b: bytes):
         """Unified sniff across the five audio containers."""
         return (sniff(b) or flac_sniff(b) or ogg_sniff(b)
@@ -727,6 +830,9 @@ def make_audio_codec() -> SimpleNamespace:
                            ogg_opus_meta=ogg_opus_meta,
                            ogg_opus_tags=ogg_opus_tags,
                            encode_ogg_opus=encode_ogg_opus,
+                           ogg_vorbis_meta=ogg_vorbis_meta,
+                           ogg_vorbis_tags=ogg_vorbis_tags,
+                           encode_ogg_vorbis=encode_ogg_vorbis,
                            audio_sniff=audio_sniff)
 
 

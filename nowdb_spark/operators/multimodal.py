@@ -1047,6 +1047,85 @@ def opus_meta_real(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)
 
 
+def synth_vorbis(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize REAL Ogg/Vorbis streams from an id column: the
+    three mandated headers (ident/comment/setup) + id%6+1 audio
+    pages of 1024 PCM samples; 1+id%2 channels, rate
+    [8000,16000,22050,44100][id%4], nominal bitrate (id%10+1)·16000,
+    comments = first id%2+1 of [TITLE=v{id}, ARTIST=a{id%5}]."""
+    from nowdb_spark.operators.audiocodec import make_audio_codec
+
+    codec = make_audio_codec()
+    schema = f"{id_col} long, payload binary"
+    rates = (8000, 16000, 22050, 44100)
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        def synth(did: int) -> bytes:
+            did = int(did)
+            tags = [f"TITLE=v{did}", f"ARTIST=a{did % 5}"][:did % 2 + 1]
+            return codec.encode_ogg_vorbis(
+                channels=1 + did % 2, rate=rates[did % 4],
+                bitrate_nominal=(did % 10 + 1) * 16000,
+                n_audio_pages=did % 6 + 1,
+                samples_per_page=1024, comments=tags)
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "payload": [synth(d) for d in pdf[id_col]],
+            })
+
+    return df.select(id_col).mapInPandas(kernel, schema)
+
+
+def vorbis_meta_real(df: DataFrame, id_col: str = "doc_id",
+                     payload_col: str = "payload") -> DataFrame:
+    """REAL Ogg/Vorbis metadata + comment extraction in one pass:
+    CRC-verified page walk, identification-header parse (Vorbis I
+    §4.2.2: version/channels/rate/bitrates/blocksizes/framing bit),
+    PCM-granule duration, and the comment header's vendor + tag
+    count + TITLE value. One row per stream; non-Vorbis bytes yield
+    NULL fields. Narrow, zero-shuffle."""
+    from nowdb_spark.operators.audiocodec import make_audio_codec
+
+    codec = make_audio_codec()
+    schema = (f"{id_col} long, channels long, sample_rate long, "
+              "bitrate_nominal long, blocksize_0 long, "
+              "blocksize_1 long, n_pages long, duration_ms long, "
+              "vendor string, n_tags long, title string")
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        cols = [id_col, "channels", "sample_rate", "bitrate_nominal",
+                "blocksize_0", "blocksize_1", "n_pages",
+                "duration_ms", "vendor", "n_tags", "title"]
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                m = codec.ogg_vorbis_meta(b)
+                if m is None:
+                    out.append((int(did),) + (None,) * 10)
+                    continue
+                t = codec.ogg_vorbis_tags(b)
+                title = None
+                if t is not None:
+                    title = dict(t["comments"]).get("TITLE")
+                out.append((int(did), m["channels"],
+                            m["sample_rate"], m["bitrate_nominal"],
+                            m["blocksize_0"], m["blocksize_1"],
+                            m["n_pages"], m["duration_ms"],
+                            t["vendor"] if t else None,
+                            len(t["comments"]) if t else None,
+                            title))
+            yield _pd.DataFrame(out, columns=cols)
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
 def synth_flac_files(df: DataFrame, id_col: str = "doc_id",
                      n_samples: int | None = None) -> DataFrame:
     """Synthesize REAL FLAC files from an id column: n = id%50+10

@@ -307,3 +307,51 @@ def split_sentences(col: Column) -> Column:
         "(?<!\\b(?:" + _SENT_ABBREV + "))([.!?])\\s+(?=[A-Z0-9\"'])",
         "$1" + _SENT_SENTINEL)
     return F.split(marked, _SENT_SENTINEL)
+
+
+def chat_spans(df: DataFrame, turns_col: str = "turns",
+               id_col: str = "doc_id") -> DataFrame:
+    """Chat-template rendering + loss-mask span accounting — the SFT
+    corpus preparation step. ``turns_col`` is an
+    array<struct<role string, content string>>; each turn renders as
+    the ChatML-style segment ``<|im_start|>{role}\\n{content}
+    <|im_end|>\\n`` and the output gives, per turn, the character
+    span its CONTENT occupies in the concatenated rendering (the
+    offsets an SFT loss mask keeps for assistant turns and drops for
+    the rest) plus the full rendered length.
+
+    All JVM-side: posexplode + one window over (doc, turn order) for
+    the running offset — the same single-shuffle shape as
+    sessionization; no Python. Columns: (id, turn, role, is_target,
+    span_start, span_end, rendered_len).
+    """
+    from pyspark.sql.window import Window
+
+    t = df.select(id_col, F.posexplode(turns_col).alias("turn", "tc"))
+    seg_pre = F.length(F.col("tc.role")) + F.lit(13)   # <|im_start|> + \n
+    seg_len = seg_pre + F.length(F.col("tc.content")) + F.lit(11)
+    w = (Window.partitionBy(id_col).orderBy("turn")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    wall = Window.partitionBy(id_col)
+    start = F.coalesce(F.sum(seg_len).over(w), F.lit(0)) + seg_pre
+    return t.select(
+        id_col,
+        F.col("turn").cast("long").alias("turn"),
+        F.col("tc.role").alias("role"),
+        (F.col("tc.role") == "assistant").cast("long")
+        .alias("is_target"),
+        start.cast("long").alias("span_start"),
+        (start + F.length("tc.content")).cast("long")
+        .alias("span_end"),
+        F.sum(seg_len).over(wall).cast("long").alias("rendered_len"))
+
+
+def render_chatml(turns: Column) -> Column:
+    """The rendered training string itself (chat_spans' offsets index
+    into exactly this): ``<|im_start|>role\\ncontent<|im_end|>\\n``
+    per turn, concatenated. Pure JVM expression."""
+    return F.aggregate(
+        F.transform(turns, lambda t: F.concat(
+            F.lit("<|im_start|>"), t["role"], F.lit("\n"),
+            t["content"], F.lit("<|im_end|>\n"))),
+        F.lit(""), lambda a, x: F.concat(a, x))

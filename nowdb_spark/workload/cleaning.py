@@ -678,3 +678,77 @@ def qc02(spark, sf):
         F.when(F.col("doc_id") % 5 == 0,
                F.lit("\n### ### ###")).otherwise(""))
     return T.gopher_rules(d.select("doc_id", page.alias("text")))
+
+
+# ------------------------------------------------------------------
+# Chat-template rendering + loss-mask spans (cx07): the SFT corpus
+# preparation step. Each doc synthesizes a conversation (optional
+# system turn on even ids, then doc%4+2 alternating user/assistant
+# turns); chat_spans renders the ChatML-style template arithmetic
+# and emits, per turn, the character span its content occupies in
+# the rendered string — exactly the offsets an SFT loss mask keeps
+# (assistant) or drops (user/system). JVM-only: posexplode + one
+# window over (doc, turn), the sessionize shuffle shape. The oracle
+# replays segment lengths and running offsets with SQL windows.
+@register(
+    "cx07_chat_template",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 4 + 2 AS n,
+                      doc_id % 2 = 0 AS has_sys
+               FROM documents),
+    turns AS (
+      SELECT doc_id, 0 AS turn, 'system' AS role,
+             'sys d' || doc_id AS content
+      FROM d WHERE has_sys
+      UNION ALL
+      SELECT doc_id,
+             t + CASE WHEN has_sys THEN 1 ELSE 0 END AS turn,
+             CASE WHEN t % 2 = 0 THEN 'user' ELSE 'assistant' END
+               AS role,
+             CASE WHEN t % 2 = 0 THEN 'u' || doc_id || ' q' || t
+                  ELSE 'a' || doc_id || ' r' || t END AS content
+      FROM (SELECT doc_id, has_sys, unnest(range(0, n)) AS t FROM d)
+    ),
+    seg AS (SELECT doc_id, turn, role,
+                   length(role) + 13 AS pre,
+                   length(content) AS cl,
+                   length(role) + 13 + length(content) + 11 AS sl
+            FROM turns)
+    SELECT doc_id,
+           CAST(turn AS BIGINT) AS turn, role,
+           CAST(role = 'assistant' AS BIGINT) AS is_target,
+           CAST(coalesce(sum(sl) OVER (
+                  PARTITION BY doc_id ORDER BY turn
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) + pre AS BIGINT) AS span_start,
+           CAST(coalesce(sum(sl) OVER (
+                  PARTITION BY doc_id ORDER BY turn
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) + pre + cl AS BIGINT) AS span_end,
+           CAST(sum(sl) OVER (PARTITION BY doc_id) AS BIGINT)
+             AS rendered_len
+    FROM seg
+    """,
+    doc="chat-template rendering + loss-mask span accounting for "
+        "SFT corpora: ChatML-style segments, per-turn content "
+        "character offsets in the rendered string (is_target marks "
+        "assistant spans), total rendered length; JVM posexplode + "
+        "window, oracle replays offsets with SQL windows",
+)
+def cx07(spark, sf):
+    from nowdb_spark.operators.textops import chat_spans
+
+    d = table(spark, sf, "documents")
+    turns = F.expr("""
+      concat(
+        filter(array(named_struct(
+                 'role', 'system',
+                 'content', concat('sys d', doc_id))),
+               x -> doc_id % 2 = 0),
+        transform(sequence(0, int(doc_id % 4 + 1)), t ->
+          named_struct(
+            'role', if(t % 2 = 0, 'user', 'assistant'),
+            'content', if(t % 2 = 0,
+                          concat('u', doc_id, ' q', t),
+                          concat('a', doc_id, ' r', t)))))""")
+    return chat_spans(d.select("doc_id", turns.alias("turns")))

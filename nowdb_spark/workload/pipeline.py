@@ -139,6 +139,77 @@ def dd03(spark, sf):
 
 
 # ------------------------------------------------------------------
+# Dedup canonicalization (dd10): the composed END of the dedup
+# pipeline — dd03's LSH candidate pairs → transitive closure
+# (dup_clusters / connected components; near-dup is not transitive,
+# components are the correct keep-one policy) → every doc labeled
+# with its cluster (singletons keep themselves), cluster sizes, and
+# the min-id canonical survivor flag. The oracle replays the pairs
+# (same MinHash CTE as dd03) and closes them with a recursive
+# reachability CTE (g03's pattern — no MATERIALIZED inside
+# WITH RECURSIVE per the DuckDB gotcha).
+@register(
+    "dd10_dedup_canonical",
+    f"""
+    WITH RECURSIVE {_MINHASH_CTE},
+    banded AS (
+      SELECT doc_id, s0, s1, s2, s3, s4, s5, s6, s7, band_id,
+             CASE band_id
+               WHEN 0 THEN md5(s0 || s1) WHEN 1 THEN md5(s2 || s3)
+               WHEN 2 THEN md5(s4 || s5) ELSE md5(s6 || s7) END AS band_key
+      FROM sig, LATERAL (VALUES (0), (1), (2), (3)) AS bands(band_id)
+    ),
+    prs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+      WHERE (a.s0 = b.s0)::INT + (a.s1 = b.s1)::INT
+          + (a.s2 = b.s2)::INT + (a.s3 = b.s3)::INT
+          + (a.s4 = b.s4)::INT + (a.s5 = b.s5)::INT
+          + (a.s6 = b.s6)::INT + (a.s7 = b.s7)::INT >= 4
+    ),
+    e AS (SELECT doc_a AS u, doc_b AS v FROM prs
+          UNION SELECT doc_b, doc_a FROM prs),
+    reach(u, r) AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT reach.u, e.v FROM reach JOIN e ON e.u = reach.r
+    ),
+    comp AS (SELECT u AS node, least(u, min(r)) AS component
+             FROM reach GROUP BY u),
+    lab AS (SELECT d.doc_id,
+                   coalesce(c.component, d.doc_id) AS cluster
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+    sz AS (SELECT cluster, count(*) AS nc FROM lab GROUP BY cluster)
+    SELECT lab.doc_id, lab.cluster,
+           CAST(sz.nc AS BIGINT) AS n_cluster,
+           CAST(lab.doc_id = lab.cluster AS BIGINT) AS is_canonical
+    FROM lab JOIN sz USING (cluster)
+    """,
+    doc="dedup canonicalization end-to-end: MinHash-LSH candidate "
+        "pairs (dd03's exact shape) → connected-components closure "
+        "(dup_clusters) → per-doc cluster label, cluster size, "
+        "min-id survivor flag; oracle closes the replayed pairs "
+        "with a recursive reachability CTE",
+)
+def dd10(spark, sf):
+    docs = table(spark, sf, "documents")
+    pairs = D.minhash_lsh_pairs(docs, k=8, bands=4, threshold=0.5)
+    cl = D.dup_clusters(pairs).withColumnRenamed("doc_id", "node")
+    lab = (docs.select("doc_id")
+           .join(cl, docs.doc_id == cl.node, "left")
+           .select("doc_id",
+                   F.coalesce("canonical_id", "doc_id")
+                   .alias("cluster")))
+    sizes = lab.groupBy("cluster").agg(F.count("*").alias("n_cluster"))
+    return (lab.join(sizes, "cluster")
+            .select("doc_id", "cluster", "n_cluster",
+                    (F.col("doc_id") == F.col("cluster")).cast("long")
+                    .alias("is_canonical")))
+
+
+# ------------------------------------------------------------------
 @register(
     "di01_incremental_lsh",
     f"""
@@ -2812,6 +2883,47 @@ def mm12(spark, sf):
 def mm14(spark, sf):
     d = spread(table(spark, sf, "documents"))
     return M.opus_tags_real(M.synth_opus(d))
+
+
+# Vorbis twin of mm12+mm14 in one row (mm28): REAL Ogg/Vorbis
+# streams (three mandated headers + PCM-granule audio pages, every
+# page CRC-stamped) → identification-header parse (version check,
+# channels/rate/bitrates, blocksize exponents, framing bit) +
+# comment-header vendor/tags with the trailing framing-bit check.
+# Granules are PCM positions (unlike Opus' fixed 48 kHz clock), so
+# duration replays as n_audio·1024·1000 // rate.
+@register(
+    "mm28_vorbis_meta",
+    """
+    WITH d AS (SELECT doc_id,
+                      doc_id % 6 + 1 AS na,
+                      list_extract([8000, 16000, 22050, 44100],
+                                   CAST(doc_id % 4 + 1 AS INT)) AS rate
+               FROM documents)
+    SELECT doc_id,
+           CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+           CAST(rate AS BIGINT) AS sample_rate,
+           CAST((doc_id % 10 + 1) * 16000 AS BIGINT) AS bitrate_nominal,
+           CAST(256 AS BIGINT) AS blocksize_0,
+           CAST(2048 AS BIGINT) AS blocksize_1,
+           CAST(3 + na AS BIGINT) AS n_pages,
+           CAST(na * 1024 * 1000 // rate AS BIGINT) AS duration_ms,
+           'spkg' AS vendor,
+           CAST(doc_id % 2 + 1 AS BIGINT) AS n_tags,
+           'v' || doc_id AS title
+    FROM d
+    """,
+    doc="REAL Ogg/Vorbis metadata decode: CRC-verified page walk, "
+        "Vorbis I identification-header parse (version, channels, "
+        "rate, nominal bitrate, blocksize exponents, framing bit) "
+        "with PCM-granule duration, plus comment-header vendor/"
+        "tag-count/TITLE under the trailing framing-bit check; "
+        "oracle replays the synth parameters (Vorbis SAMPLE decode "
+        "— MDCT — stays honestly gated)",
+)
+def mm28(spark, sf):
+    d = spread(table(spark, sf, "documents"))
+    return M.vorbis_meta_real(M.synth_vorbis(d))
 
 
 # ID3v2 twin of mm14: same tag arithmetic (TIT2/TPE1/TRCK mirror

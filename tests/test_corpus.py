@@ -302,3 +302,32 @@ def test_line_dedup_properties(spark):
     for r in rows:
         assert again[r.doc_id].text == r.text
         assert again[r.doc_id].n_lines_dropped == 0 or r.text == "", r
+
+
+def test_chat_spans_offsets_index_into_rendering(spark):
+    from nowdb_spark.operators.textops import chat_spans, render_chatml
+    from pyspark.sql import functions as F
+
+    rows = [(1, [("system", "be brief"), ("user", "hi there"),
+                 ("assistant", "hello!"), ("user", "bye"),
+                 ("assistant", "ok")]),
+            (2, [("user", "solo")])]
+    df = spark.createDataFrame(
+        rows, "doc_id long, turns array<struct<role string, "
+              "content string>>")
+    spans = chat_spans(df).collect()
+    rendered = {r["doc_id"]: r["rendered"] for r in df.select(
+        "doc_id", render_chatml(F.col("turns")).alias("rendered"))
+        .collect()}
+    # every span must slice out exactly its turn's content
+    turns = {did: t for did, t in rows}
+    for r in spans:
+        content = turns[r["doc_id"]][r["turn"]][1]
+        role = turns[r["doc_id"]][r["turn"]][0]
+        assert r["role"] == role
+        assert r["is_target"] == (1 if role == "assistant" else 0)
+        s = rendered[r["doc_id"]]
+        assert s[r["span_start"]:r["span_end"]] == content
+        assert r["rendered_len"] == len(s)
+    # template framing is ChatML-shaped
+    assert rendered[2] == "<|im_start|>user\nsolo<|im_end|>\n"
