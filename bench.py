@@ -534,6 +534,59 @@ def main() -> None:
         rate("mm22_clips_per_sec", n_imgs,
              lambda: MM.upsample2x_real(MM.synth_audio(ids))
              .agg(F.count(F.lit(1))).collect())
+        # round-10b rates: log-mel DSP front end (clips/s over the
+        # same synth_audio corpus; each clip yields ≤6 frames × 4
+        # bands), Vorbis metadata, safetensors container parse, and
+        # chat-template span accounting (JVM window, full doc volume)
+        from nowdb_spark.operators.dsp import log_mel_real
+        rate("mm27_clips_per_sec", n_imgs,
+             lambda: log_mel_real(MM.synth_audio(ids))
+             .agg(F.count(F.lit(1))).collect())
+        rate("mm28_clips_per_sec", n_imgs,
+             lambda: MM.vorbis_meta_real(MM.synth_vorbis(ids))
+             .agg(F.count(F.lit(1))).collect())
+        from nowdb_spark.sources import tensors as TSR
+
+        def _st_shards():
+            def kern(batches):
+                import numpy as _np
+                import pandas as _pd
+                for pdf in batches:
+                    payloads = []
+                    for did in pdf["doc_id"]:
+                        did = int(did)
+                        emb = _np.arange(64, dtype=_np.float32) + did
+                        iid = _np.arange(16, dtype=_np.int64) * did
+                        payloads.append(TSR.encode_safetensors(
+                            {"emb": emb, "ids": iid},
+                            metadata={"doc": str(did)}))
+                    yield _pd.DataFrame({"doc_id": pdf["doc_id"].values,
+                                         "payload": payloads})
+            return ids.mapInPandas(kern, "doc_id long, payload binary")
+
+        try:
+            _st_shards().write.mode("overwrite") \
+                .parquet(f"{tmp}/stshards")
+            stsrc = spark.read.parquet(f"{tmp}/stshards")
+            rate("wd06_shards_per_sec", n_imgs,
+                 lambda: TSR.read_safetensors(stsrc)
+                 .agg(F.count(F.lit(1))).collect(),
+                 extra={"wd06_shards": n_imgs,
+                        "wd06_tensors_per_shard": 2})
+        except Exception as e:  # noqa: BLE001
+            errors["wd06_shards_per_sec"] = str(e).split("\n")[0][:200]
+        from nowdb_spark.operators.textops import chat_spans
+        conv = dsrc.select("doc_id", F.expr("""
+          transform(sequence(0, int(doc_id % 4 + 1)), t ->
+            named_struct(
+              'role', if(t % 2 = 0, 'user', 'assistant'),
+              'content', if(t % 2 = 0,
+                            concat('u', doc_id, ' q', t),
+                            concat('a', doc_id, ' r', t))))""")
+            .alias("turns"))
+        rate("cx07_docs_per_sec", n_docs,
+             lambda: chat_spans(conv)
+             .agg(F.sum("span_end")).collect())
 
         dim = 64
         vec = F.transform(
