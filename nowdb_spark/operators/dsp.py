@@ -114,3 +114,15 @@ def log_mel_real(df: DataFrame, id_col: str = "doc_id",
             yield _pd.DataFrame(out, columns=cols)
 
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
+def dct8_basis():
+    """Orthonormal DCT-II basis for N=8: c[u][x] = a_u·cos((2x+1)uπ/16)
+    with a_0 = √(1/8), a_u = 1/2 — the 64 constants shared (inlined)
+    between the pHash kernel and its SQL oracle, like mel_filterbank."""
+    out = []
+    for u in range(8):
+        a = math.sqrt(1.0 / 8.0) if u == 0 else 0.5
+        out.append([a * math.cos((2 * x + 1) * u * math.pi / 16.0)
+                    for x in range(8)])
+    return out

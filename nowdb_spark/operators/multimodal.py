@@ -1047,6 +1047,56 @@ def opus_meta_real(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)
 
 
+def phash_real(df: DataFrame, id_col: str = "doc_id",
+               payload_col: str = "payload") -> DataFrame:
+    """Perceptual image hash (pHash, 8×8 DCT variant) over REAL
+    decoded images — visual near-dup dedup for image corpora.
+
+    Per image: decode → BT.601 integer luma ((299r+587g+114b)//1000)
+    → 2×2 mean downsample to 8×8 → orthonormal 2D DCT-II (the
+    dct8_basis constants, inlined identically into the SQL oracle) →
+    coefficients rounded to 4dp (makes the bit threshold
+    cross-engine-deterministic) → 63 AC bits vs their median (odd
+    count ⇒ the exact middle order statistic, no interpolation).
+    Returns (id, phash) with phash a 63-char '0'/'1' string; clones
+    and near-identical images collide. 16×16 inputs only (the
+    fixture contract); other sizes yield NULL. Narrow kernel."""
+    from nowdb_spark.operators.dsp import dct8_basis
+    from nowdb_spark.operators.imagecodec import make_image_codec
+
+    codec = make_image_codec()
+    basis = dct8_basis()
+    schema = f"{id_col} long, phash string"
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as _np
+        import pandas as _pd
+
+        C = _np.array(basis)               # (8, 8)
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                did = int(did)
+                img = codec.decode(bytes(payload))
+                if (img is None or img["width"] != 16
+                        or img["height"] != 16):
+                    out.append((did, None))
+                    continue
+                px = _np.array(img["rows"], dtype=_np.int64)  # (16,16,3)
+                luma = (299 * px[:, :, 0] + 587 * px[:, :, 1]
+                        + 114 * px[:, :, 2]) // 1000
+                p8 = (luma[0::2, 0::2] + luma[0::2, 1::2]
+                      + luma[1::2, 0::2] + luma[1::2, 1::2]) // 4
+                cf = _np.round(C @ p8.astype(_np.float64) @ C.T, 4)
+                ac = cf.ravel()[1:]
+                med = _np.median(ac)
+                bits = "".join("1" if x > med else "0" for x in ac)
+                out.append((did, bits))
+            yield _pd.DataFrame(out, columns=[id_col, "phash"])
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
 def synth_vorbis(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize REAL Ogg/Vorbis streams from an id column: the
     three mandated headers (ident/comment/setup) + id%6+1 audio

@@ -2885,6 +2885,108 @@ def mm14(spark, sf):
     return M.opus_tags_real(M.synth_opus(d))
 
 
+# Perceptual image hash (mm29): visual near-dup dedup — REAL decode
+# (PNG deflate on even ids, BMP on odd) → integer luma → 2×2-mean
+# 8×8 → 2D DCT-II with the dct8_basis constants inlined identically
+# into both engines → 4dp-rounded coefficients → 63 AC bits vs their
+# exact-middle median. Ids ≡ 7 (mod 10) synthesize from id-1's
+# pixels, planting real clone groups the hash must collide on;
+# n_same counts hash collisions (the dedup grouping) in both
+# engines. The oracle computes the DCT as 64 dot products against a
+# single-row basis CTE (the PQ-codebook literal pattern).
+def _mm29_oracle() -> str:
+    from nowdb_spark.operators.dsp import dct8_basis
+
+    C = dct8_basis()
+    b = "[" + ", ".join(
+        "[" + ", ".join(
+            repr(C[uv // 8][q // 8] * C[uv % 8][q % 8])
+            for q in range(64)) + "]"
+        for uv in range(64)) + "]"
+
+    def luma(x: str, y: str) -> str:
+        # slopes/curvature depend on bid (a constant offset alone
+        # would leave every AC coefficient — hence the hash — equal)
+        return (f"(299*(((bid % 7 + 1)*3*({x}) + 7*({y}) + bid) % 256)"
+                f" + 587*((5*({x}) + (bid % 5 + 1)*({y}) + 2*bid) % 256)"
+                f" + 114*(((bid % 11)*({x})*({y}) + bid) % 256)) // 1000")
+
+    p8 = ("(" + " + ".join(
+        luma(f"2*(q%8)+{dx}", f"2*(q//8)+{dy}")
+        for dy in (0, 1) for dx in (0, 1)) + ") // 4")
+    return f"""
+    WITH basis AS (SELECT {b} AS b),
+    d AS (SELECT doc_id,
+                 CASE WHEN doc_id % 10 = 7 AND doc_id > 0
+                      THEN doc_id - 1 ELSE doc_id END AS bid
+          FROM documents),
+    pl AS (SELECT doc_id,
+                  list_transform(range(0, 64), q ->
+                    CAST({p8} AS DOUBLE)) AS pl
+           FROM d),
+    cf AS (SELECT doc_id,
+                  list_transform(range(0, 64), uv ->
+                    round(list_dot_product(pl, b[uv + 1]), 4)) AS cf
+           FROM pl, basis),
+    ph AS (SELECT doc_id,
+                  array_to_string(list_transform(cf[2:], x ->
+                    CASE WHEN x > list_aggregate(cf[2:], 'median')
+                         THEN '1' ELSE '0' END), '') AS phash
+           FROM cf)
+    SELECT doc_id, phash,
+           CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same
+    FROM ph
+    """
+
+
+@register(
+    "mm29_phash",
+    _mm29_oracle(),
+    doc="REAL perceptual image hashing (pHash, 8×8 DCT variant) over "
+        "decoded PNG/BMP: BT.601 luma, 2×2-mean downsample, 2D "
+        "DCT-II (basis constants inlined bit-identically into both "
+        "engines), 63 AC bits vs exact-middle median; planted clone "
+        "pairs collide and n_same counts the dedup groups — the "
+        "visual near-dup operator of image-corpus curation",
+)
+def mm29(spark, sf):
+    from pyspark.sql.window import Window
+
+    from nowdb_spark.operators.imagecodec import make_image_codec
+
+    codec = make_image_codec()
+    d = spread(table(spark, sf, "documents"))
+
+    def kernel(batches):
+        import pandas as _pd
+
+        def synth(did: int) -> bytes:
+            did = int(did)
+            bid = did - 1 if (did % 10 == 7 and did > 0) else did
+            rows = [[(((bid % 7 + 1) * 3 * x + 7 * y + bid) % 256,
+                      (5 * x + (bid % 5 + 1) * y + 2 * bid) % 256,
+                      ((bid % 11) * x * y + bid) % 256)
+                     for x in range(16)] for y in range(16)]
+            if did % 2 == 0:
+                return codec.encode_png(16, 16, rows)
+            return codec.encode_bmp(16, 16, rows)
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"].values,
+                "payload": [synth(x) for x in pdf["doc_id"]],
+            })
+
+    imgs = (d.select("doc_id")
+            .mapInPandas(kernel, "doc_id long, payload binary"))
+    ph = M.phash_real(imgs)
+    return ph.select(
+        "doc_id", "phash",
+        F.count("*").over(Window.partitionBy("phash"))
+        .cast("long").alias("n_same"))
+
+
+# ------------------------------------------------------------------
 # Vorbis twin of mm12+mm14 in one row (mm28): REAL Ogg/Vorbis
 # streams (three mandated headers + PCM-granule audio pages, every
 # page CRC-stamped) → identification-header parse (version check,

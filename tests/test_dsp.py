@@ -79,3 +79,37 @@ def test_log_mel_frame_count(spark):
     # (40-16)//8+1 = 4 frames × 4 bands
     assert len(out) == 16
     assert {r["frame"] for r in out} == {0, 1, 2, 3}
+
+
+def test_dct8_basis_orthonormal():
+    C = np.array(dsp.dct8_basis())
+    np.testing.assert_allclose(C @ C.T, np.eye(8), atol=1e-12)
+
+
+def test_phash_clone_collision_and_sensitivity(spark):
+    from nowdb_spark.operators.imagecodec import make_image_codec
+    from nowdb_spark.operators.multimodal import phash_real
+
+    codec = make_image_codec()
+
+    def img(seed, flip_one_pixel=False):
+        rows = [[((seed * 3 + 5 * x + 7 * y) % 256,
+                  (seed + x) % 256, (seed * x * y) % 256)
+                 for x in range(16)] for y in range(16)]
+        if flip_one_pixel:
+            # a large local change: pHash is robust to small noise
+            # but a 255-luma block flip must move SOME coefficient
+            rows[0] = [(255, 255, 255)] * 16
+        return codec.encode_png(16, 16, rows)
+
+    df = spark.createDataFrame(
+        [(0, bytearray(img(9))), (1, bytearray(img(9))),
+         (2, bytearray(img(40))), (3, bytearray(img(9, True))),
+         (4, bytearray(codec.encode_bmp(2, 2, [[(0, 0, 0)] * 2] * 2)))],
+        "doc_id long, payload binary")
+    out = {r["doc_id"]: r["phash"] for r in phash_real(df).collect()}
+    assert out[0] == out[1]                 # exact clone collides
+    assert len(out[0]) == 63 and set(out[0]) <= {"0", "1"}
+    assert out[0] != out[2]                 # different structure
+    assert out[0] != out[3]                 # whole-row wipe changes it
+    assert out[4] is None                   # non-16x16 contract

@@ -85,6 +85,9 @@ _PY_ALLOWED = {"mm01_extract_meta", "mm02_real_decode", "mm03_real_resize",
                "mm23_silence_trim", "mm24_scene_cuts",
                "mm25_tiff_decode", "mm26_jpeg_arith_decode",
                "mm28_vorbis_meta",
+               # image decode + DCT hashing is the Arrow-kernel
+               # path; the collision-count window stays JVM-side
+               "mm29_phash",
                "wd02_zip_shards", "wd03_multimodal_samples",
                # tensor-container framing is bytes-imperative (NPY
                # header parse, safetensors offsets, Arrow IPC batch
