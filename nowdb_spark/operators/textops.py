@@ -355,3 +355,31 @@ def render_chatml(turns: Column) -> Column:
             F.lit("<|im_start|>"), t["role"], F.lit("\n"),
             t["content"], F.lit("<|im_end|>\n"))),
         F.lit(""), lambda a, x: F.concat(a, x))
+
+
+def fix_mojibake(col: Column) -> Column:
+    """Repair the classic mojibake class: UTF-8 bytes that were
+    decoded as latin-1 ('café' → 'cafÃ©') — the dominant encoding
+    corruption in web corpora (what ftfy fixes first).
+
+    The inverse transform re-encodes the text as latin-1 and decodes
+    the bytes as UTF-8 — applied ONLY when (a) every char fits in
+    latin-1, (b) a mojibake lead-byte marker (U+00C2..U+00F4 — the
+    latin-1 renderings of UTF-8 lead bytes) is present, and (c) the
+    re-encoded bytes are VALID UTF-8. Genuine accented text ('SÃO
+    PAULO': Ã followed by an ASCII byte is invalid UTF-8) fails (c)
+    and passes through untouched. Pure JVM expression: encode /
+    is_valid_utf8 / decode, no Python."""
+    b = F.encode(col, "ISO-8859-1")
+    fixable = (col.rlike("^[\\x00-ÿ]*$")
+               & col.rlike("[Â-ô]")
+               & F.is_valid_utf8(b))
+    return F.when(fixable, F.decode(b, "UTF-8")).otherwise(col)
+
+
+def is_mojibake(col: Column) -> Column:
+    """The fix_mojibake decision itself (1 when the repair fires)."""
+    return (col.rlike("^[\\x00-ÿ]*$")
+            & col.rlike("[Â-ô]")
+            & F.is_valid_utf8(F.encode(col, "ISO-8859-1"))
+            ).cast("long")

@@ -340,3 +340,48 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
         rts.alias(matched_ts),
         *[match[f"__m_{c}"].alias(out_names[c]) for c in payload])
     return annotated.where(F.col("__tag") == 1).drop("__tag")
+
+
+def rolling_mad_anomaly(df: DataFrame, stamp_col: str, key_col: str,
+                        value_col: str, n_rows: int = 6,
+                        k: float = 4.4478,
+                        tiebreak: str = "event_id") -> DataFrame:
+    """Rolling-median / MAD outlier detection — the robust anomaly
+    flag of metric pipelines (median ± k·MAD; k = 3·1.4826 scales
+    MAD to σ under normality, here one literal so both engines
+    multiply the same double).
+
+    Per key, over a trailing window of ``n_rows`` preceding rows +
+    current: median and MAD computed EXACTLY (sorted array, middle
+    element, explicit even-count average — no interpolation
+    ambiguity), flag = |x − med| > k·MAD. All arithmetic is
+    division/compare on identical inputs (no reordered sums), so the
+    decision is cross-engine-deterministic without rounding tricks.
+    One shuffle (the key window), JVM-only."""
+    w = (W.partitionBy(key_col).orderBy(stamp_col, tiebreak)
+         .rowsBetween(-n_rows, 0))
+
+    def arr_median(arr: Column) -> Column:
+        s = F.sort_array(arr)
+        n = F.size(s)
+        odd = F.element_at(s, ((n + 1) / 2).cast("int"))
+        even = (F.element_at(s, (n / 2).cast("int"))
+                + F.element_at(s, (n / 2 + 1).cast("int"))) / 2.0
+        return F.when(n % 2 == 1, odd).otherwise(even)
+
+    base = df.select(
+        key_col,
+        TU.ns_to_us(F.col(stamp_col)).alias("t_us"),
+        tiebreak, value_col,
+        F.collect_list(value_col).over(w).alias("w_arr"))
+    staged = base.withColumn("med_x", arr_median(F.col("w_arr")))
+    staged = staged.withColumn(
+        "mad_x", arr_median(F.transform(
+            "w_arr", lambda x: F.abs(x - F.col("med_x")))))
+    score = F.abs(F.col(value_col) - F.col("med_x"))
+    return staged.select(
+        key_col, "t_us", tiebreak, value_col,
+        F.round("med_x", 6).alias("med"),
+        F.round("mad_x", 6).alias("mad"),
+        (score > F.lit(k) * F.col("mad_x")).cast("long")
+        .alias("is_anomaly"))

@@ -571,3 +571,44 @@ def warc_text_documents(records: DataFrame,
                 html_to_text(
                     F.decode(F.col("payload"), "utf-8")).alias("text"))
             .where(F.length("text") > 0))
+
+
+def parse_html_tables(df: DataFrame, html_col: str = "html",
+                      id_col: str = "doc_id") -> DataFrame:
+    """HTML table extraction: one output row per CELL —
+    (id, table_idx, row_idx, col_idx, cell) — the structured-data
+    recovery step of web-corpus curation (tables feed QA/table-QA
+    training sets rather than the prose pipeline).
+
+    Pure JVM: three regexp_extract_all levels (<table> → <tr> →
+    <td|th>, non-greedy with (?is) so attributes, newlines and case
+    survive), posexplode for the indices, then inner-tag strip +
+    entity unescape + trim on the cell. Narrow, zero-shuffle."""
+    tables = F.expr(
+        f"regexp_extract_all({html_col}, "
+        "'(?is)<table[^>]*>(.*?)</table>', 1)")
+    t = df.select(id_col, F.posexplode(tables)
+                  .alias("table_idx", "tbl"))
+    rows = F.expr(
+        "regexp_extract_all(tbl, '(?is)<tr[^>]*>(.*?)</tr>', 1)")
+    r = t.select(id_col, "table_idx",
+                 F.posexplode(rows).alias("row_idx", "row"))
+    cells = F.expr(
+        "regexp_extract_all(row, '(?is)<t[dh][^>]*>(.*?)</t[dh]>', 1)")
+    c = r.select(id_col, "table_idx", "row_idx",
+                 F.posexplode(cells).alias("col_idx", "raw"))
+    cell = F.trim(F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace("raw", r"(?is)<[^>]+>", " "),
+                    "&lt;", "<"),
+                "&gt;", ">"),
+            "&amp;", "&"),
+        r"\s+", " "))
+    return c.select(
+        id_col,
+        F.col("table_idx").cast("long").alias("table_idx"),
+        F.col("row_idx").cast("long").alias("row_idx"),
+        F.col("col_idx").cast("long").alias("col_idx"),
+        cell.alias("cell"))

@@ -2885,6 +2885,113 @@ def mm14(spark, sf):
     return M.opus_tags_real(M.synth_opus(d))
 
 
+# HTML table extraction (wc07): structured-data recovery from web
+# pages — one row per CELL with (table, row, col) indices. The synth
+# pages carry attributes, newlines, <th> header rows, bold-wrapped
+# cell text and &amp; entities, so the three-level non-greedy regex
+# walk plus strip/unescape/trim is all exercised; oracle replays the
+# cell arithmetic.
+@register(
+    "wc07_html_tables",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 2 + 1 AS nt,
+                      doc_id % 3 + 1 AS nr FROM documents),
+    t AS (SELECT doc_id, nr, unnest(range(0, nt)) AS ti FROM d),
+    r AS (SELECT doc_id, ti, unnest(range(0, nr)) AS ri FROM t),
+    c AS (SELECT doc_id, ti, ri, unnest(range(0, 2)) AS ci FROM r)
+    SELECT doc_id,
+           CAST(ti AS BIGINT) AS table_idx,
+           CAST(ri AS BIGINT) AS row_idx,
+           CAST(ci AS BIGINT) AS col_idx,
+           CASE WHEN ci = 0
+                THEN 'h' || ti || ri || ' d' || doc_id
+                ELSE 'v & ' || (doc_id + ti + ri) % 10 END AS cell
+    FROM c
+    """,
+    doc="HTML table extraction (three-level non-greedy regex walk "
+        "<table>/<tr>/<td|th> with attributes, newlines, header "
+        "cells, inner-tag strip + entity unescape + whitespace "
+        "collapse), one row per cell with full indices — all JVM, "
+        "zero shuffle; oracle replays the cell construction",
+)
+def wc07(spark, sf):
+    from nowdb_spark.sources.warc import parse_html_tables
+
+    html = F.expr("""
+      concat('<html><body>',
+        aggregate(transform(sequence(0, int(doc_id % 2)), t ->
+          concat('<table class="x">',
+            aggregate(transform(sequence(0, int(doc_id % 3)), r ->
+              concat('<tr>\n  <', if(r = 0, 'th', 'td'),
+                     ' align="l"><b>h', t, r, '</b> d', doc_id,
+                     '</', if(r = 0, 'th', 'td'), '><td>v &amp; ',
+                     CAST((doc_id + t + r) % 10 AS STRING),
+                     '</td></tr>')), '',
+              (acc, x) -> concat(acc, x)),
+            '</table>')), '', (acc, x) -> concat(acc, x)),
+        '</body></html>')""")
+    pages = (table(spark, sf, "documents")
+             .select("doc_id", html.alias("html")))
+    return parse_html_tables(pages)
+
+
+# ------------------------------------------------------------------
+# Mojibake repair (tx13): the encoding-corruption fixer of web-text
+# cleaning (the ftfy class: UTF-8 bytes decoded as latin-1). One
+# doc in three is DOUBLE-ENCODED in Spark itself (decode(encode(
+# clean,'UTF-8'),'ISO-8859-1')) and must come back exactly clean;
+# one is plain ASCII (must pass through); one is GENUINE text whose
+# Ã is followed by an ASCII byte — invalid UTF-8 after re-encode, so
+# the validity gate must refuse to "fix" it. Entirely JVM (encode /
+# is_valid_utf8 / decode); the oracle emits the expected repaired
+# text per class directly.
+@register(
+    "tx13_mojibake",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 3 AS cls,
+                      list_extract(['é', 'ü', 'ñ', 'ø', '中'],
+                                   CAST(doc_id % 5 + 1 AS INT)) AS el
+               FROM documents)
+    SELECT doc_id,
+           CASE cls
+             WHEN 0 THEN 'plain d' || doc_id
+             WHEN 1 THEN 'd' || doc_id || ' café straße ' || el
+             ELSE 'SÃO PAULO d' || doc_id END AS fixed,
+           CAST(cls = 1 AS BIGINT) AS was_mojibake
+    FROM d
+    """,
+    doc="mojibake repair (UTF-8-as-latin-1 double encoding): "
+        "re-encode + UTF-8 validity gate + decode, all JVM "
+        "expressions; double-encoded docs come back char-exact, "
+        "ASCII and genuine accented text (invalid-UTF-8 re-encode) "
+        "pass through untouched; oracle emits the expected text per "
+        "class",
+)
+def tx13(spark, sf):
+    from nowdb_spark.operators.textops import fix_mojibake, is_mojibake
+
+    d = table(spark, sf, "documents")
+    el = F.element_at(
+        F.array(F.lit("é"), F.lit("ü"), F.lit("ñ"), F.lit("ø"),
+                F.lit("中")),
+        (F.col("doc_id") % 5 + 1).cast("int"))
+    clean = F.concat(F.lit("d"), F.col("doc_id"),
+                     F.lit(" café straße "), el)
+    corrupted = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("plain d"), F.col("doc_id"))
+    ).when(
+        F.col("doc_id") % 3 == 1,
+        F.decode(F.encode(clean, "UTF-8"), "ISO-8859-1")
+    ).otherwise(F.concat(F.lit("SÃO PAULO d"), F.col("doc_id")))
+    t = d.select("doc_id", corrupted.alias("t"))
+    return t.select(
+        "doc_id",
+        fix_mojibake(F.col("t")).alias("fixed"),
+        is_mojibake(F.col("t")).alias("was_mojibake"))
+
+
+# ------------------------------------------------------------------
 # Perceptual image hash (mm29): visual near-dup dedup — REAL decode
 # (PNG deflate on even ids, BMP on odd) → integer luma → 2×2-mean
 # 8×8 → 2D DCT-II with the dct8_basis constants inlined identically

@@ -294,3 +294,50 @@ def ts09(spark, sf):
         TU.ns_to_us(F.col("ts")).alias("purchase_us"),
         TU.ns_to_us(F.col("ts_r")).alias("view_us"),
         F.round(F.col("value"), 4).alias("view_value"))
+
+
+@register(
+    "ts10_anomaly_mad",
+    """
+    WITH b AS (
+      SELECT user_id, epoch_us(ts) AS t_us, event_id, value,
+             list(value) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS BETWEEN 6 PRECEDING
+                                        AND CURRENT ROW) AS w_arr
+      FROM events),
+    m AS (
+      SELECT *, list_sort(w_arr) AS s, len(w_arr) AS n FROM b),
+    m2 AS (
+      SELECT user_id, t_us, event_id, value, w_arr,
+             CASE WHEN n % 2 = 1 THEN s[(n + 1) // 2]
+                  ELSE (s[n // 2] + s[n // 2 + 1]) / 2.0 END AS med_x
+      FROM m),
+    m3 AS (
+      SELECT *,
+             list_sort(list_transform(w_arr,
+                                      x -> abs(x - med_x))) AS ds,
+             len(w_arr) AS n
+      FROM m2),
+    m4 AS (
+      SELECT user_id, t_us, event_id, value, med_x,
+             CASE WHEN n % 2 = 1 THEN ds[(n + 1) // 2]
+                  ELSE (ds[n // 2] + ds[n // 2 + 1]) / 2.0 END AS mad_x
+      FROM m3)
+    SELECT user_id, t_us, event_id, value,
+           round(med_x, 6) AS med,
+           round(mad_x, 6) AS mad,
+           CAST(abs(value - med_x) > 4.4478 * mad_x AS BIGINT)
+             AS is_anomaly
+    FROM m4
+    """,
+    doc="rolling-median/MAD anomaly detection per user (trailing "
+        "7-row window, exact middle-element median, |x-med| > "
+        "3·1.4826·MAD) — the robust outlier flag of metric "
+        "pipelines; the decision arithmetic is division/compare on "
+        "identical doubles, so both engines agree bit-for-bit",
+)
+def ts10(spark, sf):
+    ev = table(spark, sf, "events")
+    return TS.rolling_mad_anomaly(ev, "ts", "user_id", "value",
+                                  n_rows=6)

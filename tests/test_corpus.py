@@ -331,3 +331,34 @@ def test_chat_spans_offsets_index_into_rendering(spark):
         assert r["rendered_len"] == len(s)
     # template framing is ChatML-shaped
     assert rendered[2] == "<|im_start|>user\nsolo<|im_end|>\n"
+
+
+def test_fix_mojibake_roundtrip_and_guards(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nowdb_spark.operators.textops import fix_mojibake, is_mojibake
+
+    rng = random.Random(42)
+    alphabet = ("abc XYZ 09" "éüñøàçß" "中文字" "…—")
+    cases = []
+    for i in range(60):
+        clean = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 30)))
+        moji = clean.encode("utf-8").decode("latin-1")
+        expect_fix = moji != clean   # pure-ASCII strings are a no-op
+        cases.append((i, moji, clean, 1 if expect_fix else 0))
+    # guard cases: ASCII and genuine latin-1-style text stay put
+    cases.append((1000, "just ascii", "just ascii", 0))
+    cases.append((1001, "SÃO PAULO", "SÃO PAULO", 0))
+    cases.append((1002, "naïve café", "naïve café", 0))
+
+    df = spark.createDataFrame([(i, m) for i, m, _, _ in cases],
+                               "id long, t string")
+    out = {r["id"]: (r["f"], r["m"]) for r in df.select(
+        "id", fix_mojibake(F.col("t")).alias("f"),
+        is_mojibake(F.col("t")).alias("m")).collect()}
+    for i, _, expect, flag in cases:
+        got, got_flag = out[i]
+        assert got == expect, (i, got, expect)
+        assert got_flag == flag, (i, got_flag, flag)
