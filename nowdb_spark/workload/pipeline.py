@@ -2297,6 +2297,105 @@ def wd06(spark, sf):
 
 
 # ------------------------------------------------------------------
+# TFRecord shards (wd07): the TensorFlow training container, both
+# layers real — masked-CRC-32C framing (every record's both CRCs
+# verified) and tf.train.Example protobuf wire parse (varints,
+# two's-complement negative int64s, packed repeated scalars on even
+# ids / unpacked on odd — both proto encodings exercised). Per-doc
+# shard of id%3+1 records × three features; stats JVM-side from the
+# reader's typed arrays; oracle replays the record arithmetic.
+_TFR_ID = "((doc_id*13 + r*7 + k*3) % 1000 - 500)"
+_TFR_SC = "(((doc_id + r + k) % 64) / 4.0)"
+
+@register(
+    "wd07_tfrecord",
+    f"""
+    WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS nr,
+                      doc_id % 4 + 1 AS ni FROM documents),
+    rr AS (SELECT doc_id, ni, unnest(range(0, nr)) AS r FROM d)
+    SELECT doc_id, CAST(r AS BIGINT) AS rec_idx, 'doc' AS name,
+           'bytes' AS kind, CAST(1 AS BIGINT) AS n_vals,
+           CAST(NULL AS DOUBLE) AS val_sum,
+           'd' || doc_id || ' r' || r AS str_val
+    FROM rr
+    UNION ALL
+    SELECT doc_id, CAST(r AS BIGINT), 'ids', 'int64',
+           CAST(ni AS BIGINT),
+           CAST(list_aggregate(list_transform(range(0, ni), k ->
+             {_TFR_ID}), 'sum') AS DOUBLE),
+           NULL
+    FROM rr
+    UNION ALL
+    SELECT doc_id, CAST(r AS BIGINT), 'score', 'float',
+           CAST(2 AS BIGINT),
+           CAST(list_aggregate(list_transform(range(0, 2), k ->
+             {_TFR_SC}), 'sum') AS DOUBLE),
+           NULL
+    FROM rr
+    """,
+    doc="TFRecord ingestion, both layers from the public formats "
+        "(no TF dependency): masked-CRC-32C framing verified per "
+        "record, tf.train.Example proto wire parse (varints incl. "
+        "negative int64 two's complement, packed AND unpacked "
+        "repeated scalars, unknown-field skip); oracle replays the "
+        "record arithmetic",
+)
+def wd07(spark, sf):
+    from nowdb_spark.sources import tfrecord as TFR
+
+    d = spread(table(spark, sf, "documents"))
+
+    def kernel(batches):
+        import pandas as _pd
+
+        def synth(did: int) -> bytes:
+            did = int(did)
+            recs = []
+            for r in range(did % 3 + 1):
+                feats = {
+                    "doc": ("bytes", [f"d{did} r{r}".encode()]),
+                    "ids": ("int64",
+                            [(did * 13 + r * 7 + k * 3) % 1000 - 500
+                             for k in range(did % 4 + 1)]),
+                    "score": ("float",
+                              [((did + r + k) % 64) / 4.0
+                               for k in range(2)]),
+                }
+                recs.append(TFR.encode_example(
+                    feats, packed=did % 2 == 0))
+            return TFR.write_tfrecord_frames(recs)
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"].values,
+                "payload": [synth(x) for x in pdf["doc_id"]],
+            })
+
+    shards = (d.select("doc_id")
+              .mapInPandas(kernel, "doc_id long, payload binary"))
+    out = TFR.read_tfrecords(shards)
+    zero = F.lit(0.0)
+
+    def arr_sum(c):
+        return F.aggregate(c, zero, lambda a, v: a + v)
+
+    n_vals = F.coalesce(F.size("bytes_vals"), F.size("float_vals"),
+                        F.size("int64_vals")).cast("long")
+    val_sum = (F.when(F.col("kind") == "int64",
+                      arr_sum(F.transform("int64_vals",
+                                          lambda v: v.cast("double"))))
+               .when(F.col("kind") == "float",
+                     arr_sum(F.col("float_vals"))))
+    return out.select(
+        "doc_id", "rec_idx", "name", "kind",
+        n_vals.alias("n_vals"),
+        val_sum.alias("val_sum"),
+        F.when(F.col("kind") == "bytes",
+               F.decode(F.element_at("bytes_vals", 1), "utf-8"))
+        .alias("str_val"))
+
+
+# ------------------------------------------------------------------
 # Arrow IPC shards (wd04): each doc becomes a REAL Arrow IPC file
 # (= Feather v2) with 2-row record batches so the batch-at-a-time
 # reader path is exercised; the reader streams batches out through
