@@ -383,3 +383,73 @@ def is_mojibake(col: Column) -> Column:
             & col.rlike("[Â-ô]")
             & F.is_valid_utf8(F.encode(col, "ISO-8859-1"))
             ).cast("long")
+
+
+def c4_rules(df: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """C4-style cleaning (Raffel et al. 2020 §2.2, the published
+    Common-Crawl heuristics), entirely JVM and SQL-replayable:
+      * LINE filter: keep only lines that end in terminal
+        punctuation (. ! ? ") AND contain ≥ 5 words; lines
+        mentioning javascript are dropped regardless,
+      * PAGE filter: drop pages with < 3 kept lines, pages
+        containing 'lorem ipsum' (case-insensitive) or a curly
+        brace.
+    Emits per page: line counts, kept-text char count, each page
+    flag, and the conjunction `keep`. Map-only, zero shuffle."""
+    lines = F.split(F.col(text_col), "\n")
+    is_kept = (lambda ln:
+               ln.rlike('[.!?"]$')
+               & (F.size(F.filter(F.split(ln, r"\s+"),
+                                  lambda x: x != "")) >= 5)
+               & ~F.lower(ln).contains("javascript"))
+    kept = F.filter(lines, is_kept)
+    n_kept = F.size(kept)
+    kept_chars = F.aggregate(kept, F.lit(0),
+                             lambda acc, ln: acc + F.length(ln))
+    has_lorem = F.lower(F.col(text_col)).contains("lorem ipsum")
+    has_brace = (F.col(text_col).contains("{")
+                 | F.col(text_col).contains("}"))
+    d = df.select(
+        id_col,
+        F.size(lines).cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept"),
+        kept_chars.cast("long").alias("kept_chars"),
+        has_lorem.cast("long").alias("has_lorem"),
+        has_brace.cast("long").alias("has_brace"))
+    return d.withColumn(
+        "keep",
+        (F.col("n_kept") >= 3) & (F.col("has_lorem") == 0)
+        & (F.col("has_brace") == 0))
+
+
+def nfc_normalize(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Unicode NFC normalization — the canonical-composition step of
+    corpus normalization (decomposed 'e'+U+0301 and precomposed 'é'
+    must tokenize/dedup identically). Arrow-batched kernel over
+    Python's unicodedata (the stdlib implementation of UAX #15);
+    emits (id, nfc, changed, n_chars_in, n_chars_out). The gate
+    oracle is CROSS-ENGINE: DuckDB's own nfc_normalize (ICU-derived)
+    must produce the same text."""
+    from typing import Iterator as _It  # noqa: F401
+
+    schema = (f"{id_col} long, nfc string, changed long, "
+              "n_chars_in long, n_chars_out long")
+
+    def kernel(batches):
+        import unicodedata as _ud
+
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                t = str(t)
+                n = _ud.normalize("NFC", t)
+                out.append((int(did), n, int(n != t), len(t), len(n)))
+            yield _pd.DataFrame(out, columns=[
+                id_col, "nfc", "changed", "n_chars_in",
+                "n_chars_out"])
+
+    return df.select(id_col, text_col).mapInPandas(kernel, schema)

@@ -752,3 +752,143 @@ def cx07(spark, sf):
                           concat('u', doc_id, ' q', t),
                           concat('a', doc_id, ' r', t)))))""")
     return chat_spans(d.select("doc_id", turns.alias("turns")))
+
+
+# ------------------------------------------------------------------
+# C4 rule battery (qc03): the published Common-Crawl cleaning
+# heuristics (Raffel et al. 2020 §2.2) — line-level terminal-punct +
+# ≥5-words + javascript-drop, page-level lorem-ipsum / curly-brace /
+# <3-kept-lines. The fixture page plants a slice for every rule
+# (short line, unterminated line, js line on evens, extra sentence
+# on ≡0 mod 3, lorem on ≡0 mod 4, brace on ≡0 mod 5) so each fires
+# on part of the corpus; the oracle REPLAYS the generic rule over
+# the same constructed lines (list_filter), not hand-derived
+# outcomes.
+@register(
+    "qc03_c4_rules",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+        ['Good sentence with many words here d' || doc_id || '.']
+        || ['short line.']
+        || ['no terminal punctuation line with words d' || doc_id]
+        || CASE WHEN doc_id % 2 = 0
+                THEN ['Enable javascript to view this page now.']
+                ELSE [] END
+        || CASE WHEN doc_id % 3 = 0
+                THEN ['Another proper sentence is here d' || doc_id
+                      || '!'] ELSE [] END
+        || CASE WHEN doc_id % 4 = 0
+                THEN ['lorem ipsum dolor sit amet consectetur.']
+                ELSE [] END
+        || CASE WHEN doc_id % 5 = 0
+                THEN ['code { display: none; }'] ELSE [] END
+        || ['A third full sentence exists right here d' || doc_id
+            || '?'] AS lns
+      FROM documents),
+    p AS (SELECT doc_id, lns,
+                 array_to_string(lns, chr(10)) AS page,
+                 list_filter(lns, ln ->
+                   regexp_matches(ln, '[.!?"]$')
+                   AND len(list_filter(string_split_regex(ln, '\s+'),
+                                       x -> x <> '')) >= 5
+                   AND NOT contains(lower(ln), 'javascript')) AS kept
+          FROM d)
+    SELECT doc_id,
+           CAST(len(lns) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           CAST(coalesce(list_aggregate(list_transform(kept, ln ->
+             length(ln)), 'sum'), 0) AS BIGINT) AS kept_chars,
+           CAST(contains(lower(page), 'lorem ipsum') AS BIGINT)
+             AS has_lorem,
+           CAST(contains(page, '{') OR contains(page, '}') AS BIGINT)
+             AS has_brace,
+           len(kept) >= 3
+             AND NOT contains(lower(page), 'lorem ipsum')
+             AND NOT (contains(page, '{') OR contains(page, '}'))
+             AS keep
+    FROM p
+    """,
+    doc="C4 cleaning rules (published Common-Crawl heuristics): "
+        "line-level terminal-punctuation + >=5-words + javascript "
+        "drop, page-level lorem-ipsum / curly-brace / <3-kept-lines; "
+        "every rule fires on a fixture slice and the oracle replays "
+        "the generic rule over the same lines",
+)
+def qc03(spark, sf):
+    from nowdb_spark.operators import textops as T
+
+    d = table(spark, sf, "documents")
+    page = F.concat(
+        F.lit("Good sentence with many words here d"), F.col("doc_id"),
+        F.lit(".\nshort line.\n"
+              "no terminal punctuation line with words d"),
+        F.col("doc_id"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.lit("\nEnable javascript to view this page now."))
+        .otherwise(""),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("\nAnother proper sentence is here d"),
+                        F.col("doc_id"), F.lit("!"))).otherwise(""),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit("\nlorem ipsum dolor sit amet consectetur."))
+        .otherwise(""),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit("\ncode { display: none; }")).otherwise(""),
+        F.lit("\nA third full sentence exists right here d"),
+        F.col("doc_id"), F.lit("?"))
+    return T.c4_rules(d.select("doc_id", page.alias("text")))
+
+
+# ------------------------------------------------------------------
+# Unicode NFC normalization (tx14): decomposed combining sequences
+# must canonically compose before tokenize/dedup. This oracle is
+# CROSS-ENGINE in the strongest sense: the Spark side normalizes
+# with Python's unicodedata (UAX #15 stdlib), the DuckDB side with
+# its own nfc_normalize (ICU-derived) — two independent
+# implementations of the Unicode standard must emit identical text,
+# lengths and changed flags over fixtures mixing decomposed,
+# precomposed and ASCII slices.
+@register(
+    "tx14_nfc_normalize",
+    """
+    WITH d AS (SELECT doc_id,
+      CASE doc_id % 4
+        WHEN 0 THEN 'd' || doc_id || ' cafe' || chr(769)
+        WHEN 1 THEN 'd' || doc_id || ' café'
+        WHEN 2 THEN 'd' || doc_id || ' A' || chr(778) || ' vis'
+        ELSE 'd' || doc_id || ' plain ascii' END AS t
+      FROM documents)
+    SELECT doc_id,
+           nfc_normalize(t) AS nfc,
+           CAST(nfc_normalize(t) <> t AS BIGINT) AS changed,
+           CAST(length(t) AS BIGINT) AS n_chars_in,
+           CAST(length(nfc_normalize(t)) AS BIGINT) AS n_chars_out
+    FROM d
+    """,
+    doc="Unicode NFC normalization (canonical composition): "
+        "Python unicodedata in the engine vs DuckDB's ICU "
+        "nfc_normalize in the oracle — two independent "
+        "implementations of UAX #15 compared value-exact",
+)
+def tx14(spark, sf):
+    from nowdb_spark.operators import textops as T
+
+    # NB: the class-0 'café' literal below is DECOMPOSED (e+U+0301)
+    # and class-2 holds A+U+030A — visually identical to the
+    # precomposed forms but different code points; an editor that
+    # NFC-normalizes this file would break the fixture (the oracle
+    # spells them chr(769)/chr(778), so the gate would catch it).
+    d = table(spark, sf, "documents")
+    t = (F.when(F.col("doc_id") % 4 == 0,
+                F.concat(F.lit("d"), F.col("doc_id"),
+                         F.lit(" café")))
+         .when(F.col("doc_id") % 4 == 1,
+               F.concat(F.lit("d"), F.col("doc_id"),
+                        F.lit(" café")))
+         .when(F.col("doc_id") % 4 == 2,
+               F.concat(F.lit("d"), F.col("doc_id"),
+                        F.lit(" Å vis")))
+         .otherwise(F.concat(F.lit("d"), F.col("doc_id"),
+                             F.lit(" plain ascii"))))
+    return T.nfc_normalize(d.select("doc_id", t.alias("text")))

@@ -97,6 +97,9 @@ _PY_ALLOWED = {"mm01_extract_meta", "mm02_real_decode", "mm03_real_resize",
                # audio decode + vectorized rfft per frame is the
                # Arrow-kernel DSP path (numpy batch transform)
                "mm27_log_mel",
+               # UAX #15 composition needs the Unicode tables —
+               # stdlib unicodedata in an Arrow kernel (no JVM NFC)
+               "tx14_nfc_normalize",
                "dc01_pdf_extract", "dc02_epub_extract",
                "dc03_docx_extract", "wd01_webdataset",
                # WARC framing/parsing is bytes-imperative by nature
