@@ -575,6 +575,72 @@ def main() -> None:
                         "wd06_tensors_per_shard": 2})
         except Exception as e:  # noqa: BLE001
             errors["wd06_shards_per_sec"] = str(e).split("\n")[0][:200]
+        from nowdb_spark.operators.multimodal import phash_real
+        from nowdb_spark.sources import tfrecord as TFR
+
+        def _tfr_shards():
+            def kern(batches):
+                import pandas as _pd
+                for pdf in batches:
+                    payloads = []
+                    for did in pdf["doc_id"]:
+                        did = int(did)
+                        recs = [TFR.encode_example(
+                            {"doc": ("bytes", [f"d{did} r{r}".encode()]),
+                             "ids": ("int64", [did * 13 + k
+                                               for k in range(4)]),
+                             "score": ("float", [float(r), 0.5])},
+                            packed=did % 2 == 0)
+                            for r in range(3)]
+                        payloads.append(
+                            TFR.write_tfrecord_frames(recs))
+                    yield _pd.DataFrame({"doc_id": pdf["doc_id"].values,
+                                         "payload": payloads})
+            return ids.mapInPandas(kern, "doc_id long, payload binary")
+
+        try:
+            _tfr_shards().write.mode("overwrite") \
+                .parquet(f"{tmp}/tfrshards")
+            tfsrc = spark.read.parquet(f"{tmp}/tfrshards")
+            rate("wd07_shards_per_sec", n_imgs,
+                 lambda: TFR.read_tfrecords(tfsrc)
+                 .agg(F.count(F.lit(1))).collect(),
+                 extra={"wd07_shards": n_imgs,
+                        "wd07_records_per_shard": 3})
+        except Exception as e:  # noqa: BLE001
+            errors["wd07_shards_per_sec"] = str(e).split("\n")[0][:200]
+
+        def _phash_imgs():
+            from nowdb_spark.operators.imagecodec import (
+                make_image_codec)
+            codec = make_image_codec()
+
+            def kern(batches):
+                import pandas as _pd
+
+                def synth(did):
+                    did = int(did)
+                    rows = [[(((did % 7 + 1) * 3 * x + 7 * y + did)
+                              % 256,
+                              (5 * x + (did % 5 + 1) * y) % 256,
+                              ((did % 11) * x * y) % 256)
+                             for x in range(16)] for y in range(16)]
+                    return (codec.encode_png(16, 16, rows)
+                            if did % 2 == 0
+                            else codec.encode_bmp(16, 16, rows))
+
+                for pdf in batches:
+                    yield _pd.DataFrame({
+                        "doc_id": pdf["doc_id"].values,
+                        "payload": [synth(x) for x in pdf["doc_id"]]})
+            return ids.mapInPandas(kern, "doc_id long, payload binary")
+
+        n_ph = min(n_imgs, 50_000)
+        ph_src = _phash_imgs().filter(F.col("doc_id") < n_ph)
+        rate("mm29_imgs_per_sec", n_ph,
+             lambda: phash_real(ph_src)
+             .agg(F.count("phash")).collect(),
+             extra={"mm29_imgs": n_ph})
         from nowdb_spark.operators.textops import chat_spans
         conv = dsrc.select("doc_id", F.expr("""
           transform(sequence(0, int(doc_id % 4 + 1)), t ->

@@ -111,7 +111,7 @@ _PRIORITY_ORDER = [
     # the ASOF JOIN dialect syntax checked against DuckDB's NATIVE
     # ASOF LEFT JOIN — a cross-engine semantics oracle, not a rewrite.
     # nq19 stays oracle-verified by the pytest sweep.
-    "q21_prod", "nq18_dialect_sessionize", "nq25_dialect_asof_join",
+    "nq18_dialect_sessionize", "nq25_dialect_asof_join",
     # q28's CASE/priority semantics are covered in-window by q14/nq02.
     # cx05's DSIR resample is subsumed by cc02 (whose oracle replays
     # the same hashed-ngram scoring AND the Gumbel-top-k selection as
@@ -120,7 +120,13 @@ _PRIORITY_ORDER = [
     # relegated round 10 (pytest-verified, test_approx) — its slot
     # carries the WebDataset tar-shard ingest wd01, the training-data
     # container format no other row demonstrates.
-    "wd01_webdataset", "q31_mode",
+    # q21's PROD aggregate proved green in-window rounds 1-9;
+    # relegated round 10b (pytest-verified — aggregates keep
+    # q08/q09/q10/q31/ts-family rows in-window). Its slot carries
+    # wd07, the TFRecord ingest: masked-CRC-32C framing + a protobuf
+    # wire parser built from the public specs — the hardest new
+    # container machinery of round 10.
+    "wd01_webdataset", "wd07_tfrecord", "q31_mode",
     # dialect front-end (parser → binder → DataFrame) representatives
     # (q12's scalar-formula battery is covered in-window by nq02; its
     # slot goes to the window-function extension. g05's k-hop slot
@@ -167,21 +173,37 @@ _PRIORITY_ORDER = [
     # canonicalization gate (crawl-frontier keying), new this round —
     # rotated in immediately rather than lagging a round.
     "wc06_url_canonicalize", "dd03_minhash_lsh_pairs",
-    "wc05_crawl_pipeline", "sk03_kll_quantiles",
+    # sk03's KLL gate proved green in-window rounds 7-9; relegated
+    # round 10b (pytest-verified; sk01 HLL keeps the sketch row).
+    # Its slot carries dd10, the composed dedup END: LSH pairs ->
+    # connected-components closure -> canonical survivor, oracled by
+    # a recursive reachability CTE.
+    "wc05_crawl_pipeline", "dd10_dedup_canonical",
     # dd06's bounded crossJoin is subsumed by its own documented scale
     # path: dd09 SemDeDup (cluster-bounded pairwise cosine).
     # dd07 containment is dd04 jaccard's cousin (same inverted-index
     # machinery, different denominator) — relegated; its slot carries
     # the incremental index+probe shape (di01), a capability no other
     # dedup row demonstrates. dd07 stays oracle-verified by pytest.
-    "dd09_semdedup", "di01_incremental_lsh",
+    # dd09's embedding near-dup proved green in-window rounds 5-9;
+    # relegated round 10b (pytest-verified; the embedding family
+    # keeps ann03/ann04/di01 in-window). Its slot carries mm29, the
+    # VISUAL near-dup operator: real decode -> DCT pHash with the
+    # basis constants inlined into both engines.
+    "mm29_phash", "di01_incremental_lsh",
     # text analysis (tx03 fingerprinting relegated past-window — its
     # slot goes to the audio modality; still oracle-verified by pytest)
     # tx02's heuristic quality/lang scores yield to the model-based
     # filter: qc01 trains a logistic regression IN the engine and its
     # oracle replays the whole GD loop (tx02 stays oracle-verified by
     # the workload differential suite)
-    "tx01_text_stats", "qc01_quality_classifier",
+    # tx01's basic text stats proved green in-window rounds 1-9;
+    # relegated round 10b (pytest-verified — the weakest text row;
+    # stats shapes also underlie qc01/qc02/qc03). Its slot carries
+    # tx14, the strongest oracle class in the repo: Python
+    # unicodedata vs DuckDB's independent ICU nfc_normalize — two
+    # implementations of UAX #15 compared value-exact.
+    "tx14_nfc_normalize", "qc01_quality_classifier",
     # tx04's whitespace/regex token counting is subsumed by the
     # corpus-trained BPE tokenizer gate (training + segmentation both
     # oracle-replayed)
@@ -226,7 +248,11 @@ _PRIORITY_ORDER = [
     # round 7 (pytest-verified); its slot carries the HLL sketch gate
     # whose oracle replays the registers, collisions and correction
     # branch value-exact (operators/sketches.py)
-    "ts01_downsample", "st01_stream_window_agg", "ts03_integral",
+    # ts03's trapezoid integral proved green in-window rounds 4-9;
+    # relegated round 10b (pytest-verified; ts keeps ts01 + both
+    # streaming rows). Its slot carries mm27, the DSP front end:
+    # Hann/rfft/mel with the O(N^2) DFT definition replayed in SQL.
+    "ts01_downsample", "st01_stream_window_agg", "mm27_log_mel",
     "sk01_hll_distinct", "st03_stream_interval_join",
     # corpus curation (cleaning.py; tx05/pii01/sp01/sm01 are the
     # relegated, pytest-verified spellings of the same family)
