@@ -95,6 +95,9 @@ def make_mp4_codec() -> SimpleNamespace:
             self.u(0, n - 1)
             self.u(k, n)
 
+        def se(self, v: int):
+            self.ue(2 * v - 1 if v > 0 else -2 * v)
+
         def rbsp(self) -> bytes:
             bs = self.bits + [1]          # rbsp_stop_one_bit
             while len(bs) % 8:
@@ -157,10 +160,11 @@ def make_mp4_codec() -> SimpleNamespace:
                             if nxt:
                                 nxt = (last + r.se() + 256) % 256
                             last = nxt or last
-        r.ue()                              # log2_max_frame_num_minus4
+        log2_mfn = r.ue() + 4               # log2_max_frame_num
         poc = r.ue()
+        log2_poc = 0
         if poc == 0:
-            r.ue()                          # log2_max_poc_lsb_minus4
+            log2_poc = r.ue() + 4           # log2_max_poc_lsb
         elif poc == 1:
             r.u(1)
             r.se()
@@ -188,6 +192,13 @@ def make_mp4_codec() -> SimpleNamespace:
             "chroma_format_idc": chroma,
             "width": pw * 16 - (cl + cr) * unit_x,
             "height": (2 - frame_only) * ph * 16 - (ct + cb) * unit_y,
+            # slice-header bit widths (the I_PCM decoder needs them)
+            "log2_max_frame_num": log2_mfn,
+            "pic_order_cnt_type": poc,
+            "log2_max_poc_lsb": log2_poc,
+            "pic_width_in_mbs": pw,
+            "pic_height_in_mbs": ph,
+            "frame_mbs_only": frame_only,
         }
 
     def encode_sps(width: int, height: int, profile: int = 66,
@@ -495,10 +506,145 @@ def make_mp4_codec() -> SimpleNamespace:
                     + b"isomavc1")
         return ftyp + moov + _box(b"mdat", b"")
 
+    # -- I_PCM sample decode (14496-10 §7.3.4/§7.3.5, mb_type 25) -----
+    # The one H.264 macroblock type whose samples the standard carries
+    # UNCODED: a conforming Baseline stream of I_PCM macroblocks
+    # decodes without CAVLC/CABAC residual machinery (which stays
+    # honestly gated). Slice-header parse is the real §7.3.3 walk
+    # using the SPS-derived bit widths; PPS entropy_coding_mode is
+    # checked and CABAC streams raise the honest gate error.
+
+    def _parse_pps_entropy(nal: bytes) -> int:
+        r = _Bits(_strip_epb(nal[1:]))
+        r.ue()                              # pps_id
+        r.ue()                              # sps_id
+        return r.u(1)                       # entropy_coding_mode_flag
+
+    def decode_ipcm(b: bytes) -> dict:
+        """Annex-B all-I_PCM stream → {width, height, qp, frame_num,
+        idr_pic_id, mbs: [{y, cb, cr}, ...]} (4:2:0, one slice).
+        Raises ValueError on junk, NotImplementedError on
+        entropy-coded macroblocks / CABAC (the honest gate)."""
+        if sniff(b) != "h264":
+            raise ValueError("not an Annex-B H.264 stream")
+        sps = None
+        cavlc = None
+        for nal in _nal_walk(b):
+            if not nal:
+                continue
+            t = nal[0] & 0x1F
+            if t == 7 and sps is None:
+                sps = parse_sps(nal)
+            elif t == 8 and cavlc is None:
+                cavlc = _parse_pps_entropy(nal) == 0
+            elif t == 5:
+                if sps is None or cavlc is None:
+                    raise ValueError("IDR slice before SPS/PPS")
+                if not cavlc:
+                    raise NotImplementedError(
+                        "CABAC slice data (entropy-coded) — only "
+                        "I_PCM sample decode is implemented")
+                if sps["chroma_format_idc"] != 1:
+                    raise NotImplementedError("I_PCM decode is 4:2:0")
+                rbsp = _strip_epb(nal[1:])
+                r = _Bits(rbsp)
+                # ---- slice header (§7.3.3) ----
+                try:
+                    first_mb = r.ue()
+                    slice_type = r.ue()
+                    if slice_type % 5 != 2:  # I slice (2 or 7)
+                        raise NotImplementedError(
+                            "non-I slice — predicted macroblocks "
+                            "are entropy-coded")
+                    r.ue()                   # pps_id
+                    frame_num = r.u(sps["log2_max_frame_num"])
+                    idr_pic_id = r.ue()
+                    if sps["pic_order_cnt_type"] == 0:
+                        r.u(sps["log2_max_poc_lsb"])
+                    r.u(1)                   # no_output_of_prior_pics
+                    r.u(1)                   # long_term_reference
+                    qp_delta = r.se()
+                except IndexError:
+                    raise ValueError("truncated slice header") \
+                        from None
+                # (deblocking syntax absent: PPS writes the control
+                # flag as 0)
+                # ---- slice data: every MB must be I_PCM ----
+                last_one = 0                 # position of final 1 bit
+                for i in range(len(rbsp) * 8 - 1, -1, -1):
+                    if (rbsp[i >> 3] >> (7 - (i & 7))) & 1:
+                        last_one = i
+                        break
+                mbs = []
+                while r.p < last_one:
+                    try:
+                        mb_type = r.ue()
+                    except IndexError:
+                        raise ValueError("truncated slice data") \
+                            from None
+                    if mb_type != 25:
+                        raise NotImplementedError(
+                            f"mb_type {mb_type}: entropy-coded "
+                            "macroblock — only I_PCM decodes")
+                    while r.p % 8:           # pcm_alignment_zero_bit
+                        if r.u(1):
+                            raise ValueError("nonzero PCM align bit")
+                    y = bytes(rbsp[r.p >> 3:(r.p >> 3) + 256])
+                    r.p += 256 * 8
+                    cb = bytes(rbsp[r.p >> 3:(r.p >> 3) + 64])
+                    r.p += 64 * 8
+                    cr = bytes(rbsp[r.p >> 3:(r.p >> 3) + 64])
+                    r.p += 64 * 8
+                    if r.p > len(rbsp) * 8:
+                        raise ValueError("truncated I_PCM samples")
+                    mbs.append({"y": y, "cb": cb, "cr": cr})
+                n_mbs = (sps["pic_width_in_mbs"]
+                         * sps["pic_height_in_mbs"])
+                if first_mb != 0 or len(mbs) != n_mbs:
+                    raise ValueError(
+                        f"slice covers {len(mbs)} of {n_mbs} MBs")
+                return {"width": sps["width"],
+                        "height": sps["height"],
+                        "qp": 26 + qp_delta,  # PPS pic_init_qp = 26
+                        "frame_num": frame_num,
+                        "idr_pic_id": idr_pic_id, "mbs": mbs}
+        raise ValueError("no IDR slice found")
+
+    def encode_ipcm(mbs: list, width_mbs: int, height_mbs: int,
+                    qp_delta: int = 0, idr_pic_id: int = 0,
+                    frame_num: int = 0) -> bytes:
+        """Encoder twin: SPS + PPS + one IDR slice of I_PCM
+        macroblocks (each mb a dict with 256-byte y, 64-byte cb/cr).
+        EPB protection covers the PCM bytes (zero runs in samples
+        produce real 00 00 03 escapes)."""
+        if len(mbs) != width_mbs * height_mbs:
+            raise ValueError("mb count != grid")
+        w = _BitW()
+        w.ue(0)                              # first_mb_in_slice
+        w.ue(7)                              # slice_type: I (all)
+        w.ue(0)                              # pps_id
+        w.u(frame_num, 4)                    # log2_max_frame_num = 4
+        w.ue(idr_pic_id)
+        w.u(0, 4)                            # poc_lsb (type 0, 4 bits)
+        w.u(0, 1)                            # no_output_of_prior_pics
+        w.u(0, 1)                            # long_term_reference
+        w.se(qp_delta)
+        for mb in mbs:
+            w.ue(25)                         # I_PCM
+            while len(w.bits) % 8:
+                w.u(0, 1)
+            for byte in (mb["y"] + mb["cb"] + mb["cr"]):
+                w.u(byte, 8)
+        sc = b"\x00\x00\x00\x01"
+        return (sc + encode_sps(width_mbs * 16, height_mbs * 16)
+                + sc + _pps()
+                + sc + bytes([0x65]) + _add_epb(w.rbsp()))
+
     return SimpleNamespace(
         sniff=sniff, parse_sps=parse_sps, encode_sps=encode_sps,
         h264_meta=h264_meta, encode_annexb=encode_annexb,
-        mp4_meta=mp4_meta, encode_mp4=encode_mp4)
+        mp4_meta=mp4_meta, encode_mp4=encode_mp4,
+        decode_ipcm=decode_ipcm, encode_ipcm=encode_ipcm)
 
 
 CODEC = make_mp4_codec()

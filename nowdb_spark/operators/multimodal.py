@@ -1047,6 +1047,48 @@ def opus_meta_real(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)
 
 
+def h264_samples_real(df: DataFrame, id_col: str = "doc_id",
+                      payload_col: str = "payload") -> DataFrame:
+    """REAL H.264 SAMPLE decode for the one macroblock type the
+    standard carries uncoded — I_PCM (14496-10 §7.3.5, mb_type 25):
+    Annex-B NAL walk, SPS/PPS parse, full §7.3.3 slice-header walk
+    (Exp-Golomb with SPS-derived bit widths), per-MB PCM byte-aligned
+    sample extraction through emulation-prevention stripping. Emits
+    one row per macroblock with position-weighted luma/chroma
+    checksums + the slice-header fields (qp, frame_num, idr_pic_id).
+    Entropy-coded macroblocks (CAVLC/CABAC residuals) stay honestly
+    gated with NotImplementedError. Narrow kernel."""
+    from nowdb_spark.operators.mp4codec import make_mp4_codec
+
+    codec = make_mp4_codec()
+    schema = (f"{id_col} long, mb long, width long, height long, "
+              "qp long, frame_num long, idr_pic_id long, "
+              "y_check long, cb_check long, cr_check long")
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        cols = [id_col, "mb", "width", "height", "qp", "frame_num",
+                "idr_pic_id", "y_check", "cb_check", "cr_check"]
+
+        def check(b: bytes) -> int:
+            return sum((i + 1) * v for i, v in enumerate(b))
+
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                d = codec.decode_ipcm(bytes(payload))
+                for mi, mb in enumerate(d["mbs"]):
+                    out.append((int(did), mi, d["width"],
+                                d["height"], d["qp"],
+                                d["frame_num"], d["idr_pic_id"],
+                                check(mb["y"]), check(mb["cb"]),
+                                check(mb["cr"])))
+            yield _pd.DataFrame(out, columns=cols)
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
 def phash_real(df: DataFrame, id_col: str = "doc_id",
                payload_col: str = "payload") -> DataFrame:
     """Perceptual image hash (pHash, 8×8 DCT variant) over REAL

@@ -3035,6 +3035,85 @@ def wc07(spark, sf):
 
 
 # ------------------------------------------------------------------
+# H.264 I_PCM sample decode (mm30): REAL sample extraction from
+# conforming Annex-B streams — NAL walk, SPS/PPS parse, the full
+# §7.3.3 slice-header Exp-Golomb walk with SPS-derived bit widths,
+# byte-aligned PCM reads through emulation-prevention stripping.
+# Docs ≡ 0 (mod 7) zero the first 16 luma bytes, planting real
+# 00 00 03 escapes inside the sample payload; qp/frame_num/
+# idr_pic_id prove the header parse. CAVLC/CABAC residual decode
+# stays honestly gated. Oracle replays the macroblock arithmetic.
+_MM30_Y = ("CASE WHEN doc_id % 7 = 0 AND i < 16 THEN 0 "
+           "ELSE (doc_id*3 + mb*5 + i*7) % 256 END")
+
+@register(
+    "mm30_h264_ipcm",
+    f"""
+    WITH d AS (SELECT doc_id, doc_id % 2 + 1 AS nmb FROM documents),
+    m AS (SELECT doc_id, nmb, unnest(range(0, nmb)) AS mb FROM d)
+    SELECT doc_id,
+           CAST(mb AS BIGINT) AS mb,
+           CAST(nmb * 16 AS BIGINT) AS width,
+           CAST(16 AS BIGINT) AS height,
+           CAST(26 + (doc_id % 5 - 2) AS BIGINT) AS qp,
+           CAST(doc_id % 8 AS BIGINT) AS frame_num,
+           CAST(doc_id % 4 AS BIGINT) AS idr_pic_id,
+           CAST(list_aggregate(list_transform(range(0, 256), i ->
+             (i + 1) * ({_MM30_Y})), 'sum') AS BIGINT) AS y_check,
+           CAST(list_aggregate(list_transform(range(0, 64), i ->
+             (i + 1) * ((doc_id + mb + i*3) % 256)), 'sum')
+             AS BIGINT) AS cb_check,
+           CAST(list_aggregate(list_transform(range(0, 64), i ->
+             (i + 1) * ((doc_id*7 + mb*11 + i) % 256)), 'sum')
+             AS BIGINT) AS cr_check
+    FROM m
+    """,
+    doc="REAL H.264 sample decode (I_PCM macroblocks, 14496-10 "
+        "§7.3.5): Annex-B NAL walk, SPS/PPS parse, full slice-header "
+        "Exp-Golomb walk, byte-aligned PCM extraction through "
+        "emulation-prevention escapes (planted zero runs); per-MB "
+        "luma/chroma checksums + header fields oracle-replayed "
+        "(entropy-coded residuals stay honestly gated)",
+)
+def mm30(spark, sf):
+    from nowdb_spark.operators.mp4codec import make_mp4_codec
+
+    codec = make_mp4_codec()
+    d = spread(table(spark, sf, "documents"))
+
+    def kernel(batches):
+        import pandas as _pd
+
+        def synth(did: int) -> bytes:
+            did = int(did)
+            nmb = did % 2 + 1
+            mbs = []
+            for mb in range(nmb):
+                y = bytes(
+                    0 if (did % 7 == 0 and i < 16)
+                    else (did * 3 + mb * 5 + i * 7) % 256
+                    for i in range(256))
+                cb = bytes((did + mb + i * 3) % 256
+                           for i in range(64))
+                cr = bytes((did * 7 + mb * 11 + i) % 256
+                           for i in range(64))
+                mbs.append({"y": y, "cb": cb, "cr": cr})
+            return codec.encode_ipcm(
+                mbs, nmb, 1, qp_delta=did % 5 - 2,
+                idr_pic_id=did % 4, frame_num=did % 8)
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"].values,
+                "payload": [synth(x) for x in pdf["doc_id"]],
+            })
+
+    streams = (d.select("doc_id")
+               .mapInPandas(kernel, "doc_id long, payload binary"))
+    return M.h264_samples_real(streams)
+
+
+# ------------------------------------------------------------------
 # Mojibake repair (tx13): the encoding-corruption fixer of web-text
 # cleaning (the ftfy class: UTF-8 bytes decoded as latin-1). One
 # doc in three is DOUBLE-ENCODED in Spark itself (decode(encode(

@@ -163,3 +163,85 @@ def test_spark_h264_annexb(spark):
     assert got[1]["width"] == 322 and got[1]["profile_idc"] == 100
     assert got[2]["fmt"] is None and got[2]["width"] is None
     assert M.h264_meta_real(df).where(F.col("fmt").isNull()).count() == 1
+
+
+def test_ipcm_roundtrip_multi_mb():
+    c = make_mp4_codec()
+
+    def mk(seed):
+        return {"y": bytes((seed * 3 + i * 7) % 256 for i in range(256)),
+                "cb": bytes((seed + j * 3) % 256 for j in range(64)),
+                "cr": bytes((seed * 7 + j) % 256 for j in range(64))}
+
+    mbs = [mk(5), mk(9)]
+    b = c.encode_ipcm(mbs, 2, 1, qp_delta=-2, idr_pic_id=3,
+                      frame_num=1)
+    d = c.decode_ipcm(b)
+    assert (d["width"], d["height"]) == (32, 16)
+    assert (d["qp"], d["idr_pic_id"], d["frame_num"]) == (24, 3, 1)
+    assert d["mbs"] == mbs
+
+
+def test_ipcm_zero_runs_exercise_epb():
+    c = make_mp4_codec()
+    z = {"y": bytes(256), "cb": bytes(64), "cr": bytes(64)}
+    b = c.encode_ipcm([z], 1, 1)
+    # zero sample runs MUST produce real emulation-prevention escapes
+    assert b"\x00\x00\x03" in b[22:]
+    assert c.decode_ipcm(b)["mbs"][0] == z
+
+
+def test_ipcm_honest_gates():
+    import pytest
+
+    c = make_mp4_codec()
+    # the metadata-fixture stream has stub slices (no real slice
+    # header) — a clean ValueError, never a raw IndexError
+    with pytest.raises(ValueError, match="truncated slice"):
+        c.decode_ipcm(c.encode_annexb(32, 16, 1))
+    with pytest.raises(ValueError, match="not an Annex-B"):
+        c.decode_ipcm(b"RIFFxxxx")
+    # a CABAC PPS must hit the entropy gate: rebuild the stream with
+    # entropy_coding_mode=1 spliced into the PPS payload
+    good = c.encode_ipcm(
+        [{"y": bytes(range(256)), "cb": bytes(64), "cr": bytes(64)}],
+        1, 1)
+    # PPS NAL: starts after the 2nd start code; its 2nd payload byte
+    # carries pps_id/sps_id/entropy bits (ue(0) ue(0) u(1) = '111')
+    i = good.index(b"\x00\x00\x00\x01\x68") + 4    # PPS header byte
+    bad = bytearray(good)
+    bad[i + 1] ^= 0b00100000                 # flip entropy bit
+    with pytest.raises(NotImplementedError, match="CABAC"):
+        c.decode_ipcm(bytes(bad))
+
+
+def test_ipcm_non_pcm_mb_gate():
+    import pytest
+
+    c = make_mp4_codec()
+    good = c.encode_ipcm(
+        [{"y": bytes(range(256)), "cb": bytes(64), "cr": bytes(64)}],
+        1, 1)
+    # splice a non-I_PCM mb_type: rebuild the slice with mb_type 0
+    # by re-encoding manually is intrusive; instead flip bits right
+    # where mb_type ue(25) sits — the decoder must refuse with the
+    # honest gate, whatever the flipped value parses as
+    # for this fixture (frame_num=0, idr=0, qp_delta=0) the slice
+    # header is exactly 21 bits, so mb_type's ue starts at payload
+    # bit 21 (byte 2, bit 5); setting it to 1 makes mb_type parse as
+    # 0 = I_4x4 — an entropy-coded type the decoder must refuse
+    i = good.rindex(b"\x00\x00\x00\x01\x65") + 5   # payload start
+    bad = bytearray(good)
+    bad[i + 2] |= 0x04
+    with pytest.raises(NotImplementedError, match="mb_type 0"):
+        c.decode_ipcm(bytes(bad))
+
+
+def test_parse_sps_slice_fields():
+    c = make_mp4_codec()
+    sps = c.parse_sps(c.encode_sps(48, 32))
+    assert sps["log2_max_frame_num"] == 4
+    assert sps["pic_order_cnt_type"] == 0
+    assert sps["log2_max_poc_lsb"] == 4
+    assert (sps["pic_width_in_mbs"], sps["pic_height_in_mbs"]) == (3, 2)
+    assert sps["frame_mbs_only"] == 1

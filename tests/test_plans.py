@@ -88,6 +88,9 @@ _PY_ALLOWED = {"mm01_extract_meta", "mm02_real_decode", "mm03_real_resize",
                # image decode + DCT hashing is the Arrow-kernel
                # path; the collision-count window stays JVM-side
                "mm29_phash",
+               # Annex-B NAL walk + Exp-Golomb slice-header parse is
+               # bytes-imperative framing, like the other codecs
+               "mm30_h264_ipcm",
                "wd02_zip_shards", "wd03_multimodal_samples",
                # tensor-container framing is bytes-imperative (NPY
                # header parse, safetensors offsets, Arrow IPC batch
