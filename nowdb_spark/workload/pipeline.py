@@ -2297,6 +2297,76 @@ def wd06(spark, sf):
 
 
 # ------------------------------------------------------------------
+# MessagePack record shards (wd08): the compact-JSON-twin record
+# format — per-doc shards of concatenated top-level maps whose
+# values walk the format's integer-width ladder (positive fixint /
+# uint8+ via id·100+r, negative fixint / int8 via -(id%40+1)),
+# strings, float64 and nil; the reader types scalars into
+# str/num columns. Oracle replays the record arithmetic.
+@register(
+    "wd08_msgpack",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS nr FROM documents),
+    rr AS (SELECT doc_id, unnest(range(0, nr)) AS r FROM d)
+    SELECT doc_id, CAST(r AS BIGINT) AS rec_idx, 'id' AS key,
+           CAST(NULL AS VARCHAR) AS val_str,
+           CAST(doc_id * 100 + r AS DOUBLE) AS val_num
+    FROM rr
+    UNION ALL
+    SELECT doc_id, CAST(r AS BIGINT), 'neg', NULL,
+           CAST(-(doc_id % 40 + 1) AS DOUBLE)
+    FROM rr
+    UNION ALL
+    SELECT doc_id, CAST(r AS BIGINT), 'score', NULL,
+           ((doc_id + r) % 64) / 4.0
+    FROM rr
+    UNION ALL
+    SELECT doc_id, CAST(r AS BIGINT), 't',
+           'd' || doc_id || ' r' || r, NULL
+    FROM rr
+    UNION ALL
+    SELECT doc_id, CAST(r AS BIGINT), 'z', NULL, NULL
+    FROM rr WHERE r % 2 = 0
+    """,
+    doc="MessagePack record-shard ingestion from the published "
+        "format spec (fixint/uint/int width ladder, fixstr, "
+        "float64, nil, maps; canonical encoder twin); one row per "
+        "(record, key) with typed scalar columns; oracle replays "
+        "the record arithmetic",
+)
+def wd08(spark, sf):
+    from nowdb_spark.sources import msgpack as MP
+
+    d = spread(table(spark, sf, "documents"))
+
+    def kernel(batches):
+        import pandas as _pd
+
+        def synth(did: int) -> bytes:
+            did = int(did)
+            out = b""
+            for r in range(did % 3 + 1):
+                rec = {"id": did * 100 + r,
+                       "neg": -(did % 40 + 1),
+                       "t": f"d{did} r{r}",
+                       "score": ((did + r) % 64) / 4.0}
+                if r % 2 == 0:
+                    rec["z"] = None
+                out += MP.encode(rec)
+            return out
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"].values,
+                "payload": [synth(x) for x in pdf["doc_id"]],
+            })
+
+    shards = (d.select("doc_id")
+              .mapInPandas(kernel, "doc_id long, payload binary"))
+    return MP.read_msgpack_records(shards)
+
+
+# ------------------------------------------------------------------
 # TFRecord shards (wd07): the TensorFlow training container, both
 # layers real — masked-CRC-32C framing (every record's both CRCs
 # verified) and tf.train.Example protobuf wire parse (varints,
