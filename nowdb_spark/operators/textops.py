@@ -453,3 +453,77 @@ def nfc_normalize(df: DataFrame, text_col: str = "text",
                 "n_chars_out"])
 
     return df.select(id_col, text_col).mapInPandas(kernel, schema)
+
+
+def build_aho_corasick(patterns: list[str]):
+    """Classic Aho-Corasick automaton (goto/fail/output) over the
+    pattern list. Returns (goto: list[dict[char, state]],
+    fail: list[int], out: list[list[int]]). Built once on the driver
+    and shipped by closure — the multi-pattern scan is O(text) per
+    doc regardless of pattern count, vs O(text · patterns) for a
+    regex alternation; the banlist path for 10k+ phrase lists."""
+    goto: list[dict] = [{}]
+    out: list[list[int]] = [[]]
+    for pi, p in enumerate(patterns):
+        s = 0
+        for ch in p:
+            nxt = goto[s].get(ch)
+            if nxt is None:
+                goto.append({})
+                out.append([])
+                nxt = len(goto) - 1
+                goto[s][ch] = nxt
+            s = nxt
+        out[s].append(pi)
+    fail = [0] * len(goto)
+    from collections import deque
+    q = deque()
+    for ch, s in goto[0].items():
+        q.append(s)
+    while q:
+        r = q.popleft()
+        for ch, s in goto[r].items():
+            q.append(s)
+            f = fail[r]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            fail[s] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != s \
+                else 0
+            out[s] = out[s] + out[fail[s]]
+    return goto, fail, out
+
+
+def multi_pattern_counts(df: DataFrame, patterns: list[str],
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Count ALL (overlapping) occurrences of every pattern in every
+    doc with one Aho-Corasick pass per doc; emits (id, pattern,
+    n_matches) for patterns that hit. The automaton is built once on
+    the driver; the kernel walk is O(len(text)). Narrow mapInPandas
+    (a 10k-phrase banlist cannot be one JVM regex)."""
+    goto, fail, out = build_aho_corasick(patterns)
+    pats = list(patterns)
+    schema = f"{id_col} long, pattern string, n_matches long"
+
+    def kernel(batches):
+        import pandas as _pd
+
+        rows = []
+        for pdf in batches:
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                counts = [0] * len(pats)
+                s = 0
+                for ch in str(t):
+                    while s and ch not in goto[s]:
+                        s = fail[s]
+                    s = goto[s].get(ch, 0)
+                    for pi in out[s]:
+                        counts[pi] += 1
+                for pi, c in enumerate(counts):
+                    if c:
+                        rows.append((int(did), pats[pi], c))
+            yield _pd.DataFrame(rows, columns=[
+                id_col, "pattern", "n_matches"])
+            rows = []
+
+    return df.select(id_col, text_col).mapInPandas(kernel, schema)

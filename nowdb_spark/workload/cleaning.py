@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from nowdb_spark.operators import corpus as C
-from nowdb_spark.workload import register, table
+from nowdb_spark.workload import register, spread, table
 
 _WORDS = "w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)"
 
@@ -892,3 +892,56 @@ def tx14(spark, sf):
          .otherwise(F.concat(F.lit("d"), F.col("doc_id"),
                              F.lit(" plain ascii"))))
     return T.nfc_normalize(d.select("doc_id", t.alias("text")))
+
+
+# ------------------------------------------------------------------
+# Multi-pattern banlist scan (qc04): one Aho-Corasick pass counts
+# ALL (overlapping) occurrences of every pattern — the phrase-
+# banlist primitive that a 10k-entry list needs (O(text) per doc vs
+# O(text·patterns) regex alternation). The classic 'ushers' fixture
+# makes the suffix-link machinery observable: she/he/hers all end
+# inside one 6-char word. The oracle counts every pattern at every
+# position (the overlapping-count definition) in SQL.
+_QC04_PATTERNS = ["he", "she", "his", "hers", "spark", "shield"]
+
+
+def _qc04_oracle() -> str:
+    t = ("'ushers his d' || doc_id || ' shield she spark'"
+         " || CASE WHEN doc_id % 3 = 0 THEN ' hers hers' ELSE '' END"
+         " || CASE WHEN doc_id % 4 = 0 THEN ' sparkle' ELSE '' END")
+    branches = []
+    for p in _QC04_PATTERNS:
+        L = len(p)
+        cnt = (f"coalesce(list_aggregate(list_transform("
+               f"range(1, length(t) - {L} + 2), i -> "
+               f"CAST(substr(t, i, {L}) = '{p}' AS INT)), 'sum'), 0)")
+        branches.append(
+            f"SELECT doc_id, '{p}' AS pattern, "
+            f"CAST({cnt} AS BIGINT) AS n_matches "
+            f"FROM d WHERE {cnt} > 0")
+    return (f"WITH d AS (SELECT doc_id, {t} AS t FROM documents) "
+            + " UNION ALL ".join(branches))
+
+
+@register(
+    "qc04_banlist_scan",
+    _qc04_oracle(),
+    doc="multi-pattern banlist scan via one Aho-Corasick pass "
+        "(goto/fail/output automaton, overlapping counts — "
+        "she/he/hers all fire inside 'ushers'); O(text) per doc "
+        "regardless of pattern count; oracle counts every pattern "
+        "at every position in SQL",
+)
+def qc04(spark, sf):
+    from nowdb_spark.operators.textops import multi_pattern_counts
+
+    d = spread(table(spark, sf, "documents"))
+    t = F.concat(
+        F.lit("ushers his d"), F.col("doc_id"),
+        F.lit(" shield she spark"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit(" hers hers")).otherwise(""),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit(" sparkle")).otherwise(""))
+    return multi_pattern_counts(
+        d.select("doc_id", t.alias("text")), _QC04_PATTERNS)

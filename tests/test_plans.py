@@ -103,6 +103,9 @@ _PY_ALLOWED = {"mm01_extract_meta", "mm02_real_decode", "mm03_real_resize",
                # UAX #15 composition needs the Unicode tables —
                # stdlib unicodedata in an Arrow kernel (no JVM NFC)
                "tx14_nfc_normalize",
+               # an Aho-Corasick automaton walk cannot be a JVM
+               # regex (10k-phrase banlists); O(text) Arrow kernel
+               "qc04_banlist_scan",
                "dc01_pdf_extract", "dc02_epub_extract",
                "dc03_docx_extract", "wd01_webdataset",
                # WARC framing/parsing is bytes-imperative by nature

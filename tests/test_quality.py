@@ -184,3 +184,28 @@ def test_gopher_rules_each_rule_fires(spark):
     # plan stays JVM-side
     plan = gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_aho_corasick_matches_bruteforce(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nowdb_spark.operators.textops import multi_pattern_counts
+
+    pats = ["he", "she", "his", "hers", "ab", "aba", "bab"]
+    rng = random.Random(7)
+    texts = ["ushers", "ababab", "", "hishe",
+             *("".join(rng.choice("abhers ") for _ in range(60))
+               for _ in range(20))]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {(r["doc_id"], r["pattern"]): r["n_matches"]
+           for r in multi_pattern_counts(df, pats).collect()}
+    want = {}
+    for i, t in enumerate(texts):
+        for p in pats:
+            c = sum(t[j:j + len(p)] == p for j in range(len(t)))
+            if c:
+                want[(i, p)] = c
+    assert got == want
