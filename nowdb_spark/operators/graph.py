@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _block_pairs(per: DataFrame, key: str, chunk: int) -> DataFrame:
@@ -340,3 +341,37 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
                              + F.col("dng"))).alias("rank")))
         ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def label_propagation(edges: DataFrame, rounds: int = 4,
+                      src: str = "src", dst: str = "dst") -> DataFrame:
+    """(node, community) by synchronous label propagation: every
+    round each node adopts the most frequent label among its
+    neighbors, ties broken by the smallest label — fully
+    deterministic, so a fixed-round unrolled SQL oracle replays it
+    exactly. Per round: one join + one count aggregate + one
+    row_number window (all keyed shuffles), lineage cut per round
+    like pagerank. Pass an undirected edge set (see undirect)."""
+    e = (edges.select(F.col(src).alias("src"),
+                      F.col(dst).alias("dst"))
+         .localCheckpoint(eager=True))
+    nodes = (e.select(F.col("src").alias("node")).distinct()
+             .localCheckpoint(eager=True))
+    labels = nodes.withColumn("label", F.col("node"))
+    w = Window.partitionBy("node").orderBy(F.desc("c"),
+                                           F.asc("label"))
+    for _ in range(rounds):
+        nb = (e.join(labels, e.dst == labels.node)
+              .select(e.src.alias("node"), "label"))
+        counts = nb.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("c"))
+        winner = (counts
+                  .withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1)
+                  .select("node", F.col("label").alias("wlabel")))
+        labels = (labels.join(winner, "node", "left")
+                  .select("node",
+                          F.coalesce("wlabel", "label")
+                          .alias("label")))
+        labels = labels.localCheckpoint(eager=True)
+    return labels.select("node", F.col("label").alias("community"))

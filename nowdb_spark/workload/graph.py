@@ -185,3 +185,51 @@ def g04(spark, sf):
         F.col("supp_a").alias("src"), F.col("supp_b").alias("dst"))
     pr = G.pagerank(G.undirect(edges), iters=10)
     return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _lpa_oracle(rounds: int = 4) -> str:
+    """Unrolled synchronous label propagation (mode of neighbor
+    labels, min-label tie-break) — non-recursive CTE levels like the
+    pagerank oracle, MATERIALIZED so DuckDB doesn't re-inline the
+    whole prefix per reference."""
+    ctes = ["""
+    sp AS MATERIALIZED (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+    cp AS MATERIALIZED (SELECT a.l_suppkey AS a, b.l_suppkey AS b
+           FROM sp a JOIN sp b ON a.l_partkey = b.l_partkey
+                              AND a.l_suppkey < b.l_suppkey
+           GROUP BY 1, 2),
+    e AS MATERIALIZED (SELECT a AS src, b AS dst FROM cp
+          UNION SELECT b AS src, a AS dst FROM cp),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+    l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)"""]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""
+    l{i} AS MATERIALIZED (
+      SELECT n.node, coalesce(w.wlabel, p.label) AS label
+      FROM nodes n
+      JOIN l{i - 1} p USING (node)
+      LEFT JOIN (
+        SELECT node, label AS wlabel FROM (
+          SELECT e.src AS node, p2.label, count(*) AS c,
+                 row_number() OVER (PARTITION BY e.src
+                   ORDER BY count(*) DESC, p2.label) AS rn
+          FROM e JOIN l{i - 1} p2 ON p2.node = e.dst
+          GROUP BY e.src, p2.label)
+        WHERE rn = 1) w USING (node))""")
+    return ("WITH" + ",".join(ctes)
+            + f"\n    SELECT node, label AS community FROM l{rounds}")
+
+
+@register(
+    "g06_label_prop",
+    _lpa_oracle(),
+    doc="community detection by synchronous label propagation over "
+        "the co-supply graph (4 rounds, mode-of-neighbor-labels "
+        "with min-label tie-break — fully deterministic); oracle = "
+        "the same fixed-round recurrence unrolled as CTE levels, "
+        "like the pagerank oracle",
+)
+def g06(spark, sf):
+    edges = _cosupply_edges(spark, sf).select(
+        F.col("supp_a").alias("src"), F.col("supp_b").alias("dst"))
+    return G.label_propagation(G.undirect(edges), rounds=4)

@@ -198,3 +198,35 @@ def test_pairs_from_groups_hot_key(spark):
     want = {(1, a, b) for a in range(300) for b in range(a + 1, 300)}
     want.add((2, 5, 7))
     assert got == want
+
+
+def test_label_propagation_two_cliques(spark):
+    from nowdb_spark.operators.graph import (label_propagation,
+                                             undirect)
+
+    # two 4-cliques joined by one bridge edge: LPA must give each
+    # clique one community, and the min-label tie-break makes the
+    # result exactly the clique minima
+    edges = []
+    for base in (0, 10):
+        for a in range(4):
+            for b in range(a + 1, 4):
+                edges.append((base + a, base + b))
+    edges.append((3, 10))                       # bridge
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["community"]
+           for r in label_propagation(undirect(df), rounds=4).collect()}
+    assert {out[n] for n in (0, 1, 2)} == {0}
+    assert {out[n] for n in (11, 12, 13)} == {10}
+
+
+def test_label_propagation_deterministic(spark):
+    from nowdb_spark.operators.graph import (label_propagation,
+                                             undirect)
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (2, 4)],
+        "src long, dst long")
+    a = sorted(map(tuple, label_propagation(undirect(df), 3).collect()))
+    b = sorted(map(tuple, label_propagation(undirect(df), 3).collect()))
+    assert a == b
