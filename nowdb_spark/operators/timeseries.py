@@ -385,3 +385,39 @@ def rolling_mad_anomaly(df: DataFrame, stamp_col: str, key_col: str,
         F.round("mad_x", 6).alias("mad"),
         (score > F.lit(k) * F.col("mad_x")).cast("long")
         .alias("is_anomaly"))
+
+
+def seasonal_decompose(df: DataFrame, stamp_col: str,
+                       value_col: str, bucket_ns: int,
+                       period: int, half: int = 12) -> DataFrame:
+    """Classical additive decomposition of a bucketed series:
+    trend = centered (2·half+1)-bucket moving average (NULL until
+    the window is full — partial edges would bias the trend),
+    seasonal_j = mean detrended value of the j-th phase
+    (j = bucket mod period), residual = value − trend − seasonal.
+    The STL-lite step of metric pipelines. One bucket aggregate,
+    one ordered window, one phase aggregate joined back — all JVM.
+
+    The series is a global order-by window: fine for the per-metric
+    series this operates on (buckets, not raw events); at 100 TB
+    decompose per metric key so the window partitions."""
+    bucket = (F.col(stamp_col) - F.col(stamp_col) % bucket_ns)
+    b = (df.groupBy(bucket.alias("bucket_ns"))
+         .agg(F.sum(value_col).alias("v")))
+    w = (W.orderBy("bucket_ns").rowsBetween(-half, half))
+    t = b.select(
+        "bucket_ns", "v",
+        F.when(F.count("v").over(w) == 2 * half + 1,
+               F.avg("v").over(w)).alias("trend"),
+        ((F.col("bucket_ns") / bucket_ns) % period)
+        .cast("long").alias("phase"))
+    t = t.withColumn("detr", F.col("v") - F.col("trend"))
+    seas = (t.groupBy("phase")
+            .agg(F.avg("detr").alias("seasonal")))
+    out = (t.join(seas, "phase")
+           .select("bucket_ns", "v",
+                   F.round("trend", 6).alias("trend"),
+                   F.round("seasonal", 6).alias("seasonal"),
+                   F.round(F.col("v") - F.col("trend")
+                           - F.col("seasonal"), 6).alias("residual")))
+    return out
