@@ -586,6 +586,70 @@ def ann01(spark, sf):
 
 
 # ------------------------------------------------------------------
+# Matryoshka retrieval funnel (ann09): coarse top-50 on the FIRST 16
+# dims (the MRL-truncation trick — prefix dims of a matryoshka-
+# trained embedding carry most of the signal at 1/4 the dot-product
+# cost), exact full-dim cosine rerank of the candidates, top-10 out
+# with both scores. Round-6 + vec_id tiebreaks keep both cuts
+# engine-deterministic (ann01's convention).
+@register(
+    "ann09_matryoshka",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    c AS (
+      SELECT e.vec_id,
+             list_transform(e.embedding[1:16], x -> x::DOUBLE) AS ep,
+             list_transform(q.qv[1:16], x -> x::DOUBLE) AS qp,
+             list_transform(e.embedding, x -> x::DOUBLE) AS ef,
+             list_transform(q.qv, x -> x::DOUBLE) AS qf
+      FROM embeddings e, q WHERE e.vec_id <> 0),
+    s16 AS (
+      SELECT vec_id, ef, qf,
+             round(list_dot_product(ep, qp)
+                   / (sqrt(list_dot_product(ep, ep))
+                      * sqrt(list_dot_product(qp, qp))), 6) AS sim16
+      FROM c),
+    top50 AS (
+      SELECT * FROM s16 ORDER BY sim16 DESC, vec_id LIMIT 50)
+    SELECT vec_id, sim16,
+           round(list_dot_product(ef, qf)
+                 / (sqrt(list_dot_product(ef, ef))
+                    * sqrt(list_dot_product(qf, qf))), 6) AS sim_full
+    FROM top50
+    ORDER BY sim_full DESC, vec_id LIMIT 10
+    """,
+    doc="Matryoshka two-stage retrieval: coarse cosine top-50 on the "
+        "16-dim embedding prefix, exact full-dim rerank to top-10 — "
+        "the MRL truncation funnel of embedding pipelines; both "
+        "stages oracle-replayed with deterministic cuts",
+)
+def ann09(spark, sf):
+    e = table(spark, sf, "embeddings")
+    q = (e.filter(F.col("vec_id") == 0)
+         .select(F.col("embedding").alias("qv")))
+    c = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, v: acc + v)
+
+    def cos(a, b):
+        return F.round(dot(a, b)
+                       / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))), 6)
+
+    ep = F.slice(F.col("embedding").cast("array<double>"), 1, 16)
+    qp = F.slice(F.col("qv").cast("array<double>"), 1, 16)
+    top50 = (c.select("vec_id", "embedding", "qv",
+                      cos(ep, qp).alias("sim16"))
+             .orderBy(F.desc("sim16"), "vec_id").limit(50))
+    ef = F.col("embedding").cast("array<double>")
+    qf = F.col("qv").cast("array<double>")
+    return (top50.select("vec_id", "sim16",
+                         cos(ef, qf).alias("sim_full"))
+            .orderBy(F.desc("sim_full"), "vec_id").limit(10))
+
+
+# ------------------------------------------------------------------
 @register(
     "ann02_centroid_norm",
     """
