@@ -432,8 +432,6 @@ def nfc_normalize(df: DataFrame, text_col: str = "text",
     emits (id, nfc, changed, n_chars_in, n_chars_out). The gate
     oracle is CROSS-ENGINE: DuckDB's own nfc_normalize (ICU-derived)
     must produce the same text."""
-    from typing import Iterator as _It  # noqa: F401
-
     schema = (f"{id_col} long, nfc string, changed long, "
               "n_chars_in long, n_chars_out long")
 

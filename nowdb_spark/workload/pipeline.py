@@ -650,6 +650,90 @@ def ann09(spark, sf):
 
 
 # ------------------------------------------------------------------
+# Binary quantization retrieval (ann10): sign-bit quantize each
+# 64-dim embedding into two 32-bit words (the 32×-compression coarse
+# index of modern vector stores), rank by Hamming distance
+# (bit_count of xor — integer-exact, no rounding needed at the cut),
+# exact cosine rerank of the top-50 to top-10. Entirely JVM: pack =
+# zip_with/shiftleft/aggregate-OR, distance = bit_count(a^b).
+def _ann10_pack_sql(word: int) -> str:
+    lo = word * 32
+    return (f"list_aggregate(list_transform(range(0, 32), i -> "
+            f"CASE WHEN embedding[i + {lo} + 1] > 0 "
+            f"THEN (1::BIGINT << i) ELSE 0::BIGINT END), 'sum')")
+
+
+@register(
+    "ann10_binary_quant",
+    f"""
+    WITH p AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE) AS ef,
+             {_ann10_pack_sql(0)} AS w0,
+             {_ann10_pack_sql(1)} AS w1
+      FROM embeddings),
+    q AS (SELECT ef AS qf, w0 AS qw0, w1 AS qw1 FROM p
+          WHERE vec_id = 0),
+    h AS (
+      SELECT p.vec_id, p.ef, q.qf,
+             CAST(bit_count(xor(p.w0, q.qw0))
+                  + bit_count(xor(p.w1, q.qw1)) AS BIGINT) AS hamming
+      FROM p, q WHERE p.vec_id <> 0),
+    top50 AS (SELECT * FROM h ORDER BY hamming, vec_id LIMIT 50)
+    SELECT vec_id, hamming,
+           round(list_dot_product(ef, qf)
+                 / (sqrt(list_dot_product(ef, ef))
+                    * sqrt(list_dot_product(qf, qf))), 6) AS sim
+    FROM top50
+    ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+    doc="binary-quantization retrieval: sign-bit pack to two 32-bit "
+        "words (32× compression), Hamming-distance coarse top-50 "
+        "(integer-exact cut), exact cosine rerank to top-10 — all "
+        "JVM expressions (zip_with/shiftleft/bit_count); both "
+        "stages oracle-replayed",
+)
+def ann10(spark, sf):
+    e = table(spark, sf, "embeddings")
+
+    def pack(word: int):
+        lo = word * 32
+        # 1 << i spelled as pow(2, i): exact in double for i <= 31,
+        # and usable inside the lambda (shiftleft needs a literal)
+        bits = F.zip_with(
+            F.slice("embedding", lo + 1, 32),
+            F.sequence(F.lit(0), F.lit(31)),
+            lambda x, i: F.when(x > 0,
+                                F.pow(F.lit(2.0), i).cast("long"))
+            .otherwise(F.lit(0).cast("long")))
+        return F.aggregate(bits, F.lit(0).cast("long"),
+                           lambda a, v: a.bitwiseOR(v))
+
+    p = e.select("vec_id",
+                 F.col("embedding").cast("array<double>").alias("ef"),
+                 pack(0).alias("w0"), pack(1).alias("w1"))
+    q = (p.filter(F.col("vec_id") == 0)
+         .select(F.col("ef").alias("qf"), F.col("w0").alias("qw0"),
+                 F.col("w1").alias("qw1")))
+    h = (p.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+         .select("vec_id", "ef", "qf",
+                 (F.bit_count(F.col("w0").bitwiseXOR(F.col("qw0")))
+                  + F.bit_count(F.col("w1").bitwiseXOR(F.col("qw1"))))
+                 .cast("long").alias("hamming")))
+    top50 = h.orderBy("hamming", "vec_id").limit(50)
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, v: acc + v)
+
+    ef, qf = F.col("ef"), F.col("qf")
+    sim = F.round(dot(ef, qf)
+                  / (F.sqrt(dot(ef, ef)) * F.sqrt(dot(qf, qf))), 6)
+    return (top50.select("vec_id", "hamming", sim.alias("sim"))
+            .orderBy(F.desc("sim"), "vec_id").limit(10))
+
+
+# ------------------------------------------------------------------
 @register(
     "ann02_centroid_norm",
     """
