@@ -2445,6 +2445,67 @@ def wd06(spark, sf):
 
 
 # ------------------------------------------------------------------
+# BGZF splittable gzip (wd09): plain .gz is one task per file — the
+# classic ingestion bottleneck; BGZF (the SAM-spec blocked-gzip
+# framing) indexes by header walk alone and decodes every ≤64 KiB
+# block independently. Per-doc corpora are framed at block_size=24
+# so blocks split mid-line and the reassembly is observable; the
+# oracle replays each block's uncompressed substring (compressed
+# offsets are deflate-dependent and deliberately not emitted).
+@register(
+    "wd09_bgzf",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 4 + 2 AS nl FROM documents),
+    f AS (
+      SELECT doc_id,
+             array_to_string(list_transform(range(0, nl), k ->
+               'd' || doc_id || ' line ' || k || chr(10)), '') AS ftxt
+      FROM d),
+    blk AS (
+      SELECT doc_id, ftxt,
+             unnest(range(0, (length(ftxt) + 23) // 24)) AS bi
+      FROM f)
+    SELECT doc_id,
+           CAST(bi AS BIGINT) AS block_idx,
+           CAST(least(24, length(ftxt) - bi * 24) AS BIGINT) AS n_raw,
+           substr(ftxt, bi * 24 + 1, 24) AS chunk
+    FROM blk
+    """,
+    doc="BGZF (blocked-gzip, the splittable compressed container): "
+        "metadata-only header-walk split index + independent "
+        "per-block inflate with CRC-32/ISIZE verification — one "
+        "huge file fans out by BLOCK, not by file; oracle replays "
+        "every block's uncompressed substring",
+)
+def wd09(spark, sf):
+    from nowdb_spark.sources import bgzf as BG
+
+    d = spread(table(spark, sf, "documents"))
+
+    def kernel(batches):
+        import pandas as _pd
+
+        def synth(did: int) -> bytes:
+            did = int(did)
+            data = "".join(f"d{did} line {k}\n"
+                           for k in range(did % 4 + 2))
+            return BG.encode_bgzf(data.encode(), block_size=24)
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"].values,
+                "payload": [synth(x) for x in pdf["doc_id"]],
+            })
+
+    shards = (d.select("doc_id")
+              .mapInPandas(kernel, "doc_id long, payload binary"))
+    return (BG.read_bgzf(shards)
+            .select("doc_id", "block_idx", "n_raw",
+                    F.decode("chunk", "utf-8").alias("chunk")))
+
+
+# ------------------------------------------------------------------
 # MessagePack record shards (wd08): the compact-JSON-twin record
 # format — per-doc shards of concatenated top-level maps whose
 # values walk the format's integer-width ladder (positive fixint /
