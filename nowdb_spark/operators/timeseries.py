@@ -421,3 +421,40 @@ def seasonal_decompose(df: DataFrame, stamp_col: str,
                    F.round(F.col("v") - F.col("trend")
                            - F.col("seasonal"), 6).alias("residual")))
     return out
+
+
+def interval_join(points: DataFrame, intervals: DataFrame,
+                  stamp_col: str, key_col: str,
+                  start_col: str = "start_ns", end_col: str = "end_ns",
+                  bucket_ns: int = 3_600_000_000_000) -> DataFrame:
+    """Scalable point-in-interval join (the range-join problem).
+
+    A naive ``p.ts BETWEEN i.start AND i.end`` non-equi join executes
+    as a nested-loop — O(|P|·|I|) per key and a broadcast/cartesian
+    plan that dies at scale. This decomposes by TIME BUCKET: each
+    interval explodes into the buckets it covers (sequence+explode),
+    each point owns exactly one bucket, and the join becomes an
+    EQUI-join on (key, bucket) + an exact containment filter. A
+    (point, interval) pair can match in only the point's own bucket,
+    so no dedup step is needed. Cost: |I|·(avg span/bucket) exploded
+    rows and one hash/sort-merge shuffle — the standard decomposition
+    (size ``bucket_ns`` to the median interval span).
+
+    End bound is INCLUSIVE (BETWEEN semantics), stamps are i64 ns.
+    """
+    cov = intervals.select(
+        key_col, start_col, end_col,
+        *[c for c in intervals.columns
+          if c not in (key_col, start_col, end_col)],
+        F.explode(F.sequence(
+            F.col(start_col) - F.pmod(F.col(start_col), bucket_ns),
+            F.col(end_col) - F.pmod(F.col(end_col), bucket_ns),
+            F.lit(bucket_ns))).alias("__bucket"))
+    pts = points.withColumn(
+        "__bucket",
+        F.col(stamp_col) - F.pmod(F.col(stamp_col), bucket_ns))
+    out = (pts.join(cov, [key_col, "__bucket"])
+           .where(F.col(stamp_col).between(F.col(start_col),
+                                           F.col(end_col)))
+           .drop("__bucket"))
+    return out

@@ -375,3 +375,54 @@ def ts11(spark, sf):
     ev = table(spark, sf, "events")
     return TS.seasonal_decompose(ev, "ts", "value", _HOUR_NS,
                                  period=24, half=12)
+
+
+@register(
+    "ts12_interval_join",
+    f"""
+    WITH iv AS (
+      SELECT u AS user_id, j AS interval_id,
+             CAST(1704067200000000000 AS BIGINT)
+               + u * {_HOUR_NS} + j * 50 * {_HOUR_NS} AS start_ns,
+             CAST(1704067200000000000 AS BIGINT)
+               + u * {_HOUR_NS} + j * 50 * {_HOUR_NS}
+               + (j % 3 + 1) * 5 * {_HOUR_NS} AS end_ns
+      FROM (SELECT unnest(range(0, 20)) AS u),
+           LATERAL (SELECT unnest(range(0, 4)) AS j)),
+    p AS (SELECT user_id, epoch_ns(ts) AS t_ns, event_id, value
+          FROM events)
+    SELECT p.user_id, p.t_ns // 1000 AS t_us, p.event_id,
+           CAST(iv.interval_id AS BIGINT) AS interval_id,
+           round(p.value, 4) AS value
+    FROM p JOIN iv ON iv.user_id = p.user_id
+                  AND p.t_ns BETWEEN iv.start_ns AND iv.end_ns
+    """,
+    doc="point-in-interval (range) join of events against per-user "
+        "maintenance windows, executed by TIME-BUCKET decomposition "
+        "(interval -> covered buckets, point -> its bucket, "
+        "equi-join + containment filter) instead of the nested-loop "
+        "a naive BETWEEN join plans; oracle runs the plain non-equi "
+        "join — same rows, different physical strategy",
+)
+def ts12(spark, sf):
+    base = 1704067200000000000
+    iv = (spark.range(20).select(F.col("id").alias("user_id"))
+          .crossJoin(spark.range(4).select(F.col("id")
+                                           .alias("interval_id")))
+          .select("user_id", "interval_id",
+                  (F.lit(base) + F.col("user_id") * _HOUR_NS
+                   + F.col("interval_id") * 50 * _HOUR_NS)
+                  .alias("start_ns")))
+    iv = iv.withColumn(
+        "end_ns",
+        F.col("start_ns")
+        + (F.col("interval_id") % 3 + 1) * 5 * _HOUR_NS)
+    ev = table(spark, sf, "events").select(
+        "user_id", F.col("ts").alias("t_ns"), "event_id", "value")
+    out = TS.interval_join(ev, iv, "t_ns", "user_id",
+                           bucket_ns=_HOUR_NS)
+    from nowdb_spark import timeutil as TU
+    return out.select(
+        "user_id", TU.int_div_floor(F.col("t_ns"), 1000).alias("t_us"),
+        "event_id", "interval_id",
+        F.round("value", 4).alias("value"))

@@ -872,3 +872,31 @@ def test_audio_meta_real_dispatches_five_formats(spark):
     assert got[5] == ("mp3", 2, 44100)
     assert got[6] == ("wav-ulaw", 1, 8000)
     assert got[7] == (None, None, None)
+
+
+def test_interval_join_matches_naive_and_stays_equi(spark):
+    from pyspark.sql import functions as F
+
+    from nowdb_spark.operators import timeseries as TS
+
+    H = 3_600_000_000_000
+    pts = spark.createDataFrame(
+        [(1, 0 * H + 5), (1, 3 * H), (1, 12 * H), (2, 3 * H),
+         (1, 7 * H - 1), (2, 100 * H)],
+        "user_id long, t_ns long")
+    iv = spark.createDataFrame(
+        [(1, 10, 0, 7 * H), (1, 11, 2 * H, 3 * H), (2, 20, H, 4 * H)],
+        "user_id long, interval_id long, start_ns long, end_ns long")
+    out = TS.interval_join(pts, iv, "t_ns", "user_id", bucket_ns=H)
+    naive = (pts.join(iv, "user_id")
+             .where(F.col("t_ns").between(F.col("start_ns"),
+                                          F.col("end_ns"))))
+    got = sorted((r["user_id"], r["t_ns"], r["interval_id"])
+                 for r in out.collect())
+    want = sorted((r["user_id"], r["t_ns"], r["interval_id"])
+                  for r in naive.collect())
+    assert got == want and len(got) == 5   # end bound inclusive
+    # the decomposition's point: an EQUI join, never a nested loop
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
