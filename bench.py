@@ -653,6 +653,75 @@ def main() -> None:
         rate("cx07_docs_per_sec", n_docs,
              lambda: chat_spans(conv)
              .agg(F.sum("span_end")).collect())
+        # round-10c rates: Aho-Corasick banlist scan (full doc text,
+        # O(text) automaton walk), H.264 I_PCM sample decode, BGZF
+        # block-parallel inflate, msgpack record parse
+        from nowdb_spark.operators.textops import multi_pattern_counts
+        n_ac = min(n_docs, 1_000_000)
+        acsl = dsrc.filter(F.col("doc_id") < n_ac).repartition(cores)
+        rate("qc04_docs_per_sec", n_ac,
+             lambda: multi_pattern_counts(
+                 acsl, ["he", "she", "his", "hers", "data", "spark"])
+             .agg(F.sum("n_matches")).collect(),
+             extra={"qc04_docs": n_ac})
+        from nowdb_spark.operators.mp4codec import make_mp4_codec
+        from nowdb_spark.operators.multimodal import h264_samples_real
+        mpc = make_mp4_codec()
+        n_vid = min(n_imgs, 25_000)
+
+        def _ipcm_streams():
+            def kern(batches):
+                import pandas as _pd
+
+                def synth(did):
+                    did = int(did)
+                    mbs = [{"y": bytes((did * 3 + i * 7) % 256
+                                       for i in range(256)),
+                            "cb": bytes((did + i * 3) % 256
+                                        for i in range(64)),
+                            "cr": bytes((did * 7 + i) % 256
+                                        for i in range(64))}
+                           for _ in range(2)]
+                    return mpc.encode_ipcm(mbs, 2, 1)
+
+                for pdf in batches:
+                    yield _pd.DataFrame({
+                        "doc_id": pdf["doc_id"].values,
+                        "payload": [synth(x) for x in pdf["doc_id"]]})
+            return (ids.filter(F.col("doc_id") < n_vid)
+                    .mapInPandas(kern, "doc_id long, payload binary"))
+
+        rate("mm30_streams_per_sec", n_vid,
+             lambda: h264_samples_real(_ipcm_streams())
+             .agg(F.count(F.lit(1))).collect(),
+             extra={"mm30_streams": n_vid, "mm30_mbs_per_stream": 2})
+        from nowdb_spark.sources import bgzf as BGZ
+
+        def _bgzf_shards():
+            def kern(batches):
+                import pandas as _pd
+
+                def synth(did):
+                    did = int(did)
+                    data = b"%d " % did + b"payload line\n" * 40
+                    return BGZ.encode_bgzf(data, block_size=128)
+
+                for pdf in batches:
+                    yield _pd.DataFrame({
+                        "doc_id": pdf["doc_id"].values,
+                        "payload": [synth(x) for x in pdf["doc_id"]]})
+            return ids.mapInPandas(kern, "doc_id long, payload binary")
+
+        try:
+            _bgzf_shards().write.mode("overwrite") \
+                .parquet(f"{tmp}/bgzf")
+            bgsrc = spark.read.parquet(f"{tmp}/bgzf")
+            rate("wd09_files_per_sec", n_imgs,
+                 lambda: BGZ.read_bgzf(bgsrc)
+                 .agg(F.sum("n_raw")).collect(),
+                 extra={"wd09_files": n_imgs})
+        except Exception as e:  # noqa: BLE001
+            errors["wd09_files_per_sec"] = str(e).split("\n")[0][:200]
 
         dim = 64
         vec = F.transform(
