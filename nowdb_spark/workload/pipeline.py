@@ -2445,6 +2445,62 @@ def wd06(spark, sf):
 
 
 # ------------------------------------------------------------------
+# LZ4 frames (wd10): the fast-compression default of training
+# shards, BOTH layers from the published specs with no lz4 library —
+# xxhash32 (header + content checksums, known-vector-tested),
+# block format (token/extension walk, overlap copies = RLE), frame
+# format (magic, FLG/BD, header-checksum byte, raw-block high bit,
+# EndMark). The per-doc corpora repeat tokens so the greedy matcher
+# emits REAL matches and the decoder's copy loop is exercised; the
+# oracle replays the uncompressed construction.
+@register(
+    "wd10_lz4",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 5 + 3 AS nt FROM documents),
+    f AS (SELECT doc_id,
+                 repeat(array_to_string(list_transform(range(0, nt),
+                   k -> 'd' || doc_id || ' token' || k || ' '), ''),
+                   3) AS ftxt
+          FROM d)
+    SELECT doc_id,
+           CAST(length(ftxt) AS BIGINT) AS n_raw,
+           ftxt AS text
+    FROM f
+    """,
+    doc="LZ4 frame ingestion from the published block+frame specs "
+        "(no lz4 library): xxhash32 checksums, token/extension "
+        "decode with spec-mandated overlapping copies, raw-block "
+        "bit, EndMark; repetitive fixtures force real matches; "
+        "oracle replays the uncompressed text",
+)
+def wd10(spark, sf):
+    from nowdb_spark.sources import lz4 as L4
+
+    d = spread(table(spark, sf, "documents"))
+
+    def kernel(batches):
+        import pandas as _pd
+
+        def synth(did: int) -> bytes:
+            did = int(did)
+            txt = "".join(f"d{did} token{k} "
+                          for k in range(did % 5 + 3)) * 3
+            return L4.compress_frame(txt.encode(), block_size=64)
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"].values,
+                "payload": [synth(x) for x in pdf["doc_id"]],
+            })
+
+    shards = (d.select("doc_id")
+              .mapInPandas(kernel, "doc_id long, payload binary"))
+    return (L4.read_lz4_frames(shards)
+            .select("doc_id", "n_raw",
+                    F.decode("data", "utf-8").alias("text")))
+
+
+# ------------------------------------------------------------------
 # BGZF splittable gzip (wd09): plain .gz is one task per file — the
 # classic ingestion bottleneck; BGZF (the SAM-spec blocked-gzip
 # framing) indexes by header walk alone and decodes every ≤64 KiB
