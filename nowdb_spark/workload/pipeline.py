@@ -2445,6 +2445,63 @@ def wd06(spark, sf):
 
 
 # ------------------------------------------------------------------
+# Snappy frames (wd11): the Parquet-default codec, both published
+# layers with no snappy library — raw format (varint preamble,
+# literal/copy-1/copy-2/copy-4 tags, overlapping copies = RLE,
+# declared-length check) and the framing format (sNaPpY stream id,
+# per-chunk MASKED CRC-32C of the uncompressed data — the same
+# mask/CRC implementation the TFRecord reader uses, shared code).
+# Fixtures alternate chunk sizes so compressed AND uncompressed
+# chunk paths both run; oracle replays the uncompressed text.
+@register(
+    "wd11_snappy",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 5 + 3 AS nt FROM documents),
+    f AS (SELECT doc_id,
+                 repeat(array_to_string(list_transform(range(0, nt),
+                   k -> 'd' || doc_id || ' token' || k || ' '), ''),
+                   3) AS ftxt
+          FROM d)
+    SELECT doc_id,
+           CAST(length(ftxt) AS BIGINT) AS n_raw,
+           ftxt AS text
+    FROM f
+    """,
+    doc="Snappy ingestion from the published raw + framing specs "
+        "(no snappy library): tagged literal/copy decode with "
+        "overlap semantics and declared-length check, framed chunks "
+        "with masked CRC-32C (implementation shared with TFRecord); "
+        "oracle replays the uncompressed construction",
+)
+def wd11(spark, sf):
+    from nowdb_spark.sources import snappy as SN
+
+    d = spread(table(spark, sf, "documents"))
+
+    def kernel(batches):
+        import pandas as _pd
+
+        def synth(did: int) -> bytes:
+            did = int(did)
+            txt = "".join(f"d{did} token{k} "
+                          for k in range(did % 5 + 3)) * 3
+            return SN.compress_framed(txt.encode(),
+                                      chunk_size=48 + did % 3 * 16)
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"].values,
+                "payload": [synth(x) for x in pdf["doc_id"]],
+            })
+
+    shards = (d.select("doc_id")
+              .mapInPandas(kernel, "doc_id long, payload binary"))
+    return (SN.read_snappy_frames(shards)
+            .select("doc_id", "n_raw",
+                    F.decode("data", "utf-8").alias("text")))
+
+
+# ------------------------------------------------------------------
 # LZ4 frames (wd10): the fast-compression default of training
 # shards, BOTH layers from the published specs with no lz4 library —
 # xxhash32 (header + content checksums, known-vector-tested),

@@ -97,7 +97,7 @@ _PY_ALLOWED = {"mm01_extract_meta", "mm02_real_decode", "mm03_real_resize",
                # walk); per-tensor stats stay JVM-side (F.aggregate)
                "wd04_arrow_shards", "wd05_npy_shards",
                "wd06_safetensors", "wd07_tfrecord", "wd08_msgpack",
-               "wd09_bgzf", "wd10_lz4",
+               "wd09_bgzf", "wd10_lz4", "wd11_snappy",
                # audio decode + vectorized rfft per frame is the
                # Arrow-kernel DSP path (numpy batch transform)
                "mm27_log_mel",
