@@ -4448,3 +4448,59 @@ def pr01(spark, sf):
     li = table(spark, sf, "lineitem").select(
         "l_orderkey", "l_quantity", "l_returnflag")
     return profile(li)
+
+
+# ------------------------------------------------------------------
+# PMI co-occurrence (tx15): pointwise mutual information of adjacent
+# word pairs — the association-scoring step behind phrase mining /
+# word2vec preprocessing. Directional convention: left-slot and
+# right-slot marginals (deterministic, no symmetrization ambiguity);
+# pairs below support 3 are cut BEFORE the log (both engines cut on
+# exact integers). Entirely JVM: split -> zip_with bigrams ->
+# explode -> three count aggregates joined back.
+@register(
+    "tx15_pmi",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents),
+    bg AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+           FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1))
+                        AS i
+                 FROM w)),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM bg),
+    cxy AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+    cl AS (SELECT w1, count(*) AS cl FROM bg GROUP BY 1),
+    cr AS (SELECT w2, count(*) AS cr FROM bg GROUP BY 1)
+    SELECT cxy.w1, cxy.w2,
+           CAST(cxy.c AS BIGINT) AS n_pair,
+           round(ln(cxy.c * n.n / (cl.cl * cr.cr)), 6) AS pmi
+    FROM cxy JOIN cl USING (w1) JOIN cr USING (w2), n
+    WHERE cxy.c >= 3
+    """,
+    doc="PMI bigram association scoring (directional left/right "
+        "marginals, support cut >= 3 on exact integers before the "
+        "log) — phrase-mining / word2vec preprocessing; full-model "
+        "oracle: both engines build the pair and marginal counts "
+        "from the same corpus",
+)
+def tx15(spark, sf):
+    d = table(spark, sf, "documents")
+    ws = F.split(F.col("text"), " ")
+    bg = (d.select(F.explode(F.zip_with(
+            F.slice(ws, 1, F.size(ws) - 1),
+            F.slice(ws, 2, F.size(ws) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
+          .alias("p"))
+          .select("p.w1", "p.w2"))
+    cxy = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    cl = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cl"))
+    cr = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("cr"))
+    n = bg.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return (cxy.filter(F.col("c") >= 3)
+            .join(cl, "w1").join(cr, "w2")
+            .crossJoin(F.broadcast(n))
+            .select("w1", "w2",
+                    F.col("c").cast("long").alias("n_pair"),
+                    F.round(F.log(F.col("c") * F.col("n")
+                                  / (F.col("cl") * F.col("cr"))), 6)
+                    .alias("pmi")))
