@@ -945,3 +945,122 @@ def qc04(spark, sf):
                F.lit(" sparkle")).otherwise(""))
     return multi_pattern_counts(
         d.select("doc_id", t.alias("text")), _QC04_PATTERNS)
+
+
+# ------------------------------------------------------------------
+# Composed pretraining preprocessing (cc03): the capstone recipe —
+# noisy synthetic pages (every qc03 rule slice, plus REAL CLONES:
+# ids ≡ 7 mod 10 render id-1's page) → C4 line+page gate → exact
+# dedup with min-id canonical survivor (the Spark side hashes the
+# ACTUAL page text; the oracle may dedup on the construction seed
+# because page equality ⟺ seed equality by fixture design) → token
+# accounting of the kept lines. One oracle covers the whole chain.
+def _cc03_lines_sql() -> str:
+    return """
+        ['Good sentence with many words here d' || bid || '.']
+        || ['short line.']
+        || ['no terminal punctuation line with words d' || bid]
+        || CASE WHEN bid % 2 = 0
+                THEN ['Enable javascript to view this page now.']
+                ELSE [] END
+        || CASE WHEN bid % 3 = 0
+                THEN ['Another proper sentence is here d' || bid
+                      || '!'] ELSE [] END
+        || CASE WHEN bid % 4 = 0
+                THEN ['lorem ipsum dolor sit amet consectetur.']
+                ELSE [] END
+        || CASE WHEN bid % 5 = 0
+                THEN ['code { display: none; }'] ELSE [] END
+        || ['A third full sentence exists right here d' || bid
+            || '?']"""
+
+
+@register(
+    "cc03_pretrain_pipeline",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 7 AND doc_id > 0
+                  THEN doc_id - 1 ELSE doc_id END AS bid
+      FROM documents),
+    p AS (
+      SELECT doc_id, bid, {_cc03_lines_sql()} AS lns
+      FROM d),
+    k AS (
+      SELECT doc_id, bid,
+             list_filter(lns, ln ->
+               regexp_matches(ln, '[.!?\"]$')
+               AND len(list_filter(string_split_regex(ln, '\\s+'),
+                                   x -> x <> '')) >= 5
+               AND NOT contains(lower(ln), 'javascript')) AS kept,
+             contains(lower(array_to_string(lns, chr(10))),
+                      'lorem ipsum')
+               OR contains(array_to_string(lns, chr(10)), '{{')
+               AS page_bad
+      FROM p),
+    surv AS (
+      SELECT doc_id, bid, kept FROM k
+      WHERE len(kept) >= 3 AND NOT page_bad),
+    canon AS (
+      SELECT doc_id, bid, kept,
+             min(doc_id) OVER (PARTITION BY bid) AS canonical
+      FROM surv)
+    SELECT doc_id,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           CAST(len(list_filter(string_split_regex(
+                  array_to_string(kept, ' '), '\\s+'),
+                x -> x <> '')) AS BIGINT) AS n_tokens
+    FROM canon WHERE doc_id = canonical
+    """,
+    doc="composed pretraining preprocessing: noisy pages with "
+        "planted clones -> C4 line+page gate -> exact dedup on the "
+        "REAL page hash with min-id canonical survivor -> "
+        "whitespace-token accounting of kept text, the whole recipe "
+        "under ONE oracle",
+)
+def cc03(spark, sf):
+    from nowdb_spark.operators.textops import c4_rules
+
+    d = table(spark, sf, "documents")
+    bid = F.when((F.col("doc_id") % 10 == 7) & (F.col("doc_id") > 0),
+                 F.col("doc_id") - 1).otherwise(F.col("doc_id"))
+    page = F.concat(
+        F.lit("Good sentence with many words here d"), bid,
+        F.lit(".\nshort line.\n"
+              "no terminal punctuation line with words d"), bid,
+        F.when(bid % 2 == 0,
+               F.lit("\nEnable javascript to view this page now."))
+        .otherwise(""),
+        F.when(bid % 3 == 0,
+               F.concat(F.lit("\nAnother proper sentence is here d"),
+                        bid, F.lit("!"))).otherwise(""),
+        F.when(bid % 4 == 0,
+               F.lit("\nlorem ipsum dolor sit amet consectetur."))
+        .otherwise(""),
+        F.when(bid % 5 == 0,
+               F.lit("\ncode { display: none; }")).otherwise(""),
+        F.lit("\nA third full sentence exists right here d"),
+        bid, F.lit("?"))
+    pages = d.select("doc_id", page.alias("text"))
+    flags = c4_rules(pages).select("doc_id", "keep", "n_kept")
+    kept_text = F.concat_ws(
+        " ", F.filter(
+            F.split(F.col("text"), "\n"),
+            lambda ln: ln.rlike('[.!?"]$')
+            & (F.size(F.filter(F.split(ln, r"\s+"),
+                               lambda x: x != "")) >= 5)
+            & ~F.lower(ln).contains("javascript")))
+    surv = (pages.join(flags, "doc_id").filter("keep")
+            .select("doc_id", "n_kept",
+                    kept_text.alias("ktext")))
+    from pyspark.sql.window import Window
+    canon = (surv
+             .withColumn("canonical",
+                         F.min("doc_id").over(
+                             Window.partitionBy(F.md5("ktext"))))
+             .filter(F.col("doc_id") == F.col("canonical")))
+    n_tokens = F.size(F.filter(F.split(F.col("ktext"), r"\s+"),
+                               lambda x: x != ""))
+    return canon.select(
+        "doc_id", "n_kept",
+        n_tokens.cast("long").alias("n_tokens"))
