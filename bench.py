@@ -722,6 +722,56 @@ def main() -> None:
                  extra={"wd09_files": n_imgs})
         except Exception as e:  # noqa: BLE001
             errors["wd09_files_per_sec"] = str(e).split("\n")[0][:200]
+        # round-10d rates: LZ4 / Snappy frame decode and msgpack
+        # record parse, one shard synth per id (same rate() shape)
+        from nowdb_spark.sources import lz4 as L4B
+        from nowdb_spark.sources import msgpack as MPB
+        from nowdb_spark.sources import snappy as SNB
+
+        def _codec_shards(builder, subdir):
+            def kern(batches):
+                import pandas as _pd
+                for pdf in batches:
+                    yield _pd.DataFrame({
+                        "doc_id": pdf["doc_id"].values,
+                        "payload": [builder(int(x))
+                                    for x in pdf["doc_id"]]})
+            path = f"{tmp}/{subdir}"
+            ids.mapInPandas(kern, "doc_id long, payload binary") \
+                .write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+
+        payload_txt = (b"the quick brown fox jumps over the lazy "
+                       b"dog " * 20)
+        try:
+            lzsrc = _codec_shards(
+                lambda did: L4B.compress_frame(
+                    b"%d " % did + payload_txt, block_size=256),
+                "lz4b")
+            rate("wd10_files_per_sec", n_imgs,
+                 lambda: L4B.read_lz4_frames(lzsrc)
+                 .agg(F.sum("n_raw")).collect(),
+                 extra={"wd10_files": n_imgs})
+            snsrc = _codec_shards(
+                lambda did: SNB.compress_framed(
+                    b"%d " % did + payload_txt, chunk_size=256),
+                "snpy")
+            rate("wd11_files_per_sec", n_imgs,
+                 lambda: SNB.read_snappy_frames(snsrc)
+                 .agg(F.sum("n_raw")).collect(),
+                 extra={"wd11_files": n_imgs})
+            mpsrc = _codec_shards(
+                lambda did: b"".join(MPB.encode(
+                    {"id": did * 100 + r, "t": f"r{r}",
+                     "score": r / 4.0}) for r in range(4)),
+                "mpk")
+            rate("wd08_shards_per_sec", n_imgs,
+                 lambda: MPB.read_msgpack_records(mpsrc)
+                 .agg(F.count(F.lit(1))).collect(),
+                 extra={"wd08_shards": n_imgs,
+                        "wd08_records_per_shard": 4})
+        except Exception as e:  # noqa: BLE001
+            errors["wd_codec_rates"] = str(e).split("\n")[0][:200]
 
         dim = 64
         vec = F.transform(
