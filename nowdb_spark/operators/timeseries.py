@@ -389,7 +389,8 @@ def rolling_mad_anomaly(df: DataFrame, stamp_col: str, key_col: str,
 
 def seasonal_decompose(df: DataFrame, stamp_col: str,
                        value_col: str, bucket_ns: int,
-                       period: int, half: int = 12) -> DataFrame:
+                       period: int, half: int = 12,
+                       key_col: str | None = None) -> DataFrame:
     """Classical additive decomposition of a bucketed series:
     trend = centered (2·half+1)-bucket moving average (NULL until
     the window is full — partial edges would bias the trend),
@@ -398,24 +399,30 @@ def seasonal_decompose(df: DataFrame, stamp_col: str,
     The STL-lite step of metric pipelines. One bucket aggregate,
     one ordered window, one phase aggregate joined back — all JVM.
 
-    The series is a global order-by window: fine for the per-metric
-    series this operates on (buckets, not raw events); at 100 TB
-    decompose per metric key so the window partitions."""
+    ``key_col`` is the scale path: with it the trend window
+    PARTITIONS by metric key (10k metrics → 10k parallel series, no
+    single-task wall) and the phase means group per key. Without it
+    the whole bucketed series sorts through one window partition —
+    acceptable only for a single pre-bucketed series (buckets, not
+    raw events), so pass key_col whenever more than one metric is
+    present."""
+    keys = [key_col] if key_col else []
     bucket = (F.col(stamp_col) - F.col(stamp_col) % bucket_ns)
-    b = (df.groupBy(bucket.alias("bucket_ns"))
+    b = (df.groupBy(*keys, bucket.alias("bucket_ns"))
          .agg(F.sum(value_col).alias("v")))
-    w = (W.orderBy("bucket_ns").rowsBetween(-half, half))
+    w = (W.partitionBy(*keys).orderBy("bucket_ns")
+         .rowsBetween(-half, half))
     t = b.select(
-        "bucket_ns", "v",
+        *keys, "bucket_ns", "v",
         F.when(F.count("v").over(w) == 2 * half + 1,
                F.avg("v").over(w)).alias("trend"),
         ((F.col("bucket_ns") / bucket_ns) % period)
         .cast("long").alias("phase"))
     t = t.withColumn("detr", F.col("v") - F.col("trend"))
-    seas = (t.groupBy("phase")
+    seas = (t.groupBy(*keys, "phase")
             .agg(F.avg("detr").alias("seasonal")))
-    out = (t.join(seas, "phase")
-           .select("bucket_ns", "v",
+    out = (t.join(seas, [*keys, "phase"])
+           .select(*keys, "bucket_ns", "v",
                    F.round("trend", 6).alias("trend"),
                    F.round("seasonal", 6).alias("seasonal"),
                    F.round(F.col("v") - F.col("trend")

@@ -347,34 +347,39 @@ def ts10(spark, sf):
     "ts11_seasonal",
     f"""
     WITH b AS (
-      SELECT epoch_ns(ts) - epoch_ns(ts) % {_HOUR_NS} AS bucket_ns,
+      SELECT event_type,
+             epoch_ns(ts) - epoch_ns(ts) % {_HOUR_NS} AS bucket_ns,
              sum(value) AS v
-      FROM events GROUP BY 1),
+      FROM events GROUP BY 1, 2),
     t AS (
-      SELECT bucket_ns, v,
+      SELECT event_type, bucket_ns, v,
              CASE WHEN count(v) OVER w = 25
                   THEN avg(v) OVER w END AS trend,
              CAST((bucket_ns // {_HOUR_NS}) % 24 AS BIGINT) AS phase
       FROM b
-      WINDOW w AS (ORDER BY bucket_ns
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ns
                    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
-    s AS (SELECT phase, avg(v - trend) AS seasonal FROM t GROUP BY 1)
-    SELECT bucket_ns, v,
+    s AS (SELECT event_type, phase, avg(v - trend) AS seasonal
+          FROM t GROUP BY 1, 2)
+    SELECT event_type, bucket_ns, v,
            round(trend, 6) AS trend,
            round(seasonal, 6) AS seasonal,
            round(v - trend - seasonal, 6) AS residual
-    FROM t JOIN s USING (phase)
+    FROM t JOIN s USING (event_type, phase)
     """,
-    doc="classical additive seasonal decomposition of the hourly "
-        "event series (centered 25-bucket trend MA with full-window "
-        "NULL edges, per-hour-of-day seasonal means, residual) — "
-        "the STL-lite anomaly/forecast preprocessing step; oracle "
-        "replays the same window algebra",
+    doc="classical additive seasonal decomposition of each "
+        "event_type's hourly series (centered 25-bucket trend MA "
+        "with full-window NULL edges, per-hour-of-day seasonal "
+        "means, residual) — the STL-lite anomaly/forecast "
+        "preprocessing step. key_col partitions the trend window "
+        "per metric (10k metrics = 10k parallel series, no "
+        "single-task wall); oracle replays the same window algebra",
 )
 def ts11(spark, sf):
     ev = table(spark, sf, "events")
     return TS.seasonal_decompose(ev, "ts", "value", _HOUR_NS,
-                                 period=24, half=12)
+                                 period=24, half=12,
+                                 key_col="event_type")
 
 
 @register(
