@@ -10,8 +10,11 @@ aware duration and average bitrate; the AAC ADTS header walk
 (ISO/IEC 13818-7 §6.2: profile/rate-index/channel-config/frame-length
 /raw-data-blocks, 1024 samples per block); and FLAC's STREAMINFO
 metadata block (flac format spec: 20-bit rate, 3-bit channels-1,
-5-bit bits-1, 36-bit total samples). SAMPLE decode for the entropy-
-coded formats (MP3 MDCT+Huffman, AAC spectral, FLAC rice/LPC) stays
+5-bit bits-1, 36-bit total samples). SAMPLE decode now exists for
+FLAC (rice/LPC — flaccodec.py), IMA ADPCM / G.711 (here), and
+MPEG-1 Layer II (mp2codec.py: allocation/scfsi/scalefactor/grouped
+requant + the 32-band polyphase synthesis); the remaining gate is
+the MDCT family (MP3 Layer III, AAC spectral, Opus SILK/CELT),
 honestly stubbed in multimodal.py.
 
 Built by `make_audio_codec()` as nested closures so cloudpickle ships
@@ -272,6 +275,9 @@ def make_audio_codec() -> SimpleNamespace:
     MP3_RATES = {"1": (44100, 48000, 32000),
                  "2": (22050, 24000, 16000),
                  "2.5": (11025, 12000, 8000)}
+    # MPEG-1 Layer II bitrate ladder (kbps, index 1..14)
+    MP2_BITRATES = (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                    224, 256, 320, 384)
     MP3_VERSIONS = {0b00: "2.5", 0b10: "2", 0b11: "1"}
 
     def _mp3_header(b: bytes, i: int):
@@ -807,10 +813,49 @@ def make_audio_codec() -> SimpleNamespace:
                              bytes([0x00, p & 0xFF]))
         return bytes(out)
 
+    def mp2_sniff(b: bytes):
+        """MPEG-1 Layer II elementary stream (same header family as
+        mp3 but layer bits '10'); full sample decode lives in
+        operators/mp2codec.py."""
+        if len(b) < 4 or b[0] != 0xFF or (b[1] & 0xF0) != 0xF0:
+            return None
+        return "mp2" if (b[1] >> 1) & 0b11 == 0b10 else None
+
+    def mp2_meta(b: bytes):
+        """Frame-header walk for Layer II streams (metadata only —
+        mp2codec.decode_frames is the sample path). 1152 samples per
+        MPEG-1 Layer II frame."""
+        i, n_frames, kbps_sum = 0, 0, 0
+        rate = channels = None
+        while i + 4 <= len(b) and b[i] == 0xFF \
+                and (b[i + 1] & 0xF0) == 0xF0 \
+                and (b[i + 1] >> 1) & 0b11 == 0b10:
+            br_idx = (b[i + 2] >> 4) & 0xF
+            sr_idx = (b[i + 2] >> 2) & 0b11
+            if br_idx in (0, 15) or sr_idx == 3:
+                break
+            kbps = MP2_BITRATES[br_idx]
+            rate = {0: 44100, 1: 48000, 2: 32000}[sr_idx]
+            pad = (b[i + 2] >> 1) & 1
+            channels = 1 if (b[i + 3] >> 6) & 0b11 == 0b11 else 2
+            flen = 144 * kbps * 1000 // rate + pad
+            if i + flen > len(b):
+                break
+            n_frames += 1
+            kbps_sum += kbps
+            i += flen
+        if n_frames == 0:
+            return None
+        return {"fmt": "mp2", "channels": channels,
+                "sample_rate": rate, "n_frames": n_frames,
+                "duration_ms": n_frames * 1152 * 1000 // rate,
+                "bitrate_kbps": kbps_sum // n_frames,
+                "n_bytes": len(b)}
+
     def audio_sniff(b: bytes):
-        """Unified sniff across the five audio containers."""
+        """Unified sniff across the six audio containers."""
         return (sniff(b) or flac_sniff(b) or ogg_sniff(b)
-                or aac_sniff(b) or mp3_sniff(b))
+                or aac_sniff(b) or mp2_sniff(b) or mp3_sniff(b))
 
     return SimpleNamespace(sniff=sniff, decode_meta=decode_meta,
                            decode=decode, encode_wav=encode_wav,
@@ -833,6 +878,7 @@ def make_audio_codec() -> SimpleNamespace:
                            ogg_vorbis_meta=ogg_vorbis_meta,
                            ogg_vorbis_tags=ogg_vorbis_tags,
                            encode_ogg_vorbis=encode_ogg_vorbis,
+                           mp2_sniff=mp2_sniff, mp2_meta=mp2_meta,
                            audio_sniff=audio_sniff)
 
 

@@ -2112,3 +2112,94 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 997,
             yield _pd.DataFrame(rows, columns=[id_col, "frame_no", "chunk"])
 
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
+def synth_mp2(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize one-frame mono MPEG-1 Layer II payloads (48 kHz,
+    192 kbps, 576 bytes) from an id column. Subband-domain content
+    s(g,k) = ((id·31 + g·7 + k·13) % 4001 − 2000)/2048 (g-independent
+    when id % 4 == 0, which drives the encoder down the scfsi=2
+    shared-scalefactor path); allocation indexes cycle the B.2a
+    ladder classes so grouped (3/5/9-level) AND ungrouped quantizers
+    are exercised: subband sb is allocated iff (id+sb) % 3 == 0. The
+    content is synthetic; the bitstream written/parsed is the REAL
+    Layer II layout (operators/mp2codec.py)."""
+    from nowdb_spark.operators.mp2codec import make_mp2_codec
+
+    codec = make_mp2_codec()
+    schema = f"{id_col} long, payload binary"
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        def synth(did: int) -> bytes:
+            did = int(did)
+            sub = [[((did * 31 + (0 if did % 4 == 0 else g * 7)
+                      + k * 13) % 4001 - 2000) / 2048.0
+                    for k in range(32)] for g in range(36)]
+            alloc = [0] * 27
+            for sb in range(27):
+                if (did + sb) % 3:
+                    continue
+                if sb < 3:
+                    alloc[sb] = 1 + (did + sb) % 3
+                elif sb < 11:
+                    alloc[sb] = 1 + (did + sb) % 4
+                elif sb < 23:
+                    alloc[sb] = 1 + (did + sb) % 5
+                else:
+                    alloc[sb] = 1 + (did + sb) % 2
+            return codec.encode_frame(sub, alloc)
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "payload": [synth(d) for d in pdf[id_col]],
+            })
+
+    return df.select(id_col).mapInPandas(kernel, schema)
+
+
+def mp2_granules_real(df: DataFrame, id_col: str = "doc_id",
+                      payload_col: str = "payload") -> DataFrame:
+    """REAL MPEG-1 Layer II decode to PCM, per granule: the payload's
+    frames are bit-parsed (allocation → scfsi → scalefactors →
+    grouped/ungrouped codes → requantization) and run through the
+    32-band polyphase synthesis filterbank. Emits one row per granule
+    g (32 PCM samples): q_sum = Σ_k code (integer-exact bitstream
+    check) and the PCM row sums rounded to 3 decimals (synthesis
+    check; magnitudes ~1e3, cross-engine float noise ~1e-9). Narrow,
+    zero-shuffle; vectorized numpy per clip."""
+    from nowdb_spark.operators.mp2codec import make_mp2_codec
+
+    codec = make_mp2_codec()
+    schema = (f"{id_col} long, granule long, q_sum long, "
+              "x_sum double, x_abs_sum double")
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                did = int(did)
+                frames = codec.decode_frames(bytes(payload))
+                g0 = 0
+                v = None
+                for f in frames:
+                    S = _np.asarray(f["sub"])
+                    v = _np.zeros(1024) if v is None else v
+                    pcm = codec.synthesize(S, v_state=v)
+                    qarr = _np.asarray(f["q"])
+                    for g in range(S.shape[0]):
+                        rows.append((did, g0 + g,
+                                     int(qarr[g].sum()),
+                                     round(float(pcm[g].sum()), 3),
+                                     round(float(_np.abs(pcm[g])
+                                                 .sum()), 3)))
+                    g0 += S.shape[0]
+            yield _pd.DataFrame(rows, columns=[
+                id_col, "granule", "q_sum", "x_sum", "x_abs_sum"])
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)

@@ -39,7 +39,7 @@ PRIORITY_ORDER = [
     "ann03_lsh_topk", "ann10_binary_quant",
     # multimodal (image / audio / video, real sample decode)
     "mm19_webp_decode", "mm26_jpeg_arith_decode", "mm11_flac_decode",
-    "mm15_adpcm_decode", "mm27_log_mel", "mm30_h264_ipcm",
+    "mm31_mp2_decode", "mm27_log_mel", "mm30_h264_ipcm",
     # time-series + streaming
     "ts12_interval_join", "st01_stream_window_agg",
     "st03_stream_interval_join",

@@ -4504,3 +4504,124 @@ def tx15(spark, sf):
                     F.round(F.log(F.col("c") * F.col("n")
                                   / (F.col("cl") * F.col("cr"))), 6)
                     .alias("pmi")))
+
+
+# ------------------------------------------------------------------
+# MPEG-1 Layer II decode (mm31): the round-11 bite out of the
+# sample-decode gate. The Spark side round-trips REAL Layer II frames
+# (header → B.2a allocation → scfsi → scalefactors → grouped/
+# ungrouped codes → requantization → 32-band polyphase synthesis,
+# operators/mp2codec.py); the oracle replays the WHOLE pipeline in
+# SQL from the same closed-form content: scalefactor selection as a
+# list_filter argmax over the inlined 2^(1-i/3) table, the exact
+# quantize/requant float expressions (identical IEEE op order), and
+# the synthesis as the validated 512-tap convolution identity
+# x[g,j] = Σ_{m,h} D[64m+32h+j]·V[g-2m-h][32h+j] with the cosine
+# matrix N and window D inlined bit-identically into both engines
+# (numpy↔SQL difference = summation-order noise ~1e-12 under the
+# 3-decimal round; q_sum is integer-exact).
+def _mm31_oracle() -> str:
+    from nowdb_spark.operators.mp2codec import (SCALEFACTORS, _D512,
+                                                _NMAT)
+
+    nmat = ", ".join(repr(v) for v in _NMAT.ravel())   # [i*32+k]
+    dwin = ", ".join(repr(v) for v in _D512)
+    scfl = ", ".join(repr(v) for v in SCALEFACTORS)
+    return f"""
+    WITH consts AS (SELECT [{nmat}] AS nm, [{dwin}] AS dw,
+                           [{scfl}] AS scf),
+    docs AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+    al AS (
+      SELECT doc_id, sb,
+        CASE WHEN (doc_id + sb) % 3 <> 0 THEN 0
+             WHEN sb < 3  THEN [3,7,15][1 + (doc_id+sb)%3]
+             WHEN sb < 11 THEN [3,5,7,9][1 + (doc_id+sb)%4]
+             WHEN sb < 23 THEN [3,5,7,9,15][1 + (doc_id+sb)%5]
+             ELSE [3,5][1 + (doc_id+sb)%2] END AS lv
+      FROM docs, unnest(range(0, 27)) t(sb)),
+    alc AS (
+      SELECT doc_id, sb, lv,
+        CASE lv WHEN 3 THEN 4.0/3.0 WHEN 5 THEN 8.0/5.0
+                WHEN 7 THEN 8.0/7.0 WHEN 9 THEN 16.0/9.0
+                WHEN 15 THEN 16.0/15.0 END AS c,
+        CASE lv WHEN 3 THEN 0.5 WHEN 5 THEN 0.5 WHEN 7 THEN 0.25
+                WHEN 9 THEN 0.5 WHEN 15 THEN 0.125 END AS d,
+        CASE lv WHEN 3 THEN 2.0 WHEN 5 THEN 4.0 WHEN 7 THEN 4.0
+                WHEN 9 THEN 8.0 WHEN 15 THEN 8.0 END AS hs,
+        CASE lv WHEN 3 THEN 0.5 WHEN 5 THEN 0.25 WHEN 7 THEN 0.25
+                WHEN 9 THEN 0.125 WHEN 15 THEN 0.125 END AS p2
+      FROM al WHERE lv > 0),
+    sr AS (
+      SELECT a.doc_id, a.sb, g, a.lv, a.c, a.d, a.hs, a.p2,
+        ((a.doc_id*31 + CASE WHEN a.doc_id % 4 = 0 THEN 0
+                             ELSE g*7 END + a.sb*13) % 4001 - 2000)
+          / 2048.0 AS s
+      FROM alc a, unnest(range(0, 36)) t(g)),
+    mx AS (
+      SELECT doc_id, sb, g // 12 AS part, max(abs(s)) AS maxabs
+      FROM sr GROUP BY 1, 2, 3),
+    scfv AS (
+      SELECT doc_id, sb, part,
+        scf[1 + list_max(list_filter(range(0, 63),
+                                     i -> scf[i+1] >= maxabs))] AS sv
+      FROM mx CROSS JOIN consts),
+    q AS (
+      SELECT sr.doc_id, sr.sb, sr.g,
+        least(sr.lv - 1, greatest(0, CAST(floor(
+          (sr.s / f.sv / sr.c + 1.0 - sr.d) * sr.hs + 0.5)
+          AS BIGINT))) AS qc,
+        f.sv, sr.c, sr.d, sr.p2
+      FROM sr JOIN scfv f
+        ON sr.doc_id = f.doc_id AND sr.sb = f.sb
+       AND sr.g // 12 = f.part),
+    shat AS (
+      SELECT doc_id, sb, g, qc,
+             sv * (c * (qc * p2 - 1.0 + d)) AS sh
+      FROM q),
+    qsum AS (
+      SELECT doc_id, g, sum(qc) AS q_sum FROM shat GROUP BY 1, 2),
+    v AS (
+      SELECT s.doc_id, s.g AS t, i,
+             sum(nm[i*32 + s.sb + 1] * s.sh) AS vv
+      FROM shat s, unnest(range(0, 64)) t2(i) CROSS JOIN consts
+      GROUP BY 1, 2, 3),
+    xt AS (
+      SELECT v.doc_id, v.t + off.o AS g, off.j,
+             dw[64*off.mp + 32*off.half + off.j + 1] * v.vv AS term
+      FROM v CROSS JOIN consts
+      JOIN (SELECT mp, half, j, 2*mp + half AS o,
+                   CASE WHEN half = 0 THEN j ELSE 32 + j END AS vi
+            FROM unnest(range(0, 8)) a(mp),
+                 unnest(range(0, 2)) b(half),
+                 unnest(range(0, 32)) c(j)) off
+        ON v.i = off.vi
+      WHERE v.t + off.o < 36),
+    x AS (
+      SELECT doc_id, g, j, sum(term) AS xv FROM xt GROUP BY 1, 2, 3),
+    xs AS (
+      SELECT doc_id, g, round(sum(xv), 3) AS x_sum,
+             round(sum(abs(xv)), 3) AS x_abs_sum
+      FROM x GROUP BY 1, 2)
+    SELECT q.doc_id, CAST(q.g AS BIGINT) AS granule,
+           CAST(q.q_sum AS BIGINT) AS q_sum, xs.x_sum, xs.x_abs_sum
+    FROM qsum q JOIN xs ON q.doc_id = xs.doc_id AND q.g = xs.g
+    """
+
+
+@register(
+    "mm31_mp2_decode",
+    _mm31_oracle(),
+    doc="REAL MPEG-1 Layer II (MP2) decode: frame header, table-B.2a "
+        "bit allocation, scfsi patterns, scalefactors, grouped "
+        "(3/5/9-level) and ungrouped quantizer codes, requantization "
+        "c·(q·2^(1-nb)-1+d), then the 32-band polyphase synthesis "
+        "filterbank (cosine matrixing + 512-tap windowed FIFO). The "
+        "oracle replays scalefactor selection, quantize/requant, and "
+        "the full synthesis convolution in SQL with the N/D constants "
+        "inlined bit-identically; q_sum is an integer-exact check of "
+        "the entire bitstream layer",
+)
+def mm31(spark, sf):
+    d = spread(table(spark, sf, "documents")
+               .where(F.col("doc_id") % 2 == 0))
+    return M.mp2_granules_real(M.synth_mp2(d))
