@@ -829,6 +829,404 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             errors["wd_codec_rates"] = str(e).split("\n")[0][:200]
 
+        # ------------------------------------------------------------
+        # round-11 rates: the 27 rows the r10 verdict listed as
+        # unrated, same median-of-3 rate() convention (bounded
+        # volumes recorded alongside), plus the new mm31 MP2 decode.
+        from nowdb_spark.operators.textops import (c4_rules,
+                                                   chunk_overlap,
+                                                   fix_mojibake,
+                                                   gopher_rules,
+                                                   markdown_to_text,
+                                                   nfc_normalize)
+        rate("qc02_docs_per_sec", n_docs,
+             lambda: gopher_rules(dsrc)
+             .agg(F.sum(F.col("keep").cast("long"))).collect())
+        rate("qc03_docs_per_sec", n_docs,
+             lambda: c4_rules(dsrc)
+             .agg(F.sum(F.col("keep").cast("long"))).collect())
+        md = dsrc.select("doc_id", F.concat(
+            F.lit("# h\n\n**"), F.col("text"),
+            F.lit("** [l](http://x) `c`\n\n```\ncode\n```\n"))
+            .alias("text"))
+        rate("tx10_docs_per_sec", n_docs,
+             lambda: md.select(
+                 F.length(markdown_to_text(F.col("text"))).alias("n"))
+             .agg(F.sum("n")).collect())
+        moji = dsrc.select(F.concat(
+            F.lit("cafÃ© "), F.col("text")).alias("text"))
+        rate("tx13_docs_per_sec", n_docs,
+             lambda: moji.select(
+                 F.length(fix_mojibake(F.col("text"))).alias("n"))
+             .agg(F.sum("n")).collect())
+        n_nfc = min(n_docs, 2_000_000)
+        nfc_src = (dsrc.filter(F.col("doc_id") < n_nfc)
+                   .select("doc_id", F.concat(
+                       F.lit("école "), F.col("text"))
+                       .alias("text")).repartition(cores))
+        rate("tx14_docs_per_sec", n_nfc,
+             lambda: nfc_normalize(nfc_src)
+             .agg(F.sum(F.col("changed").cast("long"))).collect(),
+             extra={"tx14_docs": n_nfc})
+        n_pmi = min(n_docs, 2_000_000)
+        pmi_slice = dsrc.filter(F.col("doc_id") < n_pmi)
+
+        def _pmi_run():
+            ws = F.split(F.col("text"), " ")
+            bg = (pmi_slice.select(F.explode(F.zip_with(
+                F.slice(ws, 1, F.size(ws) - 1),
+                F.slice(ws, 2, F.size(ws) - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
+                .alias("p")).select("p.w1", "p.w2"))
+            cxy = bg.groupBy("w1", "w2").agg(F.count(F.lit(1))
+                                             .alias("c"))
+            return cxy.agg(F.sum("c")).collect()
+
+        rate("tx15_docs_per_sec", n_pmi, _pmi_run,
+             extra={"tx15_docs": n_pmi})
+        n_ck = min(n_docs, 2_000_000)
+        ck_slice = dsrc.filter(F.col("doc_id") < n_ck)
+        rate("cx06_docs_per_sec", n_ck,
+             lambda: chunk_overlap(ck_slice, size=24, overlap=8)
+             .agg(F.count(F.lit(1))).collect(),
+             extra={"cx06_docs": n_ck})
+        # cc03 composed pretrain pipeline at volume: page construction
+        # + C4 gate + line filter + exact dedup + token count (the
+        # gate row's stages over a 1M slice)
+        n_cc = min(n_docs, 1_000_000)
+
+        def _cc03_run():
+            sl = dsrc.filter(F.col("doc_id") < n_cc)
+            bid = F.when((F.col("doc_id") % 10 == 7)
+                         & (F.col("doc_id") > 0),
+                         F.col("doc_id") - 1).otherwise(F.col("doc_id"))
+            page = F.concat(
+                F.lit("Good sentence with many words here d"), bid,
+                F.lit(".\nshort line.\nno terminal punct d"), bid,
+                F.when(bid % 2 == 0,
+                       F.lit("\nEnable javascript to view this."))
+                .otherwise(""),
+                F.lit("\nA third full sentence exists here d"),
+                bid, F.lit("?"))
+            pages = sl.select("doc_id", page.alias("text"))
+            flags = c4_rules(pages).select("doc_id", "keep", "n_kept")
+            kept = F.concat_ws(" ", F.filter(
+                F.split(F.col("text"), "\n"),
+                lambda ln: ln.rlike('[.!?"]$')))
+            surv = (pages.join(flags, "doc_id").filter("keep")
+                    .select("doc_id", kept.alias("ktext")))
+            from pyspark.sql.window import Window as _W
+            canon = (surv.withColumn(
+                "canonical",
+                F.min("doc_id").over(_W.partitionBy(F.md5("ktext"))))
+                .filter(F.col("doc_id") == F.col("canonical")))
+            nt = F.size(F.split(F.col("ktext"), r"\s+"))
+            return canon.agg(F.sum(nt)).collect()
+
+        rate("cc03_docs_per_sec", n_cc, _cc03_run,
+             extra={"cc03_docs": n_cc})
+        # HTML table extraction over synthesized pages
+        n_ht = min(n_docs, 2_000_000)
+        html = (spark.range(n_ht).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("<html><body><table><tr><th>k</th>"
+                           "<th>v</th></tr><tr><td>a"),
+                     F.col("id") % 100,
+                     F.lit("</td><td>b</td></tr></table>"
+                           "</body></html>")).alias("html")))
+        rate("wc07_docs_per_sec", n_ht,
+             lambda: WC.parse_html_tables(html)
+             .agg(F.count(F.lit(1))).collect(),
+             extra={"wc07_docs": n_ht})
+
+        # round-11 new operators: KN bigram LM, registrable domain,
+        # MDCT round trip (maxsim rates live in the vectors section)
+        from nowdb_spark.operators.corpus import (
+            kneser_ney_bigram_scores)
+        n_kn = min(n_docs, 2_000_000)
+        rate("tx16_docs_per_sec", n_kn,
+             lambda: kneser_ney_bigram_scores(
+                 dsrc.filter(F.col("doc_id") < n_kn))
+             .agg(F.sum("n_bigrams")).collect(),
+             extra={"tx16_docs": n_kn})
+        from nowdb_spark.sources.warc import registrable_domain
+        hosts = dsrc.select(F.concat(
+            F.lit("a"), F.col("doc_id") % 97, F.lit(".site"),
+            F.col("doc_id") % 1000,
+            F.element_at(F.array(F.lit(".com"), F.lit(".co.uk"),
+                                 F.lit(".github.io"), F.lit(".ck"),
+                                 F.lit(".unknowntld")),
+                         (F.col("doc_id") % 5 + 1).cast("int")))
+            .alias("host"))
+        rate("wc08_hosts_per_sec", n_docs,
+             lambda: hosts.select(
+                 registrable_domain(F.col("host")).alias("r"))
+             .agg(F.count("r")).collect())
+        from nowdb_spark.operators.dsp import mdct_roundtrip_real
+        rate("mm33_clips_per_sec", n_imgs,
+             lambda: mdct_roundtrip_real(ids)
+             .agg(F.sum("spec_abs_sum")).collect())
+
+        # time-series family at 10M rows (1000 keys, second spacing)
+        from nowdb_spark.operators import timeseries as TSOP
+        hour_ns = 3_600_000_000_000
+        try:
+            (spark.range(n_rows).select(
+                (F.col("id") % 1000).alias("user_id"),
+                (F.lit(1_700_000_000_000_000_000)
+                 + (F.col("id") / 1000).cast("long")
+                 * 1_000_000_000).alias("ts"),
+                ((F.col("id") * 13) % 997).cast("double")
+                .alias("value"))
+             .write.mode("overwrite").parquet(f"{tmp}/series"))
+            tssrc = spark.read.parquet(f"{tmp}/series")
+            rate("ts10_rows_per_sec", n_rows,
+                 lambda: TSOP.rolling_mad_anomaly(
+                     tssrc, "ts", "user_id", "value", n_rows=6)
+                 .agg(F.sum("is_anomaly")).collect())
+            rate("ts11_rows_per_sec", n_rows,
+                 lambda: TSOP.seasonal_decompose(
+                     tssrc, "ts", "value", hour_ns, period=24,
+                     half=12, key_col="user_id")
+                 .agg(F.count(F.lit(1))).collect())
+            iv = (spark.range(10_000).select(
+                (F.col("id") % 1000).alias("user_id"),
+                F.col("id").alias("interval_id"),
+                (F.lit(1_700_000_000_000_000_000)
+                 + (F.col("id") / 1000).cast("long") * 900 * hour_ns)
+                .alias("start_ns"))
+                .withColumn("end_ns", F.col("start_ns")
+                            + 2 * hour_ns))
+            rate("ts12_rows_per_sec", n_rows,
+                 lambda: TSOP.interval_join(
+                     tssrc, iv, "ts", "user_id",
+                     bucket_ns=hour_ns)
+                 .agg(F.count(F.lit(1))).collect(),
+                 extra={"ts12_intervals": 10_000})
+        except Exception as e:  # noqa: BLE001
+            errors["ts_rates"] = str(e).split("\n")[0][:200]
+
+        # label propagation: 2M undirected edges over 200k nodes,
+        # 4 synchronous rounds (per-round checkpoint discipline)
+        from nowdb_spark.operators import graph as GOP
+        n_edges = 2_000_000
+        try:
+            edges = (spark.range(n_edges).select(
+                (F.col("id") % 200_000).alias("src"),
+                ((F.col("id") * 7 + 1) % 200_000).alias("dst"))
+                .filter(F.col("src") != F.col("dst")))
+            rate("g06_edges_per_sec", n_edges,
+                 lambda: GOP.label_propagation(
+                     GOP.undirect(edges), rounds=4)
+                 .agg(F.count(F.lit(1))).collect(),
+                 extra={"g06_edges": n_edges, "g06_rounds": 4})
+        except Exception as e:  # noqa: BLE001
+            errors["g06_edges_per_sec"] = str(e).split("\n")[0][:200]
+
+        # streaming exact dedup: 1M events through availableNow
+        # micro-batches (state = live keys within the watermark)
+        try:
+            from nowdb_spark.streaming.ingest import stream_dedup
+            (spark.range(1_000_000).select(
+                (F.col("id") % 400_000).alias("k"),
+                (F.lit(1_700_000_000_000_000_000)
+                 + F.col("id") * 1_000_000).alias("ts"))
+             .write.mode("overwrite").parquet(f"{tmp}/stev"))
+            st_schema = spark.read.parquet(f"{tmp}/stev").schema
+
+            def _st04_run():
+                sdf = (spark.readStream.schema(st_schema)
+                       .parquet(f"{tmp}/stev"))
+                out = stream_dedup(sdf, "ts", ["k"])
+                q = (out.writeStream.outputMode("append")
+                     .format("memory")
+                     .queryName(f"st04_bench_{_st04_run.n}")
+                     .trigger(availableNow=True).start())
+                _st04_run.n += 1
+                q.awaitTermination()
+
+            _st04_run.n = 0
+            rate("st04_events_per_sec", 1_000_000, _st04_run,
+                 extra={"st04_events": 1_000_000,
+                        "st04_distinct_keys": 400_000})
+        except Exception as e:  # noqa: BLE001
+            errors["st04_events_per_sec"] = str(e).split("\n")[0][:200]
+
+        # document/container decode rates (pure-Python kernels over
+        # mapInPandas — volumes bounded to their measured per-item
+        # cost class, recorded alongside)
+        from nowdb_spark.operators import multimodal as MM2
+        n_25k = min(n_imgs, 25_000)
+        n_50k = min(n_imgs, 50_000)
+        ids25 = ids.filter(F.col("doc_id") < n_25k)
+        ids50 = ids.filter(F.col("doc_id") < n_50k)
+        rate("dc02_docs_per_sec", n_50k,
+             lambda: MM2.epub_text_real(MM2.synth_epubs(ids50))
+             .agg(F.count(F.lit(1))).collect(),
+             extra={"dc02_docs": n_50k})
+        rate("dc03_docs_per_sec", n_50k,
+             lambda: MM2.docx_text_real(MM2.synth_docx(ids50))
+             .agg(F.count(F.lit(1))).collect(),
+             extra={"dc03_docs": n_50k})
+        rate("mm20_imgs_per_sec", n_25k,
+             lambda: MM2.webp_ext_meta_real(
+                 MM2.synth_webps_extended(ids25))
+             .agg(F.count(F.lit(1))).collect(),
+             extra={"mm20_imgs": n_25k})
+        rate("mm23_clips_per_sec", n_imgs,
+             lambda: MM2.trim_silence_real(MM2.synth_audio(ids))
+             .agg(F.count(F.lit(1))).collect())
+        rate("mm24_vids_per_sec", n_25k,
+             lambda: MM2.scene_cuts_real(MM2.synth_videos(ids25))
+             .agg(F.count(F.lit(1))).collect(),
+             extra={"mm24_vids": n_25k})
+        rate("mm25_imgs_per_sec", n_25k,
+             lambda: MM2.tiff_decode_real(
+                 MM2.synth_tiff_rasters(ids25))
+             .agg(F.count(F.lit(1))).collect(),
+             extra={"mm25_imgs": n_25k})
+        n_jar = min(n_imgs, 12_500)
+        rate("mm26_imgs_per_sec", n_jar,
+             lambda: MM2.decode_meta_real(
+                 MM2.synth_jpegs_arith(
+                     ids.filter(F.col("doc_id") < n_jar)))
+             .agg(F.count(F.lit(1))).collect(),
+             extra={"mm26_imgs": n_jar})
+        rate("mm31_clips_per_sec", n_25k,
+             lambda: MM2.mp2_granules_real(MM2.synth_mp2(ids25))
+             .agg(F.sum("q_sum")).collect(),
+             extra={"mm31_clips": n_25k,
+                    "mm31_granules_per_clip": 36})
+
+        # shard-container rates: zip, arrow-IPC, npy (synth once to
+        # parquet, timed = parse + regroup like wd01/wd06-11)
+        from nowdb_spark.sources import tensors as TSR2
+        from nowdb_spark.sources import ziparchive as ZA
+
+        def _shards_of(builder, subdir, src_ids):
+            def kern(batches):
+                import pandas as _pd
+                for pdf in batches:
+                    yield _pd.DataFrame({
+                        "doc_id": pdf["doc_id"].values,
+                        "payload": [builder(int(x))
+                                    for x in pdf["doc_id"]]})
+            path = f"{tmp}/{subdir}"
+            src_ids.mapInPandas(kern, "doc_id long, payload binary") \
+                .write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+
+        try:
+            def _zip_payload(did):
+                members = []
+                for s in range(did % 3 + 1):
+                    members.append((f"{did}_{s}.txt",
+                                    f"d{did} s{s}".encode()))
+                    members.append((f"{did}_{s}.cls",
+                                    str((did + s) % 10).encode()))
+                return ZA.encode_zip(members, compress=did % 2 == 0)
+
+            zsrc = _shards_of(_zip_payload, "zipsh", ids)
+            rate("wd02_shards_per_sec", n_imgs,
+                 lambda: ZA.parse_zip_bytes(zsrc)
+                 .groupBy("doc_id", "basename")
+                 .agg(F.count(F.lit(1)).alias("n"))
+                 .agg(F.sum("n")).collect(),
+                 extra={"wd02_shards": n_imgs})
+
+            def _npy_payload(did):
+                import numpy as _np
+                r, c = did % 4 + 1, did % 3 + 2
+                vals = [[(did * 7 + i * 13 + j * 3) % 1001 - 500
+                         for j in range(c)] for i in range(r)]
+                arr = _np.array(vals, dtype=_np.float32
+                                if did % 2 == 0 else _np.int64)
+                return TSR2.encode_npy(arr, version=did % 3 + 1,
+                                       fortran=did % 5 == 0)
+
+            nsrc = _shards_of(_npy_payload, "npysh", ids)
+            rate("wd05_shards_per_sec", n_imgs,
+                 lambda: TSR2.read_npy_shards(nsrc)
+                 .agg(F.count(F.lit(1))).collect(),
+                 extra={"wd05_shards": n_imgs})
+
+            def _arrow_payload(did):
+                import pyarrow as _pa
+                n = did % 4 + 2
+                tbl = _pa.table({
+                    "sample_id": _pa.array(
+                        [did * 1000 + i for i in range(n)],
+                        _pa.int64()),
+                    "score": _pa.array(
+                        [((did + i * 3) % 100) / 4.0
+                         for i in range(n)], _pa.float64()),
+                    "tag": _pa.array([f"t{(did + i) % 3}"
+                                      for i in range(n)])})
+                sink = _pa.BufferOutputStream()
+                with _pa.ipc.new_file(sink, tbl.schema) as wtr:
+                    for bb in tbl.to_batches(max_chunksize=2):
+                        wtr.write_batch(bb)
+                return sink.getvalue().to_pybytes()
+
+            asrc = _shards_of(_arrow_payload, "arrsh", ids)
+            rate("wd04_shards_per_sec", n_imgs,
+                 lambda: TSR2.read_arrow_shards(
+                     asrc, "doc_id long, sample_id long, "
+                     "score double, tag string")
+                 .agg(F.count(F.lit(1))).collect(),
+                 extra={"wd04_shards": n_imgs})
+        except Exception as e:  # noqa: BLE001
+            errors["wd_shard_rates"] = str(e).split("\n")[0][:200]
+
+        # wd03 composed multimodal samples: tar shard -> member walk
+        # -> sample regroup -> VP8L sample decode + caption tokens
+        try:
+            from nowdb_spark.operators.textops import token_count
+            from nowdb_spark.operators.webpcodec import make_webp_codec
+            from nowdb_spark.sources import webdataset as WD2
+            wcodec = make_webp_codec()
+
+            def _mm_tar(did):
+                import io
+                import tarfile
+                px = [0xFF000000
+                      | (((did * 3 + x + y) % 8) << 16)
+                      | (((did + 2 * x) % 8) << 8)
+                      | ((did * 5 + y) % 8)
+                      for y in range(4) for x in range(4)]
+                img = wcodec.encode(px, 4, 4)
+                cap = f"caption for sample {did} with words"
+                buf = io.BytesIO()
+                with tarfile.open(fileobj=buf, mode="w") as tf:
+                    for ext, payload in (("webp", img),
+                                         ("txt", cap.encode())):
+                        ti = tarfile.TarInfo(f"{did:08d}.{ext}")
+                        ti.size = len(payload)
+                        tf.addfile(ti, io.BytesIO(payload))
+                return buf.getvalue()
+
+            wd3src = _shards_of(_mm_tar, "wd3sh", ids25)
+
+            def _wd03_run():
+                samples = (WD2.sample_regroup(wd3src)
+                    .select("doc_id",
+                            F.element_at("parts", "webp")
+                            .alias("img"),
+                            F.decode(F.element_at("parts", "txt"),
+                                     "utf-8").alias("caption")))
+                feats = MM2.webp_features_real(
+                    samples.select("doc_id",
+                                   F.col("img").alias("payload")))
+                return (samples.join(feats, "doc_id")
+                        .select(token_count(F.col("caption"))
+                                .alias("nt"))
+                        .agg(F.sum("nt")).collect())
+
+            rate("wd03_samples_per_sec", n_25k, _wd03_run,
+                 extra={"wd03_samples": n_25k})
+        except Exception as e:  # noqa: BLE001
+            errors["wd03_samples_per_sec"] = str(e).split("\n")[0][:200]
+
         dim = 64
         vec = F.transform(
             F.sequence(F.lit(0), F.lit(dim - 1)),
@@ -861,6 +1259,31 @@ def main() -> None:
                      kernel="pandas",
                      pair_kernel="arrow").filter("is_dup").count(),
                  extra={"vectors": n_vecs})
+            # batch forms of the ann09/ann10 gate rows at 1M corpus /
+            # 100 queries (coarse 50 → exact rerank, both stages)
+            rate("ann09_vecs_per_sec", n_vecs,
+                 lambda: S.matryoshka_topk_batch(
+                     vsrc, queries, k=10, coarse=50,
+                     prefix=16).count(),
+                 extra={"ann09_prefix": 16, "ann09_coarse": 50})
+            rate("ann10_vecs_per_sec", n_vecs,
+                 lambda: S.binary_quant_topk_batch(
+                     vsrc, queries, k=10, coarse=50).count(),
+                 extra={"ann10_coarse": 50})
+            # MaxSim late interaction: corpus vectors as one-token
+            # docs (8 per doc), an 8-token query bag — the exact
+            # ColBERT baseline at 1M token vectors
+            mq = (spark.range(8)
+                  .select((F.col("id") * 131071).alias("id"))
+                  .select(F.col("id").alias("qtok_id"),
+                          vec.alias("qvec")))
+            toks = vsrc.select(
+                (F.col("vec_id") / 8).cast("long").alias("doc_id"),
+                "embedding")
+            rate("ann11_tokvecs_per_sec", n_vecs,
+                 lambda: S.maxsim_topk(toks, mq, k=10).count(),
+                 extra={"ann11_query_tokens": 8,
+                        "ann11_tokens_per_doc": 8})
 
             # ANN QUALITY at full bench volume: recall@10 of each
             # approximate index vs exact cosine ground truth,
@@ -950,6 +1373,15 @@ def main() -> None:
                        csrc, cqueries, k=10, n_centroids=256,
                        n_probe=16, iters=2, kernel="pandas"),
                    {"ann04_n_centroids": 256, "ann04_n_probe": 16})
+            recall("ann09_recall_at_10",
+                   lambda: S.matryoshka_topk_batch(
+                       csrc, cqueries, k=10, coarse=50, prefix=16),
+                   {"ann09_recall_prefix": 16,
+                    "ann09_recall_coarse": 50})
+            recall("ann10_recall_at_10",
+                   lambda: S.binary_quant_topk_batch(
+                       csrc, cqueries, k=10, coarse=50),
+                   {"ann10_recall_coarse": 50})
             # IVFADC production form: residual encoding + codebooks
             # trained on the residuals of a bounded sample (the LCG
             # books exist for the bit-exact oracle, not for quality).

@@ -629,3 +629,47 @@ def write_training_shards(packed: DataFrame, out_dir: str,
      .option("maxRecordsPerFile", rows_per_file)
      .parquet(out_dir))
     return int(n_seqs) + 1
+
+
+def kneser_ney_bigram_scores(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             discount: float = 0.75) -> DataFrame:
+    """Interpolated Kneser–Ney bigram LM, trained AND applied in one
+    pass over the corpus (the fluency-scoring signal KenLM-style
+    filters use; Chen & Goodman 1999's estimator):
+
+        P(w2|w1) = max(c(w1 w2) − D, 0)/c(w1·)
+                   + D·N1+(w1 ·)/c(w1·) · Pcont(w2)
+        Pcont(w2) = N1+(· w2) / |distinct bigram types|
+
+    Every quantity is a corpus aggregate (bigram counts, left/right
+    continuation type counts, type total) joined back to the exploded
+    bigrams — four keyed shuffles total, all JVM, no driver-side
+    model table. Emits per-doc (n_bigrams, avg_logp) with avg_logp =
+    mean ln P over the doc's bigrams, rounded to 6 decimals (both
+    engines evaluate the identical double expression per bigram;
+    the mean is over ≤ doc-length terms, summation noise ≪ 1e-6)."""
+    ws = F.split(F.col(text_col), " ")
+    bg = (df.select(id_col, F.posexplode(F.zip_with(
+            F.slice(ws, 1, F.size(ws) - 1),
+            F.slice(ws, 2, F.size(ws) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
+          .alias("pos", "p"))
+          .select(id_col, "pos", "p.w1", "p.w2"))
+    cxy = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cxy"))
+    left = (cxy.groupBy("w1")
+            .agg(F.sum("cxy").alias("cx"),
+                 F.count(F.lit(1)).alias("n_follow")))
+    cont = cxy.groupBy("w2").agg(F.count(F.lit(1)).alias("n_prec"))
+    n_types = cxy.agg(F.count(F.lit(1)).cast("double")
+                      .alias("n_types"))
+    d = F.lit(float(discount))
+    p = ((F.greatest(F.col("cxy") - d, F.lit(0.0)) / F.col("cx"))
+         + (d * F.col("n_follow") / F.col("cx"))
+         * (F.col("n_prec") / F.col("n_types")))
+    scored = (bg.join(cxy, ["w1", "w2"]).join(left, "w1")
+              .join(cont, "w2").crossJoin(F.broadcast(n_types))
+              .select(id_col, F.log(p).alias("logp")))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(F.avg("logp"), 6).alias("avg_logp")))

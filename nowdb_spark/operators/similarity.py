@@ -1129,3 +1129,189 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
                          F.round(d2, 6).alias("dist"))
             .withColumn("rnk", F.row_number().over(w2))
             .filter(F.col("rnk") <= k))
+
+
+def matryoshka_topk_batch(corpus: DataFrame, queries: DataFrame,
+                          k: int = 10, coarse: int = 50,
+                          prefix: int = 16, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          qid_col: str = "qid",
+                          qvec_col: str = "qvec") -> DataFrame:
+    """Matryoshka retrieval funnel at batch scale (ann09's shape at
+    bench/production volume): coarse exact top-``coarse`` on the
+    first ``prefix`` dims (1/4 the dot-product FLOPs via the
+    partition-local top-k + merge primitive — no |corpus|·|Q| blowup),
+    then exact FULL-dim cosine rerank of only nq·coarse candidates
+    (candidate ids join back to the corpus, queries broadcast). The
+    corpus is scanned once per stage; the rerank join touches a
+    candidate sliver. Returns (qid, vec_id, sim, rnk) like the other
+    batch retrievers."""
+    pref = corpus.select(
+        id_col, F.slice(F.col(vec_col), 1, prefix).alias(vec_col))
+    qpref = queries.select(
+        qid_col, F.slice(F.col(qvec_col), 1, prefix).alias(qvec_col))
+    cand = brute_force_topk_batch(pref, qpref, k=coarse,
+                                  id_col=id_col, vec_col=vec_col,
+                                  qid_col=qid_col, qvec_col=qvec_col)
+    full = (cand.select(qid_col, id_col)
+            .join(corpus.select(id_col, vec_col), id_col)
+            .join(F.broadcast(queries.select(qid_col, qvec_col)),
+                  qid_col))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b,
+                       lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v)
+
+    sim = F.round(
+        dot(F.col(vec_col), F.col(qvec_col))
+        / (F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
+           * F.sqrt(dot(F.col(qvec_col), F.col(qvec_col)))), 6)
+    w = W.partitionBy(qid_col).orderBy(F.col("sim").desc(),
+                                       F.col(id_col))
+    return (full.select(qid_col, id_col, sim.alias("sim"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k))
+
+
+def binary_quant_topk_batch(corpus: DataFrame, queries: DataFrame,
+                            k: int = 10, coarse: int = 50,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            qid_col: str = "qid",
+                            qvec_col: str = "qvec") -> DataFrame:
+    """Binary-quantization retrieval at batch scale (ann10's shape at
+    bench/production volume): sign-bit pack every vector into
+    ceil(dim/64) uint64 words, Hamming-distance coarse top-``coarse``
+    per query via a partition-local numpy scan (xor + 16-bit-LUT
+    popcount — the 64×-cheaper coarse pass), exact full-precision
+    cosine rerank of the nq·coarse survivors. Same merge logic as
+    brute_force_topk_batch: top-k of a union is the union of per-part
+    top-ks, so the coarse cut is exact over the packed codes; ties
+    break on (distance, id) lexicographic order in both stages."""
+    import numpy as np
+    import pandas as pd
+    globals().setdefault("pd", pd)
+
+    qrows = queries.select(qid_col, qvec_col).collect()
+    if not qrows:
+        return brute_force_topk_batch(corpus, queries, k=k)
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    dim = Q.shape[1]
+    nw = (dim + 63) // 64
+    lut = np.array([bin(i).count("1") for i in range(1 << 16)],
+                   dtype=np.uint8)
+
+    def pack(M):
+        bits = (M > 0).astype(np.uint8)
+        padded = np.zeros((len(M), nw * 64), dtype=np.uint8)
+        padded[:, :dim] = bits
+        # packbits is big-endian per byte; view as uint16 halves for
+        # the LUT — layout only needs to be CONSISTENT between corpus
+        # and queries, not canonical
+        return np.packbits(padded, axis=1)
+
+    QP = pack(Q)
+    nq = len(qids)
+    schema = f"{qid_col} long, {id_col} long, hamming long"
+
+    def part(batches):
+        b_ids = [[] for _ in range(nq)]
+        b_hd = [[] for _ in range(nq)]
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            P = pack(M)                        # (B, nw*8) uint8
+            top = min(coarse, len(ids))
+            for j in range(nq):
+                x = (P ^ QP[j][None, :]).view(np.uint16)
+                hd = lut[x].sum(axis=1).astype(np.int64)
+                sel = np.lexsort((ids, hd))[:top]
+                b_ids[j].append(ids[sel])
+                b_hd[j].append(hd[sel])
+        out = {qid_col: [], id_col: [], "hamming": []}
+        for j in range(nq):
+            if not b_ids[j]:
+                continue
+            ii = np.concatenate(b_ids[j])
+            hh = np.concatenate(b_hd[j])
+            sel = np.lexsort((ii, hh))[:coarse]
+            out[qid_col].append(np.full(len(sel), qids[j]))
+            out[id_col].append(ii[sel])
+            out["hamming"].append(hh[sel])
+        if out[qid_col]:
+            yield pd.DataFrame({c: np.concatenate(v)
+                                for c, v in out.items()})
+
+    wc = W.partitionBy(qid_col).orderBy(F.col("hamming").asc(),
+                                        F.col(id_col))
+    cand = (corpus.select(id_col, vec_col).mapInPandas(part, schema)
+            .withColumn("crnk", F.row_number().over(wc))
+            .filter(F.col("crnk") <= coarse))
+    full = (cand.select(qid_col, id_col)
+            .join(corpus.select(id_col, vec_col), id_col)
+            .join(F.broadcast(queries.select(qid_col, qvec_col)),
+                  qid_col))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b,
+                       lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v)
+
+    sim = F.round(
+        dot(F.col(vec_col), F.col(qvec_col))
+        / (F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
+           * F.sqrt(dot(F.col(qvec_col), F.col(qvec_col)))), 6)
+    w = W.partitionBy(qid_col).orderBy(F.col("sim").desc(),
+                                       F.col(id_col))
+    return (full.select(qid_col, id_col, sim.alias("sim"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k))
+
+
+def maxsim_topk(doc_tokens: DataFrame, query_tokens: DataFrame,
+                k: int = 10, doc_col: str = "doc_id",
+                vec_col: str = "embedding",
+                qtok_col: str = "qtok_id",
+                qvec_col: str = "qvec") -> DataFrame:
+    """ColBERT-style late-interaction retrieval (MaxSim): documents
+    and the query are BAGS of token embeddings; score(q, d) =
+    Σ_{query tokens} max_{doc tokens} cos(q_i, d_j). The shape that
+    makes late interaction scale: the query bag is tiny and
+    BROADCAST, so the corpus token table is scanned once map-side
+    (|corpus tokens| · |query tokens| rows, no shuffle to build),
+    then two keyed reductions — max per (doc, query-token), sum per
+    doc — and a TakeOrdered top-k. No all-pairs doc×doc work, no
+    index; the exact late-interaction baseline an IVF/PLAID-style
+    index is later validated against.
+
+    Returns (doc_id, score, rnk). Cosines round to 6 decimals and the
+    per-(doc, qtok) max is over rounded values, so ranking is
+    engine-deterministic (ties at the k boundary break on doc id).
+    """
+    q = F.broadcast(query_tokens.select(qtok_col, qvec_col))
+    joined = doc_tokens.select(doc_col, vec_col).crossJoin(q)
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b,
+                       lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v)
+
+    cos = F.round(
+        dot(F.col(vec_col), F.col(qvec_col))
+        / (F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
+           * F.sqrt(dot(F.col(qvec_col), F.col(qvec_col)))), 6)
+    per_qtok = (joined.select(doc_col, qtok_col, cos.alias("sim"))
+                .groupBy(doc_col, qtok_col)
+                .agg(F.max("sim").alias("msim")))
+    scores = (per_qtok.groupBy(doc_col)
+              .agg(F.round(F.sum("msim"), 6).alias("score")))
+    return (scores.orderBy(F.desc("score"), doc_col).limit(k)
+            .select(doc_col, "score",
+                    F.row_number().over(
+                        W.orderBy(F.desc("score"), doc_col))
+                    .alias("rnk")))

@@ -612,3 +612,73 @@ def parse_html_tables(df: DataFrame, html_col: str = "html",
         F.col("row_idx").cast("long").alias("row_idx"),
         F.col("col_idx").cast("long").alias("col_idx"),
         cell.alias("cell"))
+
+
+# --------------------------------------------------------------
+# Public-suffix registrable-domain extraction (eTLD+1) — the crawl
+# frontier / per-site grouping key (robots scope, politeness queues,
+# per-site dedup all key on it). Algorithm per publicsuffix.org: the
+# prevailing rule is the matching EXCEPTION rule if any (its suffix
+# is the rule minus its leftmost label), else the LONGEST matching
+# rule (wildcard '*.x' matches one extra label), else the implicit
+# default rule '*'; the registrable domain is the public suffix plus
+# exactly one more label, NULL when the host IS a public suffix.
+# The embedded rule set is a representative SUBSET of the public
+# suffix list (the full PSL is a continuously-updated data file;
+# swap PSL_NORMAL/PSL_WILDCARD/PSL_EXCEPTION out for a full load).
+PSL_NORMAL = [
+    "com", "org", "net", "edu", "gov", "mil", "int", "info", "biz",
+    "io", "co", "ai", "dev", "app",
+    "uk", "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk",
+    "jp", "co.jp", "ne.jp", "ac.jp", "or.jp",
+    "au", "com.au", "net.au", "org.au", "edu.au",
+    "de", "fr", "nl", "it", "es", "pl", "se",
+    "br", "com.br", "net.br", "org.br",
+    "cn", "com.cn", "net.cn", "org.cn",
+    "in", "co.in", "net.in", "org.in",
+    "us", "ca", "ru", "ch", "at", "be",
+    # private-section entries behave identically in the algorithm
+    "github.io", "blogspot.com", "s3.amazonaws.com",
+]
+PSL_WILDCARD = ["ck", "bd", "er", "fk"]       # '*.ck' etc.
+PSL_EXCEPTION = ["www.ck", "city.kawasaki.jp"]
+
+
+def registrable_domain(col):
+    """Column expression: registrable domain (eTLD+1) of a lowercase
+    hostname, entirely JVM-side (split + slice + array membership
+    over the literal rule arrays — codegen-friendly, zero shuffle).
+    Returns NULL for hosts that are themselves public suffixes."""
+    host = F.lower(col)
+    labels = F.split(host, "\\.")
+    n = F.size(labels)
+
+    def suffix(i):
+        return F.concat_ws(".", F.slice(labels, -i, i))
+
+    idx = F.sequence(F.lit(1), n)
+
+    def best_len(rules, extra):
+        # longest i whose suffix(i) is in `rules`; matched length is
+        # i + extra (wildcard rules cover one more label)
+        hits = F.filter(idx, lambda i: F.array_contains(
+            F.array(*[F.lit(r) for r in rules]),
+            F.concat_ws(".", F.slice(labels, -i, i))))
+        return F.when(F.size(hits) > 0,
+                      F.array_max(hits) + F.lit(extra))
+
+    exc = F.filter(idx, lambda i: F.array_contains(
+        F.array(*[F.lit(r) for r in PSL_EXCEPTION]),
+        F.concat_ws(".", F.slice(labels, -i, i))))
+    ps_len = (F.when(F.size(exc) > 0, F.array_max(exc) - F.lit(1))
+              .otherwise(F.greatest(
+                  F.coalesce(best_len(PSL_NORMAL, 0), F.lit(1)),
+                  # a wildcard rule needs a real label in *-position
+                  F.coalesce(
+                      F.when(best_len(PSL_WILDCARD, 1) <= n,
+                             best_len(PSL_WILDCARD, 1)),
+                      F.lit(1)),
+                  F.lit(1))))
+    reg = F.concat_ws(".", F.slice(labels, -(ps_len + 1),
+                                   ps_len + 1))
+    return F.when(n > ps_len, reg)

@@ -28,18 +28,19 @@ PRIORITY_ORDER = [
     # documents
     "dc01_pdf_extract",
     # graph
-    "g02_triangles", "g03_components", "g06_label_prop",
+    "g03_components", "g06_label_prop",
     # dedup
     "wc06_url_canonicalize", "wc05_crawl_pipeline",
-    "dd10_dedup_canonical", "mm29_phash", "di01_incremental_lsh",
+    "dd10_dedup_canonical", "mm29_phash", "ann11_maxsim",
     # text analysis / quality
     "tx14_nfc_normalize", "qc01_quality_classifier",
     "qc04_banlist_scan",
     # similarity search
     "ann03_lsh_topk", "ann10_binary_quant",
-    # multimodal (image / audio / video, real sample decode)
+    # multimodal (image / audio / video, real sample decode + DSP)
     "mm19_webp_decode", "mm26_jpeg_arith_decode", "mm11_flac_decode",
     "mm31_mp2_decode", "mm27_log_mel", "mm30_h264_ipcm",
+    "mm33_mdct_roundtrip",
     # time-series + streaming
     "ts12_interval_join", "st01_stream_window_agg",
     "st03_stream_interval_join",

@@ -4625,3 +4625,255 @@ def mm31(spark, sf):
     d = spread(table(spark, sf, "documents")
                .where(F.col("doc_id") % 2 == 0))
     return M.mp2_granules_real(M.synth_mp2(d))
+
+
+# ------------------------------------------------------------------
+# Late-interaction retrieval (ann11): ColBERT MaxSim — docs and the
+# query are BAGS of token embeddings (here: 5 consecutive vec_ids
+# form one doc's token bag; doc 0's bag is the query), score(q,d) =
+# Σ_qtok max_dtok cos. The broadcast-query/two-reduction shape is the
+# exact late-interaction baseline; oracle replays both reductions.
+@register(
+    "ann11_maxsim",
+    """
+    WITH t AS (
+      SELECT vec_id // 5 AS doc_id, vec_id,
+             list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings),
+    q AS (SELECT vec_id AS qtok_id, v AS qv FROM t WHERE doc_id = 0),
+    c AS (SELECT doc_id, vec_id, v FROM t WHERE doc_id <> 0),
+    sims AS (
+      SELECT c.doc_id, q.qtok_id,
+             max(round(list_dot_product(c.v, q.qv)
+                       / (sqrt(list_dot_product(c.v, c.v))
+                          * sqrt(list_dot_product(q.qv, q.qv))), 6))
+               AS msim
+      FROM c, q GROUP BY 1, 2),
+    sc AS (SELECT doc_id, round(sum(msim), 6) AS score
+           FROM sims GROUP BY 1),
+    top AS (SELECT doc_id, score FROM sc
+            ORDER BY score DESC, doc_id LIMIT 10)
+    SELECT doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                AS INT) AS rnk
+    FROM top
+    """,
+    doc="ColBERT-style late-interaction retrieval (MaxSim): "
+        "score(q,d) = sum over query tokens of the max cosine "
+        "against the doc's token bag — broadcast query bag, corpus "
+        "scanned once map-side, two keyed reductions, TakeOrdered "
+        "top-k; both reductions oracle-replayed",
+)
+def ann11(spark, sf):
+    e = table(spark, sf, "embeddings")
+    toks = e.select((F.col("vec_id") / 5).cast("long").alias("doc_id"),
+                    "vec_id", "embedding")
+    q = (toks.filter(F.col("doc_id") == 0)
+         .select(F.col("vec_id").alias("qtok_id"),
+                 F.col("embedding").alias("qvec")))
+    corpus = toks.filter(F.col("doc_id") != 0)
+    return S.maxsim_topk(corpus, q, k=10)
+
+
+# ------------------------------------------------------------------
+# Registrable domain / eTLD+1 (wc08): the crawl-frontier grouping
+# key. Hosts synthesized from doc_id to hit every rule class —
+# normal multi-label suffixes (co.uk), private-section entries
+# (github.io), wildcard (*.ck), the www.ck exception, bare public
+# suffixes (NULL), and unknown TLDs (default '*' rule). Oracle
+# replays the publicsuffix.org algorithm in SQL over the same
+# embedded rule arrays.
+def _wc08_oracle() -> str:
+    from nowdb_spark.sources.warc import (PSL_EXCEPTION, PSL_NORMAL,
+                                          PSL_WILDCARD)
+
+    def arr(xs):
+        return "[" + ", ".join(f"'{x}'" for x in xs) + "]"
+
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+        CASE doc_id % 7
+          WHEN 0 THEN 'www.site' || (doc_id % 50) || '.com'
+          WHEN 1 THEN 'a.b.site' || (doc_id % 50) || '.co.uk'
+          WHEN 2 THEN 'user' || (doc_id % 50) || '.github.io'
+          WHEN 3 THEN 'x.y' || (doc_id % 50) || '.ck'
+          WHEN 4 THEN 'www.ck'
+          WHEN 5 THEN 'co.uk'
+          ELSE 'host' || (doc_id % 50) || '.unknowntld'
+        END AS host
+      FROM documents),
+    lab AS (
+      SELECT doc_id, host, string_split(host, '.') AS ls,
+             len(string_split(host, '.')) AS n
+      FROM d),
+    m AS (
+      SELECT doc_id, host, ls, n,
+        list_filter(range(1, n + 1), i ->
+          list_contains({arr(PSL_EXCEPTION)},
+                        array_to_string(ls[n - i + 1:n], '.')))
+          AS exc,
+        list_filter(range(1, n + 1), i ->
+          list_contains({arr(PSL_NORMAL)},
+                        array_to_string(ls[n - i + 1:n], '.')))
+          AS nrm,
+        list_filter(range(1, n + 1), i ->
+          list_contains({arr(PSL_WILDCARD)},
+                        array_to_string(ls[n - i + 1:n], '.')))
+          AS wld
+      FROM lab),
+    ps AS (
+      SELECT doc_id, host, ls, n,
+        CASE WHEN len(exc) > 0 THEN list_max(exc) - 1
+             ELSE greatest(
+               coalesce(list_max(nrm), 1),
+               CASE WHEN len(wld) > 0
+                         AND list_max(wld) + 1 <= n
+                    THEN list_max(wld) + 1 ELSE 1 END,
+               1) END AS pl
+      FROM m)
+    SELECT doc_id, host,
+           CASE WHEN n > pl
+                THEN array_to_string(ls[n - pl:n], '.') END
+             AS registrable
+    FROM ps
+    """
+
+
+@register(
+    "wc08_registrable_domain",
+    _wc08_oracle(),
+    doc="public-suffix registrable-domain extraction (eTLD+1, the "
+        "publicsuffix.org algorithm: exception > longest rule > "
+        "wildcard +1 label > default '*'): the crawl frontier / "
+        "politeness / per-site-dedup grouping key, entirely JVM "
+        "(split + slice + literal-array membership, zero shuffle); "
+        "oracle replays the rule walk over the same embedded subset",
+)
+def wc08(spark, sf):
+    from nowdb_spark.sources.warc import registrable_domain
+
+    d = table(spark, sf, "documents")
+    host = (
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit("www.site"), F.col("doc_id") % 50,
+                        F.lit(".com")))
+        .when(F.col("doc_id") % 7 == 1,
+              F.concat(F.lit("a.b.site"), F.col("doc_id") % 50,
+                       F.lit(".co.uk")))
+        .when(F.col("doc_id") % 7 == 2,
+              F.concat(F.lit("user"), F.col("doc_id") % 50,
+                       F.lit(".github.io")))
+        .when(F.col("doc_id") % 7 == 3,
+              F.concat(F.lit("x.y"), F.col("doc_id") % 50,
+                       F.lit(".ck")))
+        .when(F.col("doc_id") % 7 == 4, F.lit("www.ck"))
+        .when(F.col("doc_id") % 7 == 5, F.lit("co.uk"))
+        .otherwise(F.concat(F.lit("host"), F.col("doc_id") % 50,
+                            F.lit(".unknowntld"))))
+    return d.select("doc_id", host.alias("host"),
+                    registrable_domain(host).alias("registrable"))
+
+
+# ------------------------------------------------------------------
+# Kneser–Ney bigram LM scoring (tx16): the corpus-level fluency
+# signal (KenLM-style) — interpolated KN estimator trained and
+# applied in one pass, everything a corpus aggregate; oracle replays
+# bigram counts, continuation type counts, the discounted
+# interpolation and the per-doc mean log-prob.
+@register(
+    "tx16_kneser_ney",
+    f"""
+    WITH {_WORDS_CTE},
+    bg AS (
+      SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+      FROM (SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws) - 1)) AS i
+            FROM words)),
+    cxy AS (SELECT w1, w2, count(*) AS cxy FROM bg GROUP BY 1, 2),
+    lft AS (SELECT w1, sum(cxy) AS cx, count(*) AS n_follow
+            FROM cxy GROUP BY 1),
+    cont AS (SELECT w2, count(*) AS n_prec FROM cxy GROUP BY 1),
+    nt AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM cxy),
+    sc AS (
+      SELECT bg.doc_id,
+             ln(greatest(cxy.cxy - 0.75, 0.0) / lft.cx
+                + (0.75 * lft.n_follow / lft.cx)
+                  * (cont.n_prec / nt.n_types)) AS logp
+      FROM bg JOIN cxy USING (w1, w2) JOIN lft USING (w1)
+              JOIN cont USING (w2) CROSS JOIN nt)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(logp), 6) AS avg_logp
+    FROM sc GROUP BY 1
+    """,
+    doc="interpolated Kneser-Ney bigram language model (Chen & "
+        "Goodman estimator) trained and applied over the corpus in "
+        "one pass: discounted bigram ML + continuation-probability "
+        "backoff, per-doc mean log-prob — the fluency filter signal; "
+        "four keyed aggregates, all JVM, oracle-replayed end-to-end",
+)
+def tx16(spark, sf):
+    from nowdb_spark.operators.corpus import kneser_ney_bigram_scores
+
+    return kneser_ney_bigram_scores(table(spark, sf, "documents"))
+
+
+# ------------------------------------------------------------------
+# MDCT / TDAC round trip (mm33): the lapped transform at the heart
+# of MP3/AAC/Vorbis/CELT — forward N=36 MDCT (sine window), inverse,
+# 50%-overlap-add. The oracle replays the forward transform as the
+# O(N²) definition with the basis/window constants inlined
+# bit-identically, and checks the reconstruction against the
+# CLOSED-FORM input segment sums (Princen–Bradley TDAC makes
+# overlap-add reconstruction exact, so a wrong inverse or a wrong
+# window breaks recon_sum immediately).
+def _mm33_oracle() -> str:
+    from nowdb_spark.operators.dsp import mdct_basis, mdct_window
+
+    C = mdct_basis()
+    cflat = ", ".join(repr(v) for row in C for v in row)   # [k*36+n]
+    wlit = ", ".join(repr(v) for v in mdct_window())
+    return f"""
+    WITH consts AS (SELECT [{cflat}]::DOUBLE[] AS cb,
+                           [{wlit}]::DOUBLE[] AS wn),
+    d AS (SELECT doc_id, doc_id % 5 + 3 AS h FROM documents),
+    fr AS (SELECT doc_id, h, unnest(range(0, h - 1)) AS f FROM d),
+    xk AS (
+      SELECT doc_id, h, f, k,
+        list_aggregate(list_transform(range(0, 36), n ->
+          wn[n + 1]
+          * (((doc_id*7 + (18*f + n)*13) % 2001) - 1000)
+          * cb[k*36 + n + 1]), 'sum') AS xv
+      FROM fr, unnest(range(0, 18)) t(k) CROSS JOIN consts),
+    spec AS (
+      SELECT doc_id, f,
+             round(sum(xv), 3) AS spec_sum,
+             round(sum(abs(xv)), 3) AS spec_abs_sum,
+             max(h) AS h
+      FROM xk GROUP BY 1, 2)
+    SELECT doc_id, CAST(f AS BIGINT) AS frame, spec_sum,
+           spec_abs_sum,
+           CASE WHEN f < h - 2 THEN round(CAST(
+             (SELECT sum(((doc_id*7 + (18*(f+1) + i)*13) % 2001)
+                         - 1000)
+              FROM unnest(range(0, 18)) s(i)) AS DOUBLE), 3)
+           END AS recon_sum
+    FROM spec
+    """
+
+
+@register(
+    "mm33_mdct_roundtrip",
+    _mm33_oracle(),
+    doc="MDCT/TDAC lapped-transform primitive (N=36, sine window — "
+        "MP3's long block): forward transform oracle-replayed by the "
+        "O(N²) definition with bit-identical basis constants, and "
+        "the inverse+overlap-add verified against closed-form input "
+        "segment sums via the Princen-Bradley perfect-reconstruction "
+        "property — the transform layer of the remaining MDCT-family "
+        "decode gate",
+)
+def mm33(spark, sf):
+    from nowdb_spark.operators.dsp import mdct_roundtrip_real
+
+    return mdct_roundtrip_real(spread(table(spark, sf, "documents")))

