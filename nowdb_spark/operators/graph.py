@@ -375,3 +375,60 @@ def label_propagation(edges: DataFrame, rounds: int = 4,
                           .alias("label")))
         labels = labels.localCheckpoint(eager=True)
     return labels.select("node", F.col("label").alias("community"))
+
+
+def hyperball(edges: DataFrame, rounds: int = 2,
+              src: str = "src", dst: str = "dst") -> DataFrame:
+    """HyperBall (Boldi & Vigna's distributed approximate
+    neighborhood function): per node, an HLL register sketch of the
+    ≤``rounds``-hop ball, grown by register-max merges along edges —
+    THE way to estimate per-node reach / effective diameter on
+    graphs where exact BFS frontiers would explode. Round cost: one
+    join + one (node, register) max aggregate; sketches are
+    mergeable so every step is an associative shuffle, and per-round
+    localCheckpoint cuts the iterative lineage (g03/g04 discipline).
+    State per node is HLL_M registers — O(nodes·m), independent of
+    ball sizes.
+
+    Reuses the repo's HLL machinery (operators/sketches.py) so the
+    register arithmetic (md5 bucket/rank, integer-scaled harmonic
+    sum, linear-counting branch) is oracle-replayable value-exact.
+    Returns (node, n_registers_set, estimate≈|ball(node, rounds)|)."""
+    from nowdb_spark.operators.sketches import (HLL_ALPHA, HLL_M,
+                                                HLL_RANK_BITS,
+                                                _hll_register_exprs)
+
+    und = undirect(edges, src, dst).localCheckpoint(eager=True)
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    reg_sql, rank_sql = _hll_register_exprs("node", "spark")
+    sk = (nodes.select("node", F.expr(reg_sql).alias("register"),
+                       F.expr(rank_sql).alias("max_rank"))
+          .localCheckpoint(eager=True))
+    for _ in range(rounds):
+        via = (und.join(sk.withColumnRenamed("node", "src"), "src")
+               .select(F.col("dst").alias("node"), "register",
+                       "max_rank"))
+        sk = (sk.unionByName(via)
+              .groupBy("node", "register")
+              .agg(F.max("max_rank").alias("max_rank"))
+              .localCheckpoint(eager=True))
+    top = HLL_RANK_BITS + 1
+    agg = sk.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_registers_set"),
+        F.coalesce(
+            F.sum(F.expr(f"CAST(pow(2, {top} - max_rank) AS BIGINT)")),
+            F.lit(0)).alias("s_set"))
+    scale = float(1 << top)
+    agg = agg.withColumn(
+        "s_scaled",
+        F.col("s_set") + (F.lit(HLL_M) - F.col("n_registers_set"))
+        * F.lit(1 << top))
+    est_raw = (F.lit(HLL_ALPHA * HLL_M * HLL_M * scale)
+               / F.col("s_scaled").cast("double"))
+    zeros = F.lit(HLL_M) - F.col("n_registers_set")
+    linear = (F.lit(float(HLL_M))
+              * F.log(F.lit(float(HLL_M)) / zeros.cast("double")))
+    est = F.when((est_raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
+                 linear).otherwise(est_raw)
+    return agg.select("node", "n_registers_set",
+                      F.round(est, 4).alias("estimate"))

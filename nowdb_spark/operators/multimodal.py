@@ -2203,3 +2203,108 @@ def mp2_granules_real(df: DataFrame, id_col: str = "doc_id",
                 id_col, "granule", "q_sum", "x_sum", "x_abs_sum"])
 
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
+def synth_webps_anim(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Animated extended-WebP fixtures (the container spec's ANIM/
+    ANMF layer): id%3+2 frames on a canvas sized to the largest
+    frame; frame f sits at (2·(f%2), 2·(f//2)), is (4+id%3)×(4+(id+f)%2)
+    px of VP8L-encoded ARGB content r=(id·3+f·5+x·7+y·11)%256,
+    g=(id·5+f·7+x·13+y·3)%256, b=(id·7+f·3+x·3+y·5)%256 (opaque),
+    duration (id+f)%9·10+40 ms, blend flag (id+f)%2==0, dispose
+    (id+f)%3==0; background BGRA (id%256,0,255,255), loop id%4; even
+    ids carry a synthetic ICC profile ('mntr'/'RGB ')."""
+    from nowdb_spark.operators.webpcodec import make_webp_codec
+
+    codec = make_webp_codec()
+    schema = f"{id_col} long, payload binary"
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        def synth(did: int) -> bytes:
+            did = int(did)
+            frames = []
+            maxw = maxh = 1
+            for f in range(did % 3 + 2):
+                fw, fh = 4 + did % 3, 4 + (did + f) % 2
+                x0, y0 = 2 * (f % 2), 2 * (f // 2)
+                px = [0xFF000000
+                      | (((did * 3 + f * 5 + x * 7 + y * 11) % 256)
+                         << 16)
+                      | (((did * 5 + f * 7 + x * 13 + y * 3) % 256)
+                         << 8)
+                      | ((did * 7 + f * 3 + x * 3 + y * 5) % 256)
+                      for y in range(fh) for x in range(fw)]
+                frames.append({"x": x0, "y": y0, "w": fw, "h": fh,
+                               "pixels": px,
+                               "duration_ms": (did + f) % 9 * 10 + 40,
+                               "blend": (did + f) % 2 == 0,
+                               "dispose_bg": (did + f) % 3 == 0})
+                maxw = max(maxw, x0 + fw)
+                maxh = max(maxh, y0 + fh)
+            icc = codec.synth_icc("mntr", "RGB ", n_tail=did % 8 + 4) \
+                if did % 2 == 0 else None
+            return codec.encode_extended(
+                [], maxw, maxh, icc=icc, anim_frames=frames,
+                anim_bg=(did % 256, 0, 255, 255),
+                anim_loops=did % 4)
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "payload": [synth(d) for d in pdf[id_col]],
+            })
+
+    return df.select(id_col).mapInPandas(kernel, schema)
+
+
+def webp_anim_frames_real(df: DataFrame, id_col: str = "doc_id",
+                          payload_col: str = "payload") -> DataFrame:
+    """REAL animated-WebP frame extraction: VP8X flag walk, ANIM
+    background/loop, per-ANMF offsets/dims/duration/blend/dispose,
+    and each frame's embedded VP8L image SAMPLE-decoded to the
+    px_check integer (the same position/channel-weighted checksum
+    the other image rows use). One row per frame; ICC color space
+    and loop count ride along. Narrow, zero-shuffle."""
+    from nowdb_spark.operators.webpcodec import make_webp_codec
+
+    codec = make_webp_codec()
+    schema = (f"{id_col} long, frame long, x long, y long, w long, "
+              "h long, duration_ms long, blend long, dispose long, "
+              "loop_count long, icc_space string, px_check long")
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                did = int(did)
+                meta = codec.parse_extended(bytes(payload))
+                if meta is None:
+                    continue
+                loops = (meta["anim"] or {}).get("loop_count")
+                icc_space = (meta["icc"] or {}).get("color_space")
+                for i, fr in enumerate(meta["frames"]):
+                    chk = None
+                    img = fr["image"]
+                    if img is not None:
+                        w = img["width"]
+                        chk = 0
+                        for y, row in enumerate(img["rows"]):
+                            base = y * w + 1
+                            for x, (r, g, bl) in enumerate(row):
+                                chk += (base + x) * (r + 2 * g
+                                                     + 3 * bl)
+                    rows.append((did, i, fr["x"], fr["y"], fr["w"],
+                                 fr["h"], fr["duration_ms"],
+                                 int(fr["blend"]),
+                                 int(fr["dispose_bg"]), loops,
+                                 icc_space, chk))
+            yield _pd.DataFrame(rows, columns=[
+                id_col, "frame", "x", "y", "w", "h", "duration_ms",
+                "blend", "dispose", "loop_count", "icc_space",
+                "px_check"])
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)

@@ -465,3 +465,51 @@ def interval_join(points: DataFrame, intervals: DataFrame,
                                            F.col(end_col)))
            .drop("__bucket"))
     return out
+
+
+def holt_linear(df: DataFrame, stamp_col: str, value_col: str,
+                bucket_ns: int, alpha: float = 0.5,
+                beta: float = 0.3,
+                key_col: str | None = None) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per metric
+    key, folded over the bucketed series entirely in the JVM
+    (F.aggregate over the sorted bucket array — state (level, trend)
+    in EXPANDED linear form so both engines evaluate unique
+    subexpressions per state field:
+        l' = α·x + (1−α)·l + (1−α)·b
+        b' = βα·x − βα·l + (1−βα)·b
+    init l₀ = x₀, b₀ = 0). Emits per key the final level/trend and
+    the one-step forecast l+b (rounded 6). The per-key series is a
+    collect of BUCKETS (bounded by time range / bucket_ns), not raw
+    events — the same contract as seasonal_decompose(key_col=...)."""
+    a, b_ = float(alpha), float(beta)
+    one_a = 1.0 - a
+    ba = b_ * a
+    one_ba = 1.0 - ba
+    keys = [key_col] if key_col else []
+    bucket = (F.col(stamp_col) - F.col(stamp_col) % bucket_ns)
+    bk = (df.groupBy(*keys, bucket.alias("bucket_ns"))
+          .agg(F.sum(value_col).alias("v")))
+    series = (bk.groupBy(*keys)
+              .agg(F.transform(
+                  F.sort_array(F.collect_list(
+                      F.struct(F.col("bucket_ns").alias("t"),
+                               F.col("v").alias("v")))),
+                  lambda s: s["v"]).alias("xs")))
+    init = F.struct(
+        F.element_at("xs", 1).cast("double").alias("l"),
+        F.lit(0.0).alias("b"))
+    fold = F.aggregate(
+        F.slice("xs", 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+        init,
+        lambda acc, x: F.struct(
+            (F.lit(a) * x + F.lit(one_a) * acc["l"]
+             + F.lit(one_a) * acc["b"]).alias("l"),
+            (F.lit(ba) * x - F.lit(ba) * acc["l"]
+             + F.lit(one_ba) * acc["b"]).alias("b")))
+    return series.select(
+        *keys,
+        F.size("xs").cast("long").alias("n_buckets"),
+        F.round(fold["l"], 6).alias("level"),
+        F.round(fold["b"], 6).alias("trend"),
+        F.round(fold["l"] + fold["b"], 6).alias("forecast_1"))

@@ -1016,13 +1016,18 @@ def make_webp_codec() -> SimpleNamespace:
         embedded VP8L image decoded via decode() (re-framed as a
         standalone member), the EXIF chunk parsed as the TIFF stream
         it is (tiffcodec IFD walk — optional 'Exif\\0\\0' prefix
-        stripped), and the XMP chunk as text. Lossy VP8 frames and
-        ICC/ANIM payloads are inventoried but not decoded (honest
-        scope). None for non-WebP bytes."""
+        stripped), the XMP chunk as text, the ICCP header fields
+        (profile size / device class / color space / PCS per the
+        public ICC.1 layout), and animation: ANIM (background BGRA +
+        loop count) and every ANMF frame (offsets, dims, duration,
+        blend/dispose flags) with its embedded VP8L image
+        sample-decoded. Lossy VP8 frames are inventoried but not
+        decoded (honest scope). None for non-WebP bytes."""
         if sniff(b) is None:
             return None
         out = {"canvas_w": None, "canvas_h": None, "flags": {},
-               "chunks": [], "image": None, "exif": None, "xmp": None}
+               "chunks": [], "image": None, "exif": None, "xmp": None,
+               "icc": None, "anim": None, "frames": []}
         pos = 12
         while pos + 8 <= len(b):
             fourcc = b[pos:pos + 8][:4]
@@ -1059,32 +1064,138 @@ def make_webp_codec() -> SimpleNamespace:
                 out["exif"] = make_tiff_codec().tiff_meta(bytes(t))
             elif fourcc == b"XMP ":
                 out["xmp"] = payload.decode("utf-8", "replace")
+            elif fourcc == b"ICCP":
+                if len(payload) >= 20:
+                    out["icc"] = {
+                        "profile_size": int.from_bytes(payload[0:4],
+                                                       "big"),
+                        "device_class": payload[12:16]
+                        .decode("latin1"),
+                        "color_space": payload[16:20]
+                        .decode("latin1").strip(),
+                        "n_bytes": len(payload)}
+            elif fourcc == b"ANIM":
+                if size < 6:
+                    raise ValueError("vp8x: short ANIM chunk")
+                out["anim"] = {
+                    "bg_bgra": tuple(payload[0:4]),
+                    "loop_count": int.from_bytes(payload[4:6],
+                                                 "little")}
+            elif fourcc == b"ANMF":
+                if size < 16:
+                    raise ValueError("vp8x: short ANMF chunk")
+                fr = {"x": int.from_bytes(payload[0:3],
+                                          "little") * 2,
+                      "y": int.from_bytes(payload[3:6],
+                                          "little") * 2,
+                      "w": int.from_bytes(payload[6:9],
+                                          "little") + 1,
+                      "h": int.from_bytes(payload[9:12],
+                                          "little") + 1,
+                      "duration_ms": int.from_bytes(payload[12:15],
+                                                    "little"),
+                      "blend": not bool(payload[15] & 0x02),
+                      "dispose_bg": bool(payload[15] & 0x01),
+                      "image": None}
+                fpos = 16
+                while fpos + 8 <= len(payload):
+                    fcc = payload[fpos:fpos + 4]
+                    fsz = int.from_bytes(payload[fpos + 4:fpos + 8],
+                                         "little")
+                    fpl = payload[fpos + 8:fpos + 8 + fsz]
+                    if fcc == b"VP8L":
+                        pad = b"\x00" if fsz & 1 else b""
+                        sub = (b"RIFF" + (4 + 8 + fsz + len(pad))
+                               .to_bytes(4, "little")
+                               + b"WEBP" + b"VP8L"
+                               + fsz.to_bytes(4, "little") + fpl
+                               + pad)
+                        fr["image"] = decode(sub)
+                    fpos += 8 + fsz + (fsz & 1)
+                out["frames"].append(fr)
             pos += 8 + size + (size & 1)
         return out
 
+    def synth_icc(device_class: str = "mntr",
+                  color_space: str = "RGB ", n_tail: int = 16) -> bytes:
+        """Minimal ICC.1 profile bytes for fixtures: 128-byte header
+        (big-endian size, device class at 12, color space at 16,
+        PCS 'XYZ ' at 20, 'acsp' magic at 36) + zero tag table +
+        n_tail filler — enough structure for the parse_extended ICCP
+        header walk."""
+        size = 128 + 4 + n_tail
+        hdr = bytearray(128)
+        hdr[0:4] = size.to_bytes(4, "big")
+        hdr[4:8] = b"ndbs"                      # CMM signature
+        hdr[8:12] = bytes([4, 0x30, 0, 0])      # version 4.3
+        hdr[12:16] = device_class.encode("latin1")[:4].ljust(4)
+        hdr[16:20] = color_space.encode("latin1")[:4].ljust(4)
+        hdr[20:24] = b"XYZ "
+        hdr[36:40] = b"acsp"
+        return bytes(hdr) + (0).to_bytes(4, "big") + b"\x00" * n_tail
+
     def encode_extended(pixels, w: int, h: int, exif_pages=None,
-                        xmp=None, **encode_kw) -> bytes:
+                        xmp=None, icc=None, anim_frames=None,
+                        anim_bg=(0, 0, 0, 0), anim_loops=0,
+                        **encode_kw) -> bytes:
         """Real extended-format WebP: VP8X header (flags + canvas) +
-        the VP8L image chunk + optional EXIF (a real TIFF stream via
-        tiffcodec, 'Exif\\0\\0'-prefixed) + optional 'XMP ' chunk."""
-        inner = encode(pixels, w, h, **encode_kw)
-        vp8l_chunk = inner[12:]             # VP8L header + payload
+        either the still VP8L image chunk or an animation (ANIM
+        background/loop chunk + one ANMF per frame, each embedding
+        its own VP8L) + optional ICCP profile bytes, EXIF (a real
+        TIFF stream via tiffcodec, 'Exif\\0\\0'-prefixed) and 'XMP '
+        chunks, in the container spec's chunk order (ICCP, ANIM,
+        frames/image, EXIF, XMP). anim_frames: [{x, y, w, h, pixels,
+        duration_ms, blend, dispose_bg}] with even x/y (stored /2
+        per the spec)."""
 
         def chunk(cc: bytes, payload: bytes) -> bytes:
             return (cc + len(payload).to_bytes(4, "little") + payload
                     + (b"\x00" if len(payload) & 1 else b""))
 
+        def vp8l_of(px, fw, fh):
+            return encode(px, fw, fh, **encode_kw)[12:]
+
         flags = 0
-        if any((int(p) >> 24) != 0xFF for p in pixels):
+        has_alpha = any((int(p) >> 24) != 0xFF for p in pixels) \
+            if pixels else any(
+                (int(p) >> 24) != 0xFF
+                for fr in (anim_frames or []) for p in fr["pixels"])
+        if has_alpha:
             flags |= 0x10
+        if icc is not None:
+            flags |= 0x20
         if exif_pages:
             flags |= 0x08
         if xmp is not None:
             flags |= 0x04
+        if anim_frames:
+            flags |= 0x02
         vp8x = (bytes([flags, 0, 0, 0])
                 + (w - 1).to_bytes(3, "little")
                 + (h - 1).to_bytes(3, "little"))
-        body = chunk(b"VP8X", vp8x) + vp8l_chunk
+        body = chunk(b"VP8X", vp8x)
+        if icc is not None:
+            body += chunk(b"ICCP", icc)
+        if anim_frames:
+            body += chunk(b"ANIM", bytes(anim_bg)
+                          + int(anim_loops).to_bytes(2, "little"))
+            for fr in anim_frames:
+                if fr.get("x", 0) % 2 or fr.get("y", 0) % 2:
+                    raise ValueError("ANMF offsets must be even")
+                hdr = ((fr.get("x", 0) // 2).to_bytes(3, "little")
+                       + (fr.get("y", 0) // 2).to_bytes(3, "little")
+                       + (fr["w"] - 1).to_bytes(3, "little")
+                       + (fr["h"] - 1).to_bytes(3, "little")
+                       + int(fr.get("duration_ms", 100))
+                       .to_bytes(3, "little")
+                       + bytes([(0 if fr.get("blend", True)
+                                 else 0x02)
+                                | (0x01 if fr.get("dispose_bg",
+                                                  False) else 0)]))
+                body += chunk(b"ANMF", hdr + vp8l_of(
+                    fr["pixels"], fr["w"], fr["h"]))
+        else:
+            body += vp8l_of(pixels, w, h)
         if exif_pages:
             from nowdb_spark.operators.tiffcodec import make_tiff_codec
             body += chunk(b"EXIF", b"Exif\x00\x00"
@@ -1115,6 +1226,7 @@ def make_webp_codec() -> SimpleNamespace:
     return SimpleNamespace(decode=decode, encode=encode,
                            parse_extended=parse_extended,
                            encode_extended=encode_extended,
+                           synth_icc=synth_icc,
                            features=features, sniff=sniff)
 
 

@@ -233,3 +233,73 @@ def g06(spark, sf):
     edges = _cosupply_edges(spark, sf).select(
         F.col("supp_a").alias("src"), F.col("supp_b").alias("dst"))
     return G.label_propagation(G.undirect(edges), rounds=4)
+
+
+# ------------------------------------------------------------------
+# HyperBall (g07): per-node HLL sketch of the 2-hop ball over the
+# co-supply graph — the distributed approximate-neighborhood-function
+# algorithm (register-max merges along edges, mergeable state, no
+# frontier explosion). The oracle materializes the EXACT 2-hop
+# reachability set per node (gate-scale closure) and applies the
+# identical md5 register arithmetic, integer-scaled harmonic sum and
+# linear-counting branch — value-exact down to the estimate.
+def _g07_oracle() -> str:
+    from nowdb_spark.operators.sketches import (HLL_ALPHA, HLL_M,
+                                                HLL_RANK_BITS,
+                                                _hll_register_exprs)
+
+    reg_sql, rank_sql = _hll_register_exprs("w", "duckdb")
+    top = HLL_RANK_BITS + 1
+    m = HLL_M
+    num = repr(HLL_ALPHA * HLL_M * HLL_M * float(1 << top))
+    return f"""
+    WITH sp AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+    ed AS (
+      SELECT DISTINCT a.l_suppkey AS s, b.l_suppkey AS d
+      FROM sp a JOIN sp b
+        ON a.l_partkey = b.l_partkey
+       AND a.l_suppkey <> b.l_suppkey),
+    b1 AS (
+      SELECT s AS v, d AS w FROM ed
+      UNION SELECT s, s FROM ed),
+    ball AS (
+      SELECT v, w FROM b1
+      UNION SELECT b1.v, ed.d AS w FROM b1 JOIN ed ON b1.w = ed.s),
+    regs AS (
+      SELECT v, {reg_sql} AS register, MAX({rank_sql}) AS max_rank
+      FROM ball GROUP BY 1, 2),
+    agg AS (
+      SELECT v, COUNT(*) AS n_registers_set,
+             CAST(COALESCE(SUM(CAST(pow(2, {top} - max_rank)
+                                    AS BIGINT)), 0)
+                  + ({m} - COUNT(*)) * {1 << top} AS BIGINT)
+               AS s_scaled
+      FROM regs GROUP BY v)
+    SELECT v AS node,
+           CAST(n_registers_set AS BIGINT) AS n_registers_set,
+           ROUND(CASE WHEN ({num} / CAST(s_scaled AS DOUBLE))
+                           <= {2.5 * m}
+                       AND ({m} - n_registers_set) > 0
+                 THEN {float(m)}
+                      * ln({float(m)}
+                           / CAST({m} - n_registers_set AS DOUBLE))
+                 ELSE {num} / CAST(s_scaled AS DOUBLE) END, 4)
+             AS estimate
+    FROM agg
+    """
+
+
+@register(
+    "g07_hyperball",
+    _g07_oracle(),
+    doc="HyperBall approximate neighborhood function: per-node HLL "
+        "sketch of the 2-hop ball grown by register-max merges along "
+        "edges (one join + one keyed max per round, mergeable state, "
+        "per-round lineage cut) — reach/effective-diameter "
+        "estimation at graph scale; oracle applies the identical "
+        "register arithmetic to the exact closure",
+)
+def g07(spark, sf):
+    edges = _cosupply_edges(spark, sf).select(
+        F.col("supp_a").alias("src"), F.col("supp_b").alias("dst"))
+    return G.hyperball(edges, rounds=2)

@@ -4877,3 +4877,90 @@ def mm33(spark, sf):
     from nowdb_spark.operators.dsp import mdct_roundtrip_real
 
     return mdct_roundtrip_real(spread(table(spark, sf, "documents")))
+
+
+# ------------------------------------------------------------------
+# Animated WebP (mm34): the container spec's animation layer — ANIM
+# background/loop walk, per-ANMF offset/dims/duration/blend/dispose
+# parse, and SAMPLE decode of every frame's embedded VP8L image down
+# to the weighted pixel checksum; ICC profile header fields ride
+# along. Oracle replays the frame construction arithmetic (including
+# the px_check double loop) entirely in SQL.
+@register(
+    "mm34_webp_anim",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 3 + 2 AS nf FROM documents),
+    fr AS (SELECT doc_id, nf, unnest(range(0, nf)) AS f FROM d),
+    g AS (
+      SELECT doc_id, f,
+             CAST(2 * (f % 2) AS BIGINT) AS x,
+             CAST(2 * (f // 2) AS BIGINT) AS y,
+             CAST(4 + doc_id % 3 AS BIGINT) AS w,
+             CAST(4 + (doc_id + f) % 2 AS BIGINT) AS h,
+             CAST((doc_id + f) % 9 * 10 + 40 AS BIGINT)
+               AS duration_ms,
+             CAST(CASE WHEN (doc_id + f) % 2 = 0 THEN 1 ELSE 0 END
+                  AS BIGINT) AS blend,
+             CAST(CASE WHEN (doc_id + f) % 3 = 0 THEN 1 ELSE 0 END
+                  AS BIGINT) AS dispose,
+             CAST(doc_id % 4 AS BIGINT) AS loop_count,
+             CASE WHEN doc_id % 2 = 0 THEN 'RGB' END AS icc_space
+      FROM fr)
+    SELECT doc_id, CAST(f AS BIGINT) AS frame, x, y, w, h,
+           duration_ms, blend, dispose, loop_count, icc_space,
+           CAST(list_aggregate(list_transform(range(0, w * h), p ->
+             ((p // w) * w + (p % w) + 1)
+             * (((doc_id*3 + f*5 + (p % w)*7 + (p // w)*11) % 256)
+                + 2 * ((doc_id*5 + f*7 + (p % w)*13 + (p // w)*3)
+                       % 256)
+                + 3 * ((doc_id*7 + f*3 + (p % w)*3 + (p // w)*5)
+                       % 256))), 'sum') AS BIGINT) AS px_check
+    FROM g
+    """,
+    doc="REAL animated-WebP extraction (container spec ANIM/ANMF "
+        "layer): background/loop walk, per-frame offsets, dims, "
+        "durations, blend/dispose flags, ICC header fields, and "
+        "every frame's embedded VP8L image sample-decoded to the "
+        "weighted pixel checksum; oracle replays the construction "
+        "pixel-for-pixel",
+)
+def mm34(spark, sf):
+    d = spread(table(spark, sf, "documents"))
+    return M.webp_anim_frames_real(M.synth_webps_anim(d))
+
+
+# ------------------------------------------------------------------
+# Temperature-scaled domain mixing (dm02): the pretraining-mixture
+# recipe — sampling weight per domain ∝ count^τ (τ<1 upweights rare
+# domains), plus the per-domain expected draw count for a fixed
+# budget. Three aggregates and a broadcast total; weight arithmetic
+# replayed exactly (both engines: pow on the same BIGINT→DOUBLE).
+@register(
+    "dm02_temperature_mix",
+    """
+    WITH c AS (SELECT source, count(*) AS n_docs
+               FROM documents GROUP BY 1),
+    t AS (SELECT sum(pow(CAST(n_docs AS DOUBLE), 0.7)) AS z FROM c)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           round(pow(CAST(n_docs AS DOUBLE), 0.7) / z, 6) AS weight,
+           round(pow(CAST(n_docs AS DOUBLE), 0.7) / z * 10000.0, 2)
+             AS expected_10k
+    FROM c, t
+    """,
+    doc="temperature-scaled domain mixing (weight ∝ count^0.7, the "
+        "pretraining mixture recipe): per-domain sampling weight and "
+        "expected draws for a 10k budget — two aggregates + a "
+        "broadcast normalizer, oracle-replayed",
+)
+def dm02(spark, sf):
+    d = table(spark, sf, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = F.pow(F.col("n_docs").cast("double"), 0.7)
+    z = c.agg(F.sum(F.pow(F.col("n_docs").cast("double"), 0.7))
+              .alias("z"))
+    return (c.crossJoin(F.broadcast(z))
+            .select("source",
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    F.round(w / F.col("z"), 6).alias("weight"),
+                    F.round(w / F.col("z") * 10000.0, 2)
+                    .alias("expected_10k")))

@@ -431,3 +431,63 @@ def ts12(spark, sf):
         "user_id", TU.int_div_floor(F.col("t_ns"), 1000).alias("t_us"),
         "event_id", "interval_id",
         F.round("value", 4).alias("value"))
+
+
+# ------------------------------------------------------------------
+# Holt linear-trend smoothing (ts13): double exponential smoothing
+# folded over each event_type's hourly series. The recurrence is
+# written in EXPANDED linear form and the oracle replays it with a
+# per-key recursive CTE (ts07's proven shape) — NOT a list_reduce
+# struct fold: DuckDB 1.x evaluates struct-fold fields sequentially
+# with the accumulator mutated in place (verified: the 'b' field saw
+# the already-updated 'l'), extending the mm15 repeated-subexpression
+# finding to any cross-referencing state. Constants are generated
+# from one Python computation and inlined identically.
+_HW_A = 0.4
+_HW_B = 0.3
+_HW_ONE_A = 1.0 - _HW_A
+_HW_BA = _HW_B * _HW_A
+_HW_ONE_BA = 1.0 - _HW_BA
+
+
+@register(
+    "ts13_holt_linear",
+    f"""
+    WITH RECURSIVE b AS (
+      SELECT event_type, t, v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY t) AS rn
+      FROM (SELECT event_type,
+                   epoch_ns(ts) - epoch_ns(ts) % {_HOUR_NS} AS t,
+                   sum(value) AS v
+            FROM events GROUP BY 1, 2)),
+    rec AS (
+      SELECT event_type, rn, CAST(v AS DOUBLE) AS l,
+             CAST(0.0 AS DOUBLE) AS bb
+      FROM b WHERE rn = 1
+      UNION ALL
+      SELECT s.event_type, s.rn,
+             {_HW_A!r} * s.v + {_HW_ONE_A!r} * r.l
+               + {_HW_ONE_A!r} * r.bb,
+             {_HW_BA!r} * s.v - {_HW_BA!r} * r.l
+               + {_HW_ONE_BA!r} * r.bb
+      FROM b s, rec r
+      WHERE s.event_type = r.event_type AND s.rn = r.rn + 1),
+    last AS (SELECT event_type, max(rn) AS n FROM rec GROUP BY 1)
+    SELECT r.event_type, CAST(last.n AS BIGINT) AS n_buckets,
+           round(r.l, 6) AS level, round(r.bb, 6) AS trend,
+           round(r.l + r.bb, 6) AS forecast_1
+    FROM rec r JOIN last ON r.event_type = last.event_type
+    WHERE r.rn = last.n
+    """,
+    doc="Holt linear-trend double exponential smoothing per metric "
+        "key (level+trend fold over the bucketed hourly series, "
+        "JVM F.aggregate in expanded linear form); final state and "
+        "one-step forecast oracle-replayed by a list_reduce struct "
+        "fold with the identical expanded constants",
+)
+def ts13(spark, sf):
+    ev = table(spark, sf, "events")
+    return TS.holt_linear(ev, "ts", "value", _HOUR_NS,
+                          alpha=_HW_A, beta=_HW_B,
+                          key_col="event_type")

@@ -107,6 +107,9 @@ _PY_ALLOWED = {"mm01_extract_meta", "mm02_real_decode", "mm03_real_resize",
                # lapped-transform kernel: two numpy matmuls per Arrow
                # batch (the transform layer of the MDCT-family gate)
                "mm33_mdct_roundtrip",
+               # ANIM/ANMF container walk + per-frame VP8L decode is
+               # bytes-imperative (same class as mm19/mm20)
+               "mm34_webp_anim",
                # UAX #15 composition needs the Unicode tables —
                # stdlib unicodedata in an Arrow kernel (no JVM NFC)
                "tx14_nfc_normalize",

@@ -138,3 +138,149 @@ def test_mdct_roundtrip_rows(spark):
         else:
             assert r["recon_sum"] is None
         assert r["spec_abs_sum"] >= abs(r["spec_sum"])
+
+
+def test_webp_anim_iccp_container_roundtrip():
+    """encode_extended(anim_frames, icc) -> parse_extended recovers
+    ANIM bg/loop, every ANMF header field, the ICC header, and the
+    frames' VP8L pixels exactly."""
+    from nowdb_spark.operators.webpcodec import make_webp_codec
+    c = make_webp_codec()
+    frames = []
+    for f in range(3):
+        px = [0xFF000000
+              | (((f * 40 + x * 7 + y * 11) % 256) << 16)
+              | (((x + y) % 256) << 8) | (f % 256)
+              for y in range(4) for x in range(4)]
+        frames.append({"x": 2 * (f % 2), "y": 2 * (f // 2),
+                       "w": 4, "h": 4, "pixels": px,
+                       "duration_ms": 40 + f * 10,
+                       "blend": f % 2 == 0, "dispose_bg": f == 0})
+    b = c.encode_extended([], 6, 6,
+                          icc=c.synth_icc("mntr", "RGB ", 7),
+                          anim_frames=frames,
+                          anim_bg=(9, 0, 255, 255), anim_loops=3)
+    m = c.parse_extended(b)
+    assert m["flags"]["anim"] and m["flags"]["icc"]
+    assert m["anim"] == {"bg_bgra": (9, 0, 255, 255),
+                         "loop_count": 3}
+    assert m["icc"]["device_class"] == "mntr"
+    assert m["icc"]["color_space"] == "RGB"
+    assert m["icc"]["profile_size"] == 128 + 4 + 7
+    assert len(m["frames"]) == 3
+    for f, fr in enumerate(m["frames"]):
+        assert (fr["x"], fr["y"]) == (2 * (f % 2), 2 * (f // 2))
+        assert fr["duration_ms"] == 40 + f * 10
+        assert fr["blend"] == (f % 2 == 0)
+        assert fr["dispose_bg"] == (f == 0)
+        exp = [((f * 40 + x * 7 + y * 11) % 256, (x + y) % 256,
+                f % 256) for y in range(4) for x in range(4)]
+        assert [t for row in fr["image"]["rows"] for t in row] == exp
+
+
+def test_webp_anim_odd_offset_rejected():
+    import pytest as _pytest
+
+    from nowdb_spark.operators.webpcodec import make_webp_codec
+    c = make_webp_codec()
+    fr = {"x": 1, "y": 0, "w": 2, "h": 2,
+          "pixels": [0xFF000000] * 4}
+    with _pytest.raises(ValueError):
+        c.encode_extended([], 4, 4, anim_frames=[fr])
+
+
+def test_webp_still_path_unchanged():
+    """The pre-existing still VP8X path (mm20's shape) is untouched
+    by the animation extension."""
+    from nowdb_spark.operators.webpcodec import make_webp_codec
+    c = make_webp_codec()
+    px = [0xFF000000 | (x << 16 | y) for y in range(4)
+          for x in range(4)]
+    b = c.encode_extended(px, 4, 4, xmp="<x/>")
+    m = c.parse_extended(b)
+    assert m["frames"] == [] and m["anim"] is None
+    assert m["image"] is not None and m["xmp"] == "<x/>"
+
+
+def test_holt_linear_matches_scalar_fold(spark):
+    """holt_linear == the textbook recurrence run driver-side."""
+    from nowdb_spark.operators.timeseries import holt_linear
+    rows = [("a", i * 1_000_000_000, float((i * 7) % 13))
+            for i in range(25)] + \
+           [("b", i * 1_000_000_000, float(i)) for i in range(3)]
+    df = spark.createDataFrame(rows, "k string, ts long, v double")
+    got = {r["k"]: (r["n_buckets"], r["level"], r["trend"],
+                    r["forecast_1"])
+           for r in holt_linear(df, "ts", "v", 5_000_000_000,
+                                alpha=0.4, beta=0.3,
+                                key_col="k").collect()}
+    # alpha must not be dyadic (the ts07 lesson): 0.5 over these
+    # fixed-decimal inputs lands values exactly on 6dp rounding
+    # boundaries where Spark round (HALF_UP) and Python round
+    # (half-even) disagree
+    a, b_ = 0.4, 0.3
+    one_a, ba, one_ba = 1.0 - a, b_ * a, 1.0 - b_ * a
+    for k in ("a", "b"):
+        series = {}
+        for kk, ts, v in rows:
+            if kk != k:
+                continue
+            bkt = ts - ts % 5_000_000_000
+            series[bkt] = series.get(bkt, 0.0) + v
+        xs = [v for _, v in sorted(series.items())]
+        l, bb = xs[0], 0.0
+        for x in xs[1:]:
+            l, bb = (a * x + one_a * l + one_a * bb,
+                     ba * x - ba * l + one_ba * bb)
+        assert got[k] == (len(xs), round(l, 6), round(bb, 6),
+                          round(l + bb, 6)), k
+
+
+def test_holt_linear_form_equals_textbook():
+    """The expanded linear recurrence IS Holt's l/b update."""
+    import random
+    rng = random.Random(4)
+    a, b_ = 0.5, 0.3
+    l = rng.random()
+    bb = rng.random()
+    l2, b2 = l, bb
+    for _ in range(50):
+        x = rng.random() * 100
+        # textbook
+        l_new = a * x + (1 - a) * (l + bb)
+        bb = b_ * (l_new - l) + (1 - b_) * bb
+        l = l_new
+        # expanded
+        l2, b2 = (a * x + (1 - a) * l2 + (1 - a) * b2,
+                  b_ * a * x - b_ * a * l2 + (1 - b_ * a) * b2)
+        assert abs(l - l2) < 1e-9 and abs(bb - b2) < 1e-9
+
+
+def test_hyperball_round0_and_accuracy(spark):
+    """HyperBall on a known graph: a path 0-1-2-3-4 plus an isolated
+    clique — 2-hop ball sizes are exact small sets, so the linear-
+    counting branch makes the estimate ≈ exact (small-range HLL is
+    near-exact at these cardinalities)."""
+    from nowdb_spark.operators.graph import hyperball
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4),
+             (10, 11), (11, 12), (10, 12)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["estimate"]
+           for r in hyperball(df, rounds=2).collect()}
+    exact = {0: 3, 1: 4, 2: 5, 3: 4, 4: 3, 10: 3, 11: 3, 12: 3}
+    assert set(got) == set(exact)
+    for n, e in exact.items():
+        assert abs(got[n] - e) / e < 0.35, (n, got[n], e)
+
+
+def test_temperature_mix_weights(spark):
+    from nowdb_spark.workload import QUERIES
+    out = QUERIES["dm02_temperature_mix"].spark(
+        spark, SF_DIR).collect()
+    assert out
+    assert abs(sum(r["weight"] for r in out) - 1.0) < 1e-4
+    # tau < 1 flattens: max/min weight ratio < max/min count ratio
+    ws = sorted(r["weight"] for r in out)
+    ns = sorted(r["n_docs"] for r in out)
+    if ns[0] < ns[-1]:
+        assert ws[-1] / ws[0] < ns[-1] / ns[0] + 1e-9
