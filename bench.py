@@ -973,6 +973,7 @@ def main() -> None:
         try:
             (spark.range(n_rows).select(
                 (F.col("id") % 1000).alias("user_id"),
+                F.col("id").alias("event_id"),
                 (F.lit(1_700_000_000_000_000_000)
                  + (F.col("id") / 1000).cast("long")
                  * 1_000_000_000).alias("ts"),
