@@ -249,10 +249,16 @@ def make_audio_codec() -> SimpleNamespace:
 
     def features(b: bytes):
         """Deterministic integer features (oracle-replayable): sample
-        count, rate, floor-ms duration, |peak|, sum of squares."""
+        count, rate, floor-ms duration, |peak|, sum of squares.
+        Covers RIFF WAV (PCM/ADPCM/G.711) and AIFF payloads."""
         a = decode(b)
         if a is None:
-            return None
+            ai = aiff_decode(b)
+            if ai is None:
+                return None
+            a = {"fmt": "aiff", "samples": ai["samples"],
+                 "n_samples": len(ai["samples"]),
+                 "sample_rate": ai["sample_rate"]}
         s = a["samples"]
         return {
             "fmt": a["fmt"],
@@ -813,6 +819,81 @@ def make_audio_codec() -> SimpleNamespace:
                              bytes([0x00, p & 0xFF]))
         return bytes(out)
 
+    # ---- AIFF (Audio IFF): big-endian chunk container, COMM's
+    # sample rate stored as an 80-bit IEEE 754 extended float
+    # (1 sign + 15 exponent bits, bias 16383, EXPLICIT integer bit +
+    # 63 mantissa bits) — the classic format quirk, parsed for real.
+    def ext80_to_rate(b10: bytes) -> int:
+        exp = int.from_bytes(b10[0:2], "big") & 0x7FFF
+        mant = int.from_bytes(b10[2:10], "big")
+        if exp == 0 and mant == 0:
+            return 0
+        # value = mant * 2^(exp - 16383 - 63)
+        shift = exp - 16383 - 63
+        val = mant * (2.0 ** shift)
+        return int(round(val))
+
+    def rate_to_ext80(rate: int) -> bytes:
+        if rate <= 0:
+            return b"\x00" * 10
+        exp = rate.bit_length() - 1           # floor(log2)
+        mant = rate << (63 - exp)             # explicit integer bit set
+        return ((16383 + exp).to_bytes(2, "big")
+                + mant.to_bytes(8, "big"))
+
+    def aiff_sniff(b: bytes):
+        if len(b) >= 12 and b[:4] == b"FORM" and b[8:12] == b"AIFF":
+            return "aiff"
+        return None
+
+    def encode_aiff(samples, rate: int = 8000) -> bytes:
+        """Mono 16-bit big-endian AIFF: FORM/AIFF + COMM (channels,
+        frames, bits, ext80 rate) + SSND (offset/block 0 + PCM)."""
+        comm = ((1).to_bytes(2, "big")
+                + len(samples).to_bytes(4, "big")
+                + (16).to_bytes(2, "big")
+                + rate_to_ext80(rate))
+        pcm = b"".join(int(s).to_bytes(2, "big", signed=True)
+                       for s in samples)
+        ssnd = (0).to_bytes(4, "big") + (0).to_bytes(4, "big") + pcm
+        body = (b"AIFF"
+                + b"COMM" + len(comm).to_bytes(4, "big") + comm
+                + b"SSND" + len(ssnd).to_bytes(4, "big") + ssnd
+                + (b"\x00" if len(ssnd) & 1 else b""))
+        return b"FORM" + len(body).to_bytes(4, "big") + body
+
+    def aiff_decode(b: bytes):
+        """COMM/SSND walk → {fmt, channels, sample_rate, bits,
+        samples (list, interleaved)} or None."""
+        if aiff_sniff(b) is None:
+            return None
+        pos = 12
+        channels = bits = rate = nframes = None
+        pcm = None
+        while pos + 8 <= len(b):
+            cc = b[pos:pos + 4]
+            size = int.from_bytes(b[pos + 4:pos + 8], "big")
+            payload = b[pos + 8:pos + 8 + size]
+            if len(payload) < size:
+                return None                 # truncated chunk
+            if cc == b"COMM" and size >= 18:
+                channels = int.from_bytes(payload[0:2], "big")
+                nframes = int.from_bytes(payload[2:6], "big")
+                bits = int.from_bytes(payload[6:8], "big")
+                rate = ext80_to_rate(payload[8:18])
+            elif cc == b"SSND" and size >= 8:
+                off = int.from_bytes(payload[0:4], "big")
+                pcm = payload[8 + off:]
+            pos += 8 + size + (size & 1)
+        if channels is None or pcm is None or bits != 16:
+            return None
+        n = min(nframes * channels, len(pcm) // 2)
+        samples = [int.from_bytes(pcm[2 * i:2 * i + 2], "big",
+                                  signed=True) for i in range(n)]
+        return {"fmt": "aiff", "channels": channels,
+                "sample_rate": rate, "bits": bits,
+                "samples": samples}
+
     def mp2_sniff(b: bytes):
         """MPEG-1 Layer II elementary stream (same header family as
         mp3 but layer bits '10'); full sample decode lives in
@@ -853,9 +934,10 @@ def make_audio_codec() -> SimpleNamespace:
                 "n_bytes": len(b)}
 
     def audio_sniff(b: bytes):
-        """Unified sniff across the six audio containers."""
+        """Unified sniff across the seven audio containers."""
         return (sniff(b) or flac_sniff(b) or ogg_sniff(b)
-                or aac_sniff(b) or mp2_sniff(b) or mp3_sniff(b))
+                or aac_sniff(b) or aiff_sniff(b) or mp2_sniff(b)
+                or mp3_sniff(b))
 
     return SimpleNamespace(sniff=sniff, decode_meta=decode_meta,
                            decode=decode, encode_wav=encode_wav,
@@ -879,6 +961,11 @@ def make_audio_codec() -> SimpleNamespace:
                            ogg_vorbis_tags=ogg_vorbis_tags,
                            encode_ogg_vorbis=encode_ogg_vorbis,
                            mp2_sniff=mp2_sniff, mp2_meta=mp2_meta,
+                           aiff_sniff=aiff_sniff,
+                           aiff_decode=aiff_decode,
+                           encode_aiff=encode_aiff,
+                           ext80_to_rate=ext80_to_rate,
+                           rate_to_ext80=rate_to_ext80,
                            audio_sniff=audio_sniff)
 
 

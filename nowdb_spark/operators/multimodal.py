@@ -2308,3 +2308,33 @@ def webp_anim_frames_real(df: DataFrame, id_col: str = "doc_id",
                 "px_check"])
 
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
+def synth_aiff(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Mono 16-bit AIFF payloads from an id column: n = id%40+10
+    samples s_i = ((id·31 + i·17) % 4001) − 2000, rate cycling
+    {8000, 22050, 44100} by id%3 — each rate a REAL 80-bit extended
+    float in the COMM chunk (the AIFF quirk), big-endian PCM in
+    SSND."""
+    from nowdb_spark.operators.audiocodec import make_audio_codec
+
+    codec = make_audio_codec()
+    schema = f"{id_col} long, payload binary"
+    rates = (8000, 22050, 44100)
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        def synth(did: int) -> bytes:
+            did = int(did)
+            samples = [((did * 31 + i * 17) % 4001) - 2000
+                       for i in range(did % 40 + 10)]
+            return codec.encode_aiff(samples, rate=rates[did % 3])
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "payload": [synth(d) for d in pdf[id_col]],
+            })
+
+    return df.select(id_col).mapInPandas(kernel, schema)

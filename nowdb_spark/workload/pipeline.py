@@ -4964,3 +4964,115 @@ def dm02(spark, sf):
                     F.round(w / F.col("z"), 6).alias("weight"),
                     F.round(w / F.col("z") * 10000.0, 2)
                     .alias("expected_10k")))
+
+
+# ------------------------------------------------------------------
+# Zarr v2 ZipStore ingestion (wd12): the chunked-tensor store format
+# of ML/scientific corpora — .zarray JSON metadata, '.'-joined chunk
+# grid keys, zlib or raw chunk buffers, edge chunks stored padded and
+# trimmed on read, MISSING chunks materialized as fill_value (sparse
+# stores; doc_id%5==0 drops chunk "0.0"). The oracle replays the
+# trimmed C-order array element-for-element including the fill-in
+# region and the position-weighted checksum.
+@register(
+    "wd12_zarr_store",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             doc_id % 4 + 2 AS r, doc_id % 3 + 2 AS c,
+             (doc_id % 5 = 0) AS sparse
+      FROM documents),
+    px AS (
+      SELECT doc_id, r, c, sparse, p, p // c AS i, p % c AS j
+      FROM d, unnest(range(0, r * c)) t(p)),
+    v AS (
+      SELECT doc_id, r, c, sparse, p,
+             CASE WHEN sparse AND i < 2 AND j < 2 THEN 0
+                  ELSE (doc_id*7 + i*13 + j*3) % 1001 - 500 END AS val
+      FROM px)
+    SELECT doc_id, '<i8' AS dtype,
+           CAST(r AS BIGINT) AS n_rows, CAST(c AS BIGINT) AS n_cols,
+           CAST(((r + 1) // 2) * ((c + 1) // 2)
+                - CASE WHEN sparse THEN 1 ELSE 0 END AS BIGINT)
+             AS n_chunks,
+           CAST(sum(val) AS BIGINT) AS val_sum,
+           CAST(sum((p + 1) * val) AS BIGINT) AS val_wsum
+    FROM v GROUP BY doc_id, r, c, sparse
+    """,
+    doc="Zarr v2 ZipStore ingestion: .zarray metadata parse, chunk "
+        "grid reassembly (zlib + raw chunks, padded edge chunks "
+        "trimmed, missing chunks -> fill_value), per-store stats "
+        "with a position-weighted checksum that catches wrong grid "
+        "placement; oracle replays the array element-for-element",
+)
+def wd12(spark, sf):
+    from nowdb_spark.sources.zarrstore import (encode_zarr_zipstore,
+                                               read_zarr_zipstores)
+
+    d = spread(table(spark, sf, "documents"))
+
+    def kernel(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        def synth(did: int) -> bytes:
+            did = int(did)
+            r, c = did % 4 + 2, did % 3 + 2
+            arr = _np.array(
+                [[(did * 7 + i * 13 + j * 3) % 1001 - 500
+                  for j in range(c)] for i in range(r)],
+                dtype="<i8")
+            return encode_zarr_zipstore(
+                arr, (2, 2),
+                compressor="zlib" if did % 2 else None,
+                drop_chunks={"0.0"} if did % 5 == 0 else None)
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"].values,
+                "payload": [synth(x) for x in pdf["doc_id"]],
+            })
+
+    shards = (d.select("doc_id")
+              .mapInPandas(kernel, "doc_id long, payload binary"))
+    return read_zarr_zipstores(shards)
+
+
+# ------------------------------------------------------------------
+# AIFF decode (mm35): the big-endian Audio IFF container — FORM/AIFF
+# chunk walk, COMM's 80-bit extended-float sample rate (1+15+64 bits,
+# bias 16383, explicit integer bit: the classic format quirk, parsed
+# bit-for-bit), SSND offset handling, 16-bit BE PCM — through the
+# same integer feature surface as the WAV rows; oracle replays the
+# sample arithmetic exactly.
+@register(
+    "mm35_aiff_decode",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 40 + 10 AS n,
+             CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 22050
+                  ELSE 44100 END AS rate
+      FROM documents),
+    s AS (
+      SELECT doc_id, n, rate,
+             list_transform(range(0, n), i ->
+               (doc_id*31 + i*17) % 4001 - 2000) AS samples
+      FROM d)
+    SELECT doc_id, 'aiff' AS fmt,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(rate AS BIGINT) AS sample_rate,
+           CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+           CAST(list_aggregate(list_transform(samples, v -> abs(v)),
+                               'max') AS BIGINT) AS peak,
+           CAST(list_aggregate(list_transform(samples, v -> v*v),
+                               'sum') AS BIGINT) AS sq_sum
+    FROM s
+    """,
+    doc="REAL AIFF decode: FORM/AIFF big-endian chunk walk, COMM "
+        "80-bit extended-float sample rate parsed bit-for-bit, SSND "
+        "offset handling, 16-bit BE PCM samples — integer features "
+        "oracle-replayed sample-for-sample",
+)
+def mm35(spark, sf):
+    d = spread(table(spark, sf, "documents"))
+    return M.audio_features_real(M.synth_aiff(d))

@@ -284,3 +284,67 @@ def test_temperature_mix_weights(spark):
     ns = sorted(r["n_docs"] for r in out)
     if ns[0] < ns[-1]:
         assert ws[-1] / ws[0] < ns[-1] / ns[0] + 1e-9
+
+
+def test_zarr_zipstore_roundtrip_and_gates():
+    import io
+    import json
+    import zipfile
+
+    import pytest as _pytest
+
+    from nowdb_spark.sources.zarrstore import (decode_zarr_zipstore,
+                                               encode_zarr_zipstore)
+    arr = np.arange(35, dtype="<i8").reshape(5, 7) - 10
+    for comp in (None, "zlib"):
+        m = decode_zarr_zipstore(
+            encode_zarr_zipstore(arr, (2, 3), compressor=comp))
+        assert m["shape"] == (5, 7) and m["n_chunks_stored"] == 9
+        assert (m["values"] == arr).all()
+    # sparse store: a dropped chunk reads back as fill_value
+    m = decode_zarr_zipstore(
+        encode_zarr_zipstore(arr, (2, 3), drop_chunks={"1.1"}))
+    exp = arr.copy()
+    exp[2:4, 3:6] = 0
+    assert (m["values"] == exp).all() and m["n_chunks_stored"] == 8
+    # float dtype through zlib
+    af = (np.arange(12, dtype="<f4") / 4).reshape(3, 4)
+    m = decode_zarr_zipstore(
+        encode_zarr_zipstore(af, (2, 2), compressor="zlib"))
+    assert np.allclose(m["values"], af) and m["dtype"] == "<f4"
+    # honest gates: v3, exotic compressor
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(".zarray", json.dumps({"zarr_format": 3}))
+    with _pytest.raises(NotImplementedError):
+        decode_zarr_zipstore(buf.getvalue())
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(".zarray", json.dumps(
+            {"zarr_format": 2, "shape": [2], "chunks": [2],
+             "dtype": "<i8", "compressor": {"id": "blosc"}}))
+    with _pytest.raises(NotImplementedError):
+        decode_zarr_zipstore(buf.getvalue())
+
+
+def test_aiff_codec_roundtrip():
+    from nowdb_spark.operators.audiocodec import make_audio_codec
+    c = make_audio_codec()
+    for r in (8000, 11025, 16000, 22050, 32000, 44100, 48000, 96000):
+        assert c.ext80_to_rate(c.rate_to_ext80(r)) == r, r
+    # the canonical 44100 ext80 bytes: 0x400E AC44 0000 0000 0000
+    assert c.rate_to_ext80(44100) == bytes(
+        [0x40, 0x0E, 0xAC, 0x44, 0, 0, 0, 0, 0, 0])
+    samples = [((i * 37) % 4001) - 2000 for i in range(51)]
+    b = c.encode_aiff(samples, rate=22050)
+    assert c.audio_sniff(b) == "aiff"
+    assert c.aiff_decode(b)["samples"] == samples
+    f = c.features(b)
+    assert f["fmt"] == "aiff" and f["n_samples"] == 51
+    assert f["sq_sum"] == sum(s * s for s in samples)
+    assert c.aiff_decode(b[:20]) is None
+    # WAV payloads still route through the RIFF path
+    wav = c.encode_wav(b"".join(
+        int(s).to_bytes(2, "little", signed=True)
+        for s in samples[:10]), rate=8000)
+    assert c.features(wav)["fmt"].startswith("wav")
