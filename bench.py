@@ -1228,6 +1228,48 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             errors["wd03_samples_per_sec"] = str(e).split("\n")[0][:200]
 
+        rate("mm34_anims_per_sec", n_25k,
+             lambda: MM2.webp_anim_frames_real(
+                 MM2.synth_webps_anim(ids25))
+             .agg(F.sum("px_check")).collect(),
+             extra={"mm34_anims": n_25k})
+        rate("mm35_clips_per_sec", n_imgs,
+             lambda: MM2.audio_features_real(MM2.synth_aiff(ids))
+             .agg(F.sum("sq_sum")).collect())
+        from nowdb_spark.sources.zarrstore import (
+            encode_zarr_zipstore, read_zarr_zipstores)
+
+        def _zarr_payload(did):
+            import numpy as _np
+            r, c = did % 4 + 2, did % 3 + 2
+            arr = _np.array(
+                [[(did * 7 + i * 13 + j * 3) % 1001 - 500
+                  for j in range(c)] for i in range(r)],
+                dtype="<i8")
+            return encode_zarr_zipstore(
+                arr, (2, 2), compressor="zlib" if did % 2 else None,
+                drop_chunks={"0.0"} if did % 5 == 0 else None)
+
+        try:
+            zrsrc = _shards_of(_zarr_payload, "zarrsh", ids50)
+            rate("wd12_stores_per_sec", n_50k,
+                 lambda: read_zarr_zipstores(zrsrc)
+                 .agg(F.sum("val_wsum")).collect(),
+                 extra={"wd12_stores": n_50k})
+        except Exception as e:  # noqa: BLE001
+            errors["wd12_stores_per_sec"] = str(e).split("\n")[0][:200]
+        from nowdb_spark.operators.timeseries import holt_linear
+        rate("ts13_rows_per_sec", n_rows,
+             lambda: holt_linear(
+                 spark.read.parquet(f"{tmp}/series"), "ts", "value",
+                 3_600_000_000_000, alpha=0.4, beta=0.3,
+                 key_col="user_id")
+             .agg(F.sum("forecast_1")).collect())
+        rate("g07_edges_per_sec", n_edges,
+             lambda: GOP.hyperball(edges, rounds=2)
+             .agg(F.sum("estimate")).collect(),
+             extra={"g07_edges": n_edges, "g07_rounds": 2})
+
         dim = 64
         vec = F.transform(
             F.sequence(F.lit(0), F.lit(dim - 1)),
@@ -1374,15 +1416,31 @@ def main() -> None:
                        csrc, cqueries, k=10, n_centroids=256,
                        n_probe=16, iters=2, kernel="pandas"),
                    {"ann04_n_centroids": 256, "ann04_n_probe": 16})
+            # ann09/ann10 recall has the raw-PQ caveat (similarity
+            # docstrings): these embeddings are hash-random, not
+            # MRL-trained, so a 16-dim prefix / 64 sign bits cannot
+            # resolve WITHIN-cluster order — coarse=50 measures the
+            # floor; coarse=1000 + exact rerank is the production
+            # knob (ann07 vs ann07r precedent), still only
+            # 1000·n_queries full-vector reads of the 1M corpus.
             recall("ann09_recall_at_10",
                    lambda: S.matryoshka_topk_batch(
                        csrc, cqueries, k=10, coarse=50, prefix=16),
                    {"ann09_recall_prefix": 16,
                     "ann09_recall_coarse": 50})
+            recall("ann09r_recall_at_10",
+                   lambda: S.matryoshka_topk_batch(
+                       csrc, cqueries, k=10, coarse=1000,
+                       prefix=16),
+                   {"ann09r_recall_coarse": 1000})
             recall("ann10_recall_at_10",
                    lambda: S.binary_quant_topk_batch(
                        csrc, cqueries, k=10, coarse=50),
                    {"ann10_recall_coarse": 50})
+            recall("ann10r_recall_at_10",
+                   lambda: S.binary_quant_topk_batch(
+                       csrc, cqueries, k=10, coarse=1000),
+                   {"ann10r_recall_coarse": 1000})
             # IVFADC production form: residual encoding + codebooks
             # trained on the residuals of a bounded sample (the LCG
             # books exist for the bit-exact oracle, not for quality).

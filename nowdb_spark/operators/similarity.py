@@ -1145,7 +1145,15 @@ def matryoshka_topk_batch(corpus: DataFrame, queries: DataFrame,
     (candidate ids join back to the corpus, queries broadcast). The
     corpus is scanned once per stage; the rerank join touches a
     candidate sliver. Returns (qid, vec_id, sim, rnk) like the other
-    batch retrievers."""
+    batch retrievers.
+
+    Recall caveat (the raw-PQ lesson, see ivf_pq_topk): MRL assumes
+    the embedding was TRAINED so prefix dims carry the signal. On
+    untrained/random embeddings the prefix is a random projection
+    that cannot resolve within-cluster order, so coarse=50 recall
+    measures a floor (bench: 0.17 at 1M clustered); the production
+    knob is a larger coarse cut + this exact rerank (bench ann09r:
+    coarse=1000 — still only 1000·nq full-vector reads)."""
     pref = corpus.select(
         id_col, F.slice(F.col(vec_col), 1, prefix).alias(vec_col))
     qpref = queries.select(
@@ -1189,7 +1197,14 @@ def binary_quant_topk_batch(corpus: DataFrame, queries: DataFrame,
     cosine rerank of the nq·coarse survivors. Same merge logic as
     brute_force_topk_batch: top-k of a union is the union of per-part
     top-ks, so the coarse cut is exact over the packed codes; ties
-    break on (distance, id) lexicographic order in both stages."""
+    break on (distance, id) lexicographic order in both stages.
+
+    Recall caveat: sign bits preserve BETWEEN-cluster geometry but
+    collapse within-cluster order (cluster members share most sign
+    bits → Hamming ties), so coarse=50 recall on a clustered corpus
+    is a floor (bench: 0.10 at 1M); production binary quantization
+    always pairs the Hamming pass with a larger coarse cut + exact
+    rerank (bench ann10r: coarse=1000)."""
     import numpy as np
     import pandas as pd
     globals().setdefault("pd", pd)

@@ -110,6 +110,11 @@ _PY_ALLOWED = {"mm01_extract_meta", "mm02_real_decode", "mm03_real_resize",
                # ANIM/ANMF container walk + per-frame VP8L decode is
                # bytes-imperative (same class as mm19/mm20)
                "mm34_webp_anim",
+               # AIFF chunk walk + 80-bit float parse: bytes-
+               # imperative container framing (same class as mm05)
+               "mm35_aiff_decode",
+               # ZipStore chunk-grid reassembly over zipfile/zlib
+               "wd12_zarr_store",
                # UAX #15 composition needs the Unicode tables —
                # stdlib unicodedata in an Arrow kernel (no JVM NFC)
                "tx14_nfc_normalize",
