@@ -112,6 +112,12 @@ _NMAT = np.cos((16 + np.arange(64)[:, None])
                * (2 * np.arange(32)[None, :] + 1) * np.pi / 64)
 _AMAT = np.cos((2 * np.arange(32)[:, None] + 1)
                * (np.arange(64)[None, :] - 16) * np.pi / 64)
+# static U-gather: U[64m+j] = V[128m+j], U[64m+32+j] = V[128m+96+j]
+_UIDX = np.empty(512, dtype=np.int64)
+for _m in range(8):
+    for _j in range(32):
+        _UIDX[64 * _m + _j] = 128 * _m + _j
+        _UIDX[64 * _m + 32 + _j] = 128 * _m + 96 + _j
 
 
 def make_mp2_codec() -> SimpleNamespace:
@@ -158,18 +164,19 @@ def make_mp2_codec() -> SimpleNamespace:
             return bytes(self.buf)
 
     class _Reader:
-        __slots__ = ("b", "pos")
+        __slots__ = ("val", "total", "pos")
 
         def __init__(self, b: bytes, bitpos: int = 0):
-            self.b = b
+            # one big-int conversion per frame: n-bit reads become a
+            # shift+mask instead of a per-bit loop (~6x frame decode)
+            self.val = int.from_bytes(b, "big")
+            self.total = len(b) * 8
             self.pos = bitpos
 
         def get(self, n: int) -> int:
-            v = 0
-            for _ in range(n):
-                byte = self.b[self.pos >> 3]
-                v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
-                self.pos += 1
+            v = (self.val >> (self.total - self.pos - n)) \
+                & ((1 << n) - 1)
+            self.pos += n
             return v
 
     # ---------------- header ----------------
@@ -307,7 +314,7 @@ def make_mp2_codec() -> SimpleNamespace:
                 break
             flen, kbps, rate, channels, pad = h
             _check_b2a(kbps, rate, channels)
-            r = _Reader(b, (i + 4) * 8)
+            r = _Reader(b[i + 4:i + flen])
             alloc = [r.get(B2A[sb][0]) for sb in range(SBLIMIT)]
             scfsi = [r.get(2) if alloc[sb] else 0
                      for sb in range(SBLIMIT)]
@@ -368,15 +375,10 @@ def make_mp2_codec() -> SimpleNamespace:
         n = S.shape[0]
         V = np.zeros(1024) if v_state is None else v_state
         out = np.empty((n, 32))
-        m = np.arange(8)
         for g in range(n):
             V[64:] = V[:-64]
             V[:64] = _NMAT @ S[g]
-            U = np.empty(512)
-            for j in range(32):
-                U[64 * m + j] = V[128 * m + j]
-                U[64 * m + 32 + j] = V[128 * m + 96 + j]
-            out[g] = (U * d512).reshape(16, 32).sum(axis=0)
+            out[g] = (V[_UIDX] * d512).reshape(16, 32).sum(axis=0)
         return out
 
     def analysis(pcm) -> np.ndarray:
