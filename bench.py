@@ -209,18 +209,41 @@ def main() -> None:
         gen.write.mode("overwrite").parquet(f"{tmp}/src")
         src = spark.read.parquet(f"{tmp}/src")
         src.agg(*[F.count(c) for c in src.columns]).collect()   # warm
-        # median of 3 warm passes: single-pass timing is dominated by
-        # JIT ramp (observed 16M vs 38M rows/s pass-to-pass)
-        scan_ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            src.agg(*[F.count(c) for c in src.columns]).collect()
-            scan_ts.append(time.perf_counter() - t0)
-        tput["scan_rows_per_sec"] = round(n_rows / sorted(scan_ts)[1])
-        t0 = time.perf_counter()
-        src.write.mode("overwrite").parquet(f"{tmp}/out")
-        tput["write_rows_per_sec"] = round(
-            n_rows / (time.perf_counter() - t0))
+
+        # median of 3 warm passes + recorded spread + the same
+        # over-spread retry rule as the headline section: r11's
+        # artifacts showed 39.0M vs 68.4M rows/s on identical code
+        # (loaded vs quiet host) with no way to tell from the artifact
+        # alone — now the spread and any retry are in the artifact.
+        def _spread_of(ts):
+            s = sorted(ts)
+            med = s[len(s) // 2]
+            return (s[-1] - s[0]) / med if med > 0 else 0.0
+
+        tput_retried: list[str] = []
+
+        def _timed_passes(key, action):
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                action()
+                ts.append(time.perf_counter() - t0)
+            if _spread_of(ts) > spread_retry:
+                tput_retried.append(key)
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    action()
+                    ts.append(time.perf_counter() - t0)
+            ts.sort()
+            tput[key + "_rows_per_sec"] = round(
+                n_rows / ts[len(ts) // 2])
+            tput[key + "_spread"] = round(_spread_of(ts), 3)
+
+        _timed_passes("scan", lambda: src.agg(
+            *[F.count(c) for c in src.columns]).collect())
+        _timed_passes("write", lambda: src.write.mode(
+            "overwrite").parquet(f"{tmp}/out"))
+        MACHINE["tput_retried"] = tput_retried
         tput["rows"] = n_rows
         # on-disk parity with BASELINE.md's third metric (reference:
         # 100M fixed 32 B records → 1.0 GB zstd, ~6:1): bytes/row of
@@ -962,6 +985,20 @@ def main() -> None:
              lambda: hosts.select(
                  registrable_domain(F.col("host")).alias("r"))
              .agg(F.count("r")).collect())
+        # dm02: temperature mixing over 200 skewed synthetic domains
+        # (floor(sqrt(u)) sizes span ~400× so the α-flattening
+        # actually reorders quotas); r11's one unrated registry row
+        from nowdb_spark.operators.corpus import domain_mix_sample
+        dmix = dsrc.select("doc_id", F.concat(
+            F.lit("d"),
+            F.floor(F.sqrt(F.pmod(F.xxhash64("doc_id"),
+                                  F.lit(40000)))).cast("long"))
+            .alias("source"))
+        rate("dm02_docs_per_sec", n_docs,
+             lambda: domain_mix_sample(dmix, total=1_000_000,
+                                       alpha=0.7)
+             .agg(F.count(F.lit(1)), F.sum("rk")).collect(),
+             extra={"dm02_domains": 200})
         from nowdb_spark.operators.dsp import mdct_roundtrip_real
         rate("mm33_clips_per_sec", n_imgs,
              lambda: mdct_roundtrip_real(ids)
@@ -1098,6 +1135,11 @@ def main() -> None:
              .agg(F.sum("q_sum")).collect(),
              extra={"mm31_clips": n_25k,
                     "mm31_granules_per_clip": 36})
+        rate("mm36_clips_per_sec", n_25k,
+             lambda: MM2.mp3_granules_real(MM2.synth_mp3(ids25))
+             .agg(F.sum("q_abs_sum")).collect(),
+             extra={"mm36_clips": n_25k,
+                    "mm36_granules_per_clip": 6})
 
         # shard-container rates: zip, arrow-IPC, npy (synth once to
         # parquet, timed = parse + regroup like wd01/wd06-11)
@@ -1313,6 +1355,21 @@ def main() -> None:
                  lambda: S.binary_quant_topk_batch(
                      vsrc, queries, k=10, coarse=50).count(),
                  extra={"ann10_coarse": 50})
+            # ann12 residual binary quant: centroids built ONCE
+            # outside the timed thunk (the index-build/query split a
+            # real deployment has, same treatment as ann07's books)
+            try:
+                a12c = S.kmeans_centroids(vsrc, 1024, 2,
+                                          kernel="pandas")
+                rate("ann12_vecs_per_sec", n_vecs,
+                     lambda: S.binary_residual_topk_batch(
+                         vsrc, queries, k=10, coarse=50,
+                         centroids=a12c).count(),
+                     extra={"ann12_coarse": 50,
+                            "ann12_n_centroids": 1024})
+            except Exception as e:  # noqa: BLE001
+                errors["ann12_vecs_per_sec"] = \
+                    str(e).split("\n")[0][:200]
             # MaxSim late interaction: corpus vectors as one-token
             # docs (8 per doc), an 8-token query bag — the exact
             # ColBERT baseline at 1M token vectors
@@ -1441,6 +1498,26 @@ def main() -> None:
                    lambda: S.binary_quant_topk_batch(
                        csrc, cqueries, k=10, coarse=1000),
                    {"ann10r_recall_coarse": 1000})
+            # ann12: residual bits fix ann10's within-cluster
+            # saturation — measured 0.867@1000 vs ann10's 0.686 on
+            # this corpus (r12; centroids shared across both knobs)
+            try:
+                a12cc = S.kmeans_centroids(csrc, 1024, 2,
+                                           kernel="pandas")
+                recall("ann12_recall_at_10",
+                       lambda: S.binary_residual_topk_batch(
+                           csrc, cqueries, k=10, coarse=50,
+                           centroids=a12cc),
+                       {"ann12_recall_coarse": 50,
+                        "ann12_recall_n_centroids": 1024})
+                recall("ann12r_recall_at_10",
+                       lambda: S.binary_residual_topk_batch(
+                           csrc, cqueries, k=10, coarse=1000,
+                           centroids=a12cc),
+                       {"ann12r_recall_coarse": 1000})
+            except Exception as e:  # noqa: BLE001
+                errors["ann12_recall_build"] = \
+                    str(e).split("\n")[0][:200]
             # IVFADC production form: residual encoding + codebooks
             # trained on the residuals of a bounded sample (the LCG
             # books exist for the bit-exact oracle, not for quality).
@@ -1536,9 +1613,12 @@ def _emit(total, timings, cold, tput, pipe, sf, errors,
         "load1_start": MACHINE.get("start", {}).get("load1"),
         "load1_end": MACHINE.get("end", {}).get("load1"),
         "n_retried": (len(MACHINE.get("headline_retried", []))
-                      + len(MACHINE.get("pipe_retried", []))),
+                      + len(MACHINE.get("pipe_retried", []))
+                      + len(MACHINE.get("tput_retried", []))),
         "scan_rows_per_sec": tput.get("scan_rows_per_sec"),
+        "scan_spread": tput.get("scan_spread"),
         "write_rows_per_sec": tput.get("write_rows_per_sec"),
+        "write_spread": tput.get("write_spread"),
         "disk_zstd_bytes_per_row": tput.get("disk_zstd_bytes_per_row"),
         "zorder_prune_fraction": tput.get("zorder_prune_fraction"),
         "queries": timings,

@@ -898,8 +898,9 @@ def make_audio_codec() -> SimpleNamespace:
         """MPEG-1 Layer II elementary stream (same header family as
         mp3 but layer bits '10'); full sample decode lives in
         operators/mp2codec.py."""
-        if len(b) < 4 or b[0] != 0xFF or (b[1] & 0xF0) != 0xF0:
-            return None
+        if len(b) < 4 or b[0] != 0xFF or (b[1] & 0xF8) != 0xF8:
+            return None                 # sync + ID=1: MPEG-2 LSF has
+            # different tables and frame math — refuse, don't guess
         return "mp2" if (b[1] >> 1) & 0b11 == 0b10 else None
 
     def mp2_meta(b: bytes):
@@ -909,7 +910,7 @@ def make_audio_codec() -> SimpleNamespace:
         i, n_frames, kbps_sum = 0, 0, 0
         rate = channels = None
         while i + 4 <= len(b) and b[i] == 0xFF \
-                and (b[i + 1] & 0xF0) == 0xF0 \
+                and (b[i + 1] & 0xF8) == 0xF8 \
                 and (b[i + 1] >> 1) & 0b11 == 0b10:
             br_idx = (b[i + 2] >> 4) & 0xF
             sr_idx = (b[i + 2] >> 2) & 0b11

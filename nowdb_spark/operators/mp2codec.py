@@ -183,8 +183,10 @@ def make_mp2_codec() -> SimpleNamespace:
     def frame_header(b: bytes, i: int):
         """Parse a Layer II header at offset i → (frame_len, kbps,
         rate, channels, padding) or None."""
-        if i + 4 > len(b) or b[i] != 0xFF or (b[i + 1] & 0xF0) != 0xF0:
-            return None                        # MPEG-1 only (ID=1)
+        if i + 4 > len(b) or b[i] != 0xFF or (b[i + 1] & 0xF8) != 0xF8:
+            return None                        # sync + ID=1 (MPEG-1);
+            # MPEG-2 LSF (ID=0) has different bitrate/samplerate
+            # tables and 3 granules/frame — reject, don't misparse
         layer = (b[i + 1] >> 1) & 0b11
         if layer != 0b10:                      # Layer II
             return None
@@ -315,6 +317,9 @@ def make_mp2_codec() -> SimpleNamespace:
             flen, kbps, rate, channels, pad = h
             _check_b2a(kbps, rate, channels)
             r = _Reader(b[i + 4:i + flen])
+            if not (b[i + 1] & 1):      # protection_bit=0: 16-bit
+                r.get(16)               # CRC precedes audio data
+                # (ISO 11172-3 §2.4.1.3; check value not verified)
             alloc = [r.get(B2A[sb][0]) for sb in range(SBLIMIT)]
             scfsi = [r.get(2) if alloc[sb] else 0
                      for sb in range(SBLIMIT)]

@@ -2205,6 +2205,114 @@ def mp2_granules_real(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)
 
 
+def synth_mp3(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize 3-frame mono MPEG-1 Layer III payloads (48 kHz,
+    192 kbps, 1728 bytes) from an id column, in the integer spectral
+    code domain (granule index g = 0..5 across the frames):
+
+    * region0 (i<16, Huffman table 1): ((id + 3g + i) % 3) − 1;
+    * region1 (16≤i<36, table 2): ((id·7 + g·5 + i·3) % 5) − 2;
+    * region2 (36≤i<96, table 3): ((id·11 + g + i·7) % 5) − 2;
+    * count1 tail (96≤i<120, table B quadruples): ((id+g·3+i)%3)−1;
+    * scalefactors scf[b] = (id + 7g + b) % 8 (scalefac_compress 13,
+      slen 3,3); global_gain = 200 + (id+g) % 32.
+
+    The content is synthetic; the bitstream written/parsed is the
+    REAL Layer III layout (operators/mp3codec.py): side info,
+    slen-coded scalefactors, per-region Huffman with sign bits, the
+    count1 quadruple region, and part2_3_length accounting."""
+    from nowdb_spark.operators.mp3codec import make_mp3_codec
+
+    codec = make_mp3_codec()
+    schema = f"{id_col} long, payload binary"
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        def content(did: int, g: int):
+            isv = [0] * 576
+            for i in range(16):
+                isv[i] = ((did + 3 * g + i) % 3) - 1
+            for i in range(16, 36):
+                isv[i] = ((did * 7 + g * 5 + i * 3) % 5) - 2
+            for i in range(36, 96):
+                isv[i] = ((did * 11 + g + i * 7) % 5) - 2
+            for i in range(96, 120):
+                isv[i] = ((did + g * 3 + i) % 3) - 1
+            scf = [(did + 7 * g + b) % 8 for b in range(21)]
+            return isv, scf, 200 + (did + g) % 32
+
+        def synth(did: int) -> bytes:
+            did = int(did)
+            payload = b""
+            for f in range(3):
+                g0 = content(did, 2 * f)
+                g1 = content(did, 2 * f + 1)
+                payload += codec.encode_frame(
+                    [g0[0], g1[0]], [g0[1], g1[1]],
+                    [g0[2], g1[2]], count1_quads=6)
+            return payload
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "payload": [synth(d) for d in pdf[id_col]],
+            })
+
+    return df.select(id_col).mapInPandas(kernel, schema)
+
+
+def mp3_granules_real(df: DataFrame, id_col: str = "doc_id",
+                      payload_col: str = "payload") -> DataFrame:
+    """REAL MPEG-1 Layer III decode, per granule: header → side info
+    → slen scalefactors → per-region Huffman (+count1 quadruples) →
+    requantization → alias butterflies → 36-point IMDCT (sine
+    window) → overlap-add → frequency inversion
+    (operators/mp3codec.py). Emits one row per granule with
+    integer-exact bitstream checks (q_sum/q_abs_sum over the decoded
+    spectral codes, scf_sum over the scalefactors — any side-info,
+    Huffman or sign-bit misparse breaks them) and float checks
+    rounded at 1e-6 of the requantized spectrum (xr_*) and the
+    post-IMDCT/overlap-add time samples (s_*). The final polyphase
+    filterbank is the mm31-certified shared synthesize(); its PCM is
+    covered by the pytest battery. Narrow, zero-shuffle."""
+    from nowdb_spark.operators.mp3codec import make_mp3_codec
+
+    codec = make_mp3_codec()
+    schema = (f"{id_col} long, granule long, q_sum long, "
+              "q_abs_sum long, scf_sum long, xr_sum double, "
+              "xr_abs_sum double, s_sum double, s_abs_sum double")
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                did = int(did)
+                g0 = 0
+                for f in codec.decode_frames(bytes(payload)):
+                    for gr in f["granules"]:
+                        isv = _np.asarray(gr["is"])
+                        xr = gr["xr"]
+                        ts = gr["ts"]
+                        rows.append((
+                            did, g0, int(isv.sum()),
+                            int(_np.abs(isv).sum()),
+                            int(sum(gr["scf"])),
+                            round(float(xr.sum()), 6),
+                            round(float(_np.abs(xr).sum()), 6),
+                            round(float(ts.sum()), 6),
+                            round(float(_np.abs(ts).sum()), 6)))
+                        g0 += 1
+            yield _pd.DataFrame(rows, columns=[
+                id_col, "granule", "q_sum", "q_abs_sum", "scf_sum",
+                "xr_sum", "xr_abs_sum", "s_sum", "s_abs_sum"])
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
 def synth_webps_anim(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Animated extended-WebP fixtures (the container spec's ANIM/
     ANMF layer): id%3+2 frames on a canvas sized to the largest

@@ -154,6 +154,12 @@ def read_zarr_zipstores(df: DataFrame, id_col: str = "doc_id",
                         "bound — split the store or raise "
                         "MAX_STORE_BYTES deliberately")
                 m = decode_zarr_zipstore(b)
+                if m["values"].dtype.kind not in "iu":
+                    raise NotImplementedError(
+                        f"zarr dtype {m['dtype']} has float values; "
+                        "the long checksum columns would truncate "
+                        "them — use decode_zarr_zipstore directly "
+                        "or add double checksum columns")
                 flat = m["values"].reshape(-1)
                 wsum = int(sum((i + 1) * int(v)
                                for i, v in enumerate(flat.tolist())))

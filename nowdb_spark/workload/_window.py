@@ -24,28 +24,28 @@ PRIORITY_ORDER = [
     "nq18_dialect_sessionize", "nq25_dialect_asof_join",
     "nq02_dialect_formulas", "nq08_dialect_window",
     # shard/container ingestion
-    "wd01_webdataset", "wd07_tfrecord", "wd10_lz4",
+    "wd01_webdataset", "wd07_tfrecord", "wd12_zarr_store",
     # documents
     "dc01_pdf_extract",
     # graph
-    "g03_components", "g06_label_prop",
-    # dedup
-    "wc06_url_canonicalize", "wc05_crawl_pipeline",
+    "g06_label_prop", "g07_hyperball",
+    # dedup / web corpus
+    "wc06_url_canonicalize", "wc08_registrable_domain",
     "dd10_dedup_canonical", "mm29_phash", "ann11_maxsim",
     # text analysis / quality
-    "tx14_nfc_normalize", "qc01_quality_classifier",
+    "tx16_kneser_ney", "qc01_quality_classifier",
     "qc04_banlist_scan",
     # similarity search
-    "ann03_lsh_topk", "ann10_binary_quant",
+    "ann12_residual_quant", "ann10_binary_quant",
     # multimodal (image / audio / video, real sample decode + DSP)
-    "mm19_webp_decode", "mm26_jpeg_arith_decode", "mm11_flac_decode",
-    "mm31_mp2_decode", "mm27_log_mel", "mm30_h264_ipcm",
+    "mm34_webp_anim", "mm26_jpeg_arith_decode", "mm35_aiff_decode",
+    "mm31_mp2_decode", "mm36_mp3_decode", "mm30_h264_ipcm",
     "mm33_mdct_roundtrip",
     # time-series + streaming
-    "ts12_interval_join", "st01_stream_window_agg",
+    "ts13_holt_linear", "st01_stream_window_agg",
     "st03_stream_interval_join",
     # sketches
     "sk01_hll_distinct",
-    # corpus curation
-    "cc02_curation_pipeline", "cc03_pretrain_pipeline",
+    # corpus curation / mixing
+    "dm02_temperature_mix", "cc03_pretrain_pipeline",
 ]                                                # exactly 50 entries

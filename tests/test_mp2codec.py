@@ -219,3 +219,36 @@ def test_set_window_hook():
     assert not np.allclose(out_flat, out_d)
     with pytest.raises(ValueError):
         c2.set_window([1.0, 2.0])
+
+
+def test_mpeg2_lsf_rejected():
+    """ID=0 (MPEG-2 LSF) must not parse as an MPEG-1 frame: the LSF
+    bitrate/sample-rate tables differ, so accepting it would be a
+    silent wrong decode (ADVICE r11)."""
+    b = bytearray(C.encode_frame(_sub(4), _alloc(4)))
+    b[1] &= ~0x08                            # clear the ID bit
+    assert C.frame_header(bytes(b), 0) is None
+    assert C.decode_frames(bytes(b)) == []
+    from nowdb_spark.operators.audiocodec import make_audio_codec
+    ac = make_audio_codec()
+    assert ac.mp2_sniff(bytes(b)) is None
+    assert ac.mp2_meta(bytes(b)) is None
+
+
+def test_crc_protected_frame_skips_16_bits():
+    """protection_bit=0 means a 16-bit CRC precedes the audio data
+    (ISO 11172-3 §2.4.1.3). Rebuild an encoded frame with the CRC
+    present and check the decode is identical."""
+    sub, al = _sub(6), _alloc(6)
+    clean = C.encode_frame(sub, al)
+    ref = C.decode_frames(clean)[0]
+    prot = bytearray(clean[:4])
+    prot[1] &= ~0x01                         # protection_bit = 0
+    prot += b"\xAB\xCD"                      # dummy CRC-16
+    prot += clean[4:-2]                      # same audio payload,
+    #    trimmed by 2 pad bytes so the frame length stays 576
+    assert len(prot) == len(clean)
+    got = C.decode_frames(bytes(prot))[0]
+    assert got["alloc"] == ref["alloc"]
+    assert got["scf_idx"] == ref["scf_idx"]
+    assert got["q"] == ref["q"]

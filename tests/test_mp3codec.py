@@ -1,0 +1,241 @@
+"""MPEG-1 Layer III codec: bitstream round trips, Huffman/count1
+regions, requantization, alias/IMDCT identities, gates, dispatch.
+
+Reference parity note: the reference engine has no media handling
+(SURVEY §2 extension family); the decode layout follows the public
+ISO/IEC 11172-3 Layer III structure — see operators/mp3codec.py's
+docstring for the bundled-table scope and honest gates.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from nowdb_spark.operators.mp3codec import (ALIAS_CA, ALIAS_CS,
+                                            HUFF_TABLES, IMDCT_WIN,
+                                            SFB_BOUNDS_48K, SLEN,
+                                            make_mp3_codec)
+
+C = make_mp3_codec()
+
+
+def _content(did: int, g: int):
+    isv = [0] * 576
+    for i in range(16):
+        isv[i] = ((did + 3 * g + i) % 3) - 1
+    for i in range(16, 36):
+        isv[i] = ((did * 7 + g * 5 + i * 3) % 5) - 2
+    for i in range(36, 96):
+        isv[i] = ((did * 11 + g + i * 7) % 5) - 2
+    for i in range(96, 120):
+        isv[i] = ((did + g * 3 + i) % 3) - 1
+    scf = [(did + 7 * g + b) % 8 for b in range(21)]
+    return isv, scf, 200 + (did + g) % 32
+
+
+def _payload(did: int, n_frames: int = 3, count1_quads: int = 6):
+    out = b""
+    for f in range(n_frames):
+        g0 = _content(did, 2 * f)
+        g1 = _content(did, 2 * f + 1)
+        out += C.encode_frame([g0[0], g1[0]], [g0[1], g1[1]],
+                              [g0[2], g1[2]],
+                              count1_quads=count1_quads)
+    return out
+
+
+def test_header_fields():
+    b = _payload(1, n_frames=1)
+    assert len(b) == 576                     # 144*192000/48000
+    flen, kbps, rate, ch, pad, prot = C.frame_header(b, 0)
+    assert (flen, kbps, rate, ch, pad, prot) == (576, 192, 48000,
+                                                 1, 0, 1)
+    assert C.sniff(b) == "mp3"
+    # layer II sync must NOT parse as layer III
+    assert C.frame_header(bytes([0xFF, 0xFD, 0x90, 0xC0]), 0) is None
+
+
+def test_mpeg2_lsf_rejected():
+    b = bytearray(_payload(2, n_frames=1))
+    b[1] &= ~0x08                            # clear the ID bit
+    assert C.frame_header(bytes(b), 0) is None
+    assert C.decode_frames(bytes(b)) == []
+
+
+def test_bitstream_roundtrip_exact():
+    """Decoded integer codes and scalefactors equal the encoder's
+    inputs exactly — side info, slen fields, per-region Huffman
+    tables, sign bits, and count1 quadruples all in play."""
+    for did in (0, 1, 2, 5, 17, 100, 499, 4999):
+        frames = C.decode_frames(_payload(did))
+        assert len(frames) == 3
+        gidx = 0
+        for f in frames:
+            assert f["kbps"] == 192 and f["rate"] == 48000
+            for gr in f["granules"]:
+                isv, scf, gain = _content(did, gidx)
+                assert gr["is"] == isv, (did, gidx)
+                assert gr["scf"] == scf, (did, gidx)
+                gidx += 1
+
+
+def test_count1_region_actually_used():
+    """count1_quads must shrink big_values: decode a frame with and
+    without the count1 carve and check both reproduce the content
+    (the bit layouts differ, the decoded spectrum must not)."""
+    g0 = _content(7, 0)
+    g1 = _content(7, 1)
+    with_c1 = C.encode_frame([g0[0], g1[0]], [g0[1], g1[1]],
+                             [g0[2], g1[2]], count1_quads=6)
+    without = C.encode_frame([g0[0], g1[0]], [g0[1], g1[1]],
+                             [g0[2], g1[2]], count1_quads=0)
+    assert with_c1 != without
+    a = C.decode_frames(with_c1)[0]["granules"]
+    b = C.decode_frames(without)[0]["granules"]
+    for ga, gb in zip(a, b):
+        assert ga["is"] == gb["is"]
+        assert np.allclose(ga["ts"], gb["ts"], atol=1e-12)
+
+
+def test_crc_protected_frame_skips_16_bits():
+    clean = _payload(6, n_frames=1)
+    ref = C.decode_frames(clean)[0]
+    prot = bytearray(clean[:4])
+    prot[1] &= ~0x01                         # protection_bit = 0
+    prot += b"\xAB\xCD"                      # dummy CRC-16
+    prot += clean[4:-2]                      # same payload, 2 pad
+    assert len(prot) == len(clean)           # bytes trimmed
+    got = C.decode_frames(bytes(prot))[0]
+    for ga, gb in zip(got["granules"], ref["granules"]):
+        assert ga["is"] == gb["is"] and ga["scf"] == gb["scf"]
+
+
+def test_requantization_closed_form():
+    """xr matches the ISO formula sign·|is|^(4/3)·2^((gg−210)/4)·
+    2^(−0.5·scf[sfb]) recomputed independently."""
+    did = 11
+    frames = C.decode_frames(_payload(did, n_frames=1))
+    isv, scf, gain = _content(did, 0)
+    gr = frames[0]["granules"][0]
+    for i in (0, 5, 17, 40, 97, 119, 200):
+        v = isv[i]
+        sfb = max(b for b in range(21) if SFB_BOUNDS_48K[b] <= i) \
+            if i >= 4 else 0
+        want = 0.0 if v == 0 else (
+            math.copysign(abs(v) ** (4.0 / 3.0), v)
+            * 2.0 ** ((gain - 210) / 4.0) * 2.0 ** (-0.5 * scf[sfb]))
+        assert gr["xr"][i] == pytest.approx(want, rel=1e-12), i
+
+
+def test_alias_butterflies_are_rotations():
+    """cs²+ca² = 1 per coefficient: each butterfly preserves the
+    two-sample energy, so total spectral energy is invariant."""
+    for cs, ca in zip(ALIAS_CS, ALIAS_CA):
+        assert cs * cs + ca * ca == pytest.approx(1.0, abs=1e-12)
+    did = 23
+    frames = C.decode_frames(_payload(did, n_frames=1))
+    isv, scf, gain = _content(did, 0)
+    gr = frames[0]["granules"][0]
+    # reconstruct pre-alias xr energy from the closed form
+    pre = np.zeros(576)
+    for i in range(576):
+        v = isv[i]
+        if v:
+            sfb = max(b for b in range(21)
+                      if SFB_BOUNDS_48K[b] <= i)
+            pre[i] = (math.copysign(abs(v) ** (4.0 / 3.0), v)
+                      * 2.0 ** ((gain - 210) / 4.0)
+                      * 2.0 ** (-0.5 * scf[sfb]))
+    # ts energy = alias(pre) energy transformed by IMDCT — instead
+    # check the alias stage directly by replaying it
+    xa = pre.copy()
+    for sb in range(1, 32):
+        for j in range(8):
+            a, b = xa[18 * sb - 1 - j], xa[18 * sb + j]
+            xa[18 * sb - 1 - j] = a * ALIAS_CS[j] - b * ALIAS_CA[j]
+            xa[18 * sb + j] = b * ALIAS_CS[j] + a * ALIAS_CA[j]
+    assert float(xa @ xa) == pytest.approx(float(pre @ pre),
+                                           rel=1e-12)
+    # and the decoder's ts equals IMDCT of this xa (granule 0:
+    # overlap buffer is zero)
+    z = xa.reshape(32, 18) @ IMDCT_WIN.T
+    ts = z[:, :18].copy()
+    ts[1::2, 1::2] = -ts[1::2, 1::2]
+    assert np.allclose(gr["ts"], ts.T, atol=1e-12)
+
+
+def test_imdct_basis_is_mm33_mdct_transposed():
+    """The IMDCT window×basis equals dsp.py's MDCT basis (mm33)
+    transposed times the sine window — the two modules share the
+    lapped-transform kernel exactly."""
+    from nowdb_spark.operators.dsp import mdct_basis, mdct_window
+    Cb = np.array(mdct_basis())              # (18, 36)
+    w = np.array(mdct_window())              # (36,)
+    assert np.array_equal(IMDCT_WIN, Cb.T * w[:, None])
+
+
+def test_tdac_overlap_add_reconstructs():
+    """Princen-Bradley: spectra from the forward MDCT (scaled 4/N),
+    run through the decoder's IMDCT+overlap-add shape, reconstruct
+    the interior of the input exactly."""
+    from nowdb_spark.operators.dsp import mdct_basis, mdct_window
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-1, 1, 18 * 5)
+    Cb = np.array(mdct_basis())
+    w = np.array(mdct_window())
+    frames = np.stack([x[18 * f:18 * f + 36] for f in range(4)])
+    X = (frames * w[None, :]) @ Cb.T * (4.0 / 36.0)
+    z = X @ IMDCT_WIN.T                      # decoder's kernel
+    overlap = np.zeros(18)
+    rec = []
+    for f in range(4):
+        rec.append(z[f, :18] + overlap)
+        overlap = z[f, 18:]
+    rec = np.concatenate(rec)
+    assert np.allclose(rec[18:72], x[18:72], atol=1e-12)
+
+
+def test_decode_pcm_shape_and_state():
+    pcm = C.decode_pcm(_payload(9))
+    assert pcm.shape == (6, 18, 32)
+    # whole-payload decode equals two half decodes with carried
+    # state? state is internal per call — instead: deterministic
+    again = C.decode_pcm(_payload(9))
+    assert np.array_equal(pcm, again)
+
+
+def test_gates():
+    b = bytearray(_payload(3, n_frames=1))
+    with pytest.raises(NotImplementedError):
+        C.encode_frame([[0] * 576] * 2, [[0] * 21] * 2, [210, 210],
+                       rate=44100)
+    # stereo mode bits → gate
+    b2 = bytearray(b)
+    b2[3] &= 0x3F                            # mode 00: stereo
+    with pytest.raises(NotImplementedError):
+        C.decode_frames(bytes(b2))
+    # main_data_begin != 0 → reservoir gate (set the first side-info
+    # bit: byte 4 high bit)
+    b3 = bytearray(b)
+    b3[4] |= 0x80
+    with pytest.raises(NotImplementedError):
+        C.decode_frames(bytes(b3))
+    # unknown Huffman table id → actionable gate
+    c2 = make_mp3_codec()
+    with pytest.raises(NotImplementedError, match="set_tables"):
+        c2.encode_frame([[3] + [0] * 575] * 2, [[0] * 21] * 2,
+                        [210, 210], table_select=(5, 2, 3))
+    with pytest.raises(ValueError, match="Kraft"):
+        c2.set_tables(5, {(0, 0): (1, 1), (0, 1): (1, 0),
+                          (1, 0): (2, 1)})
+
+
+def test_slen_and_tables_shape():
+    assert len(SLEN) == 16 and SLEN[13] == (3, 3)
+    assert SFB_BOUNDS_48K[-1] == 576 and len(SFB_BOUNDS_48K) == 23
+    for tid, tab in HUFF_TABLES.items():
+        kraft = sum(2.0 ** -ln for ln, _ in tab.values())
+        assert kraft == pytest.approx(1.0, abs=1e-12), tid

@@ -930,9 +930,10 @@ def test_matryoshka_batch_funnel(spark):
 
 def test_binary_quant_batch_matches_single_query_gate(spark):
     """binary_quant_topk_batch with one query reproduces the ann10
-    gate row's semantics (same Hamming coarse cut over sign bits,
-    same exact cosine rerank; the gate packs 2×32-bit words, the
-    batch packs uint64 — layouts differ, Hamming distances match)."""
+    gate row's semantics (same asymmetric q·sign(d) coarse cut —
+    rounded at 1e-6 on both sides so the cut ignores summation
+    order — same exact cosine rerank; the gate packs 2×32-bit
+    words, the batch packs uint64: layouts differ, scores match)."""
     from nowdb_spark.workload import QUERIES
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     q = (emb.filter(F.col("vec_id") == 0)
@@ -948,9 +949,10 @@ def test_binary_quant_batch_matches_single_query_gate(spark):
     assert got == want
 
 
-def test_binary_quant_batch_coarse_is_exact_hamming(spark):
-    """The partition-local Hamming cut is exact: distances of the
-    returned candidates match a driver-side numpy recompute."""
+def test_binary_quant_batch_coarse_is_exact_asymmetric(spark):
+    """The partition-local coarse cut is exact: the returned
+    candidates all come from the true top-20 by the asymmetric score
+    q·sign(d), recomputed driver-side in numpy."""
     import numpy as np
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet") \
         .limit(200)
@@ -960,17 +962,37 @@ def test_binary_quant_batch_coarse_is_exact_hamming(spark):
                  F.col("embedding").alias("qvec")))
     out = S.binary_quant_topk_batch(emb.repartition(3), q, k=5,
                                     coarse=20).collect()
-    V = {r["vec_id"]: np.array(r["embedding"]) for r in rows}
+    V = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+         for r in rows}
     qv = V[1]
 
-    def ham(a, b):
-        return int(np.sum((a > 0) != (b > 0)))
+    def asym(d):
+        return round(float(np.where(d > 0, qv, -qv).sum()), 6)
 
-    hd = sorted((ham(v, qv), i) for i, v in V.items())
-    best = {i for d, i in hd[:5]}
+    sc = sorted((-asym(v), i) for i, v in V.items())
     got = {r["vec_id"] for r in out if r["rnk"] <= 5}
     # rerank reorders within the coarse set; the coarse set itself
-    # must contain the true 5 nearest-by-hamming
-    coarse_set = {i for d, i in hd[:20]}
+    # must be drawn from the true top-20 by q·sign(d)
+    coarse_set = {i for s, i in sc[:20]}
     assert got <= coarse_set
-    assert best <= coarse_set
+
+
+def test_binary_residual_batch_matches_single_query_gate(spark):
+    """binary_residual_topk_batch with one query and the gate row's
+    centroids reproduces ann12_residual_quant exactly (same residual
+    sign bits, same ‖r‖₁/dim scale, same 1e-6-rounded asymmetric
+    score, same exact cosine rerank)."""
+    from nowdb_spark.workload import QUERIES
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = S.kmeans_centroids(emb, 8, 3)
+    q = (emb.filter(F.col("vec_id") == 0)
+         .select(F.lit(0).alias("qid"),
+                 F.col("embedding").alias("qvec")))
+    got = {(r["vec_id"], r["sim"])
+           for r in S.binary_residual_topk_batch(
+               emb.filter(F.col("vec_id") != 0).repartition(5), q,
+               k=10, coarse=50, centroids=cents).collect()}
+    want = {(r["vec_id"], r["sim"])
+            for r in QUERIES["ann12_residual_quant"]
+            .spark(spark, SF_DIR).collect()}
+    assert got == want

@@ -104,6 +104,10 @@ _PY_ALLOWED = {"mm01_extract_meta", "mm02_real_decode", "mm03_real_resize",
                # Layer II bit-parse is bytes-imperative; synthesis is
                # a vectorized numpy matmul per Arrow batch
                "mm31_mp2_decode",
+               # Layer III side-info/Huffman bit-parse is bytes-
+               # imperative; IMDCT/overlap-add are numpy matmuls per
+               # Arrow batch (same class as mm31 + mm33 combined)
+               "mm36_mp3_decode",
                # lapped-transform kernel: two numpy matmuls per Arrow
                # batch (the transform layer of the MDCT-family gate)
                "mm33_mdct_roundtrip",

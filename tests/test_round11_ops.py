@@ -348,3 +348,18 @@ def test_aiff_codec_roundtrip():
         int(s).to_bytes(2, "little", signed=True)
         for s in samples[:10]), rate=8000)
     assert c.features(wav)["fmt"].startswith("wav")
+
+
+def test_zarr_float_store_gated_in_checksum_reader(spark):
+    """read_zarr_zipstores emits LONG checksums; a float store must
+    be an honest gate, not a silent truncation (ADVICE r11)."""
+    import pytest as _pytest
+
+    from nowdb_spark.sources.zarrstore import (encode_zarr_zipstore,
+                                               read_zarr_zipstores)
+    af = (np.arange(12, dtype="<f4") / 4).reshape(3, 4)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_zarr_zipstore(af, (2, 2))))],
+        "doc_id long, payload binary")
+    with _pytest.raises(Exception, match="float"):
+        read_zarr_zipstores(df).collect()
