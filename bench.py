@@ -1140,6 +1140,10 @@ def main() -> None:
              .agg(F.sum("q_abs_sum")).collect(),
              extra={"mm36_clips": n_25k,
                     "mm36_granules_per_clip": 6})
+        rate("mm37_frames_per_sec", n_25k,
+             lambda: MM2.vp8_frames_real(MM2.synth_vp8(ids25))
+             .agg(F.sum("y_wsum")).collect(),
+             extra={"mm37_frames": n_25k})
 
         # shard-container rates: zip, arrow-IPC, npy (synth once to
         # parquet, timed = parse + regroup like wd01/wd06-11)

@@ -226,14 +226,26 @@ def make_mp3_codec():
                      region1_count: int = 3,
                      scalefac_scale: int = 0,
                      table_select=(1, 2, 3),
-                     count1_quads: int = 0) -> bytes:
+                     count1_quads: int = 0,
+                     scfsi=(0, 0, 0, 0)) -> bytes:
         """Encode ONE mono MPEG-1 Layer III frame from the integer
         code domain: ``is2`` is 2 granules × 576 signed spectral
         codes, ``scf2`` 2×21 scalefactors, ``gains`` 2 global_gains.
         big_values covers everything before the count1 region;
         ``count1_quads`` trailing quadruples (|v| ≤ 1) are coded with
         count1 table B. scalefac_compress is fixed at 13 (slen 3,3);
-        scfsi 0; no bit reservoir (main_data_begin=0)."""
+        no bit reservoir (main_data_begin=0). ``scfsi`` flags per
+        band group (0-5, 6-10, 11-15, 16-20): a set flag means
+        granule 1 reuses granule 0's scalefactors in that group and
+        they are not transmitted (scf2 must agree there)."""
+        groups = [(0, 6), (6, 11), (11, 16), (16, 21)]
+        for grp, (lo, hi) in enumerate(groups):
+            if scfsi[grp]:
+                for bnd in range(lo, hi):
+                    if scf2[0][bnd] != scf2[1][bnd]:
+                        raise ValueError(
+                            f"scfsi group {grp} set but scalefactor "
+                            f"band {bnd} differs between granules")
         _gate(1, rate)
         r0_end = SFB_BOUNDS_48K[region0_count + 1]
         r1_end = SFB_BOUNDS_48K[region0_count + region1_count + 2]
@@ -272,8 +284,11 @@ def make_mp3_codec():
             c1_lo = big2
             c1_hi = min(576, big2 + 4 * n_c1)
             bw = _Writer()
-            for b in range(21):                # scalefactors, slen 3,3
-                bw.put(int(scf2[g][b]) & 7, 3)
+            for grp, (lo, hi) in enumerate(groups):
+                if g == 1 and scfsi[grp]:
+                    continue                   # reused from granule 0
+                for b in range(lo, hi):        # slen (3,3)
+                    bw.put(int(scf2[g][b]) & 7, 3)
             for i in range(0, big2, 2):
                 x, y = isv[i], isv[i + 1]
                 if i < r0_end:
@@ -317,7 +332,8 @@ def make_mp3_codec():
         # side info (17 bytes, mono)
         w.put(0, 9)                 # main_data_begin: no reservoir
         w.put(0, 5)                 # private
-        w.put(0, 4)                 # scfsi: all fresh
+        for grp in range(4):        # scfsi flags per band group
+            w.put(1 if scfsi[grp] else 0, 1)
         for g in range(2):
             w.put(granule_bits[g][1], 12)      # part2_3_length
             w.put(bv[g], 9)

@@ -2313,6 +2313,94 @@ def mp3_granules_real(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)
 
 
+def synth_vp8(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize single-macroblock lossy-VP8 key frames (16×16,
+    RFC 6386 layout; operators/vp8codec.py) from an id column, in
+    the quantized coefficient domain:
+
+    * Y2 (DC plane): ((id·3 + j·7) % 21) − 10, j = 0..15;
+    * 16 luma blocks i: coeff j = ((id·5 + i·11 + j·3) % 13) − 6 for
+      1 ≤ j < 10, 0 beyond (position 0 comes from Y2);
+    * 8 chroma blocks i: ((id·7 + i·3 + j·5) % 9) − 4 for j < 6;
+    * q_index = id % 128, luma mode = (DC,V,H,TM)[id % 4].
+
+    The bitstream is the real key-frame layout — frame tag,
+    start code, bool-coded feature/quant/update flags, mode trees,
+    token trees with sign and category-extra bits — see the module
+    docstring for the structure-vs-data split."""
+    from nowdb_spark.operators.vp8codec import make_vp8_codec
+
+    codec = make_vp8_codec()
+    schema = f"{id_col} long, payload binary"
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        def synth(did: int) -> bytes:
+            did = int(did)
+            y2 = [((did * 3 + j * 7) % 21) - 10 for j in range(16)]
+            y = [[0] + [((did * 5 + i * 11 + j * 3) % 13) - 6
+                        if j < 10 else 0 for j in range(1, 16)]
+                 for i in range(16)]
+            uv = [[((did * 7 + i * 3 + j * 5) % 9) - 4
+                   if j < 6 else 0 for j in range(16)]
+                  for i in range(8)]
+            return codec.encode_frame(did % 4, y2, y, uv,
+                                      q_index=did % 128)
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "payload": [synth(d) for d in pdf[id_col]],
+            })
+
+    return df.select(id_col).mapInPandas(kernel, schema)
+
+
+def vp8_frames_real(df: DataFrame, id_col: str = "doc_id",
+                    payload_col: str = "payload") -> DataFrame:
+    """REAL lossy-VP8 intra decode, per frame: boolean-decode both
+    partitions (header/modes + DCT tokens), dequantize, inverse WHT
+    the Y2 plane into the luma DCs, inverse-DCT every block, predict
+    (DC/V/H/TM) and reconstruct (operators/vp8codec.py). Every
+    emitted column is INTEGER-exact — the transforms are integer —
+    so any bool-coder, token-tree, context, zigzag, WHT, IDCT or
+    prediction misparse breaks the row: coefficient sums per plane,
+    plane pixel sums, and position-weighted pixel sums (catches
+    block-placement mistakes that plain sums cancel). Narrow,
+    zero-shuffle."""
+    from nowdb_spark.operators.vp8codec import make_vp8_codec
+
+    codec = make_vp8_codec()
+    schema = (f"{id_col} long, ymode long, q_index long, "
+              "qy_sum long, qy2_sum long, quv_sum long, "
+              "y_sum long, y_wsum long, u_sum long, v_sum long")
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as _np
+        import pandas as _pd
+
+        w16 = (_np.arange(256).reshape(16, 16) + 1)
+
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                out = codec.decode_frame(bytes(payload))
+                qy = sum(sum(b[1:]) for b in out["y_coeffs"])
+                quv = sum(sum(b) for b in out["uv_coeffs"])
+                rows.append((
+                    int(did), out["ymode"], out["q_index"],
+                    int(qy), int(sum(out["y2_coeffs"])), int(quv),
+                    int(out["y"].sum()),
+                    int((out["y"] * w16).sum()),
+                    int(out["u"].sum()), int(out["v"].sum())))
+            yield _pd.DataFrame(rows, columns=[
+                id_col, "ymode", "q_index", "qy_sum", "qy2_sum",
+                "quv_sum", "y_sum", "y_wsum", "u_sum", "v_sum"])
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
 def synth_webps_anim(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Animated extended-WebP fixtures (the container spec's ANIM/
     ANMF layer): id%3+2 frames on a canvas sized to the largest

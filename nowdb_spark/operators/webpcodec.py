@@ -465,7 +465,9 @@ def make_webp_codec() -> SimpleNamespace:
             raise ValueError(
                 f"vp8l: {kind.decode('latin1').strip()} member "
                 "(lossy/extended WebP) is out of the lossless "
-                "decoder's scope")
+                "decoder's scope — lossy VP8 intra key frames "
+                "decode via operators/vp8codec.py, extended VP8X/"
+                "ANIM via parse_extended")
         size = int.from_bytes(b[16:20], "little")
         data = b[20:20 + size]
         if len(data) < size:

@@ -38,7 +38,7 @@ PRIORITY_ORDER = [
     # similarity search
     "ann12_residual_quant", "ann10_binary_quant",
     # multimodal (image / audio / video, real sample decode + DSP)
-    "mm34_webp_anim", "mm26_jpeg_arith_decode", "mm35_aiff_decode",
+    "mm34_webp_anim", "mm37_vp8_intra", "mm35_aiff_decode",
     "mm31_mp2_decode", "mm36_mp3_decode", "mm30_h264_ipcm",
     "mm33_mdct_roundtrip",
     # time-series + streaming

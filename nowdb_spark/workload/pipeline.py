@@ -4876,6 +4876,197 @@ def mm36(spark, sf):
 
 
 # ------------------------------------------------------------------
+# Lossy VP8 intra decode (mm37): completes still WebP next to VP8L
+# (mm19) and ANIM (mm34). The Spark side round-trips REAL RFC 6386
+# key frames (boolean arithmetic coder, mode/token trees with
+# contexts and sign/category bits, zigzag, dequant, inverse WHT,
+# integer IDCT, whole-MB prediction, clamped reconstruction —
+# operators/vp8codec.py, structure-vs-data split in its docstring).
+# The oracle replays dequant → WHT → IDCT → predict → reconstruct
+# from the same closed-form coefficients ENTIRELY IN INTEGERS (the
+# VP8 transforms are integer-exact), so every column is hash-exact
+# with no float rounding anywhere. Intermediate >>16 / >>3 floors
+# are spelled floor(x / 2^k) because DuckDB's // truncates toward
+# zero while the spec (and Python's >>) floor.
+def _vp8_fdiv(x: str, k: int) -> str:
+    return f"CAST(floor(({x}) / {1 << k}.0) AS BIGINT)"
+
+
+def _vp8_idct_pass1_cols() -> str:
+    cols = []
+    for i in range(4):
+        a1 = f"(c{i} + c{i + 8})"
+        b1 = f"(c{i} - c{i + 8})"
+        c1 = (f"({_vp8_fdiv(f'c{i + 4} * 35468', 16)} - c{i + 12}"
+              f" - {_vp8_fdiv(f'c{i + 12} * 20091', 16)})")
+        d1 = (f"(c{i + 4} + {_vp8_fdiv(f'c{i + 4} * 20091', 16)}"
+              f" + {_vp8_fdiv(f'c{i + 12} * 35468', 16)})")
+        cols += [f"{a1} + {d1} AS t{i}",
+                 f"{b1} + {c1} AS t{i + 4}",
+                 f"{b1} - {c1} AS t{i + 8}",
+                 f"{a1} - {d1} AS t{i + 12}"]
+    return ", ".join(cols)
+
+
+def _vp8_idct_pass2_cols() -> str:
+    cols = []
+    for i in range(4):
+        r = 4 * i
+        a1 = f"(t{r} + t{r + 2})"
+        b1 = f"(t{r} - t{r + 2})"
+        c1 = (f"({_vp8_fdiv(f't{r + 1} * 35468', 16)} - t{r + 3}"
+              f" - {_vp8_fdiv(f't{r + 3} * 20091', 16)})")
+        d1 = (f"(t{r + 1} + {_vp8_fdiv(f't{r + 1} * 20091', 16)}"
+              f" + {_vp8_fdiv(f't{r + 3} * 35468', 16)})")
+        cols += [f"{_vp8_fdiv(f'{a1} + {d1} + 4', 3)} AS o{r}",
+                 f"{_vp8_fdiv(f'{b1} + {c1} + 4', 3)} AS o{r + 1}",
+                 f"{_vp8_fdiv(f'{b1} - {c1} + 4', 3)} AS o{r + 2}",
+                 f"{_vp8_fdiv(f'{a1} - {d1} + 4', 3)} AS o{r + 3}"]
+    return ", ".join(cols)
+
+
+def _vp8_wht_cols() -> tuple:
+    p1 = []
+    for i in range(4):
+        a1 = f"(c{i} + c{i + 12})"
+        b1 = f"(c{i + 4} + c{i + 8})"
+        c1 = f"(c{i + 4} - c{i + 8})"
+        d1 = f"(c{i} - c{i + 12})"
+        p1 += [f"{a1} + {b1} AS t{i}", f"{c1} + {d1} AS t{i + 4}",
+               f"{a1} - {b1} AS t{i + 8}",
+               f"{d1} - {c1} AS t{i + 12}"]
+    p2 = []
+    for i in range(4):
+        r = 4 * i
+        a1 = f"(t{r} + t{r + 3})"
+        b1 = f"(t{r + 1} + t{r + 2})"
+        c1 = f"(t{r + 1} - t{r + 2})"
+        d1 = f"(t{r} - t{r + 3})"
+        p2 += [f"{_vp8_fdiv(f'{a1} + {b1} + 3', 3)} AS o{r}",
+               f"{_vp8_fdiv(f'{c1} + {d1} + 3', 3)} AS o{r + 1}",
+               f"{_vp8_fdiv(f'{a1} - {b1} + 3', 3)} AS o{r + 2}",
+               f"{_vp8_fdiv(f'{d1} - {c1} + 3', 3)} AS o{r + 3}"]
+    return ", ".join(p1), ", ".join(p2)
+
+
+def _mm37_oracle() -> str:
+    y2c = ", ".join(
+        f"((doc_id*3 + {j * 7}) % 21 - 10) * "
+        + ("y2dc" if j == 0 else "y2ac") + f" AS c{j}"
+        for j in range(16))
+    yc = ["u.y2d AS c0"] + [
+        (f"((q.doc_id*5 + u.blk*11 + {j * 3}) % 13 - 6) * q.yac"
+         if j < 10 else "0") + f" AS c{j}" for j in range(1, 16)]
+    uvc = ", ".join(
+        (f"((d.doc_id*7 + b.blk*3 + {j * 5}) % 9 - 4) * "
+         + ("d.uvdc" if j == 0 else "d.uvac") if j < 6 else "0")
+        + f" AS c{j}" for j in range(16))
+    wht1, wht2 = _vp8_wht_cols()
+    olist = ", ".join(f"o{j}" for j in range(16))
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, doc_id % 4 AS ymode, doc_id % 128 AS qi
+      FROM documents WHERE doc_id % 3 = 2),
+    dq AS (
+      SELECT doc_id, ymode, qi, qi + 4 AS ydc, qi + 4 AS yac,
+             2 * (qi + 4) AS y2dc,
+             greatest(8, ((qi + 4) * 155) // 100) AS y2ac,
+             least(132, qi + 4) AS uvdc, qi + 4 AS uvac
+      FROM docs),
+    y2c AS (SELECT doc_id, ymode, {y2c} FROM dq),
+    y2w1 AS (SELECT doc_id, ymode, {wht1} FROM y2c),
+    y2o AS (SELECT doc_id, ymode, {wht2} FROM y2w1),
+    y2u AS (
+      SELECT doc_id, unnest([{olist}]) AS y2d,
+             unnest(range(0, 16)) AS blk
+      FROM y2o),
+    yc AS (
+      SELECT q.doc_id, q.ymode, u.blk, {', '.join(yc)}
+      FROM dq q JOIN y2u u USING (doc_id)),
+    yt AS (SELECT doc_id, ymode, blk, {_vp8_idct_pass1_cols()}
+           FROM yc),
+    yo AS (SELECT doc_id, ymode, blk, {_vp8_idct_pass2_cols()}
+           FROM yt),
+    ypix AS (
+      SELECT doc_id,
+             4 * (blk // 4) + pos // 4 AS row,
+             4 * (blk % 4) + pos % 4 AS col,
+             least(255, greatest(0,
+               (CASE ymode WHEN 0 THEN 128 WHEN 1 THEN 127
+                           WHEN 2 THEN 129 ELSE 129 END) + res))
+               AS pix
+      FROM (SELECT doc_id, ymode, blk,
+                   unnest([{olist}]) AS res,
+                   unnest(range(0, 16)) AS pos
+            FROM yo)),
+    uvc AS (
+      SELECT d.doc_id, b.blk, {uvc}
+      FROM dq d, unnest(range(0, 8)) b(blk)),
+    uvt AS (SELECT doc_id, blk, {_vp8_idct_pass1_cols()} FROM uvc),
+    uvo AS (SELECT doc_id, blk, {_vp8_idct_pass2_cols()} FROM uvt),
+    uvpix AS (
+      SELECT doc_id, blk,
+             least(255, greatest(0, 128 + res)) AS pix
+      FROM (SELECT doc_id, blk, unnest([{olist}]) AS res
+            FROM uvo)),
+    qs AS (
+      SELECT d.doc_id,
+        (SELECT sum((d.doc_id*5 + i.i*11 + j.j*3) % 13 - 6)
+         FROM unnest(range(0, 16)) i(i),
+              unnest(range(1, 10)) j(j)) AS qy_sum,
+        (SELECT sum((d.doc_id*3 + j.j*7) % 21 - 10)
+         FROM unnest(range(0, 16)) j(j)) AS qy2_sum,
+        (SELECT sum((d.doc_id*7 + i.i*3 + j.j*5) % 9 - 4)
+         FROM unnest(range(0, 8)) i(i),
+              unnest(range(0, 6)) j(j)) AS quv_sum
+      FROM docs d),
+    ys AS (
+      SELECT doc_id, CAST(sum(pix) AS BIGINT) AS y_sum,
+             CAST(sum((16 * row + col + 1) * pix) AS BIGINT)
+               AS y_wsum
+      FROM ypix GROUP BY doc_id),
+    us AS (
+      SELECT doc_id,
+        CAST(sum(CASE WHEN blk < 4 THEN pix ELSE 0 END) AS BIGINT)
+          AS u_sum,
+        CAST(sum(CASE WHEN blk >= 4 THEN pix ELSE 0 END) AS BIGINT)
+          AS v_sum
+      FROM uvpix GROUP BY doc_id)
+    SELECT d.doc_id, CAST(d.ymode AS BIGINT) AS ymode,
+           CAST(d.qi AS BIGINT) AS q_index,
+           CAST(q.qy_sum AS BIGINT) AS qy_sum,
+           CAST(q.qy2_sum AS BIGINT) AS qy2_sum,
+           CAST(q.quv_sum AS BIGINT) AS quv_sum,
+           ys.y_sum, ys.y_wsum, us.u_sum, us.v_sum
+    FROM docs d
+    JOIN qs q USING (doc_id)
+    JOIN ys USING (doc_id)
+    JOIN us USING (doc_id)
+    """
+
+
+@register(
+    "mm37_vp8_intra",
+    _mm37_oracle(),
+    doc="REAL lossy-VP8 intra key-frame decode (RFC 6386): boolean "
+        "arithmetic coder, frame tag + start code, bool-coded "
+        "header/quant/update fields, key-frame mode trees, DCT token "
+        "trees with band/context selection, sign and category-extra "
+        "bits, zigzag, dequant, inverse Walsh-Hadamard Y2 plane, "
+        "exact integer IDCT (20091/35468), whole-MB DC/V/H/TM "
+        "prediction, clamped reconstruction — completing still WebP "
+        "next to VP8L and ANIM. Oracle replays dequant through "
+        "reconstruction in pure integers (hash-exact, no float "
+        "rounding); probability/dequant table data is hook-installed "
+        "per the module's documented structure-vs-data split",
+)
+def mm37(spark, sf):
+    d = spread(table(spark, sf, "documents")
+               .where(F.col("doc_id") % 3 == 2))
+    return M.vp8_frames_real(M.synth_vp8(d))
+
+
+# ------------------------------------------------------------------
 # Late-interaction retrieval (ann11): ColBERT MaxSim — docs and the
 # query are BAGS of token embeddings (here: 5 consecutive vec_ids
 # form one doc's token bag; doc 0's bag is the query), score(q,d) =

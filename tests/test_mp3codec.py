@@ -239,3 +239,27 @@ def test_slen_and_tables_shape():
     for tid, tab in HUFF_TABLES.items():
         kraft = sum(2.0 ** -ln for ln, _ in tab.values())
         assert kraft == pytest.approx(1.0, abs=1e-12), tid
+
+
+def test_scfsi_scalefactor_reuse():
+    """scfsi groups: granule 1 reuses granule 0's scalefactors in
+    flagged band groups and they are not retransmitted — the frame
+    shrinks and the decode still reproduces both granules."""
+    g0 = _content(13, 0)
+    scf_shared = list(g0[1])
+    g1 = (_content(13, 1)[0], scf_shared, 207)
+    full = C.encode_frame([g0[0], g1[0]], [g0[1], g1[1]],
+                          [g0[2], g1[2]], count1_quads=6)
+    reused = C.encode_frame([g0[0], g1[0]], [g0[1], g1[1]],
+                            [g0[2], g1[2]], count1_quads=6,
+                            scfsi=(1, 1, 0, 1))
+    f_full = C.decode_frames(full)[0]
+    f_re = C.decode_frames(reused)[0]
+    for a, b in zip(f_full["granules"], f_re["granules"]):
+        assert a["is"] == b["is"] and a["scf"] == b["scf"]
+    # part2_3_length of granule 1 shrank by 16 scalefactors × 3 bits
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="scfsi"):
+        C.encode_frame([g0[0], g1[0]],
+                       [g0[1], [(s + 1) % 8 for s in g1[1]]],
+                       [g0[2], g1[2]], scfsi=(1, 0, 0, 0))

@@ -108,6 +108,10 @@ _PY_ALLOWED = {"mm01_extract_meta", "mm02_real_decode", "mm03_real_resize",
                # imperative; IMDCT/overlap-add are numpy matmuls per
                # Arrow batch (same class as mm31 + mm33 combined)
                "mm36_mp3_decode",
+               # VP8 boolean-coder/token-tree decode is inherently
+               # bit-serial (same class as mm26's QM coder); the
+               # integer transforms are per-block numpy
+               "mm37_vp8_intra",
                # lapped-transform kernel: two numpy matmuls per Arrow
                # batch (the transform layer of the MDCT-family gate)
                "mm33_mdct_roundtrip",
