@@ -1136,7 +1136,7 @@ def main() -> None:
              extra={"mm31_clips": n_25k,
                     "mm31_granules_per_clip": 36})
         rate("mm36_clips_per_sec", n_25k,
-             lambda: MM2.mp3_granules_real(MM2.synth_mp3(ids25))
+             lambda: MM2.mp3_granules_real(MM2.synth_mp3_l3(ids25))
              .agg(F.sum("q_abs_sum")).collect(),
              extra={"mm36_clips": n_25k,
                     "mm36_granules_per_clip": 6})
@@ -1315,6 +1315,45 @@ def main() -> None:
              lambda: GOP.hyperball(edges, rounds=2)
              .agg(F.sum("estimate")).collect(),
              extra={"g07_edges": n_edges, "g07_rounds": 2})
+        # g08 k-core over the same 200k-node graph: mean degree ~20
+        # (2M directed edges), absolute k=15 peels a real tail
+        rate("g08_edges_per_sec", n_edges,
+             lambda: GOP.k_core(GOP.undirect(edges), k=15, rounds=6)
+             .agg(F.sum("core_deg")).collect(),
+             extra={"g08_k": 15, "g08_rounds": 6})
+        # ts14 CUSUM over the ts13 series table (same keyed fold)
+        from nowdb_spark.operators.timeseries import \
+            cusum_changepoints
+        rate("ts14_rows_per_sec", n_rows,
+             lambda: cusum_changepoints(
+                 spark.read.parquet(f"{tmp}/series"), "ts", "value",
+                 3_600_000_000_000, key_col="user_id")
+             .agg(F.sum("n_alarms")).collect())
+        # cc04 perplexity buckets at 2M docs (the tx16 LM + a keyed
+        # ntile window; synthetic domain column from the doc id)
+        from nowdb_spark.operators.corpus import perplexity_buckets
+        rate("cc04_docs_per_sec", n_kn,
+             lambda: perplexity_buckets(
+                 dsrc.filter(F.col("doc_id") < n_kn)
+                 .withColumn("source", F.concat(
+                     F.lit("d"), F.col("doc_id") % 20)))
+             .agg(F.sum("n_bigrams")).collect(),
+             extra={"cc04_docs": n_kn})
+        # tx17 unigram Viterbi at 2M docs: vocab trained ONCE outside
+        # the timed thunk (model build/apply split, ann07/ann12
+        # precedent), segmentation is the timed narrow kernel
+        try:
+            from nowdb_spark.operators.tokenize import (
+                unigram_segment, unigram_vocab)
+            t17src = dsrc.filter(F.col("doc_id") < n_kn)
+            t17v = unigram_vocab(t17src)
+            rate("tx17_docs_per_sec", n_kn,
+                 lambda: unigram_segment(t17src, t17v)
+                 .agg(F.sum("n_tokens")).collect(),
+                 extra={"tx17_docs": n_kn,
+                        "tx17_vocab": len(t17v)})
+        except Exception as e:  # noqa: BLE001
+            errors["tx17_docs_per_sec"] = str(e).split("\n")[0][:200]
 
         dim = 64
         vec = F.transform(

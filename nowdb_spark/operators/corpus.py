@@ -251,6 +251,41 @@ def line_dedup(df: DataFrame, text_col: str = "text",
                   .cast("long").alias("n_lines_dropped")))
 
 
+def perplexity_buckets(df: DataFrame, n_buckets: int = 3,
+                       text_col: str = "text",
+                       id_col: str = "doc_id",
+                       domain_col: str = "source") -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document with the corpus-trained Kneser–Ney bigram LM
+    ([[kneser_ney_bigram_scores]]), then split each DOMAIN into
+    ``n_buckets`` fluency terciles (bucket 1 = most fluent / highest
+    mean log-prob — CCNet's "head"; the tail is what its pipeline
+    drops or down-samples). Emits per (domain, bucket): doc count,
+    sum/min/max of the per-doc mean log-prob, and total bigrams.
+
+    Scale shape: the only window is PARTITIONED BY DOMAIN (CCNet
+    buckets per language for the same reason) — no global sort, no
+    single-partition exchange; ties order by (avg_logp, doc_id) with
+    avg_logp pre-rounded at 1e-6 so the ntile cut is deterministic
+    across engines and partitionings."""
+    scores = kneser_ney_bigram_scores(df, text_col=text_col,
+                                      id_col=id_col)
+    j = scores.join(df.select(id_col, domain_col), id_col)
+    w = Window.partitionBy(domain_col).orderBy(
+        F.desc("avg_logp"), F.col(id_col))
+    return (j.withColumn("bucket",
+                         F.ntile(n_buckets).over(w).cast("long"))
+            .groupBy(domain_col, "bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 # sum, not mean: per-doc logps are 1e-6 multiples,
+                 # so the rounded sum can never sit on a rounding
+                 # boundary (a mean can — and did, cross-engine)
+                 F.round(F.sum("avg_logp"), 6).alias("sum_logp"),
+                 F.round(F.min("avg_logp"), 6).alias("min_logp"),
+                 F.round(F.max("avg_logp"), 6).alias("max_logp"),
+                 F.sum("n_bigrams").alias("n_bigrams")))
+
+
 def domain_mix_sample(df: DataFrame, domain_col: str = "source",
                       id_col: str = "doc_id", total: int = 200,
                       alpha: float = 0.5, seed: int = 13) -> DataFrame:

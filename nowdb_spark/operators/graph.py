@@ -21,6 +21,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -375,6 +377,50 @@ def label_propagation(edges: DataFrame, rounds: int = 4,
                           .alias("label")))
         labels = labels.localCheckpoint(eager=True)
     return labels.select("node", F.col("label").alias("community"))
+
+
+def k_core(edges: DataFrame, k: int | None = None,
+           k_frac: float | None = None, rounds: int = 6,
+           src: str = "src", dst: str = "dst") -> DataFrame:
+    """(node, core_deg) after ``rounds`` synchronous k-core peeling
+    steps: each round drops every node whose degree in the CURRENT
+    subgraph is below k, then removes its edges — the classic
+    iterative characterization of the k-core (the maximal subgraph
+    with min degree ≥ k; dense-subgraph mining's workhorse). The
+    fixed-round synchronous form is fully deterministic, so the SQL
+    oracle replays it as unrolled CTE levels like pagerank/LPA.
+
+    ``k`` may be absolute, or relative via k_frac:
+    k = floor(k_frac·(n_nodes−1)) — one tiny count to the driver
+    (model-scale scalar, the kmeans-centroid precedent). Per round:
+    one degree aggregate + two semi-joins (all keyed shuffles, no
+    driver data), lineage cut per round. Pass an undirected edge set
+    (see undirect). On a converged input extra rounds are no-ops, so
+    a generous fixed ``rounds`` trades a few cheap empty passes for
+    oracle replayability (a data-dependent stop would make the
+    unrolled oracle's depth data-dependent too)."""
+    e = (edges.select(F.col(src).alias("src"),
+                      F.col(dst).alias("dst"))
+         .localCheckpoint(eager=True))
+    if k is None:
+        if k_frac is None:
+            raise ValueError("pass k or k_frac")
+        n = e.select("src").distinct().count()
+        k = int(math.floor(k_frac * (n - 1)))
+    cur = e
+    for _ in range(rounds):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = (deg.filter(F.col("deg") >= k)
+                .select(F.col("src").alias("node"))
+                .localCheckpoint(eager=True))
+        cur = (cur
+               .join(keep.select(F.col("node").alias("src")),
+                     "src", "left_semi")
+               .join(keep.select(F.col("node").alias("dst")),
+                     "dst", "left_semi")
+               .localCheckpoint(eager=True))
+    return (cur.groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).cast("long").alias("core_deg")))
 
 
 def hyperball(edges: DataFrame, rounds: int = 2,

@@ -59,14 +59,26 @@ BITRATES_L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
                224, 256, 320]
 RATES = {0: 44100, 1: 48000, 2: 32000}
 
-# long-block scalefactor band widths at 48 kHz (ISO table B.8b
-# column; 22 bands summing to 576, sfb21 carries no scalefactor)
+# long-block scalefactor band widths (ISO table B.8b columns; 22
+# bands summing to 576, sfb21 carries no scalefactor). Each table
+# self-validates by the 576 total. 32 kHz stays an honest gate.
 SFB_WIDTHS_48K = [4, 4, 4, 4, 4, 4, 6, 6, 6, 8, 10, 12, 16, 18, 22,
                   28, 34, 40, 46, 54, 54, 192]
-SFB_BOUNDS_48K = [0]
-for _w in SFB_WIDTHS_48K:
-    SFB_BOUNDS_48K.append(SFB_BOUNDS_48K[-1] + _w)
-assert SFB_BOUNDS_48K[-1] == 576
+SFB_WIDTHS_44K = [4, 4, 4, 4, 4, 4, 6, 6, 8, 8, 10, 12, 16, 20, 24,
+                  28, 34, 42, 50, 54, 76, 158]
+
+
+def _bounds(widths):
+    out = [0]
+    for w in widths:
+        out.append(out[-1] + w)
+    assert out[-1] == 576
+    return out
+
+
+SFB_BOUNDS_48K = _bounds(SFB_WIDTHS_48K)
+SFB_BOUNDS_44K = _bounds(SFB_WIDTHS_44K)
+SFB_BOUNDS = {48000: SFB_BOUNDS_48K, 44100: SFB_BOUNDS_44K}
 
 # slen1/slen2 bit widths per scalefac_compress (ISO 2.4.2.7)
 SLEN = [(0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2),
@@ -107,9 +119,10 @@ IMDCT_WIN = np.array(
       for k in range(18)] for n in range(36)])
 
 
-def _sfb_of(i: int) -> int:
+def _sfb_of(i: int, rate: int = 48000) -> int:
+    bounds = SFB_BOUNDS[rate]
     for b in range(21, -1, -1):
-        if i >= SFB_BOUNDS_48K[b]:
+        if i >= bounds[b]:
             return b
     return 0
 
@@ -214,11 +227,11 @@ def make_mp3_codec():
                 "Layer III stereo/joint-stereo not implemented — "
                 "the per-channel loops and MS/intensity recombine "
                 "are the extension points")
-        if rate != 48000:
+        if rate not in SFB_BOUNDS:
             raise NotImplementedError(
                 f"Layer III scalefactor bands for rate={rate} not "
-                "bundled (48 kHz table B.8b is; add the 44.1/32 kHz "
-                "width tables to extend)")
+                "bundled (48 and 44.1 kHz table B.8b columns are; "
+                "add the 32 kHz width table to extend)")
 
     # ---------------- encode (fixture twin) ----------------
     def encode_frame(is2, scf2, gains, kbps: int = 192,
@@ -247,8 +260,9 @@ def make_mp3_codec():
                             f"scfsi group {grp} set but scalefactor "
                             f"band {bnd} differs between granules")
         _gate(1, rate)
-        r0_end = SFB_BOUNDS_48K[region0_count + 1]
-        r1_end = SFB_BOUNDS_48K[region0_count + region1_count + 2]
+        bounds = SFB_BOUNDS[rate]
+        r0_end = bounds[region0_count + 1]
+        r1_end = bounds[region0_count + region1_count + 2]
         w = _Writer()
         w.put(0xFFF, 12)
         w.put(1, 1)                 # ID: MPEG-1
@@ -424,8 +438,9 @@ def make_mp3_codec():
                             scf[bnd] = r.get(sl) if sl else 0
                 prev_scf = scf
 
-                r0_end = SFB_BOUNDS_48K[gi["region0_count"] + 1]
-                r1_end = SFB_BOUNDS_48K[
+                bounds = SFB_BOUNDS[rate]
+                r0_end = bounds[gi["region0_count"] + 1]
+                r1_end = bounds[
                     min(gi["region0_count"] + gi["region1_count"] + 2,
                         22)]
                 isv = [0] * 576
@@ -486,8 +501,8 @@ def make_mp3_codec():
                 gg = 2.0 ** ((gi["global_gain"] - 210) / 4.0)
                 xr = np.zeros(576)
                 for b2 in range(22):
-                    lo = SFB_BOUNDS_48K[b2]
-                    hi = SFB_BOUNDS_48K[b2 + 1]
+                    lo = bounds[b2]
+                    hi = bounds[b2 + 1]
                     sb_scf = scf[b2] if b2 < 21 else 0
                     gain = gg * 2.0 ** (-sf_mult * (
                         sb_scf + gi["preflag"] * PRETAB[b2]))
@@ -542,6 +557,6 @@ def make_mp3_codec():
         frame_header=frame_header, encode_frame=encode_frame,
         decode_frames=decode_frames, decode_pcm=decode_pcm,
         sniff=sniff, set_tables=set_tables,
-        SFB_BOUNDS=SFB_BOUNDS_48K, SLEN=SLEN, PRETAB=PRETAB,
+        SFB_BOUNDS=SFB_BOUNDS, SLEN=SLEN, PRETAB=PRETAB,
         ALIAS_CS=ALIAS_CS, ALIAS_CA=ALIAS_CA, IMDCT_WIN=IMDCT_WIN,
         HUFF_TABLES=tables)

@@ -2205,7 +2205,7 @@ def mp2_granules_real(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)
 
 
-def synth_mp3(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synth_mp3_l3(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize 3-frame mono MPEG-1 Layer III payloads (48 kHz,
     192 kbps, 1728 bytes) from an id column, in the integer spectral
     code domain (granule index g = 0..5 across the frames):

@@ -467,6 +467,79 @@ def interval_join(points: DataFrame, intervals: DataFrame,
     return out
 
 
+def cusum_changepoints(df: DataFrame, stamp_col: str,
+                       value_col: str, bucket_ns: int,
+                       kappa_sigmas: float = 0.5,
+                       h_sigmas: float = 4.0,
+                       key_col: str | None = None) -> DataFrame:
+    """Two-sided CUSUM changepoint detection (Page 1954) per metric
+    key, folded over the bucketed series entirely in the JVM:
+
+        S⁺ᵢ = max(0, S⁺ᵢ₋₁ + (xᵢ − μ − κ))
+        S⁻ᵢ = max(0, S⁻ᵢ₋₁ − (xᵢ − μ + κ))      alarm when either > h
+
+    with μ = per-key mean of the bucket sums, κ = kappa_sigmas·σ and
+    h = h_sigmas·σ (σ = per-key sample stddev) — the standard
+    drift/threshold parameterization. Emits per key the bucket
+    count, μ/σ, alarm count, first alarming bucket index (1-based,
+    0 if none) and the final S⁺/S⁻.
+
+    Determinism contract (the oracle replays the fold with a
+    per-key recursive CTE): bucket sums, μ and σ are pre-rounded at
+    1e-6 so both engines fold over identical doubles; the fold
+    itself is the same IEEE expression step-for-step. Scale shape is
+    holt_linear's: per-key series of BUCKETS (bounded by time range
+    / bucket_ns), one keyed shuffle, no driver data."""
+    keys = [key_col] if key_col else []
+    bucket = (F.col(stamp_col) - F.col(stamp_col) % bucket_ns)
+    bk = (df.groupBy(*keys, bucket.alias("bucket_ns"))
+          .agg(F.round(F.sum(value_col), 6).alias("v")))
+    stats = (bk.groupBy(*keys)
+             .agg(F.round(F.avg("v"), 6).alias("mu"),
+                  F.coalesce(F.round(F.stddev_samp("v"), 6),
+                             F.lit(0.0)).alias("sigma")))
+    series = (bk.groupBy(*keys)
+              .agg(F.transform(
+                  F.sort_array(F.collect_list(
+                      F.struct(F.col("bucket_ns").alias("t"),
+                               F.col("v").alias("v")))),
+                  lambda s: s["v"]).alias("xs")))
+    if keys:
+        series = series.join(stats, keys)
+    else:
+        series = series.crossJoin(F.broadcast(stats))
+    kap = F.lit(float(kappa_sigmas)) * F.col("sigma")
+    h = F.lit(float(h_sigmas)) * F.col("sigma")
+    init = F.struct(F.lit(0.0).alias("sp"), F.lit(0.0).alias("sn"),
+                    F.lit(0).cast("long").alias("na"),
+                    F.lit(0).cast("long").alias("fa"),
+                    F.lit(0).cast("long").alias("i"))
+
+    def step(acc, x):
+        sp = F.greatest(F.lit(0.0),
+                        acc["sp"] + (x - F.col("mu") - kap))
+        sn = F.greatest(F.lit(0.0),
+                        acc["sn"] - (x - F.col("mu") + kap))
+        alarm = (sp > h) | (sn > h)
+        return F.struct(
+            sp.alias("sp"), sn.alias("sn"),
+            (acc["na"] + F.when(alarm, 1).otherwise(0)).alias("na"),
+            F.when(acc["fa"] > 0, acc["fa"])
+            .when(alarm, acc["i"] + 1)
+            .otherwise(F.lit(0).cast("long")).alias("fa"),
+            (acc["i"] + 1).alias("i"))
+
+    fold = F.aggregate(F.col("xs"), init, step)
+    return series.select(
+        *keys,
+        F.size("xs").cast("long").alias("n_buckets"),
+        F.col("mu"), F.col("sigma"),
+        fold["na"].alias("n_alarms"),
+        fold["fa"].alias("first_alarm"),
+        F.round(fold["sp"], 6).alias("s_pos"),
+        F.round(fold["sn"], 6).alias("s_neg"))
+
+
 def holt_linear(df: DataFrame, stamp_col: str, value_col: str,
                 bucket_ns: int, alpha: float = 0.5,
                 beta: float = 0.3,

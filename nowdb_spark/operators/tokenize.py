@@ -37,7 +37,9 @@ oracle):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import math
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -465,3 +467,101 @@ def unigram_segment(df: DataFrame, vocab: dict,
 
     return (df.select(F.col(id_col), seg(F.col(text_col)).alias(out_col))
             .withColumn("n_tokens", F.size(out_col).cast("long")))
+
+
+def unigram_vocab(df: DataFrame, text_col: str = "text",
+                  max_len: int = 4, prefix_chars: int = 64,
+                  min_count: int = 2,
+                  max_vocab: int | None = None) -> dict:
+    """Corpus-derived unigram-LM vocabulary (the inference half of
+    SentencePiece's unigram model, Kudo 2018): candidate tokens are
+    all character n-grams of length 1..max_len over each document's
+    first ``prefix_chars`` characters; a candidate survives when its
+    corpus count ≥ min_count OR it is a single character (so Viterbi
+    segmentation is always feasible). Token log-prob = ln(count/Z)
+    over the surviving set, rounded at 1e-6 — the rounding is the
+    cross-engine determinism contract the Viterbi fold relies on.
+
+    Returns a {token: logp} dict — a MODEL-scale table (like k-means
+    centroids or BPE merges): bounded by min_count and optionally
+    max_vocab (top-count, ties by token), independent of corpus size.
+    Training itself is two corpus aggregates (explode + count)."""
+    pre = F.substring(F.col(text_col), 1, prefix_chars)
+    toks = (df.select(pre.alias("s"))
+            .select(F.explode(F.flatten(F.transform(
+                F.sequence(F.lit(1), F.lit(max_len)),
+                lambda ln: F.filter(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("s")),
+                        lambda i: F.col("s").substr(i, ln)),
+                    lambda t: F.length(t) == ln)))).alias("tok")))
+    vc = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+          .filter((F.col("c") >= min_count)
+                  | (F.length("tok") == 1)))
+    if max_vocab is not None:
+        w = Window.orderBy(F.desc("c"), F.asc("tok"))
+        vc = (vc.withColumn("rk", F.row_number().over(w))
+              .filter(F.col("rk") <= max_vocab).drop("rk"))
+    rows = vc.collect()
+    z = float(sum(r["c"] for r in rows))
+    return {r["tok"]: round(math.log(r["c"] / z), 6) for r in rows}
+
+
+def unigram_segment(df: DataFrame, vocab: dict,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    max_len: int = 4,
+                    prefix_chars: int = 64) -> DataFrame:
+    """Viterbi segmentation under the unigram LM: per document (its
+    first ``prefix_chars`` characters), dp[i] = best cumulative
+    log-prob of any tokenization of the prefix ending at i, maximized
+    over last-token lengths 1..max_len. Deterministic tie-breaks —
+    higher score, then fewer tokens, then shorter last token — and
+    every dp value re-rounded at 1e-6 per step, so an unrolled SQL
+    recurrence replays the fold comparison-for-comparison. Emits
+    (doc_id, n_chars, n_tokens, score).
+
+    Scale shape: the vocab dict is a broadcast model table (see
+    unigram_vocab); segmentation is a narrow Arrow kernel, zero
+    shuffle, O(prefix_chars·max_len) per document."""
+    schema = (f"{id_col} long, n_chars long, n_tokens long, "
+              "score double")
+    NEG = float("-inf")
+
+    def kernel(batches):
+        import pandas as _pd
+
+        def seg(s: str):
+            s = s[:prefix_chars]
+            n = len(s)
+            if n == 0:
+                return 0, 0, 0.0
+            dp = [0.0] + [NEG] * n
+            nt = [0] + [0] * n
+            for i in range(1, n + 1):
+                best = NEG
+                bnt = 0
+                found = False
+                for ln in range(1, min(max_len, i) + 1):
+                    lp = vocab.get(s[i - ln:i])
+                    if lp is None or dp[i - ln] == NEG:
+                        continue
+                    sc = round(dp[i - ln] + lp, 6)
+                    cnt = nt[i - ln] + 1
+                    if (not found or sc > best
+                            or (sc == best and cnt < bnt)):
+                        best, bnt, found = sc, cnt, True
+                if found:
+                    dp[i], nt[i] = best, bnt
+            if dp[n] == NEG:            # unreachable (unseen char)
+                return n, 0, 0.0
+            return n, nt[n], dp[n]
+
+        for pdf in batches:
+            rows = []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                n, k, sc = seg(str(txt))
+                rows.append((int(did), n, k, round(sc, 6)))
+            yield _pd.DataFrame(rows, columns=[
+                id_col, "n_chars", "n_tokens", "score"])
+
+    return df.select(id_col, text_col).mapInPandas(kernel, schema)

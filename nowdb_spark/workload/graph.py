@@ -303,3 +303,63 @@ def g07(spark, sf):
     edges = _cosupply_edges(spark, sf).select(
         F.col("supp_a").alias("src"), F.col("supp_b").alias("dst"))
     return G.hyperball(edges, rounds=2)
+
+
+# ------------------------------------------------------------------
+# k-core decomposition (g08): fixed-round synchronous peeling over
+# the customer CO-PURCHASE graph (customers sharing a part — chosen
+# over the co-supply graph, which is complete at gate scale, so
+# peeling there is a no-op). k is relative: floor(0.3·(n_nodes−1)),
+# which at sf0.01 peels the low-degree tail (~5% of nodes) without
+# cascading the whole core away. The oracle unrolls the identical
+# recurrence as MATERIALIZED CTE levels (the pagerank/LPA pattern;
+# non-materialized CTEs re-inline the prefix exponentially).
+def _kcore_oracle(rounds: int = 6, frac: float = 0.3) -> str:
+    ctes = ["""
+    co AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    cp AS MATERIALIZED (
+      SELECT a.c AS a, b.c AS b FROM co a JOIN co b
+      ON a.p = b.p AND a.c < b.c GROUP BY 1, 2),
+    e0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM cp
+          UNION SELECT b AS src, a AS dst FROM cp),
+    kv AS MATERIALIZED (
+      SELECT CAST(floor(""" + repr(frac) + """
+                  * (count(DISTINCT src) - 1)) AS BIGINT) AS k
+      FROM e0)"""]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""
+    d{i} AS MATERIALIZED (SELECT src AS node, count(*) AS deg
+                          FROM e{i - 1} GROUP BY 1),
+    kp{i} AS MATERIALIZED (SELECT node FROM d{i}, kv
+                           WHERE deg >= kv.k),
+    e{i} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM e{i - 1} e
+      JOIN kp{i} a ON a.node = e.src
+      JOIN kp{i} b ON b.node = e.dst)""")
+    return ("WITH" + ",".join(ctes) + f"""
+    SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg
+    FROM e{rounds} GROUP BY 1""")
+
+
+@register(
+    "g08_kcore",
+    _kcore_oracle(),
+    doc="k-core decomposition by fixed-round synchronous peeling "
+        "(drop nodes with degree < k in the current subgraph, "
+        "repeat) over the customer co-purchase graph, k = "
+        "floor(0.3·(n−1)) — dense-subgraph mining's workhorse; per "
+        "round one degree aggregate + two semi-joins, lineage cut "
+        "per round, oracle = the recurrence unrolled as CTE levels",
+)
+def g08(spark, sf):
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    od = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    co = (od.join(li, od.o_orderkey == li.l_orderkey)
+          .select("o_custkey", "l_partkey"))
+    pairs = G.pairs_from_groups(co, "l_partkey", "o_custkey")
+    edges = (pairs.select(F.col("a").alias("src"),
+                          F.col("b").alias("dst"))
+             .distinct())
+    return G.k_core(G.undirect(edges), k_frac=0.3, rounds=6)

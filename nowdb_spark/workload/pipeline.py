@@ -4872,7 +4872,7 @@ def _mm36_oracle() -> str:
 def mm36(spark, sf):
     d = spread(table(spark, sf, "documents")
                .where(F.col("doc_id") % 2 == 1))
-    return M.mp3_granules_real(M.synth_mp3(d))
+    return M.mp3_granules_real(M.synth_mp3_l3(d))
 
 
 # ------------------------------------------------------------------
@@ -5255,6 +5255,158 @@ def tx16(spark, sf):
     from nowdb_spark.operators.corpus import kneser_ney_bigram_scores
 
     return kneser_ney_bigram_scores(table(spark, sf, "documents"))
+
+
+# ------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) Viterbi segmentation (tx17): the
+# OTHER major subword algorithm next to BPE (tx06) — Kudo 2018's
+# unigram model, inference half: corpus-derived candidate vocabulary
+# (char 1-4-grams of each doc's 64-char prefix, min_count 2, single
+# chars always kept so segmentation is feasible), token logp =
+# ln(count/Z) rounded 1e-6, then per-doc Viterbi DP maximizing the
+# cumulative logp with deterministic tie-breaks (score desc, fewer
+# tokens, shorter last token) and per-step 1e-6 re-rounding so both
+# engines compare identical doubles. The oracle replays the DP as a
+# recursive CTE carrying a 4-slot sliding dp window (one row per doc
+# per position — plain recursion, no MATERIALIZED).
+def _tx17_cands_sql() -> str:
+    """The 4 candidate structs for position r.i+1 (last token length
+    L starts at i+2-L, uses dp[i+1-L] = d{L-1}); sort key (ns, nt, l)
+    = (-score, n_tokens, length) ascending → element 1 is the max."""
+    structs = []
+    for L in range(1, 5):
+        d = f"r.d{L - 1}"
+        t = f"r.t{L - 1}"
+        structs.append(
+            "{'ns': -round(" + d + f" + v{L}.lp, 6), "
+            "'nt': " + t + " + 1, 'l': " + str(L) + ", "
+            "'sc': round(" + d + f" + v{L}.lp, 6)" + "}")
+    return ("list_sort(list_filter([" + ", ".join(structs)
+            + "], x -> x.ns IS NOT NULL))")
+
+
+@register(
+    "tx17_unigram_segment",
+    f"""
+    WITH RECURSIVE pre AS (
+      SELECT doc_id, substr(text, 1, 64) AS s,
+             least(len(text), 64) AS n
+      FROM documents),
+    g AS (
+      SELECT substr(s, i, L) AS tok
+      FROM pre, unnest(range(1, 65)) t(i), unnest(range(1, 5)) u(L)
+      WHERE i + L - 1 <= n),
+    vc AS (SELECT tok, count(*) AS c FROM g GROUP BY 1
+           HAVING count(*) >= 2 OR len(tok) = 1),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS z FROM vc),
+    vocab AS (SELECT tok, round(ln(c / z), 6) AS lp
+              FROM vc, tot),
+    rec AS (
+      SELECT doc_id, 0 AS i,
+             CAST(0.0 AS DOUBLE) AS d0, CAST(NULL AS DOUBLE) AS d1,
+             CAST(NULL AS DOUBLE) AS d2, CAST(NULL AS DOUBLE) AS d3,
+             CAST(0 AS BIGINT) AS t0, CAST(0 AS BIGINT) AS t1,
+             CAST(0 AS BIGINT) AS t2, CAST(0 AS BIGINT) AS t3
+      FROM pre
+      UNION ALL
+      SELECT r.doc_id, r.i + 1,
+             CASE WHEN len({_tx17_cands_sql()}) = 0 THEN NULL
+                  ELSE {_tx17_cands_sql()}[1].sc END,
+             r.d0, r.d1, r.d2,
+             CASE WHEN len({_tx17_cands_sql()}) = 0 THEN 0
+                  ELSE {_tx17_cands_sql()}[1].nt END,
+             r.t0, r.t1, r.t2
+      FROM rec r
+      JOIN pre p ON p.doc_id = r.doc_id AND r.i < p.n
+      LEFT JOIN vocab v1 ON v1.tok = substr(p.s, r.i + 1, 1)
+      LEFT JOIN vocab v2 ON r.i >= 1
+                        AND v2.tok = substr(p.s, r.i, 2)
+      LEFT JOIN vocab v3 ON r.i >= 2
+                        AND v3.tok = substr(p.s, r.i - 1, 3)
+      LEFT JOIN vocab v4 ON r.i >= 3
+                        AND v4.tok = substr(p.s, r.i - 2, 4))
+    SELECT r.doc_id, CAST(p.n AS BIGINT) AS n_chars,
+           CAST(CASE WHEN r.d0 IS NULL THEN 0 ELSE r.t0 END
+                AS BIGINT) AS n_tokens,
+           round(coalesce(r.d0, 0.0), 6) AS score
+    FROM rec r JOIN pre p USING (doc_id)
+    WHERE r.i = p.n
+    """,
+    doc="unigram-LM subword segmentation (SentencePiece inference "
+        "half, Kudo 2018): corpus-trained candidate vocabulary "
+        "(char 1-4-grams, min_count 2) with ln(count/Z) scores, "
+        "per-doc Viterbi DP over the 64-char prefix with "
+        "deterministic tie-breaks; vocabulary is a broadcast "
+        "model table, segmentation a narrow Arrow kernel; the "
+        "oracle replays training AND the DP (recursive CTE with a "
+        "sliding 4-slot dp window) comparison-for-comparison",
+)
+def tx17(spark, sf):
+    from nowdb_spark.operators.tokenize import (unigram_segment,
+                                                unigram_vocab)
+
+    d = table(spark, sf, "documents")
+    vocab = unigram_vocab(d)
+    return unigram_segment(spread(d), vocab)
+
+
+# ------------------------------------------------------------------
+# CCNet perplexity bucketing (cc04): the composition CCNet (Wenzek
+# et al. 2020) runs after language ID — LM-score every page, split
+# each domain/language into fluency terciles, keep the head. The LM
+# is tx16's corpus-trained Kneser-Ney bigram model; the bucket window
+# is PARTITIONED BY DOMAIN (no global sort — CCNet buckets per
+# language for the same reason), with the (rounded logp, doc_id)
+# order making the ntile cut engine-deterministic.
+@register(
+    "cc04_ppl_buckets",
+    f"""
+    WITH {_WORDS_CTE},
+    bg AS (
+      SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+      FROM (SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws) - 1)) AS i
+            FROM words)),
+    cxy AS (SELECT w1, w2, count(*) AS cxy FROM bg GROUP BY 1, 2),
+    lft AS (SELECT w1, sum(cxy) AS cx, count(*) AS n_follow
+            FROM cxy GROUP BY 1),
+    cont AS (SELECT w2, count(*) AS n_prec FROM cxy GROUP BY 1),
+    nt AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM cxy),
+    sc AS (
+      SELECT bg.doc_id,
+             ln(greatest(cxy.cxy - 0.75, 0.0) / lft.cx
+                + (0.75 * lft.n_follow / lft.cx)
+                  * (cont.n_prec / nt.n_types)) AS logp
+      FROM bg JOIN cxy USING (w1, w2) JOIN lft USING (w1)
+              JOIN cont USING (w2) CROSS JOIN nt),
+    ds AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(avg(logp), 6) AS avg_logp
+      FROM sc GROUP BY 1),
+    bk AS (
+      SELECT d.source, ds.n_bigrams, ds.avg_logp,
+             CAST(ntile(3) OVER (PARTITION BY d.source
+                  ORDER BY ds.avg_logp DESC, ds.doc_id) AS BIGINT)
+               AS bucket
+      FROM ds JOIN documents d USING (doc_id))
+    SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           round(sum(avg_logp), 6) AS sum_logp,
+           round(min(avg_logp), 6) AS min_logp,
+           round(max(avg_logp), 6) AS max_logp,
+           CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams
+    FROM bk GROUP BY 1, 2
+    """,
+    doc="CCNet perplexity bucketing (Wenzek et al. 2020): corpus-"
+        "trained Kneser-Ney LM score per doc, per-domain fluency "
+        "terciles via a KEYED ntile window (bucket 1 = head), "
+        "per-bucket stats — the composition step between language "
+        "ID and dedup in the CCNet pipeline; oracle-replayed "
+        "end-to-end including the LM",
+)
+def cc04(spark, sf):
+    from nowdb_spark.operators.corpus import perplexity_buckets
+
+    return perplexity_buckets(table(spark, sf, "documents"))
 
 
 # ------------------------------------------------------------------

@@ -491,3 +491,78 @@ def ts13(spark, sf):
     return TS.holt_linear(ev, "ts", "value", _HOUR_NS,
                           alpha=_HW_A, beta=_HW_B,
                           key_col="event_type")
+
+
+# ------------------------------------------------------------------
+# CUSUM changepoint detection (ts14): Page's two-sided cumulative-sum
+# drift test folded over each event_type's hourly series (the
+# anomaly class ts08's rolling-MAD z-score does NOT cover: z-scores
+# flag single outliers, CUSUM accumulates small sustained shifts).
+# Same determinism contract as ts13: bucket sums / mu / sigma rounded
+# at 1e-6 on BOTH sides so engines fold identical doubles, alarm
+# comparisons included; oracle = per-key recursive CTE (ts07 shape,
+# plain recursion — MATERIALIZED mis-iterates inside RECURSIVE).
+_CU_K = 0.5          # drift allowance kappa, in sigmas
+_CU_H = 4.0          # alarm threshold h, in sigmas
+
+
+@register(
+    "ts14_cusum",
+    f"""
+    WITH RECURSIVE b AS (
+      SELECT event_type, t, v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY t) AS rn
+      FROM (SELECT event_type,
+                   epoch_ns(ts) - epoch_ns(ts) % {_HOUR_NS} AS t,
+                   round(sum(value), 6) AS v
+            FROM events GROUP BY 1, 2)),
+    st AS (SELECT event_type, round(avg(v), 6) AS mu,
+                  coalesce(round(stddev_samp(v), 6), 0.0) AS sigma,
+                  count(*) AS n
+           FROM b GROUP BY 1),
+    rec AS (
+      SELECT event_type, 0 AS rn, CAST(0.0 AS DOUBLE) AS sp,
+             CAST(0.0 AS DOUBLE) AS sn, CAST(0 AS BIGINT) AS na,
+             CAST(0 AS BIGINT) AS fa
+      FROM st
+      UNION ALL
+      SELECT s.event_type, s.rn,
+        greatest(0.0, r.sp + (s.v - st.mu - {_CU_K!r}*st.sigma)),
+        greatest(0.0, r.sn - (s.v - st.mu + {_CU_K!r}*st.sigma)),
+        r.na + CASE WHEN
+            greatest(0.0, r.sp + (s.v - st.mu - {_CU_K!r}*st.sigma))
+              > {_CU_H!r}*st.sigma
+            OR greatest(0.0,
+                 r.sn - (s.v - st.mu + {_CU_K!r}*st.sigma))
+              > {_CU_H!r}*st.sigma THEN 1 ELSE 0 END,
+        CASE WHEN r.fa > 0 THEN r.fa
+             WHEN
+            greatest(0.0, r.sp + (s.v - st.mu - {_CU_K!r}*st.sigma))
+              > {_CU_H!r}*st.sigma
+            OR greatest(0.0,
+                 r.sn - (s.v - st.mu + {_CU_K!r}*st.sigma))
+              > {_CU_H!r}*st.sigma THEN s.rn ELSE 0 END
+      FROM b s
+      JOIN rec r ON s.event_type = r.event_type
+                AND s.rn = r.rn + 1
+      JOIN st ON st.event_type = s.event_type)
+    SELECT r.event_type, CAST(st.n AS BIGINT) AS n_buckets,
+           st.mu, st.sigma, r.na AS n_alarms, r.fa AS first_alarm,
+           round(r.sp, 6) AS s_pos, round(r.sn, 6) AS s_neg
+    FROM rec r JOIN st USING (event_type)
+    WHERE r.rn = st.n
+    """,
+    doc="two-sided CUSUM changepoint detection (Page 1954) per "
+        "metric key over the hourly series: S+/S- drift accumulators "
+        "with kappa=0.5 sigma allowance and h=4 sigma alarm "
+        "threshold, alarm count + first alarming bucket + final "
+        "state — one JVM F.aggregate fold per key, oracle-replayed "
+        "by a per-key recursive CTE step-for-step",
+)
+def ts14(spark, sf):
+    ev = table(spark, sf, "events")
+    return TS.cusum_changepoints(ev, "ts", "value", _HOUR_NS,
+                                 kappa_sigmas=_CU_K,
+                                 h_sigmas=_CU_H,
+                                 key_col="event_type")

@@ -211,7 +211,7 @@ def test_gates():
     b = bytearray(_payload(3, n_frames=1))
     with pytest.raises(NotImplementedError):
         C.encode_frame([[0] * 576] * 2, [[0] * 21] * 2, [210, 210],
-                       rate=44100)
+                       rate=32000)
     # stereo mode bits → gate
     b2 = bytearray(b)
     b2[3] &= 0x3F                            # mode 00: stereo
@@ -263,3 +263,24 @@ def test_scfsi_scalefactor_reuse():
         C.encode_frame([g0[0], g1[0]],
                        [g0[1], [(s + 1) % 8 for s in g1[1]]],
                        [g0[2], g1[2]], scfsi=(1, 0, 0, 0))
+
+
+def test_44100_rate_roundtrip():
+    """The 44.1 kHz table B.8b column (self-validated by its 576
+    total) gives different region boundaries; the full bitstream
+    round trip must hold there too. 32 kHz stays a gate."""
+    from nowdb_spark.operators.mp3codec import SFB_BOUNDS_44K
+    assert SFB_BOUNDS_44K[-1] == 576
+    assert SFB_BOUNDS_44K != SFB_BOUNDS_48K
+    g0 = _content(21, 0)
+    g1 = _content(21, 1)
+    b = C.encode_frame([g0[0], g1[0]], [g0[1], g1[1]],
+                       [g0[2], g1[2]], rate=44100, count1_quads=6)
+    assert len(b) == 144 * 192000 // 44100
+    f = C.decode_frames(b)
+    assert len(f) == 1 and f[0]["rate"] == 44100
+    for gr, src in zip(f[0]["granules"], (g0, g1)):
+        assert gr["is"] == src[0] and gr["scf"] == src[1]
+    with pytest.raises(NotImplementedError, match="32"):
+        C.encode_frame([g0[0], g1[0]], [g0[1], g1[1]],
+                       [g0[2], g1[2]], rate=32000)

@@ -129,6 +129,9 @@ _PY_ALLOWED = {"mm01_extract_meta", "mm02_real_decode", "mm03_real_resize",
                # an Aho-Corasick automaton walk cannot be a JVM
                # regex (10k-phrase banlists); O(text) Arrow kernel
                "qc04_banlist_scan",
+               # Viterbi DP against a broadcast vocab dict is the
+               # same model-apply Arrow-kernel class as qc01/qc04
+               "tx17_unigram_segment",
                "dc01_pdf_extract", "dc02_epub_extract",
                "dc03_docx_extract", "wd01_webdataset",
                # WARC framing/parsing is bytes-imperative by nature
