@@ -43,7 +43,10 @@ reproductions) plus count1 table B (the fixed all-4-bit table whose
 code word is the one's complement of the quadruple); the remaining
 big-value tables 4-31 (linbits family) and count1 table A are data,
 not structure — ``set_tables`` accepts them verbatim when needed.
-Window switching (short blocks / block_type≠0), the bit reservoir
+Scalefactor-band width tables ship for 48 AND 44.1 kHz (each
+self-validated by its 576-sample total; 32 kHz is gated), and the
+encoder twin exercises the scfsi scalefactor-reuse path. Window
+switching (short blocks / block_type≠0), the bit reservoir
 (main_data_begin≠0), stereo modes, and MPEG-2 LSF all raise
 NotImplementedError.
 """
