@@ -1344,11 +1344,11 @@ def main() -> None:
         # precedent), segmentation is the timed narrow kernel
         try:
             from nowdb_spark.operators.tokenize import (
-                unigram_segment, unigram_vocab)
+                unigram_lm_segment, unigram_vocab)
             t17src = dsrc.filter(F.col("doc_id") < n_kn)
             t17v = unigram_vocab(t17src)
             rate("tx17_docs_per_sec", n_kn,
-                 lambda: unigram_segment(t17src, t17v)
+                 lambda: unigram_lm_segment(t17src, t17v)
                  .agg(F.sum("n_tokens")).collect(),
                  extra={"tx17_docs": n_kn,
                         "tx17_vocab": len(t17v)})

@@ -14,24 +14,41 @@ III plumbing between them:
 * frame header (layer bits '01', slot size 144·bitrate/samplerate);
 * mono MPEG-1 side info (17 bytes): main_data_begin, scfsi, and per
   granule part2_3_length / big_values / global_gain /
-  scalefac_compress / window_switching / table_select×3 /
-  region0_count / region1_count / preflag / scalefac_scale /
-  count1table_select;
+  scalefac_compress / window_switching (block_type, mixed_block_flag,
+  subblock_gain when set) / table_select / region0_count /
+  region1_count / preflag / scalefac_scale / count1table_select;
+* the bit reservoir: main data is a continuous bitstream packed into
+  the slots left after each frame's side info, located by
+  main_data_begin (bytes back into prior frames' main-data regions,
+  9-bit limit 511). ``decode_frames`` carries the rolling reservoir;
+  ``encode_stream`` packs multi-frame payloads with true
+  main_data_begin values (ancillary bits byte-align each frame's
+  main-data start, as real encoders do);
 * scalefactor decode — the published slen1/slen2 pair table indexed
-  by scalefac_compress, long-block bands 0-10 (slen1) and 11-20
-  (slen2), scfsi groups 0-5/6-10/11-15/16-20;
-* Huffman decode of the big_values region with per-region
-  (region0/1/2) code-table selection over the long-block
-  scalefactor-band boundaries, sign bits after each nonzero value,
-  and the count1 region of (v,w,x,y) quadruples;
+  by scalefac_compress; long blocks: bands 0-10 (slen1) and 11-20
+  (slen2) with scfsi groups 0-5/6-10/11-15/16-20; short blocks:
+  bands 0-5 (slen1) and 6-11 (slen2) per window, band-major;
+* Huffman decode of the big_values region with per-region code-table
+  selection, linbits escapes (|value| 15 extends by the table's
+  linbits extra bits, read before the sign, x fully before y), and
+  the count1 region of (v,w,x,y) quadruples under table A (bundled,
+  see below) or table B;
 * requantization xr = sign(is)·|is|^(4/3) · 2^((global_gain−210)/4)
-  · 2^(−(scalefac_scale+1)/2 · (scalefac[sfb] + preflag·pretab[sfb]));
+  · 2^(−(scalefac_scale+1)/2 · (scalefac[sfb] + preflag·pretab[sfb]))
+  for long blocks; short blocks swap pretab for the per-window
+  2^(−2·subblock_gain[w]) and reorder each scalefactor band from the
+  transmitted window-major run to the point-major interleave
+  (line = 3·i + window) the hybrid filterbank consumes;
 * alias reduction — the 8 cs/ca butterflies at each of the 31
-  subband boundaries, c = (−0.6, −0.535, −0.33, −0.185, −0.095,
-  −0.041, −0.0142, −0.0037), csᵢ = 1/√(1+cᵢ²), caᵢ = cᵢ·csᵢ;
-* 36-point IMDCT with the long-block (block_type 0) sine window,
-  18-sample overlap-add per subband, and frequency inversion of odd
-  time samples in odd subbands;
+  subband boundaries (long/start/stop blocks only, skipped for
+  short, as the spec requires);
+* window switching: 36-point IMDCT with the block_type 0/1/3
+  (normal/start/stop) windows, and the short-block path — three
+  12-point IMDCTs per subband (spectral stride 3), each under the
+  12-point sine window, overlap-added at 6-sample offsets into the
+  36-sample lapped frame; 18-sample overlap-add across granules is
+  shared by all block types, then frequency inversion of odd time
+  samples in odd subbands;
 * PCM through the shared 32-band polyphase synthesis filterbank
   (``mp2codec.synthesize`` — its one documented window deviation
   applies here identically).
@@ -39,16 +56,24 @@ III plumbing between them:
 Honest gates (each raises with an actionable message, never a silent
 wrong decode): Huffman code tables bundled are ISO Annex B.7 tables
 1, 2, 3 (the 2×2 and 3×3 tables, transcribed from the public spec
-reproductions) plus count1 table B (the fixed all-4-bit table whose
-code word is the one's complement of the quadruple); the remaining
-big-value tables 4-31 (linbits family) and count1 table A are data,
-not structure — ``set_tables`` accepts them verbatim when needed.
-Scalefactor-band width tables ship for 48 AND 44.1 kHz (each
-self-validated by its 576-sample total; 32 kHz is gated), and the
-encoder twin exercises the scfsi scalefactor-reuse path. Window
-switching (short blocks / block_type≠0), the bit reservoir
-(main_data_begin≠0), stereo modes, and MPEG-2 LSF all raise
-NotImplementedError.
+reproductions), count1 table A (16 quadruple codes, transcribed from
+the same public reproductions, self-validated Kraft-complete AND
+prefix-free at import) and count1 table B (the fixed all-4-bit table
+whose code word is the one's complement of the quadruple). The
+remaining big-value tables 5-13/15-31 are data, not structure — this
+build environment has no network access to re-verify a 256-entry
+transcription against the published Annex B.7, and a silently
+mistranscribed prefix code would decode real streams to wrong
+samples without any error, which this module's contract forbids.
+``set_tables`` is the audited channel: it accepts the published
+{(|x|,|y|): (hlen, hcod[, linbits])} entries verbatim and validates
+Kraft completeness before installing; the full linbits escape
+machinery (decode and encode) is implemented and exercised by the
+test battery through installed tables. Scalefactor-band width tables
+(long and short) ship for 48 AND 44.1 kHz, each self-validated by
+its 576-sample (long) / 192-per-window (short) total; 32 kHz is
+gated. Mixed blocks (mixed_block_flag=1), stereo modes, and MPEG-2
+LSF still raise NotImplementedError.
 """
 
 from __future__ import annotations
@@ -70,18 +95,30 @@ SFB_WIDTHS_48K = [4, 4, 4, 4, 4, 4, 6, 6, 6, 8, 10, 12, 16, 18, 22,
 SFB_WIDTHS_44K = [4, 4, 4, 4, 4, 4, 6, 6, 8, 8, 10, 12, 16, 20, 24,
                   28, 34, 42, 50, 54, 76, 158]
 
+# short-block scalefactor band widths (ISO table B.8b short columns;
+# 13 bands summing to 192 per window, ×3 windows = 576). Band 12
+# carries no scalefactor.
+SFB_SHORT_48K = [4, 4, 4, 4, 6, 6, 10, 12, 14, 16, 20, 26, 66]
+SFB_SHORT_44K = [4, 4, 4, 4, 6, 8, 10, 12, 14, 18, 22, 30, 56]
 
-def _bounds(widths):
+
+def _bounds(widths, total):
     out = [0]
     for w in widths:
         out.append(out[-1] + w)
-    assert out[-1] == 576
+    assert out[-1] == total
     return out
 
 
-SFB_BOUNDS_48K = _bounds(SFB_WIDTHS_48K)
-SFB_BOUNDS_44K = _bounds(SFB_WIDTHS_44K)
+SFB_BOUNDS_48K = _bounds(SFB_WIDTHS_48K, 576)
+SFB_BOUNDS_44K = _bounds(SFB_WIDTHS_44K, 576)
 SFB_BOUNDS = {48000: SFB_BOUNDS_48K, 44100: SFB_BOUNDS_44K}
+SFB_SHORT_BOUNDS = {48000: _bounds(SFB_SHORT_48K, 192),
+                    44100: _bounds(SFB_SHORT_44K, 192)}
+# window-switching region0 boundary: first 36 lines at both rates
+# (long bounds[8]) — asserted so a future rate table can't break it
+for _r, _b in SFB_BOUNDS.items():
+    assert _b[8] == 36, (_r, _b[8])
 
 # slen1/slen2 bit widths per scalefac_compress (ISO 2.4.2.7)
 SLEN = [(0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2),
@@ -114,20 +151,70 @@ HUFF_TABLES = {
 for _t in HUFF_TABLES.values():
     assert abs(sum(2.0 ** -ln for ln, _ in _t.values()) - 1.0) < 1e-12
 
-# 36-point IMDCT basis × long-block sine window, row n (time 0..35),
-# col k (spectral 0..17): cos(π/72·(2n+1+18)(2k+1)) · sin(π/36·(n+½))
-IMDCT_WIN = np.array(
+# count1 table A (ISO Annex B.7 "table A", count1table_select=0):
+# quadruple bit pattern vwxy (1 = nonzero) → (hlen, hcod).
+# Transcribed from the public spec reproductions (pdmp3's table-32
+# block); self-validated below for Kraft completeness AND pairwise
+# prefix-freeness, so a transcription slip cannot decode silently.
+CNT1_A = {
+    0b0000: (1, 1), 0b0001: (4, 5), 0b0010: (4, 4), 0b0011: (5, 5),
+    0b0100: (4, 6), 0b0101: (6, 5), 0b0110: (5, 4), 0b0111: (6, 4),
+    0b1000: (4, 7), 0b1001: (5, 3), 0b1010: (5, 6), 0b1011: (6, 0),
+    0b1100: (5, 7), 0b1101: (6, 2), 0b1110: (6, 3), 0b1111: (6, 1),
+}
+assert abs(sum(2.0 ** -ln for ln, _ in CNT1_A.values()) - 1.0) < 1e-12
+_codes = [(ln, cd) for ln, cd in CNT1_A.values()]
+assert len(set(_codes)) == 16
+for _la, _ca in _codes:                      # pairwise prefix-free
+    for _lb, _cb in _codes:
+        if _la < _lb:
+            assert (_cb >> (_lb - _la)) != _ca, (_la, _ca, _lb, _cb)
+del _codes
+
+# 36-point IMDCT basis, row n (time 0..35), col k (spectral 0..17):
+# cos(π/72·(2n+1+18)(2k+1)) — windowed per block type below
+_IMDCT36 = np.array(
     [[math.cos(math.pi / 72.0 * (2 * n + 1 + 18) * (2 * k + 1))
-      * math.sin(math.pi / 36.0 * (n + 0.5))
       for k in range(18)] for n in range(36)])
 
 
-def _sfb_of(i: int, rate: int = 48000) -> int:
-    bounds = SFB_BOUNDS[rate]
-    for b in range(21, -1, -1):
-        if i >= bounds[b]:
-            return b
-    return 0
+def _win36(bt: int) -> np.ndarray:
+    """Block-type 0/1/3 windows (ISO 2.4.3.4.10.3): normal sine,
+    start (long→short transition), stop (short→long)."""
+    w = np.zeros(36)
+    if bt == 0:
+        for n in range(36):
+            w[n] = math.sin(math.pi / 36.0 * (n + 0.5))
+    elif bt == 1:                            # start
+        for n in range(18):
+            w[n] = math.sin(math.pi / 36.0 * (n + 0.5))
+        w[18:24] = 1.0
+        for n in range(24, 30):
+            w[n] = math.sin(math.pi / 12.0 * (n - 18 + 0.5))
+        # n 30..35 stay 0
+    elif bt == 3:                            # stop
+        # n 0..5 stay 0
+        for n in range(6, 12):
+            w[n] = math.sin(math.pi / 12.0 * (n - 6 + 0.5))
+        w[12:18] = 1.0
+        for n in range(18, 36):
+            w[n] = math.sin(math.pi / 36.0 * (n + 0.5))
+    else:
+        raise ValueError(f"no 36-point window for block_type {bt}")
+    return w
+
+
+IMDCT_WINS = {bt: _IMDCT36 * _win36(bt)[:, None] for bt in (0, 1, 3)}
+IMDCT_WIN = IMDCT_WINS[0]                    # back-compat export
+
+# 12-point IMDCT basis × short sine window, row n (time 0..11),
+# col k (spectral 0..5): cos(π/24·(2n+1+6)(2k+1)) · sin(π/12·(n+½))
+IMDCT12_WIN = np.array(
+    [[math.cos(math.pi / 24.0 * (2 * n + 1 + 6) * (2 * k + 1))
+      * math.sin(math.pi / 12.0 * (n + 0.5))
+      for k in range(6)] for n in range(12)])
+
+_SCF_GROUPS = [(0, 6), (6, 11), (11, 16), (16, 21)]  # scfsi bands
 
 
 def make_mp3_codec():
@@ -135,16 +222,28 @@ def make_mp3_codec():
     tables = {k: dict(v) for k, v in HUFF_TABLES.items()}
     decode_maps = {}
 
+    def _table_linbits(tid: int) -> int:
+        lb = 0
+        for e in tables[tid].values():
+            if len(e) > 2:
+                if lb and e[2] != lb:
+                    raise ValueError(
+                        f"table {tid}: inconsistent linbits")
+                lb = e[2]
+        return lb
+
     def _decode_map(tid: int):
         if tid not in decode_maps:
             if tid not in tables:
                 raise NotImplementedError(
                     f"Layer III Huffman table {tid} not bundled — "
                     "tables 1-3 ship with the module; pass the "
-                    "(hlen, hcod) entries for others via set_tables "
-                    "(ISO 11172-3 Annex B.7 is the public source)")
-            decode_maps[tid] = {(ln, cd): xy for xy, (ln, cd)
-                                in tables[tid].items()}
+                    "(hlen, hcod[, linbits]) entries for others via "
+                    "set_tables (ISO 11172-3 Annex B.7 is the "
+                    "public source)")
+            dmap = {(e[0], e[1]): xy for xy, e in tables[tid].items()}
+            maxlen = max(ln for ln, _ in dmap)
+            decode_maps[tid] = (dmap, maxlen, _table_linbits(tid))
         return decode_maps[tid]
 
     def set_tables(tid: int, entries: dict) -> None:
@@ -178,10 +277,18 @@ def make_mp3_codec():
         def bitpos(self) -> int:
             return len(self.buf) * 8 + self.nbits
 
-        def pad_to(self, nbytes: int) -> bytes:
+        def byte_align(self) -> None:
             if self.nbits:
-                self.buf.append((self.acc << (8 - self.nbits)) & 0xFF)
-                self.nbits = 0
+                self.put(0, 8 - self.nbits)
+
+        def replay_into(self, w: "_Writer") -> None:
+            for byte in self.buf:
+                w.put(byte, 8)
+            if self.nbits:
+                w.put(self.acc & ((1 << self.nbits) - 1), self.nbits)
+
+        def pad_to(self, nbytes: int) -> bytes:
+            self.byte_align()
             if len(self.buf) > nbytes:
                 raise ValueError(
                     f"frame overflow: {len(self.buf)} > {nbytes}")
@@ -237,155 +344,283 @@ def make_mp3_codec():
                 "add the 32 kHz width table to extend)")
 
     # ---------------- encode (fixture twin) ----------------
+    def _encode_values(bw: _Writer, tid: int, x: int, y: int) -> None:
+        """Emit one big-values pair: codeword, then per value the
+        linbits extension (|v| ≥ 15) and the sign bit, x before y."""
+        tab = tables.get(tid)
+        if tab is None:
+            raise NotImplementedError(
+                f"encode: Huffman table {tid} not bundled — "
+                "tables 1-3 ship; pass others via set_tables")
+        lb = _table_linbits(tid)
+        ax, ay = abs(x), abs(y)
+        kx, ky = min(ax, 15), min(ay, 15)
+        key = (kx, ky)
+        if key not in tab:
+            raise ValueError(f"code {key} exceeds table {tid}")
+        for v, kv in ((ax, kx), (ay, ky)):
+            if v > kv and (lb == 0 or v - 15 >= (1 << lb)):
+                raise ValueError(
+                    f"value {v} exceeds table {tid}'s range "
+                    f"(linbits={lb})")
+        e = tab[key]
+        bw.put(e[1], e[0])
+        if kx == 15 and lb:
+            bw.put(ax - 15, lb)
+        if x:
+            bw.put(1 if x < 0 else 0, 1)
+        if ky == 15 and lb:
+            bw.put(ay - 15, lb)
+        if y:
+            bw.put(1 if y < 0 else 0, 1)
+
+    def _granule_payload(isv, scf, g, rate, block_type, table_select,
+                         region0_count, region1_count, count1_quads,
+                         count1_table, scfsi):
+        """Build one granule's main-data bits → (writer, big_values).
+        ``scf`` is 21 long scalefactors (block_type != 2) or a 3×12
+        per-window array (short). scalefac_compress fixed at 13
+        (slen 3,3). count1 region: the LAST count1_quads quadruples
+        of the content tail, coded with table A or B."""
+        if len(isv) != 576:
+            raise ValueError("is2 granules must be 576 codes")
+        bounds = SFB_BOUNDS[rate]
+        if block_type == 0:
+            r0_end = bounds[region0_count + 1]
+            r1_end = bounds[region0_count + region1_count + 2]
+        else:                                # window switching
+            r0_end, r1_end = bounds[8], 576
+        nz = max((i for i, v in enumerate(isv) if v), default=-1)
+        end = nz + 1
+        end += end & 1                       # pair-align
+        n_c1 = min(count1_quads, end // 4)
+        big2 = end - 4 * n_c1
+        big2 += big2 & 1                     # stays pair-aligned
+        c1_lo = big2
+        c1_hi = min(576, big2 + 4 * n_c1)
+        bw = _Writer()
+        if block_type == 2:
+            for lo, hi in ((0, 6), (6, 12)):  # band-major, slen (3,3)
+                for b in range(lo, hi):
+                    for w2 in range(3):
+                        bw.put(int(scf[w2][b]) & 7, 3)
+        else:
+            for grp, (lo, hi) in enumerate(_SCF_GROUPS):
+                if g == 1 and scfsi[grp]:
+                    continue                 # reused from granule 0
+                for b in range(lo, hi):      # slen (3,3)
+                    bw.put(int(scf[b]) & 7, 3)
+        for i in range(0, big2, 2):
+            if i < r0_end:
+                tid = table_select[0]
+            elif i < r1_end:
+                tid = table_select[1]
+            else:
+                tid = table_select[2]
+            _encode_values(bw, tid, isv[i], isv[i + 1])
+        for i in range(c1_lo, c1_hi, 4):
+            quad = isv[i:i + 4]
+            if any(abs(v) > 1 for v in quad):
+                raise ValueError("count1 values must be |v|<=1")
+            code = 0
+            for v in quad:
+                code = (code << 1) | (1 if v else 0)
+            if count1_table == "A":
+                ln, cd = CNT1_A[code]
+                bw.put(cd, ln)
+            else:
+                bw.put((~code) & 0xF, 4)     # table B: complement
+            for v in quad:
+                if v:
+                    bw.put(1 if v < 0 else 0, 1)
+        if bw.bitpos() > 4095:
+            raise ValueError(
+                f"granule main data is {bw.bitpos()} bits — "
+                "part2_3_length is a 12-bit field (max 4095)")
+        return bw, big2 // 2
+
+    def encode_stream(frames, kbps: int = 192,
+                      rate: int = 48000) -> bytes:
+        """Encode a sequence of mono MPEG-1 Layer III frames WITH the
+        bit reservoir: all frames' main data is packed as one
+        continuous stream into the per-frame main-data regions
+        (frame_len − 21 bytes each), each frame's start byte-aligned
+        with ancillary padding bits and located by its side info's
+        main_data_begin. A frame whose payload underfills its region
+        leaves reservoir space; the next frame's data starts that
+        many bytes back. Raises when a frame's data would overflow
+        its region plus the available reservoir, or when
+        main_data_begin would exceed the 9-bit limit of 511.
+
+        Each frame spec is a dict: ``is2`` (2×576 integer codes in
+        Huffman transmit order), ``scf2`` (per granule: 21 long
+        scalefactors, or 3×12 per-window for short granules),
+        ``gains`` (2 global_gains); optional ``block_type`` (2-tuple,
+        0 normal / 1 start / 2 short / 3 stop, default (0, 0)),
+        ``subblock_gain`` (2×3, short granules only),
+        ``table_select``, ``region0_count``, ``region1_count``,
+        ``scalefac_scale``, ``count1_quads``, ``count1_table``
+        ("A"|"B"), ``scfsi`` (long-only scalefactor reuse flags)."""
+        _gate(1, rate)
+        flen = 144 * kbps * 1000 // rate
+        cap = flen - 21                      # header 4 + side 17
+        M = _Writer()
+        starts = []
+        metas = []
+        for f in frames:
+            bts = tuple(f.get("block_type", (0, 0)))
+            scfsi = tuple(f.get("scfsi", (0, 0, 0, 0)))
+            if any(scfsi) and (bts[0] != 0 or bts[1] != 0):
+                raise ValueError(
+                    "scfsi scalefactor reuse applies to long "
+                    "(block_type 0) granules only")
+            for grp, (lo, hi) in enumerate(_SCF_GROUPS):
+                if scfsi[grp]:
+                    for bnd in range(lo, hi):
+                        if f["scf2"][0][bnd] != f["scf2"][1][bnd]:
+                            raise ValueError(
+                                f"scfsi group {grp} set but scale"
+                                f"factor band {bnd} differs between "
+                                "granules")
+            M.byte_align()
+            # reservoir cap: if this frame's main data would start
+            # more than 511 bytes back, stuff ancillary zero bytes
+            # (exactly what real encoders do to honor the 9-bit
+            # main_data_begin field)
+            k = len(starts)
+            if k * cap - len(M.buf) > 511:
+                M.buf.extend(b"\x00" * (k * cap - len(M.buf) - 511))
+            starts.append(len(M.buf))
+            fmeta = {"scfsi": scfsi, "granules": []}
+            for g in range(2):
+                bt = bts[g]
+                if bt not in (0, 1, 2, 3):
+                    raise ValueError(f"block_type {bt} invalid")
+                tsel = tuple(f.get("table_select", (1, 2, 3)))
+                bw, bv = _granule_payload(
+                    list(f["is2"][g]), f["scf2"][g], g, rate, bt,
+                    tsel, f.get("region0_count", 3),
+                    f.get("region1_count", 3),
+                    f.get("count1_quads", 0),
+                    f.get("count1_table", "B"), scfsi)
+                fmeta["granules"].append({
+                    "bits": bw.bitpos(), "big_values": bv,
+                    "global_gain": int(f["gains"][g]) & 0xFF,
+                    "block_type": bt, "table_select": tsel,
+                    "region0_count": f.get("region0_count", 3),
+                    "region1_count": f.get("region1_count", 3),
+                    "scalefac_scale": f.get("scalefac_scale", 0),
+                    "subblock_gain": tuple(
+                        f.get("subblock_gain", ((0,) * 3,) * 2)[g]),
+                    "count1_table": f.get("count1_table", "B"),
+                })
+                bw.replay_into(M)
+            metas.append(fmeta)
+        M.byte_align()
+        total = len(M.buf)
+        out = bytearray()
+        for k, fmeta in enumerate(metas):
+            region_start = k * cap
+            mdb = region_start - starts[k]
+            if mdb < 0:
+                raise ValueError(
+                    f"frame {k - 1} main data overflows its region "
+                    f"plus the available reservoir (frame {k}'s data "
+                    f"would start {-mdb} bytes late)")
+            if mdb > 511:
+                raise ValueError(
+                    f"frame {k}: main_data_begin {mdb} exceeds the "
+                    "9-bit reservoir limit of 511")
+            end_k = starts[k + 1] if k + 1 < len(starts) else total
+            if end_k > region_start + cap:
+                raise ValueError(
+                    f"frame overflow: frame {k} main data ends "
+                    f"{end_k - region_start - cap} bytes past its "
+                    "region — lower the payload or add frames")
+            w = _Writer()
+            w.put(0xFFF, 12)
+            w.put(1, 1)                 # ID: MPEG-1
+            w.put(0b01, 2)              # layer III
+            w.put(1, 1)                 # protection_bit=1: no CRC
+            w.put(BITRATES_L3.index(kbps), 4)
+            w.put({44100: 0, 48000: 1, 32000: 2}[rate], 2)
+            w.put(0, 1)                 # padding
+            w.put(0, 1)                 # private
+            w.put(0b11, 2)              # mode: single channel
+            w.put(0, 2)                 # mode extension
+            w.put(0, 1)                 # copyright
+            w.put(0, 1)                 # original
+            w.put(0, 2)                 # emphasis
+            w.put(mdb, 9)
+            w.put(0, 5)                 # private
+            for grp in range(4):
+                w.put(1 if fmeta["scfsi"][grp] else 0, 1)
+            for gm in fmeta["granules"]:
+                w.put(gm["bits"], 12)   # part2_3_length
+                w.put(gm["big_values"], 9)
+                w.put(gm["global_gain"], 8)
+                w.put(13, 4)            # scalefac_compress: slen 3,3
+                if gm["block_type"] == 0:
+                    w.put(0, 1)         # window_switching_flag
+                    for t in gm["table_select"]:
+                        w.put(t, 5)
+                    w.put(gm["region0_count"], 4)
+                    w.put(gm["region1_count"], 3)
+                else:
+                    w.put(1, 1)
+                    w.put(gm["block_type"], 2)
+                    w.put(0, 1)         # mixed_block_flag
+                    for t in gm["table_select"][:2]:
+                        w.put(t, 5)
+                    for sg in gm["subblock_gain"]:
+                        w.put(int(sg) & 7, 3)
+                w.put(0, 1)             # preflag
+                w.put(gm["scalefac_scale"], 1)
+                w.put(0 if gm["count1_table"] == "A" else 1, 1)
+            region = bytes(M.buf[region_start:region_start + cap])
+            region += b"\x00" * (cap - len(region))
+            out += w.pad_to(21) + region
+        return bytes(out)
+
     def encode_frame(is2, scf2, gains, kbps: int = 192,
                      rate: int = 48000, region0_count: int = 3,
                      region1_count: int = 3,
                      scalefac_scale: int = 0,
                      table_select=(1, 2, 3),
                      count1_quads: int = 0,
-                     scfsi=(0, 0, 0, 0)) -> bytes:
-        """Encode ONE mono MPEG-1 Layer III frame from the integer
-        code domain: ``is2`` is 2 granules × 576 signed spectral
-        codes, ``scf2`` 2×21 scalefactors, ``gains`` 2 global_gains.
-        big_values covers everything before the count1 region;
-        ``count1_quads`` trailing quadruples (|v| ≤ 1) are coded with
-        count1 table B. scalefac_compress is fixed at 13 (slen 3,3);
-        no bit reservoir (main_data_begin=0). ``scfsi`` flags per
-        band group (0-5, 6-10, 11-15, 16-20): a set flag means
-        granule 1 reuses granule 0's scalefactors in that group and
-        they are not transmitted (scf2 must agree there)."""
-        groups = [(0, 6), (6, 11), (11, 16), (16, 21)]
-        for grp, (lo, hi) in enumerate(groups):
-            if scfsi[grp]:
-                for bnd in range(lo, hi):
-                    if scf2[0][bnd] != scf2[1][bnd]:
-                        raise ValueError(
-                            f"scfsi group {grp} set but scalefactor "
-                            f"band {bnd} differs between granules")
-        _gate(1, rate)
-        bounds = SFB_BOUNDS[rate]
-        r0_end = bounds[region0_count + 1]
-        r1_end = bounds[region0_count + region1_count + 2]
-        w = _Writer()
-        w.put(0xFFF, 12)
-        w.put(1, 1)                 # ID: MPEG-1
-        w.put(0b01, 2)              # layer III
-        w.put(1, 1)                 # protection_bit=1: no CRC
-        w.put(BITRATES_L3.index(kbps), 4)
-        w.put({44100: 0, 48000: 1, 32000: 2}[rate], 2)
-        w.put(0, 1)                 # padding
-        w.put(0, 1)                 # private
-        w.put(0b11, 2)              # mode: single channel
-        w.put(0, 2)                 # mode extension
-        w.put(0, 1)                 # copyright
-        w.put(0, 1)                 # original
-        w.put(0, 2)                 # emphasis
-
-        # per-granule main data, buffered to measure part2_3_length
-        granule_bits = []
-        bv = []
-        c1q = []
-        for g in range(2):
-            isv = list(is2[g])
-            if len(isv) != 576:
-                raise ValueError("is2 granules must be 576 codes")
-            nz = max((i for i, v in enumerate(isv) if v), default=-1)
-            end = nz + 1
-            end += end & 1                     # pair-align
-            # count1 region: carve the LAST count1_quads quadruples
-            # out of the content tail (values there must be |v|<=1);
-            # big_values shrinks to cover only the head
-            n_c1 = min(count1_quads, end // 4)
-            big2 = end - 4 * n_c1
-            big2 += big2 & 1                   # stays pair-aligned
-            c1_lo = big2
-            c1_hi = min(576, big2 + 4 * n_c1)
-            bw = _Writer()
-            for grp, (lo, hi) in enumerate(groups):
-                if g == 1 and scfsi[grp]:
-                    continue                   # reused from granule 0
-                for b in range(lo, hi):        # slen (3,3)
-                    bw.put(int(scf2[g][b]) & 7, 3)
-            for i in range(0, big2, 2):
-                x, y = isv[i], isv[i + 1]
-                if i < r0_end:
-                    tid = table_select[0]
-                elif i < r1_end:
-                    tid = table_select[1]
-                else:
-                    tid = table_select[2]
-                tab = tables.get(tid)
-                if tab is None:
-                    raise NotImplementedError(
-                        f"encode: Huffman table {tid} not bundled — "
-                        "tables 1-3 ship; pass others via set_tables")
-                key = (abs(x), abs(y))
-                if key not in tab:
-                    raise ValueError(
-                        f"code {key} exceeds table {tid}")
-                ln, cd = tab[key][:2]
-                bw.put(cd, ln)
-                if x:
-                    bw.put(1 if x < 0 else 0, 1)
-                if y:
-                    bw.put(1 if y < 0 else 0, 1)
-            n_quads = 0
-            for i in range(c1_lo, c1_hi, 4):
-                quad = isv[i:i + 4]
-                if any(abs(v) > 1 for v in quad):
-                    raise ValueError("count1 values must be |v|<=1")
-                code = 0
-                for v in quad:
-                    code = (code << 1) | (1 if v else 0)
-                bw.put((~code) & 0xF, 4)       # table B: complement
-                for v in quad:
-                    if v:
-                        bw.put(1 if v < 0 else 0, 1)
-                n_quads += 1
-            granule_bits.append((bw, bw.bitpos()))
-            bv.append(big2 // 2)
-            c1q.append(n_quads)
-
-        # side info (17 bytes, mono)
-        w.put(0, 9)                 # main_data_begin: no reservoir
-        w.put(0, 5)                 # private
-        for grp in range(4):        # scfsi flags per band group
-            w.put(1 if scfsi[grp] else 0, 1)
-        for g in range(2):
-            w.put(granule_bits[g][1], 12)      # part2_3_length
-            w.put(bv[g], 9)
-            w.put(int(gains[g]) & 0xFF, 8)
-            w.put(13, 4)            # scalefac_compress: slen (3,3)
-            w.put(0, 1)             # window_switching_flag
-            for t in table_select:
-                w.put(t, 5)
-            w.put(region0_count, 4)
-            w.put(region1_count, 3)
-            w.put(0, 1)             # preflag
-            w.put(scalefac_scale, 1)
-            w.put(1, 1)             # count1table_select: table B
-        for g in range(2):
-            bwr, nbits = granule_bits[g]
-            # replay the buffered granule bits into the frame writer
-            tmp = bwr.buf[:]
-            acc, left = bwr.acc, bwr.nbits
-            for byte in tmp:
-                w.put(byte, 8)
-            if left:
-                w.put(acc & ((1 << left) - 1), left)
-        return w.pad_to(144 * kbps * 1000 // rate)
+                     scfsi=(0, 0, 0, 0),
+                     block_type=(0, 0),
+                     subblock_gain=((0, 0, 0), (0, 0, 0)),
+                     count1_table: str = "B") -> bytes:
+        """Encode ONE frame (main_data_begin=0, no reservoir) — the
+        single-frame case of ``encode_stream``; see it for the knob
+        semantics."""
+        return encode_stream([{
+            "is2": is2, "scf2": scf2, "gains": gains,
+            "region0_count": region0_count,
+            "region1_count": region1_count,
+            "scalefac_scale": scalefac_scale,
+            "table_select": table_select,
+            "count1_quads": count1_quads, "scfsi": scfsi,
+            "block_type": block_type, "subblock_gain": subblock_gain,
+            "count1_table": count1_table,
+        }], kbps=kbps, rate=rate)
 
     # ---------------- decode ----------------
     def decode_frames(b: bytes):
-        """Walk every Layer III frame: per frame {kbps, rate,
-        granules: [{is, scf, xr, ts} × 2]} where ``is`` is the 576
-        decoded integer codes (signed), ``scf`` the 21 scalefactors,
-        ``xr`` the requantized spectrum, and ``ts`` the 18×32
-        time-domain subband samples after alias reduction, IMDCT,
-        overlap-add and frequency inversion — ready for the polyphase
-        filterbank. Overlap state carries across frames."""
+        """Walk every Layer III frame: per frame {kbps, rate, mdb,
+        granules: [{is, scf|scf_s, xr, ts, block_type} × 2]} where
+        ``is`` is the 576 decoded integer codes (signed, Huffman
+        transmit order), ``scf`` the 21 long scalefactors (``scf_s``
+        the 3×12 per-window set for short granules), ``xr`` the
+        requantized spectrum in subband order (short blocks already
+        reordered), and ``ts`` the 18×32 time-domain subband samples
+        after alias reduction, IMDCT, overlap-add and frequency
+        inversion — ready for the polyphase filterbank. Overlap
+        state and the bit reservoir carry across frames."""
         out = []
         overlap = np.zeros((32, 18))
+        reservoir = b""                      # prior main-data regions
         i = 0
         while True:
             h = frame_header(b, i)
@@ -393,59 +628,100 @@ def make_mp3_codec():
                 break
             flen, kbps, rate, channels, pad, prot = h
             _gate(channels, rate)
-            r = _Reader(b[i + 4:i + flen])
-            if not prot:
-                r.get(16)           # CRC-16 (value not verified)
-            main_data_begin = r.get(9)
-            if main_data_begin:
-                raise NotImplementedError(
-                    "Layer III bit reservoir (main_data_begin != 0) "
-                    "not implemented — encode with reservoir "
-                    "disabled, or buffer prior frames' main data")
-            r.get(5)                # private
-            scfsi = [r.get(1) for _ in range(4)]
-            side = []
+            hdr_len = 4 + (0 if prot else 2)  # CRC-16 not verified
+            side = _Reader(b[i + hdr_len:i + hdr_len + 17])
+            main_data_begin = side.get(9)
+            side.get(5)                      # private
+            scfsi = [side.get(1) for _ in range(4)]
+            gis = []
             for g in range(2):
                 gi = {}
-                gi["part2_3_length"] = r.get(12)
-                gi["big_values"] = r.get(9)
-                gi["global_gain"] = r.get(8)
-                gi["scalefac_compress"] = r.get(4)
-                if r.get(1):
-                    raise NotImplementedError(
-                        "Layer III window switching (short/mixed "
-                        "blocks) not implemented — long blocks only")
-                gi["table_select"] = [r.get(5) for _ in range(3)]
-                gi["region0_count"] = r.get(4)
-                gi["region1_count"] = r.get(3)
-                gi["preflag"] = r.get(1)
-                gi["scalefac_scale"] = r.get(1)
-                gi["count1table_select"] = r.get(1)
-                side.append(gi)
+                gi["part2_3_length"] = side.get(12)
+                gi["big_values"] = side.get(9)
+                gi["global_gain"] = side.get(8)
+                gi["scalefac_compress"] = side.get(4)
+                if side.get(1):              # window_switching_flag
+                    gi["block_type"] = side.get(2)
+                    if gi["block_type"] == 0:
+                        raise ValueError(
+                            "block_type 0 is forbidden with "
+                            "window_switching_flag set")
+                    if side.get(1):          # mixed_block_flag
+                        raise NotImplementedError(
+                            "Layer III mixed blocks (long sfbs under "
+                            "short windows) not implemented — "
+                            "non-mixed block types 0-3 are")
+                    gi["table_select"] = [side.get(5), side.get(5), 0]
+                    gi["subblock_gain"] = [side.get(3)
+                                           for _ in range(3)]
+                    gi["region0_count"] = 7   # implied: r0 ends at 36
+                    gi["region1_count"] = 13
+                else:
+                    gi["block_type"] = 0
+                    gi["table_select"] = [side.get(5)
+                                          for _ in range(3)]
+                    gi["region0_count"] = side.get(4)
+                    gi["region1_count"] = side.get(3)
+                    gi["subblock_gain"] = [0, 0, 0]
+                gi["preflag"] = side.get(1)
+                gi["scalefac_scale"] = side.get(1)
+                gi["count1table_select"] = side.get(1)
+                if any(scfsi) and gi["block_type"] != 0:
+                    raise ValueError(
+                        "scfsi set for a window-switching granule")
+                gis.append(gi)
+
+            region = b[i + hdr_len + 17:i + flen]
+            if main_data_begin > len(reservoir):
+                raise ValueError(
+                    f"bit reservoir underrun: main_data_begin="
+                    f"{main_data_begin} but only {len(reservoir)} "
+                    "bytes of prior main data are buffered (stream "
+                    "cut mid-reservoir, or decode did not start at "
+                    "a reservoir-empty frame)")
+            if main_data_begin:
+                buf = reservoir[len(reservoir) - main_data_begin:] \
+                    + region
+            else:
+                buf = region
+            r = _Reader(buf)
 
             granules = []
             prev_scf = [0] * 21
             for g in range(2):
-                gi = side[g]
+                gi = gis[g]
                 start = r.pos
                 slen1, slen2 = SLEN[gi["scalefac_compress"]]
-                scf = [0] * 21
-                groups = [(0, 6, slen1), (6, 11, slen1),
-                          (11, 16, slen2), (16, 21, slen2)]
-                for grp, (lo, hi, sl) in enumerate(groups):
-                    if g == 1 and scfsi[grp]:
+                short = gi["block_type"] == 2
+                if short:
+                    scf_s = [[0] * 12 for _ in range(3)]
+                    for lo, hi, sl in ((0, 6, slen1), (6, 12, slen2)):
                         for bnd in range(lo, hi):
-                            scf[bnd] = prev_scf[bnd]
-                    else:
-                        for bnd in range(lo, hi):
-                            scf[bnd] = r.get(sl) if sl else 0
-                prev_scf = scf
+                            for w2 in range(3):
+                                scf_s[w2][bnd] = (r.get(sl)
+                                                  if sl else 0)
+                    scf = None
+                else:
+                    scf = [0] * 21
+                    groups = [(0, 6, slen1), (6, 11, slen1),
+                              (11, 16, slen2), (16, 21, slen2)]
+                    for grp, (lo, hi, sl) in enumerate(groups):
+                        if g == 1 and scfsi[grp]:
+                            for bnd in range(lo, hi):
+                                scf[bnd] = prev_scf[bnd]
+                        else:
+                            for bnd in range(lo, hi):
+                                scf[bnd] = r.get(sl) if sl else 0
+                    prev_scf = scf
 
                 bounds = SFB_BOUNDS[rate]
-                r0_end = bounds[gi["region0_count"] + 1]
-                r1_end = bounds[
-                    min(gi["region0_count"] + gi["region1_count"] + 2,
-                        22)]
+                if gi["block_type"] == 0:
+                    r0_end = bounds[gi["region0_count"] + 1]
+                    r1_end = bounds[
+                        min(gi["region0_count"]
+                            + gi["region1_count"] + 2, 22)]
+                else:
+                    r0_end, r1_end = bounds[8], 576
                 isv = [0] * 576
                 big2 = gi["big_values"] * 2
                 if big2 > 576:
@@ -462,34 +738,49 @@ def make_mp3_codec():
                         isv[idx] = isv[idx + 1] = 0
                         idx += 2
                         continue
-                    dmap = _decode_map(tid)
+                    dmap, maxlen, lb = _decode_map(tid)
                     ln, cd = 0, 0
                     while True:
                         cd = (cd << 1) | r.get(1)
                         ln += 1
                         if (ln, cd) in dmap:
                             break
-                        if ln > 19:
+                        if ln > maxlen:
                             raise ValueError(
                                 "invalid Huffman code in big_values")
                     x, y = dmap[(ln, cd)]
+                    if x == 15 and lb:
+                        x += r.get(lb)
                     if x:
                         x = -x if r.get(1) else x
+                    if y == 15 and lb:
+                        y += r.get(lb)
                     if y:
                         y = -y if r.get(1) else y
                     isv[idx], isv[idx + 1] = x, y
                     idx += 2
                 # count1 region: quadruples while part2_3 bits remain
+                dmapA = None
+                if not gi["count1table_select"]:
+                    dmapA = {(ln, cd): sym for sym, (ln, cd)
+                             in CNT1_A.items()}
                 while (r.pos - start < gi["part2_3_length"]
                        and idx + 3 < 576):
                     if gi["count1table_select"]:
                         code = (~r.get(4)) & 0xF    # table B
-                        quad = [(code >> 3) & 1, (code >> 2) & 1,
-                                (code >> 1) & 1, code & 1]
-                    else:
-                        raise NotImplementedError(
-                            "count1 table A not bundled — pass it "
-                            "via set_tables or encode with table B")
+                    else:                           # table A
+                        ln, cd = 0, 0
+                        while True:
+                            cd = (cd << 1) | r.get(1)
+                            ln += 1
+                            if (ln, cd) in dmapA:
+                                break
+                            if ln > 6:
+                                raise ValueError(
+                                    "invalid count1 table A code")
+                        code = dmapA[(ln, cd)]
+                    quad = [(code >> 3) & 1, (code >> 2) & 1,
+                            (code >> 1) & 1, code & 1]
                     for t in range(4):
                         if quad[t] and r.get(1):
                             quad[t] = -quad[t]
@@ -499,44 +790,81 @@ def make_mp3_codec():
                     raise ValueError("granule overran part2_3_length")
                 r.pos = start + gi["part2_3_length"]
 
-                # requantize (long blocks)
                 sf_mult = 0.5 * (gi["scalefac_scale"] + 1)
                 gg = 2.0 ** ((gi["global_gain"] - 210) / 4.0)
                 xr = np.zeros(576)
-                for b2 in range(22):
-                    lo = bounds[b2]
-                    hi = bounds[b2 + 1]
-                    sb_scf = scf[b2] if b2 < 21 else 0
-                    gain = gg * 2.0 ** (-sf_mult * (
-                        sb_scf + gi["preflag"] * PRETAB[b2]))
-                    for j in range(lo, hi):
-                        v = isv[j]
-                        if v:
-                            xr[j] = math.copysign(
-                                abs(v) ** (4.0 / 3.0), v) * gain
+                if short:
+                    # requantize per (window, sfb) on the transmit
+                    # order, writing straight into the reordered
+                    # (point-major, line = 3·i + window) layout
+                    sbounds = SFB_SHORT_BOUNDS[rate]
+                    for s in range(13):
+                        lo, hi = sbounds[s], sbounds[s + 1]
+                        width = hi - lo
+                        base = 3 * lo
+                        for w2 in range(3):
+                            sb_scf = scf_s[w2][s] if s < 12 else 0
+                            gain = (gg
+                                    * 2.0 ** (-2.0
+                                              * gi["subblock_gain"][w2])
+                                    * 2.0 ** (-sf_mult * sb_scf))
+                            for ii in range(width):
+                                v = isv[base + w2 * width + ii]
+                                if v:
+                                    xr[base + 3 * ii + w2] = (
+                                        math.copysign(
+                                            abs(v) ** (4.0 / 3.0), v)
+                                        * gain)
+                else:
+                    for b2 in range(22):
+                        lo = bounds[b2]
+                        hi = bounds[b2 + 1]
+                        sb_scf = scf[b2] if b2 < 21 else 0
+                        gain = gg * 2.0 ** (-sf_mult * (
+                            sb_scf + gi["preflag"] * PRETAB[b2]))
+                        for j in range(lo, hi):
+                            v = isv[j]
+                            if v:
+                                xr[j] = math.copysign(
+                                    abs(v) ** (4.0 / 3.0), v) * gain
 
-                # alias reduction
-                xa = xr.copy()
-                for sb in range(1, 32):
-                    for j in range(8):
-                        a = xa[18 * sb - 1 - j]
-                        bb = xa[18 * sb + j]
-                        xa[18 * sb - 1 - j] = (a * ALIAS_CS[j]
-                                               - bb * ALIAS_CA[j])
-                        xa[18 * sb + j] = (bb * ALIAS_CS[j]
-                                           + a * ALIAS_CA[j])
+                if short:
+                    xa = xr                  # no alias reduction
+                else:
+                    xa = xr.copy()
+                    for sb in range(1, 32):
+                        for j in range(8):
+                            a = xa[18 * sb - 1 - j]
+                            bb = xa[18 * sb + j]
+                            xa[18 * sb - 1 - j] = (a * ALIAS_CS[j]
+                                                   - bb * ALIAS_CA[j])
+                            xa[18 * sb + j] = (bb * ALIAS_CS[j]
+                                               + a * ALIAS_CA[j])
 
-                # IMDCT (36-point, sine window) + overlap-add
                 spec = xa.reshape(32, 18)
-                z = spec @ IMDCT_WIN.T          # (32, 36)
+                if short:
+                    # 3 × 12-point IMDCT per subband (spectral
+                    # stride 3), overlap-added at 6-sample offsets
+                    z = np.zeros((32, 36))
+                    for w2 in range(3):
+                        y12 = spec[:, w2::3] @ IMDCT12_WIN.T
+                        z[:, 6 + 6 * w2:18 + 6 * w2] += y12
+                else:
+                    z = spec @ IMDCT_WINS[gi["block_type"]].T
                 ts = z[:, :18] + overlap        # (32, 18)
                 overlap = z[:, 18:].copy()
                 # frequency inversion: odd subbands, odd samples
                 ts[1::2, 1::2] = -ts[1::2, 1::2]
-                granules.append({"is": isv, "scf": scf, "xr": xr,
-                                 "ts": ts.T.copy()})  # (18, 32)
+                gr = {"is": isv, "xr": xr, "ts": ts.T.copy(),
+                      "block_type": gi["block_type"]}
+                if short:
+                    gr["scf_s"] = scf_s
+                else:
+                    gr["scf"] = scf
+                granules.append(gr)
             out.append({"kbps": kbps, "rate": rate,
-                        "granules": granules})
+                        "mdb": main_data_begin, "granules": granules})
+            reservoir = (reservoir + region)[-511:]
             i += flen
         return out
 
@@ -558,8 +886,11 @@ def make_mp3_codec():
 
     return SimpleNamespace(
         frame_header=frame_header, encode_frame=encode_frame,
+        encode_stream=encode_stream,
         decode_frames=decode_frames, decode_pcm=decode_pcm,
         sniff=sniff, set_tables=set_tables,
-        SFB_BOUNDS=SFB_BOUNDS, SLEN=SLEN, PRETAB=PRETAB,
+        SFB_BOUNDS=SFB_BOUNDS, SFB_SHORT_BOUNDS=SFB_SHORT_BOUNDS,
+        SLEN=SLEN, PRETAB=PRETAB,
         ALIAS_CS=ALIAS_CS, ALIAS_CA=ALIAS_CA, IMDCT_WIN=IMDCT_WIN,
-        HUFF_TABLES=tables)
+        IMDCT_WINS=IMDCT_WINS, IMDCT12_WIN=IMDCT12_WIN,
+        CNT1_A=CNT1_A, HUFF_TABLES=tables)

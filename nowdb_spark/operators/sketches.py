@@ -594,11 +594,11 @@ agg AS (SELECT COUNT(*) AS n, MAX(h) AS hmax,
 SELECT n AS n_x, n_shared,
        ROUND(CAST(n_shared AS DOUBLE) / CAST(n AS DOUBLE), 6) AS jaccard,
        ROUND(CASE WHEN n < {k} THEN CAST(n AS DOUBLE)
-             ELSE {float(k - 1)} * {KMV_DOMAIN} / CAST(hmax AS DOUBLE)
+             ELSE {float(k - 1) * KMV_DOMAIN!r} / CAST(hmax AS DOUBLE)
              END, 4) AS d_union,
        ROUND((CAST(n_shared AS DOUBLE) / CAST(n AS DOUBLE))
              * CASE WHEN n < {k} THEN CAST(n AS DOUBLE)
-               ELSE {float(k - 1)} * {KMV_DOMAIN} / CAST(hmax AS DOUBLE)
+               ELSE {float(k - 1) * KMV_DOMAIN!r} / CAST(hmax AS DOUBLE)
                END, 4) AS d_inter
 FROM agg
 """

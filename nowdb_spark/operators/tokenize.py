@@ -507,10 +507,10 @@ def unigram_vocab(df: DataFrame, text_col: str = "text",
     return {r["tok"]: round(math.log(r["c"] / z), 6) for r in rows}
 
 
-def unigram_segment(df: DataFrame, vocab: dict,
-                    text_col: str = "text", id_col: str = "doc_id",
-                    max_len: int = 4,
-                    prefix_chars: int = 64) -> DataFrame:
+def unigram_lm_segment(df: DataFrame, vocab: dict,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       max_len: int = 4,
+                       prefix_chars: int = 64) -> DataFrame:
     """Viterbi segmentation under the unigram LM: per document (its
     first ``prefix_chars`` characters), dp[i] = best cumulative
     log-prob of any tokenization of the prefix ending at i, maximized

@@ -10,31 +10,35 @@ rotate out. Relegated rows stay registered and remain fully
 oracle-verified by tests/test_workload.py — only the driver row is
 forgone. The per-row relegation rationale lives in PARITY.md
 ("Driver-window rotation log"), not here.
+
+Round 13 rebuild: the round-12 newcomers (g08, ts14, cc04, tx17) and
+the repaired tx09 rotate in, and a second rotation band swaps 16
+long-green rows (q02/q03/q05/q06/q09/q11/q13-q15/q19/q20 green since
+rounds 1-3; nq02/nq08/nq18, wd01/wd07, wc06, sk01, g06, mm29, tx16
+green since rounds 4-9) for 16 never-windowed rows across the
+sketch, streaming, time-series, dialect, web-corpus and shard
+families. 20 first-time rows; never-windowed backlog 92 → 72.
 """
 
 PRIORITY_ORDER = [
     # reference relational core — one per SURVEY §2.2/§2.3/§2.4 family
-    "q01_scan_filter", "q02_point_lookup", "q03_in_list",
-    "q04_time_range", "q05_distinct", "q06_count_by_key",
-    "q07_countall", "q08_group_agg", "q09_global_agg",
-    "q10_median_stddev", "q11_order_topk",
-    "q13_time_extract", "q14_null_semantics", "q15_join_origin",
-    "q16_join_two_dims", "q19_semi_join", "q20_anti_join",
+    "q01_scan_filter", "q04_time_range", "q07_countall",
+    "q08_group_agg", "q10_median_stddev", "q16_join_two_dims",
     # dialect front-end (parser → binder → DataFrame)
-    "nq18_dialect_sessionize", "nq25_dialect_asof_join",
-    "nq02_dialect_formulas", "nq08_dialect_window",
+    "nq25_dialect_asof_join", "nq09_dialect_window_frames",
+    "nq11_dialect_setops", "nq12_dialect_exists",
     # shard/container ingestion
-    "wd01_webdataset", "wd07_tfrecord", "wd12_zarr_store",
+    "wd12_zarr_store", "wd02_zip_shards", "wd03_multimodal_samples",
     # documents
     "dc01_pdf_extract",
     # graph
-    "g06_label_prop", "g07_hyperball",
+    "g07_hyperball", "g08_kcore",
     # dedup / web corpus
-    "wc06_url_canonicalize", "wc08_registrable_domain",
-    "dd10_dedup_canonical", "mm29_phash", "ann11_maxsim",
+    "wc08_registrable_domain", "wc02_link_extract",
+    "wc03_robots_filter", "dd10_dedup_canonical", "ann11_maxsim",
     # text analysis / quality
-    "tx16_kneser_ney", "qc01_quality_classifier",
-    "qc04_banlist_scan",
+    "qc01_quality_classifier", "qc04_banlist_scan",
+    "tx09_unigram_tokenize", "tx17_unigram_segment",
     # similarity search
     "ann12_residual_quant", "ann10_binary_quant",
     # multimodal (image / audio / video, real sample decode + DSP)
@@ -42,10 +46,14 @@ PRIORITY_ORDER = [
     "mm31_mp2_decode", "mm36_mp3_decode", "mm30_h264_ipcm",
     "mm33_mdct_roundtrip",
     # time-series + streaming
-    "ts13_holt_linear", "st01_stream_window_agg",
-    "st03_stream_interval_join",
+    "ts13_holt_linear", "ts14_cusum", "ts06_zscore",
+    "ts08_gap_fill_interp", "ts09_asof_join",
+    "st01_stream_window_agg", "st02_stream_session_window",
+    "st03_stream_interval_join", "st04_stream_dedup",
     # sketches
-    "sk01_hll_distinct",
+    "sk02_cms_heavy_hitters", "sk03_kll_quantiles",
+    "sk04_bloom_membership", "sk05_kmv_overlap",
     # corpus curation / mixing
     "dm02_temperature_mix", "cc03_pretrain_pipeline",
+    "cc04_ppl_buckets",
 ]                                                # exactly 50 entries

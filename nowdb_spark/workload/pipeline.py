@@ -2153,7 +2153,7 @@ def mm25(spark, sf):
         "breaks) — all JVM regexp_replace; oracle replays the synth "
         "construction",
 )
-def tx07(spark, sf):
+def tx10(spark, sf):
     from nowdb_spark.operators.textops import markdown_to_text
 
     md = F.expr("""
@@ -5342,12 +5342,12 @@ def _tx17_cands_sql() -> str:
         "sliding 4-slot dp window) comparison-for-comparison",
 )
 def tx17(spark, sf):
-    from nowdb_spark.operators.tokenize import (unigram_segment,
+    from nowdb_spark.operators.tokenize import (unigram_lm_segment,
                                                 unigram_vocab)
 
     d = table(spark, sf, "documents")
     vocab = unigram_vocab(d)
-    return unigram_segment(spread(d), vocab)
+    return unigram_lm_segment(spread(d), vocab)
 
 
 # ------------------------------------------------------------------

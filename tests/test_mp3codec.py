@@ -217,11 +217,12 @@ def test_gates():
     b2[3] &= 0x3F                            # mode 00: stereo
     with pytest.raises(NotImplementedError):
         C.decode_frames(bytes(b2))
-    # main_data_begin != 0 → reservoir gate (set the first side-info
-    # bit: byte 4 high bit)
+    # forged main_data_begin with an empty reservoir → underrun
+    # error (the reservoir itself is implemented; a first frame
+    # pointing 256 bytes back has nothing to point at)
     b3 = bytearray(b)
     b3[4] |= 0x80
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="reservoir underrun"):
         C.decode_frames(bytes(b3))
     # unknown Huffman table id → actionable gate
     c2 = make_mp3_codec()

@@ -115,7 +115,7 @@ def test_residual_quant_beats_plain_bits_on_clustered(spark):
 def test_unigram_segmentation_known_vocab(spark):
     """With a hand-built vocab, Viterbi picks the max-logp
     tokenization with the documented tie-breaks."""
-    from nowdb_spark.operators.tokenize import unigram_segment
+    from nowdb_spark.operators.tokenize import unigram_lm_segment
     import math as _m
     # 'abab': vocab prefers the 2-gram 'ab' (higher prob than chars)
     vocab = {"a": round(_m.log(0.1), 6), "b": round(_m.log(0.1), 6),
@@ -123,7 +123,7 @@ def test_unigram_segmentation_known_vocab(spark):
     df = spark.createDataFrame([(1, "abab"), (2, "aba"), (3, "")],
                                "doc_id long, text string")
     out = {r["doc_id"]: (r["n_chars"], r["n_tokens"], r["score"])
-           for r in unigram_segment(df, vocab).collect()}
+           for r in unigram_lm_segment(df, vocab).collect()}
     lp = lambda t: vocab[t]  # noqa: E731
     assert out[1] == (4, 2, round(round(lp("ab") + lp("ab"), 6), 6))
     # 'aba' → ab + a beats a + b + a
@@ -131,19 +131,19 @@ def test_unigram_segmentation_known_vocab(spark):
     assert out[3] == (0, 0, 0.0)
     # unreachable char → n_tokens 0 (honest signal, not a crash)
     df2 = spark.createDataFrame([(9, "axb")], "doc_id long, text string")
-    out2 = unigram_segment(df2, vocab).collect()[0]
+    out2 = unigram_lm_segment(df2, vocab).collect()[0]
     assert out2["n_tokens"] == 0 and out2["score"] == 0.0
 
 
 def test_unigram_vocab_feasibility(spark):
     """Every single character survives the vocabulary cut, so any
     document over the corpus alphabet is segmentable."""
-    from nowdb_spark.operators.tokenize import (unigram_segment,
+    from nowdb_spark.operators.tokenize import (unigram_lm_segment,
                                                 unigram_vocab)
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(40)
     vocab = unigram_vocab(docs)
     assert vocab
-    out = unigram_segment(docs, vocab).collect()
+    out = unigram_lm_segment(docs, vocab).collect()
     assert all(r["n_tokens"] > 0 for r in out if r["n_chars"] > 0)
     # tokens per char is bounded by 1 (singles) from above and
     # 1/max_len from below
