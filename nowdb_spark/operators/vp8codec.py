@@ -38,10 +38,16 @@ the token-category extra-bit probabilities. The bundled values are
 deterministic documented placeholders, so encoder and decoder stay
 in exact sync with each other (the fixture-oracle contract) but a
 third-party stream needs ``set_coeff_probs`` / ``set_quant_tables``
-with the RFC's Section 13/14 tables first — decode of a stream
-without them raises, never silently misdecodes (the frame tag
-version field is checked, and foreign streams are rejected unless
-``allow_foreign=True`` is passed with the real tables installed).
+/ ``set_cat_probs`` with the RFC's Section 13/14 tables first.
+Provenance is inherently OUT OF BAND: a conformant stream that
+writes zero probability updates means "use the RFC defaults", while
+this module's twin means "use the placeholders" — no header bit can
+distinguish them (the version field cannot serve as a fixture
+marker; every version value is a legal RFC profile). So
+``decode_frame`` refuses every payload unless the caller either
+declares module-minted provenance (``fixture=True``) or has
+installed ALL real table families and passes ``allow_foreign=True``
+— it raises, never silently misdecodes.
 
 Honest gates: inter frames, B_PRED 4×4 sub-block modes, segmentation
 maps, loop-filter application (reconstruction here is pre-filter)
@@ -92,8 +98,9 @@ ZIGZAG = [0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15]
 # plane types for probability indexing (RFC 6386 §13.3)
 PLANE_Y_AFTER_Y2, PLANE_Y2, PLANE_UV, PLANE_Y_NO_Y2 = 0, 1, 2, 3
 
-_VERSION_FIXTURE = 3  # version tag this module's encoder stamps;
-# decode() rejects other versions unless real tables are installed
+_VERSION_FIXTURE = 3  # version tag this module's encoder stamps —
+# informational only; decode() never gates on it (any version value
+# is a legal RFC 6386 profile, so it cannot mark fixtures)
 
 
 def _default_coeff_probs():
@@ -125,6 +132,9 @@ def make_vp8_codec() -> SimpleNamespace:
     quant = {"dc": [i + 4 for i in range(128)],
              "ac": [i + 4 for i in range(128)],
              "real": False}
+    # which table families hold REAL spec data (vs placeholders) —
+    # all three are required before a non-fixture decode
+    real = {"coeff": False, "quant": False, "cat": False}
 
     def set_coeff_probs(probs, updates=None) -> None:
         coeff_probs[:] = [[[list(t) for t in c] for c in b]
@@ -132,18 +142,24 @@ def make_vp8_codec() -> SimpleNamespace:
         if updates is not None:
             update_probs[:] = [[[list(t) for t in c] for c in b]
                                for b in updates]
+        real["coeff"] = True
+
+    _cats_installed: set = set()
 
     def set_cat_probs(probs: dict) -> None:
         for t, v in probs.items():
             if len(v) != CAT_BITS[t]:
                 raise ValueError(f"cat{t} needs {CAT_BITS[t]} probs")
             cat_probs[t] = list(v)
+        _cats_installed.update(probs)
+        real["cat"] = _cats_installed >= set(CAT_BASE)
 
     def set_quant_tables(dc, ac) -> None:
         if len(dc) != 128 or len(ac) != 128:
             raise ValueError("dequant tables are 128 entries each")
         quant["dc"], quant["ac"] = list(dc), list(ac)
         quant["real"] = True
+        real["quant"] = True
 
     # ---------------- boolean coder (RFC 6386 §7) ----------------
     class BoolEnc:
@@ -519,21 +535,43 @@ def make_vp8_codec() -> SimpleNamespace:
         return head + part1 + part2
 
     # ---------------- frame decode ----------------
-    def decode_frame(b: bytes, allow_foreign: bool = False):
+    def decode_frame(b: bytes, allow_foreign: bool = False,
+                     fixture: bool = False):
         """Decode ONE intra key frame → dict with the parsed header,
         per-plane quantized+dequantized coefficients, and the
         reconstructed Y (16×16) / U / V (8×8) planes (pre-loop-
-        filter). Foreign streams (version ≠ the fixture stamp) are
-        rejected unless real tables were installed AND
-        allow_foreign=True — a placeholder-table decode of a real
-        stream would be a silent wrong answer."""
+        filter).
+
+        Provenance gate: with the placeholder tables a decode is only
+        meaningful for payloads minted by this module's own encoder
+        twin, and no header bit can prove that (a conformant stream
+        with zero probability updates means "RFC defaults", the twin
+        means "placeholders"; the version field is a legal profile
+        number, not a fixture marker). The caller must therefore
+        either declare module-minted provenance with ``fixture=True``
+        or install ALL real table families (set_coeff_probs,
+        set_quant_tables, set_cat_probs) and pass
+        ``allow_foreign=True`` — anything else raises, because a
+        placeholder-table decode of a real stream would be a silent
+        wrong answer."""
+        if not fixture:
+            missing = sorted(k for k, v in real.items() if not v)
+            if missing or not allow_foreign:
+                raise NotImplementedError(
+                    "VP8 stream of undeclared provenance: pass "
+                    "fixture=True for payloads produced by this "
+                    "module's encoder twin, or install the real RFC "
+                    "6386 tables (set_coeff_probs §13, "
+                    "set_quant_tables §14.1, set_cat_probs §13.2 "
+                    "Pcat) and pass allow_foreign=True"
+                    + (f" — not yet installed: {', '.join(missing)}"
+                       if missing else ""))
         if len(b) < 10:
             raise ValueError("short VP8 payload")
         tag = b[0] | (b[1] << 8) | (b[2] << 16)
         if tag & 1:
             raise NotImplementedError(
                 "VP8 inter frames not implemented — key frames only")
-        version = (tag >> 1) & 7
         part1_size = tag >> 5
         if b[3:6] != b"\x9d\x01\x2a":
             raise ValueError("bad VP8 start code")
@@ -544,12 +582,6 @@ def make_vp8_codec() -> SimpleNamespace:
                 "multi-macroblock frames not implemented — the "
                 "sequential cross-MB prediction loop is the "
                 "extension point (single 16x16 MB here)")
-        if version != _VERSION_FIXTURE and not (
-                quant["real"] and allow_foreign):
-            raise NotImplementedError(
-                "foreign VP8 stream: install the RFC 6386 §13/§14 "
-                "probability and dequant tables (set_coeff_probs / "
-                "set_quant_tables) and pass allow_foreign=True")
         d1 = BoolDec(b[10:10 + part1_size])
         d1.get_literal(1)           # color space
         d1.get_literal(1)           # clamping

@@ -61,7 +61,8 @@ def test_frame_roundtrip_exact():
         y2, y, uv = _content(did)
         mode = [DC_PRED, V_PRED, H_PRED, TM_PRED][did % 4]
         out = C.decode_frame(
-            C.encode_frame(mode, y2, y, uv, q_index=did % 128))
+            C.encode_frame(mode, y2, y, uv, q_index=did % 128),
+            fixture=True)
         assert out["ymode"] == mode and out["q_index"] == did % 128
         assert out["y2_coeffs"] == y2
         for i in range(16):
@@ -77,7 +78,8 @@ def test_prediction_modes_differ():
     recs = {}
     for mode in (DC_PRED, V_PRED, H_PRED, TM_PRED):
         recs[mode] = C.decode_frame(
-            C.encode_frame(mode, y2, y, uv, q_index=20))["y"]
+            C.encode_frame(mode, y2, y, uv, q_index=20),
+            fixture=True)["y"]
     # away from clamping, DC − V == 1 and H == TM
     assert np.array_equal(recs[H_PRED], recs[TM_PRED])
     inner = (recs[DC_PRED] > 0) & (recs[DC_PRED] < 255)
@@ -116,13 +118,16 @@ def test_sniff_and_gates():
     b2 = bytearray(b)
     b2[0] |= 1
     with pytest.raises(NotImplementedError, match="inter"):
-        C.decode_frame(bytes(b2))
+        C.decode_frame(bytes(b2), fixture=True)
     # bad start code
     b3 = bytearray(b)
     b3[3] = 0
     with pytest.raises(ValueError, match="start code"):
-        C.decode_frame(bytes(b3))
-    # foreign version without real tables → honest gate
+        C.decode_frame(bytes(b3), fixture=True)
+    # undeclared provenance → honest gate, REGARDLESS of version
+    # (version 3 is a legal RFC profile, so it cannot mark fixtures)
+    with pytest.raises(NotImplementedError, match="set_coeff_probs"):
+        C.decode_frame(bytes(b))             # twin bytes, no claim
     b4 = bytearray(b)
     tag = b4[0] | (b4[1] << 8) | (b4[2] << 16)
     tag = (tag & ~0b1110) | (0 << 1)         # version 0
@@ -130,6 +135,12 @@ def test_sniff_and_gates():
         (tag >> 16) & 0xFF
     with pytest.raises(NotImplementedError, match="set_coeff_probs"):
         C.decode_frame(bytes(b4))
+    # partial real tables + allow_foreign still refuses, naming the
+    # missing families
+    c2 = make_vp8_codec()
+    c2.set_quant_tables([4] * 128, [4] * 128)
+    with pytest.raises(NotImplementedError, match="cat.*coeff|coeff"):
+        c2.decode_frame(bytes(b), allow_foreign=True)
     # B_PRED encode gate; oversized coefficient gate
     with pytest.raises(NotImplementedError):
         C.encode_frame(4, y2, y, uv)
@@ -149,6 +160,7 @@ def test_cat_extra_bits_roundtrip():
             -67, -35]
     y = [[0] + vals[:15] for _ in range(16)]
     uv = [[0] * 16 for _ in range(8)]
-    out = C.decode_frame(C.encode_frame(DC_PRED, y2, y, uv))
+    out = C.decode_frame(C.encode_frame(DC_PRED, y2, y, uv),
+                         fixture=True)
     for i in range(16):
         assert out["y_coeffs"][i][1:] == vals[:15], i
