@@ -1144,6 +1144,12 @@ def main() -> None:
              lambda: MM2.vp8_frames_real(MM2.synth_vp8(ids25))
              .agg(F.sum("y_wsum")).collect(),
              extra={"mm37_frames": n_25k})
+        rate("mm38_clips_per_sec", n_25k,
+             lambda: MM2.mp3_reservoir_real(
+                 MM2.synth_mp3_reservoir(ids25))
+             .agg(F.sum("q_abs_sum")).collect(),
+             extra={"mm38_clips": n_25k,
+                    "mm38_granules_per_clip": 4})
 
         # shard-container rates: zip, arrow-IPC, npy (synth once to
         # parquet, timed = parse + regroup like wd01/wd06-11)

@@ -5067,6 +5067,176 @@ def mm37(spark, sf):
 
 
 # ------------------------------------------------------------------
+# MP3 bit reservoir + short blocks (mm38): the round-13 Layer III
+# completion on top of mm36's long-block chain. The Spark side
+# decodes REAL two-frame streams whose frame-1 main data starts
+# hundreds of bytes back inside frame 0's region (a true nonzero
+# main_data_begin produced by encode_stream's packer) and whose
+# granules are all short blocks (window switching, subblock gains,
+# per-window scalefactors, 3i+w reorder, three 12-point IMDCTs per
+# subband). The oracle replays BOTH halves in SQL from the same
+# closed-form content: the reservoir packing arithmetic (per-granule
+# Huffman bit counts via the table-3 hlen map → frame byte counts →
+# ancillary alignment + the 511-byte stuffing rule → main_data_begin,
+# integer-exact) and the short-block signal chain (requantization
+# with the 2^(−2·subblock_gain) per-window factor, window-major →
+# point-major reorder, 12-point IMDCT with the 72 inlined
+# window×basis constants, 6-sample offset overlap-add, cross-granule
+# 18-sample carry, frequency inversion).
+def _mm38_oracle() -> str:
+    from nowdb_spark.operators.mp3codec import (IMDCT12_WIN,
+                                                SFB_SHORT_44K,
+                                                SFB_SHORT_48K,
+                                                SFB_SHORT_BOUNDS)
+
+    assert SFB_SHORT_48K != SFB_SHORT_44K  # 48 kHz column used below
+    imw = ", ".join(repr(v) for v in IMDCT12_WIN.ravel())  # [n*6+k]
+    sbnd = ", ".join(str(v) for v in SFB_SHORT_BOUNDS[48000][:13])
+    swid = ", ".join(str(v) for v in SFB_SHORT_48K)
+    # ISO Annex B.7 table 3 code lengths keyed |x|*10+|y| (the
+    # twin's table_select is (3,3,3))
+    hlen = ("CASE abs(i0.v) * 10 + abs(i1.v) WHEN 0 THEN 2 "
+            "WHEN 1 THEN 2 WHEN 2 THEN 6 WHEN 10 THEN 3 "
+            "WHEN 11 THEN 2 WHEN 12 THEN 5 WHEN 20 THEN 5 "
+            "WHEN 21 THEN 5 WHEN 22 THEN 6 END")
+    return f"""
+    WITH consts AS (SELECT [{imw}] AS imw, [{sbnd}] AS sbnd,
+                           [{swid}] AS swid),
+    docs AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 2),
+    gr AS (SELECT doc_id, g FROM docs, unnest(range(0, 4)) t(g)),
+    isv AS (
+      SELECT doc_id, g, i,
+        CASE WHEN i < (CASE WHEN g < 2 THEN 24 ELSE 96 END)
+                      + 2 * ((doc_id + g) % 8)
+             THEN (doc_id*7 + g*5 + i*3) % 5 - 2 ELSE 0 END AS v
+      FROM gr, unnest(range(0, 576)) t(i)),
+    -- reservoir replay: granule bits -> frame bytes -> mdb
+    ends AS (
+      SELECT doc_id, g,
+             COALESCE(MAX(CASE WHEN v <> 0 THEN i END), -1) + 1
+             + (COALESCE(MAX(CASE WHEN v <> 0 THEN i END), -1) + 1)
+               % 2 AS e
+      FROM isv GROUP BY 1, 2),
+    pairbits AS (
+      SELECT i0.doc_id, i0.g,
+             SUM({hlen}
+                 + CASE WHEN i0.v <> 0 THEN 1 ELSE 0 END
+                 + CASE WHEN i1.v <> 0 THEN 1 ELSE 0 END) AS pb
+      FROM isv i0
+      JOIN isv i1 ON i1.doc_id = i0.doc_id AND i1.g = i0.g
+                 AND i1.i = i0.i + 1
+      JOIN ends e ON e.doc_id = i0.doc_id AND e.g = i0.g
+      WHERE i0.i % 2 = 0 AND i0.i < e.e
+      GROUP BY 1, 2),
+    gbits AS (
+      SELECT e.doc_id, e.g, 108 + COALESCE(p.pb, 0) AS bits
+      FROM ends e LEFT JOIN pairbits p
+        ON p.doc_id = e.doc_id AND p.g = e.g),
+    fbytes AS (
+      SELECT doc_id, g // 2 AS f,
+             CAST(ceil(SUM(bits) / 8.0) AS BIGINT) AS b
+      FROM gbits GROUP BY 1, 2),
+    mdbs AS (
+      SELECT doc_id, 0 AS f, CAST(0 AS BIGINT) AS mdb FROM docs
+      UNION ALL
+      SELECT doc_id, 1, 555 - GREATEST(b, 44) FROM fbytes
+      WHERE f = 0),
+    -- short-block signal replay
+    scfv AS (
+      SELECT doc_id, g, w, b, (doc_id + 5*g + 3*w + b) % 8 AS s
+      FROM gr, unnest(range(0, 3)) t(w), unnest(range(0, 12)) u(b)),
+    pos AS (
+      SELECT sfb, w, ii,
+             3 * sbnd[sfb + 1] + w * swid[sfb + 1] + ii AS hp,
+             3 * sbnd[sfb + 1] + 3 * ii + w AS line
+      FROM unnest(range(0, 13)) t(sfb), unnest(range(0, 3)) u(w),
+           unnest(range(0, 66)) v(ii) CROSS JOIN consts
+      WHERE ii < swid[sfb + 1]),
+    xr AS (
+      SELECT iv.doc_id, iv.g, p.line,
+        CASE WHEN iv.v = 0 THEN 0.0 ELSE
+          (CASE WHEN iv.v < 0 THEN -1.0 ELSE 1.0 END)
+          * pow(CAST(abs(iv.v) AS DOUBLE), 4.0/3.0)
+          * (pow(2.0, (200 + (iv.doc_id + iv.g) % 16 - 210) / 4.0)
+             * pow(2.0, -2.0 * ((iv.doc_id + iv.g + p.w) % 4))
+             * pow(2.0, -0.5 * COALESCE(sc.s, 0)))
+        END AS x
+      FROM pos p
+      JOIN isv iv ON iv.i = p.hp
+      LEFT JOIN scfv sc ON sc.doc_id = iv.doc_id AND sc.g = iv.g
+                       AND sc.w = p.w AND sc.b = p.sfb
+                       AND p.sfb < 12),
+    z AS (
+      SELECT x1.doc_id, x1.g, x1.line // 18 AS sb, t.m,
+             SUM(x1.x * imw[(t.m - 6 - 6*((x1.line % 18) % 3)) * 6
+                            + (x1.line % 18) // 3 + 1]) AS z
+      FROM xr x1, unnest(range(0, 36)) t(m) CROSS JOIN consts
+      WHERE t.m >= 6 + 6 * ((x1.line % 18) % 3)
+        AND t.m < 18 + 6 * ((x1.line % 18) % 3)
+      GROUP BY 1, 2, 3, 4),
+    grid AS (
+      SELECT g.doc_id, g.g, sbt.sb, nt.n
+      FROM gr g, unnest(range(0, 32)) sbt(sb),
+           unnest(range(0, 18)) nt(n)),
+    ts AS (
+      SELECT grid.doc_id, grid.g, grid.sb, grid.n,
+        (COALESCE(zc.z, 0.0) + COALESCE(zp.z, 0.0))
+        * (CASE WHEN grid.sb % 2 = 1 AND grid.n % 2 = 1
+                THEN -1.0 ELSE 1.0 END) AS s
+      FROM grid
+      LEFT JOIN z zc ON zc.doc_id = grid.doc_id AND zc.g = grid.g
+                    AND zc.sb = grid.sb AND zc.m = grid.n
+      LEFT JOIN z zp ON zp.doc_id = grid.doc_id
+                    AND zp.g = grid.g - 1
+                    AND zp.sb = grid.sb AND zp.m = grid.n + 18),
+    outs AS (
+      SELECT doc_id, g, round(SUM(s), 6) AS s_sum,
+             round(SUM(abs(s)), 6) AS s_abs_sum
+      FROM ts GROUP BY 1, 2),
+    qs AS (
+      SELECT doc_id, g, CAST(SUM(v) AS BIGINT) AS q_sum,
+             CAST(SUM(abs(v)) AS BIGINT) AS q_abs_sum
+      FROM isv GROUP BY 1, 2),
+    ss AS (
+      SELECT doc_id, g, CAST(SUM(s) AS BIGINT) AS scf_sum
+      FROM scfv GROUP BY 1, 2),
+    xs AS (
+      SELECT doc_id, g, round(SUM(x), 6) AS xr_sum,
+             round(SUM(abs(x)), 6) AS xr_abs_sum
+      FROM xr GROUP BY 1, 2)
+    SELECT q.doc_id, CAST(q.g // 2 AS BIGINT) AS frame,
+           CAST(q.g AS BIGINT) AS granule, m.mdb, q.q_sum,
+           q.q_abs_sum, ss.scf_sum, xs.xr_sum, xs.xr_abs_sum,
+           o.s_sum, o.s_abs_sum
+    FROM qs q
+    JOIN mdbs m ON m.doc_id = q.doc_id AND m.f = q.g // 2
+    JOIN ss ON ss.doc_id = q.doc_id AND ss.g = q.g
+    JOIN xs ON xs.doc_id = q.doc_id AND xs.g = q.g
+    JOIN outs o ON o.doc_id = q.doc_id AND o.g = q.g
+    """
+
+
+@register(
+    "mm38_mp3_reservoir",
+    _mm38_oracle(),
+    doc="REAL Layer III bit reservoir + short blocks: two-frame "
+        "streams whose frame-1 main data is located main_data_begin "
+        "bytes back in frame 0's region, every granule short "
+        "(window switching, subblock gains, per-window slen "
+        "scalefactors, 3i+w reorder, three 12-point IMDCTs per "
+        "subband with 6-sample offset overlap-add). The oracle "
+        "replays the reservoir packing arithmetic integer-exact "
+        "(Huffman bit counts -> frame bytes -> stuffing -> mdb) and "
+        "the short-block signal chain with the 12x6 window-basis "
+        "matrix inlined",
+)
+def mm38(spark, sf):
+    d = spread(table(spark, sf, "documents")
+               .where(F.col("doc_id") % 4 == 2))
+    return M.mp3_reservoir_real(M.synth_mp3_reservoir(d))
+
+
+# ------------------------------------------------------------------
 # Late-interaction retrieval (ann11): ColBERT MaxSim — docs and the
 # query are BAGS of token embeddings (here: 5 consecutive vec_ids
 # form one doc's token bag; doc 0's bag is the query), score(q,d) =
