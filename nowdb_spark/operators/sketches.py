@@ -572,6 +572,72 @@ def kmv_set_overlap(df_a: DataFrame, col_a: str,
         F.round(jac * d_union, 4).alias("d_inter"))
 
 
+def kmv_set_difference(df_a: DataFrame, col_a: str,
+                       df_b: DataFrame, col_b: str,
+                       k: int = KMV_K) -> DataFrame:
+    """One-row estimate frame for the set difference A \\ B — the
+    theta-sketch a-not-b operation (the one set algebra HLL cannot
+    express at all and inclusion-exclusion gets catastrophically
+    wrong for small differences): X = k smallest hashes of the hash
+    union, frac = |X ∩ A \\ B| / |X|, D_diff = frac · D_union.
+    Returns (n_x, n_a_only, frac_a_only, d_union, d_diff).
+
+    Same deterministic integer-hash construction as kmv_set_overlap,
+    so the DuckDB oracle replays it value-exact; all joins are on
+    <= k-row frames (broadcast)."""
+    sa, sb = kmv_sketch(df_a, col_a, k), kmv_sketch(df_b, col_b, k)
+    spark = df_a.sparkSession
+    x_rows = (sa.unionAll(sb).distinct().orderBy("h").limit(int(k))
+                .collect())
+    x = spark.createDataFrame(x_rows, schema="h long") if x_rows \
+        else spark.createDataFrame([], schema="h long")
+    a_only = (x.join(F.broadcast(sa), "h", "left_semi")
+                .join(F.broadcast(sb), "h", "left_anti"))
+    agg = (x.agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("hmax"))
+             .crossJoin(a_only.agg(
+                 F.count(F.lit(1)).alias("n_a_only"))))
+    d_union = kmv_estimate_expr(k)
+    frac = F.col("n_a_only").cast("double") / F.col("n").cast("double")
+    return agg.select(
+        F.col("n").alias("n_x"), "n_a_only",
+        F.round(frac, 6).alias("frac_a_only"),
+        F.round(d_union, 4).alias("d_union"),
+        F.round(frac * d_union, 4).alias("d_diff"))
+
+
+def kmv_difference_oracle_sql(table_a: str, col_a: str,
+                              table_b: str, col_b: str,
+                              k: int = KMV_K) -> str:
+    """DuckDB replay of kmv_set_difference (same hashes, same
+    k-smallest sets, same estimator branch)."""
+    ha = _kmv_hash_sql(col_a, "duckdb")
+    hb = _kmv_hash_sql(col_b, "duckdb")
+    return f"""
+WITH sa AS (SELECT DISTINCT {ha} AS h FROM {table_a}
+            WHERE {col_a} IS NOT NULL ORDER BY 1 LIMIT {k}),
+sb AS (SELECT DISTINCT {hb} AS h FROM {table_b}
+       WHERE {col_b} IS NOT NULL ORDER BY 1 LIMIT {k}),
+x AS (SELECT DISTINCT h FROM (SELECT h FROM sa UNION ALL
+                              SELECT h FROM sb) ORDER BY 1 LIMIT {k}),
+agg AS (SELECT COUNT(*) AS n, MAX(h) AS hmax,
+               (SELECT COUNT(*) FROM x
+                WHERE h IN (SELECT h FROM sa)
+                  AND h NOT IN (SELECT h FROM sb)) AS n_a_only
+        FROM x)
+SELECT n AS n_x, n_a_only,
+       ROUND(CAST(n_a_only AS DOUBLE) / CAST(n AS DOUBLE), 6)
+         AS frac_a_only,
+       ROUND(CASE WHEN n < {k} THEN CAST(n AS DOUBLE)
+             ELSE {float(k - 1) * KMV_DOMAIN!r} / CAST(hmax AS DOUBLE)
+             END, 4) AS d_union,
+       ROUND((CAST(n_a_only AS DOUBLE) / CAST(n AS DOUBLE))
+             * CASE WHEN n < {k} THEN CAST(n AS DOUBLE)
+               ELSE {float(k - 1) * KMV_DOMAIN!r} / CAST(hmax AS DOUBLE)
+               END, 4) AS d_diff
+FROM agg
+"""
+
+
 def kmv_overlap_oracle_sql(table_a: str, col_a: str,
                            table_b: str, col_b: str,
                            k: int = KMV_K) -> str:

@@ -33,6 +33,11 @@ QUERIES: dict[str, QuerySpec] = {}
 
 def register(name: str, oracle: Optional[str], doc: str = ""):
     def deco(fn):
+        if name in QUERIES:
+            # a silent overwrite would shadow an oracle pair exactly
+            # like a duplicate def shadows a function (tests/
+            # test_lint.py is the same guard at the module level)
+            raise ValueError(f"duplicate registry row {name!r}")
         QUERIES[name] = QuerySpec(spark=fn, oracle=oracle, doc=doc)
         return fn
     return deco

@@ -178,3 +178,31 @@ def sk05_kmv_overlap(spark, sf_dir):
     buys = ev.where(F.col("event_type") == "purchase").select("user_id")
     return sk.kmv_set_overlap(views, "user_id", buys, "user_id",
                               k=_KMV_K)
+
+
+# --- sk06: KMV/theta a-not-b difference sketch ------------------------
+
+def _sk06_oracle() -> str:
+    return sk.kmv_difference_oracle_sql(
+        "(SELECT user_id FROM events WHERE event_type = 'view')",
+        "user_id",
+        "(SELECT user_id FROM events WHERE event_type = 'purchase')",
+        "user_id", k=_KMV_K)
+
+
+@register(
+    "sk06_kmv_difference",
+    _sk06_oracle(),
+    doc="KMV/theta sketch a-not-b: viewers who never purchased — the "
+        "set-difference estimate HLL cannot express at all and "
+        "inclusion-exclusion gets catastrophically wrong for small "
+        "differences; oracle replays the k-smallest-hash sets "
+        "value-exact",
+)
+def sk06_kmv_difference(spark, sf_dir):
+    from pyspark.sql import functions as F
+    ev = table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select("user_id")
+    buys = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return sk.kmv_set_difference(views, "user_id", buys, "user_id",
+                                 k=_KMV_K)
