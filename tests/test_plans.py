@@ -108,6 +108,10 @@ _PY_ALLOWED = {"mm01_extract_meta", "mm02_real_decode", "mm03_real_resize",
                # imperative; IMDCT/overlap-add are numpy matmuls per
                # Arrow batch (same class as mm31 + mm33 combined)
                "mm36_mp3_decode",
+               # reservoir location + short-block Huffman walk are
+               # the same bit-serial class as mm36; 12-point IMDCTs
+               # are numpy matmuls per Arrow batch
+               "mm38_mp3_reservoir",
                # VP8 boolean-coder/token-tree decode is inherently
                # bit-serial (same class as mm26's QM coder); the
                # integer transforms are per-block numpy
