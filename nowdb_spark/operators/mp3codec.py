@@ -72,8 +72,12 @@ machinery (decode and encode) is implemented and exercised by the
 test battery through installed tables. Scalefactor-band width tables
 (long and short) ship for 48 AND 44.1 kHz, each self-validated by
 its 576-sample (long) / 192-per-window (short) total; 32 kHz is
-gated. Mixed blocks (mixed_block_flag=1), stereo modes, and MPEG-2
-LSF still raise NotImplementedError.
+gated. Mixed blocks (mixed_block_flag=1) are implemented: the lowest
+two subbands run the long machinery (long scalefactor bands 0-7 with
+preflag, alias butterflies at the one long-long boundary, normal
+36-point IMDCT) while subbands 2-31 run the short machinery from
+short sfb 3 (3·bounds[3] = 36 lines at both bundled rates). Stereo
+modes and MPEG-2 LSF still raise NotImplementedError.
 """
 
 from __future__ import annotations
@@ -376,12 +380,13 @@ def make_mp3_codec():
 
     def _granule_payload(isv, scf, g, rate, block_type, table_select,
                          region0_count, region1_count, count1_quads,
-                         count1_table, scfsi):
+                         count1_table, scfsi, mixed=0):
         """Build one granule's main-data bits → (writer, big_values).
-        ``scf`` is 21 long scalefactors (block_type != 2) or a 3×12
-        per-window array (short). scalefac_compress fixed at 13
-        (slen 3,3). count1 region: the LAST count1_quads quadruples
-        of the content tail, coded with table A or B."""
+        ``scf`` is 21 long scalefactors (block_type != 2), a 3×12
+        per-window array (short), or a (scf_long[8], scf_s 3×12 with
+        bands 3-11 meaningful) pair for mixed blocks. scalefac_compress
+        fixed at 13 (slen 3,3). count1 region: the LAST count1_quads
+        quadruples of the content tail, coded with table A or B."""
         if len(isv) != 576:
             raise ValueError("is2 granules must be 576 codes")
         bounds = SFB_BOUNDS[rate]
@@ -399,7 +404,17 @@ def make_mp3_codec():
         c1_lo = big2
         c1_hi = min(576, big2 + 4 * n_c1)
         bw = _Writer()
-        if block_type == 2:
+        if block_type == 2 and mixed:
+            scf_l, scf_s = scf
+            if len(scf_l) != 8:
+                raise ValueError("mixed blocks carry 8 long "
+                                 "scalefactors (bands 0-7)")
+            for b in range(8):               # long part, slen (3,3)
+                bw.put(int(scf_l[b]) & 7, 3)
+            for b in range(3, 12):           # short part, band-major
+                for w2 in range(3):
+                    bw.put(int(scf_s[w2][b]) & 7, 3)
+        elif block_type == 2:
             for lo, hi in ((0, 6), (6, 12)):  # band-major, slen (3,3)
                 for b in range(lo, hi):
                     for w2 in range(3):
@@ -469,6 +484,12 @@ def make_mp3_codec():
         metas = []
         for f in frames:
             bts = tuple(f.get("block_type", (0, 0)))
+            mxs = tuple(f.get("mixed", (0, 0)))
+            for g in range(2):
+                if mxs[g] and bts[g] != 2:
+                    raise ValueError(
+                        "mixed_block_flag is only defined for short "
+                        "(block_type 2) granules")
             scfsi = tuple(f.get("scfsi", (0, 0, 0, 0)))
             if any(scfsi) and (bts[0] != 0 or bts[1] != 0):
                 raise ValueError(
@@ -502,11 +523,12 @@ def make_mp3_codec():
                     tsel, f.get("region0_count", 3),
                     f.get("region1_count", 3),
                     f.get("count1_quads", 0),
-                    f.get("count1_table", "B"), scfsi)
+                    f.get("count1_table", "B"), scfsi, mxs[g])
                 fmeta["granules"].append({
                     "bits": bw.bitpos(), "big_values": bv,
                     "global_gain": int(f["gains"][g]) & 0xFF,
-                    "block_type": bt, "table_select": tsel,
+                    "block_type": bt, "mixed": mxs[g],
+                    "table_select": tsel,
                     "region0_count": f.get("region0_count", 3),
                     "region1_count": f.get("region1_count", 3),
                     "scalefac_scale": f.get("scalefac_scale", 0),
@@ -569,7 +591,7 @@ def make_mp3_codec():
                 else:
                     w.put(1, 1)
                     w.put(gm["block_type"], 2)
-                    w.put(0, 1)         # mixed_block_flag
+                    w.put(gm["mixed"], 1)   # mixed_block_flag
                     for t in gm["table_select"][:2]:
                         w.put(t, 5)
                     for sg in gm["subblock_gain"]:
@@ -591,7 +613,8 @@ def make_mp3_codec():
                      scfsi=(0, 0, 0, 0),
                      block_type=(0, 0),
                      subblock_gain=((0, 0, 0), (0, 0, 0)),
-                     count1_table: str = "B") -> bytes:
+                     count1_table: str = "B",
+                     mixed=(0, 0)) -> bytes:
         """Encode ONE frame (main_data_begin=0, no reservoir) — the
         single-frame case of ``encode_stream``; see it for the knob
         semantics."""
@@ -603,7 +626,7 @@ def make_mp3_codec():
             "table_select": table_select,
             "count1_quads": count1_quads, "scfsi": scfsi,
             "block_type": block_type, "subblock_gain": subblock_gain,
-            "count1_table": count1_table,
+            "count1_table": count1_table, "mixed": mixed,
         }], kbps=kbps, rate=rate)
 
     # ---------------- decode ----------------
@@ -646,11 +669,11 @@ def make_mp3_codec():
                         raise ValueError(
                             "block_type 0 is forbidden with "
                             "window_switching_flag set")
-                    if side.get(1):          # mixed_block_flag
-                        raise NotImplementedError(
-                            "Layer III mixed blocks (long sfbs under "
-                            "short windows) not implemented — "
-                            "non-mixed block types 0-3 are")
+                    gi["mixed"] = side.get(1)
+                    if gi["mixed"] and gi["block_type"] != 2:
+                        raise ValueError(
+                            "mixed_block_flag with a start/stop "
+                            "block has no defined band split")
                     gi["table_select"] = [side.get(5), side.get(5), 0]
                     gi["subblock_gain"] = [side.get(3)
                                            for _ in range(3)]
@@ -658,6 +681,7 @@ def make_mp3_codec():
                     gi["region1_count"] = 13
                 else:
                     gi["block_type"] = 0
+                    gi["mixed"] = 0
                     gi["table_select"] = [side.get(5)
                                           for _ in range(3)]
                     gi["region0_count"] = side.get(4)
@@ -693,7 +717,18 @@ def make_mp3_codec():
                 start = r.pos
                 slen1, slen2 = SLEN[gi["scalefac_compress"]]
                 short = gi["block_type"] == 2
-                if short:
+                mixed = short and gi["mixed"]
+                if mixed:
+                    scf_l = [r.get(slen1) if slen1 else 0
+                             for _ in range(8)]
+                    scf_s = [[0] * 12 for _ in range(3)]
+                    for lo, hi, sl in ((3, 6, slen1), (6, 12, slen2)):
+                        for bnd in range(lo, hi):
+                            for w2 in range(3):
+                                scf_s[w2][bnd] = (r.get(sl)
+                                                  if sl else 0)
+                    scf = None
+                elif short:
                     scf_s = [[0] * 12 for _ in range(3)]
                     for lo, hi, sl in ((0, 6, slen1), (6, 12, slen2)):
                         for bnd in range(lo, hi):
@@ -796,9 +831,26 @@ def make_mp3_codec():
                 if short:
                     # requantize per (window, sfb) on the transmit
                     # order, writing straight into the reordered
-                    # (point-major, line = 3·i + window) layout
+                    # (point-major, line = 3·i + window) layout.
+                    # Mixed blocks: lines 0-35 are the LONG part
+                    # (long bands 0-7, preflag applies, no reorder);
+                    # the short machinery starts at short sfb 3
+                    # (3·bounds[3] = 36 at both bundled rates).
                     sbounds = SFB_SHORT_BOUNDS[rate]
-                    for s in range(13):
+                    if mixed:
+                        for b2 in range(8):
+                            lo = bounds[b2]
+                            hi = bounds[b2 + 1]
+                            gain = gg * 2.0 ** (-sf_mult * (
+                                scf_l[b2]
+                                + gi["preflag"] * PRETAB[b2]))
+                            for j in range(lo, hi):
+                                v = isv[j]
+                                if v:
+                                    xr[j] = math.copysign(
+                                        abs(v) ** (4.0 / 3.0),
+                                        v) * gain
+                    for s in range(3 if mixed else 0, 13):
                         lo, hi = sbounds[s], sbounds[s + 1]
                         width = hi - lo
                         base = 3 * lo
@@ -828,11 +880,13 @@ def make_mp3_codec():
                                 xr[j] = math.copysign(
                                     abs(v) ** (4.0 / 3.0), v) * gain
 
-                if short:
+                if short and not mixed:
                     xa = xr                  # no alias reduction
                 else:
+                    # mixed blocks: butterflies only at the one
+                    # long-long subband boundary (sb = 1)
                     xa = xr.copy()
-                    for sb in range(1, 32):
+                    for sb in range(1, 2 if mixed else 32):
                         for j in range(8):
                             a = xa[18 * sb - 1 - j]
                             bb = xa[18 * sb + j]
@@ -844,11 +898,16 @@ def make_mp3_codec():
                 spec = xa.reshape(32, 18)
                 if short:
                     # 3 × 12-point IMDCT per subband (spectral
-                    # stride 3), overlap-added at 6-sample offsets
+                    # stride 3), overlap-added at 6-sample offsets;
+                    # mixed blocks run the normal 36-point long
+                    # window on subbands 0-1 instead
+                    sb0 = 2 if mixed else 0
                     z = np.zeros((32, 36))
                     for w2 in range(3):
-                        y12 = spec[:, w2::3] @ IMDCT12_WIN.T
-                        z[:, 6 + 6 * w2:18 + 6 * w2] += y12
+                        y12 = spec[sb0:, w2::3] @ IMDCT12_WIN.T
+                        z[sb0:, 6 + 6 * w2:18 + 6 * w2] += y12
+                    if mixed:
+                        z[:2] = spec[:2] @ IMDCT_WINS[0].T
                 else:
                     z = spec @ IMDCT_WINS[gi["block_type"]].T
                 ts = z[:, :18] + overlap        # (32, 18)
@@ -856,8 +915,12 @@ def make_mp3_codec():
                 # frequency inversion: odd subbands, odd samples
                 ts[1::2, 1::2] = -ts[1::2, 1::2]
                 gr = {"is": isv, "xr": xr, "ts": ts.T.copy(),
-                      "block_type": gi["block_type"]}
-                if short:
+                      "block_type": gi["block_type"],
+                      "mixed": gi["mixed"]}
+                if mixed:
+                    gr["scf_l"] = scf_l
+                    gr["scf_s"] = scf_s
+                elif short:
                     gr["scf_s"] = scf_s
                 else:
                     gr["scf"] = scf

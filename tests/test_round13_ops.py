@@ -334,3 +334,117 @@ def test_imdct12_matrix_shape():
            / math.cos(math.pi / 24 * (2 * n + 1 + 6))
            for n in range(12)]
     np.testing.assert_allclose(win, win[::-1], atol=1e-12)
+
+
+# ------------------------------------------------------------------
+# mixed blocks (block_type 2 + mixed_block_flag)
+# ------------------------------------------------------------------
+
+def _mixed_content(seed):
+    isv = [0] * 576
+    for i in range(120):
+        isv[i] = ((seed * 5 + i * 7) % 5) - 2
+    scf_l = [(seed + b) % 8 for b in range(8)]
+    scf_s = [[0] * 12 for _ in range(3)]
+    for w in range(3):
+        for b in range(3, 12):
+            scf_s[w][b] = (seed + 2 * w + b) % 8
+    return isv, (scf_l, scf_s)
+
+
+def test_mixed_block_roundtrip():
+    isv, scf = _mixed_content(5)
+    b = C.encode_frame([isv, [0] * 576],
+                       [scf, [0] * 21], [208, 210],
+                       block_type=(2, 0), mixed=(1, 0),
+                       table_select=(3, 3, 3),
+                       subblock_gain=((0, 1, 2), (0, 0, 0)))
+    g0 = C.decode_frames(b)[0]["granules"][0]
+    assert g0["block_type"] == 2 and g0["mixed"] == 1
+    assert g0["is"] == isv
+    assert g0["scf_l"] == scf[0]
+    assert g0["scf_s"] == scf[1]
+
+
+def test_mixed_block_requantize_model():
+    """Lines 0-35: long formula over long bands 0-7 (no reorder, no
+    subblock gain); lines 36+: short formula from short sfb 3 with
+    the 3i+w reorder. Verified against an independent model."""
+    from nowdb_spark.operators.mp3codec import (PRETAB, SFB_BOUNDS_48K)
+    isv, scf = _mixed_content(9)
+    sbg = (1, 0, 3)
+    gg = 208
+    b = C.encode_frame([isv, [0] * 576],
+                       [scf, [0] * 21], [gg, 210],
+                       block_type=(2, 0), mixed=(1, 0),
+                       table_select=(3, 3, 3),
+                       subblock_gain=(sbg, (0, 0, 0)))
+    g0 = C.decode_frames(b)[0]["granules"][0]
+    exp = np.zeros(576)
+    for b2 in range(8):                       # long part
+        lo, hi = SFB_BOUNDS_48K[b2], SFB_BOUNDS_48K[b2 + 1]
+        gain = (2.0 ** ((gg - 210) / 4.0)
+                * 2.0 ** (-0.5 * (scf[0][b2] + 0 * PRETAB[b2])))
+        for j in range(lo, hi):
+            if isv[j]:
+                exp[j] = math.copysign(
+                    abs(isv[j]) ** (4.0 / 3.0), isv[j]) * gain
+    sbounds = SFB_SHORT_BOUNDS[48000]
+    for s in range(3, 13):                    # short part
+        lo, hi = sbounds[s], sbounds[s + 1]
+        width = hi - lo
+        for w in range(3):
+            scf_v = scf[1][w][s] if s < 12 else 0
+            gain = (2.0 ** ((gg - 210) / 4.0 - 2.0 * sbg[w])
+                    * 2.0 ** (-0.5 * scf_v))
+            for i in range(width):
+                v = isv[3 * lo + w * width + i]
+                if v:
+                    exp[3 * lo + 3 * i + w] = math.copysign(
+                        abs(v) ** (4.0 / 3.0), v) * gain
+    np.testing.assert_allclose(g0["xr"], exp, rtol=1e-12)
+
+
+def test_mixed_block_alias_and_imdct_split():
+    """The long half of a mixed granule behaves exactly like the
+    same content in a pure long granule restricted to subbands 0-1
+    (alias butterflies at the one boundary, 36-point window); the
+    short half matches the pure-short path for subbands 2+."""
+    # content confined to lines 0..35 → only the long half is active
+    isv = [0] * 576
+    for i in range(36):
+        isv[i] = ((i * 7) % 5) - 2
+    scf_l = [2] * 8
+    scf_s = [[0] * 12 for _ in range(3)]
+    scf_long21 = [2] * 8 + [0] * 13
+    bm = C.encode_frame([isv, [0] * 576],
+                        [(scf_l, scf_s), [0] * 21], [210, 210],
+                        block_type=(2, 0), mixed=(1, 0),
+                        table_select=(3, 3, 3))
+    bl = C.encode_frame([isv, [0] * 576],
+                        [scf_long21, [0] * 21], [210, 210],
+                        table_select=(3, 3, 3), region0_count=7)
+    gm = C.decode_frames(bm)[0]["granules"][0]
+    gl = C.decode_frames(bl)[0]["granules"][0]
+    np.testing.assert_allclose(gm["xr"][:36], gl["xr"][:36])
+    # subband 0 sees only the boundary-1 butterfly, which both paths
+    # apply identically — its ts must agree exactly. (Subband 1 is
+    # NOT comparable: the pure-long path also runs the boundary-2
+    # butterfly, which scales sb1's top lines by cs[j] even when
+    # everything above is zero; mixed correctly skips it.)
+    np.testing.assert_allclose(gm["ts"][:, :1], gl["ts"][:, :1],
+                               atol=1e-12)
+    # and a mixed granule is NOT the same as pure short on the same
+    # content: the long half must differ from the short decode
+    bs = C.encode_frame([isv, [0] * 576],
+                        [[[0] * 12] * 3, [0] * 21], [210, 210],
+                        block_type=(2, 0), table_select=(3, 3, 3))
+    gs = C.decode_frames(bs)[0]["granules"][0]
+    assert not np.allclose(gm["ts"][:, :2], gs["ts"][:, :2])
+
+
+def test_mixed_gate_validation():
+    isv, scf = _mixed_content(1)
+    with pytest.raises(ValueError, match="mixed"):
+        C.encode_frame([isv, [0] * 576], [scf, [0] * 21],
+                       [210, 210], block_type=(1, 0), mixed=(1, 0))
