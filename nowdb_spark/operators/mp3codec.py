@@ -12,8 +12,9 @@ transform of ``dsp.py`` (mm33). What this module adds is the Layer
 III plumbing between them:
 
 * frame header (layer bits '01', slot size 144·bitrate/samplerate);
-* mono MPEG-1 side info (17 bytes): main_data_begin, scfsi, and per
-  granule part2_3_length / big_values / global_gain /
+* MPEG-1 side info (17 bytes mono / 32 stereo): main_data_begin,
+  per-channel scfsi, and per granule-channel part2_3_length /
+  big_values / global_gain /
   scalefac_compress / window_switching (block_type, mixed_block_flag,
   subblock_gain when set) / table_select / region0_count /
   region1_count / preflag / scalefac_scale / count1table_select;
@@ -77,7 +78,13 @@ two subbands run the long machinery (long scalefactor bands 0-7 with
 preflag, alias butterflies at the one long-long boundary, normal
 36-point IMDCT) while subbands 2-31 run the short machinery from
 short sfb 3 (3·bounds[3] = 36 lines at both bundled rates). Stereo
-modes and MPEG-2 LSF still raise NotImplementedError.
+is implemented end-to-end — 32-byte side info, per-channel scfsi and
+granule loops, granule-major channel-minor main data, per-channel
+overlap and synthesis states, and MS joint stereo (mode_extension
+bit 1): the transmitted MID/SIDE spectra recombine to L,R = (M±S)/√2
+after requantization (per-line, so it commutes with the short-block
+reorder). Intensity stereo (mode_extension bit 0) and MPEG-2 LSF
+still raise NotImplementedError.
 """
 
 from __future__ import annotations
@@ -336,11 +343,8 @@ def make_mp3_codec():
         return flen, kbps, rate, channels, pad, prot
 
     def _gate(channels: int, rate: int) -> None:
-        if channels != 1:
-            raise NotImplementedError(
-                "Layer III stereo/joint-stereo not implemented — "
-                "the per-channel loops and MS/intensity recombine "
-                "are the extension points")
+        # channels: mono, stereo, dual-channel and MS joint stereo
+        # are all decoded; intensity stereo gates at the decode site
         if rate not in SFB_BOUNDS:
             raise NotImplementedError(
                 f"Layer III scalefactor bands for rate={rate} not "
@@ -454,12 +458,39 @@ def make_mp3_codec():
                 "part2_3_length is a 12-bit field (max 4095)")
         return bw, big2 // 2
 
+    def _validate_channel_spec(cs):
+        """Shared per-channel validation for encode_stream → returns
+        (block_types, mixed_flags, scfsi)."""
+        bts = tuple(cs.get("block_type", (0, 0)))
+        mxs = tuple(cs.get("mixed", (0, 0)))
+        for g in range(2):
+            if mxs[g] and bts[g] != 2:
+                raise ValueError(
+                    "mixed_block_flag is only defined for short "
+                    "(block_type 2) granules")
+            if bts[g] not in (0, 1, 2, 3):
+                raise ValueError(f"block_type {bts[g]} invalid")
+        scfsi = tuple(cs.get("scfsi", (0, 0, 0, 0)))
+        if any(scfsi) and (bts[0] != 0 or bts[1] != 0):
+            raise ValueError(
+                "scfsi scalefactor reuse applies to long "
+                "(block_type 0) granules only")
+        for grp, (lo, hi) in enumerate(_SCF_GROUPS):
+            if scfsi[grp]:
+                for bnd in range(lo, hi):
+                    if cs["scf2"][0][bnd] != cs["scf2"][1][bnd]:
+                        raise ValueError(
+                            f"scfsi group {grp} set but scale"
+                            f"factor band {bnd} differs between "
+                            "granules")
+        return bts, mxs, scfsi
+
     def encode_stream(frames, kbps: int = 192,
                       rate: int = 48000) -> bytes:
-        """Encode a sequence of mono MPEG-1 Layer III frames WITH the
-        bit reservoir: all frames' main data is packed as one
-        continuous stream into the per-frame main-data regions
-        (frame_len − 21 bytes each), each frame's start byte-aligned
+        """Encode a sequence of MPEG-1 Layer III frames WITH the bit
+        reservoir: all frames' main data is packed as one continuous
+        stream into the per-frame main-data regions (frame_len − 21
+        bytes mono / − 36 stereo), each frame's start byte-aligned
         with ancillary padding bits and located by its side info's
         main_data_begin. A frame whose payload underfills its region
         leaves reservoir space; the next frame's data starts that
@@ -469,40 +500,55 @@ def make_mp3_codec():
 
         Each frame spec is a dict: ``is2`` (2×576 integer codes in
         Huffman transmit order), ``scf2`` (per granule: 21 long
-        scalefactors, or 3×12 per-window for short granules),
-        ``gains`` (2 global_gains); optional ``block_type`` (2-tuple,
-        0 normal / 1 start / 2 short / 3 stop, default (0, 0)),
+        scalefactors, 3×12 per-window for short granules, or a
+        (scf_long[8], scf_s) pair for mixed), ``gains`` (2
+        global_gains); optional ``block_type`` (2-tuple, 0 normal /
+        1 start / 2 short / 3 stop, default (0, 0)),
         ``subblock_gain`` (2×3, short granules only),
         ``table_select``, ``region0_count``, ``region1_count``,
         ``scalefac_scale``, ``count1_quads``, ``count1_table``
-        ("A"|"B"), ``scfsi`` (long-only scalefactor reuse flags)."""
-        _gate(1, rate)
+        ("A"|"B"), ``scfsi`` (long-only scalefactor reuse flags),
+        ``mixed`` (2-tuple of mixed_block_flags).
+
+        STEREO: add ``ch1`` — a dict with the same per-channel keys
+        — and the frame becomes two-channel (side info 32 bytes,
+        main data interleaved granule-major, channel-minor). The
+        integer code domain is per transmitted channel: with
+        ``mode_ext`` set (frame-level, joint stereo), bit 1 selects
+        MS stereo and ``is2``/``ch1.is2`` are the MID and SIDE
+        spectra the DECODER recombines as L,R = (M±S)/√2; intensity
+        stereo (bit 0) is honestly gated. All frames in one stream
+        must share the channel count."""
         flen = 144 * kbps * 1000 // rate
-        cap = flen - 21                      # header 4 + side 17
+        nch = 2 if frames and "ch1" in frames[0] else 1
+        _gate(nch, rate)
+        side_len = 17 if nch == 1 else 32
+        cap = flen - 4 - side_len
         M = _Writer()
         starts = []
         metas = []
         for f in frames:
-            bts = tuple(f.get("block_type", (0, 0)))
-            mxs = tuple(f.get("mixed", (0, 0)))
-            for g in range(2):
-                if mxs[g] and bts[g] != 2:
-                    raise ValueError(
-                        "mixed_block_flag is only defined for short "
-                        "(block_type 2) granules")
-            scfsi = tuple(f.get("scfsi", (0, 0, 0, 0)))
-            if any(scfsi) and (bts[0] != 0 or bts[1] != 0):
+            if ("ch1" in f) != (nch == 2):
                 raise ValueError(
-                    "scfsi scalefactor reuse applies to long "
-                    "(block_type 0) granules only")
-            for grp, (lo, hi) in enumerate(_SCF_GROUPS):
-                if scfsi[grp]:
-                    for bnd in range(lo, hi):
-                        if f["scf2"][0][bnd] != f["scf2"][1][bnd]:
-                            raise ValueError(
-                                f"scfsi group {grp} set but scale"
-                                f"factor band {bnd} differs between "
-                                "granules")
+                    "all frames in a stream must share the channel "
+                    "count (ch1 present in some frames only)")
+            mode_ext = int(f.get("mode_ext", 0) or 0)
+            if nch == 1 and f.get("mode_ext"):
+                raise ValueError("mode_ext is a joint-STEREO field")
+            if mode_ext & 0b01:
+                raise NotImplementedError(
+                    "intensity stereo encode not implemented — MS "
+                    "(mode_ext bit 1) and independent stereo are")
+            chs = [f] + ([f["ch1"]] if nch == 2 else [])
+            vals = [_validate_channel_spec(cs) for cs in chs]
+            if mode_ext & 0b10 and nch == 2:
+                for g in range(2):
+                    if vals[0][0][g] != vals[1][0][g] \
+                            or vals[0][1][g] != vals[1][1][g]:
+                        raise ValueError(
+                            "MS stereo requires identical block "
+                            "split (block_type/mixed) on both "
+                            "channels of each granule")
             M.byte_align()
             # reservoir cap: if this frame's main data would start
             # more than 511 bytes back, stuff ancillary zero bytes
@@ -512,31 +558,34 @@ def make_mp3_codec():
             if k * cap - len(M.buf) > 511:
                 M.buf.extend(b"\x00" * (k * cap - len(M.buf) - 511))
             starts.append(len(M.buf))
-            fmeta = {"scfsi": scfsi, "granules": []}
+            fmeta = {"scfsi": [v[2] for v in vals],
+                     "mode_ext": mode_ext, "granules": []}
             for g in range(2):
-                bt = bts[g]
-                if bt not in (0, 1, 2, 3):
-                    raise ValueError(f"block_type {bt} invalid")
-                tsel = tuple(f.get("table_select", (1, 2, 3)))
-                bw, bv = _granule_payload(
-                    list(f["is2"][g]), f["scf2"][g], g, rate, bt,
-                    tsel, f.get("region0_count", 3),
-                    f.get("region1_count", 3),
-                    f.get("count1_quads", 0),
-                    f.get("count1_table", "B"), scfsi, mxs[g])
-                fmeta["granules"].append({
-                    "bits": bw.bitpos(), "big_values": bv,
-                    "global_gain": int(f["gains"][g]) & 0xFF,
-                    "block_type": bt, "mixed": mxs[g],
-                    "table_select": tsel,
-                    "region0_count": f.get("region0_count", 3),
-                    "region1_count": f.get("region1_count", 3),
-                    "scalefac_scale": f.get("scalefac_scale", 0),
-                    "subblock_gain": tuple(
-                        f.get("subblock_gain", ((0,) * 3,) * 2)[g]),
-                    "count1_table": f.get("count1_table", "B"),
-                })
-                bw.replay_into(M)
+                gms = []
+                for ch, cs in enumerate(chs):
+                    bts, mxs, scfsi = vals[ch]
+                    tsel = tuple(cs.get("table_select", (1, 2, 3)))
+                    bw, bv = _granule_payload(
+                        list(cs["is2"][g]), cs["scf2"][g], g, rate,
+                        bts[g], tsel, cs.get("region0_count", 3),
+                        cs.get("region1_count", 3),
+                        cs.get("count1_quads", 0),
+                        cs.get("count1_table", "B"), scfsi, mxs[g])
+                    gms.append({
+                        "bits": bw.bitpos(), "big_values": bv,
+                        "global_gain": int(cs["gains"][g]) & 0xFF,
+                        "block_type": bts[g], "mixed": mxs[g],
+                        "table_select": tsel,
+                        "region0_count": cs.get("region0_count", 3),
+                        "region1_count": cs.get("region1_count", 3),
+                        "scalefac_scale": cs.get("scalefac_scale", 0),
+                        "subblock_gain": tuple(
+                            cs.get("subblock_gain",
+                                   ((0,) * 3,) * 2)[g]),
+                        "count1_table": cs.get("count1_table", "B"),
+                    })
+                    bw.replay_into(M)
+                fmeta["granules"].append(gms)
             metas.append(fmeta)
         M.byte_align()
         total = len(M.buf)
@@ -568,40 +617,49 @@ def make_mp3_codec():
             w.put({44100: 0, 48000: 1, 32000: 2}[rate], 2)
             w.put(0, 1)                 # padding
             w.put(0, 1)                 # private
-            w.put(0b11, 2)              # mode: single channel
-            w.put(0, 2)                 # mode extension
+            if nch == 1:
+                w.put(0b11, 2)          # mode: single channel
+                w.put(0, 2)             # mode extension
+            elif fmeta["mode_ext"]:
+                w.put(0b01, 2)          # mode: joint stereo
+                w.put(fmeta["mode_ext"], 2)
+            else:
+                w.put(0b00, 2)          # mode: stereo
+                w.put(0, 2)
             w.put(0, 1)                 # copyright
             w.put(0, 1)                 # original
             w.put(0, 2)                 # emphasis
             w.put(mdb, 9)
-            w.put(0, 5)                 # private
-            for grp in range(4):
-                w.put(1 if fmeta["scfsi"][grp] else 0, 1)
-            for gm in fmeta["granules"]:
-                w.put(gm["bits"], 12)   # part2_3_length
-                w.put(gm["big_values"], 9)
-                w.put(gm["global_gain"], 8)
-                w.put(13, 4)            # scalefac_compress: slen 3,3
-                if gm["block_type"] == 0:
-                    w.put(0, 1)         # window_switching_flag
-                    for t in gm["table_select"]:
-                        w.put(t, 5)
-                    w.put(gm["region0_count"], 4)
-                    w.put(gm["region1_count"], 3)
-                else:
-                    w.put(1, 1)
-                    w.put(gm["block_type"], 2)
-                    w.put(gm["mixed"], 1)   # mixed_block_flag
-                    for t in gm["table_select"][:2]:
-                        w.put(t, 5)
-                    for sg in gm["subblock_gain"]:
-                        w.put(int(sg) & 7, 3)
-                w.put(0, 1)             # preflag
-                w.put(gm["scalefac_scale"], 1)
-                w.put(0 if gm["count1_table"] == "A" else 1, 1)
+            w.put(0, 5 if nch == 1 else 3)   # private bits
+            for ch in range(nch):
+                for grp in range(4):
+                    w.put(1 if fmeta["scfsi"][ch][grp] else 0, 1)
+            for gms in fmeta["granules"]:
+                for gm in gms:
+                    w.put(gm["bits"], 12)    # part2_3_length
+                    w.put(gm["big_values"], 9)
+                    w.put(gm["global_gain"], 8)
+                    w.put(13, 4)        # scalefac_compress: slen 3,3
+                    if gm["block_type"] == 0:
+                        w.put(0, 1)     # window_switching_flag
+                        for t in gm["table_select"]:
+                            w.put(t, 5)
+                        w.put(gm["region0_count"], 4)
+                        w.put(gm["region1_count"], 3)
+                    else:
+                        w.put(1, 1)
+                        w.put(gm["block_type"], 2)
+                        w.put(gm["mixed"], 1)   # mixed_block_flag
+                        for t in gm["table_select"][:2]:
+                            w.put(t, 5)
+                        for sg in gm["subblock_gain"]:
+                            w.put(int(sg) & 7, 3)
+                    w.put(0, 1)         # preflag
+                    w.put(gm["scalefac_scale"], 1)
+                    w.put(0 if gm["count1_table"] == "A" else 1, 1)
             region = bytes(M.buf[region_start:region_start + cap])
             region += b"\x00" * (cap - len(region))
-            out += w.pad_to(21) + region
+            out += w.pad_to(4 + side_len) + region
         return bytes(out)
 
     def encode_frame(is2, scf2, gains, kbps: int = 192,
@@ -631,71 +689,306 @@ def make_mp3_codec():
 
     # ---------------- decode ----------------
     def decode_frames(b: bytes):
-        """Walk every Layer III frame: per frame {kbps, rate, mdb,
-        granules: [{is, scf|scf_s, xr, ts, block_type} × 2]} where
-        ``is`` is the 576 decoded integer codes (signed, Huffman
-        transmit order), ``scf`` the 21 long scalefactors (``scf_s``
-        the 3×12 per-window set for short granules), ``xr`` the
+        """Walk every Layer III frame → per frame {kbps, rate, mdb,
+        nch, granules}. Mono granules are {is, scf|scf_s|scf_l, xr,
+        ts, block_type, mixed, nch: 1}: ``is`` the 576 decoded
+        integer codes (signed, Huffman transmit order), ``xr`` the
         requantized spectrum in subband order (short blocks already
-        reordered), and ``ts`` the 18×32 time-domain subband samples
+        reordered), ``ts`` the 18×32 time-domain subband samples
         after alias reduction, IMDCT, overlap-add and frequency
-        inversion — ready for the polyphase filterbank. Overlap
-        state and the bit reservoir carry across frames."""
+        inversion — ready for the polyphase filterbank. Stereo
+        granules carry per-channel lists/stacks instead ({is:
+        [ch0, ch1], xr: (2, 576), ts: (2, 18, 32), scf_ch:
+        [per-channel scf dicts], ms: bool}); with MS joint stereo
+        the transmitted MID/SIDE spectra are recombined to L,R =
+        (M±S)/√2 after requantization, before the filterbank chain,
+        per channel. Intensity stereo raises (honest gate). Overlap
+        state (per channel) and the bit reservoir carry across
+        frames."""
+
+        def parse_gi(side):
+            gi = {}
+            gi["part2_3_length"] = side.get(12)
+            gi["big_values"] = side.get(9)
+            gi["global_gain"] = side.get(8)
+            gi["scalefac_compress"] = side.get(4)
+            if side.get(1):              # window_switching_flag
+                gi["block_type"] = side.get(2)
+                if gi["block_type"] == 0:
+                    raise ValueError(
+                        "block_type 0 is forbidden with "
+                        "window_switching_flag set")
+                gi["mixed"] = side.get(1)
+                if gi["mixed"] and gi["block_type"] != 2:
+                    raise ValueError(
+                        "mixed_block_flag with a start/stop "
+                        "block has no defined band split")
+                gi["table_select"] = [side.get(5), side.get(5), 0]
+                gi["subblock_gain"] = [side.get(3)
+                                       for _ in range(3)]
+                gi["region0_count"] = 7   # implied: r0 ends at 36
+                gi["region1_count"] = 13
+            else:
+                gi["block_type"] = 0
+                gi["mixed"] = 0
+                gi["table_select"] = [side.get(5)
+                                      for _ in range(3)]
+                gi["region0_count"] = side.get(4)
+                gi["region1_count"] = side.get(3)
+                gi["subblock_gain"] = [0, 0, 0]
+            gi["preflag"] = side.get(1)
+            gi["scalefac_scale"] = side.get(1)
+            gi["count1table_select"] = side.get(1)
+            return gi
+
+        def read_scalefactors(r, gi, g, scfsi_ch, prev):
+            """part2: the scalefactor block → ({scf keys}, new prev)."""
+            slen1, slen2 = SLEN[gi["scalefac_compress"]]
+            short = gi["block_type"] == 2
+            mixed = short and gi["mixed"]
+            if mixed:
+                scf_l = [r.get(slen1) if slen1 else 0
+                         for _ in range(8)]
+                scf_s = [[0] * 12 for _ in range(3)]
+                for lo, hi, sl in ((3, 6, slen1), (6, 12, slen2)):
+                    for bnd in range(lo, hi):
+                        for w2 in range(3):
+                            scf_s[w2][bnd] = r.get(sl) if sl else 0
+                return {"scf_l": scf_l, "scf_s": scf_s}, prev
+            if short:
+                scf_s = [[0] * 12 for _ in range(3)]
+                for lo, hi, sl in ((0, 6, slen1), (6, 12, slen2)):
+                    for bnd in range(lo, hi):
+                        for w2 in range(3):
+                            scf_s[w2][bnd] = r.get(sl) if sl else 0
+                return {"scf_s": scf_s}, prev
+            scf = [0] * 21
+            groups = [(0, 6, slen1), (6, 11, slen1),
+                      (11, 16, slen2), (16, 21, slen2)]
+            for grp, (lo, hi, sl) in enumerate(groups):
+                if g == 1 and scfsi_ch[grp]:
+                    for bnd in range(lo, hi):
+                        scf[bnd] = prev[bnd]
+                else:
+                    for bnd in range(lo, hi):
+                        scf[bnd] = r.get(sl) if sl else 0
+            return {"scf": scf}, scf
+
+        def read_huffman(r, gi, rate, start):
+            """part3: big-values regions + count1 tail → 576 codes."""
+            bounds = SFB_BOUNDS[rate]
+            if gi["block_type"] == 0:
+                r0_end = bounds[gi["region0_count"] + 1]
+                r1_end = bounds[
+                    min(gi["region0_count"]
+                        + gi["region1_count"] + 2, 22)]
+            else:
+                r0_end, r1_end = bounds[8], 576
+            isv = [0] * 576
+            big2 = gi["big_values"] * 2
+            if big2 > 576:
+                raise ValueError("big_values out of range")
+            idx = 0
+            while idx < big2:
+                if idx < r0_end:
+                    tid = gi["table_select"][0]
+                elif idx < r1_end:
+                    tid = gi["table_select"][1]
+                else:
+                    tid = gi["table_select"][2]
+                if tid == 0:
+                    isv[idx] = isv[idx + 1] = 0
+                    idx += 2
+                    continue
+                dmap, maxlen, lb = _decode_map(tid)
+                ln, cd = 0, 0
+                while True:
+                    cd = (cd << 1) | r.get(1)
+                    ln += 1
+                    if (ln, cd) in dmap:
+                        break
+                    if ln > maxlen:
+                        raise ValueError(
+                            "invalid Huffman code in big_values")
+                x, y = dmap[(ln, cd)]
+                if x == 15 and lb:
+                    x += r.get(lb)
+                if x:
+                    x = -x if r.get(1) else x
+                if y == 15 and lb:
+                    y += r.get(lb)
+                if y:
+                    y = -y if r.get(1) else y
+                isv[idx], isv[idx + 1] = x, y
+                idx += 2
+            # count1 region: quadruples while part2_3 bits remain
+            dmapA = None
+            if not gi["count1table_select"]:
+                dmapA = {(ln, cd): sym for sym, (ln, cd)
+                         in CNT1_A.items()}
+            while (r.pos - start < gi["part2_3_length"]
+                   and idx + 3 < 576):
+                if gi["count1table_select"]:
+                    code = (~r.get(4)) & 0xF    # table B
+                else:                           # table A
+                    ln, cd = 0, 0
+                    while True:
+                        cd = (cd << 1) | r.get(1)
+                        ln += 1
+                        if (ln, cd) in dmapA:
+                            break
+                        if ln > 6:
+                            raise ValueError(
+                                "invalid count1 table A code")
+                    code = dmapA[(ln, cd)]
+                quad = [(code >> 3) & 1, (code >> 2) & 1,
+                        (code >> 1) & 1, code & 1]
+                for t in range(4):
+                    if quad[t] and r.get(1):
+                        quad[t] = -quad[t]
+                isv[idx:idx + 4] = quad
+                idx += 4
+            if r.pos - start > gi["part2_3_length"]:
+                raise ValueError("granule overran part2_3_length")
+            r.pos = start + gi["part2_3_length"]
+            return isv
+
+        def requantize(gi, sd, isv, rate):
+            bounds = SFB_BOUNDS[rate]
+            short = gi["block_type"] == 2
+            mixed = short and gi["mixed"]
+            sf_mult = 0.5 * (gi["scalefac_scale"] + 1)
+            gg = 2.0 ** ((gi["global_gain"] - 210) / 4.0)
+            xr = np.zeros(576)
+            if short:
+                # requantize per (window, sfb) on the transmit
+                # order, writing straight into the reordered
+                # (point-major, line = 3·i + window) layout.
+                # Mixed blocks: lines 0-35 are the LONG part
+                # (long bands 0-7, preflag applies, no reorder);
+                # the short machinery starts at short sfb 3
+                # (3·bounds[3] = 36 at both bundled rates).
+                sbounds = SFB_SHORT_BOUNDS[rate]
+                if mixed:
+                    for b2 in range(8):
+                        lo = bounds[b2]
+                        hi = bounds[b2 + 1]
+                        gain = gg * 2.0 ** (-sf_mult * (
+                            sd["scf_l"][b2]
+                            + gi["preflag"] * PRETAB[b2]))
+                        for j in range(lo, hi):
+                            v = isv[j]
+                            if v:
+                                xr[j] = math.copysign(
+                                    abs(v) ** (4.0 / 3.0),
+                                    v) * gain
+                for s in range(3 if mixed else 0, 13):
+                    lo, hi = sbounds[s], sbounds[s + 1]
+                    width = hi - lo
+                    base = 3 * lo
+                    for w2 in range(3):
+                        sb_scf = sd["scf_s"][w2][s] if s < 12 else 0
+                        gain = (gg
+                                * 2.0 ** (-2.0
+                                          * gi["subblock_gain"][w2])
+                                * 2.0 ** (-sf_mult * sb_scf))
+                        for ii in range(width):
+                            v = isv[base + w2 * width + ii]
+                            if v:
+                                xr[base + 3 * ii + w2] = (
+                                    math.copysign(
+                                        abs(v) ** (4.0 / 3.0), v)
+                                    * gain)
+            else:
+                for b2 in range(22):
+                    lo = bounds[b2]
+                    hi = bounds[b2 + 1]
+                    sb_scf = sd["scf"][b2] if b2 < 21 else 0
+                    gain = gg * 2.0 ** (-sf_mult * (
+                        sb_scf + gi["preflag"] * PRETAB[b2]))
+                    for j in range(lo, hi):
+                        v = isv[j]
+                        if v:
+                            xr[j] = math.copysign(
+                                abs(v) ** (4.0 / 3.0), v) * gain
+            return xr
+
+        def alias_imdct(gi, xr, ov):
+            """alias reduction + (I)MDCT + overlap-add + frequency
+            inversion for one channel-granule → (ts 18×32, new ov)."""
+            short = gi["block_type"] == 2
+            mixed = short and gi["mixed"]
+            if short and not mixed:
+                xa = xr                  # no alias reduction
+            else:
+                # mixed blocks: butterflies only at the one
+                # long-long subband boundary (sb = 1)
+                xa = xr.copy()
+                for sb in range(1, 2 if mixed else 32):
+                    for j in range(8):
+                        a = xa[18 * sb - 1 - j]
+                        bb = xa[18 * sb + j]
+                        xa[18 * sb - 1 - j] = (a * ALIAS_CS[j]
+                                               - bb * ALIAS_CA[j])
+                        xa[18 * sb + j] = (bb * ALIAS_CS[j]
+                                           + a * ALIAS_CA[j])
+            spec = xa.reshape(32, 18)
+            if short:
+                # 3 × 12-point IMDCT per subband (spectral
+                # stride 3), overlap-added at 6-sample offsets;
+                # mixed blocks run the normal 36-point long
+                # window on subbands 0-1 instead
+                sb0 = 2 if mixed else 0
+                z = np.zeros((32, 36))
+                for w2 in range(3):
+                    y12 = spec[sb0:, w2::3] @ IMDCT12_WIN.T
+                    z[sb0:, 6 + 6 * w2:18 + 6 * w2] += y12
+                if mixed:
+                    z[:2] = spec[:2] @ IMDCT_WINS[0].T
+            else:
+                z = spec @ IMDCT_WINS[gi["block_type"]].T
+            ts = z[:, :18] + ov              # (32, 18)
+            # frequency inversion: odd subbands, odd samples
+            ts[1::2, 1::2] = -ts[1::2, 1::2]
+            return ts.T.copy(), z[:, 18:].copy()
+
         out = []
-        overlap = np.zeros((32, 18))
+        overlap = None                       # (nch, 32, 18), lazy
         reservoir = b""                      # prior main-data regions
         i = 0
         while True:
             h = frame_header(b, i)
             if h is None or i + h[0] > len(b):
                 break
-            flen, kbps, rate, channels, pad, prot = h
-            _gate(channels, rate)
+            flen, kbps, rate, nch, pad, prot = h
+            _gate(nch, rate)
+            mode = (b[i + 3] >> 6) & 0b11
+            mode_ext = (b[i + 3] >> 4) & 0b11
+            ms = nch == 2 and mode == 0b01 and bool(mode_ext & 0b10)
+            if nch == 2 and mode == 0b01 and (mode_ext & 0b01):
+                raise NotImplementedError(
+                    "intensity stereo decode not implemented — MS "
+                    "and independent/dual-channel stereo are; the "
+                    "is_pos scalefactor reinterpretation is the "
+                    "extension point")
             hdr_len = 4 + (0 if prot else 2)  # CRC-16 not verified
-            side = _Reader(b[i + hdr_len:i + hdr_len + 17])
+            side_len = 17 if nch == 1 else 32
+            side = _Reader(b[i + hdr_len:i + hdr_len + side_len])
             main_data_begin = side.get(9)
-            side.get(5)                      # private
-            scfsi = [side.get(1) for _ in range(4)]
-            gis = []
+            side.get(5 if nch == 1 else 3)   # private bits
+            scfsi = [[side.get(1) for _ in range(4)]
+                     for _ in range(nch)]
+            gis = [[None] * nch for _ in range(2)]
             for g in range(2):
-                gi = {}
-                gi["part2_3_length"] = side.get(12)
-                gi["big_values"] = side.get(9)
-                gi["global_gain"] = side.get(8)
-                gi["scalefac_compress"] = side.get(4)
-                if side.get(1):              # window_switching_flag
-                    gi["block_type"] = side.get(2)
-                    if gi["block_type"] == 0:
+                for ch in range(nch):
+                    gi = parse_gi(side)
+                    if any(scfsi[ch]) and gi["block_type"] != 0:
                         raise ValueError(
-                            "block_type 0 is forbidden with "
-                            "window_switching_flag set")
-                    gi["mixed"] = side.get(1)
-                    if gi["mixed"] and gi["block_type"] != 2:
-                        raise ValueError(
-                            "mixed_block_flag with a start/stop "
-                            "block has no defined band split")
-                    gi["table_select"] = [side.get(5), side.get(5), 0]
-                    gi["subblock_gain"] = [side.get(3)
-                                           for _ in range(3)]
-                    gi["region0_count"] = 7   # implied: r0 ends at 36
-                    gi["region1_count"] = 13
-                else:
-                    gi["block_type"] = 0
-                    gi["mixed"] = 0
-                    gi["table_select"] = [side.get(5)
-                                          for _ in range(3)]
-                    gi["region0_count"] = side.get(4)
-                    gi["region1_count"] = side.get(3)
-                    gi["subblock_gain"] = [0, 0, 0]
-                gi["preflag"] = side.get(1)
-                gi["scalefac_scale"] = side.get(1)
-                gi["count1table_select"] = side.get(1)
-                if any(scfsi) and gi["block_type"] != 0:
-                    raise ValueError(
-                        "scfsi set for a window-switching granule")
-                gis.append(gi)
+                            "scfsi set for a window-switching "
+                            "granule")
+                    gis[g][ch] = gi
 
-            region = b[i + hdr_len + 17:i + flen]
+            region = b[i + hdr_len + side_len:i + flen]
             if main_data_begin > len(reservoir):
                 raise ValueError(
                     f"bit reservoir underrun: main_data_begin="
@@ -709,239 +1002,79 @@ def make_mp3_codec():
             else:
                 buf = region
             r = _Reader(buf)
+            if overlap is None or overlap.shape[0] != nch:
+                overlap = np.zeros((nch, 32, 18))
 
             granules = []
-            prev_scf = [0] * 21
+            prev_scf = [[0] * 21 for _ in range(nch)]
             for g in range(2):
-                gi = gis[g]
-                start = r.pos
-                slen1, slen2 = SLEN[gi["scalefac_compress"]]
-                short = gi["block_type"] == 2
-                mixed = short and gi["mixed"]
-                if mixed:
-                    scf_l = [r.get(slen1) if slen1 else 0
-                             for _ in range(8)]
-                    scf_s = [[0] * 12 for _ in range(3)]
-                    for lo, hi, sl in ((3, 6, slen1), (6, 12, slen2)):
-                        for bnd in range(lo, hi):
-                            for w2 in range(3):
-                                scf_s[w2][bnd] = (r.get(sl)
-                                                  if sl else 0)
-                    scf = None
-                elif short:
-                    scf_s = [[0] * 12 for _ in range(3)]
-                    for lo, hi, sl in ((0, 6, slen1), (6, 12, slen2)):
-                        for bnd in range(lo, hi):
-                            for w2 in range(3):
-                                scf_s[w2][bnd] = (r.get(sl)
-                                                  if sl else 0)
-                    scf = None
+                isvs, xrs, sds = [], [], []
+                for ch in range(nch):
+                    gi = gis[g][ch]
+                    start = r.pos
+                    sd, prev_scf[ch] = read_scalefactors(
+                        r, gi, g, scfsi[ch], prev_scf[ch])
+                    isv = read_huffman(r, gi, rate, start)
+                    xrs.append(requantize(gi, sd, isv, rate))
+                    isvs.append(isv)
+                    sds.append(sd)
+                if ms:
+                    # MS recombine on the requantized spectra (the
+                    # reorder is a permutation, so per-line L,R =
+                    # (M±S)/√2 commutes with it); block splits must
+                    # match or the lapped domains disagree
+                    g0, g1 = gis[g]
+                    if (g0["block_type"] != g1["block_type"]
+                            or g0["mixed"] != g1["mixed"]):
+                        raise ValueError(
+                            "MS stereo granule with mismatched "
+                            "block split between channels")
+                    inv = 1.0 / math.sqrt(2.0)
+                    m, s_ = xrs
+                    xrs = [(m + s_) * inv, (m - s_) * inv]
+                tss = []
+                for ch in range(nch):
+                    ts, overlap[ch] = alias_imdct(
+                        gis[g][ch], xrs[ch], overlap[ch])
+                    tss.append(ts)
+                if nch == 1:
+                    gr = {"is": isvs[0], "xr": xrs[0], "ts": tss[0],
+                          "block_type": gis[g][0]["block_type"],
+                          "mixed": gis[g][0]["mixed"], "nch": 1}
+                    gr.update(sds[0])
                 else:
-                    scf = [0] * 21
-                    groups = [(0, 6, slen1), (6, 11, slen1),
-                              (11, 16, slen2), (16, 21, slen2)]
-                    for grp, (lo, hi, sl) in enumerate(groups):
-                        if g == 1 and scfsi[grp]:
-                            for bnd in range(lo, hi):
-                                scf[bnd] = prev_scf[bnd]
-                        else:
-                            for bnd in range(lo, hi):
-                                scf[bnd] = r.get(sl) if sl else 0
-                    prev_scf = scf
-
-                bounds = SFB_BOUNDS[rate]
-                if gi["block_type"] == 0:
-                    r0_end = bounds[gi["region0_count"] + 1]
-                    r1_end = bounds[
-                        min(gi["region0_count"]
-                            + gi["region1_count"] + 2, 22)]
-                else:
-                    r0_end, r1_end = bounds[8], 576
-                isv = [0] * 576
-                big2 = gi["big_values"] * 2
-                if big2 > 576:
-                    raise ValueError("big_values out of range")
-                idx = 0
-                while idx < big2:
-                    if idx < r0_end:
-                        tid = gi["table_select"][0]
-                    elif idx < r1_end:
-                        tid = gi["table_select"][1]
-                    else:
-                        tid = gi["table_select"][2]
-                    if tid == 0:
-                        isv[idx] = isv[idx + 1] = 0
-                        idx += 2
-                        continue
-                    dmap, maxlen, lb = _decode_map(tid)
-                    ln, cd = 0, 0
-                    while True:
-                        cd = (cd << 1) | r.get(1)
-                        ln += 1
-                        if (ln, cd) in dmap:
-                            break
-                        if ln > maxlen:
-                            raise ValueError(
-                                "invalid Huffman code in big_values")
-                    x, y = dmap[(ln, cd)]
-                    if x == 15 and lb:
-                        x += r.get(lb)
-                    if x:
-                        x = -x if r.get(1) else x
-                    if y == 15 and lb:
-                        y += r.get(lb)
-                    if y:
-                        y = -y if r.get(1) else y
-                    isv[idx], isv[idx + 1] = x, y
-                    idx += 2
-                # count1 region: quadruples while part2_3 bits remain
-                dmapA = None
-                if not gi["count1table_select"]:
-                    dmapA = {(ln, cd): sym for sym, (ln, cd)
-                             in CNT1_A.items()}
-                while (r.pos - start < gi["part2_3_length"]
-                       and idx + 3 < 576):
-                    if gi["count1table_select"]:
-                        code = (~r.get(4)) & 0xF    # table B
-                    else:                           # table A
-                        ln, cd = 0, 0
-                        while True:
-                            cd = (cd << 1) | r.get(1)
-                            ln += 1
-                            if (ln, cd) in dmapA:
-                                break
-                            if ln > 6:
-                                raise ValueError(
-                                    "invalid count1 table A code")
-                        code = dmapA[(ln, cd)]
-                    quad = [(code >> 3) & 1, (code >> 2) & 1,
-                            (code >> 1) & 1, code & 1]
-                    for t in range(4):
-                        if quad[t] and r.get(1):
-                            quad[t] = -quad[t]
-                    isv[idx:idx + 4] = quad
-                    idx += 4
-                if r.pos - start > gi["part2_3_length"]:
-                    raise ValueError("granule overran part2_3_length")
-                r.pos = start + gi["part2_3_length"]
-
-                sf_mult = 0.5 * (gi["scalefac_scale"] + 1)
-                gg = 2.0 ** ((gi["global_gain"] - 210) / 4.0)
-                xr = np.zeros(576)
-                if short:
-                    # requantize per (window, sfb) on the transmit
-                    # order, writing straight into the reordered
-                    # (point-major, line = 3·i + window) layout.
-                    # Mixed blocks: lines 0-35 are the LONG part
-                    # (long bands 0-7, preflag applies, no reorder);
-                    # the short machinery starts at short sfb 3
-                    # (3·bounds[3] = 36 at both bundled rates).
-                    sbounds = SFB_SHORT_BOUNDS[rate]
-                    if mixed:
-                        for b2 in range(8):
-                            lo = bounds[b2]
-                            hi = bounds[b2 + 1]
-                            gain = gg * 2.0 ** (-sf_mult * (
-                                scf_l[b2]
-                                + gi["preflag"] * PRETAB[b2]))
-                            for j in range(lo, hi):
-                                v = isv[j]
-                                if v:
-                                    xr[j] = math.copysign(
-                                        abs(v) ** (4.0 / 3.0),
-                                        v) * gain
-                    for s in range(3 if mixed else 0, 13):
-                        lo, hi = sbounds[s], sbounds[s + 1]
-                        width = hi - lo
-                        base = 3 * lo
-                        for w2 in range(3):
-                            sb_scf = scf_s[w2][s] if s < 12 else 0
-                            gain = (gg
-                                    * 2.0 ** (-2.0
-                                              * gi["subblock_gain"][w2])
-                                    * 2.0 ** (-sf_mult * sb_scf))
-                            for ii in range(width):
-                                v = isv[base + w2 * width + ii]
-                                if v:
-                                    xr[base + 3 * ii + w2] = (
-                                        math.copysign(
-                                            abs(v) ** (4.0 / 3.0), v)
-                                        * gain)
-                else:
-                    for b2 in range(22):
-                        lo = bounds[b2]
-                        hi = bounds[b2 + 1]
-                        sb_scf = scf[b2] if b2 < 21 else 0
-                        gain = gg * 2.0 ** (-sf_mult * (
-                            sb_scf + gi["preflag"] * PRETAB[b2]))
-                        for j in range(lo, hi):
-                            v = isv[j]
-                            if v:
-                                xr[j] = math.copysign(
-                                    abs(v) ** (4.0 / 3.0), v) * gain
-
-                if short and not mixed:
-                    xa = xr                  # no alias reduction
-                else:
-                    # mixed blocks: butterflies only at the one
-                    # long-long subband boundary (sb = 1)
-                    xa = xr.copy()
-                    for sb in range(1, 2 if mixed else 32):
-                        for j in range(8):
-                            a = xa[18 * sb - 1 - j]
-                            bb = xa[18 * sb + j]
-                            xa[18 * sb - 1 - j] = (a * ALIAS_CS[j]
-                                                   - bb * ALIAS_CA[j])
-                            xa[18 * sb + j] = (bb * ALIAS_CS[j]
-                                               + a * ALIAS_CA[j])
-
-                spec = xa.reshape(32, 18)
-                if short:
-                    # 3 × 12-point IMDCT per subband (spectral
-                    # stride 3), overlap-added at 6-sample offsets;
-                    # mixed blocks run the normal 36-point long
-                    # window on subbands 0-1 instead
-                    sb0 = 2 if mixed else 0
-                    z = np.zeros((32, 36))
-                    for w2 in range(3):
-                        y12 = spec[sb0:, w2::3] @ IMDCT12_WIN.T
-                        z[sb0:, 6 + 6 * w2:18 + 6 * w2] += y12
-                    if mixed:
-                        z[:2] = spec[:2] @ IMDCT_WINS[0].T
-                else:
-                    z = spec @ IMDCT_WINS[gi["block_type"]].T
-                ts = z[:, :18] + overlap        # (32, 18)
-                overlap = z[:, 18:].copy()
-                # frequency inversion: odd subbands, odd samples
-                ts[1::2, 1::2] = -ts[1::2, 1::2]
-                gr = {"is": isv, "xr": xr, "ts": ts.T.copy(),
-                      "block_type": gi["block_type"],
-                      "mixed": gi["mixed"]}
-                if mixed:
-                    gr["scf_l"] = scf_l
-                    gr["scf_s"] = scf_s
-                elif short:
-                    gr["scf_s"] = scf_s
-                else:
-                    gr["scf"] = scf
+                    gr = {"is": isvs, "xr": np.stack(xrs),
+                          "ts": np.stack(tss),
+                          "block_type": [x["block_type"]
+                                         for x in gis[g]],
+                          "mixed": [x["mixed"] for x in gis[g]],
+                          "scf_ch": sds, "nch": 2, "ms": ms}
                 granules.append(gr)
             out.append({"kbps": kbps, "rate": rate,
-                        "mdb": main_data_begin, "granules": granules})
+                        "mdb": main_data_begin, "nch": nch,
+                        "granules": granules})
             reservoir = (reservoir + region)[-511:]
             i += flen
         return out
 
     def decode_pcm(b: bytes):
         """Full PCM path: decode_frames → shared polyphase synthesis
-        (mp2codec.synthesize, one v-FIFO carried across granules).
-        Returns (n_granules, 18, 32) PCM."""
+        (mp2codec.synthesize, one v-FIFO carried per channel across
+        granules). Returns (n_granules, 18, 32) PCM for mono,
+        (n_granules, 2, 18, 32) for stereo."""
         from nowdb_spark.operators.mp2codec import make_mp2_codec
         syn = make_mp2_codec()
-        v = np.zeros(1024)
+        v = [np.zeros(1024), np.zeros(1024)]
         rows = []
         for f in decode_frames(b):
             for gr in f["granules"]:
-                rows.append(syn.synthesize(gr["ts"], v_state=v))
+                if gr["nch"] == 1:
+                    rows.append(syn.synthesize(gr["ts"],
+                                               v_state=v[0]))
+                else:
+                    rows.append(np.stack([
+                        syn.synthesize(gr["ts"][ch], v_state=v[ch])
+                        for ch in range(2)]))
         return np.array(rows)
 
     def sniff(b: bytes):

@@ -212,10 +212,12 @@ def test_gates():
     with pytest.raises(NotImplementedError):
         C.encode_frame([[0] * 576] * 2, [[0] * 21] * 2, [210, 210],
                        rate=32000)
-    # stereo mode bits → gate
+    # flipping a MONO frame's header to stereo makes its 17-byte
+    # side info parse as nonsense 32-byte stereo side info → decode
+    # raises rather than misdecoding (stereo itself is supported)
     b2 = bytearray(b)
     b2[3] &= 0x3F                            # mode 00: stereo
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         C.decode_frames(bytes(b2))
     # forged main_data_begin with an empty reservoir → underrun
     # error (the reservoir itself is implemented; a first frame

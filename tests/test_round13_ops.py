@@ -448,3 +448,144 @@ def test_mixed_gate_validation():
     with pytest.raises(ValueError, match="mixed"):
         C.encode_frame([isv, [0] * 576], [scf, [0] * 21],
                        [210, 210], block_type=(1, 0), mixed=(1, 0))
+
+
+# ------------------------------------------------------------------
+# stereo: independent two-channel and MS joint stereo
+# ------------------------------------------------------------------
+
+def _stereo_frame(seed, ms=False):
+    c0g0 = _long_content(seed, 0)
+    c0g1 = _long_content(seed, 1)
+    c1g0 = _long_content(seed + 7, 0)
+    c1g1 = _long_content(seed + 7, 1)
+    spec = {"is2": [c0g0[0], c0g1[0]], "scf2": [c0g0[1], c0g1[1]],
+            "gains": [c0g0[2], c0g1[2]],
+            "ch1": {"is2": [c1g0[0], c1g1[0]],
+                    "scf2": [c1g0[1], c1g1[1]],
+                    "gains": [c1g0[2], c1g1[2]]}}
+    if ms:
+        spec["mode_ext"] = 0b10
+    return spec, (c0g0, c0g1, c1g0, c1g1)
+
+
+def test_stereo_roundtrip_independent():
+    """Two-channel frames: 32-byte side info, granule-major channel-
+    minor main data, per-channel codes/scfs recovered exactly."""
+    spec, cs = _stereo_frame(3)
+    b = C.encode_stream([spec])
+    assert len(b) == 576                    # frame size is per-frame
+    f = C.decode_frames(b)[0]
+    assert f["nch"] == 2
+    # header: mode 00 (stereo)
+    assert (b[3] >> 6) & 0b11 == 0b00
+    for g in range(2):
+        gr = f["granules"][g]
+        assert gr["nch"] == 2 and gr["ms"] is False
+        assert gr["is"][0] == cs[g][0]
+        assert gr["is"][1] == cs[2 + g][0]
+        assert gr["scf_ch"][0]["scf"] == cs[g][1]
+        assert gr["scf_ch"][1]["scf"] == cs[2 + g][1]
+
+
+def test_stereo_ms_recombine_model():
+    """MS joint stereo: the decoder must produce L,R = (M±S)/√2 from
+    the transmitted MID/SIDE spectra — checked against the two
+    channels' independent-stereo decode of the same codes."""
+    spec_ms, _ = _stereo_frame(9, ms=True)
+    spec_plain = dict(spec_ms)
+    spec_plain.pop("mode_ext")
+    fm = C.decode_frames(C.encode_stream([spec_ms]))[0]
+    fp = C.decode_frames(C.encode_stream([spec_plain]))[0]
+    assert fm["granules"][0]["ms"] is True
+    inv = 1.0 / math.sqrt(2.0)
+    for g in range(2):
+        m = fp["granules"][g]["xr"][0]
+        s = fp["granules"][g]["xr"][1]
+        np.testing.assert_allclose(fm["granules"][g]["xr"][0],
+                                   (m + s) * inv)
+        np.testing.assert_allclose(fm["granules"][g]["xr"][1],
+                                   (m - s) * inv)
+    # codes on the wire are the M/S integers, unchanged
+    assert fm["granules"][0]["is"] == fp["granules"][0]["is"]
+
+
+def test_stereo_ms_short_blocks():
+    """MS with short blocks on both channels: recombine commutes
+    with the reorder (it is per-line), so the short path works
+    unchanged; mismatched splits must raise at encode."""
+    isv, scf_s = _short_content(2)
+    isv2, scf_s2 = _short_content(11)
+    spec = {"is2": [isv, [0] * 576], "scf2": [scf_s, [0] * 21],
+            "gains": [205, 210], "block_type": (2, 0),
+            "table_select": (3, 3, 3), "mode_ext": 0b10,
+            "ch1": {"is2": [isv2, [0] * 576],
+                    "scf2": [scf_s2, [0] * 21],
+                    "gains": [206, 210], "block_type": (2, 0),
+                    "table_select": (3, 3, 3)}}
+    f = C.decode_frames(C.encode_stream([spec]))[0]
+    assert f["granules"][0]["block_type"] == [2, 2]
+    assert f["granules"][0]["is"][0] == isv
+    bad = dict(spec)
+    bad["ch1"] = dict(spec["ch1"])
+    bad["ch1"]["block_type"] = (0, 0)
+    with pytest.raises(ValueError, match="block split"):
+        C.encode_stream([bad])
+
+
+def test_stereo_reservoir():
+    """The reservoir works identically for stereo streams (capacity
+    is frame_len − 36)."""
+    specs = []
+    for k in range(2):
+        spec, _ = _stereo_frame(k)
+        if k == 0:
+            spec["is2"] = [[0] * 576, [0] * 576]
+            spec["ch1"]["is2"] = [[0] * 576, [0] * 576]
+        specs.append(spec)
+    b = C.encode_stream(specs)
+    f = C.decode_frames(b)
+    assert f[0]["mdb"] == 0 and f[1]["mdb"] > 0
+    _, cs = _stereo_frame(1)
+    assert f[1]["granules"][0]["is"][0] == cs[0][0]
+
+
+def test_stereo_scfsi_per_channel():
+    """scfsi flags are per channel: reuse on channel 1 only."""
+    c0g0 = _long_content(4, 0)
+    c0g1 = _long_content(4, 1)
+    c1 = _long_content(21, 0)
+    spec = {"is2": [c0g0[0], c0g1[0]], "scf2": [c0g0[1], c0g1[1]],
+            "gains": [c0g0[2], c0g1[2]],
+            "ch1": {"is2": [c1[0], c1[0]], "scf2": [c1[1], c1[1]],
+                    "gains": [c1[2], c1[2]],
+                    "scfsi": (1, 1, 1, 1)}}
+    f = C.decode_frames(C.encode_stream([spec]))[0]
+    assert f["granules"][1]["scf_ch"][0]["scf"] == c0g1[1]
+    assert f["granules"][1]["scf_ch"][1]["scf"] == c1[1]
+
+
+def test_intensity_stereo_gates():
+    spec, _ = _stereo_frame(5)
+    spec["mode_ext"] = 0b01
+    with pytest.raises(NotImplementedError, match="intensity"):
+        C.encode_stream([spec])
+    spec["mode_ext"] = 0b10
+    b = bytearray(C.encode_stream([spec]))
+    b[3] |= 0b00110000                       # mode_ext 11: MS + IS
+    with pytest.raises(NotImplementedError, match="intensity"):
+        C.decode_frames(bytes(b))
+
+
+def test_stereo_pcm_shape():
+    spec, _ = _stereo_frame(6)
+    pcm = C.decode_pcm(C.encode_stream([spec, _stereo_frame(7)[0]]))
+    assert pcm.shape == (4, 2, 18, 32)
+    # channel separation: decoding channel content through the mono
+    # path gives the same PCM per channel
+    c0g0 = _long_content(6, 0)
+    c0g1 = _long_content(6, 1)
+    mono = C.encode_frame([c0g0[0], c0g1[0]], [c0g0[1], c0g1[1]],
+                          [c0g0[2], c0g1[2]])
+    pcm_mono = C.decode_pcm(mono)
+    np.testing.assert_allclose(pcm[:2, 0], pcm_mono, atol=1e-12)
