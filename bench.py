@@ -1150,6 +1150,11 @@ def main() -> None:
              .agg(F.sum("q_abs_sum")).collect(),
              extra={"mm38_clips": n_25k,
                     "mm38_granules_per_clip": 4})
+        rate("mm39_clips_per_sec", n_25k,
+             lambda: MM2.mp3_ms_real(MM2.synth_mp3_ms(ids25))
+             .agg(F.sum("q_abs_sum_m")).collect(),
+             extra={"mm39_clips": n_25k,
+                    "mm39_granules_per_clip": 4})
 
         # shard-container rates: zip, arrow-IPC, npy (synth once to
         # parquet, timed = parse + regroup like wd01/wd06-11)

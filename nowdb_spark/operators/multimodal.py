@@ -2435,6 +2435,126 @@ def mp3_reservoir_real(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, payload_col).mapInPandas(kernel, schema)
 
 
+def synth_mp3_ms(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize two-frame MS joint-stereo Layer III streams
+    (operators/mp3codec.py encode_stream with ch1 + mode_ext=0b10):
+    the transmitted channels are the MID/SIDE integer spectra, long
+    blocks, no reservoir borrowing beyond natural packing. Content
+    per (id, global granule g = 2f+g', channel ch), with u = g+4·ch:
+
+    * region0 (i<16, table 1): ((id + 3u + i) % 3) − 1;
+    * region1 (16≤i<36, table 2): ((id·7 + u·5 + i·3) % 5) − 2;
+    * region2 (36≤i<96, table 3): ((id·11 + u + i·7) % 5) − 2;
+    * scalefactors scf[b] = (id + 7u + b) % 8; global_gain =
+      200 + (id+u) % 32."""
+    from nowdb_spark.operators.mp3codec import make_mp3_codec
+
+    codec = make_mp3_codec()
+    schema = f"{id_col} long, payload binary"
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as _pd
+
+        def content(did: int, g2: int, ch: int):
+            u = g2 + 4 * ch
+            isv = [0] * 576
+            for i in range(16):
+                isv[i] = ((did + 3 * u + i) % 3) - 1
+            for i in range(16, 36):
+                isv[i] = ((did * 7 + u * 5 + i * 3) % 5) - 2
+            for i in range(36, 96):
+                isv[i] = ((did * 11 + u + i * 7) % 5) - 2
+            scf = [(did + 7 * u + b) % 8 for b in range(21)]
+            return isv, scf, 200 + (did + u) % 32
+
+        def synth(did: int) -> bytes:
+            did = int(did)
+            frames = []
+            for f in range(2):
+                m0 = content(did, 2 * f, 0)
+                m1 = content(did, 2 * f + 1, 0)
+                s0 = content(did, 2 * f, 1)
+                s1 = content(did, 2 * f + 1, 1)
+                frames.append({
+                    "is2": [m0[0], m1[0]], "scf2": [m0[1], m1[1]],
+                    "gains": [m0[2], m1[2]], "mode_ext": 0b10,
+                    "ch1": {"is2": [s0[0], s1[0]],
+                            "scf2": [s0[1], s1[1]],
+                            "gains": [s0[2], s1[2]]},
+                })
+            return codec.encode_stream(frames)
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "payload": [synth(d) for d in pdf[id_col]],
+            })
+
+    return df.select(id_col).mapInPandas(kernel, schema)
+
+
+def mp3_ms_real(df: DataFrame, id_col: str = "doc_id",
+                payload_col: str = "payload") -> DataFrame:
+    """REAL MS joint-stereo Layer III decode, per granule: 32-byte
+    stereo side info, per-channel scalefactors and Huffman regions,
+    requantization of the MID/SIDE spectra, the per-line L,R =
+    (M±S)/√2 recombine, then alias butterflies, 36-point IMDCT,
+    per-channel overlap-add and frequency inversion
+    (operators/mp3codec.py). Emits per granule: integer bitstream
+    proofs per transmitted channel (q/scf sums over MID and SIDE)
+    and 1e-6-rounded float sums of the requantized+recombined L/R
+    spectra and their time-domain samples. Narrow, zero-shuffle."""
+    from nowdb_spark.operators.mp3codec import make_mp3_codec
+
+    codec = make_mp3_codec()
+    schema = (f"{id_col} long, granule long, "
+              "q_sum_m long, q_abs_sum_m long, scf_sum_m long, "
+              "q_sum_s long, q_abs_sum_s long, scf_sum_s long, "
+              "xr_sum_l double, xr_abs_sum_l double, "
+              "xr_sum_r double, xr_abs_sum_r double, "
+              "s_sum_l double, s_abs_sum_l double, "
+              "s_sum_r double, s_abs_sum_r double")
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                did = int(did)
+                g2 = 0
+                for f in codec.decode_frames(bytes(payload)):
+                    for gr in f["granules"]:
+                        ism = _np.asarray(gr["is"][0])
+                        iss = _np.asarray(gr["is"][1])
+                        xr = gr["xr"]         # (2, 576) post-MS L/R
+                        ts = gr["ts"]         # (2, 18, 32)
+                        rows.append((
+                            did, g2,
+                            int(ism.sum()), int(_np.abs(ism).sum()),
+                            int(sum(gr["scf_ch"][0]["scf"])),
+                            int(iss.sum()), int(_np.abs(iss).sum()),
+                            int(sum(gr["scf_ch"][1]["scf"])),
+                            round(float(xr[0].sum()), 6),
+                            round(float(_np.abs(xr[0]).sum()), 6),
+                            round(float(xr[1].sum()), 6),
+                            round(float(_np.abs(xr[1]).sum()), 6),
+                            round(float(ts[0].sum()), 6),
+                            round(float(_np.abs(ts[0]).sum()), 6),
+                            round(float(ts[1].sum()), 6),
+                            round(float(_np.abs(ts[1]).sum()), 6)))
+                        g2 += 1
+            yield _pd.DataFrame(rows, columns=[
+                id_col, "granule", "q_sum_m", "q_abs_sum_m",
+                "scf_sum_m", "q_sum_s", "q_abs_sum_s", "scf_sum_s",
+                "xr_sum_l", "xr_abs_sum_l", "xr_sum_r",
+                "xr_abs_sum_r", "s_sum_l", "s_abs_sum_l", "s_sum_r",
+                "s_abs_sum_r"])
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
+
+
 def synth_vp8(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize single-macroblock lossy-VP8 key frames (16×16,
     RFC 6386 layout; operators/vp8codec.py) from an id column, in

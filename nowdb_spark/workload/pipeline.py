@@ -5237,6 +5237,168 @@ def mm38(spark, sf):
 
 
 # ------------------------------------------------------------------
+# MS joint-stereo Layer III decode (mm39): the round-13 stereo
+# completion. The Spark side decodes REAL two-channel streams
+# (32-byte side info, granule-major channel-minor main data) whose
+# transmitted channels are the MID/SIDE spectra; the decoder
+# recombines L,R = (M±S)/√2 per line after requantization, then runs
+# alias → IMDCT → overlap-add per output channel. The oracle replays
+# the whole stereo chain in SQL: both channels' requantization
+# (integer q/scf sums prove the per-channel bitstream parse), the
+# per-line MS matrix, and the mm36-style alias/IMDCT/overlap replay
+# executed per OUTPUT channel with the cross-granule 18-sample carry.
+def _mm39_oracle() -> str:
+    import math as _math
+
+    from nowdb_spark.operators.mp3codec import (ALIAS_CA, ALIAS_CS,
+                                                IMDCT_WIN,
+                                                SFB_BOUNDS_48K)
+
+    inv = 1.0 / _math.sqrt(2.0)
+    imw = ", ".join(repr(v) for v in IMDCT_WIN.ravel())  # [n*18+k]
+    cs = ", ".join(repr(v) for v in ALIAS_CS)
+    ca = ", ".join(repr(v) for v in ALIAS_CA)
+    bnd = ", ".join(str(v) for v in SFB_BOUNDS_48K[:21])  # lower bnds
+    return f"""
+    WITH consts AS (SELECT [{imw}] AS imw, [{cs}] AS cs,
+                           [{ca}] AS ca, [{bnd}] AS bnd),
+    docs AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 3),
+    gr AS (SELECT doc_id, g, ch
+           FROM docs, unnest(range(0, 4)) t(g),
+                unnest(range(0, 2)) c(ch)),
+    isv AS (
+      SELECT doc_id, g, ch, i,
+        CASE WHEN i < 16  THEN (doc_id + 3*(g + 4*ch) + i) % 3 - 1
+             WHEN i < 36  THEN (doc_id*7 + (g + 4*ch)*5 + i*3)
+                                % 5 - 2
+             WHEN i < 96  THEN (doc_id*11 + (g + 4*ch) + i*7)
+                                % 5 - 2
+             ELSE 0 END AS v
+      FROM gr, unnest(range(0, 576)) t(i)),
+    sfbmap AS (
+      SELECT i, max(b) AS b
+      FROM unnest(range(0, 576)) t(i),
+           unnest(range(0, 21)) u(b) CROSS JOIN consts
+      WHERE bnd[b + 1] <= i GROUP BY i),
+    scfv AS (
+      SELECT doc_id, g, ch, b,
+             (doc_id + 7*(g + 4*ch) + b) % 8 AS s
+      FROM gr, unnest(range(0, 21)) t(b)),
+    xr AS (
+      SELECT isv.doc_id, isv.g, isv.ch, isv.i,
+        CASE WHEN v = 0 THEN 0.0 ELSE
+          (CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END)
+          * pow(CAST(abs(v) AS DOUBLE), 4.0/3.0)
+          * (pow(2.0, (200 + (isv.doc_id + isv.g + 4*isv.ch) % 32
+                       - 210) / 4.0)
+             * pow(2.0, -0.5 * sc.s))
+        END AS x
+      FROM isv
+      JOIN sfbmap m ON m.i = isv.i
+      JOIN scfv sc ON sc.doc_id = isv.doc_id AND sc.g = isv.g
+                  AND sc.ch = isv.ch AND sc.b = m.b),
+    xrlr AS (
+      SELECT m.doc_id, m.g, oc.oc, m.i,
+             (CASE WHEN oc.oc = 0 THEN m.x + s.x
+                   ELSE m.x - s.x END) * {inv!r} AS x
+      FROM xr m
+      JOIN xr s ON s.doc_id = m.doc_id AND s.g = m.g
+               AND s.i = m.i AND s.ch = 1,
+           (SELECT 0 AS oc UNION ALL SELECT 1) oc
+      WHERE m.ch = 0),
+    alias AS (
+      SELECT x1.doc_id, x1.g, x1.oc, x1.i,
+        CASE WHEN x1.i % 18 >= 10 AND x1.i <= 557 THEN
+               x1.x * cs[17 - x1.i % 18 + 1]
+               - xp.x * ca[17 - x1.i % 18 + 1]
+             WHEN x1.i % 18 <= 7 AND x1.i >= 18 THEN
+               x1.x * cs[x1.i % 18 + 1]
+               + xp.x * ca[x1.i % 18 + 1]
+             ELSE x1.x END AS x
+      FROM xrlr x1 CROSS JOIN consts
+      LEFT JOIN xrlr xp
+        ON xp.doc_id = x1.doc_id AND xp.g = x1.g AND xp.oc = x1.oc
+       AND xp.i = CASE WHEN x1.i % 18 >= 10 AND x1.i <= 557
+                       THEN 18*(x1.i // 18 + 1) + 17 - x1.i % 18
+                       WHEN x1.i % 18 <= 7 AND x1.i >= 18
+                       THEN 18*(x1.i // 18) - 1 - x1.i % 18
+                       ELSE -1 END),
+    z AS (
+      SELECT a.doc_id, a.g, a.oc, a.i // 18 AS sb, t.n,
+             sum(a.x * imw[t.n * 18 + a.i % 18 + 1]) AS z
+      FROM alias a, unnest(range(0, 36)) t(n) CROSS JOIN consts
+      GROUP BY 1, 2, 3, 4, 5),
+    ts AS (
+      SELECT z.doc_id, z.g, z.oc, z.sb, z.n,
+        (z.z + COALESCE(zp.z, 0.0))
+        * (CASE WHEN z.sb % 2 = 1 AND z.n % 2 = 1
+                THEN -1.0 ELSE 1.0 END) AS s
+      FROM z LEFT JOIN z zp
+        ON zp.doc_id = z.doc_id AND zp.g = z.g - 1
+       AND zp.oc = z.oc AND zp.sb = z.sb AND zp.n = z.n + 18
+      WHERE z.n < 18),
+    outs AS (
+      SELECT doc_id, g, oc, round(sum(s), 6) AS s_sum,
+             round(sum(abs(s)), 6) AS s_abs_sum
+      FROM ts GROUP BY 1, 2, 3),
+    qs AS (
+      SELECT doc_id, g, ch, CAST(sum(v) AS BIGINT) AS q_sum,
+             CAST(sum(abs(v)) AS BIGINT) AS q_abs_sum
+      FROM isv GROUP BY 1, 2, 3),
+    ss AS (
+      SELECT doc_id, g, ch, CAST(sum(s) AS BIGINT) AS scf_sum
+      FROM scfv GROUP BY 1, 2, 3),
+    xs AS (
+      SELECT doc_id, g, oc, round(sum(x), 6) AS xr_sum,
+             round(sum(abs(x)), 6) AS xr_abs_sum
+      FROM xrlr GROUP BY 1, 2, 3)
+    SELECT q0.doc_id, CAST(q0.g AS BIGINT) AS granule,
+           q0.q_sum AS q_sum_m, q0.q_abs_sum AS q_abs_sum_m,
+           s0.scf_sum AS scf_sum_m,
+           q1.q_sum AS q_sum_s, q1.q_abs_sum AS q_abs_sum_s,
+           s1.scf_sum AS scf_sum_s,
+           x0.xr_sum AS xr_sum_l, x0.xr_abs_sum AS xr_abs_sum_l,
+           x1.xr_sum AS xr_sum_r, x1.xr_abs_sum AS xr_abs_sum_r,
+           o0.s_sum AS s_sum_l, o0.s_abs_sum AS s_abs_sum_l,
+           o1.s_sum AS s_sum_r, o1.s_abs_sum AS s_abs_sum_r
+    FROM qs q0
+    JOIN qs q1 ON q1.doc_id = q0.doc_id AND q1.g = q0.g
+              AND q1.ch = 1
+    JOIN ss s0 ON s0.doc_id = q0.doc_id AND s0.g = q0.g
+              AND s0.ch = 0
+    JOIN ss s1 ON s1.doc_id = q0.doc_id AND s1.g = q0.g
+              AND s1.ch = 1
+    JOIN xs x0 ON x0.doc_id = q0.doc_id AND x0.g = q0.g
+              AND x0.oc = 0
+    JOIN xs x1 ON x1.doc_id = q0.doc_id AND x1.g = q0.g
+              AND x1.oc = 1
+    JOIN outs o0 ON o0.doc_id = q0.doc_id AND o0.g = q0.g
+                AND o0.oc = 0
+    JOIN outs o1 ON o1.doc_id = q0.doc_id AND o1.g = q0.g
+                AND o1.oc = 1
+    WHERE q0.ch = 0
+    """
+
+
+@register(
+    "mm39_mp3_ms_stereo",
+    _mm39_oracle(),
+    doc="REAL MS joint-stereo Layer III decode: 32-byte stereo side "
+        "info, per-channel scfsi/scalefactors/Huffman regions, "
+        "MID/SIDE requantization, the per-line L,R = (M±S)/√2 "
+        "recombine, then alias butterflies, 36-point IMDCT, "
+        "per-channel overlap-add and frequency inversion. The "
+        "oracle replays both channels' chains and the MS matrix in "
+        "SQL (integer q/scf sums per transmitted channel; L/R "
+        "spectral and time-domain sums at 1e-6)",
+)
+def mm39(spark, sf):
+    d = spread(table(spark, sf, "documents")
+               .where(F.col("doc_id") % 5 == 3))
+    return M.mp3_ms_real(M.synth_mp3_ms(d))
+
+
+# ------------------------------------------------------------------
 # Late-interaction retrieval (ann11): ColBERT MaxSim — docs and the
 # query are BAGS of token embeddings (here: 5 consecutive vec_ids
 # form one doc's token bag; doc 0's bag is the query), score(q,d) =

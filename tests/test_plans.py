@@ -112,6 +112,9 @@ _PY_ALLOWED = {"mm01_extract_meta", "mm02_real_decode", "mm03_real_resize",
                # the same bit-serial class as mm36; 12-point IMDCTs
                # are numpy matmuls per Arrow batch
                "mm38_mp3_reservoir",
+               # stereo decode is two of mm36's bit-serial channel
+               # chains + a per-line numpy MS matrix
+               "mm39_mp3_ms_stereo",
                # VP8 boolean-coder/token-tree decode is inherently
                # bit-serial (same class as mm26's QM coder); the
                # integer transforms are per-block numpy
