@@ -83,8 +83,14 @@ granule loops, granule-major channel-minor main data, per-channel
 overlap and synthesis states, and MS joint stereo (mode_extension
 bit 1): the transmitted MID/SIDE spectra recombine to L,R = (M±S)/√2
 after requantization (per-line, so it commutes with the short-block
-reorder). Intensity stereo (mode_extension bit 0) and MPEG-2 LSF
-still raise NotImplementedError.
+reorder). Intensity stereo (mode_extension bit 0) is implemented for
+long blocks: the border is the first scalefactor band at or above
+the right channel's zero part, ch1's scalefactors there are is_pos
+values, and the carried signal spreads as L = M·r/(1+r),
+R = M/(1+r) with r = tan(is_pos·π/12) (is_pos 6 hard left, 7 leaves
+the band untouched) — all formula, no new tables. Combined MS +
+intensity (mode_extension 11), intensity under window switching,
+and MPEG-2 LSF still raise NotImplementedError.
 """
 
 from __future__ import annotations
@@ -535,12 +541,22 @@ def make_mp3_codec():
             mode_ext = int(f.get("mode_ext", 0) or 0)
             if nch == 1 and f.get("mode_ext"):
                 raise ValueError("mode_ext is a joint-STEREO field")
-            if mode_ext & 0b01:
-                raise NotImplementedError(
-                    "intensity stereo encode not implemented — MS "
-                    "(mode_ext bit 1) and independent stereo are")
             chs = [f] + ([f["ch1"]] if nch == 2 else [])
             vals = [_validate_channel_spec(cs) for cs in chs]
+            if mode_ext & 0b01:
+                if mode_ext & 0b10:
+                    raise NotImplementedError(
+                        "combined MS + intensity stereo (mode_ext "
+                        "11) not implemented — the per-band split "
+                        "of the two reconstructions is the "
+                        "extension point")
+                for v in vals:
+                    if v[0] != (0, 0):
+                        raise NotImplementedError(
+                            "intensity stereo with window switching "
+                            "not implemented — long blocks only "
+                            "(per-window intensity borders are the "
+                            "extension point)")
             if mode_ext & 0b10 and nch == 2:
                 for g in range(2):
                     if vals[0][0][g] != vals[1][0][g] \
@@ -965,12 +981,13 @@ def make_mp3_codec():
             mode = (b[i + 3] >> 6) & 0b11
             mode_ext = (b[i + 3] >> 4) & 0b11
             ms = nch == 2 and mode == 0b01 and bool(mode_ext & 0b10)
-            if nch == 2 and mode == 0b01 and (mode_ext & 0b01):
+            intensity = (nch == 2 and mode == 0b01
+                         and bool(mode_ext & 0b01))
+            if intensity and ms:
                 raise NotImplementedError(
-                    "intensity stereo decode not implemented — MS "
-                    "and independent/dual-channel stereo are; the "
-                    "is_pos scalefactor reinterpretation is the "
-                    "extension point")
+                    "combined MS + intensity stereo (mode_ext 11) "
+                    "not implemented — the per-band split of the "
+                    "two reconstructions is the extension point")
             hdr_len = 4 + (0 if prot else 2)  # CRC-16 not verified
             side_len = 17 if nch == 1 else 32
             side = _Reader(b[i + hdr_len:i + hdr_len + side_len])
@@ -1032,6 +1049,42 @@ def make_mp3_codec():
                     inv = 1.0 / math.sqrt(2.0)
                     m, s_ = xrs
                     xrs = [(m + s_) * inv, (m - s_) * inv]
+                if intensity:
+                    # long blocks only (encode enforces; a foreign
+                    # stream with short blocks here must not decode
+                    # silently wrong)
+                    if any(x["block_type"] != 0 for x in gis[g]):
+                        raise NotImplementedError(
+                            "intensity stereo with window switching "
+                            "not implemented — long blocks only")
+                    # intensity border: first scalefactor band at or
+                    # above the right channel's zero part (ISO
+                    # 2.4.3.4.9.3); in intensity bands ch1's
+                    # scalefactor is the position is_pos, ratio =
+                    # tan(is_pos·π/12), L = M·r/(1+r), R = M/(1+r);
+                    # is_pos 7 is illegal → band left untouched,
+                    # is_pos 6 → hard left (avoids tan(π/2))
+                    bounds = SFB_BOUNDS[rate]
+                    nz1 = next((j for j in range(575, -1, -1)
+                                if isvs[1][j]), -1)
+                    border_sfb = next(
+                        (sb for sb in range(22)
+                         if bounds[sb] >= nz1 + 1), 22)
+                    scf_r = sds[1].get("scf") or [0] * 21
+                    xl, xr_ = xrs
+                    for sb in range(border_sfb, 22):
+                        is_pos = scf_r[min(sb, 20)]
+                        if is_pos == 7:
+                            continue
+                        if is_pos == 6:
+                            rl, rr = 1.0, 0.0
+                        else:
+                            t = math.tan(is_pos * math.pi / 12.0)
+                            rl, rr = t / (1.0 + t), 1.0 / (1.0 + t)
+                        lo, hi = bounds[sb], bounds[sb + 1]
+                        seg = xl[lo:hi].copy()
+                        xl[lo:hi] = seg * rl
+                        xr_[lo:hi] = seg * rr
                 tss = []
                 for ch in range(nch):
                     ts, overlap[ch] = alias_imdct(

@@ -565,16 +565,73 @@ def test_stereo_scfsi_per_channel():
     assert f["granules"][1]["scf_ch"][1]["scf"] == c1[1]
 
 
+def test_intensity_stereo_long_blocks():
+    """Intensity (mode_ext 01): above the right channel's zero part,
+    ch1's scalefactors are is_pos values and the decoder spreads the
+    carried signal as L = M·r/(1+r), R = M/(1+r), r = tan(is_pos·
+    π/12); is_pos 6 = hard left, 7 = band untouched. Verified
+    against an independent model, border derived from content."""
+    from nowdb_spark.operators.mp3codec import SFB_BOUNDS_48K as B
+    c0g0 = _long_content(3, 0)
+    # right channel: nonzero only in lines 0..15 → border at the
+    # first sfb bound >= 16 (= sfb 4)
+    is_r = [((3 + i) % 3) - 1 for i in range(16)] + [0] * 560
+    if not any(is_r):
+        is_r[0] = 1
+    is_pos = [(b % 8) for b in range(21)]    # includes 6 and 7 cases
+    spec = {"is2": [c0g0[0], [0] * 576], "scf2": [c0g0[1], [0] * 21],
+            "gains": [c0g0[2], 210], "mode_ext": 0b01,
+            "ch1": {"is2": [is_r, [0] * 576],
+                    "scf2": [is_pos, [0] * 21], "gains": [207, 210]}}
+    plain = {k: v for k, v in spec.items() if k != "mode_ext"}
+    fi = C.decode_frames(C.encode_stream([spec]))[0]
+    fp = C.decode_frames(C.encode_stream([plain]))[0]
+    nz1 = max(j for j in range(576) if is_r[j])
+    border = next(sb for sb in range(22) if B[sb] >= nz1 + 1)
+    xl_p = fp["granules"][0]["xr"][0]
+    xl_i = fi["granules"][0]["xr"][0]
+    xr_i = fi["granules"][0]["xr"][1]
+    exp_l = xl_p.copy()
+    exp_r = fp["granules"][0]["xr"][1].copy()
+    for sb in range(border, 22):
+        p = is_pos[min(sb, 20)]
+        lo, hi = B[sb], B[sb + 1]
+        if p == 7:
+            continue
+        if p == 6:
+            rl, rr = 1.0, 0.0
+        else:
+            t = math.tan(p * math.pi / 12.0)
+            rl, rr = t / (1.0 + t), 1.0 / (1.0 + t)
+        exp_r[lo:hi] = exp_l[lo:hi] * rr
+        exp_l[lo:hi] = exp_l[lo:hi] * rl
+    np.testing.assert_allclose(xl_i, exp_l)
+    np.testing.assert_allclose(xr_i, exp_r)
+    # below the border both channels decode as plain stereo
+    np.testing.assert_allclose(xl_i[:B[border]], xl_p[:B[border]])
+
+
 def test_intensity_stereo_gates():
+    # combined MS + intensity stays gated on both sides
     spec, _ = _stereo_frame(5)
-    spec["mode_ext"] = 0b01
-    with pytest.raises(NotImplementedError, match="intensity"):
+    spec["mode_ext"] = 0b11
+    with pytest.raises(NotImplementedError, match="MS \\+ intensity"):
         C.encode_stream([spec])
     spec["mode_ext"] = 0b10
     b = bytearray(C.encode_stream([spec]))
     b[3] |= 0b00110000                       # mode_ext 11: MS + IS
-    with pytest.raises(NotImplementedError, match="intensity"):
+    with pytest.raises(NotImplementedError, match="MS \\+ intensity"):
         C.decode_frames(bytes(b))
+    # intensity with window switching stays gated
+    isv, scf_s = _short_content(2)
+    spec2 = {"is2": [isv, [0] * 576], "scf2": [scf_s, [0] * 21],
+             "gains": [205, 210], "block_type": (2, 0),
+             "table_select": (3, 3, 3), "mode_ext": 0b01,
+             "ch1": {"is2": [[0] * 576, [0] * 576],
+                     "scf2": [[0] * 21, [0] * 21],
+                     "gains": [210, 210]}}
+    with pytest.raises(NotImplementedError, match="window switching"):
+        C.encode_stream([spec2])
 
 
 def test_stereo_pcm_shape():
