@@ -1,7 +1,8 @@
 """Round-13 operator tests: MP3 bit reservoir, window switching
-(short / start / stop blocks), linbits escape machinery, count1
-table A — all against independent Python models or exact structural
-assertions, never the codec's own output alone."""
+(short / start / stop / mixed blocks), linbits escape machinery,
+count1 table A, stereo (independent, MS joint, long-block
+intensity) — all against independent Python models or exact
+structural assertions, never the codec's own output alone."""
 import math
 
 import numpy as np
