@@ -96,10 +96,25 @@ def main() -> None:
     from pyspark.sql import functions as F
     errors: dict[str, str] = {}
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # cold/warm split (r13 measurement fix): scan_full was the ONE
+    # headline row timed on its first-ever execution — the sample
+    # included the 16-count aggregate's codegen + JIT warmup (measured
+    # 1.2 s cold vs 0.4-0.6 s steady at sf0.1), violating the
+    # documented convention that `queries` carries WARM seconds
+    # (bulk_write already had the cold/warm split; every query row
+    # has it). The cold number stays published in `queries_cold`.
+    scan_cold = None
     try:
         t0 = time.perf_counter()
         li.agg(*[F.count(c) for c in li.columns]).collect()
-        timings["scan_full"] = round(time.perf_counter() - t0, 4)
+        scan_cold = round(time.perf_counter() - t0, 4)
+        warm_scan = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            li.agg(*[F.count(c) for c in li.columns]).collect()
+            warm_scan.append(time.perf_counter() - t0)
+        warm_scan.sort()
+        timings["scan_full"] = round(warm_scan[len(warm_scan) // 2], 4)
     except Exception as e:  # noqa: BLE001
         errors["scan_full"] = str(e).split("\n")[0][:200]
 
@@ -127,6 +142,8 @@ def main() -> None:
     # recorded per-key and the run carries on, rc stays 0.
     cold: dict[str, float] = dict(timings)
     cold["bulk_write"] = cold_write
+    if scan_cold is not None:
+        cold["scan_full"] = scan_cold
     # WARM timing = MEDIAN of n_warm (default 3) fresh-plan runs: two
     # rounds of phantom ±50% swings on unchanged code traced to
     # single-sample host noise. `queries` carries the median,

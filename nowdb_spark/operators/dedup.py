@@ -158,13 +158,15 @@ def minhash_signature(df: DataFrame, content_col: str = "text",
         lambda acc, h: F.array(*[
             F.least(F.element_at(acc, i + 1), _rot(h, 4 * i))
             for i in range(k)]))
+    # No projection-collapse barrier needed: CollapseProject refuses
+    # to inline a non-cheap producer referenced more than once
+    # (SPARK-36718, in 3.2+), so expanding s0..s7 keeps exactly ONE
+    # fold in the plan — verified in plans/r13 (1 md5, 1 aggregate).
+    # The r5-era localCheckpoint barrier that guarded this forced an
+    # RDD materialization per run (serialize every row, break the
+    # codegen pipeline, block column pruning) — pure overhead now.
     out = df.select(F.col(id_col), *[F.col(c) for c in keep],
                     fold.alias("__sig"))
-    if not out.isStreaming:
-        # projection-collapse barrier: without it, expanding s0..s7
-        # re-inlines the whole fold into every component (lazy — the
-        # checkpoint materializes on first action)
-        out = out.localCheckpoint(eager=False)
     comp_cols = [
         F.when(F.element_at("__sig", i + 1) != "g",
                F.element_at("__sig", i + 1)).alias(f"s{i}")
@@ -200,11 +202,10 @@ def _minhash_signature_xx(df: DataFrame, content_col: str, id_col: str,
             F.least(F.element_at(acc, i + 1), F.xxhash64(h, F.lit(i)))
             for i in range(k)]),
     )
+    # no barrier — see the md5 path: CollapseProject's non-cheap-
+    # producer guard (SPARK-36718) keeps the fold single on its own
     out = df.select(F.col(id_col), *[F.col(c) for c in keep],
                     fold.alias("__sig"))
-    if not out.isStreaming:
-        # same projection-collapse barrier as the md5 path
-        out = out.localCheckpoint(eager=False)
     comp_cols = [
         F.when(F.element_at("__sig", i + 1) != sentinel,
                F.lpad(F.hex(F.element_at("__sig", i + 1)), 16, "0"))

@@ -101,9 +101,15 @@ def brute_force_topk(corpus: DataFrame, query_vec_id: int, k: int = 10,
     TakeOrderedAndProject (per-partition heap + driver merge of k
     rows), so the plan is a single corpus scan at any scale.
     """
+    # the query norm is hoisted onto the (single-row) broadcast side:
+    # norm(__qv) inside `cosine` would re-run the d-element self-dot
+    # fold per CORPUS row (guide §2.3, compute less per row) — same
+    # sqrt over the same array, so the double (and the 6dp round) is
+    # bit-identical
     q = corpus.filter(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("__qv"))
-    sim = F.round(cosine(F.col(vec_col), F.col("__qv")), 6)
+        F.col(vec_col).alias("__qv"), norm(F.col(vec_col)).alias("__qn"))
+    sim = F.round(dot(F.col(vec_col), F.col("__qv"))
+                  / (norm(F.col(vec_col)) * F.col("__qn")), 6)
     return (
         corpus.filter(F.col(id_col) != query_vec_id)
         .crossJoin(F.broadcast(q))
@@ -119,8 +125,13 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 5,
     """Exact k-NN join: for each query vector, its k nearest corpus
     vectors by cosine. Broadcast-nested-loop on the query side +
     per-query window; corpus is scanned once."""
-    joined = corpus.crossJoin(F.broadcast(queries))
-    sim = F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6)
+    # query norms computed once per QUERY row before the broadcast,
+    # not per (corpus × query) pair — bit-identical (see
+    # brute_force_topk)
+    qn = queries.withColumn("__qn", norm(F.col(qvec_col)))
+    joined = corpus.crossJoin(F.broadcast(qn))
+    sim = F.round(dot(F.col(vec_col), F.col(qvec_col))
+                  / (norm(F.col(vec_col)) * F.col("__qn")), 6)
     w = W.partitionBy(qid_col).orderBy(F.col("sim").desc(), F.col(id_col))
     return (
         joined.select(F.col(qid_col), F.col(id_col), sim.alias("sim"))

@@ -43,7 +43,25 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
     return deco
 
 
+# Per-session table registry: resolving a parquet table costs ~90 ms
+# of single-threaded driver work per spark.read.parquet call
+# (DataSource resolution + footer schema read) plus ~35 ms of
+# normalize_stamps schema rewriting — and the query battery resolves
+# the same ten files thousands of times. A real engine resolves
+# tables through a catalog built once per session (the reference
+# keeps scope metadata in memory; the dialect rows here already
+# memoize their Engine mount per (session, sf) — _ENGINES in
+# dialect.py). This registry is ONLY resolved metadata (an unexecuted
+# logical plan): every action still scans the parquet files, so no
+# result or data is cached across runs.
+_TABLES: dict[tuple, DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    got = _TABLES.get(key)
+    if got is not None:
+        return got
     # the driver supplies its own SparkSession; the engine's stamp
     # policy is int64 ns regardless of the file's physical encoding:
     # TIMESTAMP(NANOS) needs the read-time conf (Spark otherwise
@@ -56,7 +74,20 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    return normalize_stamps(df, columns=("ts",))
+    out = normalize_stamps(df, columns=("ts",))
+    _TABLES[key] = out
+    return out
+
+
+# spread() decisions are memoized per input DataFrame OBJECT: the
+# df.rdd partition-count probe costs ~45 ms of driver work per call
+# (it plans the whole subtree), and with table() memoized above the
+# hot inputs are stable objects. Weak keys: transient frames release
+# their entry with the frame, so no stale-id aliasing is possible.
+import weakref  # noqa: E402
+
+_SPREAD_MEMO: "weakref.WeakKeyDictionary[DataFrame, DataFrame]" = \
+    weakref.WeakKeyDictionary()
 
 
 def spread(df: DataFrame) -> DataFrame:
@@ -69,6 +100,9 @@ def spread(df: DataFrame) -> DataFrame:
     that, the round-robin shuffle of a few MB is noise next to the map
     it parallelizes.
     """
+    got = _SPREAD_MEMO.get(df)
+    if got is not None:
+        return got
     try:
         p = df.sparkSession.sparkContext.defaultParallelism
         n = df.rdd.getNumPartitions()
@@ -77,7 +111,9 @@ def spread(df: DataFrame) -> DataFrame:
         # to an unconditional spread (still a no-op cost-wise at the
         # file sizes where this path matters)
         return df.repartition(32)
-    return df.repartition(p) if n < p else df
+    out = df.repartition(p) if n < p else df
+    _SPREAD_MEMO[df] = out
+    return out
 
 
 # populate the registry
