@@ -834,9 +834,16 @@ def q30(spark, sf):
     li = table(spark, sf, "lineitem")
     half_avg = (li.groupBy(F.col("l_partkey").alias("a_partkey"))
                 .agg((0.5 * F.avg("l_quantity")).alias("half_avg")))
+    # NO broadcast hint (r13): half_avg has one row per l_partkey — it
+    # grows WITH the fact table, and a forced broadcast of a
+    # fact-derived aggregate ignores the 8 GB / 512M-row broadcast cap
+    # at 100 TB (guide §3.1). Left to the planner: below the
+    # autoBroadcastJoinThreshold it still broadcasts (same plan at
+    # bench scale), above it AQE keys both sides on l_partkey — and
+    # the agg side arrives already hash-partitioned by l_partkey from
+    # its own groupBy, so the join re-shuffles only the probe side.
     return (
-        li.join(F.broadcast(half_avg),
-                li.l_partkey == F.col("a_partkey"))
+        li.join(half_avg, li.l_partkey == F.col("a_partkey"))
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
