@@ -6,8 +6,13 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 line: {"metric": ..., "value": total_sec, "unit": "sec",
        "queries": {name: sec, ...}, "sf": ...}.
 
-Timing = full execution of the query to a count/collect action (plans
-are built fresh per run; a warm-up query absorbs JVM/codegen startup).
+Timing = full execution of the query to a count/collect action (query
+plans are built fresh per run; a warm-up query absorbs JVM/codegen
+startup). Since r13, BASE-TABLE RESOLUTION is cached per session
+(workload.table() memoizes the resolved logical plan — catalog
+behavior), so warm timings from r13 on exclude per-run parquet
+footer/DataSource resolution that earlier rounds' numbers included;
+every action still scans the parquet files.
 """
 
 from __future__ import annotations
@@ -84,6 +89,11 @@ def main() -> None:
     spark = get_spark("nowdb_spark_bench", extra_conf={
         "spark.sql.files.maxPartitionBytes": str(mpb),
         "spark.sql.files.openCostInBytes": str(1 << 20),
+        # keep stage progress bars off the captured output: the
+        # driver's ~2000-char tail capture must hold the LAST emitted
+        # summary line, and r13's timed-out 8-core run showed the tail
+        # flooded by `(n + m) / p` bars instead of JSON
+        "spark.ui.showConsoleProgress": "false",
     })
 
     # warm-up: JVM, parquet footer caches, codegen
@@ -193,6 +203,18 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     MACHINE["headline_retried"] = retried
     _stamp("after_headline")
+    # Print + FLUSH the headline one-line JSON as soon as the headline
+    # section is done: r13's 8-core scaling run timed out in the
+    # ~43-minute pipeline tail BEFORE the (then end-only) summary line
+    # printed, costing the round its entire scaling artifact
+    # (BENCH_r13_c8.json rc=124 — VERDICT r13 item 2). Lines are
+    # additive: a completed run still prints the full detail + final
+    # summary (with throughput fields) at the end, and the final line
+    # supersedes this one; a timed-out run now at least carries the
+    # headline numbers. Throughput fields are absent here because the
+    # throughput section has not run yet.
+    print(_summary_line(total, timings, {}, sf, errors, spread,
+                        None), flush=True)
 
     # Per-node throughput on a 10M-row generated table — the honest
     # comparison against BASELINE.md (its ~32M rec/s scan / ~5.8M
@@ -1659,7 +1681,7 @@ def _emit(total, timings, cold, tput, pipe, sf, errors,
     # the driver's tail capture holds ~2000 chars, and round 5's
     # all-on-one-line detail outgrew it (BENCH_r05.json parsed:null).
     # The final stdout line must always fit and carry the headline.
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
     if not os.environ.get("SPARK_GRAFT_QUERIES_ONLY"):
         # scale_check sweeps must not clobber the full run's detail
         try:
@@ -1667,6 +1689,12 @@ def _emit(total, timings, cold, tput, pipe, sf, errors,
                 json.dumps(out, indent=1))
         except OSError:
             pass
+    print(_summary_line(total, timings, tput, sf, errors,
+                        spread, pipe_spread), flush=True)
+
+
+def _summary_line(total, timings, tput, sf, errors, spread,
+                  pipe_spread) -> str:
     summary = {
         "metric": "headline_queries_total",
         "value": total,
@@ -1682,7 +1710,9 @@ def _emit(total, timings, cold, tput, pipe, sf, errors,
         "pipe_spread_max": (max(pipe_spread.values())
                             if pipe_spread else None),
         "load1_start": MACHINE.get("start", {}).get("load1"),
-        "load1_end": MACHINE.get("end", {}).get("load1"),
+        "load1_end": (MACHINE.get("end", MACHINE.get("after_headline",
+                                                     {}))
+                      .get("load1")),
         "n_retried": (len(MACHINE.get("headline_retried", []))
                       + len(MACHINE.get("pipe_retried", []))
                       + len(MACHINE.get("tput_retried", []))),
@@ -1698,7 +1728,7 @@ def _emit(total, timings, cold, tput, pipe, sf, errors,
     if len(line) > 1800:  # belt-and-braces: never outgrow the capture
         summary.pop("queries")
         line = json.dumps(summary)
-    print(line)
+    return line
 
 
 if __name__ == "__main__":

@@ -53,13 +53,28 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # memoize their Engine mount per (session, sf) — _ENGINES in
 # dialect.py). This registry is ONLY resolved metadata (an unexecuted
 # logical plan): every action still scans the parquet files, so no
-# result or data is cached across runs.
-_TABLES: dict[tuple, DataFrame] = {}
+# result or data is cached across runs. The parquet files under an
+# sf_dir are assumed immutable for the session's lifetime (they are
+# test fixtures / the driver's frozen inputs); rewriting them
+# mid-session would leave a memoized relation with stale footers.
+#
+# The cache lives ON the session object (r13 ADVICE / VERDICT item
+# 7): the old module-global dict keyed by id(spark) could alias a
+# GC'd session's reused id to a plan bound to a dead session, and
+# pinned every session's plans forever. (A WeakKeyDictionary keyed by
+# the session would not fix the pinning: the cached DataFrames
+# strong-ref their session, so the value chain would keep the weak
+# key alive.) As a session attribute, the cache and its plans form an
+# ordinary reference cycle that dies with the session.
+_TABLE_CACHE_ATTR = "_nowdb_spark_table_cache"
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (id(spark), sf_dir, name)
-    got = _TABLES.get(key)
+    per_session = getattr(spark, _TABLE_CACHE_ATTR, None)
+    if per_session is None:
+        per_session = {}
+        setattr(spark, _TABLE_CACHE_ATTR, per_session)
+    got = per_session.get((sf_dir, name))
     if got is not None:
         return got
     # the driver supplies its own SparkSession; the engine's stamp
@@ -71,11 +86,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # TESTDATA.md contract): TPC-H date columns (l_shipdate,
     # o_orderdate) stay native timestamps, matching the oracle's
     # date-literal comparisons on both sides.
+    # NOTE: this conf assert runs only on the first resolution of a
+    # table per session — do not move table resolution after code
+    # that flips the conf off.
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     out = normalize_stamps(df, columns=("ts",))
-    _TABLES[key] = out
+    per_session[(sf_dir, name)] = out
     return out
 
 
@@ -86,8 +104,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # their entry with the frame, so no stale-id aliasing is possible.
 import weakref  # noqa: E402
 
-_SPREAD_MEMO: "weakref.WeakKeyDictionary[DataFrame, DataFrame]" = \
+_SPREAD_MEMO: "weakref.WeakKeyDictionary[DataFrame, object]" = \
     weakref.WeakKeyDictionary()
+# sentinel for the identity (no-op) case: storing df as its own memo
+# value would self-pin the weak entry (the value strong-refs the key),
+# leaking every transient frame passed through spread() (r13 ADVICE)
+_SPREAD_IDENTITY = object()
 
 
 def spread(df: DataFrame) -> DataFrame:
@@ -102,7 +124,7 @@ def spread(df: DataFrame) -> DataFrame:
     """
     got = _SPREAD_MEMO.get(df)
     if got is not None:
-        return got
+        return df if got is _SPREAD_IDENTITY else got
     try:
         p = df.sparkSession.sparkContext.defaultParallelism
         n = df.rdd.getNumPartitions()
@@ -111,7 +133,10 @@ def spread(df: DataFrame) -> DataFrame:
         # to an unconditional spread (still a no-op cost-wise at the
         # file sizes where this path matters)
         return df.repartition(32)
-    out = df.repartition(p) if n < p else df
+    if n >= p:
+        _SPREAD_MEMO[df] = _SPREAD_IDENTITY
+        return df
+    out = df.repartition(p)
     _SPREAD_MEMO[df] = out
     return out
 

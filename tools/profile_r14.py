@@ -1,14 +1,14 @@
 #!/usr/bin/env python
-"""Round-13 optimization profiler (guide §1: measure first).
+"""Round-14 optimization profiler (guide §1: measure first).
 
 For each profiled query: capture .explain("formatted") to
-plans/r13/<name>_<tag>.txt, run N warm timed executions of the SAME
+plans/r14/<name>_<tag>.txt, run N warm timed executions of the SAME
 action bench.py uses (.count()), and record median seconds plus the
 number of Spark jobs/stages/tasks the warm run launches (AQE stage
 materializations, localCheckpoint jobs and Python-boundary jobs all
 show up in the job count — invisible in the plan text).
 
-Usage: python tools/profile_r13.py [tag] [query ...]
+Usage: python tools/profile_r14.py [tag] [query ...]
   tag defaults to "before"; with no query args, profiles the bench
   HEADLINE set. SPARK_GRAFT_PROFILE_RUNS (default 5) warm runs.
 """
@@ -49,7 +49,7 @@ def main() -> None:
         import bench
         names = list(bench.HEADLINE)
 
-    plans_dir = Path(__file__).resolve().parent.parent / "plans" / "r13"
+    plans_dir = Path(__file__).resolve().parent.parent / "plans" / "r14"
     plans_dir.mkdir(parents=True, exist_ok=True)
     sc = spark.sparkContext
     tracker = sc.statusTracker()
@@ -97,7 +97,7 @@ def main() -> None:
         print(f"{name:35s} med={ts[len(ts)//2]:7.3f} min={ts[0]:7.3f} "
               f"jobs={len(jobs):2d} stages={n_stages:2d} tasks={n_tasks}",
               flush=True)
-    out = Path(__file__).resolve().parent.parent / f"PROFILE_{tag}.json"
+    out = Path(__file__).resolve().parent.parent / f"PROFILE_r14_{tag}.json"
     out.write_text(json.dumps(results, indent=1))
     print(json.dumps({"tag": tag, "total_median": round(
         sum(r["median"] for r in results.values()), 3)}))
