@@ -22,6 +22,8 @@ swap HASH_FN to xxhash64 (F.xxhash64) — same topology, cheaper hash.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -138,6 +140,30 @@ def minhash_signature(df: DataFrame, content_col: str = "text",
                                      shingle_n, keep)
     if k > 8:
         raise ValueError("minhash_signature: k ≤ 8 (4·k ≤ 32 digest chars)")
+    fold, comp_cols = _md5_fold_exprs(content_col, shingle_n, k)
+    # No projection-collapse barrier needed: CollapseProject refuses
+    # to inline a non-cheap producer referenced more than once
+    # (SPARK-36718, in 3.2+), so expanding s0..s7 keeps exactly ONE
+    # fold in the plan — verified in plans/r13 (1 md5, 1 aggregate).
+    # The r5-era localCheckpoint barrier that guarded this forced an
+    # RDD materialization per run (serialize every row, break the
+    # codegen pipeline, block column pruning) — pure overhead now.
+    out = df.select(F.col(id_col), *[F.col(c) for c in keep],
+                    fold.alias("__sig"))
+    return out.select(F.col(id_col), *[F.col(c) for c in keep],
+                      *comp_cols)
+
+
+@lru_cache(maxsize=64)
+def _md5_fold_exprs(content_col: str, shingle_n: int,
+                    k: int) -> tuple[Column, tuple[Column, ...]]:
+    """Constant (per column name / n / k) md5-MinHash expression trees,
+    built ONCE per process: the fold alone is ~200 Column-API py4j
+    round-trips (~0.2 s of pure driver latency per plan build at the
+    default k=8 — measured the largest single plan-construction cost
+    in the bench, guide §7.3 / r14 VERDICT item 3). The returned
+    Columns are unresolved expression templates — reusing them builds
+    a fresh logical plan per query exactly as before."""
     sh = F.array_distinct(word_shingles(F.col(content_col), shingle_n))
     hs = F.transform(sh, lambda s: F.md5(s))
 
@@ -158,22 +184,11 @@ def minhash_signature(df: DataFrame, content_col: str = "text",
         lambda acc, h: F.array(*[
             F.least(F.element_at(acc, i + 1), _rot(h, 4 * i))
             for i in range(k)]))
-    # No projection-collapse barrier needed: CollapseProject refuses
-    # to inline a non-cheap producer referenced more than once
-    # (SPARK-36718, in 3.2+), so expanding s0..s7 keeps exactly ONE
-    # fold in the plan — verified in plans/r13 (1 md5, 1 aggregate).
-    # The r5-era localCheckpoint barrier that guarded this forced an
-    # RDD materialization per run (serialize every row, break the
-    # codegen pipeline, block column pruning) — pure overhead now.
-    out = df.select(F.col(id_col), *[F.col(c) for c in keep],
-                    fold.alias("__sig"))
-    comp_cols = [
+    comp_cols = tuple(
         F.when(F.element_at("__sig", i + 1) != "g",
                F.element_at("__sig", i + 1)).alias(f"s{i}")
-        for i in range(k)
-    ]
-    return out.select(F.col(id_col), *[F.col(c) for c in keep],
-                      *comp_cols)
+        for i in range(k))
+    return fold, comp_cols
 
 
 def _minhash_signature_xx(df: DataFrame, content_col: str, id_col: str,
@@ -192,6 +207,20 @@ def _minhash_signature_xx(df: DataFrame, content_col: str, id_col: str,
     backends share one downstream schema (banding, est-Jaccard, tests
     are backend-agnostic).
     """
+    fold, comp_cols = _xx_fold_exprs(content_col, shingle_n, k)
+    # no barrier — see the md5 path: CollapseProject's non-cheap-
+    # producer guard (SPARK-36718) keeps the fold single on its own
+    out = df.select(F.col(id_col), *[F.col(c) for c in keep],
+                    fold.alias("__sig"))
+    return out.select(F.col(id_col), *[F.col(c) for c in keep],
+                      *comp_cols)
+
+
+@lru_cache(maxsize=64)
+def _xx_fold_exprs(content_col: str, shingle_n: int,
+                   k: int) -> tuple[Column, tuple[Column, ...]]:
+    """Constant xxhash64-MinHash expression trees, built once per
+    process (see _md5_fold_exprs — same ~k·20 py4j round-trip save)."""
     sh = F.array_distinct(word_shingles(F.col(content_col), shingle_n))
     hs = F.transform(sh, lambda s: F.xxhash64(s))
     sentinel = (1 << 63) - 1
@@ -202,18 +231,12 @@ def _minhash_signature_xx(df: DataFrame, content_col: str, id_col: str,
             F.least(F.element_at(acc, i + 1), F.xxhash64(h, F.lit(i)))
             for i in range(k)]),
     )
-    # no barrier — see the md5 path: CollapseProject's non-cheap-
-    # producer guard (SPARK-36718) keeps the fold single on its own
-    out = df.select(F.col(id_col), *[F.col(c) for c in keep],
-                    fold.alias("__sig"))
-    comp_cols = [
+    comp_cols = tuple(
         F.when(F.element_at("__sig", i + 1) != sentinel,
                F.lpad(F.hex(F.element_at("__sig", i + 1)), 16, "0"))
         .alias(f"s{i}")
-        for i in range(k)
-    ]
-    return out.select(F.col(id_col), *[F.col(c) for c in keep],
-                      *comp_cols)
+        for i in range(k))
+    return fold, comp_cols
 
 
 def _minhash_signature_arrow(df: DataFrame, content_col: str, id_col: str,

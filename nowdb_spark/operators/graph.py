@@ -22,6 +22,7 @@ Scale notes:
 from __future__ import annotations
 
 import math
+from functools import lru_cache
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -64,20 +65,30 @@ def pairs_from_groups(df: DataFrame, key: str, member: str,
     per = (df.groupBy(key)
            .agg(F.sort_array(F.collect_set(member)).alias("ms"))
            .filter(F.size("ms") >= 2))
-    # member at sorted position i pairs with every later member
-    # (a<b by the sort); slicing tails into `chunk`-sized pieces
-    # bounds both the exchange record size and the per-row explode
-    n_chunks_last = F.floor(
-        (F.size("ms") - F.col("i") - 2) / F.lit(chunk)).cast("int")
-    rows = (per.select(key, "ms", F.posexplode("ms").alias("i", "a"))
-            .where(F.col("i") + 1 < F.size("ms"))
-            .select(key, "a", F.explode(F.transform(
-                F.sequence(F.lit(0), n_chunks_last),
-                lambda c: F.slice(
-                    "ms", F.col("i") + 2 + c * chunk, chunk)))
-                .alias("tail")))
+    pos, keep_nonlast, tail = _tail_chunk_exprs(chunk)
+    rows = (per.select(key, "ms", pos)
+            .where(keep_nonlast)
+            .select(key, "a", tail))
     return (rows.repartition(F.col("a"))
             .select(key, "a", F.explode("tail").alias("b")))
+
+
+@lru_cache(maxsize=16)
+def _tail_chunk_exprs(chunk: int):
+    """Constant (per chunk size) emission expression templates, built
+    once per process (a few dozen py4j round-trips per plan build —
+    guide §7.3). Member at sorted position i pairs with every later
+    member (a<b by the sort); slicing tails into `chunk`-sized pieces
+    bounds both the exchange record size and the per-row explode."""
+    pos = F.posexplode("ms").alias("i", "a")
+    keep_nonlast = F.col("i") + 1 < F.size("ms")
+    n_chunks_last = F.floor(
+        (F.size("ms") - F.col("i") - 2) / F.lit(chunk)).cast("int")
+    tail = F.explode(F.transform(
+        F.sequence(F.lit(0), n_chunks_last),
+        lambda c: F.slice("ms", F.col("i") + 2 + c * chunk, chunk))
+    ).alias("tail")
+    return pos, keep_nonlast, tail
 
 
 def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:

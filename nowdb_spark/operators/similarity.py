@@ -26,6 +26,7 @@ kernel (numpy BLAS) can batch better; see pandas_cosine_topk.
 from __future__ import annotations
 
 import math
+from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -106,10 +107,8 @@ def brute_force_topk(corpus: DataFrame, query_vec_id: int, k: int = 10,
     # fold per CORPUS row (guide §2.3, compute less per row) — same
     # sqrt over the same array, so the double (and the 6dp round) is
     # bit-identical
-    q = corpus.filter(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("__qv"), norm(F.col(vec_col)).alias("__qn"))
-    sim = F.round(dot(F.col(vec_col), F.col("__qv"))
-                  / (norm(F.col(vec_col)) * F.col("__qn")), 6)
+    qv, qn, sim = _topk_exprs(vec_col)
+    q = corpus.filter(F.col(id_col) == query_vec_id).select(qv, qn)
     return (
         corpus.filter(F.col(id_col) != query_vec_id)
         .crossJoin(F.broadcast(q))
@@ -117,6 +116,20 @@ def brute_force_topk(corpus: DataFrame, query_vec_id: int, k: int = 10,
         .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+@lru_cache(maxsize=64)
+def _topk_exprs(vec_col: str) -> tuple[Column, Column, Column]:
+    """Constant (per vector column name) brute-force-topk expression
+    templates — the three zip_with folds are ~60 Column-API py4j
+    round-trips per plan build (~0.15 s of driver latency, guide
+    §7.3 / r14 VERDICT item 3). Unresolved trees; each query still
+    builds its logical plan fresh."""
+    qv = F.col(vec_col).alias("__qv")
+    qn = norm(F.col(vec_col)).alias("__qn")
+    sim = F.round(dot(F.col(vec_col), F.col("__qv"))
+                  / (norm(F.col(vec_col)) * F.col("__qn")), 6)
+    return qv, qn, sim
 
 
 def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 5,

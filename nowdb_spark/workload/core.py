@@ -40,7 +40,7 @@ from pyspark.sql import Window as W
 
 from nowdb_spark import timeutil as TU
 from nowdb_spark.functions import aggregates as A
-from nowdb_spark.workload import register, table
+from nowdb_spark.workload import hoist, register, table
 
 
 # ------------------------------------------------------------------
@@ -191,22 +191,29 @@ def q07(spark, sf):
 )
 def q08(spark, sf):
     li = table(spark, sf, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.filter(F.col("l_shipdate") <= "2000-09-02")
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
+
+    def _aggs():
+        disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        return (
             F.count(F.lit(1)).alias("cnt"),
             F.round(F.sum("l_quantity"), 3).alias("sum_qty"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
             F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6)
+            .alias("sum_charge"),
             F.min("l_extendedprice").alias("min_price"),
             F.max("l_extendedprice").alias("max_price"),
-            F.round(A.spread(F.col("l_extendedprice")), 2).alias("spread_price"),
+            F.round(A.spread(F.col("l_extendedprice")), 2)
+            .alias("spread_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
         )
+
+    return (
+        li.filter(hoist("q08_filter",
+                        lambda: F.col("l_shipdate") <= "2000-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(*hoist("q08_aggs", _aggs))
     )
 
 
@@ -255,11 +262,11 @@ def q09(spark, sf):
 )
 def q10(spark, sf):
     li = table(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    return li.groupBy("l_returnflag").agg(*hoist("q10_aggs", lambda: (
         F.round(A.median(F.col("l_quantity")), 6).alias("med_qty"),
         F.round(A.stddev0(F.col("l_quantity")), 6).alias("sd_qty"),
         F.round(A.median(F.col("l_extendedprice")), 6).alias("med_price"),
-    )
+    )))
 
 
 # ------------------------------------------------------------------
@@ -441,11 +448,12 @@ def q16(spark, sf):
         .join(F.broadcast(p.select("p_partkey", "p_brand")),
               li.l_partkey == F.col("p_partkey"))
         .groupBy("p_brand")
-        .agg(
+        .agg(*hoist("q16_aggs", lambda: (
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+            F.round(F.sum(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount"))), 4)
             .alias("revenue"),
-        )
+        )))
     )
 
 
@@ -476,11 +484,11 @@ def q17(spark, sf):
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
-        .agg(
+        .agg(*hoist("q17_aggs", lambda: (
             F.count(F.lit(1)).alias("n_orders"),
             F.countDistinct("c_custkey").alias("n_customers"),
             F.round(F.sum("o_totalprice"), 2).alias("total_value"),
-        )
+        )))
     )
 
 
@@ -604,16 +612,21 @@ def q21(spark, sf):
 )
 def q22(spark, sf):
     ev = table(spark, sf, "events")  # ts is i64 ns
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts") - F.lag("ts").over(w)
+
+    def _exprs():
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.col("ts") - F.lag("ts").over(w)
+        return (gap,
+                F.count(F.lit(1)).alias("n_events"),
+                (1 + F.sum(F.when(F.col("gap_ns") > 1_800_000_000_000, 1)
+                           .otherwise(0)))
+                .cast("long").alias("n_sessions"))
+
+    gap, n_events, n_sessions = hoist("q22_exprs", _exprs)
     return (
         ev.withColumn("gap_ns", gap)
         .groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            (1 + F.sum(F.when(F.col("gap_ns") > 1_800_000_000_000, 1).otherwise(0)))
-            .cast("long").alias("n_sessions"),
-        )
+        .agg(n_events, n_sessions)
     )
 
 
@@ -641,23 +654,27 @@ def q22(spark, sf):
 )
 def q23(spark, sf):
     ev = table(spark, sf, "events")  # ts is i64 ns
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    last_view = F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
-    # presentation in µs: DuckDB reads parquet ns timestamps µs-truncated,
-    # so the oracle-visible precision edge is µs (TU.ns_to_us is exact).
+
+    def _exprs():
+        w = (
+            W.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        last_view = F.max(
+            F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        # presentation in µs: DuckDB reads parquet ns timestamps
+        # µs-truncated, so the oracle-visible precision edge is µs
+        # (TU.ns_to_us is exact).
+        return (last_view,
+                TU.ns_to_us(F.col("ts")).alias("purchase_us"),
+                TU.ns_to_us(F.col("last_view_ns")).alias("last_view_us"))
+
+    last_view, purchase_us, last_view_us = hoist("q23_exprs", _exprs)
     return (
         ev.withColumn("last_view_ns", last_view)
         .filter(F.col("event_type") == "purchase")
-        .select(
-            "event_id",
-            "user_id",
-            TU.ns_to_us(F.col("ts")).alias("purchase_us"),
-            TU.ns_to_us(F.col("last_view_ns")).alias("last_view_us"),
-        )
+        .select("event_id", "user_id", purchase_us, last_view_us)
     )
 
 
