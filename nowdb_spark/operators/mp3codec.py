@@ -234,10 +234,54 @@ IMDCT12_WIN = np.array(
 _SCF_GROUPS = [(0, 6), (6, 11), (11, 16), (16, 21)]  # scfsi bands
 
 
+# vectorized alias-reduction index maps (r14, guide §4.2): the
+# butterfly double loop was 31×8 scalar numpy indexing ops per
+# channel-granule (~36% of decode time); as index-array gathers the
+# arithmetic is the same IEEE multiply/add per element, batched.
+_ALIAS_IDX_LO = np.array([18 * sb - 1 - j
+                          for sb in range(1, 32) for j in range(8)])
+_ALIAS_IDX_HI = np.array([18 * sb + j
+                          for sb in range(1, 32) for j in range(8)])
+_ALIAS_CS_V = np.array(ALIAS_CS * 31)
+_ALIAS_CA_V = np.array(ALIAS_CA * 31)
+
+# count1 table A decode LUT: 6-bit peek → (symbol, code length)
+_CNT1A_LUT: list = [None] * 64
+for _sym, (_ln, _cd) in CNT1_A.items():
+    for _s in range(1 << (6 - _ln)):
+        _CNT1A_LUT[(_cd << (6 - _ln)) + _s] = (_sym, _ln)
+
+# short-block requantize scatter maps per (rate, first short sfb):
+# transmit-order source index → reordered (line = 3·i + window)
+# destination index, plus the per-(sfb, window) run widths for the
+# gain repeat. Indices are static per rate; gains stay per-granule.
+_SHORT_MAPS: dict = {}
+
+
+def _short_requant_map(rate: int, s0: int):
+    got = _SHORT_MAPS.get((rate, s0))
+    if got is None:
+        sbounds = SFB_SHORT_BOUNDS[rate]
+        src, dst, runs = [], [], []
+        for s in range(s0, 13):
+            lo, hi = sbounds[s], sbounds[s + 1]
+            width = hi - lo
+            base = 3 * lo
+            for w2 in range(3):
+                runs.append((s, w2, width))
+                for ii in range(width):
+                    src.append(base + w2 * width + ii)
+                    dst.append(base + 3 * ii + w2)
+        got = (np.array(src), np.array(dst), runs)
+        _SHORT_MAPS[(rate, s0)] = got
+    return got
+
+
 def make_mp3_codec():
     """Build the codec namespace (mirrors make_mp2_codec's shape)."""
     tables = {k: dict(v) for k, v in HUFF_TABLES.items()}
     decode_maps = {}
+    decode_luts = {}
 
     def _table_linbits(tid: int) -> int:
         lb = 0
@@ -263,6 +307,26 @@ def make_mp3_codec():
             decode_maps[tid] = (dmap, maxlen, _table_linbits(tid))
         return decode_maps[tid]
 
+    def _decode_lut(tid: int):
+        """maxlen-bit peek LUT for table tid: lut[prefix] = (x, y,
+        code length), None for prefixes matching no code (invalid
+        stream). One list index replaces the per-BIT dict probe of
+        the r5 decoder (~40% of decode time, guide §4.2); the decoded
+        symbols are identical because the code is prefix-free. Tables
+        longer than 14 bits fall back to the bit loop (None entry)."""
+        if tid not in decode_luts:
+            dmap, maxlen, lb = _decode_map(tid)
+            if maxlen > 14:
+                decode_luts[tid] = None
+            else:
+                lut: list = [None] * (1 << maxlen)
+                for (ln, cd), xy in dmap.items():
+                    base = cd << (maxlen - ln)
+                    for s in range(1 << (maxlen - ln)):
+                        lut[base + s] = (xy[0], xy[1], ln)
+                decode_luts[tid] = (lut, maxlen, lb)
+        return decode_luts[tid]
+
     def set_tables(tid: int, entries: dict) -> None:
         """Install an ISO Annex B.7 table verbatim:
         {(|x|,|y|): (hlen, hcod)} or, for linbits tables,
@@ -274,6 +338,7 @@ def make_mp3_codec():
                              f"({kraft})")
         tables[tid] = dict(entries)
         decode_maps.pop(tid, None)
+        decode_luts.pop(tid, None)
 
     # ---------------- bit I/O (same shapes as mp2codec) ----------
     class _Writer:
@@ -325,6 +390,16 @@ def make_mp3_codec():
                 & ((1 << n) - 1)
             self.pos += n
             return v
+
+        def peek(self, n: int) -> int:
+            """Next n bits without advancing; zero-padded past the
+            end of the buffer (a prefix-free LUT probe may look past
+            the last code's final bit — the advance consumes only
+            the true code length, so decoded symbols are unchanged)."""
+            sh = self.total - self.pos - n
+            if sh >= 0:
+                return (self.val >> sh) & ((1 << n) - 1)
+            return (self.val << -sh) & ((1 << n) - 1)
 
     # ---------------- header ----------------
     def frame_header(b: bytes, i: int):
@@ -816,52 +891,74 @@ def make_mp3_codec():
                     isv[idx] = isv[idx + 1] = 0
                     idx += 2
                     continue
-                dmap, maxlen, lb = _decode_map(tid)
-                ln, cd = 0, 0
-                while True:
-                    cd = (cd << 1) | r.get(1)
-                    ln += 1
-                    if (ln, cd) in dmap:
-                        break
-                    if ln > maxlen:
+                lut_entry = _decode_lut(tid)
+                if lut_entry is not None:
+                    lut, maxlen, lb = lut_entry
+                    hit = lut[r.peek(maxlen)]
+                    if hit is None:
                         raise ValueError(
                             "invalid Huffman code in big_values")
-                x, y = dmap[(ln, cd)]
-                if x == 15 and lb:
-                    x += r.get(lb)
-                if x:
-                    x = -x if r.get(1) else x
-                if y == 15 and lb:
-                    y += r.get(lb)
-                if y:
-                    y = -y if r.get(1) else y
-                isv[idx], isv[idx + 1] = x, y
-                idx += 2
-            # count1 region: quadruples while part2_3 bits remain
-            dmapA = None
-            if not gi["count1table_select"]:
-                dmapA = {(ln, cd): sym for sym, (ln, cd)
-                         in CNT1_A.items()}
-            while (r.pos - start < gi["part2_3_length"]
-                   and idx + 3 < 576):
-                if gi["count1table_select"]:
-                    code = (~r.get(4)) & 0xF    # table B
-                else:                           # table A
+                    x, y, ln = hit
+                    r.pos += ln
+                else:
+                    dmap, maxlen, lb = _decode_map(tid)
                     ln, cd = 0, 0
                     while True:
                         cd = (cd << 1) | r.get(1)
                         ln += 1
-                        if (ln, cd) in dmapA:
+                        if (ln, cd) in dmap:
                             break
-                        if ln > 6:
+                        if ln > maxlen:
                             raise ValueError(
-                                "invalid count1 table A code")
-                    code = dmapA[(ln, cd)]
+                                "invalid Huffman code in big_values")
+                    x, y = dmap[(ln, cd)]
+                if lb and 15 in (x, y):
+                    # escape path: linbits interleave with the signs,
+                    # keep the sequential reads
+                    if x == 15:
+                        x += r.get(lb)
+                    if x:
+                        x = -x if r.get(1) else x
+                    if y == 15:
+                        y += r.get(lb)
+                    if y:
+                        y = -y if r.get(1) else y
+                elif x and y:
+                    s2 = r.get(2)       # x sign then y sign
+                    if s2 & 2:
+                        x = -x
+                    if s2 & 1:
+                        y = -y
+                elif x:
+                    x = -x if r.get(1) else x
+                elif y:
+                    y = -y if r.get(1) else y
+                isv[idx], isv[idx + 1] = x, y
+                idx += 2
+            # count1 region: quadruples while part2_3 bits remain
+            while (r.pos - start < gi["part2_3_length"]
+                   and idx + 3 < 576):
+                if gi["count1table_select"]:
+                    code = (~r.get(4)) & 0xF    # table B
+                else:                           # table A (6-bit LUT)
+                    hit = _CNT1A_LUT[r.peek(6)]
+                    if hit is None:
+                        raise ValueError(
+                            "invalid count1 table A code")
+                    code, ln = hit
+                    r.pos += ln
                 quad = [(code >> 3) & 1, (code >> 2) & 1,
                         (code >> 1) & 1, code & 1]
-                for t in range(4):
-                    if quad[t] and r.get(1):
-                        quad[t] = -quad[t]
+                nnz = (code & 1) + ((code >> 1) & 1) \
+                    + ((code >> 2) & 1) + ((code >> 3) & 1)
+                if nnz:
+                    sbits = r.get(nnz)  # signs in t order, MSB first
+                    k = nnz
+                    for t in range(4):
+                        if quad[t]:
+                            k -= 1
+                            if (sbits >> k) & 1:
+                                quad[t] = -1
                 isv[idx:idx + 4] = quad
                 idx += 4
             if r.pos - start > gi["part2_3_length"]:
@@ -870,11 +967,21 @@ def make_mp3_codec():
             return isv
 
         def requantize(gi, sd, isv, rate):
+            # Vectorized (r14, guide §4.2): per-band gains stay the
+            # scalar expressions they were; the per-LINE work
+            # (|v|^(4/3) sign-restore × gain) runs as one numpy pass
+            # with gains repeated over band widths. Same elementwise
+            # IEEE ops (np.power/np.copysign call the same libm pow/
+            # copysign the scalar loop did), so values are
+            # bit-identical; zero codes are re-zeroed afterwards to
+            # reproduce the loop's skip exactly (incl. +0.0 sign).
             bounds = SFB_BOUNDS[rate]
             short = gi["block_type"] == 2
             mixed = short and gi["mixed"]
             sf_mult = 0.5 * (gi["scalefac_scale"] + 1)
             gg = 2.0 ** ((gi["global_gain"] - 210) / 4.0)
+            a = np.asarray(isv, dtype=np.float64)
+            mag = np.copysign(np.abs(a) ** (4.0 / 3.0), a)
             xr = np.zeros(576)
             if short:
                 # requantize per (window, sfb) on the transmit
@@ -884,49 +991,37 @@ def make_mp3_codec():
                 # (long bands 0-7, preflag applies, no reorder);
                 # the short machinery starts at short sfb 3
                 # (3·bounds[3] = 36 at both bundled rates).
-                sbounds = SFB_SHORT_BOUNDS[rate]
                 if mixed:
-                    for b2 in range(8):
-                        lo = bounds[b2]
-                        hi = bounds[b2 + 1]
-                        gain = gg * 2.0 ** (-sf_mult * (
+                    cut = bounds[8]
+                    gains = np.repeat(
+                        [gg * 2.0 ** (-sf_mult * (
                             sd["scf_l"][b2]
                             + gi["preflag"] * PRETAB[b2]))
-                        for j in range(lo, hi):
-                            v = isv[j]
-                            if v:
-                                xr[j] = math.copysign(
-                                    abs(v) ** (4.0 / 3.0),
-                                    v) * gain
-                for s in range(3 if mixed else 0, 13):
-                    lo, hi = sbounds[s], sbounds[s + 1]
-                    width = hi - lo
-                    base = 3 * lo
-                    for w2 in range(3):
-                        sb_scf = sd["scf_s"][w2][s] if s < 12 else 0
-                        gain = (gg
-                                * 2.0 ** (-2.0
-                                          * gi["subblock_gain"][w2])
-                                * 2.0 ** (-sf_mult * sb_scf))
-                        for ii in range(width):
-                            v = isv[base + w2 * width + ii]
-                            if v:
-                                xr[base + 3 * ii + w2] = (
-                                    math.copysign(
-                                        abs(v) ** (4.0 / 3.0), v)
-                                    * gain)
+                         for b2 in range(8)],
+                        np.diff(bounds[:9]))
+                    seg = mag[:cut] * gains
+                    seg[a[:cut] == 0] = 0.0
+                    xr[:cut] = seg
+                src_i, dst_i, runs = _short_requant_map(
+                    rate, 3 if mixed else 0)
+                gains = np.repeat(
+                    [gg * 2.0 ** (-2.0 * gi["subblock_gain"][w2])
+                     * 2.0 ** (-sf_mult * (sd["scf_s"][w2][s]
+                                           if s < 12 else 0))
+                     for s, w2, _w in runs],
+                    [w for _s, _w2, w in runs])
+                vals = mag[src_i] * gains
+                vals[a[src_i] == 0] = 0.0
+                xr[dst_i] = vals
             else:
-                for b2 in range(22):
-                    lo = bounds[b2]
-                    hi = bounds[b2 + 1]
-                    sb_scf = sd["scf"][b2] if b2 < 21 else 0
-                    gain = gg * 2.0 ** (-sf_mult * (
-                        sb_scf + gi["preflag"] * PRETAB[b2]))
-                    for j in range(lo, hi):
-                        v = isv[j]
-                        if v:
-                            xr[j] = math.copysign(
-                                abs(v) ** (4.0 / 3.0), v) * gain
+                gains = np.repeat(
+                    [gg * 2.0 ** (-sf_mult * (
+                        (sd["scf"][b2] if b2 < 21 else 0)
+                        + gi["preflag"] * PRETAB[b2]))
+                     for b2 in range(22)],
+                    np.diff(np.asarray(bounds)))
+                xr = mag * gains
+                xr[a == 0] = 0.0
             return xr
 
         def alias_imdct(gi, xr, ov):
@@ -938,16 +1033,19 @@ def make_mp3_codec():
                 xa = xr                  # no alias reduction
             else:
                 # mixed blocks: butterflies only at the one
-                # long-long subband boundary (sb = 1)
+                # long-long subband boundary (sb = 1). Vectorized
+                # (r14): one gather/scatter over the precomputed
+                # boundary indices replaces 31×8 scalar numpy
+                # index ops — identical multiply/add per element.
                 xa = xr.copy()
-                for sb in range(1, 2 if mixed else 32):
-                    for j in range(8):
-                        a = xa[18 * sb - 1 - j]
-                        bb = xa[18 * sb + j]
-                        xa[18 * sb - 1 - j] = (a * ALIAS_CS[j]
-                                               - bb * ALIAS_CA[j])
-                        xa[18 * sb + j] = (bb * ALIAS_CS[j]
-                                           + a * ALIAS_CA[j])
+                n_bf = 8 if mixed else 248
+                lo, hi = _ALIAS_IDX_LO[:n_bf], _ALIAS_IDX_HI[:n_bf]
+                av = xa[lo]
+                bv = xa[hi]
+                xa[lo] = (av * _ALIAS_CS_V[:n_bf]
+                          - bv * _ALIAS_CA_V[:n_bf])
+                xa[hi] = (bv * _ALIAS_CS_V[:n_bf]
+                          + av * _ALIAS_CA_V[:n_bf])
             spec = xa.reshape(32, 18)
             if short:
                 # 3 × 12-point IMDCT per subband (spectral

@@ -122,9 +122,61 @@ def zscore(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
     return df.withColumn("z", z)
 
 
+def _ewma_banded(vals, keys, kn, alpha: float, beta: float):
+    """The shared EWMA kernel: sorted-run detection + length-banded
+    column-wise recurrence (see ewma docstring). Inputs are the
+    sort-ordered value array (float64, NaN for null), the key array
+    and its null mask; returns the ewma array aligned to the input.
+    Bit-identical between the pandas and arrow wrappers — both hand
+    this function the same numpy arrays."""
+    import numpy as np
+    n = len(vals)
+    # run-length the sorted keys → per-series start/length.
+    # NULL keys are ONE group (Spark groupBy semantics), so a
+    # NaN-vs-NaN comparison must not split the run.
+    with np.errstate(invalid="ignore"):
+        changed = keys[1:] != keys[:-1]
+    changed = np.asarray(changed, dtype=bool) & ~(kn[1:] & kn[:-1])
+    starts = np.flatnonzero(np.r_[True, changed])
+    lens = np.diff(np.r_[starts, n])
+    # LENGTH-BANDED matrices: series are grouped into power-of-two
+    # length classes and each class gets its own (keys × position)
+    # matrix. A single skewed key (one 100k-row series next to 10k
+    # short ones) would otherwise inflate ONE matrix to
+    # n_series × max_len; per band, every series is longer than
+    # half the band width, so matrix cells <= 2 × band rows and
+    # total peak memory is Σlen-bounded (< 2 × bucket rows),
+    # whatever the length distribution. The recurrence stays
+    # column-wise per band — identical IEEE ops to the scalar
+    # loop, so values are still bit-exact; Python-loop iterations
+    # are Σ band widths <= 2 × max_len.
+    out = np.empty(n)
+    bands = np.ceil(np.log2(np.maximum(lens, 1))).astype(np.int64)
+    for band in np.unique(bands):
+        sel = np.flatnonzero(bands == band)
+        bl = lens[sel]
+        bmax = int(bl.max())
+        nb = int(bl.sum())
+        brow = np.repeat(np.arange(len(sel)), bl)
+        bpos = (np.arange(nb)
+                - np.repeat(np.cumsum(np.r_[0, bl[:-1]]), bl))
+        src = np.repeat(starts[sel], bl) + bpos
+        M = np.full((len(sel), bmax), np.nan)
+        M[brow, bpos] = vals[src]
+        # column-wise recurrence (NaN padding propagates but
+        # padded cells are discarded by the scatter below)
+        Y = np.empty_like(M)
+        Y[:, 0] = M[:, 0]
+        for j in range(1, bmax):
+            Y[:, j] = beta * Y[:, j - 1] + alpha * M[:, j]
+        out[src] = Y[brow, bpos]
+    return out
+
+
 def ewma(df: DataFrame, stamp_col: str, key_col: str, value_col: str,
          alpha: float, tiebreak: str | None = None,
-         num_buckets: int | None = None) -> DataFrame:
+         num_buckets: int | None = None,
+         kernel: str = "arrow") -> DataFrame:
     """Exponentially weighted moving average per key in stamp order:
     y_0 = v_0, y_i = (1-α)·y_{i-1} + α·v_i  (pandas ewm adjust=False).
 
@@ -147,7 +199,21 @@ def ewma(df: DataFrame, stamp_col: str, key_col: str, value_col: str,
     ``num_buckets`` (default 4× shuffle partitions) so that fits the
     executor. Not pandas .ewm, whose normalized-weight update
     (old_wt·y + new_wt·v)/(old_wt+new_wt) differs by an ulp.
+
+    ``kernel="arrow"`` (default since r14) runs the same numpy kernel
+    under groupBy().applyInArrow: the per-group pandas DataFrame
+    construction (Block-manager assembly + per-column copies) is
+    skipped — sort and column extraction happen on the Arrow table
+    directly (guide §4.1/§4.3). Ordering semantics match the pandas
+    path: Arrow's multi-key sort is stable with nulls last, pandas
+    sort_values defaults na_position='last'; on tie-free sort keys
+    (the operator's contract — `tiebreak` exists precisely to break
+    stamp ties) the orders are identical, and the arithmetic is the
+    shared _ewma_banded kernel, bit-for-bit. ``kernel="pandas"``
+    keeps the original wrapper (A/B and equivalence tests).
     """
+    if kernel not in ("arrow", "pandas"):
+        raise ValueError(f"ewma: unknown kernel {kernel!r}")
     cols = [key_col, stamp_col] + ([tiebreak] if tiebreak else []) \
         + [value_col]
     src = df.select(*cols)
@@ -164,56 +230,39 @@ def ewma(df: DataFrame, stamp_col: str, key_col: str, value_col: str,
         import numpy as np
         pdf = pdf.sort_values(order).reset_index(drop=True)
         vals = pdf[value_col].to_numpy(dtype="float64", na_value=np.nan)
-        n = len(vals)
-        if n == 0:
+        if len(vals) == 0:
             pdf["ewma"] = vals
             return pdf.drop(columns=["__bkt"])
-        # run-length the sorted keys → per-series start/length.
-        # NULL keys are ONE group (Spark groupBy semantics), so a
-        # NaN-vs-NaN comparison must not split the run.
         keys = pdf[key_col].to_numpy()
         kn = pdf[key_col].isna().to_numpy()
-        with np.errstate(invalid="ignore"):
-            changed = keys[1:] != keys[:-1]
-        changed = np.asarray(changed, dtype=bool) & ~(kn[1:] & kn[:-1])
-        starts = np.flatnonzero(np.r_[True, changed])
-        lens = np.diff(np.r_[starts, n])
-        # LENGTH-BANDED matrices: series are grouped into power-of-two
-        # length classes and each class gets its own (keys × position)
-        # matrix. A single skewed key (one 100k-row series next to 10k
-        # short ones) would otherwise inflate ONE matrix to
-        # n_series × max_len; per band, every series is longer than
-        # half the band width, so matrix cells <= 2 × band rows and
-        # total peak memory is Σlen-bounded (< 2 × bucket rows),
-        # whatever the length distribution. The recurrence stays
-        # column-wise per band — identical IEEE ops to the scalar
-        # loop, so values are still bit-exact; Python-loop iterations
-        # are Σ band widths <= 2 × max_len.
-        out = np.empty(n)
-        bands = np.ceil(np.log2(np.maximum(lens, 1))).astype(np.int64)
-        for band in np.unique(bands):
-            sel = np.flatnonzero(bands == band)
-            bl = lens[sel]
-            bmax = int(bl.max())
-            nb = int(bl.sum())
-            brow = np.repeat(np.arange(len(sel)), bl)
-            bpos = (np.arange(nb)
-                    - np.repeat(np.cumsum(np.r_[0, bl[:-1]]), bl))
-            src = np.repeat(starts[sel], bl) + bpos
-            M = np.full((len(sel), bmax), np.nan)
-            M[brow, bpos] = vals[src]
-            # column-wise recurrence (NaN padding propagates but
-            # padded cells are discarded by the scatter below)
-            Y = np.empty_like(M)
-            Y[:, 0] = M[:, 0]
-            for j in range(1, bmax):
-                Y[:, j] = beta * Y[:, j - 1] + alpha * M[:, j]
-            out[src] = Y[brow, bpos]
-        pdf["ewma"] = out
+        pdf["ewma"] = _ewma_banded(vals, keys, kn, alpha, beta)
         return pdf.drop(columns=["__bkt"])
+
+    def fn_arrow(tbl):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        tbl = tbl.drop_columns(["__bkt"])
+        if tbl.num_rows == 0:
+            return tbl.append_column(
+                "ewma", pa.array([], type=pa.float64()))
+        idx = pc.sort_indices(
+            tbl, sort_keys=[(c, "ascending") for c in order])
+        tbl = tbl.take(idx)
+        kc = tbl.column(key_col)
+        vals = (pc.cast(tbl.column(value_col), pa.float64())
+                .to_numpy(zero_copy_only=False))
+        keys = kc.to_numpy(zero_copy_only=False)
+        kn = np.asarray(pc.is_null(kc).to_numpy(zero_copy_only=False),
+                        dtype=bool)
+        out = _ewma_banded(vals, keys, kn, alpha, beta)
+        return tbl.append_column("ewma", pa.array(out, type=pa.float64()))
 
     bucketed = src.withColumn(
         "__bkt", F.pmod(F.xxhash64(key_col), F.lit(num_buckets)))
+    if kernel == "arrow":
+        return bucketed.groupBy("__bkt").applyInArrow(
+            fn_arrow, schema=f"{out_fields}, ewma double")
     return bucketed.groupBy("__bkt").applyInPandas(
         fn, schema=f"{out_fields}, ewma double")
 

@@ -136,12 +136,25 @@ def make_vp8_codec() -> SimpleNamespace:
     # all three are required before a non-fixture decode
     real = {"coeff": False, "quant": False, "cat": False}
 
+    # flat (p, band, ctx, token) traversal of update_probs, built on
+    # demand — the update-flag sections walk all 1056 entries in this
+    # exact order on both the encode and decode side
+    _upd_flat: list = []
+
+    def _flat_update_probs():
+        if not _upd_flat:
+            _upd_flat.append([update_probs[p][band][c][t]
+                              for p in range(4) for band in range(8)
+                              for c in range(3) for t in range(11)])
+        return _upd_flat[0]
+
     def set_coeff_probs(probs, updates=None) -> None:
         coeff_probs[:] = [[[list(t) for t in c] for c in b]
                           for b in probs]
         if updates is not None:
             update_probs[:] = [[[list(t) for t in c] for c in b]
                                for b in updates]
+            _upd_flat.clear()
         real["coeff"] = True
 
     _cats_installed: set = set()
@@ -181,10 +194,28 @@ def make_vp8_codec() -> SimpleNamespace:
                 self.range -= split
             else:
                 self.range = split
-            while self.range < 128:
-                self.low <<= 1
-                self.range <<= 1
-                self.shifts += 1
+            rng = self.range
+            if rng < 128:
+                # batched renorm (r14): shift count = the old
+                # while-loop's iteration count, same emitted bits
+                sh = 8 - rng.bit_length()
+                self.range = rng << sh
+                self.low <<= sh
+                self.shifts += sh
+
+        def put_zeros(self, probs) -> None:
+            """put(0, prob) for each prob, state in locals — the
+            1056 per-frame coefficient-update flags were ~25% of
+            encode time as individual put() calls (r14)."""
+            low, rng, shifts = self.low, self.range, self.shifts
+            for prob in probs:
+                rng = 1 + (((rng - 1) * prob) >> 8)
+                if rng < 128:
+                    sh = 8 - rng.bit_length()
+                    rng <<= sh
+                    low <<= sh
+                    shifts += sh
+            self.low, self.range, self.shifts = low, rng, shifts
 
         def put_literal(self, val: int, n: int) -> None:
             for k in range(n - 1, -1, -1):
@@ -214,22 +245,23 @@ def make_vp8_codec() -> SimpleNamespace:
                 nbytes, "big")
 
     class BoolDec:
-        __slots__ = ("buf", "value", "range", "bitpos")
+        __slots__ = ("buf", "padlen", "value", "range", "bitpos")
 
         def __init__(self, buf: bytes):
-            self.buf = buf
+            # Batched renormalization (r14, guide §4.2): the per-BIT
+            # _bit() feed was ~40% of decode time; each get() now
+            # refills its 1-7 renorm bits with ONE two-byte window
+            # extraction. The shift count equals the old while-loop's
+            # iteration count, so bit consumption — and the decoded
+            # stream — are identical; reads past the end still feed
+            # zeros (the pad, re-extended if a starved stream keeps
+            # reading).
+            self.buf = buf + b"\x00" * 64
+            self.padlen = len(self.buf)
             self.value = int.from_bytes(
                 (buf + b"\x00\x00")[:2], "big")
             self.range = 255
-            self.bitpos = 16        # bit-serial feed past the preload
-
-        def _bit(self) -> int:
-            p = self.bitpos
-            self.bitpos = p + 1
-            byte_i = p >> 3
-            if byte_i >= len(self.buf):
-                return 0
-            return (self.buf[byte_i] >> (7 - (p & 7))) & 1
+            self.bitpos = 16        # feed position past the preload
 
         def get(self, prob: int) -> int:
             split = 1 + (((self.range - 1) * prob) >> 8)
@@ -241,27 +273,135 @@ def make_vp8_codec() -> SimpleNamespace:
             else:
                 bit = 0
                 self.range = split
-            while self.range < 128:
-                self.range <<= 1
-                self.value = ((self.value << 1) | self._bit()) \
-                    & 0xFFFF
+            rng = self.range
+            if rng < 128:
+                sh = 8 - rng.bit_length()
+                self.range = rng << sh
+                p = self.bitpos
+                byte_i = p >> 3
+                if byte_i + 2 > self.padlen:
+                    self.buf += b"\x00" * 64
+                    self.padlen += 64
+                window = (self.buf[byte_i] << 8) | self.buf[byte_i + 1]
+                fed = (window >> (16 - (p & 7) - sh)) & ((1 << sh) - 1)
+                self.value = ((self.value << sh) | fed) & 0xFFFF
+                self.bitpos = p + sh
             return bit
 
         def get_literal(self, n: int) -> int:
+            # inlined bool reads (locals instead of attribute access
+            # per bit) — same arithmetic as get(128) n times
+            value, rng, p = self.value, self.range, self.bitpos
+            buf, padlen = self.buf, self.padlen
             v = 0
             for _ in range(n):
-                v = (v << 1) | self.get(128)
+                split = 1 + ((rng - 1) >> 1)   # prob = 128
+                big = split << 8
+                if value >= big:
+                    bit = 1
+                    rng -= split
+                    value -= big
+                else:
+                    bit = 0
+                    rng = split
+                if rng < 128:
+                    sh = 8 - rng.bit_length()
+                    rng <<= sh
+                    byte_i = p >> 3
+                    if byte_i + 2 > padlen:
+                        buf = self.buf = buf + b"\x00" * 64
+                        padlen = self.padlen = padlen + 64
+                    window = (buf[byte_i] << 8) | buf[byte_i + 1]
+                    value = ((value << sh)
+                             | ((window >> (16 - (p & 7) - sh))
+                                & ((1 << sh) - 1))) & 0xFFFF
+                    p += sh
+                v = (v << 1) | bit
+            self.value, self.range, self.bitpos = value, rng, p
             return v
 
+        def first_set(self, probs) -> bool:
+            """get(prob) per entry until the first 1 bit (True) or
+            all read as 0 (False), state in locals — the 1056
+            per-frame coefficient-update flags were ~40% of decode
+            time as individual get() calls (r14). Bit consumption
+            matches the one-by-one gets exactly."""
+            value, rng, p = self.value, self.range, self.bitpos
+            buf, padlen = self.buf, self.padlen
+            hit = False
+            for prob in probs:
+                split = 1 + (((rng - 1) * prob) >> 8)
+                big = split << 8
+                if value >= big:
+                    hit = True
+                    rng -= split
+                    value -= big
+                else:
+                    rng = split
+                if rng < 128:
+                    sh = 8 - rng.bit_length()
+                    rng <<= sh
+                    byte_i = p >> 3
+                    if byte_i + 2 > padlen:
+                        buf = self.buf = buf + b"\x00" * 64
+                        padlen = self.padlen = padlen + 64
+                    window = (buf[byte_i] << 8) | buf[byte_i + 1]
+                    value = ((value << sh)
+                             | ((window >> (16 - (p & 7) - sh))
+                                & ((1 << sh) - 1))) & 0xFFFF
+                    p += sh
+                if hit:
+                    break
+            self.value, self.range, self.bitpos = value, rng, p
+            return hit
+
         def get_tree(self, tree, probs, start: int = 0) -> int:
+            # inlined per-branch bool reads (r14): the tree walk is
+            # where most get() calls happen; hoisting decoder state
+            # into locals removes the per-bit attribute traffic while
+            # keeping the arithmetic identical
+            value, rng, p = self.value, self.range, self.bitpos
+            buf, padlen = self.buf, self.padlen
             node = start
             while True:
-                node = tree[node + self.get(probs[node >> 1])]
+                prob = probs[node >> 1]
+                split = 1 + (((rng - 1) * prob) >> 8)
+                big = split << 8
+                if value >= big:
+                    bit = 1
+                    rng -= split
+                    value -= big
+                else:
+                    bit = 0
+                    rng = split
+                if rng < 128:
+                    sh = 8 - rng.bit_length()
+                    rng <<= sh
+                    byte_i = p >> 3
+                    if byte_i + 2 > padlen:
+                        buf = self.buf = buf + b"\x00" * 64
+                        padlen = self.padlen = padlen + 64
+                    window = (buf[byte_i] << 8) | buf[byte_i + 1]
+                    value = ((value << sh)
+                             | ((window >> (16 - (p & 7) - sh))
+                                & ((1 << sh) - 1))) & 0xFFFF
+                    p += sh
+                node = tree[node + bit]
                 if node <= 0:
+                    self.value, self.range, self.bitpos = value, rng, p
                     return -node
 
+    _tree_path_memo: dict = {}
+
     def _tree_path(tree, leaf: int, start: int = 0):
-        """DFS for the branch-bit path from `start` to leaf -leaf."""
+        """DFS for the branch-bit path from `start` to leaf -leaf.
+        Memoized per (tree identity, leaf, start) — the encoder calls
+        this once per SYMBOL and the trees are fixed tuples, so the
+        DFS was ~25% of encode time for a constant answer (r14)."""
+        key = (id(tree), leaf, start)
+        got = _tree_path_memo.get(key)
+        if got is not None:
+            return got
         out = []
 
         def walk(node, path):
@@ -275,6 +415,9 @@ def make_vp8_codec() -> SimpleNamespace:
         walk(start, [])
         if not out:
             raise ValueError(f"leaf {leaf} not in tree from {start}")
+        # hold the tree so id() stays unique for the memo's lifetime
+        _tree_path_memo[key] = out[0]
+        _tree_path_memo.setdefault(("tree_ref", id(tree)), tree)
         return out[0]
 
     # ---------------- transforms ----------------
@@ -483,11 +626,7 @@ def make_vp8_codec() -> SimpleNamespace:
         for _ in range(5):          # y/y2/uv dc+ac deltas absent
             e1.put(0, 128)
         e1.put(0, 128)              # refresh_entropy_probs
-        for p in range(4):          # coeff prob updates: none
-            for b in range(8):
-                for c in range(3):
-                    for t in range(11):
-                        e1.put(0, update_probs[p][b][c][t])
+        e1.put_zeros(_flat_update_probs())   # coeff prob updates: none
         e1.put(1, 128)              # mb_no_coeff_skip enabled
         e1.put_literal(1, 8)        # prob_skip_false (fixture: 1)
         # one macroblock: skip flag, luma mode, chroma mode
@@ -602,14 +741,9 @@ def make_vp8_codec() -> SimpleNamespace:
                 raise NotImplementedError(
                     "quantizer deltas not implemented")
         d1.get(128)                 # refresh_entropy_probs
-        for p in range(4):
-            for band in range(8):
-                for c in range(3):
-                    for t in range(11):
-                        if d1.get(update_probs[p][band][c][t]):
-                            raise NotImplementedError(
-                                "coefficient probability updates "
-                                "not implemented")
+        if d1.first_set(_flat_update_probs()):
+            raise NotImplementedError(
+                "coefficient probability updates not implemented")
         if not d1.get(128):
             raise NotImplementedError(
                 "mb_no_coeff_skip=0 not implemented")

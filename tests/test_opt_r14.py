@@ -82,6 +82,29 @@ def test_constant_expression_trees_hoisted(spark):
     assert sorted(map(str, a)) == sorted(map(str, b))
 
 
+def test_ewma_arrow_kernel_bit_exact_vs_pandas(spark):
+    """The r14 applyInArrow port of ewma must reproduce the pandas
+    path bit-for-bit (same _ewma_banded kernel, same stable sort with
+    nulls last) — the ts07 oracle replays the recurrence exactly."""
+    from nowdb_spark.operators import timeseries as TS
+
+    ev = table(spark, SF_DIR, "events")
+    cols = ["user_id", "ts", "event_id"]
+    a = (TS.ewma(ev, "ts", "user_id", "value", alpha=0.3,
+                 tiebreak="event_id", kernel="pandas")
+         .toPandas().sort_values(cols).reset_index(drop=True))
+    b = (TS.ewma(ev, "ts", "user_id", "value", alpha=0.3,
+                 tiebreak="event_id", kernel="arrow")
+         .toPandas().sort_values(cols).reset_index(drop=True))
+    assert len(a) == len(b) > 0
+    assert (a["ewma"].to_numpy().view("int64")
+            == b["ewma"].to_numpy().view("int64")).all()
+    plan = (TS.ewma(ev, "ts", "user_id", "value", alpha=0.3,
+                    tiebreak="event_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "FlatMapGroupsInArrow" in plan, "arrow kernel is the default"
+
+
 def test_bench_emits_headline_summary_before_pipeline_tail():
     import ast
     from pathlib import Path
