@@ -11,49 +11,58 @@ oracle-verified by tests/test_workload.py — only the driver row is
 forgone. The per-row relegation rationale lives in PARITY.md
 ("Driver-window rotation log"), not here.
 
-Round 13 rebuild: the round-12 newcomers (g08, ts14, cc04, tx17) and
-the repaired tx09 rotate in, and a second rotation band swaps 16
-long-green rows (q02/q03/q05/q06/q09/q11/q13-q15/q19/q20 green since
-rounds 1-3; nq02/nq08/nq18, wd01/wd07, wc06, sk01, g06, mm29, tx16
-green since rounds 4-9) for 16 never-windowed rows across the
-sketch, streaming, time-series, dialect, web-corpus and shard
-families. 20 first-time rows; never-windowed backlog 92 → 72.
+Round 14 rebuild (optimization round — rotation serves verification):
+every row whose execution path changed this round rotates IN so the
+driver itself re-verifies the optimized code (ts07 ewma→applyInArrow;
+g01 pairs_from_groups reshape; dd02/dd02x hoisted MinHash folds;
+ann01 hoisted topk exprs; q17/q22/q23 hoisted agg/window exprs;
+mm38/mm39 share the optimized MP3 entropy decode that mm36 locks),
+and 11 of the 21 rows rotated out in r13 (q02/q03/q05/q06/q09/q11/
+q13/q14/q15/q19/q20 — VERDICT r13 item 6, ">=10") rotate back so no
+path goes more than ~2 rounds driver-unverified. All 21 r13
+newcomers keep their seats; 21 long-green rows relegate (each
+family keeps >=1 row; q08/q10/q16/mm36/mm37 already in-window cover
+the remaining changed paths).
 """
 
 PRIORITY_ORDER = [
-    # reference relational core — one per SURVEY §2.2/§2.3/§2.4 family
-    "q01_scan_filter", "q04_time_range", "q07_countall",
-    "q08_group_agg", "q10_median_stddev", "q16_join_two_dims",
+    # reference relational core — incl. the r13-relegated band back
+    # for its 2-round re-verify, and the r14-hoisted q17/q22/q23
+    "q01_scan_filter", "q02_point_lookup", "q03_in_list",
+    "q05_distinct", "q06_count_by_key", "q08_group_agg",
+    "q09_global_agg", "q10_median_stddev", "q11_order_topk",
+    "q13_time_extract", "q14_null_semantics", "q15_join_origin",
+    "q16_join_two_dims", "q17_degree", "q19_semi_join",
+    "q20_anti_join", "q22_sessionize", "q23_asof_view_before_purchase",
     # dialect front-end (parser → binder → DataFrame)
-    "nq25_dialect_asof_join", "nq09_dialect_window_frames",
-    "nq11_dialect_setops", "nq12_dialect_exists",
+    "nq09_dialect_window_frames", "nq11_dialect_setops",
+    "nq12_dialect_exists",
     # shard/container ingestion
-    "wd12_zarr_store", "wd02_zip_shards", "wd03_multimodal_samples",
+    "wd02_zip_shards", "wd03_multimodal_samples",
     # documents
     "dc01_pdf_extract",
-    # graph
-    "g07_hyperball", "g08_kcore",
-    # dedup / web corpus
-    "wc08_registrable_domain", "wc02_link_extract",
-    "wc03_robots_filter", "dd10_dedup_canonical", "ann11_maxsim",
+    # graph — g01 carries the r14 pairs_from_groups reshape
+    "g01_cosupply_pairs", "g08_kcore",
+    # web corpus
+    "wc02_link_extract", "wc03_robots_filter",
+    # dedup — both MinHash fold backends carry the r14 expr hoist
+    "dd02_minhash_signature", "dd02x_minhash_xxhash",
     # text analysis / quality
-    "qc01_quality_classifier", "qc04_banlist_scan",
+    "qc01_quality_classifier",
     "tx09_unigram_tokenize", "tx17_unigram_segment",
-    # similarity search
-    "ann12_residual_quant", "ann10_binary_quant",
-    # multimodal (image / audio / video, real sample decode + DSP)
-    "mm34_webp_anim", "mm37_vp8_intra", "mm35_aiff_decode",
-    "mm31_mp2_decode", "mm36_mp3_decode", "mm30_h264_ipcm",
-    "mm33_mdct_roundtrip",
-    # time-series + streaming
-    "ts13_holt_linear", "ts14_cusum", "ts06_zscore",
+    # similarity search — ann01 carries the r14 expr hoist
+    "ann01_bruteforce_topk",
+    # multimodal — mm36/37 lock the r14 entropy-decode speedups,
+    # mm38/39 share the same decode_frames path
+    "mm36_mp3_decode", "mm37_vp8_intra", "mm38_mp3_reservoir",
+    "mm39_mp3_ms_stereo",
+    # time-series + streaming — ts07 carries the applyInArrow port
+    "ts07_ewma", "ts14_cusum", "ts06_zscore",
     "ts08_gap_fill_interp", "ts09_asof_join",
-    "st01_stream_window_agg", "st02_stream_session_window",
-    "st03_stream_interval_join", "st04_stream_dedup",
+    "st02_stream_session_window", "st04_stream_dedup",
     # sketches
     "sk02_cms_heavy_hitters", "sk03_kll_quantiles",
     "sk04_bloom_membership", "sk05_kmv_overlap",
     # corpus curation / mixing
-    "dm02_temperature_mix", "cc03_pretrain_pipeline",
     "cc04_ppl_buckets",
 ]                                                # exactly 50 entries
