@@ -283,7 +283,15 @@ def make_mp3_codec():
     decode_maps = {}
     decode_luts = {}
 
+    _linbits_memo: dict = {}
+
     def _table_linbits(tid: int) -> int:
+        # memoized (r14): the encoder called this once per VALUE PAIR
+        # and it rescans the whole table — 18% of encode time for a
+        # constant answer; invalidated with the table in set_tables
+        got = _linbits_memo.get(tid)
+        if got is not None:
+            return got
         lb = 0
         for e in tables[tid].values():
             if len(e) > 2:
@@ -291,6 +299,7 @@ def make_mp3_codec():
                     raise ValueError(
                         f"table {tid}: inconsistent linbits")
                 lb = e[2]
+        _linbits_memo[tid] = lb
         return lb
 
     def _decode_map(tid: int):
@@ -339,6 +348,7 @@ def make_mp3_codec():
         tables[tid] = dict(entries)
         decode_maps.pop(tid, None)
         decode_luts.pop(tid, None)
+        _linbits_memo.pop(tid, None)
 
     # ---------------- bit I/O (same shapes as mp2codec) ----------
     class _Writer:
@@ -364,8 +374,19 @@ def make_mp3_codec():
                 self.put(0, 8 - self.nbits)
 
         def replay_into(self, w: "_Writer") -> None:
-            for byte in self.buf:
-                w.put(byte, 8)
+            # byte-aligned target: straight buffer copy; otherwise
+            # 64-bit chunks (one put per 8 bytes instead of per byte
+            # — the reservoir replay was per-byte puts over whole
+            # frame payloads, r14). Emitted bits identical.
+            b = self.buf
+            if w.nbits == 0:
+                w.buf.extend(b)
+            else:
+                end = len(b) - (len(b) % 8)
+                for i in range(0, end, 8):
+                    w.put(int.from_bytes(b[i:i + 8], "big"), 64)
+                for byte in b[end:]:
+                    w.put(byte, 8)
             if self.nbits:
                 w.put(self.acc & ((1 << self.nbits) - 1), self.nbits)
 
@@ -453,15 +474,23 @@ def make_mp3_codec():
                     f"value {v} exceeds table {tid}'s range "
                     f"(linbits={lb})")
         e = tab[key]
-        bw.put(e[1], e[0])
+        # one accumulated put per pair (r14): codeword, x-linbits,
+        # x-sign, y-linbits, y-sign in the same bit order as the
+        # previous five put() calls
+        val, n = e[1], e[0]
         if kx == 15 and lb:
-            bw.put(ax - 15, lb)
+            val = (val << lb) | (ax - 15)
+            n += lb
         if x:
-            bw.put(1 if x < 0 else 0, 1)
+            val = (val << 1) | (1 if x < 0 else 0)
+            n += 1
         if ky == 15 and lb:
-            bw.put(ay - 15, lb)
+            val = (val << lb) | (ay - 15)
+            n += lb
         if y:
-            bw.put(1 if y < 0 else 0, 1)
+            val = (val << 1) | (1 if y < 0 else 0)
+            n += 1
+        bw.put(val, n)
 
     def _granule_payload(isv, scf, g, rate, block_type, table_select,
                          region0_count, region1_count, count1_quads,
@@ -480,7 +509,11 @@ def make_mp3_codec():
             r1_end = bounds[region0_count + region1_count + 2]
         else:                                # window switching
             r0_end, r1_end = bounds[8], 576
-        nz = max((i for i, v in enumerate(isv) if v), default=-1)
+        nz = -1
+        for i in range(575, -1, -1):     # last nonzero, early-exit
+            if isv[i]:
+                nz = i
+                break
         end = nz + 1
         end += end & 1                       # pair-align
         n_c1 = min(count1_quads, end // 4)
@@ -981,7 +1014,16 @@ def make_mp3_codec():
             sf_mult = 0.5 * (gi["scalefac_scale"] + 1)
             gg = 2.0 ** ((gi["global_gain"] - 210) / 4.0)
             a = np.asarray(isv, dtype=np.float64)
-            mag = np.copysign(np.abs(a) ** (4.0 / 3.0), a)
+            # |v|^(4/3) via CPython pow per UNIQUE magnitude (a
+            # granule has ~20 distinct codes), gathered back with
+            # searchsorted: numpy's vectorized pow can differ from
+            # libm pow by 1 ulp, and the oracle replays CPython/
+            # DuckDB-side pow — this keeps the scalar loop's bits
+            # exactly while staying one vector pass
+            absa = np.abs(a)
+            uq = np.unique(absa)
+            pw = np.array([u ** (4.0 / 3.0) for u in uq.tolist()])
+            mag = np.copysign(pw[np.searchsorted(uq, absa)], a)
             xr = np.zeros(576)
             if short:
                 # requantize per (window, sfb) on the transmit
